@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Expression helpers shared by the operator library. All are thin
+  * compositions of codegen'd built-ins — no UDFs — so they stay inside
+  * WholeStageCodegen and keep predicate pushdown intact.
+  */
+object Funcs {
+
+  /** TIMESTAMP_BUCKET(ts, INTERVAL n SECOND) — floor-to-epoch-multiple
+    * bucketing (reference: lakehouse_part3_time_series_forecasting.py:463
+    * uses 5-minute buckets). Matches DuckDB `time_bucket` for intervals that
+    * divide the 2000-01-01 epoch offset (all sub-hour intervals do).
+    */
+  def timestampBucket(ts: Column, seconds: Long): Column =
+    timestamp_seconds(floor(unix_timestamp(ts) / seconds) * seconds)
+
+  /** SAFE_DIVIDE + COALESCE(.., 0) (reference: part3:150-151).
+    * try_divide returns NULL on a zero/NULL divisor for all numeric types.
+    */
+  def safeDivide(num: Column, den: Column): Column =
+    coalesce(try_divide(num, den), lit(0.0))
+
+  /** Cross-engine-stable SUM over a money-like double column: cast each
+    * element to DECIMAL(18,2) (exact, order-independent accumulation), sum,
+    * cast the single result back to double. A plain double sum differs
+    * between engines in the last ulps because accumulation order differs;
+    * this form is bitwise-reproducible anywhere.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Stable AVG built from [[decSum]]: one double division at the end. */
+  def decAvg(c: Column): Column =
+    decSum(c) / count(c)
+
+  /** PARSE_TIMESTAMP('%m/%d/%Y %I:%M:%S %p', s) (reference: part0:293). */
+  def parseMtaTimestamp(s: Column): Column =
+    to_timestamp(s, "MM/dd/yyyy hh:mm:ss a")
+
+  /** Inverse of [[parseMtaTimestamp]] for round-trip tests. */
+  def formatMtaTimestamp(ts: Column): Column =
+    date_format(ts, "MM/dd/yyyy hh:mm:ss a")
+
+  /** Whitespace tokenization shared by the text-analysis ops. */
+  def tokens(text: Column): Column = split(text, " ")
+}

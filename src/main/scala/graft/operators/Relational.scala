@@ -1,0 +1,549 @@
+package graft.operators
+
+import graft.api.GraftQuery
+import graft.core.Tables
+import graft.functions.Funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Relational operator surface: projections/filters (P1-P8), joins (J1-J9),
+  * aggregations (A1-A8, A10), window dedup (W1), sorts/limits (O1-O3), and
+  * scalar functions (F-series), each mapped onto the driver test tables with
+  * a DuckDB oracle.
+  *
+  * Reference semantics per SURVEY.md §2; provenance cited per query. All
+  * plans are declarative DataFrame chains so Catalyst keeps pushdown,
+  * pruning, partial aggregation and broadcast selection; money-typed sums go
+  * through [[graft.functions.Funcs.decSum]] for cross-engine determinism.
+  */
+object Relational {
+
+  private def q(name: String, oracle: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(oracle))
+
+  // ---------------------------------------------------------------- P series
+
+  /** P1+F13: parse a JSON envelope column, project nested fields `data.*`
+    * (reference: pyspark-job.py:135-138).
+    */
+  val p1 = q(
+    "p1_nested_projection",
+    "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).as("data"))
+      .select(col("event_id"), col("data.*"))
+  }
+
+  /** P2: withColumn / rename / drop chains (reference: pyspark-job.py:199-204). */
+  val p2 = q(
+    "p2_column_chain",
+    """SELECT c_custkey, c_name AS name, c_nationkey, c_acctbal,
+      |CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'low' END AS bal_tier
+      |FROM customer""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("bal_tier", when(col("c_acctbal") >= 5000, "high").otherwise("low"))
+      .withColumnRenamed("c_name", "name")
+      .drop("c_mktsegment")
+  }
+
+  /** P3: predicate filter (alert condition shape, pyspark-job.py:142). */
+  val p3 = q(
+    "p3_predicate_filter",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'error' AND value > 100") {
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "error" && col("value") > 100)
+        .select("event_id", "user_id", "value")
+  }
+
+  /** P4: null filter after a null-producing projection (pyspark-job.py:198). */
+  val p4 = q(
+    "p4_null_filter",
+    "SELECT event_id, value AS v FROM events WHERE value >= 50") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(col("value") < 50, lit(null)).otherwise(col("value")).as("v"))
+      .filter(col("v").isNotNull)
+  }
+
+  /** P5: BETWEEN range predicate on timestamps (part3:530,548). */
+  val p5 = q(
+    "p5_between",
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").between(
+          to_timestamp(lit("1996-01-01 00:00:00")), to_timestamp(lit("1997-12-31 23:59:59"))))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+  }
+
+  /** P6+F4: scalar-subquery predicate, ts > max(ts) - 90 days (part3:181-184).
+    * Expressed in Spark SQL so Catalyst plans the scalar subquery natively.
+    */
+  val p6 = q(
+    "p6_scalar_subquery",
+    """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+      |WHERE l_shipdate > (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM lineitem)""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("li_p6")
+      s.sql("""SELECT l_orderkey, l_linenumber, l_shipdate FROM li_p6
+              |WHERE l_shipdate > (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM li_p6)""".stripMargin)
+  }
+
+  /** P7: equality predicate on a string key, through a dim join (part3:627). */
+  val p7 = q(
+    "p7_string_key_eq",
+    """SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE n.n_name = 'NATION_7'""".stripMargin) {
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** P8+F19: computed-column projection (demand-metric arithmetic, part3:149-151). */
+  val p8 = q(
+    "p8_computed_projection",
+    """SELECT l_orderkey, l_linenumber,
+      |l_extendedprice * (1 - l_discount) AS revenue,
+      |l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    // raw IEEE products — bitwise identical across engines; rounding doubles
+    // is NOT cross-engine-stable (Spark rounds the shortest decimal repr)
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+        .as("charge"))
+  }
+
+  // ---------------------------------------------------------------- J series
+
+  /** J1: inner equi-join on a 2-key composite (rides x ridership shape,
+    * part2:431-436): first lineitem of each order via composite-key self-join.
+    */
+  val j1 = q(
+    "j1_composite_2key_join",
+    """WITH fl AS (SELECT l_orderkey, min(l_linenumber) AS l_linenumber
+      |            FROM lineitem GROUP BY l_orderkey)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
+      |FROM lineitem l JOIN fl ON l.l_orderkey = fl.l_orderkey AND l.l_linenumber = fl.l_linenumber""".stripMargin) {
+    (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val first = li.groupBy("l_orderkey").agg(min("l_linenumber").as("l_linenumber"))
+      li.join(first, Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  }
+
+  /** J2: left outer equi-join, dim-preserving (part2:281-283). */
+  val j2 = q(
+    "j2_left_outer_join",
+    """SELECT n.n_name, count(c.c_custkey) AS cust_cnt FROM nation n
+      |LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey GROUP BY n.n_name""".stripMargin) {
+    (s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy("n_name").agg(count(col("c_custkey")).as("cust_cnt"))
+  }
+
+  /** J3+X6: inner join with an explicitly broadcast small side (part2:300). */
+  val j3 = q(
+    "j3_broadcast_join",
+    """SELECT r.r_name, count(*) AS nation_cnt FROM nation n
+      |JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name""".stripMargin) {
+    (s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("nation_cnt"))
+  }
+
+  /** J4+M1: CTAS feature build with left joins to dims (part3:124-157):
+    * materialize the feature table to Parquet, read it back, aggregate.
+    */
+  val j4 = q(
+    "j4_feature_ctas_left_joins",
+    """SELECT p.p_brand, count(*) AS n,
+      |CAST(SUM(CAST(l.l_extendedprice - p.p_retailprice * l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_margin,
+      |max(s.s_acctbal) AS max_supp_bal
+      |FROM lineitem l
+      |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY p.p_brand""".stripMargin) { (s, d) =>
+    val features = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"), "left")
+      .select(col("p_brand"), col("s_acctbal"),
+        (col("l_extendedprice") - col("p_retailprice") * col("l_quantity")).as("margin"))
+    val path = s"${tmpDir(s)}/j4_features"
+    features.write.mode("overwrite").parquet(path)
+    s.read.parquet(path).groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), decSum(col("margin")).as("total_margin"),
+        max(col("s_acctbal")).as("max_supp_bal"))
+  }
+
+  /** J5+A4: verification join with theta residual, expected empty
+    * (conservation invariant, part0:334-358): hourly counts must equal
+    * minute-level counts re-aggregated to the hour.
+    */
+  val j5 = q(
+    "j5_verification_residual",
+    """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c FROM events GROUP BY 1),
+    |minutely AS (SELECT date_trunc('minute', ts) AS m, count(*) AS c FROM events GROUP BY 1),
+    |reagg AS (SELECT date_trunc('hour', m) AS h, CAST(sum(c) AS BIGINT) AS c2 FROM minutely GROUP BY 1)
+    |SELECT hourly.h, hourly.c, reagg.c2 FROM hourly JOIN reagg ON hourly.h = reagg.h
+    |WHERE hourly.c != reagg.c2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h")).agg(count(lit(1)).as("c"))
+    val reagg = ev.groupBy(date_trunc("minute", col("ts")).as("m")).agg(count(lit(1)).as("c"))
+      .groupBy(date_trunc("hour", col("m")).as("h")).agg(sum("c").cast(LongType).as("c2"))
+    hourly.join(reagg, "h").filter(col("c") =!= col("c2"))
+  }
+
+  /** J6+F6: equi-join on a computed time-bucket key plus two more keys
+    * (forecast-vs-actual shape, part3:612-629).
+    */
+  val j6 = q(
+    "j6_computed_bucket_join",
+    """WITH a AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type, user_id, count(*) AS cnt
+      |           FROM events GROUP BY 1, 2, 3)
+      |SELECT e.event_id, a.cnt FROM events e
+      |JOIN a ON time_bucket(INTERVAL '5 minutes', e.ts) = a.b
+      |      AND e.event_type = a.event_type AND e.user_id = a.user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val agg = ev.groupBy(timestampBucket(col("ts"), 300).as("b"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    ev.withColumn("b", timestampBucket(col("ts"), 300))
+      .join(agg, Seq("b", "event_type", "user_id"))
+      .select("event_id", "cnt")
+  }
+
+  /** J7: 3-key LEFT join with nulls coalesced (part3:704-718). */
+  val j7 = q(
+    "j7_3key_left_join",
+    """WITH a AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type, user_id, count(*) AS cnt
+      |           FROM events GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |SELECT e.event_id, COALESCE(a.cnt, 0) AS cnt FROM events e
+      |LEFT JOIN a ON time_bucket(INTERVAL '5 minutes', e.ts) = a.b
+      |           AND e.event_type = a.event_type AND e.user_id = a.user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val agg = ev.groupBy(timestampBucket(col("ts"), 300).as("b"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+    ev.withColumn("b", timestampBucket(col("ts"), 300))
+      .join(agg, Seq("b", "event_type", "user_id"), "left")
+      .select(col("event_id"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** J8+F11+M7: 3-way join with null filter -> effectively inner
+    * (model-vs-model comparison shape, part3:759-781).
+    */
+  val j8 = q(
+    "j8_threeway_join_nullfilter",
+    """WITH base AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS all_avg FROM events GROUP BY user_id),
+      |c AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS click_avg FROM events WHERE event_type = 'click' GROUP BY user_id),
+      |v AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS view_avg FROM events WHERE event_type = 'view' GROUP BY user_id)
+      |SELECT base.user_id, base.all_avg, c.click_avg, v.view_avg,
+      |ABS(c.click_avg - v.view_avg) AS avg_gap
+      |FROM base LEFT JOIN c ON base.user_id = c.user_id LEFT JOIN v ON base.user_id = v.user_id
+      |WHERE c.click_avg IS NOT NULL AND v.view_avg IS NOT NULL""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val base = ev.groupBy("user_id").agg(decAvg(col("value")).as("all_avg"))
+    val clicks = ev.filter(col("event_type") === "click").groupBy("user_id")
+      .agg(decAvg(col("value")).as("click_avg"))
+    val views = ev.filter(col("event_type") === "view").groupBy("user_id")
+      .agg(decAvg(col("value")).as("view_avg"))
+    base.join(clicks, Seq("user_id"), "left").join(views, Seq("user_id"), "left")
+      .filter(col("click_avg").isNotNull && col("view_avg").isNotNull)
+      .withColumn("avg_gap", abs(col("click_avg") - col("view_avg")))
+  }
+
+  /** J9+F7+F9: lateral explode(sequence(0,59)) x60 minute spreading
+    * (part0:324-325, floor/pmod/round/when at part0:317-323).
+    */
+  val j9 = q(
+    "j9_lateral_explode60",
+    """SELECT o_orderkey, CAST(t.m AS INT) AS m,
+      |o_totalprice / 60 AS minute_price,
+      |CASE WHEN t.m % 15 = 0 THEN 1 ELSE 0 END AS quarter_flag,
+      |CAST(FLOOR(o_totalprice / 60) AS BIGINT) AS floor_share
+      |FROM orders CROSS JOIN generate_series(0, 59) t(m)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      explode(sequence(lit(0), lit(59))).as("m"),
+      (col("o_totalprice") / 60).as("minute_price"),
+      col("o_totalprice"))
+      .select(col("o_orderkey"), col("m"), col("minute_price"),
+        when(pmod(col("m"), lit(15)) === 0, 1).otherwise(0).as("quarter_flag"),
+        floor(col("o_totalprice") / 60).as("floor_share"))
+  }
+
+  // ---------------------------------------------------------------- A series
+
+  /** A1: min/max hash agg per key (part2:269-272). */
+  val a1 = q(
+    "a1_minmax_agg",
+    "SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n FROM events GROUP BY user_id") {
+    (s, d) =>
+      Tables.events(s, d).groupBy("user_id")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"), count(lit(1)).as("n"))
+  }
+
+  /** A2: max-of-min / min-of-max two-level agg (part2:288-293). */
+  val a2 = q(
+    "a2_minmax_of_minmax",
+    """WITH per_cust AS (SELECT o_custkey, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+      |                  FROM orders GROUP BY o_custkey)
+      |SELECT c.c_nationkey, max(pc.mn) AS max_of_min, min(pc.mx) AS min_of_max
+      |FROM per_cust pc JOIN customer c ON pc.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey""".stripMargin) { (s, d) =>
+    val perCust = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(min("o_orderdate").as("mn"), max("o_orderdate").as("mx"))
+    perCust.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(max("mn").as("max_of_min"), min("mx").as("min_of_max"))
+  }
+
+  /** A3+F1: SUM grouped by a custom-format parsed timestamp (part0:290-299).
+    * The string column is produced with the same format, then parsed back —
+    * exercising the full format round-trip at second grain.
+    */
+  val a3 = q(
+    "a3_sum_by_parsed_ts",
+    """SELECT strptime(strftime(ts, '%m/%d/%Y %I:%M:%S %p'), '%m/%d/%Y %I:%M:%S %p') AS parsed_ts,
+      |count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(parseMtaTimestamp(formatMtaTimestamp(col("ts"))).as("parsed_ts"), col("value"))
+      .groupBy("parsed_ts")
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+  }
+
+  /** A4+F5: re-aggregate by date_trunc hour (part0:340-347). */
+  val a4 = q(
+    "a4_trunc_hour_agg",
+    """SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+  }
+
+  /** A5+F8: AVG by month x day-of-week groupings (part3:313-371).
+    * Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday, hence the +1.
+    */
+  val a5 = q(
+    "a5_avg_by_groupings",
+    """SELECT CAST(EXTRACT(month FROM ts) AS INT) AS mo,
+      |CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow, count(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(month(col("ts")).as("mo"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"), decAvg(col("value")).as("avg_value"))
+  }
+
+  /** A6: exact percentile quantiles per group (APPROX_QUANTILES shape,
+    * part3:277-282; SURVEY notes exact percentile is acceptable). Rounded to
+    * 6 decimals: both engines use linear interpolation but may differ in the
+    * final ulp.
+    */
+  val a6 = q(
+    "a6_percentile_quantiles",
+    """SELECT event_type, list_transform(quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]),
+      |x -> round(x, 6)) AS quantiles FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(expr("transform(percentile(value, array(0.0D, 0.25D, 0.5D, 0.75D, 1.0D)), x -> round(x, 6))")
+        .as("quantiles"))
+  }
+
+  /** A7: collect_list per key, canonically sorted (pyspark-job.py:190-196;
+    * sorted because collect order is nondeterministic by design).
+    */
+  val a7 = q(
+    "a7_collect_list_sorted",
+    "SELECT user_id, list(event_id ORDER BY event_id) AS event_ids FROM events GROUP BY user_id") {
+    (s, d) =>
+      Tables.events(s, d).groupBy("user_id")
+        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"))
+  }
+
+  /** A8+F6: 5-minute bucket aggregation (part3:461-469). */
+  val a8 = q(
+    "a8_bucket5_agg",
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts, count(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy(timestampBucket(col("ts"), 300).as("bucket_ts"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+  }
+
+  /** A10: scalar agg subquery MAX as a filter bound (part3:181,227). */
+  val a10 = q(
+    "a10_scalar_agg_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_a10")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM orders_a10
+            |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders_a10)""".stripMargin)
+  }
+
+  // ------------------------------------------------------------- W/O series
+
+  /** W1: row_number dedup-keep-first (part0:264-271). */
+  val w1 = q(
+    "w1_rownumber_dedup",
+    """SELECT event_id, user_id, event_type, ts, value FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+  }
+
+  /** O1: global ORDER BY on write (part0:326). */
+  val o1 = q(
+    "o1_global_orderby",
+    "SELECT event_id, user_id, ts FROM events ORDER BY user_id, ts, event_id") { (s, d) =>
+    Tables.events(s, d).orderBy("user_id", "ts", "event_id").select("event_id", "user_id", "ts")
+  }
+
+  /** O2: ORDER BY on an aggregated result set (part3:186,232). */
+  val o2 = q(
+    "o2_orderby_result",
+    """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM events GROUP BY event_type ORDER BY revenue DESC""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("event_type").agg(decSum(col("value")).as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  /** O3+O5: deterministic LIMIT top-k (part1:116-122). */
+  val o3 = q(
+    "o3_limit_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10") {
+    (s, d) =>
+      Tables.orders(s, d).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice").limit(10)
+  }
+
+  // ---------------------------------------------------------------- F series
+
+  /** F2: regexp_replace + cast (part0:257,294). */
+  val f2 = q(
+    "f2_regex_replace_cast",
+    """SELECT doc_id, CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) AS src_num
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), regexp_replace(col("source"), "[^0-9]", "").cast(LongType).as("src_num"))
+  }
+
+  /** F3: timestampadd MINUTE / DAY (part0:315). */
+  val f3 = q(
+    "f3_timestampadd",
+    """SELECT event_id, ts + INTERVAL 30 MINUTE AS ts_plus30m, ts + INTERVAL 1 DAY AS ts_plus1d
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      expr("timestampadd(MINUTE, 30, ts)").as("ts_plus30m"),
+      expr("timestampadd(DAY, 1, ts)").as("ts_plus1d"))
+  }
+
+  /** F10: SAFE_DIVIDE via try_divide + coalesce (part3:150-151). */
+  val f10 = q(
+    "f10_safe_divide",
+    """SELECT l_orderkey, l_linenumber, COALESCE(l_tax / NULLIF(l_discount, 0), 0) AS tax_ratio
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      safeDivide(col("l_tax"), col("l_discount")).as("tax_ratio"))
+  }
+
+  /** F12+F18: regexp capture-group replace on a constructed ride-id
+    * (bq_service.py:61-62; id construction part2:364-366).
+    */
+  val f12 = q(
+    "f12_regex_capture_group",
+    """SELECT event_id, regexp_replace(CONCAT(CAST(event_id AS VARCHAR), '_', strftime(ts, '%Y-%m-%d_%H-%M-%S')),
+      |'^(\d+)_(\d{4})', '\1_2025') AS shifted_rid FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      regexp_replace(
+        concat(col("event_id").cast("string"), lit("_"), date_format(col("ts"), "yyyy-MM-dd_HH-mm-ss")),
+        "^(\\d+)_(\\d{4})", "$1_2025").as("shifted_rid"))
+  }
+
+  /** F14+F15: to_json(struct(...)) (pyspark-job.py:146-152). */
+  val f14 = q(
+    "f14_to_json_struct",
+    """SELECT event_id, to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+  }
+
+  /** F15+F17: struct pack then field access (part2:417; pyspark-job.py:199-203). */
+  val f15 = q(
+    "f15_struct_pack_access",
+    "SELECT event_id, user_id AS uid, value AS v FROM events") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), struct(col("user_id").as("uid"), col("value").as("v")).as("s"))
+      .select(col("event_id"), col("s.uid").as("uid"), col("s.v").as("v"))
+  }
+
+  /** F16: explode an array column, aggregate the elements (part2:277). */
+  val f16 = q(
+    "f16_explode_array",
+    """WITH ex AS (SELECT label, unnest(embedding) AS u FROM embeddings)
+      |SELECT label, count(*) AS n, CAST(min(u) AS DOUBLE) AS min_v, CAST(max(u) AS DOUBLE) AS max_v
+      |FROM ex GROUP BY label""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), explode(col("embedding")).as("u"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("u").cast("double").as("min_v"),
+        max("u").cast("double").as("max_v"))
+  }
+
+  /** F20: registered UDF invoked via expr (pyspark-job.py:185,197). Kept off
+    * large inputs — a real engine path would use a native expression.
+    */
+  val f20 = q(
+    "f20_registered_udf",
+    "SELECT doc_id, least(1.0, n_chars / 500.0) AS quality FROM documents") { (s, d) =>
+    s.udf.register("graft_quality01", (n: Long) => math.min(1.0, n / 500.0))
+    Tables.documents(s, d).selectExpr("doc_id", "graft_quality01(n_chars) AS quality")
+  }
+
+  /** U3-v1: latest-state per key via max_by(struct, seq) + tombstone filter
+    * (pyspark-job.py:34-54; SURVEY §7.3 clean-semantics variant).
+    */
+  val u3 = q(
+    "u3_latest_state",
+    """WITH latest AS (SELECT user_id, arg_max(event_type, event_id) AS last_type,
+      |arg_max(value, event_id) AS last_value, max(event_id) AS last_event_id
+      |FROM events GROUP BY user_id)
+      |SELECT user_id, last_type, last_value, last_event_id FROM latest
+      |WHERE last_type <> 'error'""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("user_id")
+      .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        max(col("event_id")).as("last_event_id"))
+      .filter(col("last_type") =!= "error")
+  }
+
+  /** Scratch dir for queries that materialize intermediates. */
+  def tmpDir(s: SparkSession): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-scratch"
+    new java.io.File(d).mkdirs()
+    d
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    p1, p2, p3, p4, p5, p6, p7, p8,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9,
+    a1, a2, a3, a4, a5, a6, a7, a8, a10,
+    w1, o1, o2, o3,
+    f2, f3, f10, f12, f14, f15, f16, f20, u3)
+}

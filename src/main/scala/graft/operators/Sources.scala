@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.api.GraftQuery
+import graft.core.Tables
+import graft.functions.Funcs._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink operator surface (SURVEY.md §2.1): schema'd CSV and NDJSON
+  * loads, Parquet scan/sink, overwrite semantics, DDL and DML-delete. Where
+  * the reference talks to Iceberg/BigQuery, the same API shape is exercised
+  * against the local Parquet-backed catalog — the IO seam in
+  * [[graft.core.Tables]] is where a real deployment swaps in Iceberg.
+  */
+object Sources {
+
+  private def scratch(s: SparkSession, leaf: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/$leaf"
+    new java.io.File(d).getParentFile.mkdirs()
+    d
+  }
+
+  /** S1: CSV batch load with declared schema + header (part0:223-236).
+    * Round-trips the nation dim through CSV to prove the reader path.
+    */
+  val s1: GraftQuery = GraftQuery(
+    "s1_csv_load",
+    (s, d) => {
+      val path = scratch(s, "s1_nation_csv")
+      Tables.nation(s, d).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+
+  /** S2: NDJSON load with declared schema (part0:450-459). */
+  val s2: GraftQuery = GraftQuery(
+    "s2_ndjson_load",
+    (s, d) => {
+      val path = scratch(s, "s2_documents_json")
+      Tables.documents(s, d).write.mode(SaveMode.Overwrite).json(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(path)
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
+
+  /** S3: Parquet scan with filter + projection pushed to the reader
+    * (part1:501-503). The plan must show PushedFilters + a pruned ReadSchema.
+    */
+  val s3: GraftQuery = GraftQuery(
+    "s3_parquet_scan_pushdown",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType))
+        .select("l_orderkey", "l_quantity", "l_shipdate"),
+    Some("""SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'""".stripMargin))
+
+  /** S4: Parquet sink, partitioned by a low-cardinality key (part0:515-548).
+    * At scale the partition column is the time key (X2); here status proves
+    * the layout machinery: write, read back through partition discovery, agg.
+    */
+  val s4: GraftQuery = GraftQuery(
+    "s4_parquet_sink_partitioned",
+    (s, d) => {
+      val path = scratch(s, "s4_orders_parquet")
+      Tables.orders(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
+  /** S8: batch sink overwrite semantics (part2:629-631): two writes to the
+    * same target, second replaces the first.
+    */
+  val s8: GraftQuery = GraftQuery(
+    "s8_overwrite_sink",
+    (s, d) => {
+      val path = scratch(s, "s8_overwrite")
+      // first write: garbage subset that must NOT survive
+      Tables.orders(s, d).limit(7).write.mode(SaveMode.Overwrite).parquet(path)
+      Tables.orders(s, d).filter(col("o_orderstatus") =!= "X")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      s.read.parquet(path).groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    },
+    Some("SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus <> 'X' GROUP BY o_orderpriority"))
+
+  /** S14: SQL DDL surface — CREATE TABLE (CTAS) against the session catalog,
+    * SHOW TABLES / DESCRIBE exercised, then queried (part1:234-250, 568-582;
+    * part2:206-216). CLUSTER BY maps to a sorted write.
+    */
+  val s14: GraftQuery = GraftQuery(
+    "s14_ddl_ctas",
+    (s, d) => {
+      val path = scratch(s, "s14_ctas")
+      deleteRecursively(new java.io.File(path)) // CTAS requires an empty location
+      Tables.customer(s, d).createOrReplaceTempView("customer_s14")
+      s.sql("DROP TABLE IF EXISTS graft_s14_cust")
+      s.sql(
+        s"""CREATE TABLE graft_s14_cust USING parquet LOCATION '$path' AS
+           |SELECT c_custkey, c_nationkey, c_acctbal FROM customer_s14
+           |ORDER BY c_nationkey, c_custkey""".stripMargin)
+      s.sql("SHOW TABLES").collect() // exercise the catalog surface
+      s.sql("DESCRIBE TABLE graft_s14_cust").collect()
+      s.sql("""SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
+              |FROM graft_s14_cust GROUP BY c_nationkey""".stripMargin)
+    },
+    Some("""SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
+           |FROM customer GROUP BY c_nationkey""".stripMargin))
+
+  /** S15: DML DELETE (part1:279,589) — copy-on-write delete over the Parquet
+    * fallback (Iceberg would do this natively at the Tables seam): rewrite
+    * surviving rows, then read the new snapshot.
+    */
+  val s15: GraftQuery = GraftQuery(
+    "s15_dml_delete",
+    (s, d) => {
+      val v1 = scratch(s, "s15_orders_v1")
+      val v2 = scratch(s, "s15_orders_v2")
+      Tables.orders(s, d).write.mode(SaveMode.Overwrite).parquet(v1)
+      // DELETE FROM orders WHERE o_orderstatus = 'F'  (copy-on-write)
+      s.read.parquet(v1).filter(!(col("o_orderstatus") === "F"))
+        .write.mode(SaveMode.Overwrite).parquet(v2)
+      s.read.parquet(v2).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    },
+    Some("SELECT o_orderstatus, count(*) AS n FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus"))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s8, s14, s15)
+}
