@@ -30,7 +30,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); false
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${q.name} $sec%.2fs ok=$ok")
+      (q.name, sec, ok)
     }
     val okResults = results.filter(_._3)
     val qs = okResults.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }

@@ -13,13 +13,23 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     operators.Relational.all ++
       operators.Kernels.all ++
-      operators.Sources.all
+      operators.Sources.all ++
+      operators.StreamingOps.all ++
+      operators.GapFill.all ++
+      operators.Forecast.all ++
+      operators.TextOps.all ++
+      operators.VectorOps.all ++
+      operators.MultiModal.all ++
+      sim.BusSim.all
 
   private lazy val maps = GraftQuery.toMaps(registry)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2 end-to-end slice: window prep -> ride generation (U1)
+    * -> ridership join (J1) -> passenger fold (U2) -> demand rollup.
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.j8.build(spark, "/root/testdata/sf0.001")
+    sim.BusSim.endToEnd(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = maps._1

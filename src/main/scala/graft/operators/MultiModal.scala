@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.api.GraftQuery
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: opaque binary payload + typed metadata. */
+final case class MediaRecord(doc_id: Long, payload: Array[Byte], lang: String, n_chars: Long)
+
+/** Extracted features for one media record. */
+final case class MediaFeatures(
+    doc_id: Long,
+    byte_len: Int,
+    checksum: Long,
+    features: Array[Float])
+
+/** Multimodal column handling: image/audio/video travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extract runs as a
+  * partition-wise typed kernel (`mapPartitions`) so each task amortizes
+  * codec setup over its whole batch — the Scala analogue of the reference
+  * stack's `mapInPandas` batching.
+  *
+  * STUB NOTE: no image/audio codecs exist in this container, so
+  * [[MultiModal.decodeStub]] is a clearly-marked deterministic fake. The
+  * Spark-side plumbing — binary schema, partitioning, kernel signature,
+  * batch shape — is real and tested; swapping in a real codec changes only
+  * the stub body.
+  */
+object MultiModal {
+
+  /** DETERMINISTIC FAKE of a media decoder (real codec goes here): derives
+    * a fixed-width float feature vector + checksum from the raw bytes.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
+    var crc = 0L
+    var i = 0
+    while (i < payload.length) { crc = crc * 31 + (payload(i) & 0xff); i += 1 }
+    val feats = Array.tabulate(8) { k =>
+      if (payload.isEmpty) 0f
+      else payload((k * 7919) % payload.length).toFloat / 128f
+    }
+    (crc, feats)
+  }
+
+  /** MM1: metadata + byte-length stats over the binary column — pure
+    * relational, oracle-checked (payload = utf-8 bytes of text here; a real
+    * corpus would load binary files the same way).
+    */
+  val mm1: GraftQuery = GraftQuery(
+    "mm1_binary_metadata",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+        col("lang"), col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("total_bytes"),
+        max(length(col("payload"))).as("max_bytes")),
+    Some("""SELECT lang, count(*) AS n,
+           |CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           |CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
+           |FROM documents GROUP BY lang""".stripMargin))
+
+  /** MM2: partition-wise decode/feature-extract kernel over the binary
+    * column. Deterministic (stub decoder), so rows-only + MultiModalSpec.
+    */
+  val mm2: GraftQuery = GraftQuery(
+    "mm2_decode_features",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+          col("lang"), col("n_chars"))
+        .as[MediaRecord]
+        .mapPartitions { it =>
+          // per-partition "codec" setup happens once here, then batches
+          it.map { r =>
+            val (crc, feats) = decodeStub(r.payload)
+            MediaFeatures(r.doc_id, r.payload.length, crc, feats)
+          }
+        }
+        .toDF()
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2)
+}

