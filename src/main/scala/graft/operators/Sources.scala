@@ -137,10 +137,34 @@ object Sources {
     },
     Some("SELECT o_orderstatus, count(*) AS n FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus"))
 
+  /** S5+S6: managed-table write + catalog scan — the Iceberg
+    * `writeTo(...).createOrReplace()` / `spark.table(...)` API shape
+    * (part1:506-508, part2:242-248) against the session catalog's Parquet
+    * provider. The Iceberg runtime jar is absent in this environment; the
+    * catalog seam is identical, so swapping the provider string (and
+    * gaining DELETE/time-travel) is the only production change.
+    */
+  val s5: GraftQuery = GraftQuery(
+    "s5_table_write_catalog_scan",
+    (s, d) => {
+      // managed table in the session warehouse (spark.sql.warehouse.dir is
+      // a static conf — the default ./spark-warehouse is gitignored). The
+      // in-memory catalog forgets tables across sessions but the warehouse
+      // dir persists, so clear the stale location first.
+      s.sql("DROP TABLE IF EXISTS graft_s5_nation")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/graft_s5_nation"))
+      Tables.nation(s, d).write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable("graft_s5_nation")
+      s.table("graft_s5_nation")
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+    },
+    Some("SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
   }
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s8, s14, s15)
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15)
 }

@@ -24,6 +24,7 @@ object StreamingOps {
     * [[graft.core.Tables.events]].
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    graft.streaming.KafkaIO.applyStreamingConfs(s) // T8 session confs
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     s.readStream.schema(schema)
@@ -110,5 +111,45 @@ object StreamingOps {
            |FROM events GROUP BY event_type""".stripMargin),
     bench = false)
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6)
+  /** S13: topic-to-table mirror (terraform/kafka.tf:112-156 as a streaming
+    * query): append every envelope into a Parquet table continuously.
+    */
+  val t13: GraftQuery = GraftQuery(
+    "t13_stream_table_mirror",
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t13_mirror_${java.util.UUID.randomUUID()}"
+      val q = eventsStream(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(path)
+    },
+    Some("SELECT event_id, ts, user_id, event_type, value FROM events"),
+    bench = false)
+
+  /** S12+T10+F12: replay with timestamp shift (kafka_service.py:71-104,
+    * bq_service.py:52-86): rebase history so it ends at a fixed anchor —
+    * the reference rebases onto now(); a fixed anchor keeps the op
+    * deterministic and oracle-checkable. Payloads are the Kafka-envelope
+    * JSON the replay producer would emit.
+    */
+  val t10: GraftQuery = GraftQuery(
+    "t10_replay_timestamp_shift",
+    (s, d) => {
+      graft.core.Tables.events(s, d).createOrReplaceTempView("events_t10")
+      s.sql("""SELECT event_id,
+              |ts + (TIMESTAMP '2025-06-01 00:00:00' - (SELECT max(ts) FROM events_t10)) AS shifted_ts,
+              |to_json(struct(event_id, user_id, value)) AS payload
+              |FROM events_t10""".stripMargin)
+    },
+    Some("""SELECT event_id,
+           |ts + (TIMESTAMP '2025-06-01 00:00:00' - (SELECT max(ts) FROM events)) AS shifted_ts,
+           |to_json(struct_pack(event_id := event_id, user_id := user_id, value := value)) AS payload
+           |FROM events""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t13, t10)
 }

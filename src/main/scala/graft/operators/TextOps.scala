@@ -35,25 +35,69 @@ object TextOps {
             "transform(sequence(1, size(w) - 2), i -> concat_ws('|', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
           .otherwise(array().cast("array<string>")).as("sh"))
 
-  /** MinHash signature: numHashes seeded xxhash64 min-hashes per set,
-    * computed entirely with codegen'd higher-order functions (no UDF, no
-    * explode — one projection).
-    */
-  private def minhashSig(sets: DataFrame, numHashes: Int): DataFrame =
-    sets.withColumn("sig", expr(
-      s"transform(sequence(0, ${numHashes - 1}), i -> array_min(transform(sh, t -> xxhash64(i, t))))"))
+  /** FNV-1a 64-bit string hash — the single base hash per shingle. */
+  private[operators] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
 
-  /** LSH candidate pairs: band the signature, shuffle on (band, hash(band
-    * slice)), emit each co-bucketed id pair once. Never materializes all
-    * pairs, and never shuffles the shingle arrays — candidates are id-only
-    * (the verify step re-joins the sets by id), so the distinct() dedupes
-    * 16-byte rows instead of kilobyte arrays.
+  /** Deterministic odd multipliers/offsets for the universal hash family
+    * h_i(x) = a_i * x + b_i (splitmix64 of the index).
     */
-  private def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = sig.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "bh")))
+  private def mixCoef(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash LSH band keys, computed in one typed pass: each shingle is
+    * base-hashed once (FNV-1a), the numHashes min-hashes come from the
+    * universal family a_i*h+b_i, and each band's row-slice is folded into a
+    * single bucket key. A pure Spark-SQL formulation with nested
+    * higher-order functions evaluates lambdas interpreted (not codegen) and
+    * re-hashes every shingle numHashes times — 10-20x slower at sf0.1.
+    * Output: (doc_id, band, bh).
+    */
+  private def lshBands(sets: DataFrame, numHashes: Int, bands: Int, rows: Int): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    sets.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val base = new Array[Long](sh.size)
+          var j = 0
+          sh.foreach { t => base(j) = fnv64(t); j += 1 }
+          val sig = Array.tabulate(numHashes) { i =>
+            val a = mixCoef(2L * i) | 1L
+            val b = mixCoef(2L * i + 1)
+            var mn = Long.MaxValue
+            var k = 0
+            while (k < base.length) { val v = a * base(k) + b; if (v < mn) mn = v; k += 1 }
+            mn
+          }
+          (0 until bands).iterator.map { bd =>
+            var h = 1125899906842597L
+            var r = 0
+            while (r < rows) { h = h * 31 + sig(bd * rows + r); r += 1 }
+            (id, bd, h)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bh")
+  }
+
+  /** LSH candidate pairs: shuffle on (band, bucket-key), emit each
+    * co-bucketed id pair once. Never materializes all pairs, and never
+    * shuffles the shingle arrays — candidates are id-only (the verify step
+    * re-joins the sets by id), so the distinct() dedupes 24-byte rows
+    * instead of kilobyte arrays.
+    */
+  private def lshCandidates(sets: DataFrame, numHashes: Int, bands: Int, rows: Int): DataFrame = {
+    val banded = lshBands(sets, numHashes, bands, rows)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
     a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
@@ -92,8 +136,7 @@ object TextOps {
     "x5_minhash_lsh_dupsets",
     (s, d) => {
       val sets = wordSets(s, d)
-      val sig = minhashSig(sets, 64)
-      withSets(lshCandidates(sig, bands = 1, rows = 64), sets)
+      withSets(lshCandidates(sets, numHashes = 64, bands = 1, rows = 64), sets)
         .filter(size(array_intersect(col("a_sh"), col("b_sh"))) ===
           size(array_union(col("a_sh"), col("b_sh"))))
         .select("a_id", "b_id")
@@ -112,8 +155,7 @@ object TextOps {
     "x7_ngram_jaccard_neardup",
     (s, d) => {
       val sets = shingleSets(s, d)
-      val sig = minhashSig(sets, 64)
-      withSets(lshCandidates(sig, bands = 16, rows = 4), sets)
+      withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
         .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
         .filter(col("jaccard") >= 0.9)
         .select("a_id", "b_id", "jaccard")

@@ -47,6 +47,24 @@ class GapFillSpec extends SparkSpec {
     assert(u2.length === 1 && u2.head.getDouble(2) === 5.0)
   }
 
+  test("kernel variant agrees exactly with the window variant") {
+    val base = graft.core.Tables.events(spark, sf)
+      .groupBy($"user_id", graft.functions.Funcs.timestampBucket($"ts", 300).as("bucket_ts"))
+      .agg(avg("value").as("demand"))
+    val win = GapFill.linear(base, Seq("user_id"), "bucket_ts", "demand", 300)
+      .orderBy("user_id", "bucket_ts").collect().map(_.toSeq)
+    val ker = GapFill.linearKernel(base, "user_id", "bucket_ts", "demand", 300)
+      .orderBy("user_id", "bucket_ts").collect().map(_.toSeq)
+    assert(win.length === ker.length)
+    win.zip(ker).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("kernel variant matches on the crafted sparse fixture too") {
+    val ker = GapFill.linearKernel(sparse, "user_id", "bucket_ts", "demand", 300)
+      .orderBy("user_id", "bucket_ts").collect().map(_.toSeq)
+    assert(ker.toSeq === filled.map(_.toSeq).toSeq)
+  }
+
   test("interpolated values stay within the bracketing observations") {
     val out = GapFill.linear(
       graft.core.Tables.events(spark, sf)
