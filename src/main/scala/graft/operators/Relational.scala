@@ -382,6 +382,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
   }
 
+  /** F6-native: the same 5-minute bucket aggregation as A8 through the
+    * custom codegen'd Catalyst expression (graft.plans.TimestampBucketExpr)
+    * injected via GraftExtensions — proving the native path returns
+    * identical results to both the composed helper and the oracle.
+    */
+  val f6n = q(
+    "f6_timestamp_bucket_native",
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts, count(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    Tables.events(s, d)
+      .groupBy(call_function("graft_timestamp_bucket", col("ts"), lit(300L)).as("bucket_ts"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+  }
+
   /** A10: scalar agg subquery MAX as a filter bound (part3:181,227). */
   val a10 = q(
     "a10_scalar_agg_subquery",
@@ -545,5 +561,5 @@ object Relational {
     j1, j2, j3, j4, j5, j6, j7, j8, j9,
     a1, a2, a3, a4, a5, a6, a7, a8, a10,
     w1, o1, o2, o3,
-    f2, f3, f10, f12, f14, f15, f16, f20, u3)
+    f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3)
 }

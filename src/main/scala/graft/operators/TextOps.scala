@@ -110,8 +110,13 @@ object TextOps {
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
 
+  /** Exact Jaccard via the native fused expression (graft.plans) — one
+    * pass, no intermediate intersect/union arrays. Same int->double
+    * division the oracle performs. Callers must have run
+    * [[graft.plans.GraftExtensions.register]] on the session.
+    */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    call_function("graft_array_jaccard", a, b)
 
   /** X1: exact dedup via content-hash groupBy (the canonical first pass of
     * any corpus dedup; hash-shuffle on md5 keys, uniform by construction).
@@ -154,6 +159,7 @@ object TextOps {
   val x7: GraftQuery = GraftQuery(
     "x7_ngram_jaccard_neardup",
     (s, d) => {
+      graft.plans.GraftExtensions.register(s)
       val sets = shingleSets(s, d)
       withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
         .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))

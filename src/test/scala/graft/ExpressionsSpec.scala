@@ -1,0 +1,66 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+
+  import SparkSpec.spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("native timestamp_bucket equals the composed helper, incl. pre-1970") {
+    val rng = new scala.util.Random(5)
+    val epochs = Seq.fill(300)(rng.nextLong() % 4102444800L) // pos and neg
+    val df = epochs.toDF("e").select(timestamp_seconds($"e").as("ts"))
+      .select(
+        graft.functions.Funcs.timestampBucket($"ts", 300).as("helper"),
+        call_function("graft_timestamp_bucket", $"ts", lit(300L)).as("native"))
+    assert(df.filter($"helper" =!= $"native").count() === 0)
+  }
+
+  test("native timestamp_bucket stays in whole-stage codegen") {
+    val df = graft.core.Tables.events(spark, sf)
+      .select(call_function("graft_timestamp_bucket", col("ts"), lit(300L)).as("b"))
+    // whole-stage codegen renders as a "*(n)" prefix in executedPlan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_timestamp_bucket"), plan)
+  }
+
+  test("native array_jaccard equals the composed intersect/union form") {
+    val nonEmpty = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "a", "b"), Seq("b", "b", "c")), // dup elements
+      (Seq("x"), Seq.empty[String])
+    ).toDF("a", "b")
+      .select(
+        call_function("graft_array_jaccard", $"a", $"b").as("native"),
+        (size(array_intersect($"a", $"b")).cast("double") /
+          size(array_union($"a", $"b"))).as("composed"))
+      .collect()
+    nonEmpty.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(nonEmpty(0).getDouble(0) === 0.5)
+    assert(nonEmpty(1).getDouble(0) === 1.0)
+
+    // composed form raises ANSI divide-by-zero on empty/empty; the native
+    // expression defines union=0 as similarity 0
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(call_function("graft_array_jaccard", $"a", $"b").as("native")).head()
+    assert(empty.getDouble(0) === 0.0)
+  }
+
+  test("extensions class injects via SparkSessionExtensions API") {
+    // separate session built with the extensions conf
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ext-test")
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT graft_array_jaccard(array('a','b'), array('b')) AS j").head()
+      assert(r.getDouble(0) === 0.5)
+    } finally () // shared-JVM session: do not stop, it would kill the context
+  }
+}
