@@ -284,6 +284,31 @@ object Relational {
 
   // ---------------------------------------------------------------- A series
 
+  /** J10: left-semi + left-anti joins — absent from the reference surface
+    * (SURVEY §2.3 note) but part of a complete engine's join matrix:
+    * customers with orders (semi) and without (anti), counted per nation.
+    */
+  val j10 = q(
+    "j10_semi_anti_join",
+    """SELECT c.c_nationkey,
+      |count(CASE WHEN o.c_custkey IS NOT NULL THEN 1 END) AS with_orders,
+      |count(CASE WHEN o.c_custkey IS NULL THEN 1 END) AS without_orders
+      |FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey AS c_custkey FROM orders) o
+      |USING (c_custkey) GROUP BY c.c_nationkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val orders = Tables.orders(s, d)
+    val semi = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+    val anti = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+    cust.select("c_nationkey").distinct()
+      .join(semi, Seq("c_nationkey"), "left")
+      .join(anti, Seq("c_nationkey"), "left")
+      .select(col("c_nationkey"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+  }
+
   /** A1: min/max hash agg per key (part2:269-272). */
   val a1 = q(
     "a1_minmax_agg",
@@ -558,7 +583,7 @@ object Relational {
 
   val all: Seq[GraftQuery] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p8,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
     a1, a2, a3, a4, a5, a6, a7, a8, a10,
     w1, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3)

@@ -191,16 +191,22 @@ object TextOps {
              |    THEN 1L ELSE 0L END, bit))""".stripMargin).as("simhash")),
     None)
 
-  /** X2: token counting + length stats. */
+  /** X2: token counting + length stats — whitespace tokens plus a BPE-ish
+    * regex token count (letter runs / digit runs / single non-space
+    * symbols, the pre-tokenizer split most BPE vocabularies assume).
+    */
   val x2: GraftQuery = GraftQuery(
     "x2_token_stats",
     (s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       size(split(col("text"), " ")).as("n_words"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .as("n_bpe_tokens"),
       length(col("text")).as("len_chars"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") /
         size(split(col("text"), " "))).as("avg_word_len")),
     Some("""SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_words,
+           |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
            |CAST(length(text) AS INT) AS len_chars,
            |CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(str_split(text, ' ')) AS avg_word_len
            |FROM documents""".stripMargin))
@@ -247,5 +253,64 @@ object TextOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7)
+  /** Winnowing parameters: k-gram size and window (Schleimer et al.,
+    * "Winnowing: Local Algorithms for Document Fingerprinting").
+    */
+  private val K = 8
+  private val W = 4
+
+  /** X8: document fingerprinting via rolling hash + winnowing — each doc's
+    * character k-grams are hashed with one polynomial rolling pass, then
+    * the minimum per sliding window of W is kept (guarantees any shared
+    * substring >= K+W-1 chars yields a shared fingerprint). One typed map,
+    * no shuffle; matching on fingerprints is then a plain hash join.
+    * Engine-specific bit recipe -> rows-only, properties in TextOpsSpec.
+    */
+  def winnow(text: String): Array[Long] = {
+    if (text.length < K) return Array(fnv64(text))
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < K - 1) { pow *= B; i += 1 }
+    val n = text.length - K + 1
+    val kg = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < K) { h = h * B + text.charAt(i); i += 1 }
+    kg(0) = h
+    var j = 1
+    while (j < n) {
+      h = (h - text.charAt(j - 1) * pow) * B + text.charAt(j + K - 1)
+      kg(j) = h
+      j += 1
+    }
+    if (n <= W) Array(kg.min)
+    else {
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var w = 0
+      while (w + W <= n) {
+        var mn = Long.MaxValue
+        var t = w
+        while (t < w + W) { if (kg(t) < mn) mn = kg(t); t += 1 }
+        out += mn
+        w += 1
+      }
+      out.toArray.sorted
+    }
+  }
+
+  val x8: GraftQuery = GraftQuery(
+    "x8_rolling_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val fps = winnow(t)
+          (id, fps.length, fps.min, fps)
+        }
+        .toDF("doc_id", "n_fingerprints", "min_fingerprint", "fingerprints")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8)
 }

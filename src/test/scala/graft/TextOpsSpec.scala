@@ -81,6 +81,17 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("x8 winnowing: shared substrings of >= k+w-1 chars share a fingerprint") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "XX quick brown fox jumps over the lazy dog near the river bank tomorrow"
+    val fa = TextOps.winnow(a).toSet
+    val fb = TextOps.winnow(b).toSet
+    assert(fa.intersect(fb).nonEmpty, "overlapping docs must share fingerprints")
+    assert(TextOps.winnow(a).toSeq === TextOps.winnow(a).toSeq) // deterministic
+    val unrelated = TextOps.winnow("zzz completely different content 12345 qqq ppp").toSet
+    assert(fa.intersect(unrelated).size < fa.size / 2)
+  }
+
   test("x4 language id is deterministic") {
     val a = TextOps.x4.build(spark, sf).orderBy("doc_id").collect()
     val b = TextOps.x4.build(spark, sf).orderBy("doc_id").collect()
