@@ -379,11 +379,15 @@ object Relational {
     */
   val a6 = q(
     "a6_percentile_quantiles",
-    """SELECT event_type, list_transform(quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]),
-      |x -> round(x, 6)) AS quantiles FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    """WITH q AS (SELECT event_type, list_transform(quantile_cont(value, [0.0, 0.25, 0.5, 0.75, 1.0]),
+      |x -> round(x, 6)) AS qs FROM events GROUP BY event_type)
+      |SELECT event_type, CAST(t.i - 1 AS INT) AS q_idx, qs[t.i] AS quantile
+      |FROM q CROSS JOIN generate_series(1, 5) t(i)""".stripMargin) { (s, d) =>
+    // one row per (group, quantile) — scalar outputs compare robustly
     Tables.events(s, d).groupBy("event_type")
       .agg(expr("transform(percentile(value, array(0.0D, 0.25D, 0.5D, 0.75D, 1.0D)), x -> round(x, 6))")
-        .as("quantiles"))
+        .as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("q_idx", "quantile")))
   }
 
   /** A7: collect_list per key, canonically sorted (pyspark-job.py:190-196;
@@ -391,10 +395,14 @@ object Relational {
     */
   val a7 = q(
     "a7_collect_list_sorted",
-    "SELECT user_id, list(event_id ORDER BY event_id) AS event_ids FROM events GROUP BY user_id") {
+    """SELECT user_id, array_to_string(list(event_id ORDER BY event_id), ',') AS event_ids,
+      |CAST(len(list(event_id)) AS INT) AS n FROM events GROUP BY user_id""".stripMargin) {
     (s, d) =>
+      // stringified (integers format identically across engines) so the
+      // compare is scalar; the aggregate itself is the real collect_list
       Tables.events(s, d).groupBy("user_id")
-        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"))
+        .agg(concat_ws(",", sort_array(collect_list(col("event_id")))).as("event_ids"),
+          size(collect_list(col("event_id"))).as("n"))
   }
 
   /** A8+F6: 5-minute bucket aggregation (part3:461-469). */
@@ -574,6 +582,23 @@ object Relational {
       .filter(col("last_type") =!= "error")
   }
 
+  /** U3-v3: latest-state through the custom TypedImperativeAggregate
+    * (graft.plans.LatestBySeqAgg) — constant 18-byte buffer per group vs
+    * collect_list's O(group), map-side partial merge. Same semantics and
+    * oracle as u3.
+    */
+  val u3b = q(
+    "u3b_latest_state_typed_agg",
+    """WITH latest AS (SELECT user_id, arg_max(value, event_id) AS last_value,
+      |arg_max(event_type, event_id) AS last_type FROM events GROUP BY user_id)
+      |SELECT user_id, last_value FROM latest WHERE last_type <> 'error'""".stripMargin) {
+    (s, d) =>
+      graft.plans.GraftExtensions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("events_u3b")
+      s.sql("""SELECT user_id, graft_latest_by_seq(value, event_id, event_type = 'error') AS last_value
+              |FROM events_u3b GROUP BY user_id HAVING last_value IS NOT NULL""".stripMargin)
+  }
+
   /** Scratch dir for queries that materialize intermediates. */
   def tmpDir(s: SparkSession): String = {
     val d = s"${System.getProperty("java.io.tmpdir")}/graft-scratch"
@@ -586,5 +611,5 @@ object Relational {
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
     a1, a2, a3, a4, a5, a6, a7, a8, a10,
     w1, o1, o2, o3,
-    f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3)
+    f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
 }

@@ -32,7 +32,11 @@ object GraftExtensions {
           org.apache.spark.sql.types.LongType))),
     ("graft_array_jaccard",
       new ExpressionInfo(classOf[ArrayJaccardExpr].getName, "graft_array_jaccard"),
-      (args: Seq[Expression]) => ArrayJaccardExpr(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayJaccardExpr(args(0), args(1))),
+    ("graft_latest_by_seq",
+      new ExpressionInfo(classOf[LatestBySeqAgg].getName, "graft_latest_by_seq"),
+      (args: Seq[Expression]) => LatestBySeqAgg(args(0), args(1), args(2))
+        .toAggregateExpression()))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -50,6 +50,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(empty.getDouble(0) === 0.0)
   }
 
+  test("latest_by_seq typed aggregate matches max_by + tombstone semantics") {
+    val df = Seq(
+      ("a", 1L, 10.0, false), ("a", 3L, 30.0, false), ("a", 2L, 20.0, false),
+      ("b", 1L, 5.0, false), ("b", 2L, 0.0, true), // b's latest is tombstoned
+      ("c", 7L, 70.0, false)
+    ).toDF("k", "seq", "v", "tomb")
+    df.createOrReplaceTempView("lbs_test")
+    val got = spark.sql(
+      "SELECT k, graft_latest_by_seq(v, seq, tomb) AS lv FROM lbs_test GROUP BY k ORDER BY k")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(got.toSeq === Seq("a" -> 30.0, "b" -> null, "c" -> 70.0))
+  }
+
   test("extensions class injects via SparkSessionExtensions API") {
     // separate session built with the extensions conf
     val s2 = org.apache.spark.sql.SparkSession.builder()

@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpec {
     spark.streams.awaitAnyTermination(1000)
   }
 
+  test("flatMapGroupsWithState: incremental latest-state with tombstone + revival") {
+    import graft.streaming.{KeyedUpdate, StatefulOps}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedUpdate]
+    val q = StatefulOps.latestPerKey(in.toDS())
+      .writeStream.format("memory").queryName("st_fmgws").outputMode("update").start()
+
+    in.addData(KeyedUpdate("A", 1, 10, false), KeyedUpdate("B", 2, 20, false))
+    q.processAllAvailable()
+    // update mode appends each emitted update; latest row per key is the state
+    def latest(): Map[String, (Long, Long)] =
+      spark.table("st_fmgws").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+
+    assert(latest() === Map("A" -> (1L, 10L), "B" -> (2L, 20L)))
+
+    // batch 2: A advances; B tombstones (emits nothing, state removed)
+    in.addData(KeyedUpdate("A", 3, 30, false), KeyedUpdate("B", 4, 0, true))
+    q.processAllAvailable()
+    assert(latest() === Map("A" -> (3L, 30L), "B" -> (2L, 20L))) // B emitted nothing new
+
+    // batch 3: stale A update ignored; B revives with a later seq
+    in.addData(KeyedUpdate("A", 2, 99, false), KeyedUpdate("B", 5, 50, false))
+    q.processAllAvailable()
+    assert(latest() === Map("A" -> (3L, 30L), "B" -> (5L, 50L)))
+    q.stop()
+  }
+
   test("file-source streaming query t5 equals its batch equivalent") {
     val streamed = graft.operators.StreamingOps.t5.build(spark, sf)
       .orderBy("user_id").collect()
