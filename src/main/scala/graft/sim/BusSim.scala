@@ -118,6 +118,23 @@ object BusSim {
       .withColumn("stops", expr(
         s"transform(sequence(0, n_stops - 1), i -> (CAST(bus_line_id AS BIGINT) * 7 + CAST(i AS BIGINT) * 13) % $nStations)"))
 
+  /** Stations dimension (reference bus_stations, part0:464-472): one row
+    * per station in the ridership id space, attributes derived
+    * deterministically; borough comes from the region dim.
+    */
+  def busStations(s: SparkSession, d: String): DataFrame = {
+    val n = stationCount(s, d)
+    s.range(n).select(col("id").as("station_id"))
+      .withColumn("school_zone", pmod(col("station_id"), lit(7)) === 0)
+      .withColumn("seating", pmod(col("station_id"), lit(3)) =!= 0)
+      .withColumn("latitude", lit(40.5) + pmod(col("station_id"), lit(100)).cast("double") / 1000)
+      .withColumn("longitude", lit(-74.0) + pmod(col("station_id"), lit(100)).cast("double") / 1000)
+      .join(broadcast(Tables.region(s, d)),
+        pmod(col("station_id"), lit(5)) === col("r_regionkey"))
+      .select(col("station_id"), col("school_zone"), col("seating"),
+        col("latitude"), col("longitude"), col("r_name").as("borough"))
+  }
+
   /** Station x minute ridership: events rolled up to station x hour, then
     * spread evenly across the 60 minutes with remainder to the first
     * minutes — exactly the reference's staging pipeline (part0:312-327,
@@ -157,10 +174,20 @@ object BusSim {
         "window_start", "window_end")
   }
 
+  /** When true, reproduce the reference's accidental quadratic departure
+    * cadence (part2:408: `start += trips_count * frequency` — gaps grow
+    * linearly, departures quadratic). Default is the corrected linear
+    * cadence; SURVEY §7.4 documents the divergence.
+    */
+  val FaithfulQuadraticCadence = false
+
   /** U1: typed ride generator (part2:353-420). One LineWindow -> all
     * rides x stops within the window (capped at [[MaxRidesPerLine]]).
     */
-  def generateRides(lw: LineWindow): Iterator[RideStop] = {
+  def generateRides(lw: LineWindow): Iterator[RideStop] =
+    generateRides(lw, FaithfulQuadraticCadence)
+
+  def generateRides(lw: LineWindow, quadratic: Boolean): Iterator[RideStop] = {
     if (lw.window_start == null || lw.window_end == null ||
       !lw.window_start.before(lw.window_end)) return Iterator.empty
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd_HH-mm-ss")
@@ -179,7 +206,8 @@ object BusSim {
         at += (1 + rng.nextInt(3)) * 60000L // 1-3 min to the next stop
       }
       rideIdx += 1
-      start += lw.frequency_minutes * 60000L
+      start +=
+        (if (quadratic) rideIdx.toLong else 1L) * lw.frequency_minutes * 60000L
     }
     out.result().iterator
   }
@@ -268,11 +296,49 @@ object BusSim {
            |       CAST(l.n_stops AS INT) AS n_stops, w.window_start, w.window_end
            |FROM lines l JOIN w ON l.bus_line_id = w.bus_line_id""".stripMargin))
 
+  /** M1 on the simulation: the bus_rides_features CTAS (part3:124-157) —
+    * demand metric, remaining-capacity and left-behind percentages, borough
+    * from the stations dim (left join, broadcast).
+    */
+  def rideFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Funcs._
+    rides(s, d)
+      .join(broadcast(busStations(s, d)),
+        col("bus_stop_id") === col("station_id"), "left")
+      .select(col("bus_ride_id"), col("bus_line"), col("bus_stop_id"),
+        col("bus_stop_index"), col("timestamp_at_stop"), col("borough"),
+        (col("remaining_at_stop") - (col("total_capacity") - col("passengers_on_bus")))
+          .as("demand_metric"),
+        safeDivide(col("total_capacity") - col("passengers_on_bus"), col("total_capacity"))
+          .as("remaining_capacity_percentage"),
+        safeDivide(col("remaining_at_stop"), col("waiting_passengers"))
+          .as("passengers_left_behind_percentage"))
+  }
+
+  /** Stations dim is pure relational over the deterministic id space ->
+    * full oracle.
+    */
+  val simStationsDim: GraftQuery = GraftQuery(
+    "sim_stations_dim",
+    (s, d) => busStations(s, d),
+    Some("""WITH n AS (SELECT max(user_id) + 1 AS ns FROM events),
+           |st AS (SELECT unnest(generate_series(0, ns - 1)) AS station_id FROM n)
+           |SELECT st.station_id, st.station_id % 7 = 0 AS school_zone,
+           |st.station_id % 3 <> 0 AS seating,
+           |40.5 + CAST(st.station_id % 100 AS DOUBLE) / 1000 AS latitude,
+           |-74.0 + CAST(st.station_id % 100 AS DOUBLE) / 1000 AS longitude,
+           |r.r_name AS borough
+           |FROM st JOIN region r ON st.station_id % 5 = r.r_regionkey""".stripMargin))
+
   /** U1+U2+J1 full simulation — deterministic but RNG-driven: rows-only. */
   val simBusRides: GraftQuery = GraftQuery("sim_bus_rides", (s, d) => rides(s, d), None)
+
+  /** M1 feature CTAS over the simulation — rows-only (sim-derived). */
+  val simFeatures: GraftQuery = GraftQuery("sim_ride_features", (s, d) => rideFeatures(s, d), None)
 
   /** The part3 flagship rollup over the simulation — rows-only. */
   val simDemand: GraftQuery = GraftQuery("sim_demand_rollup", (s, d) => endToEnd(s, d), None)
 
-  val all: Seq[GraftQuery] = Seq(simWindowPrep, simBusRides, simDemand)
+  val all: Seq[GraftQuery] =
+    Seq(simWindowPrep, simStationsDim, simBusRides, simFeatures, simDemand)
 }

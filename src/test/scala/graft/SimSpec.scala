@@ -43,6 +43,30 @@ class SimSpec extends SparkSpec {
     assert(rides.filter(!col("bus_ride_id").startsWith(col("bus_line_id").cast("string"))).count() === 0)
   }
 
+  test("ride feature percentages are well-formed") {
+    val f = BusSim.rideFeatures(spark, sf)
+    assert(f.filter(col("remaining_capacity_percentage") < 0 ||
+      col("remaining_capacity_percentage") > 1).count() === 0)
+    assert(f.filter(col("passengers_left_behind_percentage") < 0 ||
+      col("passengers_left_behind_percentage") > 1).count() === 0)
+    assert(f.filter(col("borough").isNull).count() === 0)
+  }
+
+  test("quadratic cadence grows departure gaps; linear keeps them constant") {
+    val lw = graft.sim.LineWindow(3, "L", 5, Seq(1L, 2L),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 06:00:00"))
+    def departures(quadratic: Boolean): Seq[Long] =
+      BusSim.generateRides(lw, quadratic).toSeq
+        .filter(_.bus_stop_index == 0).map(_.timestamp_at_stop.getTime)
+    val lin = departures(false)
+    val gapsLin = lin.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gapsLin.distinct.size === 1) // constant 5-min gap
+    val quad = departures(true)
+    val gapsQuad = quad.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gapsQuad === gapsQuad.sorted && gapsQuad.distinct.size > 1) // growing
+  }
+
   test("simulation is deterministic across runs") {
     val a = BusSim.rides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
     val b = BusSim.rides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
