@@ -135,15 +135,19 @@ object BusSim {
         col("latitude"), col("longitude"), col("r_name").as("borough"))
   }
 
-  /** Station x minute ridership: events rolled up to station x hour, then
-    * spread evenly across the 60 minutes with remainder to the first
-    * minutes — exactly the reference's staging pipeline (part0:312-327,
-    * J9+F9 minute spreading), which is what makes the J1 join dense.
-    */
-  def ridership(s: SparkSession, d: String): DataFrame =
+  /** Station x hour staging aggregate (part0:290-299 shape). */
+  def hourlyRidership(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id").as("station_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(sum(floor(col("value") / 10) + 1).as("hourly"))
+
+  /** Station x minute ridership: the hourly staging aggregate spread evenly
+    * across the 60 minutes with remainder to the first minutes — exactly
+    * the reference's staging pipeline (part0:312-327, J9+F9 minute
+    * spreading), which is what makes the J1 join dense.
+    */
+  def ridership(s: SparkSession, d: String): DataFrame =
+    hourlyRidership(s, d)
       .select(col("station_id"), col("h"), col("hourly"),
         explode(sequence(lit(0), lit(59))).as("m"))
       .select(col("station_id"),
@@ -159,9 +163,11 @@ object BusSim {
     */
   def lineWindows(s: SparkSession, d: String): DataFrame = {
     val nStations = stationCount(s, d)
-    val stationRange = ridership(s, d).groupBy("station_id")
-      .agg(min("transit_timestamp").as("min_station_ts"),
-        max("transit_timestamp").as("max_station_ts"))
+    // station time ranges from the hourly aggregate (60x fewer rows than
+    // the minute spine; identical result: spread minutes span h .. h+59m)
+    val stationRange = hourlyRidership(s, d).groupBy("station_id")
+      .agg(min("h").as("min_station_ts"),
+        expr("timestampadd(MINUTE, 59, max(h))").as("max_station_ts"))
     val lineStops = busLines(s, d, nStations)
       .select(col("bus_line_id"), col("bus_line"), col("frequency_minutes"), col("stops"),
         explode(col("stops")).as("station_id"))
@@ -330,6 +336,33 @@ object BusSim {
            |r.r_name AS borough
            |FROM st JOIN region r ON st.station_id % 5 = r.r_regionkey""".stripMargin))
 
+  /** The staging pipeline's conservation invariant (part0:334-358): the
+    * minute-spread ridership re-aggregated to hours must equal the hourly
+    * staging aggregate exactly — floor(r/60)*60 + r%60 == r by
+    * construction, so the result set is empty. This is the reference's one
+    * self-check, run over the real spread data.
+    */
+  val stageConservation: GraftQuery = GraftQuery(
+    "stage_minute_spread_conservation",
+    (s, d) => {
+      val hourly = hourlyRidership(s, d)
+      val reagg = ridership(s, d)
+        .groupBy(col("station_id"), date_trunc("hour", col("transit_timestamp")).as("h"))
+        .agg(sum("ridership").as("spread_total"))
+      hourly.join(reagg, Seq("station_id", "h"))
+        .filter(col("hourly") =!= col("spread_total"))
+        .select("station_id", "h", "hourly", "spread_total")
+    },
+    Some("""WITH hourly AS (SELECT user_id AS station_id, date_trunc('hour', ts) AS h,
+           |  CAST(sum(floor(value / 10) + 1) AS BIGINT) AS hourly FROM events GROUP BY 1, 2),
+           |spread AS (SELECT station_id, h, hourly, t.m FROM hourly CROSS JOIN generate_series(0, 59) t(m)),
+           |minute AS (SELECT station_id, h,
+           |  CAST(floor(hourly / 60) + CASE WHEN m < hourly % 60 THEN 1 ELSE 0 END AS BIGINT) AS r FROM spread),
+           |reagg AS (SELECT station_id, h, CAST(sum(r) AS BIGINT) AS spread_total FROM minute GROUP BY 1, 2)
+           |SELECT h2.station_id, h2.h, h2.hourly, r.spread_total
+           |FROM hourly h2 JOIN reagg r USING (station_id, h)
+           |WHERE h2.hourly <> r.spread_total""".stripMargin))
+
   /** U1+U2+J1 full simulation — deterministic but RNG-driven: rows-only. */
   val simBusRides: GraftQuery = GraftQuery("sim_bus_rides", (s, d) => rides(s, d), None)
 
@@ -340,5 +373,5 @@ object BusSim {
   val simDemand: GraftQuery = GraftQuery("sim_demand_rollup", (s, d) => endToEnd(s, d), None)
 
   val all: Seq[GraftQuery] =
-    Seq(simWindowPrep, simStationsDim, simBusRides, simFeatures, simDemand)
+    Seq(simWindowPrep, simStationsDim, stageConservation, simBusRides, simFeatures, simDemand)
 }

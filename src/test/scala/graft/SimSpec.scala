@@ -73,6 +73,10 @@ class SimSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("minute-spread conservation invariant holds (0 mismatched hours)") {
+    assert(BusSim.stageConservation.build(spark, sf).count() === 0)
+  }
+
   test("window prep windows are consistent (start <= end when both present)") {
     val w = BusSim.lineWindows(spark, sf)
     assert(w.filter(col("window_start").isNotNull && col("window_end").isNotNull &&
