@@ -250,13 +250,21 @@ object BusSim {
     val lw = lineWindows(s, d).as[LineWindow]
     val rideStops = lw.flatMap(generateRides _)
 
-    // J1 (part2:431-436): attach waiting passengers by (stop, minute)
+    // J1 (part2:431-436): attach waiting passengers by (stop, minute).
+    // Joined against the HOURLY staging aggregate with the minute share
+    // computed arithmetically — identical values to joining the dense
+    // minute table (the spread is a pure function of (hourly, minute)),
+    // but the join input is 60x smaller. At 100 TB that is the difference
+    // between shuffling the 1e9-row minute spine and the hourly rollup.
     val withDemand = rideStops.toDF()
-      .join(ridership(s, d),
+      .join(hourlyRidership(s, d),
         col("bus_stop_id") === col("station_id") &&
-          col("timestamp_at_stop") === col("transit_timestamp"))
-      .withColumn("waiting_passengers", col("ridership").cast("long"))
-      .drop("station_id", "transit_timestamp", "ridership")
+          date_trunc("hour", col("timestamp_at_stop")) === col("h"))
+      .withColumn("waiting_passengers",
+        (floor(col("hourly") / 60) +
+          when(minute(col("timestamp_at_stop")) < pmod(col("hourly"), lit(60)), 1)
+            .otherwise(0)).cast("long"))
+      .drop("station_id", "h", "hourly")
       .as[RideStopDemand]
 
     withDemand.groupByKey(_.bus_ride_id)

@@ -77,6 +77,17 @@ class SimSpec extends SparkSpec {
     assert(BusSim.stageConservation.build(spark, sf).count() === 0)
   }
 
+  test("hourly-join demand equals the dense minute-table join") {
+    // rides() computes waiting from the hourly aggregate arithmetically;
+    // prove it equals a direct join against the dense minute table
+    val viaMinute = rides
+      .join(BusSim.ridership(spark, sf),
+        col("bus_stop_id") === col("station_id") &&
+          col("timestamp_at_stop") === col("transit_timestamp"))
+      .filter(col("waiting_passengers") =!= col("ridership"))
+    assert(viaMinute.count() === 0)
+  }
+
   test("window prep windows are consistent (start <= end when both present)") {
     val w = BusSim.lineWindows(spark, sf)
     assert(w.filter(col("window_start").isNotNull && col("window_end").isNotNull &&
