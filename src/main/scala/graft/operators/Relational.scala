@@ -582,6 +582,64 @@ object Relational {
       .filter(col("last_type") =!= "error")
   }
 
+  /** A11 (beyond reference): exact distinct aggregation — the reference has
+    * no distinct-agg anywhere (SURVEY §2.4 note); a complete engine needs
+    * it. Catalyst plans it as a two-phase expand + agg.
+    */
+  val a11 = q(
+    "a11_count_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+  }
+
+  /** A12 (beyond reference): ROLLUP with subtotal and grand-total rows. */
+  val a12 = q(
+    "a12_rollup",
+    """SELECT CAST(EXTRACT(month FROM ts) AS INT) AS mo, event_type, count(*) AS n
+      |FROM events GROUP BY ROLLUP(mo, event_type)""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .rollup(month(col("ts")).as("mo"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A13 (beyond reference): CUBE over both grouping dimensions. */
+  val a13 = q(
+    "a13_cube",
+    """SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow, event_type, count(*) AS n
+      |FROM events GROUP BY CUBE(dow, event_type)""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .cube(dayofweek(col("ts")).as("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** SET1 (beyond reference, SURVEY §2.7 notes none exist): UNION /
+    * INTERSECT / EXCEPT with distinct semantics, summarized as counts.
+    */
+  val set1 = q(
+    "set1_union_intersect_except",
+    """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+      |u AS (SELECT k FROM a UNION SELECT k FROM b),
+      |i AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+      |e AS (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |SELECT 'union' AS op, count(*) AS n FROM u
+      |UNION ALL SELECT 'intersect' AS op, count(*) AS n FROM i
+      |UNION ALL SELECT 'except' AS op, count(*) AS n FROM e""".stripMargin) { (s, d) =>
+    val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("k"))
+    val counts = Seq(
+      ("union", a.union(b).distinct()),
+      ("intersect", a.intersect(b)),
+      ("except", a.except(b)))
+    counts.map { case (op, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    }.reduce(_ union _)
+  }
+
   /** U3-v3: latest-state through the custom TypedImperativeAggregate
     * (graft.plans.LatestBySeqAgg) — constant 18-byte buffer per group vs
     * collect_list's O(group), map-side partial merge. Same semantics and
@@ -609,7 +667,7 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
-    a1, a2, a3, a4, a5, a6, a7, a8, a10,
+    a1, a2, a3, a4, a5, a6, a7, a8, a10, a11, a12, a13, set1,
     w1, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
 }
