@@ -55,6 +55,33 @@ final case class RideStopLoad(
     passengers_on_bus: Long,
     remaining_at_stop: Long)
 
+/** Cross-engine deterministic draws: every random quantity in the
+  * simulation is a pure function of an entity-keyed string, computed as the
+  * first 60 bits of md5(key). DuckDB reproduces the identical value with
+  * `CAST('0x' || substr(md5(key), 1, 15) AS BIGINT)`, which is what makes
+  * the whole RNG-driven pipeline hash-checkable by the DuckDB oracle
+  * (SURVEY §7.4 — the reference's unseeded `random.random()` at
+  * lakehouse_part2_spark_processing.py:362,408 can never be). Keyed draws
+  * also beat a sequential seeded PRNG at scale: no draw depends on how many
+  * draws came before it, so rows can be generated in any partition order.
+  */
+object HashDraw {
+  /** First 15 hex chars (60 bits) of md5(key), as a non-negative Long. */
+  def draw(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex chars = first 7 bytes + high nibble of the 8th
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** The DuckDB expression computing exactly [[draw]] of the same key. */
+  def sql(keyExpr: String): String =
+    s"CAST('0x' || substr(md5($keyExpr), 1, 15) AS BIGINT)"
+}
+
 /** A bus line with its service window, input to the ride generator. */
 final case class LineWindow(
     bus_line_id: Int,
@@ -80,12 +107,16 @@ final case class LineWindow(
   *     seeded N(on_bus/3, ...) clamped to [0, on_bus], bus empties at the
   *     last stop.
   *
-  * Determinism: every random draw comes from a Random seeded by the entity
-  * id (line id, ride id hash) — SURVEY §7.4's fix for the reference's
-  * unseeded RNG, making results reproducible run-to-run. Divergence from
-  * the reference, documented: departure cadence is linear (start +=
-  * frequency) rather than the reference's accidental quadratic gap
-  * (part2:408); alighting is seeded.
+  * Determinism: every random draw is a [[HashDraw]] md5 of its entity key
+  * (line id, ride index, stop index) — SURVEY §7.4's fix for the
+  * reference's unseeded RNG, making results reproducible run-to-run AND
+  * replicable in DuckDB SQL, so the whole simulation is oracle-checked.
+  * Divergences from the reference, documented: departure cadence is linear
+  * (start += frequency) rather than the reference's accidental quadratic
+  * gap (part2:408); alighting is a uniform integer draw over
+  * [0, 2*floor(onBus/3)] (mean ~ onBus/3, the reference's Gaussian center
+  * at part2:520) instead of a float Gaussian — integer draws are the only
+  * kind two engines reproduce bit-exactly.
   *
   * Scale: rides fan out of a 25-row table (flatMap on an almost-empty
   * input — embarrassingly parallel after a repartition); the heavy join J1
@@ -202,14 +233,15 @@ object BusSim {
     var start = lw.window_start.getTime
     var rideIdx = 0
     while (start < lw.window_end.getTime && rideIdx < MaxRidesPerLine) {
-      val rng = new scala.util.Random(lw.bus_line_id.toLong * 1000003L + rideIdx)
-      val (sizeName, seat, stand) = BusSizes(rng.nextInt(BusSizes.size))
+      val sizeIdx = (HashDraw.draw(s"size|${lw.bus_line_id}|$rideIdx") % 3).toInt
+      val (sizeName, seat, stand) = BusSizes(sizeIdx)
       val rideId = s"${lw.bus_line_id}_${fmt.format(new java.util.Date(start))}"
       var at = start
       lw.stops.zipWithIndex.foreach { case (stop, i) =>
         out += RideStop(rideId, lw.bus_line_id, lw.bus_line, sizeName, seat, stand,
           seat + stand, stop, i, i == lw.stops.size - 1, new java.sql.Timestamp(at))
-        at += (1 + rng.nextInt(3)) * 60000L // 1-3 min to the next stop
+        // 1-3 min to the next stop, keyed by (line, ride, stop)
+        at += (1 + HashDraw.draw(s"gap|${lw.bus_line_id}|$rideIdx|$i") % 3) * 60000L
       }
       rideIdx += 1
       start +=
@@ -218,21 +250,18 @@ object BusSim {
     out.result().iterator
   }
 
-  /** U2: per-ride passenger fold (part2:485-580). Seeded by ride id. */
+  /** U2: per-ride passenger fold (part2:485-580). Every draw keyed by
+    * (ride id, stop index) so the fold recursion is DuckDB-replicable.
+    */
   def passengerFold(rideId: String, stops: Iterator[RideStopDemand]): Iterator[RideStopLoad] = {
     val sorted = stops.toVector.sortBy(_.bus_stop_index)
     if (sorted.isEmpty) return Iterator.empty
-    val rng = new scala.util.Random(rideId.hashCode.toLong)
     var onBus = 0L
     sorted.iterator.map { st =>
       val waiting = st.waiting_passengers
       val alighting =
         if (st.last_stop) onBus
-        else {
-          val mean = onBus / 3.0
-          val draw = math.round(mean + rng.nextGaussian() * (mean / 4.0 + 0.5))
-          math.max(0L, math.min(onBus, draw))
-        }
+        else HashDraw.draw(s"alight|$rideId|${st.bus_stop_index}") % (2 * (onBus / 3) + 1)
       onBus -= alighting
       val free = st.total_capacity - onBus
       val boarding = if (st.last_stop) 0L else math.max(0L, math.min(free, waiting))
@@ -371,14 +400,138 @@ object BusSim {
            |FROM hourly h2 JOIN reagg r USING (station_id, h)
            |WHERE h2.hourly <> r.spread_total""".stripMargin))
 
-  /** U1+U2+J1 full simulation — deterministic but RNG-driven: rows-only. */
-  val simBusRides: GraftQuery = GraftQuery("sim_bus_rides", (s, d) => rides(s, d), None)
+  /** DuckDB replica of the ENTIRE simulation pipeline, ending in a `fold`
+    * CTE with one row per surviving ride x stop and the full RideStopLoad
+    * column set. Structure mirrors the Spark stages 1:1:
+    *   lines/stops/w   = busLines + lineWindows (already green in
+    *                     sim_window_prep),
+    *   rides/sized/rs/timed = generateRides (linear cadence; keyed md5
+    *                     draws for size and inter-stop gaps; cumulative gap
+    *                     window-sum = the kernel's running `at`),
+    *   demand          = the J1 hourly join with arithmetic minute share,
+    *   fold            = passengerFold as a WITH RECURSIVE over the
+    *                     per-ride stop sequence (row_number rank, depth =
+    *                     max stops per ride, ~37) — boarding/alighting
+    *                     recursion identical to the Scala fold.
+    * Every draw is HashDraw-keyed, so both engines compute the same 60-bit
+    * md5 integer; all fold arithmetic is integer-only (no float RNG), which
+    * is what makes bit-exact cross-engine agreement possible.
+    */
+  private val simFoldSql: String =
+    """WITH RECURSIVE
+      |n AS (SELECT max(user_id) + 1 AS ns FROM events),
+      |hourly AS (SELECT user_id AS station_id, date_trunc('hour', ts) AS h,
+      |  CAST(sum(floor(value / 10) + 1) AS BIGINT) AS hourly FROM events GROUP BY 1, 2),
+      |lines AS (SELECT n_nationkey AS bus_line_id, n_name AS bus_line,
+      |  5 + 5 * (n_nationkey % 4) AS frequency_minutes,
+      |  33 + (n_nationkey % 5) AS n_stops FROM nation),
+      |stops AS (SELECT l.bus_line_id, l.n_stops, CAST(t.i AS INT) AS bus_stop_index,
+      |  (CAST(l.bus_line_id AS BIGINT) * 7 + t.i * 13) % n.ns AS station_id
+      |  FROM lines l, n, generate_series(0, 40) t(i) WHERE t.i < l.n_stops),
+      |sr AS (SELECT station_id, min(h) AS mn, max(h) + to_minutes(59) AS mx
+      |  FROM hourly GROUP BY 1),
+      |w AS (SELECT s.bus_line_id, max(sr.mn) AS window_start, min(sr.mx) AS window_end
+      |  FROM stops s LEFT JOIN sr USING (station_id) GROUP BY 1),
+      |rides AS (SELECT l.bus_line_id, l.bus_line, l.frequency_minutes, t.k AS ride_idx,
+      |  w.window_start + to_minutes(CAST(t.k * l.frequency_minutes AS BIGINT)) AS ride_start
+      |  FROM lines l JOIN w USING (bus_line_id) CROSS JOIN generate_series(0, 39) t(k)
+      |  WHERE w.window_start < w.window_end
+      |    AND w.window_start + to_minutes(CAST(t.k * l.frequency_minutes AS BIGINT)) < w.window_end),
+      |sized AS (SELECT r.*,
+      |  CAST('0x' || substr(md5('size|' || r.bus_line_id || '|' || r.ride_idx), 1, 15) AS BIGINT) % 3 AS size_idx
+      |  FROM rides r),
+      |rs AS (SELECT r.*, s.bus_stop_index, s.station_id, s.n_stops,
+      |  1 + CAST('0x' || substr(md5('gap|' || r.bus_line_id || '|' || r.ride_idx || '|' || s.bus_stop_index), 1, 15) AS BIGINT) % 3 AS gap_min
+      |  FROM sized r JOIN stops s USING (bus_line_id)),
+      |timed AS (SELECT rs.*,
+      |  rs.ride_start + to_minutes(CAST(COALESCE(sum(rs.gap_min) OVER (
+      |    PARTITION BY rs.bus_line_id, rs.ride_idx ORDER BY rs.bus_stop_index
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)) AS timestamp_at_stop,
+      |  rs.bus_stop_index = rs.n_stops - 1 AS last_stop
+      |  FROM rs),
+      |demand AS (SELECT
+      |  t.bus_line_id || '_' || strftime(t.ride_start, '%Y-%m-%d_%H-%M-%S') AS bus_ride_id,
+      |  t.bus_line_id, t.bus_line,
+      |  CASE t.size_idx WHEN 0 THEN 'small' WHEN 1 THEN 'medium' ELSE 'large' END AS bus_size,
+      |  CAST(CASE t.size_idx WHEN 0 THEN 20 WHEN 1 THEN 35 ELSE 49 END AS INT) AS seating_capacity,
+      |  CAST(CASE t.size_idx WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 35 END AS INT) AS standing_capacity,
+      |  CAST(CASE t.size_idx WHEN 0 THEN 30 WHEN 1 THEN 55 ELSE 84 END AS INT) AS total_capacity,
+      |  t.station_id AS bus_stop_id, t.bus_stop_index, t.last_stop, t.timestamp_at_stop,
+      |  CAST(floor(h2.hourly / 60) +
+      |    CASE WHEN minute(t.timestamp_at_stop) < h2.hourly % 60 THEN 1 ELSE 0 END AS BIGINT) AS waiting_passengers
+      |  FROM timed t JOIN hourly h2 ON t.station_id = h2.station_id
+      |    AND date_trunc('hour', t.timestamp_at_stop) = h2.h),
+      |seq AS (SELECT d.*,
+      |  row_number() OVER (PARTITION BY d.bus_ride_id ORDER BY d.bus_stop_index) AS rn
+      |  FROM demand d),
+      |fold AS (
+      |  SELECT s.bus_ride_id, s.rn, s.bus_line_id, s.bus_line, s.bus_size,
+      |    s.seating_capacity, s.standing_capacity, s.total_capacity, s.bus_stop_id,
+      |    s.bus_stop_index, s.last_stop, s.timestamp_at_stop, s.waiting_passengers,
+      |    CAST(0 AS BIGINT) AS passengers_alighting,
+      |    CASE WHEN s.last_stop THEN CAST(0 AS BIGINT)
+      |         ELSE least(CAST(s.total_capacity AS BIGINT), s.waiting_passengers) END AS passengers_boarding,
+      |    passengers_boarding AS passengers_on_bus,
+      |    s.waiting_passengers - passengers_boarding AS remaining_at_stop
+      |  FROM seq s WHERE s.rn = 1
+      |  UNION ALL
+      |  SELECT x.bus_ride_id, x.rn, x.bus_line_id, x.bus_line, x.bus_size,
+      |    x.seating_capacity, x.standing_capacity, x.total_capacity, x.bus_stop_id,
+      |    x.bus_stop_index, x.last_stop, x.timestamp_at_stop, x.waiting_passengers,
+      |    x.alight_v AS passengers_alighting,
+      |    board_v AS passengers_boarding,
+      |    x.prev_on_bus - x.alight_v + board_v AS passengers_on_bus,
+      |    x.waiting_passengers - board_v AS remaining_at_stop
+      |  FROM (
+      |    SELECT s.*, f.passengers_on_bus AS prev_on_bus,
+      |      CASE WHEN s.last_stop THEN f.passengers_on_bus
+      |           ELSE CAST('0x' || substr(md5('alight|' || s.bus_ride_id || '|' || s.bus_stop_index), 1, 15) AS BIGINT)
+      |                % (2 * (f.passengers_on_bus // 3) + 1) END AS alight_v
+      |    FROM fold f JOIN seq s ON s.bus_ride_id = f.bus_ride_id AND s.rn = f.rn + 1
+      |  ) x,
+      |  LATERAL (SELECT CASE WHEN x.last_stop THEN CAST(0 AS BIGINT)
+      |    ELSE greatest(CAST(0 AS BIGINT),
+      |         least(CAST(x.total_capacity AS BIGINT) - (x.prev_on_bus - x.alight_v),
+      |               x.waiting_passengers)) END AS board_v) b)
+      |""".stripMargin
 
-  /** M1 feature CTAS over the simulation — rows-only (sim-derived). */
-  val simFeatures: GraftQuery = GraftQuery("sim_ride_features", (s, d) => rideFeatures(s, d), None)
+  private val rideCols: String =
+    """bus_ride_id, bus_line_id, bus_line, bus_size, seating_capacity,
+      |standing_capacity, total_capacity, bus_stop_id, bus_stop_index, last_stop,
+      |timestamp_at_stop, waiting_passengers, passengers_boarding,
+      |passengers_alighting, passengers_on_bus, remaining_at_stop""".stripMargin
 
-  /** The part3 flagship rollup over the simulation — rows-only. */
-  val simDemand: GraftQuery = GraftQuery("sim_demand_rollup", (s, d) => endToEnd(s, d), None)
+  /** U1+U2+J1 full simulation — hash-proven against the DuckDB replica. */
+  val simBusRides: GraftQuery = GraftQuery(
+    "sim_bus_rides",
+    (s, d) => rides(s, d),
+    Some(simFoldSql + s"SELECT $rideCols FROM fold"))
+
+  /** M1 feature CTAS over the simulation (part3:124-157). */
+  val simFeatures: GraftQuery = GraftQuery(
+    "sim_ride_features",
+    (s, d) => rideFeatures(s, d),
+    Some(simFoldSql +
+      """, stations AS (
+        |  SELECT st.station_id, r.r_name AS borough
+        |  FROM (SELECT unnest(generate_series(0, ns - 1)) AS station_id FROM n) st
+        |  JOIN region r ON st.station_id % 5 = r.r_regionkey)
+        |SELECT f.bus_ride_id, f.bus_line, f.bus_stop_id, f.bus_stop_index,
+        |  f.timestamp_at_stop, s.borough,
+        |  f.remaining_at_stop - (f.total_capacity - f.passengers_on_bus) AS demand_metric,
+        |  COALESCE((f.total_capacity - f.passengers_on_bus) / NULLIF(f.total_capacity, 0), 0) AS remaining_capacity_percentage,
+        |  COALESCE(f.remaining_at_stop / NULLIF(f.waiting_passengers, 0), 0) AS passengers_left_behind_percentage
+        |FROM fold f LEFT JOIN stations s ON f.bus_stop_id = s.station_id""".stripMargin))
+
+  /** The part3 flagship rollup over the simulation. */
+  val simDemand: GraftQuery = GraftQuery(
+    "sim_demand_rollup",
+    (s, d) => endToEnd(s, d),
+    Some(simFoldSql +
+      """SELECT bus_line, time_bucket(INTERVAL '5 minutes', timestamp_at_stop) AS bucket_ts,
+        |  avg(remaining_at_stop - (total_capacity - passengers_on_bus)) AS avg_demand,
+        |  count(*) AS n
+        |FROM fold GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[GraftQuery] =
     Seq(simWindowPrep, simStationsDim, stageConservation, simBusRides, simFeatures, simDemand)
