@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.api.GraftQuery
 import graft.core.Tables
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One multimodal record: opaque binary payload + typed metadata. */
@@ -59,25 +60,39 @@ object MultiModal {
            |CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
            |FROM documents GROUP BY lang""".stripMargin))
 
-  /** MM2: partition-wise decode/feature-extract kernel over the binary
-    * column. Deterministic (stub decoder), so rows-only + MultiModalSpec.
+  /** Partition-wise decode/feature-extract over the binary column — the
+    * full typed result including the `features` array, for downstream
+    * consumers (e.g. ANN over decoded features) and MultiModalSpec.
+    */
+  def decode(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+        col("lang"), col("n_chars"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition "codec" setup happens once here, then batches
+        it.map { r =>
+          val (crc, feats) = decodeStub(r.payload)
+          MediaFeatures(r.doc_id, r.payload.length, crc, feats)
+        }
+      }
+  }
+
+  /** MM2: the decode kernel on the driver surface. Deterministic (stub
+    * decoder) but byte-fold semantics aren't SQL-expressible -> rows-only.
+    * The `features` array is exposed as scalar digests (first element +
+    * fixed-order sum) because harness row-compares can't sort array cells;
+    * the array itself stays on [[decode]].
     */
   val mm2: GraftQuery = GraftQuery(
     "mm2_decode_features",
     (s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
-          col("lang"), col("n_chars"))
-        .as[MediaRecord]
-        .mapPartitions { it =>
-          // per-partition "codec" setup happens once here, then batches
-          it.map { r =>
-            val (crc, feats) = decodeStub(r.payload)
-            MediaFeatures(r.doc_id, r.payload.length, crc, feats)
-          }
-        }
-        .toDF()
+      decode(s, d)
+        .map(f => (f.doc_id, f.byte_len, f.checksum, f.features.length,
+          f.features.headOption.getOrElse(0f).toDouble, f.features.sum.toDouble))
+        .toDF("doc_id", "byte_len", "checksum", "n_features", "feat_head", "feat_sum")
     },
     None)
 

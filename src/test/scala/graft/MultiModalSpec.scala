@@ -5,18 +5,29 @@ import graft.operators.MultiModal
 class MultiModalSpec extends SparkSpec {
 
   test("decode kernel emits fixed-width features and is deterministic") {
-    val a = MultiModal.mm2.build(spark, sf).orderBy("doc_id").collect()
-    val b = MultiModal.mm2.build(spark, sf).orderBy("doc_id").collect()
+    val a = MultiModal.decode(spark, sf).orderBy("doc_id").collect()
+    val b = MultiModal.decode(spark, sf).orderBy("doc_id").collect()
     assert(a.length > 0)
-    assert(a.forall(_.getAs[Seq[Float]]("features").length == 8))
-    assert(a.map(_.getLong(2)).sameElements(b.map(_.getLong(2)))) // checksums stable
+    assert(a.forall(_.features.length == 8))
+    assert(a.map(_.checksum).sameElements(b.map(_.checksum)))
+  }
+
+  test("mm2 driver surface exposes scalar digests consistent with decode") {
+    val digests = MultiModal.mm2.build(spark, sf).orderBy("doc_id").collect()
+    val full = MultiModal.decode(spark, sf).orderBy("doc_id").collect()
+    digests.zip(full).foreach { case (row, f) =>
+      assert(row.getLong(0) === f.doc_id)
+      assert(row.getLong(2) === f.checksum)
+      assert(row.getInt(3) === f.features.length)
+      assert(row.getDouble(5) === f.features.sum.toDouble)
+    }
   }
 
   test("byte length matches utf-8 payload size") {
-    val rows = MultiModal.mm2.build(spark, sf).orderBy("doc_id").limit(5).collect()
+    val rows = MultiModal.decode(spark, sf).orderBy("doc_id").limit(5).collect()
     val docs = graft.core.Tables.documents(spark, sf).orderBy("doc_id").limit(5).collect()
     rows.zip(docs).foreach { case (f, d) =>
-      assert(f.getInt(1) === d.getString(1).getBytes("UTF-8").length)
+      assert(f.byte_len === d.getString(1).getBytes("UTF-8").length)
     }
   }
 
