@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
 /** One observed point of a keyed demand series. */
 final case class SeriesPoint(user_id: Long, bucket_ts: java.sql.Timestamp, demand: Double)
 
+/** One bucketed point with its covariate and seasonal residual (M3 input). */
+final case class XregPoint(
+    user_id: Long, bucket_ts: java.sql.Timestamp, demand: Double, x: Long, resid: Double)
+
+/** Per-series regression moments (M3): exact integer sums for the design
+  * matrix, t-ordered float folds for the demand/residual moments.
+  */
+final case class XregMoments(
+    user_id: Long, last_b: java.sql.Timestamp, n: Double, umean: Double,
+    st: Double, stt: Double, sx: Double, sxx: Double, stx: Double,
+    sy: Double, sty: Double, sxy: Double)
+
 /** ML.FORECAST-shaped output row (reference part3:556-578): series key,
   * forecast timestamp, point forecast, interval bounds.
   */
@@ -96,6 +108,210 @@ object Forecast {
            |       (last_demand + h * slope) * 0.9 AS lo, (last_demand + h * slope) * 1.1 AS hi
            |FROM sl CROSS JOIN generate_series(1, 12) t(h)""".stripMargin))
 
+  /** M3: ARIMA_PLUS_XREG-shaped model (part3:510-533): hour-of-day seasonal
+    * component plus per-series linear regression on a time index AND an
+    * exogenous covariate (bucket event count — the XREG), solved in closed
+    * form via the 3x3 normal equations (Cramer). Every moment is an exact
+    * integer sum or a DECIMAL(28,6) sum, so DuckDB reproduces the
+    * coefficients bit-for-bit and the whole model is oracle-checked —
+    * BQML internals stay out of scope (SURVEY §7.3), but this delivers the
+    * promised seasonality + covariates, deterministically.
+    *
+    * Scale: two aggregations over the bucketed series (one per (user, hod),
+    * one per user) + a 12-row-per-series fan-out — no per-point state, no
+    * window wider than the series groupBy; the same shape BQML's
+    * CREATE MODEL fan-out has.
+    */
+  val m3: GraftQuery = GraftQuery(
+    "m3_forecast_xreg",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .groupBy(col("user_id"), timestampBucket(col("ts"), BucketSeconds).as("bucket_ts"))
+        .agg(decAvg(col("value")).as("demand"), count(lit(1)).as("x"))
+      // seasonal means and regression moments accumulate COMPUTED doubles,
+      // so they use a bucket-ordered left fold (bit-identical to the
+      // oracle's list_reduce) — a plain sum is order-nondeterministic and a
+      // decimal cast of a computed double hits the Spark-vs-DuckDB
+      // shortest-repr rounding divergence
+      val seas = base.groupBy(col("user_id"), hour(col("bucket_ts")).as("hod"))
+        .agg(sort_array(collect_list(struct(col("bucket_ts").as("b"),
+          col("demand").as("v")))).as("pp"), count(lit(1)).as("cnt"))
+        .withColumn("smean",
+          expr("aggregate(transform(pp, s -> s.v), 0D, (acc, v) -> acc + v)") / col("cnt"))
+        .select("user_id", "hod", "smean")
+      // one-pass typed kernel per series: t index from the bucket order,
+      // exact integer design-matrix sums, ordered float folds for the rest
+      val m = base.withColumn("hod", hour(col("bucket_ts")))
+        .join(seas, Seq("user_id", "hod"))
+        .withColumn("resid", col("demand") - col("smean"))
+        .select("user_id", "bucket_ts", "demand", "x", "resid").as[XregPoint]
+        .groupByKey(_.user_id)
+        .mapGroups { (uid: Long, it: Iterator[XregPoint]) =>
+          val v = it.toArray.sortBy(_.bucket_ts.getTime)
+          var stL = 0L; var sttL = 0L; var sxL = 0L; var sxxL = 0L; var stxL = 0L
+          var sumD = 0.0; var sy = 0.0; var sty = 0.0; var sxy = 0.0
+          var i = 0
+          while (i < v.length) {
+            val p = v(i); val t = i.toLong
+            stL += t; sttL += t * t; sxL += p.x; sxxL += p.x * p.x; stxL += t * p.x
+            sumD += p.demand; sy += p.resid
+            sty += t.toDouble * p.resid; sxy += p.x.toDouble * p.resid
+            i += 1
+          }
+          val n = v.length.toDouble
+          XregMoments(uid, v.last.bucket_ts, n, sumD / n, stL.toDouble, sttL.toDouble,
+            sxL.toDouble, sxxL.toDouble, stxL.toDouble, sy, sty, sxy)
+        }
+        .toDF()
+      // normal-equation determinants; the formula TEXT matches the oracle so
+      // both engines evaluate the identical IEEE expression tree
+      val coef = m.selectExpr("user_id", "last_b", "n", "umean", "st", "sy", "sx",
+          "n * (stt * sxx - stx * stx) - st * (st * sxx - stx * sx) + sx * (st * stx - stt * sx) AS det",
+          "sy * (stt * sxx - stx * stx) - st * (sty * sxx - stx * sxy) + sx * (sty * stx - stt * sxy) AS det_a",
+          "n * (sty * sxx - stx * sxy) - sy * (st * sxx - stx * sx) + sx * (st * sxy - sty * sx) AS det_b",
+          "n * (stt * sxy - sty * stx) - st * (st * sxy - sty * sx) + sy * (st * stx - stt * sx) AS det_c",
+          "n * stt - st * st AS den2",
+          "n * sty - st * sy AS num2")
+        .selectExpr("user_id", "last_b", "n", "umean", "sx / n AS xbar",
+          "CASE WHEN det <> 0.0 THEN det_a / det WHEN den2 <> 0.0 THEN (sy - (num2 / den2) * st) / n ELSE sy / n END AS ca",
+          "CASE WHEN det <> 0.0 THEN det_b / det WHEN den2 <> 0.0 THEN num2 / den2 ELSE 0.0 END AS cb",
+          "CASE WHEN det <> 0.0 THEN det_c / det ELSE 0.0 END AS cc")
+      coef
+        .select(col("user_id"), col("last_b"), col("n"), col("umean"), col("xbar"),
+          col("ca"), col("cb"), col("cc"),
+          explode(sequence(lit(1), lit(Horizon))).as("h"))
+        .withColumn("forecast_timestamp",
+          expr(s"timestampadd(SECOND, h * $BucketSeconds, last_b)"))
+        .withColumn("hod", hour(col("forecast_timestamp")))
+        .join(seas, Seq("user_id", "hod"), "left")
+        .withColumn("forecast_value",
+          coalesce(col("smean"), col("umean")) + col("ca") +
+            col("cb") * (col("n") - 1 + col("h")) + col("cc") * col("xbar"))
+        .select(col("user_id"), col("forecast_timestamp"), col("forecast_value"),
+          (col("forecast_value") * 0.9).as("lo"), (col("forecast_value") * 1.1).as("hi"))
+    },
+    Some("""WITH base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand,
+           |  count(*) AS x FROM events GROUP BY 1, 2),
+           |seas AS (SELECT user_id, hour(b) AS hod,
+           |  list_reduce(list_transform(list(struct_pack(b := b, v := demand) ORDER BY b),
+           |    s -> s.v), (acc, v) -> acc + v) / count(*) AS smean
+           |  FROM base GROUP BY 1, 2),
+           |idx AS (SELECT base.*, s.smean, demand - s.smean AS resid,
+           |  row_number() OVER (PARTITION BY base.user_id ORDER BY b) - 1 AS t
+           |  FROM base JOIN seas s ON base.user_id = s.user_id AND hour(base.b) = s.hod),
+           |m0 AS (SELECT user_id,
+           |  CAST(count(*) AS DOUBLE) AS n, max(b) AS last_b,
+           |  CAST(sum(t) AS DOUBLE) AS st, CAST(sum(t*t) AS DOUBLE) AS stt,
+           |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx,
+           |  CAST(sum(t*x) AS DOUBLE) AS stx,
+           |  list(struct_pack(t := t, r := resid, xx := x, dm := demand) ORDER BY t) AS l
+           |  FROM idx GROUP BY 1),
+           |m AS (SELECT user_id, n, last_b, st, stt, sx, sxx, stx,
+           |  list_reduce(list_transform(l, s -> s.dm), (acc, v) -> acc + v) / n AS umean,
+           |  list_reduce(list_transform(l, s -> s.r), (acc, v) -> acc + v) AS sy,
+           |  list_reduce(list_transform(l, s -> s.t * s.r), (acc, v) -> acc + v) AS sty,
+           |  list_reduce(list_transform(l, s -> s.xx * s.r), (acc, v) -> acc + v) AS sxy
+           |  FROM m0),
+           |dets AS (SELECT *,
+           |  n * (stt * sxx - stx * stx) - st * (st * sxx - stx * sx) + sx * (st * stx - stt * sx) AS det,
+           |  sy * (stt * sxx - stx * stx) - st * (sty * sxx - stx * sxy) + sx * (sty * stx - stt * sxy) AS det_a,
+           |  n * (sty * sxx - stx * sxy) - sy * (st * sxx - stx * sx) + sx * (st * sxy - sty * sx) AS det_b,
+           |  n * (stt * sxy - sty * stx) - st * (st * sxy - sty * sx) + sy * (st * stx - stt * sx) AS det_c,
+           |  n * stt - st * st AS den2, n * sty - st * sy AS num2 FROM m),
+           |coef AS (SELECT user_id, last_b, n, umean, sx / n AS xbar,
+           |  CASE WHEN det <> 0.0 THEN det_a / det WHEN den2 <> 0.0 THEN (sy - (num2 / den2) * st) / n ELSE sy / n END AS ca,
+           |  CASE WHEN det <> 0.0 THEN det_b / det WHEN den2 <> 0.0 THEN num2 / den2 ELSE 0.0 END AS cb,
+           |  CASE WHEN det <> 0.0 THEN det_c / det ELSE 0.0 END AS cc FROM dets),
+           |fr AS (SELECT c.*, t.h, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp
+           |  FROM coef c CROSS JOIN generate_series(1, 12) t(h)),
+           |fv AS (SELECT fr.user_id, fr.forecast_timestamp,
+           |  COALESCE(s.smean, fr.umean) + fr.ca + fr.cb * (fr.n - 1 + fr.h) + fr.cc * fr.xbar AS forecast_value
+           |  FROM fr LEFT JOIN seas s ON fr.user_id = s.user_id AND hour(fr.forecast_timestamp) = s.hod)
+           |SELECT user_id, forecast_timestamp, forecast_value,
+           |  forecast_value * 0.9 AS lo, forecast_value * 1.1 AS hi FROM fv""".stripMargin))
+
+  /** M4b: held-out evaluation (the reference evaluates on a fixed held-out
+    * December window with MAPE et al., part3:436-440, 539-553): per series,
+    * train on all but the last 12 buckets, forecast the held-out 12 with
+    * both models (naive and drift), report MAE / MAPE / RMSE per
+    * (series, model). MAPE averages over non-zero actuals only.
+    */
+  val m4b: GraftQuery = GraftQuery(
+    "m4b_holdout_eval",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id")
+      val ranked = series(s, d)
+        .withColumn("rdesc", row_number().over(byUser.orderBy(col("bucket_ts").desc)))
+        .withColumn("n_total", count(lit(1)).over(byUser))
+        .filter(col("n_total") > Horizon)
+      val train = ranked.filter(col("rdesc") > Horizon).groupBy("user_id").agg(
+        max_by(col("demand"), col("bucket_ts")).as("last_demand"),
+        min_by(col("demand"), col("bucket_ts")).as("first_demand"),
+        count(lit(1)).as("n_train"))
+        .withColumn("slope", when(col("n_train") === 1, lit(0.0))
+          .otherwise((col("last_demand") - col("first_demand")) /
+            (col("n_train") - 1).cast("double")))
+      val ev = ranked.filter(col("rdesc") <= Horizon)
+        .withColumn("h", (lit(Horizon + 1) - col("rdesc")).cast("long"))
+        .join(train, "user_id")
+      val naive = ev.select(col("user_id"), col("h"), col("demand"),
+        lit("naive").as("model"), col("last_demand").as("fv"))
+      val drift = ev.select(col("user_id"), col("h"), col("demand"),
+        lit("drift").as("model"), (col("last_demand") + col("h") * col("slope")).as("fv"))
+      // metrics via an h-ordered left fold, NOT a plain double sum: float
+      // addition is order-sensitive and engines accumulate groups in
+      // different orders; a fixed fold order makes the sums bit-identical
+      // to the oracle (and decimal-casting computed doubles would hit the
+      // Spark-vs-DuckDB shortest-repr rounding divergence instead)
+      naive.unionByName(drift)
+        .withColumn("err", col("demand") - col("fv"))
+        .groupBy("user_id", "model").agg(
+          count(lit(1)).as("n_eval"),
+          sum(when(col("demand") =!= 0, 1).otherwise(0)).as("nz"),
+          sort_array(collect_list(struct(col("h").as("h"),
+            abs(col("err")).as("ae"),
+            (col("err") * col("err")).as("se"),
+            col("demand").as("a")))).as("pts"))
+        .withColumn("mae",
+          expr("aggregate(transform(pts, s -> s.ae), 0D, (acc, v) -> acc + v)") / col("n_eval"))
+        .withColumn("mape", when(col("nz") > 0,
+          expr("aggregate(transform(pts, s -> CASE WHEN s.a <> 0D THEN s.ae / abs(s.a) ELSE 0D END), 0D, (acc, v) -> acc + v)") / col("nz")))
+        .withColumn("rmse",
+          sqrt(expr("aggregate(transform(pts, s -> s.se), 0D, (acc, v) -> acc + v)") / col("n_eval")))
+        .select("user_id", "model", "n_eval", "mae", "mape", "rmse")
+    },
+    Some("""WITH base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY b DESC) AS rdesc,
+           |  count(*) OVER (PARTITION BY user_id) AS n_total FROM base),
+           |f AS (SELECT * FROM r WHERE n_total > 12),
+           |train AS (SELECT user_id, arg_max(demand, b) AS last_demand,
+           |  arg_min(demand, b) AS first_demand, count(*) AS n_train
+           |  FROM f WHERE rdesc > 12 GROUP BY 1),
+           |sl AS (SELECT user_id, last_demand,
+           |  CASE WHEN n_train = 1 THEN 0.0
+           |       ELSE (last_demand - first_demand) / CAST(n_train - 1 AS DOUBLE) END AS slope
+           |  FROM train),
+           |ev AS (SELECT f.user_id, 13 - f.rdesc AS h, f.demand, s.last_demand, s.slope
+           |  FROM f JOIN sl s ON f.user_id = s.user_id WHERE f.rdesc <= 12),
+           |sc AS (SELECT user_id, h, demand, 'naive' AS model, last_demand AS fv FROM ev
+           |  UNION ALL
+           |  SELECT user_id, h, demand, 'drift' AS model, last_demand + h * slope AS fv FROM ev),
+           |pts AS (SELECT user_id, model, count(*) AS n_eval,
+           |  SUM(CASE WHEN demand <> 0 THEN 1 ELSE 0 END) AS nz,
+           |  list(struct_pack(h := h, ae := abs(demand - fv),
+           |    se := (demand - fv)*(demand - fv), a := demand) ORDER BY h) AS l
+           |  FROM sc GROUP BY 1, 2)
+           |SELECT user_id, model, n_eval,
+           |  list_reduce(list_transform(l, s -> s.ae), (acc, v) -> acc + v) / n_eval AS mae,
+           |  CASE WHEN nz > 0 THEN list_reduce(list_transform(l,
+           |    s -> CASE WHEN s.a <> 0 THEN s.ae / abs(s.a) ELSE 0.0 END), (acc, v) -> acc + v) / nz END AS mape,
+           |  sqrt(list_reduce(list_transform(l, s -> s.se), (acc, v) -> acc + v) / n_eval) AS rmse
+           |FROM pts""".stripMargin))
+
   /** M4: evaluation metrics (ML.EVALUATE shape, part3:539-553): in-sample
     * MAE / max abs error of the naive one-step forecast per series.
     */
@@ -123,5 +339,5 @@ object Forecast {
            |       max(abs_err) AS max_abs_err
            |FROM e GROUP BY user_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(m4, m5, m6)
+  val all: Seq[GraftQuery] = Seq(m3, m4, m4b, m5, m6)
 }
