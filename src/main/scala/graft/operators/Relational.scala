@@ -405,6 +405,23 @@ object Relational {
           size(collect_list(col("event_id"))).as("n"))
   }
 
+  /** A7b: collect_list of STRUCTS per key (pyspark-job.py:190-196 collects
+    * whole ride structs, not scalars). Sorted by the unique first field,
+    * serialized to JSON so the row compare stays scalar — Spark's `to_json`
+    * and DuckDB's struct-list `to_json` agree byte-for-byte on
+    * integer/string fields.
+    */
+  val a7b = q(
+    "a7b_collect_struct_json",
+    """SELECT user_id, to_json(list(struct_pack(event_id := event_id, event_type := event_type)
+      |  ORDER BY event_id)) AS events_json, count(*) AS n
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("user_id")
+      .agg(to_json(sort_array(collect_list(struct(col("event_id"), col("event_type")))))
+        .as("events_json"),
+        count(lit(1)).as("n"))
+  }
+
   /** A8+F6: 5-minute bucket aggregation (part3:461-469). */
   val a8 = q(
     "a8_bucket5_agg",
@@ -667,7 +684,7 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
-    a1, a2, a3, a4, a5, a6, a7, a8, a10, a11, a12, a13, set1,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, set1,
     w1, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
 }

@@ -97,9 +97,10 @@ object Sources {
     },
     Some("SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus <> 'X' GROUP BY o_orderpriority"))
 
-  /** S14: SQL DDL surface — CREATE TABLE (CTAS) against the session catalog,
-    * SHOW TABLES / DESCRIBE exercised, then queried (part1:234-250, 568-582;
-    * part2:206-216). CLUSTER BY maps to a sorted write.
+  /** S14: SQL DDL surface — CREATE NAMESPACE / USE, CREATE TABLE (CTAS)
+    * inside the namespace, SHOW NAMESPACES / SHOW TABLES / DESCRIBE
+    * EXTENDED, then a namespace-qualified read (part1:234-250, 497-498,
+    * 568-582; part2:206-216). CLUSTER BY maps to a sorted write.
     */
   val s14: GraftQuery = GraftQuery(
     "s14_ddl_ctas",
@@ -107,15 +108,19 @@ object Sources {
       val path = scratch(s, "s14_ctas")
       deleteRecursively(new java.io.File(path)) // CTAS requires an empty location
       Tables.customer(s, d).createOrReplaceTempView("customer_s14")
-      s.sql("DROP TABLE IF EXISTS graft_s14_cust")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ns")
+      s.sql("USE graft_ns")
+      s.sql("DROP TABLE IF EXISTS graft_s14_cust") // resolves in graft_ns
       s.sql(
         s"""CREATE TABLE graft_s14_cust USING parquet LOCATION '$path' AS
            |SELECT c_custkey, c_nationkey, c_acctbal FROM customer_s14
            |ORDER BY c_nationkey, c_custkey""".stripMargin)
-      s.sql("SHOW TABLES").collect() // exercise the catalog surface
-      s.sql("DESCRIBE TABLE graft_s14_cust").collect()
+      s.sql("SHOW NAMESPACES").collect() // exercise the catalog surface
+      s.sql("SHOW TABLES").collect()
+      s.sql("DESCRIBE TABLE EXTENDED graft_s14_cust").collect()
+      s.sql("USE default") // restore; the read below is namespace-qualified
       s.sql("""SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
-              |FROM graft_s14_cust GROUP BY c_nationkey""".stripMargin)
+              |FROM graft_ns.graft_s14_cust GROUP BY c_nationkey""".stripMargin)
     },
     Some("""SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
            |FROM customer GROUP BY c_nationkey""".stripMargin))
@@ -161,10 +166,35 @@ object Sources {
     },
     Some("SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"))
 
+  /** S16: snapshot time-travel at the Tables seam (part1:333, 346-409 —
+    * Iceberg history + VERSION AS OF): v1 = full orders, v2 = copy-on-write
+    * DELETE of status 'F'; then read BOTH versions and prove v1 still holds
+    * the deleted rows while v2 does not (n_v2 is null for 'F').
+    */
+  val s16: GraftQuery = GraftQuery(
+    "s16_time_travel",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_tt"
+      Snapshots.reset(t)
+      Snapshots.write(s, t, Tables.orders(s, d))
+      Snapshots.write(s, t,
+        Snapshots.latest(s, t).filter(col("o_orderstatus") =!= "F"))
+      require(Snapshots.versions(t) == Seq(1, 2), "snapshot listing broken")
+      val v1 = Snapshots.read(s, t, 1).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_v1"))
+      val v2 = Snapshots.read(s, t, 2).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_v2"))
+      v1.join(v2, Seq("o_orderstatus"), "left")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_v1,
+           |CASE WHEN o_orderstatus <> 'F' THEN count(*) END AS n_v2
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
   }
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15)
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16)
 }
