@@ -681,10 +681,75 @@ object Relational {
     d
   }
 
+  /** J11 (beyond reference): AS-OF join — each 'click' event picks up the
+    * most recent 'purchase' of the same user at or before its timestamp.
+    * Implemented the scalable way: union both streams, ONE shuffle+sort on
+    * (user, ts), and a running last-non-null — never the naive range join,
+    * whose candidate set is O(clicks x purchases) per user and explodes on
+    * active users. The oracle is DuckDB's native ASOF LEFT JOIN, an
+    * independent implementation of the same semantics (purchases deduped to
+    * max event id per (user, ts) so ties are well-defined in both engines).
+    */
+  val j11 = q(
+    "j11_asof_join",
+    """WITH s AS (SELECT user_id, ts, max(event_id) AS setting_id FROM events
+      |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+      |SELECT r.user_id, r.event_id, r.ts, s.setting_id AS asof_purchase_id
+      |FROM r ASOF LEFT JOIN s ON r.user_id = s.user_id AND r.ts >= s.ts""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val settings = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("setting_id"))
+      val readings = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val u = settings.select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("setting_id"), lit(null).cast("long").as("event_id"))
+        .unionByName(readings.select(col("user_id"), col("ts"), lit(1).as("kind"),
+          lit(null).cast("long").as("setting_id"), col("event_id")))
+      // settings sort before readings at equal ts, so "at or before" holds
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("asof_purchase_id", last(col("setting_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("asof_purchase_id"))
+  }
+
+  /** W2 (beyond reference): sessionization — the canonical event-pipeline
+    * operator: split each user's stream at >30-minute silence gaps, then
+    * aggregate per session. One shuffle on the user key; the gap flag and
+    * its running sum both reuse the same sort, so the whole thing is a
+    * single exchange + sort at any scale.
+    */
+  val w2 = q(
+    "w2_sessionize",
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL
+      |  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess FROM o),
+      |sq AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f)
+      |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM sq GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev_ts").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p8,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, set1,
-    w1, o1, o2, o3,
+    w1, w2, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
 }

@@ -368,5 +368,54 @@ object TextOps {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8)
+  /** X9 (beyond reference): TF-IDF top term per document — term frequency
+    * from one explode+groupBy, document frequency from a distinct count per
+    * term, corpus size broadcast as a 1-row cross join. The idf is kept
+    * RATIONAL (tf * N / df) rather than logarithmic: ln() libm
+    * implementations differ across engines in the last ulp, while integer
+    * multiply + one double division is bit-exact everywhere — and argmax
+    * ranking is invariant to the monotone transform.
+    */
+  val x9: GraftQuery = GraftQuery(
+    "x9_tfidf_topterm",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+      tf.join(df, "w").crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("rk", row_number().over(win)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("w").as("top_term"), col("score").as("top_score"))
+    },
+    Some("""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM wds GROUP BY 1, 2),
+           |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM wds GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.w, CAST(tf.tf * n.n AS DOUBLE) / dfq.df AS score
+           |       FROM tf JOIN dfq USING (w) CROSS JOIN n)
+           |SELECT doc_id, w AS top_term, score AS top_score FROM sc
+           |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) = 1""".stripMargin))
+
+  /** X10 (beyond reference): deterministic hash sampling — the corpus
+    * subsetting primitive every training-data pipeline needs. The sample
+    * predicate is a pure function of the stable doc id ([[HashDraw]]
+    * md5 semantics via `conv`), so the SAME 10% sample falls out on any
+    * cluster, any partitioning, any engine — unlike `TABLESAMPLE` /
+    * `rand()`, which are nondeterministic and unverifiable.
+    */
+  val x10: GraftQuery = GraftQuery(
+    "x10_hash_sample",
+    (s, d) => Tables.documents(s, d)
+      .filter(expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < 10")
+        .as("keep"))
+      .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+           |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
 }

@@ -44,6 +44,42 @@ class OpsSmokeSpec extends SparkSpec {
     assert(total === graft.core.Tables.documents(spark, sf).count())
   }
 
+  test("j11 as-of: matched purchase is at-or-before the click, per user") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("asof_purchase_id"))
+    val matched = results("j11_asof_join").filter(col("asof_purchase_id").isNotNull)
+    val bad = matched.join(purchases, Seq("asof_purchase_id"))
+      .filter(col("p_user") =!= col("user_id") || col("p_ts") > col("ts"))
+    assert(bad.count() === 0)
+    // and no LATER purchase is still at-or-before the click (true as-of)
+    val latest = matched
+      .join(purchases.select(col("p_user"), col("p_ts")),
+        col("p_user") === col("user_id") && col("p_ts") <= col("ts"))
+      .groupBy("event_id", "asof_purchase_id").agg(max("p_ts").as("best_ts"))
+    val notBest = latest
+      .join(purchases.select(col("asof_purchase_id"), col("p_ts")), Seq("asof_purchase_id"))
+      .filter(col("p_ts") < col("best_ts"))
+    assert(notBest.count() === 0)
+    assert(results("j11_asof_join").count() ===
+      ev.filter(col("event_type") === "click").count())
+  }
+
+  test("w2 sessionize: sessions are disjoint and gaps within a session <= 30 min") {
+    val s2 = results("w2_sessionize")
+    // session event counts sum to the full stream
+    val total = s2.agg(sum("n_events")).head().getLong(0)
+    assert(total === graft.core.Tables.events(spark, sf).count())
+    // consecutive sessions of a user are separated by > 30 min
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_seq")
+    val gaps = s2.withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(unix_timestamp(col("session_start")) - unix_timestamp(col("prev_end")) <= 1800)
+    assert(gaps.count() === 0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

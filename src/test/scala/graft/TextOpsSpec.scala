@@ -97,4 +97,25 @@ class TextOpsSpec extends SparkSpec {
     val b = TextOps.x4.build(spark, sf).orderBy("doc_id").collect()
     assert(a.sameElements(b))
   }
+
+  test("x9 tf-idf: the top term of a doc actually occurs in it") {
+    val tops = TextOps.x9.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tops.nonEmpty)
+    tops.foreach { case (id, term) =>
+      assert(docs(id).split(" ").contains(term), s"doc $id top term '$term' not present")
+    }
+  }
+
+  test("x10 hash sample is deterministic and roughly 10%") {
+    val a = TextOps.x10.build(spark, sf).collect().map(_.getLong(0)).sorted
+    val b = TextOps.x10.build(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(a.length > total / 20 && a.length < total / 5,
+      s"sample ${a.length} of $total outside the loose 5-20% band")
+  }
 }
