@@ -746,10 +746,79 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** A14 (beyond reference): HyperLogLog distinct sketch, GATED — at 100 TB
+    * `count(DISTINCT)` is a full shuffle of the key universe while the HLL
+    * sketch is a fixed-size mergeable buffer, so the sketch IS the scale
+    * path; here it runs side-by-side with the exact count and the query
+    * emits a boolean "within 5%" gate. The oracle pins the exact counts AND
+    * the gate (sketches are deterministic, so a drift is a real regression).
+    */
+  val a14 = q(
+    "a14_approx_distinct_gate",
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_5pct
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.05).as("within_5pct"))
+  }
+
+  /** A15 (beyond reference): quantile sketch, GATED — same pattern as A14
+    * for `approx_percentile` (Greenwald-Khanna, mergeable, one pass) vs the
+    * exact interpolated percentile. Only the gate is emitted: the exact
+    * value's interpolation arithmetic differs from DuckDB's in final ulps
+    * (see a6's rounding), and the property under test is the sketch bound.
+    */
+  val a15 = q(
+    "a15_approx_quantile_gate",
+    """SELECT o_orderpriority, count(*) AS n, true AS within_2pct
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.5D)").as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5D, 10000)").as("approx"))
+      .select(col("o_orderpriority"), col("n"),
+        (abs(col("approx") - col("exact_p50")) / col("exact_p50") < 0.02).as("within_2pct"))
+  }
+
+  /** J12 (beyond reference): salted skew join — a third of the fact rows
+    * are collapsed onto ONE foreign key (the classic hot-key disaster: that
+    * key's partition takes the whole join's wall-clock). The salt spreads
+    * the hot key across 8 sub-partitions: fact rows get
+    * `salt = hash(row) % 8`, the dim side is replicated x8, and the join
+    * key becomes (key, salt) — uniform by construction. The oracle is the
+    * UNSALTED join, proving the rewrite changes the distribution and
+    * nothing else. (AQE's skew splitting does this adaptively for
+    * sort-merge; explicit salting is the portable form that also covers
+    * aggregations.)
+    */
+  val j12 = q(
+    "j12_salted_skew_join",
+    """WITH f AS (SELECT CASE WHEN l_partkey % 3 = 0 THEN 1 ELSE l_partkey END AS k,
+      |                  l_quantity FROM lineitem)
+      |SELECT p.p_type, count(*) AS n,
+      |CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM f JOIN part p ON f.k = p.p_partkey GROUP BY p.p_type""".stripMargin) {
+    (s, d) =>
+      val R = 8
+      val fact = Tables.lineitem(s, d)
+        .withColumn("k", when(pmod(col("l_partkey"), lit(3)) === 0, lit(1))
+          .otherwise(col("l_partkey")))
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(R)))
+      val dim = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+        .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+      fact.join(dim.hint("merge"),
+        fact("k") === dim("p_partkey") && fact("salt") === dim("salt").cast("long"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("total_qty"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p8,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, set1,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, set1,
     w1, w2, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
 }

@@ -191,10 +191,52 @@ object Sources {
            |CASE WHEN o_orderstatus <> 'F' THEN count(*) END AS n_v2
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** Write `df` as a bucketed+sorted catalog table (drops any stale copy —
+    * the in-memory catalog forgets tables across sessions but the warehouse
+    * dir persists).
+    */
+  private def writeBucketed(s: SparkSession, name: String, df: DataFrame, key: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    deleteRecursively(new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$name"))
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(8, key).sortBy(key).saveAsTable(name)
+  }
+
+  /** The join half of [[s17]], exposed so the spec can assert its physical
+    * plan — both sides pre-bucketed on the join key.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    writeBucketed(s, "graft_b_orders", Tables.orders(s, d), "o_custkey")
+    writeBucketed(s, "graft_b_cust", Tables.customer(s, d), "c_custkey")
+    // merge hint: prove the co-located sort-merge path (a broadcast would
+    // trivially avoid the exchange and prove nothing about bucketing)
+    s.table("graft_b_orders")
+      .join(s.table("graft_b_cust").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+  }
+
+  /** S17 (beyond reference): bucketed co-located join — both tables are
+    * written `bucketBy(8, key).sortBy(key)`, so the join needs NO exchange
+    * and no sort on either side (SourcesSpec asserts the plan is
+    * exchange-free). At 100 TB this is THE lever for repeated fact-dim
+    * joins on a stable key: the shuffle is paid once at write time and
+    * never again per query.
+    */
+  val s17: GraftQuery = GraftQuery(
+    "s17_bucketed_colocated_join",
+    (s, d) => bucketedJoin(s, d)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total")),
+    Some("""SELECT c_nationkey, count(*) AS n,
+           |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_nationkey""".stripMargin))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit
   }
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16)
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17)
 }
