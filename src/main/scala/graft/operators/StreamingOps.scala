@@ -131,6 +131,58 @@ object StreamingOps {
     Some("SELECT event_id, ts, user_id, event_type, value FROM events"),
     bench = false)
 
+  /** T11 (beyond reference): event-time tumbling-window aggregation with a
+    * watermark — the canonical streaming shape the reference's complete-mode
+    * latest-state query is NOT. Complete mode here emits every window on
+    * bounded input (append would hold the final window open forever waiting
+    * for the watermark to pass it — the classic bounded-replay gotcha), and
+    * the oracle is the batch bucketing of the same events: streaming and
+    * batch must agree exactly on bounded input.
+    */
+  val t11: GraftQuery = GraftQuery(
+    "t11_stream_windowed_agg",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+        .select(col("window.start").as("bucket_ts"), col("event_type"),
+          col("n"), col("total"))
+        .writeStream.format("memory").queryName("graft_t11")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t11")
+    },
+    Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts, event_type,
+           |count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1, 2""".stripMargin),
+    bench = false)
+
+  /** T12 (beyond reference): streaming deduplication — `dropDuplicates` on
+    * the business key holds one state entry per (user, event_type) and
+    * emits each key once. Only the KEYS are emitted: which physical row
+    * wins the per-key race depends on input-split scheduling, so the
+    * first-seen payload is nondeterministic by design — the deterministic
+    * contract (and the oracle) is the distinct key set.
+    */
+  val t12: GraftQuery = GraftQuery(
+    "t12_stream_dedup",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName("graft_t12")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t12")
+    },
+    Some("SELECT DISTINCT user_id, event_type FROM events"),
+    bench = false)
+
   /** S12+T10+F12: replay with timestamp shift (kafka_service.py:71-104,
     * bq_service.py:52-86): rebase history so it ends at a fixed anchor —
     * the reference rebases onto now(); a fixed anchor keeps the op
@@ -151,5 +203,5 @@ object StreamingOps {
            |to_json(struct_pack(event_id := event_id, user_id := user_id, value := value)) AS payload
            |FROM events""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t13, t10)
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t10)
 }
