@@ -126,6 +126,12 @@ object Forecast {
     "m3_forecast_xreg",
     (s, d) => {
       import s.implicits._
+      // the bucketed series feeds three consumers (seasonal means, the
+      // moment kernel, and the forecast's seasonal join); recomputing the
+      // bucket agg is cheaper than caching it (measured: columnar
+      // materialization of the ~series-sized frame costs more than two
+      // extra scans at bench scale — at 100 TB a model-fit pipeline would
+      // materialize the training frame to storage instead)
       val base = Tables.events(s, d)
         .groupBy(col("user_id"), timestampBucket(col("ts"), BucketSeconds).as("bucket_ts"))
         .agg(decAvg(col("value")).as("demand"), count(lit(1)).as("x"))

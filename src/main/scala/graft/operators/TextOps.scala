@@ -368,25 +368,29 @@ object TextOps {
     },
     None)
 
-  /** X9 (beyond reference): TF-IDF top term per document — term frequency
-    * from one explode+groupBy, document frequency from a distinct count per
-    * term, corpus size broadcast as a 1-row cross join. The idf is kept
-    * RATIONAL (tf * N / df) rather than logarithmic: ln() libm
-    * implementations differ across engines in the last ulp, while integer
-    * multiply + one double division is bit-exact everywhere — and argmax
-    * ranking is invariant to the monotone transform.
+  /** X9 (beyond reference): TF-IDF top term per document. ONE corpus
+    * explode: term frequency from the (doc, term) groupBy, and document
+    * frequency as a window count over that same aggregate (its rows are
+    * unique per (doc, term), so rows-per-term = docs-per-term) — no second
+    * explode, no distinct, no self-join. Corpus size broadcasts as a 1-row
+    * cross join. The idf is kept RATIONAL (tf * N / df) rather than
+    * logarithmic: ln() libm implementations differ across engines in the
+    * last ulp, while integer multiply + one double division is bit-exact
+    * everywhere — and argmax ranking is invariant to the monotone
+    * transform.
     */
   val x9: GraftQuery = GraftQuery(
     "x9_tfidf_topterm",
     (s, d) => {
-      val words = Tables.documents(s, d)
+      val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val df = words.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("w")
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-      tf.join(df, "w").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(byTerm))
+        .crossJoin(broadcast(n))
         .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
         .withColumn("rk", row_number().over(win)).filter(col("rk") === 1)
         .select(col("doc_id"), col("w").as("top_term"), col("score").as("top_score"))
