@@ -1,0 +1,26 @@
+package graft
+
+/** Registry-wide plan-quality gate: no query may plan a CartesianProduct
+  * (the all-pairs shape that sinks at scale — broadcast nested-loop against
+  * a bounded side is the allowed non-equi form) and nothing may fall off
+  * the JVM fast path into external eval. Streaming queries are skipped
+  * here: their `build` executes the stream (OpsSmokeSpec covers them) and
+  * the returned sink table's plan is just a memory scan.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val skipped = Set(
+    "t3_stream_alert_filter", "t5_stream_latest_state",
+    "t6_foreachbatch_overwrite", "t11_stream_windowed_agg",
+    "t12_stream_dedup", "t13_stream_table_mirror")
+
+  for (q <- SparkEntry.registry if !skipped(q.name)) {
+    test(s"${q.name}: no cartesian product, no external eval") {
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans an all-pairs cartesian:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ArrowEvalPython"),
+        s"${q.name} leaves the JVM:\n$plan")
+    }
+  }
+}
