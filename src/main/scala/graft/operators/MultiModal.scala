@@ -79,11 +79,14 @@ object MultiModal {
       }
   }
 
-  /** MM2: the decode kernel on the driver surface. Deterministic (stub
-    * decoder) but byte-fold semantics aren't SQL-expressible -> rows-only.
-    * The `features` array is exposed as scalar digests (first element +
-    * fixed-order sum) because harness row-compares can't sort array cells;
-    * the array itself stays on [[decode]].
+  /** MM2: the decode kernel on the driver surface. The `features` array is
+    * exposed as scalar digests (first element + fixed-order sum) because
+    * harness row-compares can't sort array cells; the array itself stays on
+    * [[decode]]. Even the byte-level stub is oracle-checked: DuckDB
+    * re-derives the payload bytes from the hex of the utf-8 blob, folds the
+    * wrapping crc in HUGEINT mod 2^64, and rebuilds the signed-byte
+    * features — the float/128 values are dyadic rationals, exact in both
+    * float and double, so no rounding can diverge.
     */
   val mm2: GraftQuery = GraftQuery(
     "mm2_decode_features",
@@ -94,7 +97,24 @@ object MultiModal {
           f.features.headOption.getOrElse(0f).toDouble, f.features.sum.toDouble))
         .toDF("doc_id", "byte_len", "checksum", "n_features", "feat_head", "feat_sum")
     },
-    None)
+    Some("""WITH b AS (SELECT doc_id, CAST(length(text) AS INT) AS byte_len, hex(encode(text)) AS hx FROM documents),
+           |bytes AS (SELECT doc_id, byte_len, list_transform(generate_series(1, byte_len),
+           |   i -> CAST(CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS INT) AS HUGEINT)) AS bs FROM b),
+           |crc AS (SELECT doc_id, byte_len, bs,
+           |   CASE WHEN byte_len = 0 THEN CAST(0 AS HUGEINT)
+           |        ELSE list_reduce(bs, (acc, x) -> (acc * 31 + x) % 18446744073709551616) END AS c FROM bytes)
+           |SELECT doc_id, byte_len,
+           |   CASE WHEN c >= 9223372036854775808 THEN CAST(c - 18446744073709551616 AS BIGINT)
+           |        ELSE CAST(c AS BIGINT) END AS checksum,
+           |   CAST(8 AS INT) AS n_features,
+           |   CASE WHEN byte_len = 0 THEN CAST(0 AS DOUBLE)
+           |        ELSE CAST(CASE WHEN bs[1] >= 128 THEN bs[1] - 256 ELSE bs[1] END AS DOUBLE) / 128 END AS feat_head,
+           |   CASE WHEN byte_len = 0 THEN CAST(0 AS DOUBLE)
+           |        ELSE CAST(list_sum(list_transform(generate_series(0, 7),
+           |          k -> CAST(CASE WHEN bs[(k*7919) % byte_len + 1] >= 128
+           |                    THEN bs[(k*7919) % byte_len + 1] - 256
+           |                    ELSE bs[(k*7919) % byte_len + 1] END AS BIGINT))) AS DOUBLE) / 128 END AS feat_sum
+           |FROM crc""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(mm1, mm2)
 }

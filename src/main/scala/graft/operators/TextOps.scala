@@ -353,6 +353,17 @@ object TextOps {
       .toDF("doc_id", "fingerprints")
   }
 
+  /** The oracle replays the ENTIRE winnowing algorithm in DuckDB: k-gram
+    * hashes via the closed polynomial form sum(c[j+i] * B^(7-i)) mod 2^64
+    * (HUGEINT arithmetic with precomputed B^k mod 2^64 constants — the
+    * rolling update is exactly this polynomial, and Long wraparound IS
+    * mod-2^64), signed-BIGINT mapping before minima so comparisons match
+    * JVM signed longs, per-window least() minima, sorted-distinct set,
+    * then count/min/xor digests. Short-text branches (len < k, n <= w)
+    * mirror the kernel's, including the FNV-1a fallback (xor folded on the
+    * low 7 bits — the corpus is ASCII, verified by the byte_len == char_len
+    * equality mm1 checks).
+    */
   val x8: GraftQuery = GraftQuery(
     "x8_rolling_fingerprint",
     (s, d) => {
@@ -366,7 +377,37 @@ object TextOps {
         }
         .toDF("doc_id", "n_fingerprints", "min_fingerprint", "xor_fingerprint")
     },
-    None)
+    Some("""WITH b AS (SELECT doc_id, CAST(length(text) AS INT) AS ln, hex(encode(text)) AS hx FROM documents),
+           |bytes AS (SELECT doc_id, ln, list_transform(generate_series(1, ln),
+           |   i -> CAST(CAST('0x' || substr(hx, CAST(2*i-1 AS INT), 2) AS INT) AS HUGEINT)) AS bs FROM b),
+           |kg AS (SELECT doc_id, ln, bs, ln - 7 AS n,
+           |   CASE WHEN ln >= 8 THEN list_transform(generate_series(1, ln - 7), j ->
+           |     CAST(CASE WHEN (bs[j]*12924618581234127435 + bs[j+1]*10923514805226455897 + bs[j+2]*14453212906556403763
+           |        + bs[j+3]*14003818205314896721 + bs[j+4]*1000009000027000027 + bs[j+5]*1000006000009
+           |        + bs[j+6]*1000003 + bs[j+7]) % 18446744073709551616 >= 9223372036854775808
+           |      THEN (bs[j]*12924618581234127435 + bs[j+1]*10923514805226455897 + bs[j+2]*14453212906556403763
+           |        + bs[j+3]*14003818205314896721 + bs[j+4]*1000009000027000027 + bs[j+5]*1000006000009
+           |        + bs[j+6]*1000003 + bs[j+7]) % 18446744073709551616 - 18446744073709551616
+           |      ELSE (bs[j]*12924618581234127435 + bs[j+1]*10923514805226455897 + bs[j+2]*14453212906556403763
+           |        + bs[j+3]*14003818205314896721 + bs[j+4]*1000009000027000027 + bs[j+5]*1000006000009
+           |        + bs[j+6]*1000003 + bs[j+7]) % 18446744073709551616 END AS BIGINT))
+           |   ELSE NULL END AS kgs FROM bytes),
+           |fnv AS (SELECT doc_id, ln, n, kgs,
+           |   CASE WHEN ln < 8 THEN CAST(CASE WHEN f >= 9223372036854775808
+           |     THEN f - 18446744073709551616 ELSE f END AS BIGINT) END AS fnv64
+           |   FROM (SELECT kg.*, CASE WHEN ln < 8 THEN
+           |     list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+           |       (acc, c) -> ((acc - acc % 128 + xor(CAST(acc % 128 AS BIGINT), CAST(c AS BIGINT))) * 1099511628211) % 18446744073709551616)
+           |     END AS f FROM kg)),
+           |fps AS (SELECT doc_id,
+           |   CASE WHEN ln < 8 THEN [fnv64]
+           |        WHEN n <= 4 THEN [list_min(kgs)]
+           |        ELSE list_sort(list_distinct(list_transform(generate_series(1, n - 3),
+           |          w -> least(kgs[w], kgs[w+1], kgs[w+2], kgs[w+3])))) END AS l
+           |   FROM fnv)
+           |SELECT doc_id, CAST(len(l) AS INT) AS n_fingerprints, l[1] AS min_fingerprint,
+           |   list_reduce(l, (a, b2) -> xor(a, b2)) AS xor_fingerprint
+           |FROM fps""".stripMargin))
 
   /** X9 (beyond reference): TF-IDF top term per document. ONE corpus
     * explode: term frequency from the (doc, term) groupBy, and document
