@@ -267,7 +267,7 @@ object BusSim {
   private val ridesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def buildRides(s: SparkSession, d: String): DataFrame = {
+  private[graft] def buildRides(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val lw = lineWindows(s, d).as[LineWindow]
     val rideStops = lw.flatMap(generateRides _)

@@ -68,8 +68,10 @@ class SimSpec extends SparkSpec {
   }
 
   test("simulation is deterministic across runs") {
-    val a = BusSim.rides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
-    val b = BusSim.rides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
+    // buildRides, not rides(): the public accessor caches per (session,
+    // dir), which would make this comparison trivially true
+    val a = BusSim.buildRides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
+    val b = BusSim.buildRides(spark, sf).orderBy("bus_ride_id", "bus_stop_index").collect()
     assert(a.sameElements(b))
   }
 
