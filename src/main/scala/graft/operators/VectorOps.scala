@@ -10,23 +10,24 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the correctness baseline, and an IVF
   * (inverted-file) bucketed variant as the 100-TB scale path.
   *
-  * All math is done in double with explicit left-fold accumulation
-  * (`aggregate(zip_with(...))`) so cosine values are bitwise-identical to
-  * DuckDB's `list_cosine_similarity` — no rounding games needed in the
-  * oracle. Everything is codegen'd higher-order functions; no UDFs.
+  * All math is done in double, accumulated in index order by the fused
+  * codegen'd [[graft.plans.CosineSimilarityExpr]] — the exact accumulation
+  * order and `dot / (sqrt(na) * sqrt(nb))` arithmetic of DuckDB's
+  * `list_cosine_similarity`, so cosine values are bitwise-identical to the
+  * oracle. (The earlier `aggregate(zip_with(...))` form computed the same
+  * values but its lambdas evaluate interpreted per candidate pair.)
   */
 object VectorOps {
 
-  /** embedding (array<float>) -> array<double> plus cached squared norm. */
+  /** embedding (array<float>) -> array<double>, prefixed for self-joins. */
   private def withNorm(df: DataFrame, prefix: String): DataFrame =
     df.select(col("vec_id").as(s"${prefix}_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(s"${prefix}_e"))
-      .withColumn(s"${prefix}_n2",
-        expr(s"aggregate(${prefix}_e, 0.0D, (acc, x) -> acc + x * x)"))
 
-  private def cosine(aE: String, bE: String, aN2: String, bN2: String): Column =
-    expr(s"aggregate(zip_with($aE, $bE, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)") /
-      (sqrt(col(aN2)) * sqrt(col(bN2)))
+  private def cosine(aE: String, bE: String): Column = {
+    // requires GraftExtensions.register on the session (builders do this)
+    call_function("graft_cosine", col(aE), col(bE))
+  }
 
   /** V1: brute-force cosine top-k (k=3) for a small query set — the exact
     * baseline every ANN variant is measured against. The query side is tiny
@@ -36,11 +37,12 @@ object VectorOps {
   val v1: GraftQuery = GraftQuery(
     "v1_ann_bruteforce_topk",
     (s, d) => {
+      graft.plans.GraftExtensions.register(s)
       val emb = Tables.embeddings(s, d)
       val corpus = withNorm(emb, "c")
       val queries = withNorm(emb.filter(col("vec_id") < 10), "q")
       val scored = corpus.join(broadcast(queries), col("c_id") =!= col("q_id"))
-        .withColumn("cos", cosine("q_e", "c_e", "q_n2", "c_n2"))
+        .withColumn("cos", cosine("q_e", "c_e"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
@@ -73,13 +75,14 @@ object VectorOps {
     * rank — O(n*K), shuffle-free until the cluster-id exchange.
     */
   private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
     val corpus = withNorm(Tables.embeddings(s, d), "c")
     val cents = centroids(s, d)
     val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
     corpus.join(broadcast(cents), col("c_id").isNotNull)
-      .withColumn("kcos", cosine("c_e", "k_e", "c_n2", "k_n2"))
+      .withColumn("kcos", cosine("c_e", "k_e"))
       .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
-      .select(col("c_id"), col("c_e"), col("c_n2"), col("k_id").as("cluster"))
+      .select(col("c_id"), col("c_e"), col("k_id").as("cluster"))
   }
 
   /** V2: IVF-bucketed ANN — vectors assigned to their nearest centroid,
@@ -101,15 +104,15 @@ object VectorOps {
       val queries = withNorm(emb.filter(col("vec_id") < 10), "q")
       val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
       val probes = queries.join(broadcast(cents), col("q_id").isNotNull)
-        .withColumn("kcos", cosine("q_e", "k_e", "q_n2", "k_n2"))
+        .withColumn("kcos", cosine("q_e", "k_e"))
         .withColumn("rk", row_number().over(qw)).filter(col("rk") <= 2)
-        .select(col("q_id"), col("q_e"), col("q_n2"), col("k_id").as("cluster"))
+        .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
 
       // rank within probed posting lists only
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
       assigned.join(broadcast(probes), Seq("cluster"))
         .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos", cosine("q_e", "c_e", "q_n2", "c_n2"))
+        .withColumn("cos", cosine("q_e", "c_e"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
     },
@@ -142,9 +145,9 @@ object VectorOps {
     (s, d) => {
       val assigned = ivfAssign(s, d)
       val b = assigned.select(col("cluster"), col("c_id").as("b_id"),
-        col("c_e").as("b_e"), col("c_n2").as("b_n2"))
+        col("c_e").as("b_e"))
       assigned.join(b, Seq("cluster")).filter(col("c_id") < col("b_id"))
-        .withColumn("cos", cosine("c_e", "b_e", "c_n2", "b_n2"))
+        .withColumn("cos", cosine("c_e", "b_e"))
         .filter(col("cos") >= 0.95)
         .select(col("c_id").as("a_id"), col("b_id"), col("cos"))
     },

@@ -37,6 +37,53 @@ case class TimestampBucketExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** COSINE_SIMILARITY(a, b) over double arrays in ONE fused pass: dot
+  * product and both squared norms accumulate in the same index-order loop,
+  * result = dot / (sqrt(na) * sqrt(nb)) — exactly DuckDB
+  * `list_cosine_similarity`'s accumulation order and final arithmetic, so
+  * oracle parity stays bitwise. Replaces the `aggregate(zip_with(...))`
+  * higher-order form, whose lambdas evaluate INTERPRETED per pair — this
+  * is a plain codegen'd call in the WholeStageCodegen body.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  @inline private def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val va = a.getDouble(i)
+      val vb = b.getDouble(i)
+      dot += va * vb
+      na += va * va
+      nb += vb * vb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("graftCosine", this, classOf[CosineSimilarityExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$expr.computeJava($a, $b)")
+  }
+
+  /** Codegen entry point (generated Java calls back into this instance). */
+  def computeJava(a: ArrayData, b: ArrayData): Double = compute(a, b)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ARRAY_JACCARD(a, b): |A ∩ B| / |A ∪ B| over string arrays in one fused
   * pass — the exact-verify step of the LSH dedup pipeline. The composed
   * form `size(array_intersect)/size(array_union)` materializes two

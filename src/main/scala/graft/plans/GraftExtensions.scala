@@ -33,6 +33,9 @@ object GraftExtensions {
     ("graft_array_jaccard",
       new ExpressionInfo(classOf[ArrayJaccardExpr].getName, "graft_array_jaccard"),
       (args: Seq[Expression]) => ArrayJaccardExpr(args(0), args(1))),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))),
     ("graft_latest_by_seq",
       new ExpressionInfo(classOf[LatestBySeqAgg].getName, "graft_latest_by_seq"),
       (args: Seq[Expression]) => LatestBySeqAgg(args(0), args(1), args(2))

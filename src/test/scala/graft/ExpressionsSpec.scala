@@ -27,6 +27,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_timestamp_bucket"), plan)
   }
 
+  test("native graft_cosine equals the HOF fold form bitwise") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val a = e.select(col("vec_id"), col("e").as("a_e"))
+    val b = e.select((col("vec_id") + 1).as("vec_id"), col("e").as("b_e"))
+    val paired = a.join(b, "vec_id")
+      .withColumn("native", call_function("graft_cosine", col("a_e"), col("b_e")))
+      .withColumn("hof",
+        expr("aggregate(zip_with(a_e, b_e, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)") /
+          (sqrt(expr("aggregate(a_e, 0.0D, (acc, x) -> acc + x * x)")) *
+            sqrt(expr("aggregate(b_e, 0.0D, (acc, x) -> acc + x * x)"))))
+    assert(paired.count() > 0)
+    assert(paired.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("native array_jaccard equals the composed intersect/union form") {
     val nonEmpty = Seq(
       (Seq("a", "b", "c"), Seq("b", "c", "d")),
