@@ -247,21 +247,24 @@ object Forecast {
   val m4b: GraftQuery = GraftQuery(
     "m4b_holdout_eval",
     (s, d) => {
+      // one partition pass: the rank, the series length, and both train
+      // endpoints (newest train point = rank 13 descending, oldest = rank
+      // n) come from window aggregates over the SAME user partition — no
+      // separate train aggregation, no join, no second shuffle
       val byUser = Window.partitionBy("user_id")
-      val ranked = series(s, d)
+      val ev = series(s, d)
         .withColumn("rdesc", row_number().over(byUser.orderBy(col("bucket_ts").desc)))
         .withColumn("n_total", count(lit(1)).over(byUser))
-        .filter(col("n_total") > Horizon)
-      val train = ranked.filter(col("rdesc") > Horizon).groupBy("user_id").agg(
-        max_by(col("demand"), col("bucket_ts")).as("last_demand"),
-        min_by(col("demand"), col("bucket_ts")).as("first_demand"),
-        count(lit(1)).as("n_train"))
+        .withColumn("last_demand",
+          max(when(col("rdesc") === Horizon + 1, col("demand"))).over(byUser))
+        .withColumn("first_demand",
+          max(when(col("rdesc") === col("n_total"), col("demand"))).over(byUser))
+        .filter(col("n_total") > Horizon && col("rdesc") <= Horizon)
+        .withColumn("n_train", col("n_total") - Horizon)
         .withColumn("slope", when(col("n_train") === 1, lit(0.0))
           .otherwise((col("last_demand") - col("first_demand")) /
             (col("n_train") - 1).cast("double")))
-      val ev = ranked.filter(col("rdesc") <= Horizon)
         .withColumn("h", (lit(Horizon + 1) - col("rdesc")).cast("long"))
-        .join(train, "user_id")
       val naive = ev.select(col("user_id"), col("h"), col("demand"),
         lit("naive").as("model"), col("last_demand").as("fv"))
       val drift = ev.select(col("user_id"), col("h"), col("demand"),

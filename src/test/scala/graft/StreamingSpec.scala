@@ -8,11 +8,13 @@ import org.apache.spark.sql.streaming.Trigger
   * filtering, latest-state with tombstone, multi-batch state evolution,
   * two concurrent queries (T7).
   */
+// Top-level so Janino codegen can reach the field accessors; a case class
+// nested in the suite forces every encoder over it into interpreted mode.
+case class Update(id: Long, line: String, remaining: Long, lastStop: Boolean)
+
 class StreamingSpec extends SparkSpec {
 
   import SparkSpec.spark.implicits._
-
-  private case class Update(id: Long, line: String, remaining: Long, lastStop: Boolean)
 
   test("alert branch emits exactly the rows matching the filter, append mode") {
     implicit val sqlCtx = spark.sqlContext
