@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the missing closure step of every
+  * near-duplicate pipeline: LSH emits PAIRS, but "keep one doc per
+  * duplicate cluster" needs the transitive closure of those pairs (A~B,
+  * B~C puts A and C in one cluster even when LSH never compared them).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * literature). Each round is ONE hash-shuffle of the edge list grouped by
+  * node; the edge set contracts toward stars centered on each component's
+  * minimum id, converging in O(log n) rounds — unlike naive min-label
+  * propagation whose round count is the graph DIAMETER (a 1M-long chain
+  * of near-dup docs = 1M shuffles naive, ~20 here). At 100 TB the edge
+  * list is orders of magnitude smaller than the corpus (only candidate
+  * pairs), every round is a uniform hash exchange, and per-group state is
+  * one running minimum — no adjacency list ever materializes in memory.
+  *
+  * Determinism: the fixpoint (star graphs centered on component minima) is
+  * unique regardless of iteration order, so the result is oracle-checkable
+  * even though the round count varies with graph shape.
+  */
+object GraphOps {
+
+  /** Component id (= minimum member id) for every node of `edges`.
+    *
+    * @param edges undirected edge list with two long columns `u`, `v`
+    *              (self-loops and duplicates tolerated)
+    * @return (id, component) — one row per distinct node
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+
+    // canonical unordered pairs (small, large), self-loops dropped
+    var e = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    // one round = per-node neighborhood minimum (m) re-pointing a slice of
+    // the neighborhood at m; large-star re-points strictly larger
+    // neighbors, small-star re-points smaller neighbors and the node
+    // itself. Both emit canonical (min, max) pairs by construction
+    // (m <= u < v in large-star; m <= v' for v' emitted in small-star).
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val m = least(min(col("v")).over(Window.partitionBy("u")), col("u"))
+      sym.withColumn("m", m)
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v")).distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // neighbors below u, plus u itself, all re-pointed at the minimum
+      val down = cur.select(col("v").as("u"), col("u").as("v")) // v < u rows
+      val m = min(col("v")).over(Window.partitionBy("u"))
+      down.withColumn("m", m)
+        .select(col("m").as("u"),
+          explode(array(col("v"), col("u"))).as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v")).distinct()
+    }
+
+    // edge-set signature: cheap fixpoint detector (count + order-free hash;
+    // the hash is bucketed into [0, 1e9) so the sum stays overflow-safe
+    // under ANSI arithmetic up to ~9e9 edges)
+    def sig(cur: DataFrame): (Long, Long) = {
+      val r = cur.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var s = sig(e)
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 64) { // 64 >> log2(any corpus)
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val ns = sig(next)
+      stable = ns == s
+      s = ns
+      e = next
+      rounds += 1
+    }
+
+    // at fixpoint every edge is (componentMin, member); centers map to
+    // themselves
+    val members = e.select(col("v").as("id"), col("u").as("component"))
+    val centers = e.select(col("u").as("id"), col("u").as("component")).distinct()
+    members.union(centers)
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** [[connectedComponents]] plus singleton nodes from `universe` (nodes
+    * with no edges are their own component) and per-component size.
+    */
+  def components(universe: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges)
+    val all = universe.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    all.join(
+      all.groupBy("component").agg(count(lit(1)).as("n_members")),
+      Seq("component"))
+      .select(col("id"), col("component"), col("n_members"))
+  }
+}

@@ -462,5 +462,42 @@ object TextOps {
     Some("""SELECT doc_id, lang, n_chars FROM documents
            |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
+  /** X11 (beyond reference): duplicate-SET resolution — the transitive
+    * closure the pair lists (x5/x7) stop short of. LSH emits pairs; "keep
+    * one doc per duplicate cluster" needs connected components over them
+    * (A~B, B~C clusters A with C even though LSH never compared them).
+    * Edges are the x7 near-dup pairs at jaccard >= 0.9; closure runs the
+    * alternating-star algorithm ([[GraphOps.connectedComponents]],
+    * O(log n) shuffle rounds). The oracle brute-forces the same pairs and
+    * closes them with a recursive label-reachability CTE — feasible only
+    * at oracle scale, which is the point: the engine path never
+    * materializes reachability, only the contracting edge list.
+    */
+  val x11: GraftQuery = GraftQuery(
+    "x11_dupset_components",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val sets = shingleSets(s, d)
+      val pairs = withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
+        .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.9)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      GraphOps.components(Tables.documents(s, d), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"), col("n_members"))
+    },
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+           |SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS n_members
+           |FROM comp""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
 }
