@@ -71,18 +71,22 @@ object VectorOps {
     withNorm(Tables.embeddings(s, d)
       .orderBy(md5(col("vec_id").cast("string"))).limit(K), "k")
 
-  /** Nearest-centroid assignment: one K-row broadcast join + per-vector
-    * rank — O(n*K), shuffle-free until the cluster-id exchange.
+  /** Nearest-centroid assignment against an arbitrary (small) centroid
+    * set: one K-row broadcast join + per-vector rank — O(n*K),
+    * shuffle-free until the cluster-id exchange. Ties break on k_id, so
+    * assignment is deterministic for any engine.
     */
-  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.register(s)
-    val corpus = withNorm(Tables.embeddings(s, d), "c")
-    val cents = centroids(s, d)
+  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
     corpus.join(broadcast(cents), col("c_id").isNotNull)
       .withColumn("kcos", cosine("c_e", "k_e"))
       .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
       .select(col("c_id"), col("c_e"), col("k_id").as("cluster"))
+  }
+
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    assign(withNorm(Tables.embeddings(s, d), "c"), centroids(s, d))
   }
 
   /** V2: IVF-bucketed ANN — vectors assigned to their nearest centroid,
@@ -133,6 +137,108 @@ object VectorOps {
            |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
+  /** Lloyd rounds for the refined IVF — fixed so the oracle can replay the
+    * exact iteration sequence.
+    */
+  private val Iters = 2
+
+  /** K-means refinement of the hash-sampled centroids: `Iters` rounds of
+    * assign -> mean. The mean is a per-cluster fold in ASCENDING vec_id
+    * order — float addition is non-associative, so a fixed fold order is
+    * the only way two engines produce bit-identical centroids; DuckDB
+    * replays it with `list_reduce(list(e ORDER BY vec_id), ...)`. Cosine
+    * is scale-invariant, so the unnormalized mean is a valid spherical
+    * centroid without any norm step. At 100 TB the update would be a
+    * map-side-combined per-dimension SUM (order-free, last-ulp different —
+    * the documented exactness/scale trade; recall is unaffected), and K
+    * rises to ~sqrt(n) via k-means|| oversampling. Empty clusters drop out
+    * of the groupBy identically in both engines.
+    */
+  private def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val corpus = withNorm(Tables.embeddings(s, d), "c")
+    var cents = centroids(s, d)
+    for (_ <- 1 to Iters) {
+      cents = assign(corpus, cents).as[(Long, Seq[Double], Long)]
+        .groupByKey(_._3)
+        .mapGroups { (k, it) =>
+          val rows = it.toArray.sortBy(_._1)
+          val dim = rows(0)._2.length
+          val sm = new Array[Double](dim)
+          rows.foreach { r =>
+            var i = 0
+            while (i < dim) { sm(i) += r._2(i); i += 1 }
+          }
+          (k, sm.toSeq.map(_ / rows.length))
+        }
+        .toDF("k_id", "k_e")
+    }
+    // 16 tiny rows reused by assignment AND probing — pin the fixpoint so
+    // downstream branches don't re-run the Lloyd lineage
+    cents.localCheckpoint()
+  }
+
+  /** V4: IVF ANN with k-means-refined centroids — same probe/rank shape as
+    * [[v2]], but the cells are 2 Lloyd rounds tighter, which is what makes
+    * IVF recall hold on real (clustered) data. Fully deterministic: the
+    * oracle replays init, both Lloyd rounds, final assignment, probing,
+    * and ranking bit-for-bit.
+    */
+  val v4: GraftQuery = GraftQuery(
+    "v4_ann_kmeans_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = kmeansCentroids(s, d)
+      val assigned = assign(withNorm(emb, "c"), cents)
+
+      val queries = withNorm(emb.filter(col("vec_id") < 10), "q")
+      val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
+      val probes = queries.join(broadcast(cents), col("q_id").isNotNull)
+        .withColumn("kcos", cosine("q_e", "k_e"))
+        .withColumn("rk", row_number().over(qw)).filter(col("rk") <= 2)
+        .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
+
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("cos", cosine("q_e", "c_e"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |c0 AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |a1 AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN c0 c) WHERE rk = 1),
+           |c1 AS (SELECT cluster AS k_id, list_transform(sm, a -> a / n) AS ke FROM (
+           |  SELECT cluster, count(*) AS n,
+           |    list_reduce(list(e ORDER BY vec_id), (acc, x) -> list_transform(acc, (a, i) -> a + x[i])) AS sm
+           |  FROM a1 GROUP BY cluster)),
+           |a2 AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN c1 c) WHERE rk = 1),
+           |c2 AS (SELECT cluster AS k_id, list_transform(sm, a -> a / n) AS ke FROM (
+           |  SELECT cluster, count(*) AS n,
+           |    list_reduce(list(e ORDER BY vec_id), (acc, x) -> list_transform(acc, (a, i) -> a + x[i])) AS sm
+           |  FROM a2 GROUP BY cluster)),
+           |af AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN c2 c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN c2 c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN af a USING (cluster) WHERE a.vec_id != p.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
   /** V3: embedding-cosine near-duplicate pairs at 0.95, bucketed by IVF
     * cluster — only same-cluster pairs are compared (never all-pairs; the
     * shuffle key is the cluster id). Highly similar vectors land in the
@@ -157,5 +263,5 @@ object VectorOps {
            |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin),
     bench = false)
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3)
+  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4)
 }

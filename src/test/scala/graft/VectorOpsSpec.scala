@@ -38,6 +38,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("v4 k-means IVF recall@3 vs v1 brute force is >= 0.9 on clustered data") {
+    val dir = clusteredDir()
+    val truth = VectorOps.v1.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.v4.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"k-means IVF recall too low on clustered data: $recall")
+  }
+
+  test("v4 k-means IVF on real data returns k results per query") {
+    val rows = VectorOps.v4.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
+
   test("v2 IVF on unclustered data still returns k results per query") {
     val rows = VectorOps.v2.build(spark, sf).collect()
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
