@@ -43,6 +43,29 @@ object Snapshots {
   def latest(s: SparkSession, table: String): DataFrame =
     read(s, table, versions(table).last)
 
+  /** MERGE (upsert) of `source` into the latest snapshot on `key` —
+    * Iceberg/Delta `MERGE INTO` with the update-all / insert-all branches:
+    * matched target rows are replaced by their source row, unmatched
+    * source rows are inserted, untouched target rows carry over. Returns
+    * the new snapshot id.
+    *
+    * Faithful to the MERGE cardinality rule: a source with duplicate keys
+    * would update one target row twice nondeterministically, so it is
+    * rejected (Iceberg raises the same error). Copy-on-write: one
+    * anti-join + union written as the next snapshot. At 100 TB the
+    * anti-join shuffles on the merge key — or needs no exchange at all if
+    * the table is bucketed on it — and a real table format would rewrite
+    * only the files containing matches; this seam is unchanged either way.
+    */
+  def merge(s: SparkSession, table: String, source: DataFrame, key: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val srcKeys = source.select(key.map(col): _*)
+    require(srcKeys.distinct().count() == source.count(),
+      s"MERGE source has duplicate rows on key ${key.mkString(",")}")
+    val untouched = latest(s, table).join(srcKeys.distinct(), key, "left_anti")
+    write(s, table, untouched.unionByName(source))
+  }
+
   /** Drop the whole table (all snapshots) — test/setup hygiene. */
   def reset(table: String): Unit = {
     def rec(f: java.io.File): Unit = {

@@ -238,5 +238,45 @@ object Sources {
     f.delete(): Unit
   }
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17)
+  /** S18 (beyond reference): MERGE INTO upsert at the snapshot seam
+    * ([[graft.core.Snapshots.merge]]) — the third DML verb after DELETE
+    * (s15) and time-travel reads (s16). Updates bump every open order's
+    * price; inserts add key-shifted rows under a new status, so the result
+    * groups prove all three MERGE branches: updated totals, inserted 'N'
+    * rows, untouched 'F'/'P' rows carried over.
+    */
+  val s18: GraftQuery = GraftQuery(
+    "s18_merge_upsert",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_merge"
+      Snapshots.reset(t)
+      Snapshots.write(s, t, Tables.orders(s, d))
+      val base = Tables.orders(s, d)
+      val updates = base.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val inserts = base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      Snapshots.merge(s, t, updates.unionByName(inserts), Seq("o_orderkey"))
+      require(Snapshots.versions(t) == Seq(1, 2),
+        "merge must produce exactly one new snapshot")
+      Snapshots.latest(s, t).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+           |         o_orderdate, o_orderpriority
+           |  FROM orders WHERE o_orderstatus = 'O'
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+           |  FROM orders WHERE o_orderkey % 100 = 0),
+           |merged AS (
+           |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+           |  UNION ALL SELECT * FROM src)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM merged GROUP BY o_orderstatus""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18)
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.core.Snapshots
+
+/** MERGE semantics at the snapshot seam: all three branches (update,
+  * insert, carry-over), the cardinality rule, and time-travel isolation of
+  * the pre-merge snapshot.
+  */
+class SnapshotsSpec extends SparkSpec {
+
+  import SparkSpec.spark.implicits._
+
+  test("merge updates matched, inserts unmatched, carries the rest; v1 intact") {
+    val t = "spec_merge"
+    Snapshots.reset(t)
+    Snapshots.write(spark, t,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "tag", "x"))
+    val src = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("id", "tag", "x")
+    val v = Snapshots.merge(spark, t, src, Seq("id"))
+    assert(v === 2)
+    val got = Snapshots.latest(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // the pre-merge snapshot still reads the old row 2 and no row 4
+    val v1 = Snapshots.read(spark, t, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(v1 === Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("merge rejects a source with duplicate keys") {
+    val t = "spec_merge_dup"
+    Snapshots.reset(t)
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    val dup = Seq((2L, "x"), (2L, "y")).toDF("id", "tag")
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, t, dup, Seq("id"))
+    }
+    // the failed merge must not have produced a snapshot
+    assert(Snapshots.versions(t) === Seq(1))
+  }
+}
