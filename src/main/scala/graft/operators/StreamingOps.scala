@@ -183,6 +183,47 @@ object StreamingOps {
     Some("SELECT DISTINCT user_id, event_type FROM events"),
     bench = false)
 
+  /** T14 (beyond reference): watermarked stream-stream interval join — the
+    * attribution shape (click -> purchase by the same user within 10
+    * minutes) that batch engines do with a range join and streams need
+    * join STATE for. Both sides carry watermarks and the join has a time
+    * constraint, so state is bounded: each side retains only rows younger
+    * than watermark + interval — the difference between bounded memory and
+    * OOM on an unbounded stream. Inner join emits pairs eagerly, so on
+    * bounded replay the result equals the batch interval join exactly —
+    * which is the oracle.
+    */
+  val t14: GraftQuery = GraftQuery(
+    "t14_stream_stream_join",
+    (s, d) => {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"), col("value"))
+        .writeStream.format("memory").queryName("graft_t14")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t14")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id, p.value
+           |FROM events c JOIN events p ON c.user_id = p.user_id
+           |AND c.event_type = 'click' AND p.event_type = 'purchase'
+           |AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin),
+    bench = false)
+
   /** S12+T10+F12: replay with timestamp shift (kafka_service.py:71-104,
     * bq_service.py:52-86): rebase history so it ends at a fixed anchor —
     * the reference rebases onto now(); a fixed anchor keeps the op
@@ -203,5 +244,5 @@ object StreamingOps {
            |to_json(struct_pack(event_id := event_id, user_id := user_id, value := value)) AS payload
            |FROM events""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t10)
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t10)
 }
