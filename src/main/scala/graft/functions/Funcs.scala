@@ -37,6 +37,25 @@ object Funcs {
   def decAvg(c: Column): Column =
     decSum(c) / count(c)
 
+  /** Morton (Z-order) interleave of two non-negative <= 31-bit ints:
+    * bits of `a` land on odd positions, `b` on even, so sorting by the
+    * result clusters rows that are close in BOTH dimensions — the
+    * multi-column data-layout key behind Delta/Iceberg Z-ORDER BY. Pure
+    * shift/mask compositions of codegen'd built-ins (the standard Morton
+    * magic-mask spread), no UDF.
+    */
+  def interleaveBits(a: Column, b: Column): Column = {
+    def spread(x: Column): Column = {
+      var v = x.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    shiftleft(spread(a), 1).bitwiseOR(spread(b))
+  }
+
   /** PARSE_TIMESTAMP('%m/%d/%Y %I:%M:%S %p', s) (reference: part0:293). */
   def parseMtaTimestamp(s: Column): Column =
     to_timestamp(s, "MM/dd/yyyy hh:mm:ss a")

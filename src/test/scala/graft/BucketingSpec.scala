@@ -48,4 +48,70 @@ class BucketingSpec extends SparkSpec {
     assert(Relational.a14.build(spark, sf).filter(!col("within_5pct")).count() === 0)
     assert(Relational.a15.build(spark, sf).filter(!col("within_2pct")).count() === 0)
   }
+
+  test("interleaveBits matches a reference Morton implementation") {
+    import SparkSpec.spark.implicits._
+    def morton(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31)
+        z |= (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      z
+    }
+    val cases = Seq((0L, 0L), (5L, 3L), (1L, 0L), (0L, 1L),
+      (1499L, 11535L), ((1L << 30) - 1, (1L << 30) - 1))
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.Funcs.interleaveBits(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === cases.map { case (a, b) => morton(a, b) })
+  }
+
+  test("s19 z-order layout bounds per-file ranges in BOTH dimensions") {
+    // per-file min/max coverage IS what file-stat pruning prunes on: a
+    // file whose [min,max] misses the predicate range is skipped. A
+    // single-column sort leaves the second dimension unprunable
+    // (coverage ~1); the z-order layout must bound both.
+    val days = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val base = graft.core.Tables.orders(spark, sf)
+      .select(col("o_custkey"), days.as("day"))
+
+    def coverage(laidOut: String): (Double, Double) = {
+      val df = spark.read.parquet(laidOut)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("o_custkey") - min("o_custkey")).as("ck"),
+          (max("day") - min("day")).as("dy"))
+        .agg(avg("ck"), avg("dy")).head()
+      val Array(ckRange, dyRange) = base
+        .agg(max("o_custkey") - min("o_custkey"), max("day") - min("day"))
+        .head().toSeq.map(_.toString.toDouble).toArray
+      (df.getDouble(0) / ckRange, df.getDouble(1) / dyRange)
+    }
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // same 16-bit min-max grid normalization as s19 — raw-value
+    // interleave lets the wider-ranged dimension own every high z bit
+    val st = base.agg(min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+      min("day").as("dmin"), max("day").as("dmax"))
+    def grid(x: org.apache.spark.sql.Column,
+        lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      floor((x - lo) * 65536 / (hi - lo + 1)).cast("long")
+    base.crossJoin(broadcast(st))
+      .withColumn("z", graft.functions.Funcs.interleaveBits(
+        grid(col("o_custkey"), col("cmin"), col("cmax")),
+        grid(col("day"), col("dmin"), col("dmax"))))
+      .select("o_custkey", "day", "z")
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .drop("z").write.parquet(s"$tmp/zorder")
+    base.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.parquet(s"$tmp/onedim")
+
+    val (zCk, zDy) = coverage(s"$tmp/zorder")
+    val (sCk, sDy) = coverage(s"$tmp/onedim")
+    assert(zCk < 0.7 && zDy < 0.7,
+      s"z-order files must be tight in both dims: ck=$zCk day=$zDy")
+    assert(sCk < 0.3, s"sanity: the single-dim sort is tight on its own key: $sCk")
+    assert(sDy > 0.9, s"single-dim sort leaves the date dimension unprunable: $sDy")
+  }
 }
