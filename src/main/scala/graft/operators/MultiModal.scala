@@ -116,5 +116,32 @@ object MultiModal {
            |                    ELSE bs[(k*7919) % byte_len + 1] END AS BIGINT))) AS DOUBLE) / 128 END AS feat_sum
            |FROM crc""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(mm1, mm2)
+  /** MM3: strided frame sampling over the binary payload — the video
+    * keyframe-sampling shape: treat the blob as fixed 64-byte frames, take
+    * every 4th frame up to 8 samples, and emit a digest per sampled frame.
+    * Pure relational on the binary column (`substring` + `md5` are
+    * codegen'd builtins; the lateral `explode(sequence)` fans out inside
+    * the task) — no kernel, no shuffle, scan-parallel at any corpus size.
+    * The oracle replays byte-identical slices: the corpus is ASCII
+    * (byte_len == char_len, pinned by mm1), so text substrings are the
+    * same bytes the binary slice sees.
+    */
+  val mm3: GraftQuery = GraftQuery(
+    "mm3_frame_sample",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("blen", length(col("payload")))
+      .select(col("doc_id"), col("payload"), col("blen"),
+        explode(expr("sequence(0, least(7, (blen - 1) div 256))")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 256 + 1).as("frame_off"),
+        md5(expr("substring(payload, frame_idx * 256 + 1, 64)")).as("frame_md5")),
+    Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents),
+           |e AS (SELECT doc_id, text, unnest(generate_series(0, least(7, (blen - 1) // 256))) AS frame_idx FROM b)
+           |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           |  CAST(frame_idx * 256 + 1 AS INT) AS frame_off,
+           |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 64)) AS frame_md5
+           |FROM e""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3)
 }

@@ -815,10 +815,46 @@ object Relational {
         .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("total_qty"))
   }
 
+  /** A16 (beyond reference): PIVOT — status counts spread into columns.
+    * The pivot value list is EXPLICIT (F/O/P): an inferred list costs an
+    * extra distinct-scan job and makes the output schema data-dependent —
+    * both wrong at 100 TB. Absent combinations surface as 0, not null.
+    */
+  val a16 = q(
+    "a16_pivot",
+    """SELECT o_orderpriority,
+      |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority").pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+  }
+
+  /** A17 (beyond reference): UNPIVOT via `stack` — the inverse reshape.
+    * Round-trips a16's wide form back to long (priority, status, n); the
+    * zero rows stack introduces for absent combinations are filtered, so
+    * the round trip equals the plain group-by — which is the oracle.
+    */
+  val a17 = q(
+    "a17_unpivot_roundtrip",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin) { (s, d) =>
+    a16.build(s, d)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (o_orderstatus, n)"))
+      .filter(col("n") > 0)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, set1,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, set1,
     w1, w2, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
 }

@@ -499,5 +499,62 @@ object TextOps {
            |SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS n_members
            |FROM comp""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
+  /** X12 (beyond reference): stratified hash sampling — per-language
+    * target rates (the corpus-rebalancing primitive: downsample the
+    * dominant language, keep the rest). Same deterministic md5 predicate
+    * as [[x10]], so the stratum rates are exact functions of stable ids —
+    * reproducible on any cluster, any engine.
+    */
+  val x12: GraftQuery = GraftQuery(
+    "x12_stratified_sample",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("pct", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .filter(col("pct") < when(col("lang") === "en", 10)
+        .when(col("lang") === "fr", 50).otherwise(100))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept")),
+    Some("""SELECT lang, count(*) AS n_kept FROM documents
+           |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+           |  < CASE WHEN lang = 'en' THEN 10 WHEN lang = 'fr' THEN 50 ELSE 100 END
+           |GROUP BY lang""".stripMargin))
+
+  /** Chunking parameters: window of 64 tokens advancing by 48 (16-token
+    * overlap) — the sliding-passage shape every RAG / training-data
+    * pipeline cuts documents into.
+    */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** X13 (beyond reference): passage chunking — explode each document into
+    * overlapping token windows with per-chunk text digests. Pure lateral
+    * fan-out (`explode(sequence)` + `slice`): no shuffle, no kernel, stays
+    * in whole-stage codegen; chunk count per doc is ceil((n-C)/S)+1 with a
+    * single short tail chunk. The md5 digest pins every chunk's exact
+    * content against the oracle's list-slice replay.
+    */
+  val x13: GraftQuery = GraftQuery(
+    "x13_chunk_passages",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .withColumn("nc", when(col("n") <= ChunkTokens, lit(1))
+        .otherwise(expr(s"1 + (n - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride").cast("int")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_idx"))
+      .withColumn("chunk", expr(
+        s"slice(w, chunk_idx * $ChunkStride + 1, least($ChunkTokens, n - chunk_idx * $ChunkStride))"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5")),
+    Some(s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |c AS (SELECT doc_id, w, len(w) AS n,
+           |  CASE WHEN len(w) <= $ChunkTokens THEN 1
+           |       ELSE 1 + (len(w) - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride END AS nc FROM t),
+           |e AS (SELECT doc_id, w, n, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+           |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           |  CAST(least($ChunkTokens, n - chunk_idx * $ChunkStride) AS INT) AS n_tok,
+           |  md5(array_to_string(w[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + least($ChunkTokens, n - chunk_idx * $ChunkStride)], ' ')) AS chunk_md5
+           |FROM e""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13)
 }
