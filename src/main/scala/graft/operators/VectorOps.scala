@@ -263,5 +263,64 @@ object VectorOps {
            |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin),
     bench = false)
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4)
+  /** V5: random-hyperplane (SimHash-for-vectors) LSH — the OTHER standard
+    * ANN family next to IVF (v2/v4): 16 hyperplanes, one sign bit each,
+    * vectors bucketed by the 16-bit signature; same-bucket collision
+    * probability is (1 - theta/pi)^16, so near-identical vectors co-bucket
+    * and the bucket join replaces all-pairs. Hyperplane components are
+    * md5-derived uniforms ([[graft.functions.HashDraw]] semantics), the
+    * dot folds dims in ascending order, and int->double conversion +
+    * division by 2^59 round identically everywhere — so every signature
+    * bit is cross-engine exact and the oracle replays all 16x64
+    * hyperplane values. One typed pass, no shuffle until the (tiny)
+    * bucket-count window; at 100 TB the signature is a map-side column
+    * and candidate generation shuffles on the signature key only.
+    */
+  val v5: GraftQuery = GraftQuery(
+    "v5_cosine_lsh_buckets",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var hp: Array[Array[Double]] = null // built once per partition
+          it.map { case (id, e) =>
+            if (hp == null) hp = Array.tabulate(16, e.size) { (h, i) =>
+              graft.functions.HashDraw.draw(md, s"v5:$h:$i").toDouble /
+                (1L << 59).toDouble - 1.0
+            }
+            var sig = 0L
+            var h = 0
+            while (h < 16) {
+              val w = hp(h)
+              var dot = 0.0
+              var i = 0
+              while (i < w.length) { dot += e(i).toDouble * w(i); i += 1 }
+              if (dot > 0) sig |= 1L << h
+              h += 1
+            }
+            (id, sig)
+          }
+        }
+        .toDF("vec_id", "sig")
+      sigs.withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy("sig")))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |hp AS (SELECT h, list_transform(generate_series(1, 64),
+           |    i -> CAST('0x' || substr(md5('v5:' || h || ':' || (i - 1)), 1, 15) AS BIGINT)
+           |         / 576460752303423488.0 - 1.0) AS w
+           |  FROM generate_series(0, 15) t(h)),
+           |dots AS (SELECT vec_id, h,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> e[i] * w[i]),
+           |      (a, b) -> a + b) AS dot
+           |  FROM v CROSS JOIN hp),
+           |sig AS (SELECT vec_id,
+           |    CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << h ELSE 0::BIGINT END) AS BIGINT) AS sig
+           |  FROM dots GROUP BY vec_id)
+           |SELECT vec_id, sig, count(*) OVER (PARTITION BY sig) AS n_bucket
+           |FROM sig""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5)
 }

@@ -60,6 +60,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
 
+  test("v5 LSH signatures co-bucket tight clusters") {
+    val dir = clusteredDir()
+    val rows = VectorOps.v5.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // modal signature per true cluster (id / 25) should cover most members:
+    // sigma=0.01 noise barely rotates a vector, so sign bits rarely flip
+    val agree = rows.groupBy(_._1 / 25).values.map { g =>
+      val modal = g.groupBy(_._2).values.map(_.size).max
+      modal.toDouble / g.size
+    }
+    val mean = agree.sum / agree.size
+    assert(mean >= 0.8, s"cluster members should share signatures: $mean")
+  }
+
   test("v1 cosine values are in [-1, 1] and ranked descending per query") {
     val rows = VectorOps.v1.build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
