@@ -66,6 +66,22 @@ object Snapshots {
     write(s, table, untouched.unionByName(source))
   }
 
+  /** Changelog between two snapshots — the CDC read (Iceberg changelog /
+    * Delta CDF shape): every row only in `from` is a delete, every row
+    * only in `to` is an insert; an update surfaces as its delete+insert
+    * pair. Multiset semantics (`exceptAll`), so duplicate rows diff
+    * correctly. This derives the changelog by comparison — one shuffle
+    * over each snapshot; a production table format reads it from commit
+    * metadata instead, same contract, and callers are unchanged.
+    */
+  def diff(s: SparkSession, table: String, from: Int, to: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = read(s, table, from)
+    val b = read(s, table, to)
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+  }
+
   /** Drop the whole table (all snapshots) — test/setup hygiene. */
   def reset(table: String): Unit = {
     def rec(f: java.io.File): Unit = {

@@ -851,7 +851,42 @@ object Relational {
       .filter(col("n") > 0)
   }
 
+  /** D1 (beyond reference): data-quality audit — the expectation checks a
+    * lakehouse runs before promoting a batch (null rate, domain bounds,
+    * FK orphans, key uniqueness) as ONE query returning a row per rule.
+    * Each rule is a conditional aggregate over a single scan of its
+    * table; the orphan check is a broadcast-able anti-join, never a
+    * row-by-row validator. Expected all-zero on this generator's data —
+    * the point is the operator shape, priced at one pass per table.
+    */
+  val d1 = q(
+    "d1_quality_audit",
+    """SELECT 'orders_null_price' AS rule, count(*) FILTER (WHERE o_totalprice IS NULL) AS violations FROM orders
+      |UNION ALL SELECT 'orders_nonpositive_price', count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+      |UNION ALL SELECT 'orders_dup_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+      |UNION ALL SELECT 'lineitem_orphan_order', count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin) {
+    (s, d) =>
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val orderChecks = o.agg(
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("orders_null_price"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("orders_nonpositive_price"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_dup_orderkey"))
+      val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("lineitem_orphan_order"))
+      orderChecks.crossJoin(orphans)
+        .select(expr(
+          """stack(4,
+            |  'orders_null_price', orders_null_price,
+            |  'orders_nonpositive_price', orders_nonpositive_price,
+            |  'orders_dup_orderkey', orders_dup_orderkey,
+            |  'lineitem_orphan_order', lineitem_orphan_order)
+            |  AS (rule, violations)""".stripMargin))
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, set1,

@@ -338,5 +338,65 @@ object Sources {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM s5 GROUP BY o_orderstatus""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19)
+  /** S20 (beyond reference): schema evolution — a second writer adds a
+    * column, old files stay as they are, and a `mergeSchema` read serves
+    * the union schema with nulls for pre-evolution rows. This is the
+    * add-column contract every table format guarantees; here it is proven
+    * at the raw-Parquet layer (Spark's schema merge), so swapping in
+    * Iceberg only moves WHERE the merged schema lives (metadata vs file
+    * footers — the latter costing a footer scan at 100 TB, which is why
+    * formats keep it in metadata).
+    */
+  val s20: GraftQuery = GraftQuery(
+    "s20_schema_evolution",
+    (s, d) => {
+      val path = scratch(s, "s20_evolved")
+      deleteRecursively(new java.io.File(path))
+      val cust = Tables.customer(s, d)
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .write.parquet(s"$path/part=old")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_acctbal"),
+          concat(lit("seg_"), (col("c_nationkey") % 3).cast("string")).as("segment"))
+        .write.parquet(s"$path/part=new")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), decSum(col("c_acctbal")).as("total_bal"))
+    },
+    Some("""SELECT CASE WHEN c_custkey % 2 = 1 THEN 'seg_' || (c_nationkey % 3) END AS segment,
+           |count(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+           |FROM customer GROUP BY 1""".stripMargin))
+
+  /** S21 (beyond reference): snapshot changelog (CDC read) — v2 deletes
+    * the 'F' orders and bumps every 'P' price, and [[graft.core.Snapshots.diff]]
+    * must surface exactly: F rows as deletes, P rows as delete+insert
+    * pairs, O rows absent (untouched).
+    */
+  val s21: GraftQuery = GraftQuery(
+    "s21_snapshot_diff",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_cdc"
+      Snapshots.reset(t)
+      Snapshots.write(s, t, Tables.orders(s, d))
+      Snapshots.write(s, t,
+        Snapshots.latest(s, t).filter(col("o_orderstatus") =!= "F")
+          .withColumn("o_totalprice", when(col("o_orderstatus") === "P",
+            col("o_totalprice") + 5.0).otherwise(col("o_totalprice"))))
+      Snapshots.diff(s, t, 1, 2)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+    },
+    Some("""WITH ch AS (
+           |  SELECT 'delete' AS _change_type, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderstatus IN ('F', 'P')
+           |  UNION ALL
+           |  SELECT 'insert', o_orderstatus, o_totalprice + 5.0
+           |  FROM orders WHERE o_orderstatus = 'P')
+           |SELECT _change_type, o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM ch GROUP BY _change_type, o_orderstatus""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21)
 }

@@ -224,6 +224,43 @@ object StreamingOps {
            |AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin),
     bench = false)
 
+  /** T15 (beyond reference): streaming MERGE — each micro-batch's partial
+    * aggregate is upserted into the snapshot table by ACCUMULATION
+    * (new = old + batch), the incremental-materialized-view pattern that
+    * replaces t6's full epoch rewrite when state is too big to rewrite
+    * per batch. Counts and decimal-summed totals are associative, so the
+    * final table is identical under ANY batch split — which is why the
+    * batch oracle can check it. Each version write is a snapshot, so the
+    * state's history is time-travelable for free.
+    */
+  val t15: GraftQuery = GraftQuery(
+    "t15_stream_merge_upsert",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "t15_state"
+      Snapshots.reset(t)
+      val q = eventsStream(s, d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val agg = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+          val next =
+            if (Snapshots.versions(t).isEmpty) agg
+            else Snapshots.latest(s, t).unionByName(agg)
+              .groupBy("event_type")
+              .agg(sum(col("n")).as("n"), decSum(col("total")).as("total"))
+          Snapshots.write(s, t, next): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Snapshots.latest(s, t)
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY event_type""".stripMargin),
+    bench = false)
+
   /** S12+T10+F12: replay with timestamp shift (kafka_service.py:71-104,
     * bq_service.py:52-86): rebase history so it ends at a fixed anchor —
     * the reference rebases onto now(); a fixed anchor keeps the op
@@ -244,5 +281,5 @@ object StreamingOps {
            |to_json(struct_pack(event_id := event_id, user_id := user_id, value := value)) AS payload
            |FROM events""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t10)
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t10)
 }
