@@ -58,28 +58,44 @@ object Snapshots {
     * only the files containing matches; this seam is unchanged either way.
     */
   def merge(s: SparkSession, table: String, source: DataFrame, key: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.col
-    val srcKeys = source.select(key.map(col): _*)
-    require(srcKeys.distinct().count() == source.count(),
+    import org.apache.spark.sql.functions._
+    // one pass over source for the cardinality check (countDistinct over a
+    // struct so null key fields still count), instead of distinct+count twice
+    val r = source.agg(count(lit(1)),
+      countDistinct(struct(key.map(col): _*))).head()
+    require(r.getLong(0) == r.getLong(1),
       s"MERGE source has duplicate rows on key ${key.mkString(",")}")
-    val untouched = latest(s, table).join(srcKeys.distinct(), key, "left_anti")
+    val untouched = latest(s, table)
+      .join(source.select(key.map(col): _*), key, "left_anti")
     write(s, table, untouched.unionByName(source))
   }
 
   /** Changelog between two snapshots — the CDC read (Iceberg changelog /
     * Delta CDF shape): every row only in `from` is a delete, every row
     * only in `to` is an insert; an update surfaces as its delete+insert
-    * pair. Multiset semantics (`exceptAll`), so duplicate rows diff
-    * correctly. This derives the changelog by comparison — one shuffle
-    * over each snapshot; a production table format reads it from commit
-    * metadata instead, same contract, and callers are unchanged.
+    * pair. Multiset semantics, so duplicate rows diff correctly.
+    *
+    * Derived in ONE shuffle: tag `from` rows -1 and `to` rows +1, group by
+    * the whole row, and the signed count's sign is the change type while
+    * its magnitude is the multiplicity (re-expanded with a lateral
+    * sequence). Two `exceptAll`s would compute the same thing with two
+    * full-width shuffles and four snapshot scans — at 100 TB this variant
+    * reads each snapshot once and exchanges each distinct row once. A
+    * production table format reads the changelog from commit metadata
+    * instead; same contract, callers unchanged.
     */
   def diff(s: SparkSession, table: String, from: Int, to: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions._
     val a = read(s, table, from)
-    val b = read(s, table, to)
-    b.exceptAll(a).withColumn("_change_type", lit("insert"))
-      .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+    val cols = a.columns.toSeq
+    val tagged = a.withColumn("_w", lit(-1L))
+      .unionByName(read(s, table, to).withColumn("_w", lit(1L)))
+    tagged.groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .withColumn("_change_type",
+        when(col("_net") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_dup", explode(expr("sequence(1, abs(_net))")))
+      .drop("_net", "_dup")
   }
 
   /** Drop the whole table (all snapshots) — test/setup hygiene. */

@@ -49,9 +49,13 @@ object GraphOps {
     def largeStar(cur: DataFrame): DataFrame = {
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
       val m = least(min(col("v")).over(Window.partitionBy("u")), col("u"))
+      // no trailing distinct: rows are two longs, so deduplicating here
+      // costs a full extra shuffle per round just to shrink smallStar's
+      // window input; smallStar's own distinct restores set semantics
+      // (which the sig-based fixpoint check depends on)
       sym.withColumn("m", m)
         .filter(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("m").as("u"), col("v")).distinct()
+        .select(col("m").as("u"), col("v"))
     }
 
     def smallStar(cur: DataFrame): DataFrame = {
