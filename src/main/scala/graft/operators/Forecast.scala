@@ -265,16 +265,22 @@ object Forecast {
           .otherwise((col("last_demand") - col("first_demand")) /
             (col("n_train") - 1).cast("double")))
         .withColumn("h", (lit(Horizon + 1) - col("rdesc")).cast("long"))
-      val naive = ev.select(col("user_id"), col("h"), col("demand"),
-        lit("naive").as("model"), col("last_demand").as("fv"))
-      val drift = ev.select(col("user_id"), col("h"), col("demand"),
-        lit("drift").as("model"), (col("last_demand") + col("h") * col("slope")).as("fv"))
+      // both model branches fan out of ONE pass via explode — a
+      // naive/drift unionByName would evaluate the whole windowed subtree
+      // twice (Spark does not dedupe shared lineage across union inputs)
+      val both = ev.select(col("user_id"), col("h"), col("demand"),
+        explode(array(
+          struct(lit("naive").as("model"), col("last_demand").as("fv")),
+          struct(lit("drift").as("model"),
+            (col("last_demand") + col("h") * col("slope")).as("fv")))).as("mf"))
+        .select(col("user_id"), col("h"), col("demand"),
+          col("mf.model").as("model"), col("mf.fv").as("fv"))
       // metrics via an h-ordered left fold, NOT a plain double sum: float
       // addition is order-sensitive and engines accumulate groups in
       // different orders; a fixed fold order makes the sums bit-identical
       // to the oracle (and decimal-casting computed doubles would hit the
       // Spark-vs-DuckDB shortest-repr rounding divergence instead)
-      naive.unionByName(drift)
+      both
         .withColumn("err", col("demand") - col("fv"))
         .groupBy("user_id", "model").agg(
           count(lit(1)).as("n_eval"),

@@ -885,11 +885,60 @@ object Relational {
             |  AS (rule, violations)""".stripMargin))
   }
 
+  /** A18 (beyond reference): explicit GROUPING SETS — the general form
+    * ROLLUP (a12) and CUBE (a13) desugar to, with a hand-picked lattice:
+    * (flag, status), (flag), (). One shuffle; Spark expands the sets with
+    * a single Expand node feeding one hash aggregate, so adding a set
+    * costs a projected copy of the map-side rows, never another pass over
+    * the table. Money sums go through decSum for cross-engine exactness.
+    */
+  val a18 = q(
+    "a18_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("revenue"))
+  }
+
+  /** W3 (beyond reference): lead/lag navigation — per-user deltas between
+    * consecutive events (value change, seconds elapsed, next event type):
+    * the telemetry-sessional shape W2 sessionize builds on. One window
+    * partition per user, sorted once; all three navigations share the
+    * same sort, so Spark plans a single WindowExec (one shuffle + one
+    * per-partition sort at any scale).
+    */
+  val w3 = q(
+    "w3_lead_lag_delta",
+    """SELECT user_id, ts, event_id, value,
+      |value - lag(value) OVER w AS delta,
+      |date_diff('second', lag(ts) OVER w, ts) AS secs_since_prev,
+      |lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          col("event_type"))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("secs_since_prev",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .drop("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, set1,
-    w1, w2, o1, o2, o3,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, set1,
+    w1, w2, w3, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
 }

@@ -398,5 +398,39 @@ object Sources {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM ch GROUP BY _change_type, o_orderstatus""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21)
+  /** S22 (beyond reference): small-file compaction — the OPTIMIZE /
+    * rewrite-data-files maintenance pass every lakehouse table needs:
+    * streaming ingest leaves thousands of small files, and scan cost at
+    * 100 TB is dominated by per-file open/footer overhead until they are
+    * rewritten to target size. Here: orders is deliberately fragmented
+    * into 64 splinters, compacted back to 4 files (a `coalesce` — a
+    * shuffle-FREE partition merge; `repartition` would pay a full
+    * exchange to achieve byte-balanced output, the documented trade), and
+    * the compacted table must read back row-identical. The require proves
+    * the file count actually dropped; the oracle proves content identity.
+    */
+  val s22: GraftQuery = GraftQuery(
+    "s22_compaction",
+    (s, d) => {
+      val frag = scratch(s, "s22_fragmented")
+      val comp = scratch(s, "s22_compacted")
+      Tables.orders(s, d).repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(frag)
+      s.read.parquet(frag).coalesce(4)
+        .write.mode(SaveMode.Overwrite).parquet(comp)
+      def nFiles(p: String) =
+        new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+      require(nFiles(frag) == 64 && nFiles(comp) <= 4,
+        s"compaction did not shrink the file count: ${nFiles(frag)} -> ${nFiles(comp)}")
+      s.read.parquet(comp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum(col("o_totalprice")).as("total"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_orderkey) AS n_keys,
+           |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

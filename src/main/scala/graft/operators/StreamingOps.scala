@@ -281,5 +281,50 @@ object StreamingOps {
            |to_json(struct_pack(event_id := event_id, user_id := user_id, value := value)) AS payload
            |FROM events""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t10)
+  /** T16 (beyond reference): streaming SESSION windows — the dynamic-gap
+    * counterpart of t11's fixed 5-minute windows and the streaming form of
+    * the batch sessionize (w2): a session extends while events keep
+    * arriving within 30 minutes and closes at the first longer silence.
+    * Spark's `session_window` keeps one merging state entry per open
+    * (user, session); complete mode holds all sessions (bounded replay —
+    * same inert-watermark rationale as t11; in production, append mode +
+    * the watermark evict closed sessions so state stays proportional to
+    * OPEN sessions only). The oracle is w2's lag/gap island derivation
+    * aggregated to the same (user, start, end, n) shape — streaming and
+    * batch sessionization must agree exactly on bounded input.
+    */
+  val t16: GraftQuery = GraftQuery(
+    "t16_stream_session_window",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total"))
+        .writeStream.format("memory").queryName("graft_t16")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t16")
+    },
+    Some("""WITH o AS (SELECT user_id, ts, value, event_id,
+           |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+           |f AS (SELECT user_id, ts, value, event_id, CASE WHEN prev_ts IS NULL
+           |  -- >= not >: session_window is [start, last+gap), so an event landing
+           |  -- exactly gap after its predecessor opens a NEW session; microsecond
+           |  -- diff because session_window compares exact (us-grain) timestamps
+           |  OR date_diff('microsecond', prev_ts, ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM o),
+           |sq AS (SELECT user_id, ts, value, sum(new_sess) OVER (PARTITION BY user_id
+           |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM f)
+           |SELECT user_id, min(ts) AS session_start,
+           |  max(ts) + INTERVAL '30 minutes' AS session_end,
+           |  count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM sq GROUP BY user_id, session_seq""".stripMargin),
+    bench = false)
+
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t16, t10)
 }

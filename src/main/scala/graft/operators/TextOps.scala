@@ -4,6 +4,7 @@ import graft.api.GraftQuery
 import graft.core.Tables
 import graft.functions.HashDraw
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication surface for large-scale training-data
@@ -556,5 +557,188 @@ object TextOps {
            |  md5(array_to_string(w[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + least($ChunkTokens, n - chunk_idx * $ChunkStride)], ' ')) AS chunk_md5
            |FROM e""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13)
+  /** X14 (beyond reference): Gopher-style quality rules — the filter pass
+    * every pretraining pipeline runs before dedup (Rae et al. 2021, §A1.1):
+    * document length, mean word length, repetition (distinct-word ratio),
+    * and most-frequent-word dominance, each a per-doc scalar with a fixed
+    * keep predicate. One explode + two hash aggregations, both keyed by
+    * doc_id (and word) — uniform keys, partial aggregation, no all-pairs
+    * anything, so the pass is a single scan at any corpus size. Ratios are
+    * int/int IEEE divisions — bitwise identical cross-engine.
+    */
+  val x14: GraftQuery = GraftQuery(
+    "x14_quality_rules",
+    (s, d) => {
+      val ct = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      ct.groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"),
+          sum(length(col("w")) * col("c")).as("n_word_chars"))
+        .withColumn("mean_word_len",
+          col("n_word_chars").cast("double") / col("n_words"))
+        .withColumn("distinct_ratio",
+          col("n_distinct").cast("double") / col("n_words"))
+        .withColumn("top_word_frac",
+          col("top_count").cast("double") / col("n_words"))
+        .withColumn("keep",
+          col("n_words") >= 20 && col("distinct_ratio") > 0.4 &&
+            col("top_word_frac") < 0.15 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .select("doc_id", "n_words", "n_distinct", "top_count",
+          "mean_word_len", "distinct_ratio", "top_word_frac", "keep")
+    },
+    Some("""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |ct AS (SELECT doc_id, w, count(*) AS c FROM wds GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           |  count(*) AS n_distinct, max(c) AS top_count,
+           |  CAST(sum(length(w) * c) AS BIGINT) AS n_word_chars FROM ct GROUP BY 1)
+           |SELECT doc_id, n_words, n_distinct, top_count,
+           |  n_word_chars::DOUBLE / n_words AS mean_word_len,
+           |  n_distinct::DOUBLE / n_words AS distinct_ratio,
+           |  top_count::DOUBLE / n_words AS top_word_frac,
+           |  (n_words >= 20 AND n_distinct::DOUBLE / n_words > 0.4
+           |   AND top_count::DOUBLE / n_words < 0.15
+           |   AND n_word_chars::DOUBLE / n_words BETWEEN 3.0 AND 10.0) AS keep
+           |FROM agg""".stripMargin))
+
+  /** Distinct 8-word grams per doc, one (doc, source, gram) row each — the
+    * contamination unit (long enough that a cross-corpus match means shared
+    * provenance, not chance). Typed one-pass kernel: a
+    * `transform(sequence, i -> concat_ws(slice))` formulation evaluates its
+    * lambda interpreted per position (the documented [[lshBands]] failure
+    * mode — measured 4.0 s vs 0.4 s at sf0.1); the kernel slides one window
+    * over each doc once and never materializes the gram array.
+    */
+  private def grams8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        val w = text.split(" ")
+        if (w.length < 8) Iterator.empty
+        else w.sliding(8).map(_.mkString(" ")).toSet.iterator.map((g: String) => (id, src, g))
+      }.toDF("doc_id", "source", "g")
+  }
+
+  /** X15 (beyond reference): benchmark-contamination check — the GPT-3-style
+    * n-gram decontamination sweep (Brown et al. 2020, §C): every training
+    * doc is scored by how many of its 8-grams appear verbatim in a held-out
+    * benchmark set (here: the `src0` slice). The benchmark gram set is tiny
+    * relative to the corpus and is BROADCAST; the corpus side explodes to
+    * (doc, gram) and probes the broadcast map — no shuffle of corpus text at
+    * all, so at 100 TB this is one scan + a map-side semi-probe, with the
+    * per-doc hit counts hash-aggregated on doc_id. Docs with zero hits are
+    * kept via the left join (the output is the full decontamination report).
+    */
+  val x15: GraftQuery = GraftQuery(
+    "x15_contamination_check",
+    (s, d) => {
+      val g = grams8(s, d)
+      val bench = g.filter(col("source") === "src0").select("g").distinct()
+      val hits = g.filter(col("source") =!= "src0")
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      // left side is the documents table itself, not the gram stream —
+      // docs shorter than 8 words emit no grams but still belong in the
+      // decontamination report (with n_hits = 0)
+      Tables.documents(s, d).filter(col("source") =!= "src0").select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("contaminated", col("n_hits") > 0)
+    },
+    Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 8
+           |  THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w) - 7)])
+           |  ELSE [] END) AS g FROM t),
+           |b AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+           |h AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN b USING (g)
+           |      WHERE source != 'src0' GROUP BY 1)
+           |SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  coalesce(h.n_hits, 0) > 0 AS contaminated
+           |FROM t LEFT JOIN h ON t.doc_id = h.doc_id WHERE t.source != 'src0'""".stripMargin))
+
+  /** Context-window budget for sequence packing (tokens per pack). */
+  private val PackTokens = 256
+
+  /** X16 (beyond reference): sequence packing — the concatenate-and-chunk
+    * layout LLM training uses to fill fixed context windows: documents are
+    * laid end-to-end in a deterministic order and split every
+    * [[PackTokens]] tokens, so a doc's pack span is a pure function of the
+    * running token offset. The running sum is windowed PER SOURCE (the
+    * natural pack domain — sources are packed independently), so at 100 TB
+    * the sort is per-source-partition, never global; a single global
+    * sequence would serialize on one partition and is exactly what this
+    * partitioning avoids. Integer-only arithmetic — trivially cross-engine.
+    */
+  val x16: GraftQuery = GraftQuery(
+    "x16_sequence_pack",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("first_pack", expr(s"start_tok div $PackTokens"))
+        .withColumn("last_pack", expr(s"(start_tok + n_tok - 1) div $PackTokens"))
+        .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+           |  CAST(len(str_split(text, ' ')) AS INT) AS n_tok FROM documents),
+           |c AS (SELECT doc_id, source, n_tok,
+           |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+           |  FROM t)
+           |SELECT doc_id, source, n_tok, start_tok,
+           |  start_tok // $PackTokens AS first_pack,
+           |  (start_tok + n_tok - 1) // $PackTokens AS last_pack,
+           |  (start_tok + n_tok - 1) // $PackTokens - start_tok // $PackTokens + 1 AS n_packs
+           |FROM c""".stripMargin))
+
+  /** X17 (beyond reference): canonical selection — the step after [[x11]]'s
+    * closure: inside every near-dup cluster keep exactly one document, the
+    * longest (ties to the smallest id). This is the decision a dedup
+    * pipeline actually ships — pair lists and components are intermediates;
+    * "which rows survive" is the product. Reuses the x11 component labels
+    * (same LSH candidates, same alternating-star closure) plus one
+    * broadcast-size window rank per cluster; singleton docs are their own
+    * cluster and always survive.
+    */
+  val x17: GraftQuery = GraftQuery(
+    "x17_dedup_keep_best",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val sets = shingleSets(s, d)
+      val pairs = withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
+        .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.9)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val comp = GraphOps.components(Tables.documents(s, d), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      val wk = Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      comp.join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("keep", row_number().over(wk) === 1)
+        .select("doc_id", "component", "n_chars", "keep")
+    },
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+           |SELECT c.doc_id, c.component, d.n_chars,
+           |  row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
+           |FROM comp c JOIN documents d ON c.doc_id = d.doc_id""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x17)
 }

@@ -322,5 +322,73 @@ object VectorOps {
            |SELECT vec_id, sig, count(*) OVER (PARTITION BY sig) AS n_bucket
            |FROM sig""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5)
+  /** V6 (beyond reference): symmetric int8 scalar quantization — the
+    * compression step vector stores apply before ANN serving (4x smaller
+    * than float32, 8x than the double math): per-vector scale =
+    * max|x|/127, each component rounded half-up to [-127, 127]. Pure
+    * per-row map — no shuffle, embarrassingly parallel at any scale. Every
+    * step is IEEE-exact cross-engine: max of doubles is order-free,
+    * x/scale and floor(x+0.5) are single operations, and the md5 digest of
+    * the exact int sequence pins the whole codebook against the oracle.
+    * (Data note: all driver vectors have amax > 0; a zero vector would
+    * need a scale guard before the divide.)
+    */
+  val v6: GraftQuery = GraftQuery(
+    "v6_int8_quantize",
+    (s, d) => Tables.embeddings(s, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("scale", col("amax") / 127.0)
+      .withColumn("q", expr(
+        "transform(e, x -> CAST(greatest(-127D, least(127D, floor(x / scale + 0.5D))) AS INT))"))
+      .select(col("vec_id"), col("scale"),
+        expr("CAST(aggregate(q, 0L, (a, x) -> a + x) AS BIGINT)").as("q_sum"),
+        array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+        md5(concat_ws(",", expr("transform(q, x -> CAST(x AS STRING))"))).as("q_md5")),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+           |qt AS (SELECT vec_id, scale,
+           |  list_transform(e, x -> CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INT)) AS q
+           |  FROM sc)
+           |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
+           |  list_min(q) AS q_min, list_max(q) AS q_max,
+           |  md5(array_to_string(q, ',')) AS q_md5
+           |FROM qt""".stripMargin))
+
+  /** V7 (beyond reference): metadata-filtered ANN — top-k restricted to
+    * candidates sharing the query's label (the "filtered vector search"
+    * every production store supports: ANN + WHERE clause). Pre-filtering
+    * beats post-filtering here: the label predicate lands in the join
+    * condition, so Catalyst prunes non-matching candidates BEFORE the
+    * cosine evaluates — at 100 TB with selective filters this is the
+    * difference between scanning a label partition and scanning the
+    * corpus. Same broadcast-queries + per-query rank shape as [[v1]].
+    */
+  val v7: GraftQuery = GraftQuery(
+    "v7_ann_filtered_topk",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val emb = Tables.embeddings(s, d)
+      def side(p: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id").as(s"${p}_id"), col("label").as(s"${p}_label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(s"${p}_e"))
+      val corpus = side("c", emb)
+      val queries = side("q", emb.filter(col("vec_id") < 10))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      corpus.join(broadcast(queries),
+          col("c_label") === col("q_label") && col("c_id") =!= col("q_id"))
+        .withColumn("cos", cosine("q_e", "c_e"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("q_id"), col("q_label").as("label"),
+          col("c_id").as("neighbor_id"), col("cos"))
+    },
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |pairs AS (SELECT q.vec_id AS q_id, q.label AS label, v.vec_id AS neighbor_id,
+           |          list_cosine_similarity(q.e, v.e) AS cos
+           |          FROM q JOIN v ON v.label = q.label AND v.vec_id != q.vec_id)
+           |SELECT q_id, label, neighbor_id, cos FROM pairs
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7)
 }

@@ -80,6 +80,43 @@ class OpsSmokeSpec extends SparkSpec {
     assert(gaps.count() === 0)
   }
 
+  test("a18 grouping sets: grand-total row equals the full table count") {
+    val df = results("a18_grouping_sets")
+    val grand = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+    assert(grand.count() === 1)
+    assert(grand.head().getLong(2) === graft.core.Tables.lineitem(spark, sf).count())
+    // per-flag subtotals re-aggregate to the grand total
+    val flags = df.filter(col("l_returnflag").isNotNull && col("l_linestatus").isNull)
+    assert(flags.agg(sum("n")).head().getLong(0) === grand.head().getLong(2))
+  }
+
+  test("w3 lead/lag: exactly one null-delta row per user, count preserved") {
+    val df = results("w3_lead_lag_delta")
+    val ev = graft.core.Tables.events(spark, sf)
+    assert(df.count() === ev.count())
+    val firsts = df.filter(col("delta").isNull).groupBy("user_id").count()
+    assert(firsts.filter(col("count") =!= 1).count() === 0)
+    assert(firsts.count() === ev.select("user_id").distinct().count())
+  }
+
+  test("s22 compaction preserves every order row") {
+    val df = results("s22_compaction")
+    assert(df.agg(sum("n")).head().getLong(0) ===
+      graft.core.Tables.orders(spark, sf).count())
+  }
+
+  test("t16 streaming sessions: disjoint per user, events conserved") {
+    val t16 = results("t16_stream_session_window")
+    assert(t16.agg(sum("n_events")).head().getLong(0) ===
+      graft.core.Tables.events(spark, sf).count())
+    // session_window end = last event + gap; consecutive sessions never overlap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val overlaps = t16.withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
+    assert(overlaps.count() === 0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

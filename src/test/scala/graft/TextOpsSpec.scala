@@ -118,4 +118,80 @@ class TextOpsSpec extends SparkSpec {
     assert(a.length > total / 20 && a.length < total / 5,
       s"sample ${a.length} of $total outside the loose 5-20% band")
   }
+
+  test("x14 quality scalars and keep flag match an in-test recomputation") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.x14.build(spark, sf).collect()
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val words = docs(r.getLong(0)).split(" ")
+      val counts = words.groupBy(identity).view.mapValues(_.length)
+      val n = words.length.toLong
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === counts.size.toLong)
+      assert(r.getLong(3) === counts.values.max.toLong)
+      val mwl = words.map(_.length).sum.toDouble / n
+      val keep = n >= 20 && counts.size.toDouble / n > 0.4 &&
+        counts.values.max.toDouble / n < 0.15 && mwl >= 3.0 && mwl <= 10.0
+      assert(r.getDouble(4) === mwl)
+      assert(r.getBoolean(7) === keep, s"keep mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("x15 contamination flags a planted benchmark copy and nothing else") {
+    // src0 = benchmark; doc 200 copies benchmark doc 0 verbatim (every
+    // 8-gram hits), doc 201 shares no 8-gram with the benchmark
+    val rng = new scala.util.Random(13)
+    val mk = () => Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val benchText = mk()
+    val rows = Seq(
+      (0L, benchText, "src0"), (1L, mk(), "src0"),
+      (200L, benchText, "web"), (201L, "zq " * 39 + "zq", "web"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.x15.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet === Set(200L, 201L)) // only non-benchmark docs reported
+    assert(got(200L)._2 && got(200L)._1 > 0, "verbatim copy must be contaminated")
+    assert(got(201L) === ((0L, false)), "disjoint doc must be clean")
+  }
+
+  test("x16 packing is gapless per source and pack spans match the budget") {
+    val rows = TextOps.x16.build(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // each doc starts exactly where the previous one ended
+      sorted.sliding(2).foreach {
+        case Array((_, _, n0, s0, _, _, _), (_, _, _, s1, _, _, _)) =>
+          assert(s1 === s0 + n0)
+        case _ =>
+      }
+      sorted.foreach { case (_, _, n, start, first, last, nPacks) =>
+        assert(first === start / 256)
+        assert(last === (start + n - 1) / 256)
+        assert(nPacks === last - first + 1)
+      }
+    }
+  }
+
+  test("x17 keeps exactly one doc per component, the longest (ties: min id)") {
+    val rows = TextOps.x17.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length === 1, s"component $comp has ${keepers.length} keepers")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 === best._1,
+        s"component $comp kept ${keepers.head._1}, expected ${best._1}")
+    }
+  }
 }

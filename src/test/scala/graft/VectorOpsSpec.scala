@@ -83,4 +83,54 @@ class VectorOpsSpec extends SparkSpec {
       assert(g.length === 3)
     }
   }
+
+  test("v6 int8 quantization digest matches an in-test recomputation") {
+    val raw = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = VectorOps.v6.build(spark, sf).collect()
+    assert(got.length === raw.size)
+    got.foreach { r =>
+      val e = raw(r.getLong(0)).map(_.toDouble)
+      val scale = e.map(math.abs).max / 127.0
+      val q = e.map(x => math.max(-127, math.min(127,
+        math.floor(x / scale + 0.5))).toInt)
+      assert(r.getDouble(1) === scale)
+      assert(r.getLong(2) === q.map(_.toLong).sum)
+      assert(r.getInt(3) === q.min && r.getInt(4) === q.max)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(q.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(5) === md5)
+      // the quantizer's contract: max reconstruction error half a step
+      e.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("v7 filtered ANN equals brute-force top-3 within the query's label") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = vecs.filter(_._1 < 10).flatMap { case (qid, qe, ql) =>
+      vecs.filter(v => v._3 == ql && v._1 != qid)
+        .map(v => (qid, v._1, cos(qe, v._2)))
+        .sortBy(t => (-t._3, t._2)).take(3)
+    }.map(t => (t._1, t._2)).toSet
+    val got = VectorOps.v7.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === truth)
+    // and every neighbor really shares the query's label
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    VectorOps.v7.build(spark, sf).collect().foreach { r =>
+      assert(labelOf(r.getLong(2)) === labelOf(r.getLong(0)))
+      assert(r.getInt(1) === labelOf(r.getLong(0)))
+    }
+  }
 }
