@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.VectorOps.all ++
       operators.MultiModal.all ++
-      sim.BusSim.all
+      sim.BusSim.all ++
+      serve.QueryService.all
 
   private lazy val maps = GraftQuery.toMaps(registry)
 

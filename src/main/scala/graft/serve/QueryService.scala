@@ -37,6 +37,25 @@ object QueryService {
   def demandByLine(s: SparkSession, d: String, line: String): DataFrame =
     BusSim.endToEnd(s, d).filter(col("bus_line") === line).orderBy("bucket_ts")
 
+  /** GET /rides window fetch (bq_service.py:52-86): rides inside a
+    * timestamp window, with the ride id's YEAR rebased (the reference
+    * rewrites 2024 ids to the current year via REGEXP_REPLACE) and
+    * `timestamp_at_stop` shifted forward — the "serve history as if it
+    * were happening now" trick the dashboard runs on every poll. The
+    * reference anchors on now(); fixed window + fixed shift keep it
+    * deterministic and oracle-checkable.
+    */
+  def ridesWindow(s: SparkSession, d: String, start: String, stop: String,
+      shiftDays: Int): DataFrame =
+    BusSim.rides(s, d)
+      .filter(col("timestamp_at_stop").between(
+        lit(start).cast("timestamp"), lit(stop).cast("timestamp")))
+      .withColumn("bus_ride_id", regexp_replace(col("bus_ride_id"),
+        "^(\\d+)_(\\d{4})-(\\d{2})-(\\d{2})_(\\d{2})-(\\d{2})-(\\d{2})$",
+        "$1_2025-$3-$4_$5-$6-$7"))
+      .withColumn("timestamp_at_stop",
+        col("timestamp_at_stop") + expr(s"INTERVAL $shiftDays DAYS"))
+
   /** Replay feed (kafka_service.py:71-104): historical rides rebased onto a
     * fixed anchor, as the JSON envelopes the producer would emit, in send
     * order. The reference paces 1 msg/sec from a driver loop; pacing is a
@@ -53,6 +72,28 @@ object QueryService {
           col("remaining_at_stop"), col("send_ts").as("timestamp_at_stop"))).as("payload"))
       .orderBy("send_ts")
   }
+
+  /** The windowed ride fetch as a driver-checked query: the full sim
+    * pipeline + the serve-layer rebase, hash-proven end to end (the DuckDB
+    * oracle replays the simulation fold AND the regex/shift/window).
+    */
+  val serveRidesWindow: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_rides_window",
+    (s, d) => ridesWindow(s, d, "2024-01-02 06:00:00", "2024-01-02 12:00:00", 365),
+    Some(BusSim.simFoldSql +
+      """SELECT regexp_replace(bus_ride_id,
+        |    '^(\d+)_(\d{4})-(\d{2})-(\d{2})_(\d{2})-(\d{2})-(\d{2})$',
+        |    '\1_2025-\3-\4_\5-\6-\7') AS bus_ride_id,
+        |  bus_line_id, bus_line, bus_size, seating_capacity, standing_capacity,
+        |  total_capacity, bus_stop_id, bus_stop_index, last_stop,
+        |  timestamp_at_stop + to_days(365) AS timestamp_at_stop,
+        |  waiting_passengers, passengers_boarding, passengers_alighting,
+        |  passengers_on_bus, remaining_at_stop
+        |FROM fold
+        |WHERE timestamp_at_stop BETWEEN TIMESTAMP '2024-01-02 06:00:00'
+        |  AND TIMESTAMP '2024-01-02 12:00:00'""".stripMargin))
+
+  val all: Seq[graft.api.GraftQuery] = Seq(serveRidesWindow)
 }
 
 /** Thin CLI over [[QueryService]]: `runMain graft.serve.ServeCli <sfDir>
@@ -69,6 +110,8 @@ object ServeCli {
       case "bus_lines" => QueryService.busLines(spark, sfDir)
       case "bus_state" => QueryService.busState(spark, sfDir)
       case "demand"    => QueryService.demandByLine(spark, sfDir, args(2))
+      case "rides"     => QueryService.ridesWindow(spark, sfDir,
+        "2024-01-02 06:00:00", "2024-01-02 12:00:00", 365).limit(20)
       case "replay"    => QueryService.replayFeed(spark, sfDir, "2025-06-01 00:00:00").limit(20)
       case other       => sys.error(s"unknown command: $other")
     }

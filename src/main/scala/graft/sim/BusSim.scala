@@ -410,7 +410,7 @@ object BusSim {
     * md5 integer; all fold arithmetic is integer-only (no float RNG), which
     * is what makes bit-exact cross-engine agreement possible.
     */
-  private val simFoldSql: String =
+  private[graft] val simFoldSql: String =
     """WITH RECURSIVE
       |n AS (SELECT max(user_id) + 1 AS ns FROM events),
       |hourly AS (SELECT user_id AS station_id, date_trunc('hour', ts) AS h,
@@ -488,7 +488,7 @@ object BusSim {
       |               x.waiting_passengers)) END AS board_v) b)
       |""".stripMargin
 
-  private val rideCols: String =
+  private[graft] val rideCols: String =
     """bus_ride_id, bus_line_id, bus_line, bus_size, seating_capacity,
       |standing_capacity, total_capacity, bus_stop_id, bus_stop_index, last_stop,
       |timestamp_at_stop, waiting_passengers, passengers_boarding,

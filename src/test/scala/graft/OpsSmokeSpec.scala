@@ -117,6 +117,19 @@ class OpsSmokeSpec extends SparkSpec {
     assert(overlaps.count() === 0)
   }
 
+  test("serve_rides_window rebases the ride-id year and shifts timestamps") {
+    val rows = results("serve_rides_window")
+      .select("bus_ride_id", "timestamp_at_stop").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).matches("""\d+_2025-\d{2}-\d{2}_\d{2}-\d{2}-\d{2}"""),
+        s"ride id not rebased: ${r.getString(0)}")
+      // window [2024-01-02 06:00, 12:00] + 365 days lands in Jan 2025
+      val ts = r.getTimestamp(1).toString
+      assert(ts.startsWith("2025-01-01"), s"timestamp not shifted: $ts")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
