@@ -612,15 +612,18 @@ object TextOps {
     * mode — measured 4.0 s vs 0.4 s at sf0.1); the kernel slides one window
     * over each doc once and never materializes the gram array.
     */
-  private def grams8(s: SparkSession, d: String): DataFrame = {
+  private def grams8(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, src, text) =>
+    // callers filter BEFORE this kernel: a typed MapPartitions is a
+    // pushdown barrier, so a post-kernel source filter would gram the
+    // whole corpus on both branches (and lose the parquet PushedFilter)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
         val w = text.split(" ")
         if (w.length < 8) Iterator.empty
-        else w.sliding(8).map(_.mkString(" ")).toSet.iterator.map((g: String) => (id, src, g))
-      }.toDF("doc_id", "source", "g")
+        else w.sliding(8).map(_.mkString(" ")).toSet.iterator.map((g: String) => (id, g))
+      }.toDF("doc_id", "g")
   }
 
   /** X15 (beyond reference): benchmark-contamination check — the GPT-3-style
@@ -636,9 +639,10 @@ object TextOps {
   val x15: GraftQuery = GraftQuery(
     "x15_contamination_check",
     (s, d) => {
-      val g = grams8(s, d)
-      val bench = g.filter(col("source") === "src0").select("g").distinct()
-      val hits = g.filter(col("source") =!= "src0")
+      val docs = Tables.documents(s, d)
+      val bench = grams8(docs.filter(col("source") === "src0"))
+        .select("g").distinct()
+      val hits = grams8(docs.filter(col("source") =!= "src0"))
         .join(broadcast(bench), "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       // left side is the documents table itself, not the gram stream —

@@ -13,7 +13,8 @@ class PlanGuardSpec extends SparkSpec {
     "t3_stream_alert_filter", "t5_stream_latest_state",
     "t6_foreachbatch_overwrite", "t11_stream_windowed_agg",
     "t12_stream_dedup", "t13_stream_table_mirror",
-    "t14_stream_stream_join", "t15_stream_merge_upsert")
+    "t14_stream_stream_join", "t15_stream_merge_upsert",
+    "t16_stream_session_window")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval") {
