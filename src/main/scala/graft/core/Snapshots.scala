@@ -98,6 +98,32 @@ object Snapshots {
       .drop("_net", "_dup")
   }
 
+  /** Apply a changelog (the [[diff]] shape: row columns + `_change_type`
+    * of insert/delete) to a snapshot — the CDC-consumer half of the
+    * contract: `applyChangelog(v_n, diff(n, m)) == v_m` as multisets.
+    * Same one-shuffle signed-count derivation as [[diff]]: snapshot rows
+    * weigh +1, deletes -1, inserts +1; the net multiplicity re-expands
+    * through a lateral sequence. A net below zero means the changelog
+    * deletes a row the snapshot does not have — that is corruption, so it
+    * raises (assert_true) instead of silently clamping.
+    */
+  def applyChangelog(snapshot: DataFrame, changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = snapshot.columns.toSeq
+    val tagged = snapshot.withColumn("_w", lit(1L))
+      .unionByName(changelog
+        .withColumn("_w", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .drop("_change_type"))
+    tagged.groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_net"))
+      // assert_true returns NULL on pass, so the filter keeps every valid
+      // row and the first negative net raises mid-scan
+      .filter(assert_true(col("_net") >= 0L,
+        lit("changelog deletes a row absent from the snapshot")).isNull)
+      .filter(col("_net") > 0L)
+      .withColumn("_dup", explode(expr("sequence(1, _net)")))
+      .drop("_net", "_dup")
+  }
+
   /** Drop the whole table (all snapshots) — test/setup hygiene. */
   def reset(table: String): Unit = {
     def rec(f: java.io.File): Unit = {

@@ -398,6 +398,41 @@ object Sources {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM ch GROUP BY _change_type, o_orderstatus""".stripMargin))
 
+  /** S23 (beyond reference): CDC apply — the consumer half of s21's
+    * changelog contract: replaying `diff(v1, v2)` onto v1 must reconstruct
+    * v2 exactly (how a downstream mirror ingests CDC instead of re-copying
+    * the table — at 100 TB the changelog is proportional to the CHANGE,
+    * not the table). Same scenario as s21 (delete the F orders, bump the P
+    * prices); the output aggregates the REBUILT state and the oracle
+    * computes v2's state directly — equality proves the round trip, and
+    * [[graft.core.Snapshots.applyChangelog]]'s assert_true guards against
+    * a changelog that deletes rows the snapshot lacks.
+    */
+  val s23: GraftQuery = GraftQuery(
+    "s23_cdc_apply",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_cdc_apply"
+      Snapshots.reset(t)
+      Snapshots.write(s, t, Tables.orders(s, d))
+      Snapshots.write(s, t,
+        Snapshots.latest(s, t).filter(col("o_orderstatus") =!= "F")
+          .withColumn("o_totalprice", when(col("o_orderstatus") === "P",
+            col("o_totalprice") + 5.0).otherwise(col("o_totalprice"))))
+      val rebuilt = Snapshots.applyChangelog(
+        Snapshots.read(s, t, 1), Snapshots.diff(s, t, 1, 2))
+      rebuilt.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+    },
+    Some("""WITH v2 AS (
+           |  SELECT o_orderstatus,
+           |    CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 5.0
+           |         ELSE o_totalprice END AS o_totalprice
+           |  FROM orders WHERE o_orderstatus != 'F')
+           |SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM v2 GROUP BY o_orderstatus""".stripMargin))
+
   /** S22 (beyond reference): small-file compaction — the OPTIMIZE /
     * rewrite-data-files maintenance pass every lakehouse table needs:
     * streaming ingest leaves thousands of small files, and scan cost at
@@ -432,5 +467,5 @@ object Sources {
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22)
+    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }

@@ -27,6 +27,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(v1 === Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
+  test("applyChangelog(v1, diff(1,2)) reconstructs v2, duplicates included") {
+    val t = "spec_cdc_apply"
+    Snapshots.reset(t)
+    // v1 carries a duplicate row (multiset semantics are the contract)
+    Snapshots.write(spark, t,
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+    Snapshots.write(spark, t,
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")).toDF("id", "tag"))
+    val rebuilt = Snapshots.applyChangelog(
+      Snapshots.read(spark, t, 1), Snapshots.diff(spark, t, 1, 2))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val v2 = Snapshots.read(spark, t, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rebuilt === v2)
+  }
+
+  test("applyChangelog raises on a delete of a row the snapshot lacks") {
+    val t = "spec_cdc_bad"
+    Snapshots.reset(t)
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    val bogus = Seq((9L, "zz", "delete")).toDF("id", "tag", "_change_type")
+    val ex = intercept[Exception] {
+      Snapshots.applyChangelog(Snapshots.read(spark, t, 1), bogus).collect()
+    }
+    assert(ex.getMessage.contains("changelog deletes a row absent"))
+  }
+
   test("merge rejects a source with duplicate keys") {
     val t = "spec_merge_dup"
     Snapshots.reset(t)
