@@ -815,6 +815,42 @@ object Relational {
         .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("total_qty"))
   }
 
+  /** J13 (beyond reference): range join — events matched into time
+    * INTERVALS (daily 08:00-16:00 service windows derived from the data).
+    * The naive plan for `e.ts BETWEEN w.start AND w.end` is a nested-loop
+    * theta join — O(events x windows), the shape that sinks at scale. The
+    * scale-correct decomposition: explode each interval into the coarse
+    * buckets it covers (hours here — intervals span 8 of them), EQUI-join
+    * events on their own bucket, then apply the exact range as a residual
+    * filter. The join becomes a hash join on uniform keys; cost is
+    * O(events + windows x spanned_buckets), independent of the window
+    * count, and works even when BOTH sides are too big to broadcast. The
+    * oracle runs the plain BETWEEN join (DuckDB plans an IEJoin — fine at
+    * oracle scale).
+    */
+  val j13 = q(
+    "j13_range_join",
+    """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS wday FROM events),
+      |w AS (SELECT wday, wday + INTERVAL 8 HOUR AS w_start,
+      |             wday + INTERVAL 16 HOUR AS w_end FROM days)
+      |SELECT e.event_id, w.wday AS window_day, e.event_type, e.value
+      |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val windows = ev.select(date_trunc("DAY", col("ts")).as("wday")).distinct()
+        .select(col("wday"),
+          (col("wday") + expr("INTERVAL 8 HOURS")).as("w_start"),
+          (col("wday") + expr("INTERVAL 16 HOURS")).as("w_end"))
+      val wBuckets = windows.select(col("wday"), col("w_start"), col("w_end"),
+        explode(expr(
+          "sequence(w_start, w_end - INTERVAL 1 SECOND, INTERVAL 1 HOUR)")).as("hb"))
+      ev.withColumn("hb", date_trunc("HOUR", col("ts")))
+        .join(wBuckets, Seq("hb"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .select(col("event_id"), col("wday").as("window_day"),
+          col("event_type"), col("value"))
+  }
+
   /** A16 (beyond reference): PIVOT — status counts spread into columns.
     * The pivot value list is EXPLICIT (F/O/P): an inferred list costs an
     * extra distinct-scan job and makes the output schema data-dependent —
@@ -937,7 +973,7 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, set1,
     w1, w2, w3, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)

@@ -117,6 +117,27 @@ class OpsSmokeSpec extends SparkSpec {
     assert(overlaps.count() === 0)
   }
 
+  test("j13 range join: every match inside its window, none missed") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val got = results("j13_range_join").select("event_id", "window_day").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, day) =>
+      val off = ev(id).getTime - day.getTime
+      assert(off >= 8L * 3600000 && off < 16L * 3600000,
+        s"event $id at ${ev(id)} outside window of $day")
+    }
+    // completeness: every event in [08:00,16:00) of its own day is matched
+    val expected = ev.count { case (_, ts) =>
+      val ms = (ts.getTime - java.sql.Timestamp.valueOf(
+        ts.toLocalDateTime.toLocalDate.atStartOfDay).getTime)
+      ms >= 8L * 3600000 && ms < 16L * 3600000
+    }
+    assert(got.length === expected)
+  }
+
   test("serve_rides_window rebases the ride-id year and shifts timestamps") {
     val rows = results("serve_rides_window")
       .select("bus_ride_id", "timestamp_at_stop").collect()
