@@ -8,8 +8,67 @@ import org.apache.spark.sql.SparkSession
   * Catalyst collapse scan-only plans to metadata reads and under-measure).
   * Failures are reported per-query instead of being timed as if they ran.
   * Prints exactly one JSON line for the driver.
+  *
+  * The driver keeps only a bounded tail of stdout, and sbt appends its own
+  * `[success]` line after ours — so the machine-readable line must stay well
+  * under that tail budget or the driver cannot parse it (rounds 2/3 stored
+  * `parsed: null` for exactly this reason). The JSON line therefore carries
+  * the total plus a fixed headline subset of per-query timings; the full
+  * per-query map still goes to stderr for human analysis.
   */
 object Bench {
+
+  /** splitmix64 finalizer — the calibration workload unit. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def spin(n: Long, seed: Long): Long = {
+    var acc = seed; var i = 0L
+    while (i < n) { acc = mix(acc ^ i); i += 1 }
+    acc
+  }
+
+  /** Host calibration, reported alongside the timings: million mix-ops/sec
+    * on one thread, and aggregate across `threads` concurrent workers. The
+    * benchmark box varies round to round (this round's host advertises 32
+    * vCPUs but sustains ~2 cores of actual CPU), so absolute query seconds
+    * are only comparable after dividing out these numbers.
+    */
+  private def calibrate(threads: Int): (Double, Double) = {
+    val n = 100_000_000L
+    spin(n / 10, 1) // JIT warm
+    val t1 = System.nanoTime()
+    spin(n, 2)
+    val oneT = n / ((System.nanoTime() - t1) / 1e9) / 1e6
+    val t2 = System.nanoTime()
+    val ws = (0 until threads).map { i =>
+      val t = new Thread(() => { spin(n, i + 3L); () }); t.start(); t
+    }
+    ws.foreach(_.join())
+    val parT = n.toDouble * threads / ((System.nanoTime() - t2) / 1e9) / 1e6
+    (oneT, parT)
+  }
+
+  /** Stable representative subset across rounds — one or two per operator
+    * family, biased toward the heavy queries worth tracking round-over-round.
+    */
+  private val headline: Set[String] = Set(
+    "j1_composite_2key_join", "j9_lateral_explode60", "a3_sum_by_parsed_ts",
+    "a6_percentile_quantiles", "a8_bucket5_agg", "w1_rownumber_dedup",
+    "w2_sessionize", "o1_global_orderby", "m2_gap_fill_linear",
+    "m3_forecast_xreg", "m4b_holdout_eval", "sim_bus_rides",
+    "sim_ride_features", "sim_demand_rollup",
+    "stage_minute_spread_conservation", "t11_stream_windowed_agg",
+    "t14_stream_stream_join", "s3_parquet_scan_pushdown",
+    "s17_bucketed_colocated_join", "s18_merge_upsert", "s21_snapshot_diff",
+    "x1_exact_dedup_md5", "x5_minhash_lsh_dupsets",
+    "x7_ngram_jaccard_neardup", "x11_dupset_components",
+    "x15_contamination_check", "v1_ann_bruteforce_topk", "v2_ann_ivf_topk",
+    "v4_ann_kmeans_topk", "mm2_decode_features")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -23,6 +82,12 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // The benchmark host's effective CPU budget fluctuates (hypervisor
+    // neighbors): observed single-query swings of 10x between back-to-back
+    // runs with an idle guest. Calibrating before AND after the sweep makes
+    // a mid-run throttle window visible in the artifact instead of looking
+    // like a query regression.
+    val (pre1, prePar) = calibrate(cpus)
     val results = SparkEntry.benchQueries.map { q =>
       val t0 = System.nanoTime()
       val ok =
@@ -35,12 +100,17 @@ object Bench {
       (q.name, sec, ok)
     }
     val okResults = results.filter(_._3)
-    val qs = okResults.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val fullMap = okResults.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench] full per-query timings: $fullMap")
+    val qs = okResults.filter(r => headline(r._1))
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = okResults.map(_._2).sum
+    val (post1, postPar) = calibrate(cpus)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size}%d,"calib_mops_1t":$pre1%.0f,"calib_mops_par":$prePar%.0f,"calib_post_1t":$post1%.0f,"calib_post_par":$postPar%.0f,"queries":$qs%s,"failed":$failed%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -743,6 +743,174 @@ object TextOps {
            |  row_number() OVER (PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
            |FROM comp c JOIN documents d ON c.doc_id = d.doc_id""".stripMargin))
 
+  /** X18 (beyond reference): boilerplate detection by n-gram document
+    * frequency — the corpus-level counterpart of x15's contamination probe:
+    * an 8-gram shared verbatim by many distinct documents is template text
+    * (headers, license blocks, navigation chrome), the thing C4/RefinedWeb
+    * strip before training. Reuses the [[grams8]] typed kernel (distinct
+    * grams per doc, so `count(*)` IS document frequency); one shuffle keyed
+    * by gram with map-side partial aggregation — true boilerplate is
+    * exactly the heavy-hitter key, and count-only partials absorb it
+    * before the exchange. Only df >= 2 grams are emitted (the df = 1 tail
+    * is the corpus itself and would dominate the output for no signal).
+    */
+  val x18: GraftQuery = GraftQuery(
+    "x18_boilerplate_df",
+    (s, d) => grams8(Tables.documents(s, d))
+      .groupBy("g").agg(count(lit(1)).as("df"), min("doc_id").as("first_doc"))
+      .filter(col("df") >= 2),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+           |  THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w) - 7)])
+           |  ELSE [] END) AS g FROM t)
+           |SELECT g, count(*) AS df, min(doc_id) AS first_doc
+           |FROM g GROUP BY g HAVING count(*) >= 2""".stripMargin))
+
+  /** Mixture-plan tier targets: fraction of the training mix each source
+    * tier should contribute (sources are grouped into 4 tiers of 5).
+    */
+  private val TierFrac = Seq(0.4, 0.3, 0.2, 0.1)
+
+  /** X19 (beyond reference): dataset-mixture planning — given target mix
+    * fractions per source tier, derive the deterministic per-tier sampling
+    * rate that realizes the mixture while keeping as much data as possible:
+    * the achievable total is T* = min_t(tokens_t / frac_t) and each tier
+    * samples at rate_t = frac_t * T* / tokens_t (the binding tier keeps
+    * everything, rate 1.0). This is the calibration step upstream of
+    * [[x12]]'s stratified hash sample: x19 computes the rates, x12-style
+    * predicates apply them. One hash aggregation to 4 rows, then
+    * constant-size arithmetic — at 100 TB the only work is the scan.
+    */
+  val x19: GraftQuery = GraftQuery(
+    "x19_mixture_plan",
+    (s, d) => {
+      val tierCol = expr("CAST(substr(source, 4) AS INT) div 5").as("tier")
+      val frac = TierFrac.zipWithIndex
+        .foldLeft(lit(null).cast("double")) { case (acc, (f, i)) =>
+          when(col("tier") === i, lit(f)).otherwise(acc) }
+      val byTier = Tables.documents(s, d)
+        .select(tierCol, size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .withColumn("target_frac", frac)
+      val achievable = byTier
+        .agg(min(col("n_tokens").cast("double") / col("target_frac")).as("t_star"))
+      byTier.crossJoin(broadcast(achievable))
+        .select(col("tier"), col("n_docs"), col("n_tokens"), col("target_frac"),
+          (col("target_frac") * col("t_star") / col("n_tokens")).as("rate"),
+          (col("target_frac") * col("t_star")).as("sampled_tokens"))
+    },
+    Some("""WITH t AS (SELECT CAST(substr(source, 4) AS INT) // 5 AS tier,
+           |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+           |bt AS (SELECT tier, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(CASE tier WHEN 0 THEN 0.4 WHEN 1 THEN 0.3 WHEN 2 THEN 0.2 ELSE 0.1 END AS DOUBLE) AS target_frac
+           |  FROM t GROUP BY tier),
+           |a AS (SELECT min(n_tokens::DOUBLE / target_frac) AS t_star FROM bt)
+           |SELECT tier, n_docs, n_tokens, target_frac,
+           |  target_frac * t_star / n_tokens AS rate,
+           |  target_frac * t_star AS sampled_tokens
+           |FROM bt CROSS JOIN a""".stripMargin))
+
+  /** Quality-ordered selection buckets for [[x20]] — a pure function of the
+    * quality score, so bucket order IS selection order and ties stay inside
+    * one bucket.
+    */
+  private val BudgetBuckets = 256
+
+  /** X20 (beyond reference): token-budget curation — rank the corpus by
+    * quality (the [[x3]] composite) and keep the best documents until half
+    * the total token budget is spent (the data-selection step of every
+    * curated pretraining run). The global running sum is computed WITHOUT a
+    * single-partition window: docs land in [[BudgetBuckets]] ordered
+    * buckets (bucket = floor((1-quality)*256), monotone in the selection
+    * order), per-bucket token subtotals produce broadcast-size offsets, and
+    * the in-bucket window partitions by bucket — so at 100 TB every
+    * exchange is keyed and the only single-partition state is the 256-row
+    * offset table. A bare `ORDER BY quality DESC` window would funnel the
+    * whole corpus through one task; this is the same partial-then-offset
+    * decomposition a distributed prefix sum uses. Selection compares
+    * `2 * cum <= total` in BIGINT — no float budget arithmetic.
+    */
+  val x20: GraftQuery = GraftQuery(
+    "x20_token_budget_select",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), size(col("w")).as("n_tok"),
+          (lit(0.5) * least(lit(1.0), size(col("w")).cast("double") / 100.0) +
+            lit(0.5) * (lit(1.0) - expr("size(filter(w, t -> t IN ('the', 'a', 'or', 'and', 'of')))").cast("double") / size(col("w"))))
+            .as("quality"))
+        .withColumn("b", least(lit(BudgetBuckets - 1),
+          floor((lit(1.0) - col("quality")) * BudgetBuckets)).cast("int"))
+      val offsets = scored.groupBy("b")
+        .agg(sum(col("n_tok").cast("long")).as("btok"))
+        .withColumn("offset",
+          coalesce(sum("btok").over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "offset")
+      val total = scored.agg(sum(col("n_tok").cast("long")).as("total"))
+      val wb = Window.partitionBy("b").orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.join(broadcast(offsets), "b").crossJoin(broadcast(total))
+        .withColumn("cum_tok", col("offset") + sum(col("n_tok").cast("long")).over(wb))
+        .withColumn("selected", col("cum_tok") * 2 <= col("total"))
+        .select("doc_id", "n_tok", "quality", "cum_tok", "selected")
+    },
+    Some("""WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_tok,
+           |  0.5 * least(1.0, CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0) +
+           |  0.5 * (1.0 - CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'or', 'and', 'of'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality
+           |  FROM documents),
+           |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM t),
+           |c AS (SELECT doc_id, n_tok, quality,
+           |  CAST(sum(n_tok::BIGINT) OVER (ORDER BY quality DESC, doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok FROM t)
+           |SELECT doc_id, n_tok, quality, cum_tok, cum_tok * 2 <= total AS selected
+           |FROM c CROSS JOIN tot""".stripMargin))
+
+  /** X21 (beyond reference): incremental dedup — the steady-state shape of
+    * corpus dedup: a NEW batch (here the src19 slice) arrives and must be
+    * deduped (a) against the existing corpus and (b) within itself, without
+    * ever re-deduping the corpus. The key is a CANONICAL fingerprint (md5 of
+    * the sorted distinct word set) rather than raw-text md5 — word-order
+    * shuffles and repetition don't defeat it, so it catches the near-dup
+    * rewrites raw hashing misses while staying an exact, joinable key.
+    * Corpus side reduces to distinct fingerprints (md5-keyed shuffle,
+    * uniform); batch side takes one window over its own fingerprints for
+    * first-occurrence; the verdict join is hash-keyed. At 100 TB the corpus
+    * fingerprint set is the big side and stays partitioned — nothing
+    * rescans corpus text, which is the entire point of running dedup
+    * incrementally.
+    */
+  val x21: GraftQuery = GraftQuery(
+    "x21_incremental_dedup",
+    (s, d) => {
+      val canon = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("source") =!= "src19")
+        .select(canon.as("h")).distinct()
+        .withColumn("in_corpus", lit(true))
+      val wh = Window.partitionBy("h")
+      docs.filter(col("source") === "src19")
+        .select(col("doc_id"), canon.as("h"))
+        .withColumn("batch_first", col("doc_id") === min("doc_id").over(wh))
+        .join(corpus, Seq("h"), "left")
+        .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+        .withColumn("keep", !col("in_corpus") && col("batch_first"))
+        .select("doc_id", "h", "in_corpus", "batch_first", "keep")
+    },
+    Some("""WITH k AS (SELECT doc_id, source,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS h
+           |  FROM documents),
+           |corpus AS (SELECT DISTINCT h FROM k WHERE source != 'src19'),
+           |batch AS (SELECT doc_id, h,
+           |  doc_id = min(doc_id) OVER (PARTITION BY h) AS batch_first
+           |  FROM k WHERE source = 'src19')
+           |SELECT b.doc_id, b.h, c.h IS NOT NULL AS in_corpus, b.batch_first,
+           |  (c.h IS NULL AND b.batch_first) AS keep
+           |FROM batch b LEFT JOIN corpus c ON b.h = c.h""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x17)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
+      x17, x18, x19, x20, x21)
 }
