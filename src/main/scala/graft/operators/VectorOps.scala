@@ -390,5 +390,108 @@ object VectorOps {
            |SELECT q_id, label, neighbor_id, cos FROM pairs
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7)
+  /** PQ geometry: vectors cut into M = dim/S subspaces of S dims, each
+    * encoded against a Ks-codeword codebook (for the 64-dim driver table:
+    * 8 subspaces x 4-bit codes — the float vector compresses to 32 bits).
+    */
+  private val PqS = 8
+  private val PqKs = 16
+
+  /** V8 (beyond reference): product-quantization ANN with asymmetric
+    * distance (ADC) — the third standard ANN family next to IVF (v2/v4)
+    * and hyperplane LSH (v5), and the one vector stores use to keep
+    * billion-vector indexes in RAM: the corpus is stored as M small codes
+    * per vector, and a query scores candidates with M table lookups
+    * instead of a 64-dim float scan. Codebooks here are the [[centroids]]
+    * hash-sample sliced per subspace (deterministic, so the oracle can
+    * replay encode + lookup + rank bit-for-bit; production would Lloyd-
+    * refine each subspace exactly like [[v4]]).
+    *
+    * Scale shape: the codebook (Ks rows) and query set are broadcast; one
+    * typed pass over the corpus computes codes AND emits per-query ADC
+    * scores from precomputed M x Ks lookup tables — no shuffle until the
+    * per-query top-k rank, whose input is k-prunable per partition. At
+    * 100 TB the corpus would persist its 32-bit codes once (a pure map,
+    * like [[v6]]) and serving touches codes only. All distance folds run
+    * in ascending index order — bit-identical cross-engine.
+    */
+  val v8: GraftQuery = GraftQuery(
+    "v8_pq_adc_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      // tiny deterministic sides, collected for the kernel's lookup tables
+      // (the same data a production PQ index broadcasts to every scorer)
+      val cb: Array[Array[Double]] = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(PqKs)
+        .select(toD).as[Seq[Double]].collect().map(_.toArray)
+      val qs: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), toD).as[(Long, Seq[Double])]
+        .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
+      val bc = s.sparkContext.broadcast((cb, qs))
+
+      val scored = emb.select(col("vec_id"), toD.as("e"))
+        .as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val (cbL, qL) = bc.value
+          val pqM = cbL(0).length / PqS
+          // squared L2 over one subspace, folded in ascending dim order
+          def dist(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
+            var sm = 0.0; var i = 0
+            while (i < PqS) { val df = a(ao + i) - b(bo + i); sm += df * df; i += 1 }
+            sm
+          }
+          // per-query ADC lookup tables: dd(m)(j) = d(q_sub_m, codeword_j_m)
+          val qtab = qL.map { case (qid, qa) =>
+            (qid, Array.tabulate(pqM, PqKs)((m, j) => dist(qa, m * PqS, cbL(j), m * PqS)))
+          }
+          it.flatMap { case (cid, ce) =>
+            val ca = ce.toArray
+            val codes = Array.tabulate(pqM) { m =>
+              var best = 0; var bd = Double.MaxValue; var j = 0
+              while (j < PqKs) {
+                val dd = dist(ca, m * PqS, cbL(j), m * PqS)
+                if (dd < bd) { bd = dd; best = j }
+                j += 1
+              }
+              best
+            }
+            qtab.iterator.filter(_._1 != cid).map { case (qid, tab) =>
+              var adc = 0.0; var m = 0
+              while (m < pqM) { adc += tab(m)(codes(m)); m += 1 }
+              (qid, cid, adc)
+            }
+          }
+        }.toDF("q_id", "neighbor_id", "adc")
+
+      val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "neighbor_id", "adc")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8)
 }

