@@ -326,5 +326,41 @@ object StreamingOps {
            |FROM sq GROUP BY user_id, session_seq""".stripMargin),
     bench = false)
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t16, t10)
+  /** T17 (beyond reference): append-mode windowed aggregation where the
+    * watermark actually EVICTS — the production semantics t11's complete
+    * mode deliberately sidesteps. In append mode a window is emitted
+    * exactly once, when the watermark passes its end; on bounded replay the
+    * final no-data micro-batch advances the watermark to max(ts) - delay
+    * and flushes every closed window, while windows within the delay of the
+    * stream head stay open (held back, NOT emitted) — which is precisely
+    * what bounds state on an unbounded stream. The oracle replays the
+    * bounded-input fixpoint: batch bucketing filtered to windows whose end
+    * the final watermark passed (Spark truncates the observed max event
+    * time to milliseconds before subtracting the delay — mirrored with
+    * date_trunc).
+    */
+  val t17: GraftQuery = GraftQuery(
+    "t17_stream_append_eviction",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+        .select(col("window.start").as("bucket_ts"), col("event_type"),
+          col("n"), col("total"))
+        .writeStream.format("memory").queryName("graft_t17")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t17")
+    },
+    Some("""WITH wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL '10 minutes' AS w FROM events)
+           |SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts, event_type,
+           |count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1, 2
+           |HAVING bucket_ts + INTERVAL '5 minutes' <= (SELECT w FROM wm)""".stripMargin),
+    bench = false)
+
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t16, t17, t10)
 }

@@ -102,4 +102,28 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id").collect()
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  test("t17 append mode emits exactly the watermark-closed windows of t11") {
+    import org.apache.spark.sql.functions.{col, expr, max}
+    // t11 (complete mode) is the full window set; t17 (append) must emit
+    // precisely the subset whose end the final watermark passed, and hold
+    // back every window within the 10-minute delay of the stream head.
+    val complete = graft.operators.StreamingOps.t11.build(spark, sf)
+      .select("bucket_ts", "event_type", "n", "total").collect()
+      .map(_.toSeq).toSet
+    val appended = graft.operators.StreamingOps.t17.build(spark, sf)
+      .select("bucket_ts", "event_type", "n", "total").collect()
+      .map(_.toSeq).toSet
+    assert(appended.nonEmpty && appended.subsetOf(complete))
+    val wm = graft.core.Tables.events(spark, sf)
+      .agg(max(expr("timestamp_millis(unix_millis(ts)) - INTERVAL 10 MINUTES")))
+      .head().getTimestamp(0)
+    val (closed, open) = complete.partition { r =>
+      val end = java.sql.Timestamp.from(
+        r.head.asInstanceOf[java.sql.Timestamp].toInstant.plusSeconds(300))
+      !end.after(wm)
+    }
+    assert(appended === closed, "append output != watermark-closed windows")
+    assert(open.nonEmpty, "fixture should leave some windows open")
+  }
 }
