@@ -970,11 +970,81 @@ object Relational {
         .drop("event_type")
   }
 
+  /** Recursion body for [[a19]]: a nonlinear clamped running balance
+    * (token-bucket recurrence state = max(0, state + value - 100)) over
+    * each user's first 16 events. The max() clamp makes the fold
+    * window-INEXPRESSIBLE — this is the semantics that otherwise forces a
+    * typed kernel (a9's shape), now runnable as pure SQL on Spark 4's
+    * WITH RECURSIVE. The 16-step cap bounds recursion depth; `rel` is the
+    * ranked (user_id, value, idx) input relation.
+    */
+  private def a19Sql(rel: String): String =
+    s"""step(user_id, idx, state) AS (
+       |  SELECT user_id, 0, CAST(0.0 AS DOUBLE) FROM (SELECT DISTINCT user_id FROM $rel) u
+       |  UNION ALL
+       |  SELECT r.user_id, r.idx,
+       |    greatest(CAST(0.0 AS DOUBLE), s.state + r.value - CAST(100.0 AS DOUBLE))
+       |  FROM step s JOIN $rel r ON r.user_id = s.user_id AND r.idx = s.idx + 1)
+       |SELECT user_id, CAST(max(idx) AS INT) AS n_steps,
+       |  max_by(state, idx) AS final_state
+       |FROM step GROUP BY user_id""".stripMargin
+
+  /** A19 (beyond reference): recursive CTE — Spark 4's WITH RECURSIVE
+    * executed as an iterative union loop. The ranked input is materialized
+    * ONCE (localCheckpoint) before the loop: the recursion re-plans its
+    * body every iteration, so an un-materialized input would redo the
+    * scan + rank window 16 times (measured ~2.5x slower end-to-end). Each
+    * iteration advances every user's frontier one step via a (user, idx)
+    * equi-join — keyed exchanges, bounded total rows. Scale note:
+    * iteration count = chain depth and every iteration is a full plan
+    * segment, so at 100 TB the typed kernel (a9 shape: ONE shuffle,
+    * in-task fold) remains the preferred form for long chains; the
+    * recursive CTE is the SQL surface for bounded recursion, proven by
+    * running the same recursion text in DuckDB.
+    */
+  val a19 = q(
+    "a19_recursive_cte_fold",
+    """WITH RECURSIVE r AS (SELECT * FROM (
+      |    SELECT user_id, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+      |    FROM events) t WHERE idx <= 16),
+      |""".stripMargin + a19Sql("r")) { (s, d) =>
+    val ranked = Tables.events(s, d)
+      .select(col("user_id"), col("value"),
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))).as("idx"))
+      .filter(col("idx") <= 16)
+      .localCheckpoint()
+    ranked.createOrReplaceTempView("graft_a19_r")
+    s.sql("WITH RECURSIVE " + a19Sql("graft_a19_r"))
+  }
+
+  /** F21 (beyond reference): VARIANT ingestion — Spark 4's semi-structured
+    * type: the JSON envelope is parsed once into a binary VARIANT and
+    * fields come back out with `variant_get` path+type extraction (the
+    * open-schema ingestion shape lakehouse pipelines use for raw JSON
+    * columns). The oracle is the roundtrip identity: extraction must
+    * reproduce the original typed columns exactly (shortest-repr JSON
+    * doubles re-parse to the identical IEEE value). Pure per-row map —
+    * scan-parallel at any scale, no shuffle.
+    */
+  val f21 = q(
+    "f21_variant_roundtrip",
+    "SELECT event_id, user_id, event_type, value FROM events") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("parse_json(to_json(struct(user_id, event_type, value)))").as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.user_id', 'bigint')").as("user_id"),
+        expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
+        expr("variant_get(v, '$.value', 'double')").as("value"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, set1,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, set1,
     w1, w2, w3, o1, o2, o3,
-    f2, f3, f6n, f10, f12, f14, f15, f16, f20, u3, u3b)
+    f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }
