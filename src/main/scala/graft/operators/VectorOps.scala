@@ -493,5 +493,133 @@ object VectorOps {
            |SELECT q_id, neighbor_id, adc FROM scored
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8)
+  /** V9 (beyond reference): IVF-PQ composition — the two scale levers
+    * joined the way production vector indexes ship them (FAISS IndexIVFPQ
+    * shape): IVF cells prune WHICH vectors a query touches (top-2 probed
+    * cells of [[v2]]), PQ codes compress HOW each touched vector is scored
+    * ([[v8]]'s ADC lookup tables). One typed corpus pass computes cell +
+    * codes and emits ADC scores only for queries probing that vector's
+    * cell — at 100 TB the scan reads ~probe/K of the corpus as 32-bit
+    * codes, no floats, no shuffle before the per-query top-k. (Production
+    * additionally encodes residuals x - centroid per cell and Lloyd-refines
+    * both levels — the v4 refinement applied twice; the pruning and
+    * scoring dataflow is identical.) Cell assignment, probe choice, codes
+    * and ADC folds are all deterministic and order-fixed, so the oracle
+    * replays the full two-level index bit-for-bit.
+    */
+  val v9: GraftQuery = GraftQuery(
+    "v9_ivfpq_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      // DuckDB list_cosine_similarity semantics: index-order accumulation,
+      // dot / (sqrt(na) * sqrt(nb)) — matches plans.CosineSimilarityExpr
+      def cosL(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // tiny deterministic index sides (cells double as the PQ sample)
+      val cents: Array[(Long, Array[Double])] = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(K)
+        .select(col("vec_id"), toD).as[(Long, Seq[Double])]
+        .collect().map { case (id, e) => (id, e.toArray) }
+      val cb: Array[Array[Double]] = cents.map(_._2)
+      val qs: Array[(Long, Array[Double])] = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), toD).as[(Long, Seq[Double])]
+        .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
+      val bc = s.sparkContext.broadcast((cents, cb, qs))
+
+      val scored = emb.select(col("vec_id"), toD.as("e"))
+        .as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val (cnts, cbL, qL) = bc.value
+          val pqM = cbL(0).length / PqS
+          def dist(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
+            var sm = 0.0; var i = 0
+            while (i < PqS) { val df = a(ao + i) - b(bo + i); sm += df * df; i += 1 }
+            sm
+          }
+          // nearest cell: cosine desc, ties to smallest centroid id (the
+          // exact assign() / oracle rule)
+          def cellOf(v: Array[Double]): Long = {
+            var bestId = Long.MaxValue; var bestCos = Double.NegativeInfinity
+            cnts.foreach { case (kid, ke) =>
+              val c = cosL(v, ke)
+              if (c > bestCos || (c == bestCos && kid < bestId)) { bestCos = c; bestId = kid }
+            }
+            bestId
+          }
+          // per-query: probed top-2 cells + ADC lookup tables
+          val qinfo = qL.map { case (qid, qa) =>
+            val ranked = cnts.map { case (kid, ke) => (kid, cosL(qa, ke)) }
+              .sortBy { case (kid, c) => (-c, kid) }.take(2).map(_._1).toSet
+            val tab = Array.tabulate(pqM, PqKs)((m, j) => dist(qa, m * PqS, cbL(j), m * PqS))
+            (qid, ranked, tab)
+          }
+          it.flatMap { case (cid, ce) =>
+            val ca = ce.toArray
+            val cell = cellOf(ca)
+            val codes = Array.tabulate(pqM) { m =>
+              var best = 0; var bd = Double.MaxValue; var j = 0
+              while (j < PqKs) {
+                val dd = dist(ca, m * PqS, cbL(j), m * PqS)
+                if (dd < bd) { bd = dd; best = j }
+                j += 1
+              }
+              best
+            }
+            qinfo.iterator
+              .filter { case (qid, cells, _) => qid != cid && cells.contains(cell) }
+              .map { case (qid, _, tab) =>
+                var adc = 0.0; var m = 0
+                while (m < pqM) { adc += tab(m)(codes(m)); m += 1 }
+                (qid, cid, adc)
+              }
+          }
+        }.toDF("q_id", "neighbor_id", "adc")
+
+      val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "neighbor_id", "adc")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |assign AS (SELECT vec_id, k_id AS cell FROM (
+           |  SELECT v.vec_id, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, k_id AS cell FROM (
+           |  SELECT q.vec_id, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |cand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+           |  FROM probes p JOIN assign a ON a.cell = p.cell
+           |  WHERE a.vec_id != p.q_id),
+           |scored AS (SELECT cand.q_id, cand.neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM cand JOIN codes c ON c.vec_id = cand.neighbor_id
+           |  JOIN qd ON qd.q_id = cand.q_id AND qd.m = c.m AND qd.j = c.code
+           |  GROUP BY cand.q_id, cand.neighbor_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9)
 }

@@ -149,6 +149,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
 
+  test("v9 IVF-PQ top-3 stays within the query's cluster on clustered data") {
+    // composition gate: cell pruning (v2's property) + code scoring (v8's
+    // property) must still land every neighbor in the query's own cluster
+    val dir = clusteredDir()
+    val rows = VectorOps.v9.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(n / 25 === q / 25, s"query $q got cross-cluster neighbor $n")
+    }
+  }
+
+  test("v9 IVF-PQ candidates are a subset of v8 full-corpus PQ by ADC") {
+    // IVF pruning only removes candidates; for any (q, neighbor) that both
+    // return, the ADC score must be identical (same codes, same tables)
+    val v8r = VectorOps.v8.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val v9r = VectorOps.v9.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(v9r.nonEmpty)
+    v9r.foreach { case (k, adc) =>
+      v8r.get(k).foreach(expected => assert(adc === expected))
+    }
+  }
+
   test("v8 PQ ADC scores are nonnegative and ranked ascending per query") {
     val rows = VectorOps.v8.build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
