@@ -1040,11 +1040,37 @@ object Relational {
         expr("variant_get(v, '$.value', 'double')").as("value"))
   }
 
+  /** W4 (beyond reference): RANGE-frame window — the time-based moving
+    * aggregate (trailing 5-minute count/sum per user) that ROWS frames
+    * cannot express when event spacing is irregular. Spark orders by
+    * `unix_micros(ts)` with a [-300s, 0] microsecond range — identical
+    * inclusive-boundary and peer-row semantics to DuckDB's
+    * `RANGE BETWEEN INTERVAL '5 minutes' PRECEDING AND CURRENT ROW` at
+    * microsecond precision. One WindowExec: one exchange on user_id + one
+    * per-partition sort at any scale; money sums go through the DECIMAL
+    * path for cross-engine exactness.
+    */
+  val w4 = q(
+    "w4_range_frame_movsum",
+    """SELECT user_id, event_id, ts,
+      |count(*) OVER w AS n_5min,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_5min
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL '5 minutes' PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-300000000L, 0L)
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_5min"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_5min"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, set1,
-    w1, w2, w3, o1, o2, o3,
+    w1, w2, w3, w4, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -910,7 +910,81 @@ object TextOps {
            |  (c.h IS NULL AND b.batch_first) AS keep
            |FROM batch b LEFT JOIN corpus c ON b.h = c.h""".stripMargin))
 
+  /** X22 (beyond reference): PII redaction — the scrub pass curation
+    * pipelines run before anything else touches raw text (emails, phone
+    * numbers -> placeholder tokens). The driver corpus is synthetic
+    * lowercase words with no PII, so the query first INJECTS deterministic
+    * PII into every 10th document (the injection is part of the checked
+    * query, not a fixture) and then detects + redacts it; the md5 of the
+    * redacted text pins the exact scrub output. Pure per-row regex map —
+    * scan-parallel, shuffle-free at any corpus size; the patterns are
+    * RE2/Java-compatible so both engines match identically.
+    */
+  val x22: GraftQuery = GraftQuery(
+    "x22_pii_redaction",
+    (s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "555-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("raw", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-0142")))
+          .otherwise(col("text")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(phone), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("raw"), email, "[EMAIL]"),
+            phone, "[PHONE]")).as("clean_md5"))
+    },
+    Some("""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+           |  THEN text || ' contact user' || doc_id || '@example.com or call 555-0142'
+           |  ELSE text END AS raw FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(raw,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |    '555-[0-9]{4}', '[PHONE]', 'g')) AS clean_md5
+           |FROM inj""".stripMargin))
+
+  /** OOV vocabulary size for [[x23]] (the driver corpus has 31 distinct
+    * words, so top-16 splits it meaningfully).
+    */
+  private val VocabK = 16
+
+  /** X23 (beyond reference): out-of-vocabulary rate — the integer-exact
+    * stand-in for LM-perplexity quality scoring (log-prob scores are not
+    * bit-reproducible across engines; OOV fraction against a corpus-derived
+    * vocabulary is, and correlates with the same junk). Two aggregations:
+    * corpus term counts -> top-K vocabulary (count desc, word — a global
+    * TOP-K via sort-limit, not a full sort), then one explode + broadcast
+    * vocab probe + per-doc aggregate. At 100 TB the vocabulary is a
+    * constant-size broadcast and the corpus is scanned twice (once to build
+    * vocab, once to score) — the standard two-pass shape.
+    */
+  val x23: GraftQuery = GraftQuery(
+    "x23_oov_rate",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(VocabK)
+        .select(col("w"), lit(true).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+    },
+    Some(s"""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM wds GROUP BY 1
+           |  ORDER BY c DESC, w LIMIT $VocabK) t)
+           |SELECT wds.doc_id, count(*) AS n_tok,
+           |  count(CASE WHEN vocab.w IS NULL THEN 1 END) AS n_oov,
+           |  count(CASE WHEN vocab.w IS NULL THEN 1 END)::DOUBLE / count(*) AS oov_rate
+           |FROM wds LEFT JOIN vocab ON wds.w = vocab.w
+           |GROUP BY wds.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21)
+      x17, x18, x19, x20, x21, x22, x23)
 }
