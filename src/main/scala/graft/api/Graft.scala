@@ -1,0 +1,78 @@
+package graft.api
+
+import graft.operators.{GraphOps, TextOps, VectorOps}
+import graft.operators.GapFill
+import org.apache.spark.sql.DataFrame
+
+/** Public library facade: DataFrame-in / DataFrame-out entry points for the
+  * engine's reusable operators, so a user can run the same pipelines on
+  * THEIR tables — the driver-contract queries (`SparkEntry.queries`) are
+  * these operators applied to the test tables, which is what keeps this
+  * surface oracle-verified.
+  *
+  * Column contracts (rename with a `select` before calling):
+  *   - text corpus: `doc_id: long`, `text: string`
+  *   - vectors:     `vec_id: long`, `embedding: array<float>`
+  *
+  * Every operator is scale-safe by design (see SCALE.md): no all-pairs
+  * joins, candidate generation via LSH banding, closures via alternating-
+  * star contraction, broadcast for provably-small sides only.
+  */
+object Graft {
+
+  // ---- corpus deduplication -----------------------------------------------
+
+  /** Exact duplicate groups by content hash: (h, n, keeper). */
+  def exactDupGroups(docs: DataFrame): DataFrame = TextOps.exactDupGroups(docs)
+
+  /** Near-duplicate pairs at `threshold` 3-shingle Jaccard (LSH-bucketed +
+    * exact-verified): (a_id, b_id, jaccard), a_id < b_id.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.9): DataFrame =
+    TextOps.nearDupPairs(docs, threshold)
+
+  /** Duplicate clusters — transitive closure over [[nearDupPairs]]:
+    * (doc_id, component, n_members); singletons included.
+    */
+  def dupComponents(docs: DataFrame, threshold: Double = 0.9): DataFrame =
+    TextOps.dupComponents(docs, threshold)
+
+  /** Connected components over an arbitrary undirected edge list
+    * (u: long, v: long), labeled by minimum member id; `universe` supplies
+    * the full node set (isolated nodes become singletons).
+    */
+  def components(universe: DataFrame, idCol: String, edges: DataFrame): DataFrame =
+    GraphOps.components(universe, idCol, edges)
+
+  // ---- text analysis ------------------------------------------------------
+
+  /** Per-doc token statistics (whitespace + BPE-ish regex counts). */
+  def tokenStats(docs: DataFrame): DataFrame = TextOps.tokenStats(docs)
+
+  /** Composite quality score in [0, 1] per doc. */
+  def qualityScore(docs: DataFrame): DataFrame = TextOps.qualityScore(docs)
+
+  /** Overlapping 64-token passages with md5 digests per chunk. */
+  def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
+
+  // ---- similarity search --------------------------------------------------
+
+  /** Exact cosine top-k neighbors of `queries` in `corpus` (self excluded):
+    * (q_id, neighbor_id, cos). Queries are broadcast — keep that side small
+    * (the ANN variants in [[graft.operators.VectorOps]] are the scale path
+    * for large query sets).
+    */
+  def annBruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
+    VectorOps.bruteForceTopK(corpus, queries, k)
+
+  // ---- time series --------------------------------------------------------
+
+  /** Linear gap-fill over per-key bucketed series (see [[GapFill.linearKernel]]):
+    * fills every missing bucket between each key's first and last
+    * observation by linear interpolation. `keyCol` must be long-typed (or
+    * long-castable), `bucketCol` a timestamp, `valueCol` a double.
+    */
+  def gapFillLinear(df: DataFrame, keyCol: String, bucketCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame =
+    GapFill.linearKernel(df, keyCol, bucketCol, valueCol, stepSeconds)
+}

@@ -20,16 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Distinct word set per doc. */
-  private def wordSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"),
+  /** Distinct word set per doc (`docs` needs doc_id + text columns). */
+  private def wordSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("sh"))
 
   /** Distinct 3-word shingle set per doc (the near-dup unit — single words
     * are too common in natural text for set similarity to discriminate).
     */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"),
         when(size(col("w")) >= 3,
@@ -120,14 +120,82 @@ object TextOps {
   private def jaccard(a: Column, b: Column): Column =
     call_function("graft_array_jaccard", a, b)
 
+  // ------------------------------------------------------------------------
+  // Public DataFrame-in operator API (see graft.api.Graft). Every function
+  // takes a corpus with (doc_id: long, text: string) columns and returns a
+  // DataFrame; the driver queries below delegate to these on the test
+  // tables, so the library surface is exactly what the oracle gate checks.
+  // ------------------------------------------------------------------------
+
+  /** Exact duplicate groups by content hash: (h, n, keeper=min doc_id). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+
+  /** Near-duplicate pairs at `threshold` 3-shingle Jaccard:
+    * (a_id, b_id, jaccard), a_id < b_id. LSH-bucketed (16x4 bands, miss
+    * < 1e-7 at j >= 0.9), exact-verified — never all-pairs.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val sets = shingleSets(docs)
+    withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Duplicate clusters: transitive closure of [[nearDupPairs]] —
+    * (doc_id, component, n_members); singletons are their own component.
+    */
+  def dupComponents(docs: DataFrame, threshold: Double): DataFrame =
+    GraphOps.components(docs, "doc_id",
+      nearDupPairs(docs, threshold).select(col("a_id").as("u"), col("b_id").as("v")))
+      .select(col("id").as("doc_id"), col("component"), col("n_members"))
+
+  /** Per-doc token statistics (whitespace + BPE-ish regex token counts). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .as("n_bpe_tokens"),
+      length(col("text")).as("len_chars"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(split(col("text"), " "))).as("avg_word_len"))
+
+  /** Overlapping token-window passages: (doc_id, chunk_idx, n_tok,
+    * chunk_md5) — 64-token windows advancing by 48. Pure lateral fan-out,
+    * zero shuffle.
+    */
+  def chunkPassages(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .withColumn("nc", when(col("n") <= ChunkTokens, lit(1))
+        .otherwise(expr(s"1 + (n - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride").cast("int")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_idx"))
+      .withColumn("chunk", expr(
+        s"slice(w, chunk_idx * $ChunkStride + 1, least($ChunkTokens, n - chunk_idx * $ChunkStride))"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+
+  /** Composite quality score in [0, 1]: length + stopword-ratio terms. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        (lit(0.5) * least(lit(1.0), size(col("w")).cast("double") / 100.0) +
+          lit(0.5) * (lit(1.0) - expr("size(filter(w, t -> t IN ('the', 'a', 'or', 'and', 'of')))").cast("double") / size(col("w"))))
+          .as("quality"))
+
   /** X1: exact dedup via content-hash groupBy (the canonical first pass of
     * any corpus dedup; hash-shuffle on md5 keys, uniform by construction).
     */
   val x1: GraftQuery = GraftQuery(
     "x1_exact_dedup_md5",
-    (s, d) => Tables.documents(s, d)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper")),
+    (s, d) => exactDupGroups(Tables.documents(s, d)),
     Some("SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)"))
 
   /** X5: MinHash duplicate-set detection (threshold 1.0): one band of all
@@ -142,7 +210,7 @@ object TextOps {
   val x5: GraftQuery = GraftQuery(
     "x5_minhash_lsh_dupsets",
     (s, d) => {
-      val sets = wordSets(s, d)
+      val sets = wordSets(Tables.documents(s, d))
       withSets(lshCandidates(sets, numHashes = 64, bands = 1, rows = 64), sets)
         .filter(size(array_intersect(col("a_sh"), col("b_sh"))) ===
           size(array_union(col("a_sh"), col("b_sh"))))
@@ -160,14 +228,7 @@ object TextOps {
     */
   val x7: GraftQuery = GraftQuery(
     "x7_ngram_jaccard_neardup",
-    (s, d) => {
-      graft.plans.GraftExtensions.register(s)
-      val sets = shingleSets(s, d)
-      withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
-        .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
-        .filter(col("jaccard") >= 0.9)
-        .select("a_id", "b_id", "jaccard")
-    },
+    (s, d) => nearDupPairs(Tables.documents(s, d), 0.9),
     Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
            |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
@@ -228,14 +289,7 @@ object TextOps {
     */
   val x2: GraftQuery = GraftQuery(
     "x2_token_stats",
-    (s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      size(split(col("text"), " ")).as("n_words"),
-      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
-        .as("n_bpe_tokens"),
-      length(col("text")).as("len_chars"),
-      (length(regexp_replace(col("text"), " ", "")).cast("double") /
-        size(split(col("text"), " "))).as("avg_word_len")),
+    (s, d) => tokenStats(Tables.documents(s, d)),
     Some("""SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_words,
            |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
            |CAST(length(text) AS INT) AS len_chars,
@@ -247,12 +301,7 @@ object TextOps {
     */
   val x3: GraftQuery = GraftQuery(
     "x3_quality_score",
-    (s, d) => Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"),
-        (lit(0.5) * least(lit(1.0), size(col("w")).cast("double") / 100.0) +
-          lit(0.5) * (lit(1.0) - expr("size(filter(w, t -> t IN ('the', 'a', 'or', 'and', 'of')))").cast("double") / size(col("w"))))
-          .as("quality")),
+    (s, d) => qualityScore(Tables.documents(s, d)),
     Some("""SELECT doc_id,
            |0.5 * least(1.0, CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0) +
            |0.5 * (1.0 - CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'or', 'and', 'of'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality
@@ -476,15 +525,7 @@ object TextOps {
     */
   val x11: GraftQuery = GraftQuery(
     "x11_dupset_components",
-    (s, d) => {
-      graft.plans.GraftExtensions.register(s)
-      val sets = shingleSets(s, d)
-      val pairs = withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
-        .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.9)
-        .select(col("a_id").as("u"), col("b_id").as("v"))
-      GraphOps.components(Tables.documents(s, d), "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("component"), col("n_members"))
-    },
+    (s, d) => dupComponents(Tables.documents(s, d), 0.9),
     Some("""WITH RECURSIVE t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
            |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
@@ -535,18 +576,7 @@ object TextOps {
     */
   val x13: GraftQuery = GraftQuery(
     "x13_chunk_passages",
-    (s, d) => Tables.documents(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n", size(col("w")))
-      .withColumn("nc", when(col("n") <= ChunkTokens, lit(1))
-        .otherwise(expr(s"1 + (n - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride").cast("int")))
-      .select(col("doc_id"), col("w"), col("n"),
-        explode(expr("sequence(0, nc - 1)")).as("chunk_idx"))
-      .withColumn("chunk", expr(
-        s"slice(w, chunk_idx * $ChunkStride + 1, least($ChunkTokens, n - chunk_idx * $ChunkStride))"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("chunk")).as("n_tok"),
-        md5(concat_ws(" ", col("chunk"))).as("chunk_md5")),
+    (s, d) => chunkPassages(Tables.documents(s, d)),
     Some(s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
            |c AS (SELECT doc_id, w, len(w) AS n,
            |  CASE WHEN len(w) <= $ChunkTokens THEN 1
@@ -714,16 +744,11 @@ object TextOps {
   val x17: GraftQuery = GraftQuery(
     "x17_dedup_keep_best",
     (s, d) => {
-      graft.plans.GraftExtensions.register(s)
-      val sets = shingleSets(s, d)
-      val pairs = withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
-        .filter(jaccard(col("a_sh"), col("b_sh")) >= 0.9)
-        .select(col("a_id").as("u"), col("b_id").as("v"))
-      val comp = GraphOps.components(Tables.documents(s, d), "doc_id", pairs)
-        .select(col("id").as("doc_id"), col("component"))
+      val docs = Tables.documents(s, d)
+      val comp = dupComponents(docs, 0.9).select("doc_id", "component")
       val wk = Window.partitionBy("component")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-      comp.join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      comp.join(docs.select("doc_id", "n_chars"), "doc_id")
         .withColumn("keep", row_number().over(wk) === 1)
         .select("doc_id", "component", "n_chars", "keep")
     },

@@ -29,6 +29,22 @@ object VectorOps {
     call_function("graft_cosine", col(aE), col(bE))
   }
 
+  /** Public DataFrame-in API (see graft.api.Graft): exact cosine top-k.
+    * `corpus` and `queries` need (vec_id: long, embedding: array<float>)
+    * columns; returns (q_id, neighbor_id, cos), k rows per query, self
+    * excluded. The query side is broadcast; the corpus is scanned once.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = withNorm(corpus, "c")
+    val q = withNorm(queries, "q")
+    val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("cos", cosine("q_e", "c_e"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
   /** V1: brute-force cosine top-k (k=3) for a small query set — the exact
     * baseline every ANN variant is measured against. The query side is tiny
     * and broadcast; the corpus is scanned once, partition-local top-k then
@@ -37,15 +53,8 @@ object VectorOps {
   val v1: GraftQuery = GraftQuery(
     "v1_ann_bruteforce_topk",
     (s, d) => {
-      graft.plans.GraftExtensions.register(s)
       val emb = Tables.embeddings(s, d)
-      val corpus = withNorm(emb, "c")
-      val queries = withNorm(emb.filter(col("vec_id") < 10), "q")
-      val scored = corpus.join(broadcast(queries), col("c_id") =!= col("q_id"))
-        .withColumn("cos", cosine("q_e", "c_e"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+      bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3)
     },
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
            |q AS (SELECT * FROM v WHERE vec_id < 10),

@@ -1,0 +1,94 @@
+package graft
+
+import graft.api.Graft
+
+/** The library facade must work on ARBITRARY user DataFrames, not just the
+  * driver test tables — this suite builds its own tiny corpus/vector sets
+  * in memory and exercises every Graft entry point end-to-end.
+  */
+class GraftApiSpec extends SparkSpec {
+
+  import SparkSpec.spark.implicits._
+
+  private def corpus() = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+    (4L, "one two three four five six seven eight nine ten"),
+    (5L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the exact duplicate and nothing else") {
+    val groups = Graft.exactDupGroups(corpus()).collect()
+    assert(groups.length === 4) // 5 docs, one pair collapses
+    val dup = groups.filter(_.getLong(1) == 2L)
+    assert(dup.length === 1 && dup.head.getLong(2) === 1L) // keeper = min id
+  }
+
+  test("nearDupPairs finds the shingle near-dup pair with jaccard < 1") {
+    val pairs = Graft.nearDupPairs(corpus(), threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(ids.contains((1L, 3L)) || ids.contains((2L, 3L))) // near dup
+    pairs.foreach { case (a, b, j) => assert(a < b && j >= 0.5 && j <= 1.0) }
+  }
+
+  test("dupComponents clusters 1,2,3 together and leaves 4,5 singletons") {
+    val comp = Graft.dupComponents(corpus(), threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(comp(1L) === ((1L, 3L)) && comp(2L) === ((1L, 3L)) && comp(3L) === ((1L, 3L)))
+    assert(comp(4L) === ((4L, 1L)) && comp(5L) === ((5L, 1L)))
+  }
+
+  test("components closes transitive chains over a custom edge list") {
+    val universe = (1L to 6L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("u", "v")
+    val comp = Graft.components(universe, "node", edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(4L) === 4L && comp(5L) === 5L && comp(6L) === 5L)
+  }
+
+  test("tokenStats and qualityScore run on user corpora") {
+    val stats = Graft.tokenStats(corpus()).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stats(1L) === 8 && stats(4L) === 10)
+    val quality = Graft.qualityScore(corpus()).collect()
+    assert(quality.length === 5)
+    quality.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("chunkPassages emits one short chunk for short docs") {
+    val chunks = Graft.chunkPassages(corpus()).collect()
+    assert(chunks.length === 5) // all docs shorter than one 64-token window
+    chunks.foreach(r => assert(r.getInt(1) === 0))
+  }
+
+  test("annBruteForceTopK ranks an obvious nearest neighbor first") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)), // nearly parallel to 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Graft.annBruteForceTopK(vecs, vecs.filter($"vec_id" === 1L), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.length === 2)
+    assert(got.map(_._1).head === 2L) // rank 1 = the nearly-parallel vector
+    assert(got.forall { case (_, c) => c >= -1.0 && c <= 1.0 })
+  }
+
+  test("gapFillLinear interpolates missing buckets on a user series") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val series = Seq(
+      (7L, ts(0), 10.0),
+      (7L, ts(3), 40.0) // 3-minute gap at 1-minute buckets
+    ).toDF("key", "bucket", "value")
+    val filled = Graft.gapFillLinear(series, "key", "bucket", "value", 60L)
+      .collect().map(r => r.getTimestamp(1) -> r.getDouble(2)).toMap
+    assert(filled.size === 4)
+    assert(filled(ts(1)) === 20.0 && filled(ts(2)) === 30.0)
+  }
+}
