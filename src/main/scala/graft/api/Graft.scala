@@ -65,6 +65,14 @@ object Graft {
   def annBruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
     VectorOps.bruteForceTopK(corpus, queries, k)
 
+  /** IVF-bucketed approximate cosine top-k — the scale path: queries touch
+    * only their `probes` nearest cells (~probes/K of the corpus) instead of
+    * scanning it. Recall gates live in VectorOpsSpec.
+    */
+  def annIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probes: Int = 2): DataFrame =
+    VectorOps.ivfTopK(corpus, queries, k, probes)
+
   // ---- time series --------------------------------------------------------
 
   /** Linear gap-fill over per-key bucketed series (see [[GapFill.linearKernel]]):

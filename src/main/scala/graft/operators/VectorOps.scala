@@ -76,9 +76,11 @@ object VectorOps {
   private val K = 16
 
   /** The K centroids: deterministic hash-sample, same set in any engine. */
+  private def centroidsOf(corpus: DataFrame): DataFrame =
+    withNorm(corpus.orderBy(md5(col("vec_id").cast("string"))).limit(K), "k")
+
   private def centroids(s: SparkSession, d: String): DataFrame =
-    withNorm(Tables.embeddings(s, d)
-      .orderBy(md5(col("vec_id").cast("string"))).limit(K), "k")
+    centroidsOf(Tables.embeddings(s, d))
 
   /** Nearest-centroid assignment against an arbitrary (small) centroid
     * set: one K-row broadcast join + per-vector rank — O(n*K),
@@ -106,28 +108,37 @@ object VectorOps {
     * itself is deterministic SQL — the oracle replays centroid selection,
     * assignment, probing, and ranking exactly.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): IVF-bucketed ANN.
+    * Same column contract as [[bruteForceTopK]]; `probes` = number of
+    * nearest cells each query searches. Centroids are the deterministic
+    * hash-sample of `corpus`.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cents = centroidsOf(corpus)
+    val assigned = assign(withNorm(corpus, "c"), cents)
+
+    val q = withNorm(queries, "q")
+    val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
+    val probed = q.join(broadcast(cents), col("q_id").isNotNull)
+      .withColumn("kcos", cosine("q_e", "k_e"))
+      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= probes)
+      .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
+
+    // rank within probed posting lists only
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", cosine("q_e", "c_e"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
   val v2: GraftQuery = GraftQuery(
     "v2_ann_ivf_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = centroids(s, d)
-      val assigned = ivfAssign(s, d)
-
-      // queries probe their 2 nearest centroids
-      val queries = withNorm(emb.filter(col("vec_id") < 10), "q")
-      val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
-      val probes = queries.join(broadcast(cents), col("q_id").isNotNull)
-        .withColumn("kcos", cosine("q_e", "k_e"))
-        .withColumn("rk", row_number().over(qw)).filter(col("rk") <= 2)
-        .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
-
-      // rank within probed posting lists only
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-      assigned.join(broadcast(probes), Seq("cluster"))
-        .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos", cosine("q_e", "c_e"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+      ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
     },
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
            |cents AS (SELECT vec_id AS k_id, e AS ke FROM v

@@ -79,6 +79,20 @@ class GraftApiSpec extends SparkSpec {
     assert(got.forall { case (_, c) => c >= -1.0 && c <= 1.0 })
   }
 
+  test("annIvfTopK returns k in-cell neighbors on a user vector set") {
+    val rng = new scala.util.Random(5)
+    val vecs = (0L until 100L).map { id =>
+      val base = Array.fill(8)(0.0f)
+      base((id / 25).toInt) = 1.0f // four orthogonal clusters of 25
+      (id, base.map(_ + rng.nextFloat() * 0.01f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Graft.annIvfTopK(vecs, vecs.filter($"vec_id" < 3L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.groupBy(_._1).forall(_._2.length == 2))
+    got.foreach { case (q, n) => assert(n / 25 === q / 25) } // same cluster
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
