@@ -362,5 +362,61 @@ object StreamingOps {
            |HAVING bucket_ts + INTERVAL '5 minutes' <= (SELECT w FROM wm)""".stripMargin),
     bench = false)
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t16, t17, t10)
+  /** T18 (beyond reference): LEFT OUTER stream-stream interval join — the
+    * outer half of the join matrix t14's inner join starts: clicks with no
+    * purchase in their 10-minute window must STILL be emitted (null-padded),
+    * but only once the watermark proves no future purchase can match —
+    * that's the state-eviction moment, so outer results trickle out as
+    * event time advances rather than at end-of-stream. On bounded replay
+    * the final no-data batch advances the watermark to
+    * min(max click_ts, max purchase_ts) - 10min (ms-truncated) and flushes
+    * the matured unmatched clicks; clicks whose match window is still open
+    * against that watermark are held back. The oracle replays both halves:
+    * the batch interval join plus the null-padded anti-join rows whose
+    * window the final watermark closed.
+    */
+  val t18: GraftQuery = GraftQuery(
+    "t18_stream_outer_join",
+    (s, d) => {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+          "leftOuter")
+        .select(col("click_id"), col("purchase_id"), col("user_id"), col("value"))
+        .writeStream.format("memory").queryName("graft_t18")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t18")
+    },
+    Some("""WITH wm AS (SELECT least(
+           |    (SELECT date_trunc('millisecond', max(ts)) FROM events WHERE event_type = 'click'),
+           |    (SELECT date_trunc('millisecond', max(ts)) FROM events WHERE event_type = 'purchase'))
+           |  - INTERVAL '10 minutes' AS w),
+           |matched AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id, p.value
+           |  FROM events c JOIN events p ON c.user_id = p.user_id
+           |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+           |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+           |SELECT * FROM matched
+           |UNION ALL
+           |SELECT c.event_id AS click_id, NULL AS purchase_id, c.user_id, NULL AS value
+           |FROM events c
+           |WHERE c.event_type = 'click'
+           |  AND c.event_id NOT IN (SELECT click_id FROM matched)
+           |  AND c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)""".stripMargin),
+    bench = false)
+
+  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t16, t17, t18, t10)
 }
