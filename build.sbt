@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // session timeZone pins Catalyst; user.timezone pins the JVM default that
+  // java.sql.Timestamp.toString / toLocalDateTime render in — tests that
+  // stringify timestamps would otherwise fail on a non-UTC host
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -26,9 +26,17 @@ object Bench {
     z ^ (z >>> 31)
   }
 
+  /** Sink for calibration results — consuming every spin() return value
+    * through a volatile keeps the loop observable, so the JIT cannot
+    * dead-code-eliminate the timed computation (the classic microbenchmark
+    * pitfall blackholes exist for).
+    */
+  @volatile private var blackhole: Long = 0L
+
   private def spin(n: Long, seed: Long): Long = {
     var acc = seed; var i = 0L
     while (i < n) { acc = mix(acc ^ i); i += 1 }
+    blackhole ^= acc
     acc
   }
 

@@ -115,10 +115,14 @@ object Snapshots {
         .withColumn("_w", when(col("_change_type") === "insert", 1L).otherwise(-1L))
         .drop("_change_type"))
     tagged.groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_net"))
-      // assert_true returns NULL on pass, so the filter keeps every valid
-      // row and the first negative net raises mid-scan
-      .filter(assert_true(col("_net") >= 0L,
-        lit("changelog deletes a row absent from the snapshot")).isNull)
+      // the assert is woven into the VALUE the filter compares (assert_true
+      // is NULL on pass, so `when` yields _net), not a separate conjunct —
+      // a standalone `.filter(assert_true(...))` next to `.filter(_net > 0)`
+      // would rely on Catalyst's conjunct evaluation order, and a reorder
+      // could short-circuit past the assert for exactly the corrupt rows
+      .withColumn("_net", when(assert_true(col("_net") >= 0L,
+        lit("changelog deletes a row absent from the snapshot")).isNull,
+        col("_net")))
       .filter(col("_net") > 0L)
       .withColumn("_dup", explode(expr("sequence(1, _net)")))
       .drop("_net", "_dup")

@@ -867,13 +867,19 @@ object TextOps {
             .as("quality"))
         .withColumn("b", least(lit(BudgetBuckets - 1),
           floor((lit(1.0) - col("quality")) * BudgetBuckets)).cast("int"))
-      val offsets = scored.groupBy("b")
+      // one corpus scan produces the 256-row subtotals; offsets AND the
+      // grand total both derive from that materialized table (deriving
+      // `total` from `scored` directly would re-split and re-score the
+      // whole corpus a third time — at 100 TB, a full wasted pass)
+      val perBucket = scored.groupBy("b")
         .agg(sum(col("n_tok").cast("long")).as("btok"))
+        .localCheckpoint()
+      val offsets = perBucket
         .withColumn("offset",
           coalesce(sum("btok").over(Window.orderBy("b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select("b", "offset")
-      val total = scored.agg(sum(col("n_tok").cast("long")).as("total"))
+      val total = perBucket.agg(sum("btok").as("total"))
       val wb = Window.partitionBy("b").orderBy(col("quality").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       scored.join(broadcast(offsets), "b").crossJoin(broadcast(total))

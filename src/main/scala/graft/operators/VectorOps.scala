@@ -417,6 +417,41 @@ object VectorOps {
   private val PqS = 8
   private val PqKs = 16
 
+  /** Squared L2 over one PqS-dim subspace, folded in ascending dim order
+    * (the fold order is the cross-engine bit-exactness contract — shared by
+    * v8 and v9 so their ADC scores are identical by construction).
+    */
+  private def pqDist(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
+    var sm = 0.0; var i = 0
+    while (i < PqS) { val df = a(ao + i) - b(bo + i); sm += df * df; i += 1 }
+    sm
+  }
+
+  /** Per-subspace code assignment: argmin [[pqDist]] over the codebook,
+    * ties to the smallest codeword index (the oracle's ORDER BY dd, j).
+    */
+  private def pqEncode(ca: Array[Double], cbL: Array[Array[Double]], pqM: Int): Array[Int] =
+    Array.tabulate(pqM) { m =>
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < PqKs) {
+        val dd = pqDist(ca, m * PqS, cbL(j), m * PqS)
+        if (dd < bd) { bd = dd; best = j }
+        j += 1
+      }
+      best
+    }
+
+  /** Per-query ADC lookup table: dd(m)(j) = d(q_sub_m, codeword_j_m). */
+  private def pqTable(qa: Array[Double], cbL: Array[Array[Double]], pqM: Int): Array[Array[Double]] =
+    Array.tabulate(pqM, PqKs)((m, j) => pqDist(qa, m * PqS, cbL(j), m * PqS))
+
+  /** ADC score: table lookups summed in ascending subspace order. */
+  private def pqAdc(tab: Array[Array[Double]], codes: Array[Int]): Double = {
+    var adc = 0.0; var m = 0
+    while (m < codes.length) { adc += tab(m)(codes(m)); m += 1 }
+    adc
+  }
+
   /** V8 (beyond reference): product-quantization ANN with asymmetric
     * distance (ADC) — the third standard ANN family next to IVF (v2/v4)
     * and hyperplane LSH (v5), and the one vector stores use to keep
@@ -456,31 +491,11 @@ object VectorOps {
         .mapPartitions { it =>
           val (cbL, qL) = bc.value
           val pqM = cbL(0).length / PqS
-          // squared L2 over one subspace, folded in ascending dim order
-          def dist(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
-            var sm = 0.0; var i = 0
-            while (i < PqS) { val df = a(ao + i) - b(bo + i); sm += df * df; i += 1 }
-            sm
-          }
-          // per-query ADC lookup tables: dd(m)(j) = d(q_sub_m, codeword_j_m)
-          val qtab = qL.map { case (qid, qa) =>
-            (qid, Array.tabulate(pqM, PqKs)((m, j) => dist(qa, m * PqS, cbL(j), m * PqS)))
-          }
+          val qtab = qL.map { case (qid, qa) => (qid, pqTable(qa, cbL, pqM)) }
           it.flatMap { case (cid, ce) =>
-            val ca = ce.toArray
-            val codes = Array.tabulate(pqM) { m =>
-              var best = 0; var bd = Double.MaxValue; var j = 0
-              while (j < PqKs) {
-                val dd = dist(ca, m * PqS, cbL(j), m * PqS)
-                if (dd < bd) { bd = dd; best = j }
-                j += 1
-              }
-              best
-            }
+            val codes = pqEncode(ce.toArray, cbL, pqM)
             qtab.iterator.filter(_._1 != cid).map { case (qid, tab) =>
-              var adc = 0.0; var m = 0
-              while (m < pqM) { adc += tab(m)(codes(m)); m += 1 }
-              (qid, cid, adc)
+              (qid, cid, pqAdc(tab, codes))
             }
           }
         }.toDF("q_id", "neighbor_id", "adc")
@@ -556,11 +571,6 @@ object VectorOps {
         .mapPartitions { it =>
           val (cnts, cbL, qL) = bc.value
           val pqM = cbL(0).length / PqS
-          def dist(a: Array[Double], ao: Int, b: Array[Double], bo: Int): Double = {
-            var sm = 0.0; var i = 0
-            while (i < PqS) { val df = a(ao + i) - b(bo + i); sm += df * df; i += 1 }
-            sm
-          }
           // nearest cell: cosine desc, ties to smallest centroid id (the
           // exact assign() / oracle rule)
           def cellOf(v: Array[Double]): Long = {
@@ -575,28 +585,15 @@ object VectorOps {
           val qinfo = qL.map { case (qid, qa) =>
             val ranked = cnts.map { case (kid, ke) => (kid, cosL(qa, ke)) }
               .sortBy { case (kid, c) => (-c, kid) }.take(2).map(_._1).toSet
-            val tab = Array.tabulate(pqM, PqKs)((m, j) => dist(qa, m * PqS, cbL(j), m * PqS))
-            (qid, ranked, tab)
+            (qid, ranked, pqTable(qa, cbL, pqM))
           }
           it.flatMap { case (cid, ce) =>
             val ca = ce.toArray
             val cell = cellOf(ca)
-            val codes = Array.tabulate(pqM) { m =>
-              var best = 0; var bd = Double.MaxValue; var j = 0
-              while (j < PqKs) {
-                val dd = dist(ca, m * PqS, cbL(j), m * PqS)
-                if (dd < bd) { bd = dd; best = j }
-                j += 1
-              }
-              best
-            }
+            val codes = pqEncode(ca, cbL, pqM)
             qinfo.iterator
               .filter { case (qid, cells, _) => qid != cid && cells.contains(cell) }
-              .map { case (qid, _, tab) =>
-                var adc = 0.0; var m = 0
-                while (m < pqM) { adc += tab(m)(codes(m)); m += 1 }
-                (qid, cid, adc)
-              }
+              .map { case (qid, _, tab) => (qid, cid, pqAdc(tab, codes)) }
           }
         }.toDF("q_id", "neighbor_id", "adc")
 

@@ -14,7 +14,8 @@ class PlanGuardSpec extends SparkSpec {
     "t6_foreachbatch_overwrite", "t11_stream_windowed_agg",
     "t12_stream_dedup", "t13_stream_table_mirror",
     "t14_stream_stream_join", "t15_stream_merge_upsert",
-    "t16_stream_session_window")
+    "t16_stream_session_window", "t17_stream_append_eviction",
+    "t18_stream_outer_join")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval") {
