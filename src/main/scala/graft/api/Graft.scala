@@ -37,6 +37,18 @@ object Graft {
   def dupComponents(docs: DataFrame, threshold: Double = 0.9): DataFrame =
     TextOps.dupComponents(docs, threshold)
 
+  /** Exact duplicate-set pairs via full-signature MinHash banding:
+    * (a_id, b_id) for identical word sets, a_id < b_id.
+    */
+  def minHashDupSets(docs: DataFrame): DataFrame = TextOps.minHashDupSets(docs)
+
+  /** Incremental dedup verdicts for a `batch` of new docs against an
+    * existing `corpus` (reduced to canonical fingerprints, never rescanned):
+    * (doc_id, h, in_corpus, batch_first, keep).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    TextOps.incrementalDedup(corpus, batch)
+
   /** Connected components over an arbitrary undirected edge list
     * (u: long, v: long), labeled by minimum member id; `universe` supplies
     * the full node set (isolated nodes become singletons).
@@ -54,6 +66,19 @@ object Graft {
 
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
+
+  /** Benchmark decontamination: per `train` doc, verbatim 8-gram hits
+    * against the (broadcast) `benchmark` set: (doc_id, n_hits, contaminated).
+    */
+  def contaminationCheck(train: DataFrame, benchmark: DataFrame): DataFrame =
+    TextOps.contaminationCheck(train, benchmark)
+
+  /** Concatenate-and-chunk packing layout into `packTokens`-token context
+    * windows, packed independently per `domainCol` shard:
+    * (doc_id, domain, n_tok, start_tok, first_pack, last_pack, n_packs).
+    */
+  def sequencePack(docs: DataFrame, domainCol: String, packTokens: Int = 256): DataFrame =
+    TextOps.sequencePack(docs, domainCol, packTokens)
 
   // ---- similarity search --------------------------------------------------
 

@@ -153,6 +153,70 @@ object TextOps {
       nearDupPairs(docs, threshold).select(col("a_id").as("u"), col("b_id").as("v")))
       .select(col("id").as("doc_id"), col("component"), col("n_members"))
 
+  /** Exact duplicate-set pairs: MinHash full-signature banding (threshold
+    * 1.0 — identical word sets collide, near-identical ones almost never
+    * do), verified exactly: (a_id, b_id), a_id < b_id.
+    */
+  def minHashDupSets(docs: DataFrame): DataFrame = {
+    val sets = wordSets(docs)
+    withSets(lshCandidates(sets, numHashes = 64, bands = 1, rows = 64), sets)
+      .filter(size(array_intersect(col("a_sh"), col("b_sh"))) ===
+        size(array_union(col("a_sh"), col("b_sh"))))
+      .select("a_id", "b_id")
+  }
+
+  /** Benchmark decontamination report: per `train` doc, how many of its
+    * distinct 8-grams appear verbatim in `benchmark` (which is broadcast —
+    * keep it the small side): (doc_id, n_hits, contaminated).
+    */
+  def contaminationCheck(train: DataFrame, benchmark: DataFrame): DataFrame = {
+    val bench = grams8(benchmark).select("g").distinct()
+    val hits = grams8(train)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    // left side is the full train set, not the gram stream — docs shorter
+    // than 8 words emit no grams but still belong in the report (n_hits 0)
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Sequence-packing layout: each doc's span in concatenate-and-chunk
+    * context windows of `packTokens`, packed independently per
+    * `domainCol` (the shard domain — a global sequence would serialize the
+    * running sum through one partition).
+    */
+  def sequencePack(docs: DataFrame, domainCol: String, packTokens: Int): DataFrame = {
+    val w = Window.partitionBy(domainCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col(domainCol),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_pack", expr(s"start_tok div $packTokens"))
+      .withColumn("last_pack", expr(s"(start_tok + n_tok - 1) div $packTokens"))
+      .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+  }
+
+  /** Incremental dedup verdicts for a new `batch` against an existing
+    * `corpus` (never rescanned beyond its fingerprints): canonical
+    * sorted-word-set md5 keys; (doc_id, h, in_corpus, batch_first, keep).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val canon = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))))
+    val corpusH = corpus.select(canon.as("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val wh = Window.partitionBy("h")
+    batch.select(col("doc_id"), canon.as("h"))
+      .withColumn("batch_first", col("doc_id") === min("doc_id").over(wh))
+      .join(corpusH, Seq("h"), "left")
+      .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+      .withColumn("keep", !col("in_corpus") && col("batch_first"))
+      .select("doc_id", "h", "in_corpus", "batch_first", "keep")
+  }
+
   /** Per-doc token statistics (whitespace + BPE-ish regex token counts). */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
@@ -209,13 +273,7 @@ object TextOps {
     */
   val x5: GraftQuery = GraftQuery(
     "x5_minhash_lsh_dupsets",
-    (s, d) => {
-      val sets = wordSets(Tables.documents(s, d))
-      withSets(lshCandidates(sets, numHashes = 64, bands = 1, rows = 64), sets)
-        .filter(size(array_intersect(col("a_sh"), col("b_sh"))) ===
-          size(array_union(col("a_sh"), col("b_sh"))))
-        .select("a_id", "b_id")
-    },
+    (s, d) => minHashDupSets(Tables.documents(s, d)),
     Some("""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS w FROM documents)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id
            |FROM t a JOIN t b ON a.doc_id < b.doc_id
@@ -670,18 +728,9 @@ object TextOps {
     "x15_contamination_check",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val bench = grams8(docs.filter(col("source") === "src0"))
-        .select("g").distinct()
-      val hits = grams8(docs.filter(col("source") =!= "src0"))
-        .join(broadcast(bench), "g")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      // left side is the documents table itself, not the gram stream —
-      // docs shorter than 8 words emit no grams but still belong in the
-      // decontamination report (with n_hits = 0)
-      Tables.documents(s, d).filter(col("source") =!= "src0").select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
-        .withColumn("contaminated", col("n_hits") > 0)
+      contaminationCheck(
+        train = docs.filter(col("source") =!= "src0"),
+        benchmark = docs.filter(col("source") === "src0"))
     },
     Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents),
            |g AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 8
@@ -709,17 +758,7 @@ object TextOps {
     */
   val x16: GraftQuery = GraftQuery(
     "x16_sequence_pack",
-    (s, d) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).as("n_tok"))
-        .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
-        .withColumn("first_pack", expr(s"start_tok div $PackTokens"))
-        .withColumn("last_pack", expr(s"(start_tok + n_tok - 1) div $PackTokens"))
-        .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
-    },
+    (s, d) => sequencePack(Tables.documents(s, d), "source", PackTokens),
     Some(s"""WITH t AS (SELECT doc_id, source,
            |  CAST(len(str_split(text, ' ')) AS INT) AS n_tok FROM documents),
            |c AS (SELECT doc_id, source, n_tok,
@@ -915,20 +954,10 @@ object TextOps {
   val x21: GraftQuery = GraftQuery(
     "x21_incremental_dedup",
     (s, d) => {
-      val canon = md5(concat_ws(" ",
-        array_sort(array_distinct(split(col("text"), " ")))))
       val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("source") =!= "src19")
-        .select(canon.as("h")).distinct()
-        .withColumn("in_corpus", lit(true))
-      val wh = Window.partitionBy("h")
-      docs.filter(col("source") === "src19")
-        .select(col("doc_id"), canon.as("h"))
-        .withColumn("batch_first", col("doc_id") === min("doc_id").over(wh))
-        .join(corpus, Seq("h"), "left")
-        .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
-        .withColumn("keep", !col("in_corpus") && col("batch_first"))
-        .select("doc_id", "h", "in_corpus", "batch_first", "keep")
+      incrementalDedup(
+        corpus = docs.filter(col("source") =!= "src19"),
+        batch = docs.filter(col("source") === "src19"))
     },
     Some("""WITH k AS (SELECT doc_id, source,
            |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS h

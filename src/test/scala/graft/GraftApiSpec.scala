@@ -65,6 +65,48 @@ class GraftApiSpec extends SparkSpec {
     chunks.foreach(r => assert(r.getInt(1) === 0))
   }
 
+  test("minHashDupSets finds exactly the identical-word-set pair") {
+    val pairs = Graft.minHashDupSets(corpus()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("incrementalDedup keeps only novel first-occurrence batch docs") {
+    val corpusDf = corpus().filter($"doc_id" <= 3L)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of corpus 1
+      (11L, "brand new content never seen before today"),
+      (12L, "brand new content never seen before today")      // in-batch dup of 11
+    ).toDF("doc_id", "text")
+    val verdicts = Graft.incrementalDedup(corpusDf, batch).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(verdicts(10L) === ((true, true, false)))  // known to corpus
+    assert(verdicts(11L) === ((false, true, true)))  // novel, first
+    assert(verdicts(12L) === ((false, false, false))) // novel, but not first
+  }
+
+  test("contaminationCheck flags the train doc sharing an 8-gram run") {
+    val benchmark = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix w1 w2 w3 w4 w5 w6 w7 w8 suffix"), // shares the 8-gram
+      (2L, "totally unrelated words in this document here")
+    ).toDF("doc_id", "text")
+    val got = Graft.contaminationCheck(train, benchmark).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
+  test("sequencePack lays docs end-to-end per domain with gapless offsets") {
+    val docs = Seq(
+      (1L, "a", ("w " * 9).trim), (2L, "a", ("w " * 5).trim), (3L, "b", ("w " * 4).trim)
+    ).toDF("doc_id", "domain", "text")
+    val packed = Graft.sequencePack(docs, "domain", packTokens = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(6))).toMap
+    assert(packed(1L) === ((0L, 2L)))  // 9 tokens spans packs 0-1
+    assert(packed(2L) === ((9L, 1L))) // starts where doc 1 ended
+    assert(packed(3L) === ((0L, 1L))) // domain b packs independently
+  }
+
   test("annBruteForceTopK ranks an obvious nearest neighbor first") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
