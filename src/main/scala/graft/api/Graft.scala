@@ -64,6 +64,13 @@ object Graft {
   /** Composite quality score in [0, 1] per doc. */
   def qualityScore(docs: DataFrame): DataFrame = TextOps.qualityScore(docs)
 
+  /** Gopher-style quality rule scalars + keep predicate per doc. */
+  def qualityRules(docs: DataFrame): DataFrame = TextOps.qualityRules(docs)
+
+  /** SimHash 32-bit fingerprint per doc: (doc_id, simhash). */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    TextOps.simhashFingerprints(docs)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 

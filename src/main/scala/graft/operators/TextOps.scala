@@ -305,34 +305,40 @@ object TextOps {
     * fingerprint cross-engine: the DuckDB oracle recomputes the identical
     * bits, so this is hash-checked, not just property-tested.
     */
-  val x6: GraftQuery = GraftQuery(
-    "x6_simhash_fingerprint",
-    (s, d) => {
-      import s.implicits._
-      Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { case (id, text) =>
-            val counts = new Array[Int](32)
-            val seen = scala.collection.mutable.HashSet.empty[String]
-            text.split(" ").foreach { t =>
-              if (seen.add(t)) {
-                val v = HashDraw.draw(md, t)
-                var b = 0
-                while (b < 32) {
-                  counts(b) += (if (((v >> b) & 1L) == 1L) 1 else -1)
-                  b += 1
-                }
+  /** SimHash 32-bit fingerprint per doc: (doc_id, simhash) — majority
+    * vote over md5-based distinct-word hashes, one typed pass.
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val counts = new Array[Int](32)
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          text.split(" ").foreach { t =>
+            if (seen.add(t)) {
+              val v = HashDraw.draw(md, t)
+              var b = 0
+              while (b < 32) {
+                counts(b) += (if (((v >> b) & 1L) == 1L) 1 else -1)
+                b += 1
               }
             }
-            var sh = 0L
-            var b = 0
-            while (b < 32) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
-            (id, sh)
           }
+          var sh = 0L
+          var b = 0
+          while (b < 32) { if (counts(b) > 0) sh |= 1L << b; b += 1 }
+          (id, sh)
         }
-        .toDF("doc_id", "simhash")
-    },
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  val x6: GraftQuery = GraftQuery(
+    "x6_simhash_fingerprint",
+    (s, d) => simhashFingerprints(Tables.documents(s, d)),
     Some("""WITH w AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents),
            |e AS (SELECT doc_id, unnest(ws) AS t FROM w),
            |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv FROM e),
@@ -654,30 +660,35 @@ object TextOps {
     * anything, so the pass is a single scan at any corpus size. Ratios are
     * int/int IEEE divisions — bitwise identical cross-engine.
     */
+  /** Gopher-style quality rules per doc: length, mean word length,
+    * repetition, top-word dominance, plus the composite keep predicate.
+    */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val ct = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    ct.groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"),
+        sum(length(col("w")) * col("c")).as("n_word_chars"))
+      .withColumn("mean_word_len",
+        col("n_word_chars").cast("double") / col("n_words"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_words"))
+      .withColumn("top_word_frac",
+        col("top_count").cast("double") / col("n_words"))
+      .withColumn("keep",
+        col("n_words") >= 20 && col("distinct_ratio") > 0.4 &&
+          col("top_word_frac") < 0.15 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .select("doc_id", "n_words", "n_distinct", "top_count",
+        "mean_word_len", "distinct_ratio", "top_word_frac", "keep")
+  }
+
   val x14: GraftQuery = GraftQuery(
     "x14_quality_rules",
-    (s, d) => {
-      val ct = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      ct.groupBy("doc_id").agg(
-          sum("c").as("n_words"),
-          count(lit(1)).as("n_distinct"),
-          max("c").as("top_count"),
-          sum(length(col("w")) * col("c")).as("n_word_chars"))
-        .withColumn("mean_word_len",
-          col("n_word_chars").cast("double") / col("n_words"))
-        .withColumn("distinct_ratio",
-          col("n_distinct").cast("double") / col("n_words"))
-        .withColumn("top_word_frac",
-          col("top_count").cast("double") / col("n_words"))
-        .withColumn("keep",
-          col("n_words") >= 20 && col("distinct_ratio") > 0.4 &&
-            col("top_word_frac") < 0.15 &&
-            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
-        .select("doc_id", "n_words", "n_distinct", "top_count",
-          "mean_word_len", "distinct_ratio", "top_word_frac", "keep")
-    },
+    (s, d) => qualityRules(Tables.documents(s, d)),
     Some("""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
            |ct AS (SELECT doc_id, w, count(*) AS c FROM wds GROUP BY 1, 2),
            |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
