@@ -71,6 +71,11 @@ object Graft {
   def simhashFingerprints(docs: DataFrame): DataFrame =
     TextOps.simhashFingerprints(docs)
 
+  /** Hashing-trick bag-of-words features per doc (64 md5-derived buckets):
+    * (doc_id, n_active, sq_norm, feat_md5).
+    */
+  def hashedFeatures(docs: DataFrame): DataFrame = TextOps.hashedFeatures(docs)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 

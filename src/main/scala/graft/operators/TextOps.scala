@@ -1055,7 +1055,51 @@ object TextOps {
            |FROM wds LEFT JOIN vocab ON wds.w = vocab.w
            |GROUP BY wds.doc_id""".stripMargin))
 
+  /** Feature-hash buckets for [[x24]] (the hashing-trick dimensionality). */
+  private val HashBuckets = 64
+
+  /** Hashed bag-of-words features per doc: the hashing-trick featurizer
+    * (Weinberger et al. 2009) behind fastText-style quality classifiers —
+    * each word hashes to one of `HashBuckets` buckets (md5-derived, so both
+    * engines compute identical indexes) and the doc becomes a fixed-width
+    * count vector. Emitted as scalar-stable columns: active bucket count,
+    * exact integer squared norm, and an md5 digest of the sorted
+    * (bucket:count) pairs that pins the entire vector.
+    */
+  def hashedFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % $HashBuckets"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_active"),
+        sum(col("cnt") * col("cnt")).as("sq_norm"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(bucket, cnt))), x -> concat(x.bucket, ':', x.cnt))")))
+          .as("feat_md5"))
+
+  /** X24 (beyond reference): feature hashing — the fixed-width featurizer
+    * every lightweight corpus classifier (quality, language, topic) runs
+    * on: no vocabulary to build or broadcast, features are a pure hash of
+    * the tokens. One explode + two keyed hash aggregations (doc, bucket) /
+    * (doc) with map-side partials — a single corpus scan at any scale,
+    * same shape as x14. The md5 bucket index and the sorted-pair digest
+    * are cross-engine exact.
+    */
+  val x24: GraftQuery = GraftQuery(
+    "x24_feature_hash",
+    (s, d) => hashedFeatures(Tables.documents(s, d)),
+    Some(s"""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |b AS (SELECT doc_id,
+           |  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $HashBuckets AS bucket
+           |  FROM wds),
+           |ct AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2)
+           |SELECT doc_id, count(*) AS n_active,
+           |  CAST(sum(cnt * cnt) AS BIGINT) AS sq_norm,
+           |  md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)) AS feat_md5
+           |FROM ct GROUP BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23)
+      x17, x18, x19, x20, x21, x22, x23, x24)
 }
