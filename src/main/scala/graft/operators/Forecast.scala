@@ -38,9 +38,10 @@ final case class ForecastRow(
   * (the idiomatic replacement for ARIMA_PLUS_XREG / AI.FORECAST invocation;
   * SURVEY §7.3 mandates schema compatibility, not BQML internals).
   *
-  * Two models: seasonal-naive ("last value") with +/-10% intervals, and
-  * drift (last + h * mean slope) matching the TimesFM-shaped surface (M6).
-  * Both deterministic, hence oracle-checkable.
+  * Four models: seasonal-naive ("last value") with +/-10% intervals, drift
+  * (last + h * mean slope) matching the TimesFM-shaped surface (M6), AR(1)
+  * mean reversion (m7), and the seasonal + covariate XREG regression (m3).
+  * All deterministic, hence oracle-checkable.
   */
 object Forecast {
 
@@ -62,6 +63,21 @@ object Forecast {
         val n = pts.size
         val slope =
           if (n == 1) 0.0 else (lastP.demand - pts.head.demand) / (n - 1).toDouble
+        // AR(1) moments, every fold in ascending t order (the cross-engine
+        // bit-exactness contract — the oracle replays them with ordered
+        // list_reduce): mean, then lag-1 num/den around it
+        val mean = pts.foldLeft(0.0)(_ + _.demand) / n
+        val phi =
+          if (n == 1) 0.0
+          else {
+            var num = 0.0; var den = 0.0; var i = 1
+            while (i < n) {
+              num += (pts(i).demand - mean) * (pts(i - 1).demand - mean)
+              den += (pts(i - 1).demand - mean) * (pts(i - 1).demand - mean)
+              i += 1
+            }
+            if (den == 0.0) 0.0 else num / den
+          }
         (1 to Horizon).iterator.map { h =>
           val ts = new java.sql.Timestamp(lastP.bucket_ts.getTime + h * BucketSeconds * 1000L)
           model match {
@@ -69,6 +85,13 @@ object Forecast {
               ForecastRow(uid, ts, lastP.demand, lastP.demand * 0.9, lastP.demand * 1.1)
             case "drift" =>
               val v = lastP.demand + h * slope
+              ForecastRow(uid, ts, v, v * 0.9, v * 1.1)
+            case "ar1" =>
+              // phi^h by left-fold multiplication (== the oracle's ordered
+              // list_reduce product — pow() is NOT bit-stable cross-engine)
+              var p = phi; var i = 1
+              while (i < h) { p *= phi; i += 1 }
+              val v = mean + p * (lastP.demand - mean)
               ForecastRow(uid, ts, v, v * 0.9, v * 1.1)
           }
         }
@@ -107,6 +130,42 @@ object Forecast {
            |       last_demand + h * slope AS forecast_value,
            |       (last_demand + h * slope) * 0.9 AS lo, (last_demand + h * slope) * 1.1 AS hi
            |FROM sl CROSS JOIN generate_series(1, 12) t(h)""".stripMargin))
+
+  /** M7b (beyond reference): AR(1) forecast — mean-reverting exponential
+    * decay toward the series mean (yhat_h = mean + phi^h * (last - mean)),
+    * the classical autoregressive step up from naive/drift and the
+    * stationary half of what ARIMA fits. phi is the lag-1 autocovariance
+    * ratio in closed form; every fold (mean, num, den, phi^h) runs in
+    * ascending t order, so DuckDB reproduces the coefficients AND the decay
+    * powers bit-for-bit (pow() would not be bit-stable — the oracle uses an
+    * ordered product fold instead). Same single-shuffle per-series kernel
+    * shape as m5/m6.
+    */
+  val m7: GraftQuery = GraftQuery(
+    "m7_forecast_ar1",
+    forecastKernel("ar1"),
+    Some("""WITH base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |st AS (SELECT user_id, y, last_b, n,
+           |       list_reduce(y, (a, b) -> a + b) / n AS mean FROM ser),
+           |ph0 AS (SELECT user_id, last_b, mean, y[n] AS last_d,
+           |  CASE WHEN n = 1 THEN 0.0 ELSE list_reduce(list_transform(generate_series(2, n),
+           |    i -> (y[i] - mean) * (y[i-1] - mean)), (a, b) -> a + b) END AS num,
+           |  CASE WHEN n = 1 THEN 0.0 ELSE list_reduce(list_transform(generate_series(2, n),
+           |    i -> (y[i-1] - mean) * (y[i-1] - mean)), (a, b) -> a + b) END AS den
+           |  FROM st),
+           |ph AS (SELECT user_id, last_b, mean, last_d,
+           |       CASE WHEN den = 0.0 THEN 0.0 ELSE num / den END AS phi FROM ph0),
+           |fc AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
+           |       mean + list_reduce(list_transform(generate_series(1, h), x -> phi),
+           |         (a, b) -> a * b) * (last_d - mean) AS v
+           |       FROM ph CROSS JOIN generate_series(1, 12) t(h))
+           |SELECT user_id, forecast_timestamp, v AS forecast_value,
+           |       v * 0.9 AS lo, v * 1.1 AS hi FROM fc""".stripMargin))
 
   /** M3: ARIMA_PLUS_XREG-shaped model (part3:510-533): hour-of-day seasonal
     * component plus per-series linear regression on a time index AND an
@@ -354,5 +413,5 @@ object Forecast {
            |       max(abs_err) AS max_abs_err
            |FROM e GROUP BY user_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(m3, m4, m4b, m5, m6)
+  val all: Seq[GraftQuery] = Seq(m3, m4, m4b, m5, m6, m7)
 }
