@@ -107,6 +107,17 @@ class GraftApiSpec extends SparkSpec {
     assert(packed(3L) === ((0L, 1L))) // domain b packs independently
   }
 
+  test("hashedFeatures is identical for identical docs and pins sq_norm") {
+    val feats = Graft.hashedFeatures(corpus()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(feats(1L) === feats(2L)) // exact dup docs -> identical vectors
+    assert(feats(1L) !== feats(4L))
+    // doc 4 has 10 distinct words, each once: sq_norm = sum of cnt^2 <= 10
+    // with equality iff no bucket collision; n_active <= 10
+    val (nActive, sqNorm, _) = feats(4L)
+    assert(nActive <= 10 && sqNorm >= 10 && sqNorm <= 100)
+  }
+
   test("annBruteForceTopK ranks an obvious nearest neighbor first") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
