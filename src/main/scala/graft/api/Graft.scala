@@ -1,7 +1,6 @@
 package graft.api
 
-import graft.operators.{GraphOps, TextOps, VectorOps}
-import graft.operators.GapFill
+import graft.operators.{Forecast, GapFill, GraphOps, TextOps, VectorOps}
 import org.apache.spark.sql.DataFrame
 
 /** Public library facade: DataFrame-in / DataFrame-out entry points for the
@@ -120,4 +119,11 @@ object Graft {
   def gapFillLinear(df: DataFrame, keyCol: String, bucketCol: String,
       valueCol: String, stepSeconds: Long): DataFrame =
     GapFill.linearKernel(df, keyCol, bucketCol, valueCol, stepSeconds)
+
+  /** Per-series forecast in the ML.FORECAST output shape. `seriesDf` needs
+    * (user_id: long, bucket_ts: timestamp, demand: double); `model` is
+    * "naive" | "drift" | "ar1". 12 rows per series with interval bounds.
+    */
+  def forecast(seriesDf: DataFrame, model: String = "ar1"): DataFrame =
+    Forecast.forecast(seriesDf, model)
 }

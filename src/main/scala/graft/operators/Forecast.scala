@@ -53,9 +53,16 @@ object Forecast {
       .groupBy(col("user_id"), timestampBucket(col("ts"), BucketSeconds).as("bucket_ts"))
       .agg(decAvg(col("value")).as("demand"))
 
-  private def forecastKernel(model: String)(s: SparkSession, d: String): DataFrame = {
+  /** Public DataFrame-in API (see graft.api.Graft): per-series forecast
+    * over an arbitrary bucketed series table with (user_id: long,
+    * bucket_ts: timestamp, demand: double) columns. `model` is one of
+    * "naive" | "drift" | "ar1"; emits [[Horizon]] rows per series in the
+    * ML.FORECAST output shape.
+    */
+  def forecast(seriesDf: DataFrame, model: String): DataFrame = {
+    val s = seriesDf.sparkSession
     import s.implicits._
-    series(s, d).as[SeriesPoint]
+    seriesDf.as[SeriesPoint]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid: Long, it: Iterator[SeriesPoint]) =>
         val pts = it.toVector.sortBy(_.bucket_ts.getTime)
@@ -98,6 +105,9 @@ object Forecast {
       }
       .toDF()
   }
+
+  private def forecastKernel(model: String)(s: SparkSession, d: String): DataFrame =
+    forecast(series(s, d), model)
 
   /** M3+M5: per-series seasonal-naive forecast with intervals. */
   val m5: GraftQuery = GraftQuery(

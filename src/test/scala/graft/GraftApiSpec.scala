@@ -146,6 +146,26 @@ class GraftApiSpec extends SparkSpec {
     got.foreach { case (q, n) => assert(n / 25 === q / 25) } // same cluster
   }
 
+  test("forecast runs all three models on a user series") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val series = Seq(
+      (1L, ts(0), 10.0), (1L, ts(5), 12.0), (1L, ts(10), 14.0),
+      (2L, ts(0), 50.0)
+    ).toDF("user_id", "bucket_ts", "demand")
+    for (model <- Seq("naive", "drift", "ar1")) {
+      val rows = Graft.forecast(series, model).collect()
+      assert(rows.length === 24, s"$model: 12 rows per series")
+      rows.foreach { r =>
+        assert(!r.getDouble(2).isNaN && r.getDouble(3) <= r.getDouble(4))
+      }
+    }
+    // drift extrapolates the +2/step slope
+    val drift = Graft.forecast(series, "drift").collect()
+      .filter(_.getLong(0) == 1L).map(r => r.getTimestamp(1) -> r.getDouble(2)).toMap
+    assert(drift(ts(15)) === 16.0)
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
