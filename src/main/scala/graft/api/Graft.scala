@@ -75,6 +75,19 @@ object Graft {
     */
   def hashedFeatures(docs: DataFrame): DataFrame = TextOps.hashedFeatures(docs)
 
+  /** Out-of-vocabulary fraction per doc vs the corpus top-`vocabK` words —
+    * the integer-exact stand-in for perplexity quality scoring.
+    */
+  def oovRate(docs: DataFrame, vocabK: Int = 1000): DataFrame =
+    TextOps.oovRate(docs, vocabK)
+
+  /** Quality-ranked token-budget curation: keep the best docs while the
+    * running token sum stays within numer/denom of the corpus total
+    * (exact rational budget — defaults to half).
+    */
+  def tokenBudgetSelect(docs: DataFrame, numer: Int = 1, denom: Int = 2): DataFrame =
+    TextOps.tokenBudgetSelect(docs, numer, denom)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 
@@ -108,6 +121,13 @@ object Graft {
   def annIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
       probes: Int = 2): DataFrame =
     VectorOps.ivfTopK(corpus, queries, k, probes)
+
+  /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
+    * than [[annIvfTopK]], the variant that holds recall on clustered data.
+    */
+  def annKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probes: Int = 2): DataFrame =
+    VectorOps.kmeansTopK(corpus, queries, k, probes)
 
   // ---- time series --------------------------------------------------------
 

@@ -906,37 +906,45 @@ object TextOps {
     * decomposition a distributed prefix sum uses. Selection compares
     * `2 * cum <= total` in BIGINT — no float budget arithmetic.
     */
+  /** Token-budget curation over any corpus: quality-ranked prefix
+    * selection keeping documents while `cum * denom <= total * numer`
+    * (the budget fraction as an exact rational — no float budget
+    * arithmetic). Distributed two-level prefix sum: quality-ordered
+    * buckets, broadcast offsets, per-bucket windows.
+    */
+  def tokenBudgetSelect(docs: DataFrame, numer: Int = 1, denom: Int = 2): DataFrame = {
+    val scored = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), size(col("w")).as("n_tok"),
+        (lit(0.5) * least(lit(1.0), size(col("w")).cast("double") / 100.0) +
+          lit(0.5) * (lit(1.0) - expr("size(filter(w, t -> t IN ('the', 'a', 'or', 'and', 'of')))").cast("double") / size(col("w"))))
+          .as("quality"))
+      .withColumn("b", least(lit(BudgetBuckets - 1),
+        floor((lit(1.0) - col("quality")) * BudgetBuckets)).cast("int"))
+    // one corpus scan produces the 256-row subtotals; offsets AND the
+    // grand total both derive from that materialized table (deriving
+    // `total` from `scored` directly would re-split and re-score the
+    // whole corpus a third time — at 100 TB, a full wasted pass)
+    val perBucket = scored.groupBy("b")
+      .agg(sum(col("n_tok").cast("long")).as("btok"))
+      .localCheckpoint()
+    val offsets = perBucket
+      .withColumn("offset",
+        coalesce(sum("btok").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "offset")
+    val total = perBucket.agg(sum("btok").as("total"))
+    val wb = Window.partitionBy("b").orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(offsets), "b").crossJoin(broadcast(total))
+      .withColumn("cum_tok", col("offset") + sum(col("n_tok").cast("long")).over(wb))
+      .withColumn("selected", col("cum_tok") * denom <= col("total") * numer)
+      .select("doc_id", "n_tok", "quality", "cum_tok", "selected")
+  }
+
   val x20: GraftQuery = GraftQuery(
     "x20_token_budget_select",
-    (s, d) => {
-      val scored = Tables.documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .select(col("doc_id"), size(col("w")).as("n_tok"),
-          (lit(0.5) * least(lit(1.0), size(col("w")).cast("double") / 100.0) +
-            lit(0.5) * (lit(1.0) - expr("size(filter(w, t -> t IN ('the', 'a', 'or', 'and', 'of')))").cast("double") / size(col("w"))))
-            .as("quality"))
-        .withColumn("b", least(lit(BudgetBuckets - 1),
-          floor((lit(1.0) - col("quality")) * BudgetBuckets)).cast("int"))
-      // one corpus scan produces the 256-row subtotals; offsets AND the
-      // grand total both derive from that materialized table (deriving
-      // `total` from `scored` directly would re-split and re-score the
-      // whole corpus a third time — at 100 TB, a full wasted pass)
-      val perBucket = scored.groupBy("b")
-        .agg(sum(col("n_tok").cast("long")).as("btok"))
-        .localCheckpoint()
-      val offsets = perBucket
-        .withColumn("offset",
-          coalesce(sum("btok").over(Window.orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("b", "offset")
-      val total = perBucket.agg(sum("btok").as("total"))
-      val wb = Window.partitionBy("b").orderBy(col("quality").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.join(broadcast(offsets), "b").crossJoin(broadcast(total))
-        .withColumn("cum_tok", col("offset") + sum(col("n_tok").cast("long")).over(wb))
-        .withColumn("selected", col("cum_tok") * 2 <= col("total"))
-        .select("doc_id", "n_tok", "quality", "cum_tok", "selected")
-    },
+    (s, d) => tokenBudgetSelect(Tables.documents(s, d)),
     Some("""WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_tok,
            |  0.5 * least(1.0, CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0) +
            |  0.5 * (1.0 - CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'or', 'and', 'of'))) AS DOUBLE) / len(str_split(text, ' '))) AS quality
@@ -1033,19 +1041,24 @@ object TextOps {
     * constant-size broadcast and the corpus is scanned twice (once to build
     * vocab, once to score) — the standard two-pass shape.
     */
+  /** Out-of-vocabulary rate per doc against a corpus-derived top-`vocabK`
+    * vocabulary: (doc_id, n_tok, n_oov, oov_rate) — integer-exact.
+    */
+  def oovRate(docs: DataFrame, vocabK: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tok"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+  }
+
   val x23: GraftQuery = GraftQuery(
     "x23_oov_rate",
-    (s, d) => {
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w")).limit(VocabK)
-        .select(col("w"), lit(true).as("in_vocab"))
-      words.join(broadcast(vocab), Seq("w"), "left")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"),
-          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
-        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
-    },
+    (s, d) => oovRate(Tables.documents(s, d), VocabK),
     Some(s"""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
            |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM wds GROUP BY 1
            |  ORDER BY c DESC, w LIMIT $VocabK) t)

@@ -174,11 +174,12 @@ object VectorOps {
     * rises to ~sqrt(n) via k-means|| oversampling. Empty clusters drop out
     * of the groupBy identically in both engines.
     */
-  private def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+  private def kmeansCentroidsOf(corpusRaw: DataFrame): DataFrame = {
+    val s = corpusRaw.sparkSession
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
-    val corpus = withNorm(Tables.embeddings(s, d), "c")
-    var cents = centroids(s, d)
+    val corpus = withNorm(corpusRaw, "c")
+    var cents = centroidsOf(corpusRaw)
     for (_ <- 1 to Iters) {
       cents = assign(corpus, cents).as[(Long, Seq[Double], Long)]
         .groupByKey(_._3)
@@ -205,26 +206,34 @@ object VectorOps {
     * oracle replays init, both Lloyd rounds, final assignment, probing,
     * and ranking bit-for-bit.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): IVF ANN with k-means
+    * (2 Lloyd rounds) refined cells — same contract as [[ivfTopK]], tighter
+    * cells, the variant that holds recall on clustered real data.
+    */
+  def kmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
+    val cents = kmeansCentroidsOf(corpus)
+    val assigned = assign(withNorm(corpus, "c"), cents)
+
+    val q = withNorm(queries, "q")
+    val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
+    val probed = q.join(broadcast(cents), col("q_id").isNotNull)
+      .withColumn("kcos", cosine("q_e", "k_e"))
+      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= probes)
+      .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", cosine("q_e", "c_e"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
   val v4: GraftQuery = GraftQuery(
     "v4_ann_kmeans_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = kmeansCentroids(s, d)
-      val assigned = assign(withNorm(emb, "c"), cents)
-
-      val queries = withNorm(emb.filter(col("vec_id") < 10), "q")
-      val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
-      val probes = queries.join(broadcast(cents), col("q_id").isNotNull)
-        .withColumn("kcos", cosine("q_e", "k_e"))
-        .withColumn("rk", row_number().over(qw)).filter(col("rk") <= 2)
-        .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
-
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-      assigned.join(broadcast(probes), Seq("cluster"))
-        .filter(col("c_id") =!= col("q_id"))
-        .withColumn("cos", cosine("q_e", "c_e"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+      kmeansTopK(emb, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
     },
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
            |c0 AS (SELECT vec_id AS k_id, e AS ke FROM v
