@@ -525,14 +525,21 @@ object TextOps {
 
   /** X9 (beyond reference): TF-IDF top term per document. ONE corpus
     * explode: term frequency from the (doc, term) groupBy, and document
-    * frequency as a window count over that same aggregate (its rows are
+    * frequency as a second groupBy over that same aggregate (its rows are
     * unique per (doc, term), so rows-per-term = docs-per-term) — no second
-    * explode, no distinct, no self-join. Corpus size broadcasts as a 1-row
-    * cross join. The idf is kept RATIONAL (tf * N / df) rather than
-    * logarithmic: ln() libm implementations differ across engines in the
-    * last ulp, while integer multiply + one double division is bit-exact
-    * everywhere — and argmax ranking is invariant to the monotone
-    * transform.
+    * explode, no distinct, no self-join. The df side is a real hash
+    * aggregate, NOT `count().over(Window.partitionBy(term))`: a window has
+    * no map-side partial aggregation and AQE cannot split its partitions,
+    * so at corpus scale every (doc, term) row for a stopword-grade term
+    * ("the") would funnel through ONE task. groupBy partial-aggregates
+    * per input partition and the join back on term is an AQE-splittable
+    * shuffle join. The only remaining window partitions by doc_id (argmax
+    * per document), whose cardinality is bounded by document length.
+    * Corpus size broadcasts as a 1-row cross join. The idf is kept
+    * RATIONAL (tf * N / df) rather than logarithmic: ln() libm
+    * implementations differ across engines in the last ulp, while integer
+    * multiply + one double division is bit-exact everywhere — and argmax
+    * ranking is invariant to the monotone transform.
     */
   val x9: GraftQuery = GraftQuery(
     "x9_tfidf_topterm",
@@ -540,11 +547,11 @@ object TextOps {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-      val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("w")
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-      tf.withColumn("df", count(lit(1)).over(byTerm))
+      tf.join(df, "w")
         .crossJoin(broadcast(n))
         .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
         .withColumn("rk", row_number().over(win)).filter(col("rk") === 1)

@@ -17,6 +17,21 @@ class PlanGuardSpec extends SparkSpec {
     "t16_stream_session_window", "t17_stream_append_eviction",
     "t18_stream_outer_join")
 
+  test("x9_tfidf_topterm: document frequency is never a term-partitioned window") {
+    // A Window.partitionBy(term) has no map-side partials and AQE cannot
+    // split it: every (doc, term) row of a stopword lands in one task at
+    // corpus scale. The plan must keep term-keyed work in HashAggregate
+    // (partial+final) and only window by doc_id for the per-doc argmax.
+    val plan = SparkEntry.queries("x9_tfidf_topterm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // windowspecdefinition's first argument is the partition key; `w` (the
+    // term column) must never be it.
+    assert(!plan.matches("(?s).*windowspecdefinition\\(w#.*"),
+      s"x9 windows by term — skew-unsplittable at scale:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"x9 lost its partial-aggregated df side:\n$plan")
+  }
+
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval") {
       val plan = q.build(spark, sf).queryExecution.executedPlan.toString
