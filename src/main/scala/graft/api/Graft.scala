@@ -140,10 +140,15 @@ object Graft {
       valueCol: String, stepSeconds: Long): DataFrame =
     GapFill.linearKernel(df, keyCol, bucketCol, valueCol, stepSeconds)
 
-  /** Per-series forecast in the ML.FORECAST output shape. `seriesDf` needs
-    * (user_id: long, bucket_ts: timestamp, demand: double); `model` is
-    * "naive" | "drift" | "ar1". 12 rows per series with interval bounds.
+  /** Per-series forecast in the ML.FORECAST output shape — the reference's
+    * `ML.FORECAST(model, STRUCT(horizon, confidence))` parameters surface
+    * here directly. `seriesDf` needs (user_id: long, bucket_ts: timestamp,
+    * demand: double); `model` is "naive" | "drift" | "ar1" (anything else
+    * fails fast at plan build). `horizon` rows per series; lo/hi are
+    * central `confidence` intervals from the model's one-step residual
+    * variance (see [[Forecast.forecast]]).
     */
-  def forecast(seriesDf: DataFrame, model: String = "ar1"): DataFrame =
-    Forecast.forecast(seriesDf, model)
+  def forecast(seriesDf: DataFrame, model: String = "ar1", horizon: Int = 12,
+      confidence: Double = 0.9): DataFrame =
+    Forecast.forecast(seriesDf, model, horizon, confidence)
 }

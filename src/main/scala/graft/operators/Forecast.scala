@@ -20,7 +20,7 @@ final case class XregPoint(
 final case class XregMoments(
     user_id: Long, last_b: java.sql.Timestamp, n: Double, umean: Double,
     st: Double, stt: Double, sx: Double, sxx: Double, stx: Double,
-    sy: Double, sty: Double, sxy: Double)
+    sy: Double, sty: Double, sxy: Double, srr: Double)
 
 /** ML.FORECAST-shaped output row (reference part3:556-578): series key,
   * forecast timestamp, point forecast, interval bounds.
@@ -48,6 +48,54 @@ object Forecast {
   val Horizon = 12
   val BucketSeconds = 300L
 
+  /** Inverse standard-normal CDF — Acklam's 2003 rational approximation
+    * (public domain, |relative error| < 1.15e-9). Runs on the DRIVER while
+    * building the plan, so the z-score enters both the Spark expression
+    * tree and the oracle SQL as the same double literal; cross-engine
+    * bit-exactness never depends on two libm erfinv implementations
+    * agreeing.
+    */
+  def invNorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"invNorm domain (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  /** Two-sided z multiplier for a central `confidence` interval. */
+  def zFor(confidence: Double): Double = {
+    require(confidence > 0.0 && confidence < 1.0,
+      s"confidence must be in (0,1), got $confidence")
+    invNorm(0.5 + confidence / 2.0)
+  }
+
+  /** Round-trip string of the default 0.9-confidence z — spliced verbatim
+    * into the registry queries' oracle SQL so DuckDB parses the identical
+    * double.
+    */
+  private val Z90: String = java.lang.Double.toString(zFor(0.9))
+
   private def series(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"), timestampBucket(col("ts"), BucketSeconds).as("bucket_ts"))
@@ -56,10 +104,27 @@ object Forecast {
   /** Public DataFrame-in API (see graft.api.Graft): per-series forecast
     * over an arbitrary bucketed series table with (user_id: long,
     * bucket_ts: timestamp, demand: double) columns. `model` is one of
-    * "naive" | "drift" | "ar1"; emits [[Horizon]] rows per series in the
-    * ML.FORECAST output shape.
+    * "naive" | "drift" | "ar1"; emits `horizon` rows per series in the
+    * ML.FORECAST output shape — the reference's
+    * `ML.FORECAST(model, STRUCT(horizon, confidence))` signature
+    * (part3:556-578) maps onto (horizon, confidence) here.
+    *
+    * Intervals are MODEL intervals, not cosmetic bands: σ² is the
+    * one-step residual variance of the model's own in-sample fit (folded
+    * in ascending t order — the cross-engine bit-exactness contract), and
+    * the h-step half-width is z(confidence)·σ·√(varScale(h)) where
+    * varScale is h for the random-walk-innovation models (naive/drift)
+    * and Σ_{j<h} φ^{2j} — the exact MA(∞) truncation — for AR(1). z comes
+    * from [[invNorm]] on the driver, never from executor-side libm.
     */
-  def forecast(seriesDf: DataFrame, model: String): DataFrame = {
+  def forecast(seriesDf: DataFrame, model: String, horizon: Int = Horizon,
+      confidence: Double = 0.9): DataFrame = {
+    // a bad model name must fail plan-building with a clear message, not
+    // surface as a MatchError task failure deep inside flatMapGroups
+    require(Set("naive", "drift", "ar1")(model),
+      s"unknown forecast model '$model' (expected one of naive|drift|ar1)")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val z = zFor(confidence)
     val s = seriesDf.sparkSession
     import s.implicits._
     seriesDf.as[SeriesPoint]
@@ -85,22 +150,42 @@ object Forecast {
             }
             if (den == 0.0) 0.0 else num / den
           }
-        (1 to Horizon).iterator.map { h =>
+        // one-step residual variance of the chosen model's in-sample fit:
+        // n-1 residuals, ascending-t fold, σ² = Σe²/(n-1)
+        val s2 =
+          if (n == 1) 0.0
+          else {
+            var acc = 0.0; var i = 1
+            while (i < n) {
+              val e = model match {
+                case "naive" => pts(i).demand - pts(i - 1).demand
+                case "drift" => pts(i).demand - pts(i - 1).demand - slope
+                case "ar1" =>
+                  pts(i).demand - (mean + phi * (pts(i - 1).demand - mean))
+              }
+              acc += e * e; i += 1
+            }
+            acc / (n - 1).toDouble
+          }
+        (1 to horizon).iterator.map { h =>
           val ts = new java.sql.Timestamp(lastP.bucket_ts.getTime + h * BucketSeconds * 1000L)
-          model match {
-            case "naive" =>
-              ForecastRow(uid, ts, lastP.demand, lastP.demand * 0.9, lastP.demand * 1.1)
-            case "drift" =>
-              val v = lastP.demand + h * slope
-              ForecastRow(uid, ts, v, v * 0.9, v * 1.1)
+          val (v, varScale) = model match {
+            case "naive" => (lastP.demand, h.toDouble)
+            case "drift" => (lastP.demand + h * slope, h.toDouble)
             case "ar1" =>
               // phi^h by left-fold multiplication (== the oracle's ordered
-              // list_reduce product — pow() is NOT bit-stable cross-engine)
+              // list_reduce product — pow() is NOT bit-stable cross-engine);
+              // varScale g_h = Σ_{j=0}^{h-1} φ^{2j} via the recurrence
+              // g_1 = 1, g = 1 + φ²·g — the same ordered fold the oracle runs
               var p = phi; var i = 1
               while (i < h) { p *= phi; i += 1 }
-              val v = mean + p * (lastP.demand - mean)
-              ForecastRow(uid, ts, v, v * 0.9, v * 1.1)
+              val phi2 = phi * phi
+              var g = 1.0; var j = 1
+              while (j < h) { g = 1.0 + phi2 * g; j += 1 }
+              (mean + p * (lastP.demand - mean), g)
           }
+          val halfw = z * math.sqrt(s2 * varScale)
+          ForecastRow(uid, ts, v, v - halfw, v + halfw)
         }
       }
       .toDF()
@@ -109,18 +194,28 @@ object Forecast {
   private def forecastKernel(model: String)(s: SparkSession, d: String): DataFrame =
     forecast(series(s, d), model)
 
-  /** M3+M5: per-series seasonal-naive forecast with intervals. */
+  /** M3+M5: per-series seasonal-naive forecast with model intervals
+    * (random-walk h-step variance σ²·h from the one-step differences).
+    */
   val m5: GraftQuery = GraftQuery(
     "m5_forecast_naive",
     forecastKernel("naive"),
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
            |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
            |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
            |  FROM events GROUP BY 1, 2),
-           |last AS (SELECT user_id, arg_max(demand, b) AS last_demand, max(b) AS last_b FROM base GROUP BY 1)
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |sg AS (SELECT user_id, last_b, y[n] AS last_d,
+           |  CASE WHEN n > 1 THEN list_reduce(list_prepend(0.0, list_transform(generate_series(2, n),
+           |    i -> (y[i] - y[i-1]) * (y[i] - y[i-1]))), (acc, v) -> acc + v) / (n - 1)
+           |    ELSE 0.0 END AS s2
+           |  FROM ser)
            |SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
-           |       last_demand AS forecast_value, last_demand * 0.9 AS lo, last_demand * 1.1 AS hi
-           |FROM last CROSS JOIN generate_series(1, 12) t(h)""".stripMargin))
+           |       last_d AS forecast_value,
+           |       last_d - $Z90 * sqrt(s2 * h) AS lo,
+           |       last_d + $Z90 * sqrt(s2 * h) AS hi
+           |FROM sg CROSS JOIN generate_series(1, 12) t(h)""".stripMargin))
 
   /** M6: TimesFM-shaped surface, drift model — same output schema, different
     * method (part3:649-675 signature parity).
@@ -128,18 +223,24 @@ object Forecast {
   val m6: GraftQuery = GraftQuery(
     "m6_forecast_drift",
     forecastKernel("drift"),
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
            |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
            |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
            |  FROM events GROUP BY 1, 2),
-           |agg AS (SELECT user_id, arg_max(demand, b) AS last_demand, arg_min(demand, b) AS first_demand,
-           |               max(b) AS last_b, count(*) AS n FROM base GROUP BY 1),
-           |sl AS (SELECT user_id, last_demand, last_b,
-           |       CASE WHEN n = 1 THEN 0.0 ELSE (last_demand - first_demand) / CAST(n - 1 AS DOUBLE) END AS slope FROM agg)
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |sl AS (SELECT user_id, last_b, n, y, y[n] AS last_d,
+           |       CASE WHEN n = 1 THEN 0.0 ELSE (y[n] - y[1]) / CAST(n - 1 AS DOUBLE) END AS slope FROM ser),
+           |sg AS (SELECT user_id, last_b, last_d, slope,
+           |  CASE WHEN n > 1 THEN list_reduce(list_prepend(0.0, list_transform(generate_series(2, n),
+           |    i -> (y[i] - y[i-1] - slope) * (y[i] - y[i-1] - slope))), (acc, v) -> acc + v) / (n - 1)
+           |    ELSE 0.0 END AS s2
+           |  FROM sl)
            |SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
-           |       last_demand + h * slope AS forecast_value,
-           |       (last_demand + h * slope) * 0.9 AS lo, (last_demand + h * slope) * 1.1 AS hi
-           |FROM sl CROSS JOIN generate_series(1, 12) t(h)""".stripMargin))
+           |       last_d + h * slope AS forecast_value,
+           |       (last_d + h * slope) - $Z90 * sqrt(s2 * h) AS lo,
+           |       (last_d + h * slope) + $Z90 * sqrt(s2 * h) AS hi
+           |FROM sg CROSS JOIN generate_series(1, 12) t(h)""".stripMargin))
 
   /** M7b (beyond reference): AR(1) forecast — mean-reverting exponential
     * decay toward the series mean (yhat_h = mean + phi^h * (last - mean)),
@@ -154,7 +255,7 @@ object Forecast {
   val m7: GraftQuery = GraftQuery(
     "m7_forecast_ar1",
     forecastKernel("ar1"),
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
            |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
            |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
            |  FROM events GROUP BY 1, 2),
@@ -162,20 +263,28 @@ object Forecast {
            |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
            |st AS (SELECT user_id, y, last_b, n,
            |       list_reduce(y, (a, b) -> a + b) / n AS mean FROM ser),
-           |ph0 AS (SELECT user_id, last_b, mean, y[n] AS last_d,
+           |ph0 AS (SELECT user_id, y, n, last_b, mean, y[n] AS last_d,
            |  CASE WHEN n = 1 THEN 0.0 ELSE list_reduce(list_transform(generate_series(2, n),
            |    i -> (y[i] - mean) * (y[i-1] - mean)), (a, b) -> a + b) END AS num,
            |  CASE WHEN n = 1 THEN 0.0 ELSE list_reduce(list_transform(generate_series(2, n),
            |    i -> (y[i-1] - mean) * (y[i-1] - mean)), (a, b) -> a + b) END AS den
            |  FROM st),
-           |ph AS (SELECT user_id, last_b, mean, last_d,
+           |ph AS (SELECT user_id, y, n, last_b, mean, last_d,
            |       CASE WHEN den = 0.0 THEN 0.0 ELSE num / den END AS phi FROM ph0),
+           |s2c AS (SELECT user_id, last_b, mean, last_d, phi,
+           |  CASE WHEN n > 1 THEN list_reduce(list_prepend(0.0, list_transform(generate_series(2, n),
+           |    i -> (y[i] - (mean + phi * (y[i-1] - mean))) * (y[i] - (mean + phi * (y[i-1] - mean))))),
+           |    (acc, v) -> acc + v) / (n - 1) ELSE 0.0 END AS s2
+           |  FROM ph),
            |fc AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
            |       mean + list_reduce(list_transform(generate_series(1, h), x -> phi),
-           |         (a, b) -> a * b) * (last_d - mean) AS v
-           |       FROM ph CROSS JOIN generate_series(1, 12) t(h))
+           |         (a, b) -> a * b) * (last_d - mean) AS v,
+           |       $Z90 * sqrt(s2 * list_reduce(list_prepend(CAST(1 AS DOUBLE),
+           |         list_transform(generate_series(1, h - 1), j -> CAST(0 AS DOUBLE))),
+           |         (acc, x) -> 1.0 + phi * phi * acc)) AS halfw
+           |       FROM s2c CROSS JOIN generate_series(1, 12) t(h))
            |SELECT user_id, forecast_timestamp, v AS forecast_value,
-           |       v * 0.9 AS lo, v * 1.1 AS hi FROM fc""".stripMargin))
+           |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
 
   /** M3: ARIMA_PLUS_XREG-shaped model (part3:510-533): hour-of-day seasonal
     * component plus per-series linear regression on a time index AND an
@@ -225,36 +334,45 @@ object Forecast {
         .mapGroups { (uid: Long, it: Iterator[XregPoint]) =>
           val v = it.toArray.sortBy(_.bucket_ts.getTime)
           var stL = 0L; var sttL = 0L; var sxL = 0L; var sxxL = 0L; var stxL = 0L
-          var sumD = 0.0; var sy = 0.0; var sty = 0.0; var sxy = 0.0
+          var sumD = 0.0; var sy = 0.0; var sty = 0.0; var sxy = 0.0; var srr = 0.0
           var i = 0
           while (i < v.length) {
             val p = v(i); val t = i.toLong
             stL += t; sttL += t * t; sxL += p.x; sxxL += p.x * p.x; stxL += t * p.x
             sumD += p.demand; sy += p.resid
             sty += t.toDouble * p.resid; sxy += p.x.toDouble * p.resid
+            srr += p.resid * p.resid
             i += 1
           }
           val n = v.length.toDouble
           XregMoments(uid, v.last.bucket_ts, n, sumD / n, stL.toDouble, sttL.toDouble,
-            sxL.toDouble, sxxL.toDouble, stxL.toDouble, sy, sty, sxy)
+            sxL.toDouble, sxxL.toDouble, stxL.toDouble, sy, sty, sxy, srr)
         }
         .toDF()
       // normal-equation determinants; the formula TEXT matches the oracle so
       // both engines evaluate the identical IEEE expression tree
-      val coef = m.selectExpr("user_id", "last_b", "n", "umean", "st", "sy", "sx",
+      val coef = m.selectExpr("user_id", "last_b", "n", "umean", "st", "stt",
+          "sx", "sxx", "stx", "sy", "sty", "sxy", "srr",
           "n * (stt * sxx - stx * stx) - st * (st * sxx - stx * sx) + sx * (st * stx - stt * sx) AS det",
           "sy * (stt * sxx - stx * stx) - st * (sty * sxx - stx * sxy) + sx * (sty * stx - stt * sxy) AS det_a",
           "n * (sty * sxx - stx * sxy) - sy * (st * sxx - stx * sx) + sx * (st * sxy - sty * sx) AS det_b",
           "n * (stt * sxy - sty * stx) - st * (st * sxy - sty * sx) + sy * (st * stx - stt * sx) AS det_c",
           "n * stt - st * st AS den2",
           "n * sty - st * sy AS num2")
-        .selectExpr("user_id", "last_b", "n", "umean", "sx / n AS xbar",
+        .selectExpr("user_id", "last_b", "n", "umean", "st", "stt", "sx",
+          "sxx", "stx", "sy", "sty", "sxy", "srr", "sx / n AS xbar",
           "CASE WHEN det <> 0.0 THEN det_a / det WHEN den2 <> 0.0 THEN (sy - (num2 / den2) * st) / n ELSE sy / n END AS ca",
           "CASE WHEN det <> 0.0 THEN det_b / det WHEN den2 <> 0.0 THEN num2 / den2 ELSE 0.0 END AS cb",
           "CASE WHEN det <> 0.0 THEN det_c / det ELSE 0.0 END AS cc")
+        // in-sample residual variance of the fitted model, expanded from the
+        // same moments (SSE = Σ(r - a - b·t - c·x)² in quadratic form) — no
+        // second pass over the points; greatest(...) guards the tiny
+        // negative SSE float cancellation can produce
+        .selectExpr("user_id", "last_b", "n", "umean", "xbar", "ca", "cb", "cc",
+          "CASE WHEN n > 1 THEN greatest(srr - 2 * (ca * sy + cb * sty + cc * sxy) + ca * ca * n + 2 * ca * cb * st + 2 * ca * cc * sx + cb * cb * stt + 2 * cb * cc * stx + cc * cc * sxx, 0.0) / n ELSE 0.0 END AS s2")
       coef
         .select(col("user_id"), col("last_b"), col("n"), col("umean"), col("xbar"),
-          col("ca"), col("cb"), col("cc"),
+          col("ca"), col("cb"), col("cc"), col("s2"),
           explode(sequence(lit(1), lit(Horizon))).as("h"))
         .withColumn("forecast_timestamp",
           expr(s"timestampadd(SECOND, h * $BucketSeconds, last_b)"))
@@ -264,9 +382,10 @@ object Forecast {
           coalesce(col("smean"), col("umean")) + col("ca") +
             col("cb") * (col("n") - 1 + col("h")) + col("cc") * col("xbar"))
         .select(col("user_id"), col("forecast_timestamp"), col("forecast_value"),
-          (col("forecast_value") * 0.9).as("lo"), (col("forecast_value") * 1.1).as("hi"))
+          expr(s"forecast_value - $Z90 * sqrt(s2 * h)").as("lo"),
+          expr(s"forecast_value + $Z90 * sqrt(s2 * h)").as("hi"))
     },
-    Some("""WITH base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+    Some(s"""WITH base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand,
            |  count(*) AS x FROM events GROUP BY 1, 2),
            |seas AS (SELECT user_id, hour(b) AS hod,
@@ -287,7 +406,8 @@ object Forecast {
            |  list_reduce(list_transform(l, s -> s.dm), (acc, v) -> acc + v) / n AS umean,
            |  list_reduce(list_transform(l, s -> s.r), (acc, v) -> acc + v) AS sy,
            |  list_reduce(list_transform(l, s -> s.t * s.r), (acc, v) -> acc + v) AS sty,
-           |  list_reduce(list_transform(l, s -> s.xx * s.r), (acc, v) -> acc + v) AS sxy
+           |  list_reduce(list_transform(l, s -> s.xx * s.r), (acc, v) -> acc + v) AS sxy,
+           |  list_reduce(list_transform(l, s -> s.r * s.r), (acc, v) -> acc + v) AS srr
            |  FROM m0),
            |dets AS (SELECT *,
            |  n * (stt * sxx - stx * stx) - st * (st * sxx - stx * sx) + sx * (st * stx - stt * sx) AS det,
@@ -295,17 +415,21 @@ object Forecast {
            |  n * (sty * sxx - stx * sxy) - sy * (st * sxx - stx * sx) + sx * (st * sxy - sty * sx) AS det_b,
            |  n * (stt * sxy - sty * stx) - st * (st * sxy - sty * sx) + sy * (st * stx - stt * sx) AS det_c,
            |  n * stt - st * st AS den2, n * sty - st * sy AS num2 FROM m),
-           |coef AS (SELECT user_id, last_b, n, umean, sx / n AS xbar,
+           |coef AS (SELECT user_id, last_b, n, umean, st, stt, sx, sxx, stx, sy, sty, sxy, srr, sx / n AS xbar,
            |  CASE WHEN det <> 0.0 THEN det_a / det WHEN den2 <> 0.0 THEN (sy - (num2 / den2) * st) / n ELSE sy / n END AS ca,
            |  CASE WHEN det <> 0.0 THEN det_b / det WHEN den2 <> 0.0 THEN num2 / den2 ELSE 0.0 END AS cb,
            |  CASE WHEN det <> 0.0 THEN det_c / det ELSE 0.0 END AS cc FROM dets),
+           |cs2 AS (SELECT user_id, last_b, n, umean, xbar, ca, cb, cc,
+           |  CASE WHEN n > 1 THEN greatest(srr - 2 * (ca * sy + cb * sty + cc * sxy) + ca * ca * n + 2 * ca * cb * st + 2 * ca * cc * sx + cb * cb * stt + 2 * cb * cc * stx + cc * cc * sxx, 0.0) / n ELSE 0.0 END AS s2
+           |  FROM coef),
            |fr AS (SELECT c.*, t.h, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp
-           |  FROM coef c CROSS JOIN generate_series(1, 12) t(h)),
-           |fv AS (SELECT fr.user_id, fr.forecast_timestamp,
+           |  FROM cs2 c CROSS JOIN generate_series(1, 12) t(h)),
+           |fv AS (SELECT fr.user_id, fr.forecast_timestamp, fr.s2, fr.h,
            |  COALESCE(s.smean, fr.umean) + fr.ca + fr.cb * (fr.n - 1 + fr.h) + fr.cc * fr.xbar AS forecast_value
            |  FROM fr LEFT JOIN seas s ON fr.user_id = s.user_id AND hour(fr.forecast_timestamp) = s.hod)
            |SELECT user_id, forecast_timestamp, forecast_value,
-           |  forecast_value * 0.9 AS lo, forecast_value * 1.1 AS hi FROM fv""".stripMargin))
+           |  forecast_value - $Z90 * sqrt(s2 * h) AS lo,
+           |  forecast_value + $Z90 * sqrt(s2 * h) AS hi FROM fv""".stripMargin))
 
   /** M4b: held-out evaluation (the reference evaluates on a fixed held-out
     * December window with MAPE et al., part3:436-440, 539-553): per series,
@@ -328,22 +452,41 @@ object Forecast {
           max(when(col("rdesc") === Horizon + 1, col("demand"))).over(byUser))
         .withColumn("first_demand",
           max(when(col("rdesc") === col("n_total"), col("demand"))).over(byUser))
+        // train-side one-step residuals for the interval model: e_t =
+        // y_t - y_{t-1} over TRAIN rows only (train rows are the b-ascending
+        // prefix, so a train row's lag is always another train row), folded
+        // in b order for the cross-engine bit-exactness contract
+        .withColumn("prev", lag("demand", 1).over(byUser.orderBy("bucket_ts")))
+        .withColumn("tre", when(col("rdesc") > Horizon && col("prev").isNotNull,
+          struct(col("bucket_ts").as("b"), (col("demand") - col("prev")).as("e"))))
+        .withColumn("trl", sort_array(collect_list("tre").over(byUser)))
         .filter(col("n_total") > Horizon && col("rdesc") <= Horizon)
         .withColumn("n_train", col("n_total") - Horizon)
         .withColumn("slope", when(col("n_train") === 1, lit(0.0))
           .otherwise((col("last_demand") - col("first_demand")) /
             (col("n_train") - 1).cast("double")))
+        .withColumn("n_res", (col("n_train") - 1).cast("double"))
+        .withColumn("s2n", when(col("n_train") > 1,
+          expr("aggregate(transform(trl, s -> s.e * s.e), 0D, (acc, v) -> acc + v)") /
+            col("n_res")).otherwise(lit(0.0)))
+        .withColumn("s2d", when(col("n_train") > 1,
+          expr("aggregate(transform(trl, s -> (s.e - slope) * (s.e - slope)), 0D, (acc, v) -> acc + v)") /
+            col("n_res")).otherwise(lit(0.0)))
         .withColumn("h", (lit(Horizon + 1) - col("rdesc")).cast("long"))
       // both model branches fan out of ONE pass via explode — a
       // naive/drift unionByName would evaluate the whole windowed subtree
       // twice (Spark does not dedupe shared lineage across union inputs)
       val both = ev.select(col("user_id"), col("h"), col("demand"),
         explode(array(
-          struct(lit("naive").as("model"), col("last_demand").as("fv")),
+          struct(lit("naive").as("model"), col("last_demand").as("fv"),
+            col("s2n").as("s2")),
           struct(lit("drift").as("model"),
-            (col("last_demand") + col("h") * col("slope")).as("fv")))).as("mf"))
+            (col("last_demand") + col("h") * col("slope")).as("fv"),
+            col("s2d").as("s2")))).as("mf"))
         .select(col("user_id"), col("h"), col("demand"),
-          col("mf.model").as("model"), col("mf.fv").as("fv"))
+          col("mf.model").as("model"), col("mf.fv").as("fv"), col("mf.s2").as("s2"))
+        .withColumn("lo", expr(s"fv - $Z90 * sqrt(s2 * h)"))
+        .withColumn("hi", expr(s"fv + $Z90 * sqrt(s2 * h)"))
       // metrics via an h-ordered left fold, NOT a plain double sum: float
       // addition is order-sensitive and engines accumulate groups in
       // different orders; a fixed fold order makes the sums bit-identical
@@ -354,6 +497,8 @@ object Forecast {
         .groupBy("user_id", "model").agg(
           count(lit(1)).as("n_eval"),
           sum(when(col("demand") =!= 0, 1).otherwise(0)).as("nz"),
+          sum(when(col("demand") >= col("lo") && col("demand") <= col("hi"), 1)
+            .otherwise(0)).as("n_cov"),
           sort_array(collect_list(struct(col("h").as("h"),
             abs(col("err")).as("ae"),
             (col("err") * col("err")).as("se"),
@@ -364,9 +509,12 @@ object Forecast {
           expr("aggregate(transform(pts, s -> CASE WHEN s.a <> 0D THEN s.ae / abs(s.a) ELSE 0D END), 0D, (acc, v) -> acc + v)") / col("nz")))
         .withColumn("rmse",
           sqrt(expr("aggregate(transform(pts, s -> s.se), 0D, (acc, v) -> acc + v)") / col("n_eval")))
-        .select("user_id", "model", "n_eval", "mae", "mape", "rmse")
+        // empirical coverage of the z(0.9) model interval on the held-out
+        // window — the direct check that the intervals mean what they claim
+        .withColumn("cov90", col("n_cov").cast("double") / col("n_eval"))
+        .select("user_id", "model", "n_eval", "mae", "mape", "rmse", "cov90")
     },
-    Some("""WITH base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+    Some(s"""WITH base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
            |  FROM events GROUP BY 1, 2),
            |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY b DESC) AS rdesc,
@@ -375,25 +523,40 @@ object Forecast {
            |train AS (SELECT user_id, arg_max(demand, b) AS last_demand,
            |  arg_min(demand, b) AS first_demand, count(*) AS n_train
            |  FROM f WHERE rdesc > 12 GROUP BY 1),
-           |sl AS (SELECT user_id, last_demand,
+           |sl AS (SELECT user_id, last_demand, n_train,
            |  CASE WHEN n_train = 1 THEN 0.0
            |       ELSE (last_demand - first_demand) / CAST(n_train - 1 AS DOUBLE) END AS slope
            |  FROM train),
-           |ev AS (SELECT f.user_id, 13 - f.rdesc AS h, f.demand, s.last_demand, s.slope
-           |  FROM f JOIN sl s ON f.user_id = s.user_id WHERE f.rdesc <= 12),
-           |sc AS (SELECT user_id, h, demand, 'naive' AS model, last_demand AS fv FROM ev
+           |tr AS (SELECT user_id, b, rdesc,
+           |  demand - lag(demand) OVER (PARTITION BY user_id ORDER BY b) AS e FROM f),
+           |trs AS (SELECT user_id, list(struct_pack(b := b, e := e) ORDER BY b) AS trl
+           |  FROM tr WHERE rdesc > 12 AND e IS NOT NULL GROUP BY 1),
+           |sv AS (SELECT sl.user_id, sl.last_demand, sl.slope,
+           |  CASE WHEN sl.n_train > 1 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(t.trl, s -> s.e * s.e)), (acc, v) -> acc + v) / CAST(sl.n_train - 1 AS DOUBLE)
+           |    ELSE 0.0 END AS s2n,
+           |  CASE WHEN sl.n_train > 1 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(t.trl, s -> (s.e - sl.slope) * (s.e - sl.slope))), (acc, v) -> acc + v) / CAST(sl.n_train - 1 AS DOUBLE)
+           |    ELSE 0.0 END AS s2d
+           |  FROM sl LEFT JOIN trs t ON sl.user_id = t.user_id),
+           |ev AS (SELECT f.user_id, 13 - f.rdesc AS h, f.demand, s.last_demand, s.slope, s.s2n, s.s2d
+           |  FROM f JOIN sv s ON f.user_id = s.user_id WHERE f.rdesc <= 12),
+           |sc AS (SELECT user_id, h, demand, 'naive' AS model, last_demand AS fv, s2n AS s2 FROM ev
            |  UNION ALL
-           |  SELECT user_id, h, demand, 'drift' AS model, last_demand + h * slope AS fv FROM ev),
+           |  SELECT user_id, h, demand, 'drift' AS model, last_demand + h * slope AS fv, s2d AS s2 FROM ev),
+           |scb AS (SELECT *, fv - $Z90 * sqrt(s2 * h) AS lo, fv + $Z90 * sqrt(s2 * h) AS hi FROM sc),
            |pts AS (SELECT user_id, model, count(*) AS n_eval,
            |  SUM(CASE WHEN demand <> 0 THEN 1 ELSE 0 END) AS nz,
+           |  SUM(CASE WHEN demand >= lo AND demand <= hi THEN 1 ELSE 0 END) AS n_cov,
            |  list(struct_pack(h := h, ae := abs(demand - fv),
            |    se := (demand - fv)*(demand - fv), a := demand) ORDER BY h) AS l
-           |  FROM sc GROUP BY 1, 2)
+           |  FROM scb GROUP BY 1, 2)
            |SELECT user_id, model, n_eval,
            |  list_reduce(list_transform(l, s -> s.ae), (acc, v) -> acc + v) / n_eval AS mae,
            |  CASE WHEN nz > 0 THEN list_reduce(list_transform(l,
            |    s -> CASE WHEN s.a <> 0 THEN s.ae / abs(s.a) ELSE 0.0 END), (acc, v) -> acc + v) / nz END AS mape,
-           |  sqrt(list_reduce(list_transform(l, s -> s.se), (acc, v) -> acc + v) / n_eval) AS rmse
+           |  sqrt(list_reduce(list_transform(l, s -> s.se), (acc, v) -> acc + v) / n_eval) AS rmse,
+           |  CAST(n_cov AS DOUBLE) / n_eval AS cov90
            |FROM pts""".stripMargin))
 
   /** M4: evaluation metrics (ML.EVALUATE shape, part3:539-553): in-sample

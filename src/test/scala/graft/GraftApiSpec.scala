@@ -166,6 +166,33 @@ class GraftApiSpec extends SparkSpec {
     assert(drift(ts(15)) === 16.0)
   }
 
+  test("forecast horizon/confidence parameters and model intervals") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val series = Seq(
+      (1L, ts(0), 10.0), (1L, ts(5), 13.0), (1L, ts(10), 12.0),
+      (2L, ts(0), 50.0)
+    ).toDF("user_id", "bucket_ts", "demand")
+    val r5 = Graft.forecast(series, "naive", horizon = 5).collect()
+    assert(r5.length === 10, "horizon=5 emits 5 rows per series")
+    // intervals come from the model's residual variance: they widen with h
+    // and with confidence, and collapse to the point forecast when a series
+    // has no residuals (single observation => sigma = 0)
+    def widths(conf: Double) = Graft.forecast(series, "naive", 5, conf)
+      .collect().filter(_.getLong(0) == 1L)
+      .sortBy(_.getTimestamp(1).getTime).map(r => r.getDouble(4) - r.getDouble(3))
+    val w90 = widths(0.9)
+    assert(w90.zip(w90.tail).forall { case (a, b) => a < b }, "width grows with h")
+    assert(widths(0.99).head > w90.head, "width grows with confidence")
+    r5.filter(_.getLong(0) == 2L).foreach { r =>
+      assert(r.getDouble(3) === r.getDouble(2) && r.getDouble(4) === r.getDouble(2))
+    }
+    // a bad model name fails at plan build with a clear message, not as a
+    // MatchError inside an executor task
+    val ex = intercept[IllegalArgumentException](Graft.forecast(series, "arima"))
+    assert(ex.getMessage.contains("unknown forecast model"))
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
