@@ -14,6 +14,21 @@ final case class SeriesPoint(user_id: Long, bucket_ts: java.sql.Timestamp, deman
 final case class XregPoint(
     user_id: Long, bucket_ts: java.sql.Timestamp, demand: Double, x: Long, resid: Double)
 
+/** M3b input point: adds the holiday-indicator covariate g. */
+final case class XregHPoint(
+    user_id: Long, bucket_ts: java.sql.Timestamp, demand: Double, x: Long,
+    g: Long, resid: Double)
+
+/** M3b per-series moments for the 4-regressor (1, t, x, holiday) normal
+  * equations: exact integer sums for the design matrix, t-ordered float
+  * folds for the response moments.
+  */
+final case class XregHMoments(
+    user_id: Long, last_b: java.sql.Timestamp, n: Double, umean: Double,
+    st: Double, stt: Double, sx: Double, sxx: Double, stx: Double,
+    sg: Double, stg: Double, sxg: Double, sgg: Double,
+    sy: Double, sty: Double, sxy: Double, sgy: Double, srr: Double)
+
 /** Per-series regression moments (M3): exact integer sums for the design
   * matrix, t-ordered float folds for the demand/residual moments.
   */
@@ -95,6 +110,54 @@ object Forecast {
     * double.
     */
   private val Z90: String = java.lang.Double.toString(zFor(0.9))
+
+  /** US federal holidays 2023-2025, observed dates — the static calendar
+    * behind m3b's HOLIDAY_REGION='US' covariate (reference part3:524). A
+    * literal dim, no I/O: at scale this is exactly the broadcast-joined
+    * 11-rows-per-year table a production calendar would be.
+    */
+  val UsHolidays: Seq[String] = Seq(
+    "2023-01-02", "2023-01-16", "2023-02-20", "2023-05-29", "2023-06-19",
+    "2023-07-04", "2023-09-04", "2023-10-09", "2023-11-10", "2023-11-23",
+    "2023-12-25",
+    "2024-01-01", "2024-01-15", "2024-02-19", "2024-05-27", "2024-06-19",
+    "2024-07-04", "2024-09-02", "2024-10-14", "2024-11-11", "2024-11-28",
+    "2024-12-25",
+    "2025-01-01", "2025-01-20", "2025-02-17", "2025-05-26", "2025-06-19",
+    "2025-07-04", "2025-09-01", "2025-10-13", "2025-11-11", "2025-11-27",
+    "2025-12-25")
+
+  /** Cofactor-expansion text for a 3x3 / 4x4 determinant over named moment
+    * columns. The SAME generated string is spliced into the Spark
+    * selectExpr AND the DuckDB oracle SQL, so both engines evaluate an
+    * identical IEEE expression tree — textual identity is the whole
+    * bit-exactness argument for the 4-regressor Cramer solve.
+    */
+  private def det3s(m: IndexedSeq[String]): String =
+    s"(${m(0)} * (${m(4)} * ${m(8)} - ${m(5)} * ${m(7)}) - ${m(1)} * (${m(3)} * ${m(8)} - ${m(5)} * ${m(6)}) + ${m(2)} * (${m(3)} * ${m(7)} - ${m(4)} * ${m(6)}))"
+
+  private def det4s(m: IndexedSeq[String]): String = {
+    val r = m.grouped(4).toIndexedSeq
+    def minor(col: Int): String = det3s(
+      (1 to 3).flatMap(ri => (0 to 3).filter(_ != col).map(ci => r(ri)(ci))).toIndexedSeq)
+    s"(${r(0)(0)} * ${minor(0)} - ${r(0)(1)} * ${minor(1)} + ${r(0)(2)} * ${minor(2)} - ${r(0)(3)} * ${minor(3)})"
+  }
+
+  /** Normal-equation matrix for regressors (1, t, x, g) and its Cramer
+    * column replacements, as shared expression text.
+    */
+  private val H4M = Vector("n", "st", "sx", "sg",
+    "st", "stt", "stx", "stg",
+    "sx", "stx", "sxx", "sxg",
+    "sg", "stg", "sxg", "sgg")
+  private val H4Y = Vector("sy", "sty", "sxy", "sgy")
+  private def h4Repl(col: Int): Vector[String] =
+    Vector.tabulate(16)(i => if (i % 4 == col) H4Y(i / 4) else H4M(i))
+  private val D4 = det4s(H4M)
+  private val D4A = det4s(h4Repl(0))
+  private val D4B = det4s(h4Repl(1))
+  private val D4C = det4s(h4Repl(2))
+  private val D4D = det4s(h4Repl(3))
 
   private def series(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -431,6 +494,163 @@ object Forecast {
            |  forecast_value - $Z90 * sqrt(s2 * h) AS lo,
            |  forecast_value + $Z90 * sqrt(s2 * h) AS hi FROM fv""".stripMargin))
 
+  /** M3b: ARIMA_PLUS_XREG with a holiday regressor — the reference trains
+    * with `HOLIDAY_REGION='US'` (part3:524); here the [[UsHolidays]] literal
+    * dim broadcast-joins onto the bucketed series as a 0/1 covariate g, and
+    * the per-series model grows to four regressors (1, t, x, g) solved by
+    * 4x4 Cramer. The determinant text is GENERATED ONCE ([[det4s]]) and
+    * spliced into both engines, so the solve stays bit-exact; when a series
+    * saw no holiday (g constant 0 => singular matrix) the coefficient CASE
+    * chain falls back to m3's 3x3 solve with holiday_coef = 0. Forecast
+    * rows look up the future date in the same calendar, so a forecast
+    * landing ON a holiday gets the learned holiday_coef shift. Intervals as
+    * in m3: sigma^2 from the moment quadratic form, half-width
+    * z(0.9)*sigma*sqrt(h).
+    *
+    * Scale: identical shape to m3 (two aggregations + 12-row fan-out); the
+    * holiday dim is 33 literal rows — a broadcast by construction.
+    */
+  val m3b: GraftQuery = GraftQuery(
+    "m3b_forecast_xreg_holiday",
+    (s, d) => {
+      import s.implicits._
+      val hol = UsHolidays.toDF("hds").select(to_date(col("hds")).as("hd"))
+      val base = Tables.events(s, d)
+        .groupBy(col("user_id"), timestampBucket(col("ts"), BucketSeconds).as("bucket_ts"))
+        .agg(decAvg(col("value")).as("demand"), count(lit(1)).as("x"))
+      val bg = base
+        .join(broadcast(hol), to_date(col("bucket_ts")) === col("hd"), "left")
+        .withColumn("g", when(col("hd").isNotNull, lit(1L)).otherwise(lit(0L)))
+        .drop("hd")
+      val seas = base.groupBy(col("user_id"), hour(col("bucket_ts")).as("hod"))
+        .agg(sort_array(collect_list(struct(col("bucket_ts").as("b"),
+          col("demand").as("v")))).as("pp"), count(lit(1)).as("cnt"))
+        .withColumn("smean",
+          expr("aggregate(transform(pp, s -> s.v), 0D, (acc, v) -> acc + v)") / col("cnt"))
+        .select("user_id", "hod", "smean")
+      val m = bg.withColumn("hod", hour(col("bucket_ts")))
+        .join(seas, Seq("user_id", "hod"))
+        .withColumn("resid", col("demand") - col("smean"))
+        .select("user_id", "bucket_ts", "demand", "x", "g", "resid").as[XregHPoint]
+        .groupByKey(_.user_id)
+        .mapGroups { (uid: Long, it: Iterator[XregHPoint]) =>
+          val v = it.toArray.sortBy(_.bucket_ts.getTime)
+          var stL = 0L; var sttL = 0L; var sxL = 0L; var sxxL = 0L; var stxL = 0L
+          var sgL = 0L; var stgL = 0L; var sxgL = 0L
+          var sumD = 0.0; var sy = 0.0; var sty = 0.0; var sxy = 0.0
+          var sgy = 0.0; var srr = 0.0
+          var i = 0
+          while (i < v.length) {
+            val p = v(i); val t = i.toLong
+            stL += t; sttL += t * t; sxL += p.x; sxxL += p.x * p.x; stxL += t * p.x
+            sgL += p.g; stgL += t * p.g; sxgL += p.x * p.g
+            sumD += p.demand; sy += p.resid
+            sty += t.toDouble * p.resid; sxy += p.x.toDouble * p.resid
+            sgy += p.g.toDouble * p.resid; srr += p.resid * p.resid
+            i += 1
+          }
+          val n = v.length.toDouble
+          // sgg = Σg² = Σg exactly, because g ∈ {0,1}
+          XregHMoments(uid, v.last.bucket_ts, n, sumD / n, stL.toDouble,
+            sttL.toDouble, sxL.toDouble, sxxL.toDouble, stxL.toDouble,
+            sgL.toDouble, stgL.toDouble, sxgL.toDouble, sgL.toDouble,
+            sy, sty, sxy, sgy, srr)
+        }
+        .toDF()
+      val coef = m.selectExpr("user_id", "last_b", "n", "umean", "st", "stt",
+          "sx", "sxx", "stx", "sg", "stg", "sxg", "sgg",
+          "sy", "sty", "sxy", "sgy", "srr",
+          s"$D4 AS d4", s"$D4A AS d4a", s"$D4B AS d4b", s"$D4C AS d4c", s"$D4D AS d4d",
+          "n * (stt * sxx - stx * stx) - st * (st * sxx - stx * sx) + sx * (st * stx - stt * sx) AS det",
+          "sy * (stt * sxx - stx * stx) - st * (sty * sxx - stx * sxy) + sx * (sty * stx - stt * sxy) AS det_a",
+          "n * (sty * sxx - stx * sxy) - sy * (st * sxx - stx * sx) + sx * (st * sxy - sty * sx) AS det_b",
+          "n * (stt * sxy - sty * stx) - st * (st * sxy - sty * sx) + sy * (st * stx - stt * sx) AS det_c",
+          "n * stt - st * st AS den2",
+          "n * sty - st * sy AS num2")
+        .selectExpr("user_id", "last_b", "n", "umean", "st", "stt", "sx",
+          "sxx", "stx", "sg", "stg", "sxg", "sgg", "sy", "sty", "sxy", "sgy",
+          "srr", "sx / n AS xbar",
+          "CASE WHEN d4 <> 0.0 THEN d4a / d4 WHEN det <> 0.0 THEN det_a / det WHEN den2 <> 0.0 THEN (sy - (num2 / den2) * st) / n ELSE sy / n END AS ca",
+          "CASE WHEN d4 <> 0.0 THEN d4b / d4 WHEN det <> 0.0 THEN det_b / det WHEN den2 <> 0.0 THEN num2 / den2 ELSE 0.0 END AS cb",
+          "CASE WHEN d4 <> 0.0 THEN d4c / d4 WHEN det <> 0.0 THEN det_c / det ELSE 0.0 END AS cc",
+          "CASE WHEN d4 <> 0.0 THEN d4d / d4 ELSE 0.0 END AS cd")
+        .selectExpr("user_id", "last_b", "n", "umean", "xbar", "ca", "cb", "cc", "cd",
+          "CASE WHEN n > 1 THEN greatest(srr - 2 * (ca * sy + cb * sty + cc * sxy + cd * sgy) + ca * ca * n + 2 * ca * cb * st + 2 * ca * cc * sx + 2 * ca * cd * sg + cb * cb * stt + 2 * cb * cc * stx + 2 * cb * cd * stg + cc * cc * sxx + 2 * cc * cd * sxg + cd * cd * sgg, 0.0) / n ELSE 0.0 END AS s2")
+      coef
+        .select(col("user_id"), col("last_b"), col("n"), col("umean"), col("xbar"),
+          col("ca"), col("cb"), col("cc"), col("cd"), col("s2"),
+          explode(sequence(lit(1), lit(Horizon))).as("h"))
+        .withColumn("forecast_timestamp",
+          expr(s"timestampadd(SECOND, h * $BucketSeconds, last_b)"))
+        .withColumn("hod", hour(col("forecast_timestamp")))
+        .join(seas, Seq("user_id", "hod"), "left")
+        .join(broadcast(hol), to_date(col("forecast_timestamp")) === col("hd"), "left")
+        .withColumn("gf", when(col("hd").isNotNull, lit(1L)).otherwise(lit(0L)))
+        .withColumn("forecast_value",
+          coalesce(col("smean"), col("umean")) + col("ca") +
+            col("cb") * (col("n") - 1 + col("h")) + col("cc") * col("xbar") +
+            col("cd") * col("gf"))
+        .select(col("user_id"), col("forecast_timestamp"), col("forecast_value"),
+          expr(s"forecast_value - $Z90 * sqrt(s2 * h)").as("lo"),
+          expr(s"forecast_value + $Z90 * sqrt(s2 * h)").as("hi"),
+          col("cd").as("holiday_coef"))
+    },
+    Some(s"""WITH hol AS (SELECT CAST(x AS DATE) AS hd FROM (VALUES ${UsHolidays.map(dt => s"('$dt')").mkString(", ")}) t(x)),
+           |base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand,
+           |  count(*) AS x FROM events GROUP BY 1, 2),
+           |bg AS (SELECT base.*, CASE WHEN h.hd IS NOT NULL THEN 1 ELSE 0 END AS g
+           |  FROM base LEFT JOIN hol h ON CAST(base.b AS DATE) = h.hd),
+           |seas AS (SELECT user_id, hour(b) AS hod,
+           |  list_reduce(list_transform(list(struct_pack(b := b, v := demand) ORDER BY b),
+           |    s -> s.v), (acc, v) -> acc + v) / count(*) AS smean
+           |  FROM base GROUP BY 1, 2),
+           |idx AS (SELECT bg.*, s.smean, demand - s.smean AS resid,
+           |  row_number() OVER (PARTITION BY bg.user_id ORDER BY b) - 1 AS t
+           |  FROM bg JOIN seas s ON bg.user_id = s.user_id AND hour(bg.b) = s.hod),
+           |m0 AS (SELECT user_id,
+           |  CAST(count(*) AS DOUBLE) AS n, max(b) AS last_b,
+           |  CAST(sum(t) AS DOUBLE) AS st, CAST(sum(t*t) AS DOUBLE) AS stt,
+           |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx,
+           |  CAST(sum(t*x) AS DOUBLE) AS stx,
+           |  CAST(sum(g) AS DOUBLE) AS sg, CAST(sum(t*g) AS DOUBLE) AS stg,
+           |  CAST(sum(x*g) AS DOUBLE) AS sxg, CAST(sum(g) AS DOUBLE) AS sgg,
+           |  list(struct_pack(t := t, r := resid, xx := x, gg := g, dm := demand) ORDER BY t) AS l
+           |  FROM idx GROUP BY 1),
+           |m AS (SELECT user_id, n, last_b, st, stt, sx, sxx, stx, sg, stg, sxg, sgg,
+           |  list_reduce(list_transform(l, s -> s.dm), (acc, v) -> acc + v) / n AS umean,
+           |  list_reduce(list_transform(l, s -> s.r), (acc, v) -> acc + v) AS sy,
+           |  list_reduce(list_transform(l, s -> s.t * s.r), (acc, v) -> acc + v) AS sty,
+           |  list_reduce(list_transform(l, s -> s.xx * s.r), (acc, v) -> acc + v) AS sxy,
+           |  list_reduce(list_transform(l, s -> s.gg * s.r), (acc, v) -> acc + v) AS sgy,
+           |  list_reduce(list_transform(l, s -> s.r * s.r), (acc, v) -> acc + v) AS srr
+           |  FROM m0),
+           |dets AS (SELECT *,
+           |  $D4 AS d4, $D4A AS d4a, $D4B AS d4b, $D4C AS d4c, $D4D AS d4d,
+           |  n * (stt * sxx - stx * stx) - st * (st * sxx - stx * sx) + sx * (st * stx - stt * sx) AS det,
+           |  sy * (stt * sxx - stx * stx) - st * (sty * sxx - stx * sxy) + sx * (sty * stx - stt * sxy) AS det_a,
+           |  n * (sty * sxx - stx * sxy) - sy * (st * sxx - stx * sx) + sx * (st * sxy - sty * sx) AS det_b,
+           |  n * (stt * sxy - sty * stx) - st * (st * sxy - sty * sx) + sy * (st * stx - stt * sx) AS det_c,
+           |  n * stt - st * st AS den2, n * sty - st * sy AS num2 FROM m),
+           |coef AS (SELECT user_id, last_b, n, umean, st, stt, sx, sxx, stx, sg, stg, sxg, sgg, sy, sty, sxy, sgy, srr, sx / n AS xbar,
+           |  CASE WHEN d4 <> 0.0 THEN d4a / d4 WHEN det <> 0.0 THEN det_a / det WHEN den2 <> 0.0 THEN (sy - (num2 / den2) * st) / n ELSE sy / n END AS ca,
+           |  CASE WHEN d4 <> 0.0 THEN d4b / d4 WHEN det <> 0.0 THEN det_b / det WHEN den2 <> 0.0 THEN num2 / den2 ELSE 0.0 END AS cb,
+           |  CASE WHEN d4 <> 0.0 THEN d4c / d4 WHEN det <> 0.0 THEN det_c / det ELSE 0.0 END AS cc,
+           |  CASE WHEN d4 <> 0.0 THEN d4d / d4 ELSE 0.0 END AS cd FROM dets),
+           |cs2 AS (SELECT user_id, last_b, n, umean, xbar, ca, cb, cc, cd,
+           |  CASE WHEN n > 1 THEN greatest(srr - 2 * (ca * sy + cb * sty + cc * sxy + cd * sgy) + ca * ca * n + 2 * ca * cb * st + 2 * ca * cc * sx + 2 * ca * cd * sg + cb * cb * stt + 2 * cb * cc * stx + 2 * cb * cd * stg + cc * cc * sxx + 2 * cc * cd * sxg + cd * cd * sgg, 0.0) / n ELSE 0.0 END AS s2
+           |  FROM coef),
+           |fr AS (SELECT c.*, t.h, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp
+           |  FROM cs2 c CROSS JOIN generate_series(1, 12) t(h)),
+           |fv AS (SELECT fr.user_id, fr.forecast_timestamp, fr.s2, fr.h, fr.cd,
+           |  COALESCE(s.smean, fr.umean) + fr.ca + fr.cb * (fr.n - 1 + fr.h) + fr.cc * fr.xbar + fr.cd * (CASE WHEN hh.hd IS NOT NULL THEN 1 ELSE 0 END) AS forecast_value
+           |  FROM fr LEFT JOIN seas s ON fr.user_id = s.user_id AND hour(fr.forecast_timestamp) = s.hod
+           |  LEFT JOIN hol hh ON CAST(fr.forecast_timestamp AS DATE) = hh.hd)
+           |SELECT user_id, forecast_timestamp, forecast_value,
+           |  forecast_value - $Z90 * sqrt(s2 * h) AS lo,
+           |  forecast_value + $Z90 * sqrt(s2 * h) AS hi,
+           |  cd AS holiday_coef FROM fv""".stripMargin))
+
   /** M4b: held-out evaluation (the reference evaluates on a fixed held-out
     * December window with MAPE et al., part3:436-440, 539-553): per series,
     * train on all but the last 12 buckets, forecast the held-out 12 with
@@ -586,5 +806,5 @@ object Forecast {
            |       max(abs_err) AS max_abs_err
            |FROM e GROUP BY user_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(m3, m4, m4b, m5, m6, m7)
+  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7)
 }
