@@ -100,9 +100,12 @@ object Graft {
   /** Concatenate-and-chunk packing layout into `packTokens`-token context
     * windows, packed independently per `domainCol` shard:
     * (doc_id, domain, n_tok, start_tok, first_pack, last_pack, n_packs).
+    * `shardSpan` bounds every sort-window partition (two-level prefix sum);
+    * it never changes the layout, only the parallelism.
     */
-  def sequencePack(docs: DataFrame, domainCol: String, packTokens: Int = 256): DataFrame =
-    TextOps.sequencePack(docs, domainCol, packTokens)
+  def sequencePack(docs: DataFrame, domainCol: String, packTokens: Int = 256,
+      shardSpan: Long = 65536L): DataFrame =
+    TextOps.sequencePack(docs, domainCol, packTokens, shardSpan)
 
   // ---- similarity search --------------------------------------------------
 
@@ -111,23 +114,24 @@ object Graft {
     * (the ANN variants in [[graft.operators.VectorOps]] are the scale path
     * for large query sets).
     */
-  def annBruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
-    VectorOps.bruteForceTopK(corpus, queries, k)
+  def annBruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.bruteForceTopK(corpus, queries, k, excludeSelf)
 
   /** IVF-bucketed approximate cosine top-k — the scale path: queries touch
     * only their `probes` nearest cells (~probes/K of the corpus) instead of
     * scanning it. Recall gates live in VectorOpsSpec.
     */
-  def annIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+  def annIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, excludeSelf: Boolean = true,
       probes: Int = 2): DataFrame =
-    VectorOps.ivfTopK(corpus, queries, k, probes)
+    VectorOps.ivfTopK(corpus, queries, k, probes, excludeSelf)
 
   /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
     * than [[annIvfTopK]], the variant that holds recall on clustered data.
     */
-  def annKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+  def annKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, excludeSelf: Boolean = true,
       probes: Int = 2): DataFrame =
-    VectorOps.kmeansTopK(corpus, queries, k, probes)
+    VectorOps.kmeansTopK(corpus, queries, k, probes, excludeSelf)
 
   // ---- time series --------------------------------------------------------
 

@@ -132,14 +132,37 @@ object TextOps {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
 
+  /** LSH banding derived from the requested Jaccard threshold: the largest
+    * rows-per-band r (fewest candidates) whose recall at exactly
+    * j = threshold stays >= 0.999, i.e. 1 - (1 - t^r)^(64/r) >= 0.999.
+    * A fixed 16x4 scheme tuned for j >= 0.9 would silently lose ~1/3 of
+    * true pairs at threshold 0.5; deriving (bands, rows) keeps the recall
+    * contract at every supported threshold. Below ~0.11 even 64 one-hash
+    * bands cannot reach the floor, so that is the domain bound.
+    */
+  private def bandingFor(threshold: Double, numHashes: Int = 64): (Int, Int) = {
+    require(threshold >= 0.11 && threshold <= 1.0,
+      s"threshold must be in [0.11, 1.0] (LSH recall >= 0.999 is unreachable below), got $threshold")
+    val r = Seq(64, 32, 16, 8, 4, 2, 1)
+      .filter(numHashes % _ == 0)
+      .find { r =>
+        1.0 - math.pow(1.0 - math.pow(threshold, r), (numHashes / r).toDouble) >= 0.999
+      }
+      .getOrElse(1)
+    (numHashes / r, r)
+  }
+
   /** Near-duplicate pairs at `threshold` 3-shingle Jaccard:
-    * (a_id, b_id, jaccard), a_id < b_id. LSH-bucketed (16x4 bands, miss
-    * < 1e-7 at j >= 0.9), exact-verified — never all-pairs.
+    * (a_id, b_id, jaccard), a_id < b_id. LSH-bucketed with
+    * [[bandingFor]]-derived bands (recall >= 0.999 at the requested
+    * threshold; 16x4 at the 0.9 default family), exact-verified — never
+    * all-pairs.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
+    val (bands, rows) = bandingFor(threshold)
     val sets = shingleSets(docs)
-    withSets(lshCandidates(sets, numHashes = 64, bands = 16, rows = 4), sets)
+    withSets(lshCandidates(sets, numHashes = 64, bands = bands, rows = rows), sets)
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
@@ -184,19 +207,38 @@ object TextOps {
 
   /** Sequence-packing layout: each doc's span in concatenate-and-chunk
     * context windows of `packTokens`, packed independently per
-    * `domainCol` (the shard domain — a global sequence would serialize the
-    * running sum through one partition).
+    * `domainCol`. The per-domain running token sum is a TWO-LEVEL prefix
+    * sum (the same partial-then-offset decomposition as
+    * [[tokenBudgetSelect]]): docs bucket into contiguous doc_id ranges of
+    * `shardSpan` ids, per-(domain, shard) subtotals produce a
+    * broadcast-size offset table (one window over #shards rows per
+    * domain), and the row-level sort window partitions by
+    * (domain, shard) — never by the whole domain. A 10-TB source becomes
+    * ~corpus/shardSpan bounded window tasks instead of ONE serialized
+    * sort task. Integer-only arithmetic, so the layout is bit-identical
+    * for every shardSpan — sharding is pure parallelism, not semantics.
     */
-  def sequencePack(docs: DataFrame, domainCol: String, packTokens: Int): DataFrame = {
-    val w = Window.partitionBy(domainCol).orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+  def sequencePack(docs: DataFrame, domainCol: String, packTokens: Int,
+      shardSpan: Long = 65536L): DataFrame = {
+    val t = docs
       .select(col("doc_id"), col(domainCol),
         size(split(col("text"), " ")).as("n_tok"))
-      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("shard", expr(s"doc_id div $shardSpan"))
+    val offsets = t.groupBy(col(domainCol), col("shard"))
+      .agg(sum(col("n_tok").cast("long")).as("stok"))
+      .withColumn("offset", coalesce(
+        sum("stok").over(Window.partitionBy(domainCol).orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(domainCol), col("shard"), col("offset"))
+    val win = Window.partitionBy(col(domainCol), col("shard")).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), Seq(domainCol, "shard"))
+      .withColumn("start_tok", col("offset") + coalesce(sum("n_tok").over(win), lit(0L)))
       .withColumn("first_pack", expr(s"start_tok div $packTokens"))
       .withColumn("last_pack", expr(s"(start_tok + n_tok - 1) div $packTokens"))
       .withColumn("n_packs", col("last_pack") - col("first_pack") + 1)
+      .select(col("doc_id"), col(domainCol), col("n_tok"), col("start_tok"),
+        col("first_pack"), col("last_pack"), col("n_packs"))
   }
 
   /** Incremental dedup verdicts for a new `batch` against an existing
@@ -768,15 +810,18 @@ object TextOps {
     * layout LLM training uses to fill fixed context windows: documents are
     * laid end-to-end in a deterministic order and split every
     * [[PackTokens]] tokens, so a doc's pack span is a pure function of the
-    * running token offset. The running sum is windowed PER SOURCE (the
-    * natural pack domain — sources are packed independently), so at 100 TB
-    * the sort is per-source-partition, never global; a single global
-    * sequence would serialize on one partition and is exactly what this
-    * partitioning avoids. Integer-only arithmetic — trivially cross-engine.
+    * running token offset. Sources pack independently (the natural pack
+    * domain), and WITHIN a source the running sum is the two-level
+    * shard-offset prefix sum of [[sequencePack]] — no window partition is
+    * ever proportional to a domain, so a 10-TB source never serializes
+    * into one sort task. Integer-only arithmetic — trivially cross-engine
+    * and invariant to the shard span.
     */
   val x16: GraftQuery = GraftQuery(
     "x16_sequence_pack",
-    (s, d) => sequencePack(Tables.documents(s, d), "source", PackTokens),
+    // shardSpan 128 so even the sf0.01 corpus (~500 ids) exercises the
+    // multi-shard offset path the 100-TB layout depends on
+    (s, d) => sequencePack(Tables.documents(s, d), "source", PackTokens, shardSpan = 128L),
     Some(s"""WITH t AS (SELECT doc_id, source,
            |  CAST(len(str_split(text, ' ')) AS INT) AS n_tok FROM documents),
            |c AS (SELECT doc_id, source, n_tok,

@@ -34,11 +34,18 @@ object VectorOps {
     * columns; returns (q_id, neighbor_id, cos), k rows per query, self
     * excluded. The query side is broadcast; the corpus is scanned once.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val c = withNorm(corpus, "c")
     val q = withNorm(queries, "q")
-    val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+    // excludeSelf assumes queries share the corpus id space (the reference
+    // usage: querying a corpus with its own rows). For a DISJOINT query id
+    // space pass excludeSelf = false — an id that happens to collide with a
+    // corpus id would otherwise silently drop a valid neighbor and return
+    // k-1 rows for that query.
+    val scored = c.join(broadcast(q),
+      if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .withColumn("cos", cosine("q_e", "c_e"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -113,7 +120,8 @@ object VectorOps {
     * nearest cells each query searches. Centroids are the deterministic
     * hash-sample of `corpus`.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, probes: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val cents = centroidsOf(corpus)
     val assigned = assign(withNorm(corpus, "c"), cents)
@@ -128,7 +136,9 @@ object VectorOps {
     // rank within probed posting lists only
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     assigned.join(broadcast(probed), Seq("cluster"))
-      .filter(col("c_id") =!= col("q_id"))
+      // see bruteForceTopK: only meaningful when query ids live in the
+      // corpus id space; disabled for disjoint-id query tables
+      .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .withColumn("cos", cosine("q_e", "c_e"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
@@ -210,7 +220,8 @@ object VectorOps {
     * (2 Lloyd rounds) refined cells — same contract as [[ivfTopK]], tighter
     * cells, the variant that holds recall on clustered real data.
     */
-  def kmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
+  def kmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int, probes: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
     val cents = kmeansCentroidsOf(corpus)
     val assigned = assign(withNorm(corpus, "c"), cents)
 
@@ -223,7 +234,9 @@ object VectorOps {
 
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     assigned.join(broadcast(probed), Seq("cluster"))
-      .filter(col("c_id") =!= col("q_id"))
+      // see bruteForceTopK: only meaningful when query ids live in the
+      // corpus id space; disabled for disjoint-id query tables
+      .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .withColumn("cos", cosine("q_e", "c_e"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))

@@ -166,6 +166,41 @@ class GraftApiSpec extends SparkSpec {
     assert(drift(ts(15)) === 16.0)
   }
 
+  test("nearDupPairs adapts LSH banding to the threshold") {
+    // two docs at shingle-jaccard ~0.5: a fixed 16x4 banding tuned for 0.9
+    // has only ~64% candidate recall down here; the derived 32x2 banding
+    // holds >= 0.999, so this moderately-similar pair must surface
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (1 to 9).map(i => s"alpha$i").mkString(" ")),
+      (2L, shared + " " + (1 to 9).map(i => s"beta$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Graft.nearDupPairs(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    val ex = intercept[IllegalArgumentException](Graft.nearDupPairs(docs, 0.05))
+    assert(ex.getMessage.contains("threshold"))
+  }
+
+  test("ANN excludeSelf=false keeps colliding ids as neighbors") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0L until 20L).map { id =>
+      (id, Array.fill(8)(rng.nextFloat()).toSeq)
+    }.toDF("vec_id", "embedding")
+    // query table whose ids coincide with corpus ids but are DIFFERENT
+    // vectors: with exclusion on, the same-id corpus row is silently lost
+    val queries = (0L until 3L).map { id =>
+      (id, Array.fill(8)(rng.nextFloat()).toSeq)
+    }.toDF("vec_id", "embedding")
+    val kept = Graft.annBruteForceTopK(corpus, queries, k = 20, excludeSelf = false)
+      .collect().groupBy(_.getLong(0))
+    assert(kept.values.forall(_.length == 20), "all 20 corpus rows rank per query")
+    val excl = Graft.annBruteForceTopK(corpus, queries, k = 20)
+      .collect().groupBy(_.getLong(0))
+    assert(excl.values.forall(_.length == 19), "id collision drops one neighbor")
+  }
+
   test("forecast horizon/confidence parameters and model intervals") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
