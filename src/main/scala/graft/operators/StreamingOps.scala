@@ -160,6 +160,33 @@ object StreamingOps {
            |FROM events GROUP BY 1, 2""".stripMargin),
     bench = false)
 
+  /** T11 at bench scale: the identical AvailableNow windowed aggregation,
+    * registered as the ONE timed streaming entry (every other t-query is
+    * bench=false, which left streaming with zero performance signal).
+    * Throughput in rows/s = the events row count at the bench SF divided by
+    * this entry's recorded seconds. Same oracle as t11 — AvailableNow over
+    * bounded input must equal the batch aggregate exactly.
+    */
+  val t11b: GraftQuery = GraftQuery(
+    "t11_throughput",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+        .select(col("window.start").as("bucket_ts"), col("event_type"),
+          col("n"), col("total"))
+        .writeStream.format("memory").queryName("graft_t11b")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t11b")
+    },
+    Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts, event_type,
+           |count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   /** T12 (beyond reference): streaming deduplication — `dropDuplicates` on
     * the business key holds one state entry per (user, event_type) and
     * emits each key once. Only the KEYS are emitted: which physical row
@@ -418,5 +445,6 @@ object StreamingOps {
            |  AND c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)""".stripMargin),
     bench = false)
 
-  val all: Seq[GraftQuery] = Seq(t3, t5, t6, t11, t12, t13, t14, t15, t16, t17, t18, t10)
+  val all: Seq[GraftQuery] =
+    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10)
 }

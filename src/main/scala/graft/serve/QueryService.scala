@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object QueryService {
 
+  /** Rides served from a MATERIALIZED snapshot table — the reference
+    * dashboard polls the bus_rides TABLE, it never re-runs the simulation
+    * per request (part2:629-631). The first call per (session, dir) runs
+    * the sim once and writes a [[graft.core.Snapshots]] version; every
+    * poll after that is a parquet scan whose lineage contains no sim
+    * kernel at all, so dashboard QPS costs a scan + small agg, not a
+    * simulation. ServeSpec asserts the second call re-executes nothing.
+    */
+  def servedRides(s: SparkSession, d: String): DataFrame =
+    served.getOrElseUpdate((s, d), {
+      val table = "serve_rides_" + Integer.toHexString(d.hashCode)
+      graft.core.Snapshots.reset(table)
+      graft.core.Snapshots.write(s, table, BusSim.rides(s, d))
+      graft.core.Snapshots.latest(s, table)
+    })
+
+  private val served =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** GET /bus_lines — the dimension table (main.py:74-88 shape). */
   def busLines(s: SparkSession, d: String): DataFrame =
     BusSim.busLines(s, d, BusSim.stationCount(s, d))
@@ -22,7 +41,7 @@ object QueryService {
     * (pyspark-job.py:177-204 shape: line, remaining, totals, last update).
     */
   def busState(s: SparkSession, d: String): DataFrame =
-    BusSim.rides(s, d)
+    servedRides(s, d)
       .groupBy("bus_line_id", "bus_line")
       .agg(
         max_by(col("remaining_at_stop"), struct(col("timestamp_at_stop"), col("bus_ride_id")))
@@ -35,7 +54,8 @@ object QueryService {
 
   /** GET /demand?line=... — per-line demand series (bq_service.py:33-50). */
   def demandByLine(s: SparkSession, d: String, line: String): DataFrame =
-    BusSim.endToEnd(s, d).filter(col("bus_line") === line).orderBy("bucket_ts")
+    BusSim.demandRollup(servedRides(s, d))
+      .filter(col("bus_line") === line).orderBy("bucket_ts")
 
   /** GET /rides window fetch (bq_service.py:52-86): rides inside a
     * timestamp window, with the ride id's YEAR rebased (the reference
@@ -47,7 +67,7 @@ object QueryService {
     */
   def ridesWindow(s: SparkSession, d: String, start: String, stop: String,
       shiftDays: Int): DataFrame =
-    BusSim.rides(s, d)
+    servedRides(s, d)
       .filter(col("timestamp_at_stop").between(
         lit(start).cast("timestamp"), lit(stop).cast("timestamp")))
       .withColumn("bus_ride_id", regexp_replace(col("bus_ride_id"),
@@ -62,7 +82,7 @@ object QueryService {
     * client concern — this returns the ordered payload stream.
     */
   def replayFeed(s: SparkSession, d: String, anchor: String): DataFrame = {
-    val rides = BusSim.rides(s, d)
+    val rides = servedRides(s, d)
     val maxTs = rides.agg(max("timestamp_at_stop")).head().getTimestamp(0)
     rides
       .withColumn("send_ts",

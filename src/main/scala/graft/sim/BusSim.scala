@@ -201,12 +201,17 @@ object BusSim {
   val FaithfulQuadraticCadence = false
 
   /** U1: typed ride generator (part2:353-420). One LineWindow -> all
-    * rides x stops within the window (capped at [[MaxRidesPerLine]]).
+    * rides x stops within the window (capped at `maxRides`, default
+    * [[MaxRidesPerLine]] — the cap is a parameter so the bench can run a
+    * 10x horizon without touching the oracle-checked default pipeline).
     */
   def generateRides(lw: LineWindow): Iterator[RideStop] =
     generateRides(lw, FaithfulQuadraticCadence)
 
-  def generateRides(lw: LineWindow, quadratic: Boolean): Iterator[RideStop] = {
+  def generateRides(lw: LineWindow, quadratic: Boolean): Iterator[RideStop] =
+    generateRides(lw, quadratic, MaxRidesPerLine)
+
+  def generateRides(lw: LineWindow, quadratic: Boolean, maxRides: Int): Iterator[RideStop] = {
     if (lw.window_start == null || lw.window_end == null ||
       !lw.window_start.before(lw.window_end)) return Iterator.empty
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd_HH-mm-ss")
@@ -214,7 +219,7 @@ object BusSim {
     val out = Vector.newBuilder[RideStop]
     var start = lw.window_start.getTime
     var rideIdx = 0
-    while (start < lw.window_end.getTime && rideIdx < MaxRidesPerLine) {
+    while (start < lw.window_end.getTime && rideIdx < maxRides) {
       val sizeIdx = (HashDraw.draw(s"size|${lw.bus_line_id}|$rideIdx") % 3).toInt
       val (sizeName, seat, stand) = BusSizes(sizeIdx)
       val rideId = s"${lw.bus_line_id}_${fmt.format(new java.util.Date(start))}"
@@ -262,15 +267,19 @@ object BusSim {
     * bus_rides as a table before the feature CTAS (part2:624-631).
     */
   def rides(s: SparkSession, d: String): DataFrame =
-    ridesCache.getOrElseUpdate((s, d), buildRides(s, d).cache())
+    rides(s, d, MaxRidesPerLine)
+
+  def rides(s: SparkSession, d: String, maxRides: Int): DataFrame =
+    ridesCache.getOrElseUpdate((s, d, maxRides), buildRides(s, d, maxRides).cache())
 
   private val ridesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-  private[graft] def buildRides(s: SparkSession, d: String): DataFrame = {
+  private[graft] def buildRides(s: SparkSession, d: String,
+      maxRides: Int = MaxRidesPerLine): DataFrame = {
     import s.implicits._
     val lw = lineWindows(s, d).as[LineWindow]
-    val rideStops = lw.flatMap(generateRides _)
+    val rideStops = lw.flatMap(l => generateRides(l, FaithfulQuadraticCadence, maxRides))
 
     // J1 (part2:431-436): attach waiting passengers by (stop, minute).
     // Joined against the HOURLY staging aggregate with the minute share
@@ -297,9 +306,16 @@ object BusSim {
   /** Flagship entry (SURVEY §7.2): the end-to-end slice, then the part3
     * demand query on top: avg demand per line x 5-min bucket.
     */
-  def endToEnd(s: SparkSession, d: String): DataFrame = {
+  def endToEnd(s: SparkSession, d: String): DataFrame =
+    demandRollup(rides(s, d))
+
+  /** The part3 flagship rollup over any rides frame — factored out so the
+    * serving layer can aggregate a MATERIALIZED rides table instead of the
+    * live simulation lineage.
+    */
+  def demandRollup(ridesDf: DataFrame): DataFrame = {
     import graft.functions.Funcs._
-    rides(s, d)
+    ridesDf
       .withColumn("demand_metric",
         col("remaining_at_stop") - (col("total_capacity") - col("passengers_on_bus")))
       .groupBy(col("bus_line"), timestampBucket(col("timestamp_at_stop"), 300).as("bucket_ts"))
@@ -410,8 +426,10 @@ object BusSim {
     * md5 integer; all fold arithmetic is integer-only (no float RNG), which
     * is what makes bit-exact cross-engine agreement possible.
     */
-  private[graft] val simFoldSql: String =
-    """WITH RECURSIVE
+  private[graft] def simFoldSql: String = simFoldSql(MaxRidesPerLine)
+
+  private[graft] def simFoldSql(cap: Int): String =
+    s"""WITH RECURSIVE
       |n AS (SELECT max(user_id) + 1 AS ns FROM events),
       |hourly AS (SELECT user_id AS station_id, date_trunc('hour', ts) AS h,
       |  CAST(sum(floor(value / 10) + 1) AS BIGINT) AS hourly FROM events GROUP BY 1, 2),
@@ -427,7 +445,7 @@ object BusSim {
       |  FROM stops s LEFT JOIN sr USING (station_id) GROUP BY 1),
       |rides AS (SELECT l.bus_line_id, l.bus_line, l.frequency_minutes, t.k AS ride_idx,
       |  w.window_start + to_minutes(CAST(t.k * l.frequency_minutes AS BIGINT)) AS ride_start
-      |  FROM lines l JOIN w USING (bus_line_id) CROSS JOIN generate_series(0, 39) t(k)
+      |  FROM lines l JOIN w USING (bus_line_id) CROSS JOIN generate_series(0, ${cap - 1}) t(k)
       |  WHERE w.window_start < w.window_end
       |    AND w.window_start + to_minutes(CAST(t.k * l.frequency_minutes AS BIGINT)) < w.window_end),
       |sized AS (SELECT r.*,
@@ -500,6 +518,18 @@ object BusSim {
     (s, d) => rides(s, d),
     Some(simFoldSql + s"SELECT $rideCols FROM fold"))
 
+  /** Bench-scale simulation: the identical U1+J1+U2 pipeline at a 10x ride
+    * horizon. At correctness scale (sf0.01) the line windows bound the ride
+    * count before either cap does, so this is hash-identical to
+    * sim_bus_rides and the oracle stays cheap; at bench scale (sf0.1) the
+    * cap binds and the simulation really is ~10x the rides — the heavy
+    * entry the bench needs to expose kernel scaling, not just overhead.
+    */
+  val simBusRidesHeavy: GraftQuery = GraftQuery(
+    "sim_bus_rides_heavy",
+    (s, d) => rides(s, d, 10 * MaxRidesPerLine),
+    Some(simFoldSql(10 * MaxRidesPerLine) + s"SELECT $rideCols FROM fold"))
+
   /** M1 feature CTAS over the simulation (part3:124-157). */
   val simFeatures: GraftQuery = GraftQuery(
     "sim_ride_features",
@@ -527,5 +557,6 @@ object BusSim {
         |FROM fold GROUP BY 1, 2""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(simWindowPrep, simStationsDim, stageConservation, simBusRides, simFeatures, simDemand)
+    Seq(simWindowPrep, simStationsDim, stageConservation, simBusRides,
+      simBusRidesHeavy, simFeatures, simDemand)
 }

@@ -11,7 +11,7 @@ class PlanGuardSpec extends SparkSpec {
 
   private val skipped = Set(
     "t3_stream_alert_filter", "t5_stream_latest_state",
-    "t6_foreachbatch_overwrite", "t11_stream_windowed_agg",
+    "t6_foreachbatch_overwrite", "t11_stream_windowed_agg", "t11_throughput",
     "t12_stream_dedup", "t13_stream_table_mirror",
     "t14_stream_stream_join", "t15_stream_merge_upsert",
     "t16_stream_session_window", "t17_stream_append_eviction",

@@ -1,0 +1,65 @@
+package graft
+
+import graft.serve.QueryService
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+
+/** Serving-layer contract: the dashboard-poll queries read a MATERIALIZED
+  * rides snapshot; only the first call pays for the simulation. The
+  * reference serves from the bus_rides table, never re-running the sim per
+  * request (part2:629-631) — these tests pin that property with a stage
+  * listener and a lineage check.
+  */
+class ServeSpec extends SparkSpec {
+
+  private def countStages(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // listener events are posted asynchronously; a short settle beats
+      // reaching into the private listener bus
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("poll queries serve from the materialized snapshot, not the sim DAG") {
+    // first call materializes (sim runs once, snapshot written)
+    val warm = QueryService.busState(spark, sf).collect()
+    assert(warm.nonEmpty)
+
+    // the served frame's lineage must be a file scan: no sim kernels, no
+    // ridership join — a poll is a parquet read, whatever it aggregates
+    val plan = QueryService.servedRides(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups") && !plan.contains("SerializeFromObject"),
+      s"served rides still carry sim-kernel lineage:\n$plan")
+    assert(plan.contains("FileScan") || plan.contains("BatchScan"),
+      s"served rides are not a table scan:\n$plan")
+
+    // a second poll runs only the scan+agg stages (sim = many shuffle
+    // stages; the snapshot agg is scan -> partial -> final)
+    val second = countStages(QueryService.busState(spark, sf).collect())
+    assert(second <= 4, s"second poll submitted $second stages — sim re-ran?")
+
+    // demand + window fetch reuse the same snapshot
+    val d = countStages {
+      QueryService.demandByLine(spark, sf, "ALGERIA").collect()
+      QueryService.ridesWindow(spark, sf,
+        "2024-01-02 06:00:00", "2024-01-02 12:00:00", 365).collect()
+    }
+    assert(d <= 6, s"poll pair submitted $d stages — sim re-ran?")
+  }
+
+  test("served snapshot equals the live simulation result") {
+    val live = sim.BusSim.rides(spark, sf).collect().map(_.toString).sorted
+    val servedRows = QueryService.servedRides(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(servedRows.toSeq === live.toSeq)
+  }
+}
