@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.core.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scaling-exponent measurement for the heavy
+  * operators. Replicates sf0.1 at `factor`x into tmp by id-offsetting each
+  * fact table (testdata itself is read-only), times each target op at 1x
+  * and at factorx (best-of-2, cache cleared per attempt), and prints the
+  * per-op scaling exponent e = log(t_f / t_1) / log(f). An op SCALE.md
+  * claims linear should land near 1; anything >> 1 is a named scale bug.
+  *
+  * Replication preserves WORKLOAD SHAPE, not just row count:
+  *   - documents: each copy's words get a copy-unique prefix, so shingles
+  *     are disjoint across copies and the dup/LSH structure is f
+  *     independent copies of the original (naive text copies would create
+  *     8-cliques of near-dups everywhere — a different, quadratic problem).
+  *   - events: user ids offset per copy -> f x series, same series length.
+  *   - lineitem: order keys offset per copy -> f x orders, same lines/order.
+  *   - embeddings: vec ids offset -> f x corpus; the fixed query set
+  *     (vec_id < 10) stays in copy 0, which is exactly the ANN serving
+  *     shape (fixed queries, growing corpus).
+  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [factor]
+  */
+object ScaleProbe {
+
+  private def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    def reps(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
+
+    // events: raw read keeps ts as nanos-long, so the replica parquet is a
+    // plain BIGINT column the Tables.events loader handles unchanged
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.core.Tables.load(s, base, "events")
+    val evSpan = ev.agg(max("user_id")).head().getLong(0) + 1
+    reps(ev)
+      .withColumn("user_id", col("user_id") + col("rep") * evSpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val li = graft.core.Tables.lineitem(s, base)
+    val liSpan = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    reps(li)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * liSpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val docs = graft.core.Tables.documents(s, base)
+    val dSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    reps(docs)
+      .withColumn("doc_id", col("doc_id") + col("rep") * dSpan)
+      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
+        concat_ws(" ", expr("transform(split(text, ' '), w -> concat('z', CAST(rep AS STRING), w))"))))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = graft.core.Tables.embeddings(s, base)
+    val eSpan = emb.agg(max("vec_id")).head().getLong(0) + 1
+    reps(emb)
+      .withColumn("vec_id", col("vec_id") + col("rep") * eSpan)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // dims and remaining facts pass through unchanged (the sim's 25-line
+    // network and j-family dims are intentionally fixed-size)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders"))
+      graft.core.Tables.load(s, base, t)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    done.createNewFile(); ()
+  }
+
+  private def time(s: SparkSession, name: String, dir: String): Double = {
+    def once(): Double = {
+      s.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(s, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 8
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale/x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
+    val spark = Sessions.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, base, out, factor)
+
+    val ops = if (args.length > 2) args.drop(2).toSeq else Seq(
+      "m2_gap_fill_linear", "x7_ngram_jaccard_neardup", "x11_dupset_components",
+      "j1_composite_2key_join", "sim_bus_rides", "v2_ann_ivf_topk",
+      "v4_ann_kmeans_topk", "x9_tfidf_topterm", "x16_sequence_pack",
+      "x20_token_budget_select")
+    val rows = ops.map { op =>
+      val t1 = time(spark, op, base)
+      val tf = time(spark, op, out)
+      val e = math.log(tf / t1) / math.log(factor.toDouble)
+      System.err.println(f"[scale] $op 1x=$t1%.2fs ${factor}x=$tf%.2fs exp=$e%.2f")
+      f""""$op":{"t1":$t1%.2f,"tf":$tf%.2f,"exp":$e%.2f}"""
+    }
+    println(s"""{"factor":$factor,"ops":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
