@@ -78,20 +78,24 @@ object Bench {
     "x15_contamination_check", "v1_ann_bruteforce_topk", "v2_ann_ivf_topk",
     "v4_ann_kmeans_topk", "mm2_decode_features")
 
-  /** Warm single-query times measured at sf0.1 on an idle host (round 4,
-    * re-run standalone after the throttled sweep). Used purely as an outlier
+  /** Warm single-query times measured at sf0.1 on a healthy host (round 5
+    * best-of-2 sweep, calib ~244 mops/thread). Used purely as an outlier
     * guard: a recorded time far above these is a throttle artifact, not a
     * regression, and earns a re-run before being stored. Only consulted when
     * benching sf0.1 (the values are SF-specific).
     */
   private val warmPriorSf01: Map[String, Double] = Map(
-    "j1_composite_2key_join" -> 7.6, "s17_bucketed_colocated_join" -> 7.2,
-    "x11_dupset_components" -> 6.8, "x17_dedup_keep_best" -> 4.3,
-    "s21_snapshot_diff" -> 4.6, "sim_bus_rides" -> 4.2,
-    "v4_ann_kmeans_topk" -> 3.4, "x9_tfidf_topterm" -> 3.2,
-    "m2_gap_fill_linear" -> 2.1, "v2_ann_ivf_topk" -> 2.1,
-    "x5_minhash_lsh_dupsets" -> 1.6, "x7_ngram_jaccard_neardup" -> 1.4,
-    "x18_boilerplate_df" -> 1.4)
+    "a19_recursive_cte_fold" -> 2.5, "stage_minute_spread_conservation" -> 2.1,
+    "d1_quality_audit" -> 2.0, "t11_throughput" -> 1.6,
+    "j4_feature_ctas_left_joins" -> 1.6, "x11_dupset_components" -> 1.5,
+    "j1_composite_2key_join" -> 1.5, "x17_dedup_keep_best" -> 1.4,
+    "m2_gap_fill_linear" -> 1.3, "s18_merge_upsert" -> 1.3,
+    "m3_forecast_xreg" -> 1.2, "s17_bucketed_colocated_join" -> 1.2,
+    "m3b_forecast_xreg_holiday" -> 1.1, "s21_snapshot_diff" -> 1.1,
+    "m4b_holdout_eval" -> 1.0, "x5_minhash_lsh_dupsets" -> 0.9,
+    "v4_ann_kmeans_topk" -> 0.8, "x7_ngram_jaccard_neardup" -> 0.7,
+    "x9_tfidf_topterm" -> 0.6, "x18_boilerplate_df" -> 0.6,
+    "sim_bus_rides" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

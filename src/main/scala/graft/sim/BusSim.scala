@@ -211,7 +211,20 @@ object BusSim {
   def generateRides(lw: LineWindow, quadratic: Boolean): Iterator[RideStop] =
     generateRides(lw, quadratic, MaxRidesPerLine)
 
-  def generateRides(lw: LineWindow, quadratic: Boolean, maxRides: Int): Iterator[RideStop] = {
+  def generateRides(lw: LineWindow, quadratic: Boolean, maxRides: Int): Iterator[RideStop] =
+    generateRides(lw, quadratic, maxRides, 1)
+
+  /** `cadenceDiv` densifies departures (every frequency/cadenceDiv minutes)
+    * so a bench run can pack ~cadenceDiv x the rides into the SAME line
+    * window — the hourly test data is sparse, so the window (not the ride
+    * cap) is usually the binding constraint. Must divide 60000 exactly so
+    * the millisecond cadence stays integral (the oracle replays it in
+    * integer seconds).
+    */
+  def generateRides(lw: LineWindow, quadratic: Boolean, maxRides: Int,
+      cadenceDiv: Int): Iterator[RideStop] = {
+    require(cadenceDiv >= 1 && 60000 % cadenceDiv == 0,
+      s"cadenceDiv must divide 60000, got $cadenceDiv")
     if (lw.window_start == null || lw.window_end == null ||
       !lw.window_start.before(lw.window_end)) return Iterator.empty
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd_HH-mm-ss")
@@ -232,7 +245,7 @@ object BusSim {
       }
       rideIdx += 1
       start +=
-        (if (quadratic) rideIdx.toLong else 1L) * lw.frequency_minutes * 60000L
+        (if (quadratic) rideIdx.toLong else 1L) * lw.frequency_minutes * 60000L / cadenceDiv
     }
     out.result().iterator
   }
@@ -267,19 +280,21 @@ object BusSim {
     * bus_rides as a table before the feature CTAS (part2:624-631).
     */
   def rides(s: SparkSession, d: String): DataFrame =
-    rides(s, d, MaxRidesPerLine)
+    rides(s, d, MaxRidesPerLine, 1)
 
-  def rides(s: SparkSession, d: String, maxRides: Int): DataFrame =
-    ridesCache.getOrElseUpdate((s, d, maxRides), buildRides(s, d, maxRides).cache())
+  def rides(s: SparkSession, d: String, maxRides: Int, cadenceDiv: Int): DataFrame =
+    ridesCache.getOrElseUpdate((s, d, maxRides, cadenceDiv),
+      buildRides(s, d, maxRides, cadenceDiv).cache())
 
   private val ridesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
 
   private[graft] def buildRides(s: SparkSession, d: String,
-      maxRides: Int = MaxRidesPerLine): DataFrame = {
+      maxRides: Int = MaxRidesPerLine, cadenceDiv: Int = 1): DataFrame = {
     import s.implicits._
     val lw = lineWindows(s, d).as[LineWindow]
-    val rideStops = lw.flatMap(l => generateRides(l, FaithfulQuadraticCadence, maxRides))
+    val rideStops = lw.flatMap(l =>
+      generateRides(l, FaithfulQuadraticCadence, maxRides, cadenceDiv))
 
     // J1 (part2:431-436): attach waiting passengers by (stop, minute).
     // Joined against the HOURLY staging aggregate with the minute share
@@ -426,9 +441,9 @@ object BusSim {
     * md5 integer; all fold arithmetic is integer-only (no float RNG), which
     * is what makes bit-exact cross-engine agreement possible.
     */
-  private[graft] def simFoldSql: String = simFoldSql(MaxRidesPerLine)
+  private[graft] def simFoldSql: String = simFoldSql(MaxRidesPerLine, 1)
 
-  private[graft] def simFoldSql(cap: Int): String =
+  private[graft] def simFoldSql(cap: Int, cadenceDiv: Int): String =
     s"""WITH RECURSIVE
       |n AS (SELECT max(user_id) + 1 AS ns FROM events),
       |hourly AS (SELECT user_id AS station_id, date_trunc('hour', ts) AS h,
@@ -444,10 +459,10 @@ object BusSim {
       |w AS (SELECT s.bus_line_id, max(sr.mn) AS window_start, min(sr.mx) AS window_end
       |  FROM stops s LEFT JOIN sr USING (station_id) GROUP BY 1),
       |rides AS (SELECT l.bus_line_id, l.bus_line, l.frequency_minutes, t.k AS ride_idx,
-      |  w.window_start + to_minutes(CAST(t.k * l.frequency_minutes AS BIGINT)) AS ride_start
+      |  w.window_start + to_seconds((t.k * l.frequency_minutes * 60) // $cadenceDiv) AS ride_start
       |  FROM lines l JOIN w USING (bus_line_id) CROSS JOIN generate_series(0, ${cap - 1}) t(k)
       |  WHERE w.window_start < w.window_end
-      |    AND w.window_start + to_minutes(CAST(t.k * l.frequency_minutes AS BIGINT)) < w.window_end),
+      |    AND w.window_start + to_seconds((t.k * l.frequency_minutes * 60) // $cadenceDiv) < w.window_end),
       |sized AS (SELECT r.*,
       |  CAST('0x' || substr(md5('size|' || r.bus_line_id || '|' || r.ride_idx), 1, 15) AS BIGINT) % 3 AS size_idx
       |  FROM rides r),
@@ -518,17 +533,17 @@ object BusSim {
     (s, d) => rides(s, d),
     Some(simFoldSql + s"SELECT $rideCols FROM fold"))
 
-  /** Bench-scale simulation: the identical U1+J1+U2 pipeline at a 10x ride
-    * horizon. At correctness scale (sf0.01) the line windows bound the ride
-    * count before either cap does, so this is hash-identical to
-    * sim_bus_rides and the oracle stays cheap; at bench scale (sf0.1) the
-    * cap binds and the simulation really is ~10x the rides — the heavy
-    * entry the bench needs to expose kernel scaling, not just overhead.
+  /** Bench-scale simulation: the identical U1+J1+U2 pipeline at ~10x the
+    * rides — departures every frequency/10 minutes (the hourly test data is
+    * sparse, so the line WINDOW binds before any cap; densifying the
+    * cadence is what actually multiplies rides inside it) with the cap
+    * raised to match. Oracle-replayed at the same (cap, cadence), so the
+    * heavy entry is hash-proven like everything else.
     */
   val simBusRidesHeavy: GraftQuery = GraftQuery(
     "sim_bus_rides_heavy",
-    (s, d) => rides(s, d, 10 * MaxRidesPerLine),
-    Some(simFoldSql(10 * MaxRidesPerLine) + s"SELECT $rideCols FROM fold"))
+    (s, d) => rides(s, d, 10 * MaxRidesPerLine, 10),
+    Some(simFoldSql(10 * MaxRidesPerLine, 10) + s"SELECT $rideCols FROM fold"))
 
   /** M1 feature CTAS over the simulation (part3:124-157). */
   val simFeatures: GraftQuery = GraftQuery(
