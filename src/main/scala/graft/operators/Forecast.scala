@@ -654,8 +654,11 @@ object Forecast {
   /** M4b: held-out evaluation (the reference evaluates on a fixed held-out
     * December window with MAPE et al., part3:436-440, 539-553): per series,
     * train on all but the last 12 buckets, forecast the held-out 12 with
-    * both models (naive and drift), report MAE / MAPE / RMSE per
-    * (series, model). MAPE averages over non-zero actuals only.
+    * all three models (naive, drift, AR(1) — the M7 model-vs-model
+    * comparison), report MAE / MAPE / RMSE and cov90 (empirical coverage of
+    * the z(0.9) model interval) per (series, model). MAPE averages over
+    * non-zero actuals only; the AR(1) interval uses its exact MA-truncation
+    * variance scale, naive/drift the random-walk sqrt(h).
     */
   val m4b: GraftQuery = GraftQuery(
     "m4b_holdout_eval",
@@ -680,8 +683,15 @@ object Forecast {
         .withColumn("tre", when(col("rdesc") > Horizon && col("prev").isNotNull,
           struct(col("bucket_ts").as("b"), (col("demand") - col("prev")).as("e"))))
         .withColumn("trl", sort_array(collect_list("tre").over(byUser)))
+        // the full train series (b-ordered values) feeds the AR(1) fit —
+        // mean, lag-1 autocovariance ratio, residual variance — all as
+        // ordered folds over the same collected list the oracle replays
+        .withColumn("tdd", when(col("rdesc") > Horizon,
+          struct(col("bucket_ts").as("b"), col("demand").as("d"))))
+        .withColumn("trd", sort_array(collect_list("tdd").over(byUser)))
         .filter(col("n_total") > Horizon && col("rdesc") <= Horizon)
         .withColumn("n_train", col("n_total") - Horizon)
+        .withColumn("trd_n", col("n_train").cast("int"))
         .withColumn("slope", when(col("n_train") === 1, lit(0.0))
           .otherwise((col("last_demand") - col("first_demand")) /
             (col("n_train") - 1).cast("double")))
@@ -692,21 +702,48 @@ object Forecast {
         .withColumn("s2d", when(col("n_train") > 1,
           expr("aggregate(transform(trl, s -> (s.e - slope) * (s.e - slope)), 0D, (acc, v) -> acc + v)") /
             col("n_res")).otherwise(lit(0.0)))
+        .withColumn("tmean",
+          expr("aggregate(transform(trd, s -> s.d), 0D, (acc, v) -> acc + v)") /
+            col("n_train"))
+        .withColumn("lastd", expr("element_at(trd, trd_n).d"))
+        .withColumn("arnum", when(col("n_train") > 1,
+          expr("aggregate(transform(sequence(2, trd_n), i -> (element_at(trd, i).d - tmean) * (element_at(trd, i - 1).d - tmean)), 0D, (acc, v) -> acc + v)"))
+          .otherwise(lit(0.0)))
+        .withColumn("arden", when(col("n_train") > 1,
+          expr("aggregate(transform(sequence(2, trd_n), i -> (element_at(trd, i - 1).d - tmean) * (element_at(trd, i - 1).d - tmean)), 0D, (acc, v) -> acc + v)"))
+          .otherwise(lit(0.0)))
+        .withColumn("phi",
+          when(col("arden") =!= 0.0, col("arnum") / col("arden")).otherwise(lit(0.0)))
+        .withColumn("s2a", when(col("n_train") > 1,
+          expr("aggregate(transform(sequence(2, trd_n), i -> (element_at(trd, i).d - (tmean + phi * (element_at(trd, i - 1).d - tmean))) * (element_at(trd, i).d - (tmean + phi * (element_at(trd, i - 1).d - tmean)))), 0D, (acc, v) -> acc + v)") /
+            col("n_res")).otherwise(lit(0.0)))
         .withColumn("h", (lit(Horizon + 1) - col("rdesc")).cast("long"))
-      // both model branches fan out of ONE pass via explode — a
-      // naive/drift unionByName would evaluate the whole windowed subtree
-      // twice (Spark does not dedupe shared lineage across union inputs)
+        // phi^h and the AR(1) variance scale g_h = sum_{j<h} phi^{2j} as
+        // per-row ordered folds; Spark's sequence(1, 0) DESCENDS, so the
+        // h = 1 case is guarded explicitly (DuckDB's generate_series(1, 0)
+        // is empty — the values agree, the guard keeps Spark correct)
+        .withColumn("phipow",
+          expr("aggregate(transform(sequence(1, CAST(h AS INT)), x -> phi), 1D, (acc, v) -> acc * v)"))
+        .withColumn("arvs", when(col("h") === 1, lit(1.0)).otherwise(
+          expr("aggregate(transform(sequence(1, CAST(h AS INT) - 1), x -> 0D), 1D, (acc, x) -> 1.0D + phi * phi * acc)")))
+      // all three model branches fan out of ONE pass via explode — a
+      // unionByName would evaluate the whole windowed subtree per model
+      // (Spark does not dedupe shared lineage across union inputs)
       val both = ev.select(col("user_id"), col("h"), col("demand"),
         explode(array(
           struct(lit("naive").as("model"), col("last_demand").as("fv"),
-            col("s2n").as("s2")),
+            col("s2n").as("s2"), col("h").cast("double").as("vs")),
           struct(lit("drift").as("model"),
             (col("last_demand") + col("h") * col("slope")).as("fv"),
-            col("s2d").as("s2")))).as("mf"))
+            col("s2d").as("s2"), col("h").cast("double").as("vs")),
+          struct(lit("ar1").as("model"),
+            (col("tmean") + col("phipow") * (col("lastd") - col("tmean"))).as("fv"),
+            col("s2a").as("s2"), col("arvs").as("vs")))).as("mf"))
         .select(col("user_id"), col("h"), col("demand"),
-          col("mf.model").as("model"), col("mf.fv").as("fv"), col("mf.s2").as("s2"))
-        .withColumn("lo", expr(s"fv - $Z90 * sqrt(s2 * h)"))
-        .withColumn("hi", expr(s"fv + $Z90 * sqrt(s2 * h)"))
+          col("mf.model").as("model"), col("mf.fv").as("fv"),
+          col("mf.s2").as("s2"), col("mf.vs").as("vs"))
+        .withColumn("lo", expr(s"fv - $Z90 * sqrt(s2 * vs)"))
+        .withColumn("hi", expr(s"fv + $Z90 * sqrt(s2 * vs)"))
       // metrics via an h-ordered left fold, NOT a plain double sum: float
       // addition is order-sensitive and engines accumulate groups in
       // different orders; a fixed fold order makes the sums bit-identical
@@ -751,20 +788,55 @@ object Forecast {
            |  demand - lag(demand) OVER (PARTITION BY user_id ORDER BY b) AS e FROM f),
            |trs AS (SELECT user_id, list(struct_pack(b := b, e := e) ORDER BY b) AS trl
            |  FROM tr WHERE rdesc > 12 AND e IS NOT NULL GROUP BY 1),
-           |sv AS (SELECT sl.user_id, sl.last_demand, sl.slope,
+           |trds AS (SELECT user_id, list(struct_pack(b := b, d := demand) ORDER BY b) AS trd
+           |  FROM f WHERE rdesc > 12 GROUP BY 1),
+           |sv0 AS (SELECT sl.user_id, sl.last_demand, sl.slope, sl.n_train, td.trd,
            |  CASE WHEN sl.n_train > 1 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
            |    list_transform(t.trl, s -> s.e * s.e)), (acc, v) -> acc + v) / CAST(sl.n_train - 1 AS DOUBLE)
            |    ELSE 0.0 END AS s2n,
            |  CASE WHEN sl.n_train > 1 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
            |    list_transform(t.trl, s -> (s.e - sl.slope) * (s.e - sl.slope))), (acc, v) -> acc + v) / CAST(sl.n_train - 1 AS DOUBLE)
-           |    ELSE 0.0 END AS s2d
-           |  FROM sl LEFT JOIN trs t ON sl.user_id = t.user_id),
-           |ev AS (SELECT f.user_id, 13 - f.rdesc AS h, f.demand, s.last_demand, s.slope, s.s2n, s.s2d
+           |    ELSE 0.0 END AS s2d,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(td.trd, s -> s.d)), (acc, v) -> acc + v) / sl.n_train AS tmean,
+           |  td.trd[CAST(sl.n_train AS INT)].d AS lastd
+           |  FROM sl LEFT JOIN trs t ON sl.user_id = t.user_id
+           |  JOIN trds td ON sl.user_id = td.user_id),
+           |sv1 AS (SELECT *,
+           |  CASE WHEN n_train > 1 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(generate_series(2, CAST(n_train AS INT)),
+           |      i -> (trd[i].d - tmean) * (trd[i-1].d - tmean))), (acc, v) -> acc + v)
+           |    ELSE 0.0 END AS arnum,
+           |  CASE WHEN n_train > 1 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(generate_series(2, CAST(n_train AS INT)),
+           |      i -> (trd[i-1].d - tmean) * (trd[i-1].d - tmean))), (acc, v) -> acc + v)
+           |    ELSE 0.0 END AS arden
+           |  FROM sv0),
+           |sv2 AS (SELECT *, CASE WHEN arden <> 0.0 THEN arnum / arden ELSE 0.0 END AS phi FROM sv1),
+           |sv AS (SELECT *,
+           |  CASE WHEN n_train > 1 THEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(generate_series(2, CAST(n_train AS INT)),
+           |      i -> (trd[i].d - (tmean + phi * (trd[i-1].d - tmean))) * (trd[i].d - (tmean + phi * (trd[i-1].d - tmean))))),
+           |    (acc, v) -> acc + v) / CAST(n_train - 1 AS DOUBLE)
+           |    ELSE 0.0 END AS s2a
+           |  FROM sv2),
+           |ev AS (SELECT f.user_id, 13 - f.rdesc AS h, f.demand, s.last_demand, s.slope,
+           |  s.s2n, s.s2d, s.s2a, s.tmean, s.lastd, s.phi
            |  FROM f JOIN sv s ON f.user_id = s.user_id WHERE f.rdesc <= 12),
-           |sc AS (SELECT user_id, h, demand, 'naive' AS model, last_demand AS fv, s2n AS s2 FROM ev
+           |sc AS (SELECT user_id, h, demand, 'naive' AS model, last_demand AS fv, s2n AS s2,
+           |    CAST(h AS DOUBLE) AS vs FROM ev
            |  UNION ALL
-           |  SELECT user_id, h, demand, 'drift' AS model, last_demand + h * slope AS fv, s2d AS s2 FROM ev),
-           |scb AS (SELECT *, fv - $Z90 * sqrt(s2 * h) AS lo, fv + $Z90 * sqrt(s2 * h) AS hi FROM sc),
+           |  SELECT user_id, h, demand, 'drift' AS model, last_demand + h * slope AS fv, s2d AS s2,
+           |    CAST(h AS DOUBLE) AS vs FROM ev
+           |  UNION ALL
+           |  SELECT user_id, h, demand, 'ar1' AS model,
+           |    tmean + list_reduce(list_transform(generate_series(1, h), x -> phi),
+           |      (a, b) -> a * b) * (lastd - tmean) AS fv,
+           |    s2a AS s2,
+           |    list_reduce(list_prepend(CAST(1 AS DOUBLE),
+           |      list_transform(generate_series(1, h - 1), j -> CAST(0 AS DOUBLE))),
+           |      (acc, x) -> 1.0 + phi * phi * acc) AS vs FROM ev),
+           |scb AS (SELECT *, fv - $Z90 * sqrt(s2 * vs) AS lo, fv + $Z90 * sqrt(s2 * vs) AS hi FROM sc),
            |pts AS (SELECT user_id, model, count(*) AS n_eval,
            |  SUM(CASE WHEN demand <> 0 THEN 1 ELSE 0 END) AS nz,
            |  SUM(CASE WHEN demand >= lo AND demand <= hi THEN 1 ELSE 0 END) AS n_cov,

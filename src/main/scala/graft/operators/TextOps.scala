@@ -565,12 +565,13 @@ object TextOps {
            |   list_reduce(l, (a, b2) -> xor(a, b2)) AS xor_fingerprint
            |FROM fps""".stripMargin))
 
-  /** X9 (beyond reference): TF-IDF top term per document. ONE corpus
-    * explode: term frequency from the (doc, term) groupBy, and document
-    * frequency as a second groupBy over that same aggregate (its rows are
-    * unique per (doc, term), so rows-per-term = docs-per-term) — no second
-    * explode, no distinct, no self-join. The df side is a real hash
-    * aggregate, NOT `count().over(Window.partitionBy(term))`: a window has
+  /** X9 (beyond reference): TF-IDF top term per document. Term frequency
+    * from the (doc, term) groupBy; document frequency as a second groupBy
+    * over that aggregate (its rows are unique per (doc, term), so
+    * rows-per-term = docs-per-term) joined back on term. Spark does not
+    * share subplans across join inputs, so the df side re-derives the
+    * explode+aggregate — two corpus passes, and worth it: the df side is a
+    * real hash aggregate, NOT `count().over(Window.partitionBy(term))`: a window has
     * no map-side partial aggregation and AQE cannot split its partitions,
     * so at corpus scale every (doc, term) row for a stopword-grade term
     * ("the") would funnel through ONE task. groupBy partial-aggregates
