@@ -66,6 +66,12 @@ object Graft {
   /** Gopher-style quality rule scalars + keep predicate per doc. */
   def qualityRules(docs: DataFrame): DataFrame = TextOps.qualityRules(docs)
 
+  /** Gopher repetition filters: top-2-gram and duplicated-5-gram character
+    * fractions + keep predicate per doc — catches phrase-looping docs that
+    * pass the word-level rules.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = TextOps.repetitionStats(docs)
+
   /** SimHash 32-bit fingerprint per doc: (doc_id, simhash). */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     TextOps.simhashFingerprints(docs)

@@ -761,6 +761,51 @@ object TextOps {
     * mode — measured 4.0 s vs 0.4 s at sf0.1); the kernel slides one window
     * over each doc once and never materializes the gram array.
     */
+  /** Gopher repetition filters (Rae et al. 2021 §A1.1): fraction of
+    * characters covered by the most common 2-gram and by duplicated
+    * (count >= 2) 5-grams, per doc — the within-document repetition family
+    * x14's word-level rules don't see (a doc looping one phrase has a fine
+    * distinct-word ratio). One typed pass per doc, all-integer counting
+    * (covered chars = count x gram length, overlaps uncounted — the
+    * standard approximation); the only doubles are the final divisions, so
+    * DuckDB replays bit-for-bit. Top-gram ties break by lexicographic
+    * gram — both engines order ASCII identically. Scale: mapPartitions
+    * over docs, zero shuffle, per-doc state is one gram hash map.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val raw = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split(" ")
+        def stats(n: Int): (Long, Long) = { // (topGramChars, dupGramChars)
+          if (w.length < n) (0L, 0L)
+          else {
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            w.sliding(n).foreach { g =>
+              val k = g.mkString(" "); m.update(k, m.getOrElse(k, 0L) + 1L)
+            }
+            var topC = 0L; var topG: String = null; var dup = 0L
+            m.foreach { case (g, c) =>
+              if (c > topC || (c == topC && g < topG)) { topC = c; topG = g }
+              if (c >= 2) dup += c * g.length
+            }
+            (topC * topG.length, dup)
+          }
+        }
+        val (t2, d2) = stats(2)
+        val (t5, d5) = stats(5)
+        (id, text.length.toLong, t2, d2, t5, d5)
+      }
+      .toDF("doc_id", "n_chars", "top2_chars", "dup2_chars", "top5_chars", "dup5_chars")
+    raw.select(col("doc_id"), col("n_chars"),
+        (col("top2_chars").cast("double") / col("n_chars")).as("top2_frac"),
+        (col("dup2_chars").cast("double") / col("n_chars")).as("dup2_frac"),
+        (col("top5_chars").cast("double") / col("n_chars")).as("top5_frac"),
+        (col("dup5_chars").cast("double") / col("n_chars")).as("dup5_frac"))
+      .withColumn("keep", col("top2_frac") < 0.20 && col("dup5_frac") < 0.15)
+  }
+
   private def grams8(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -1165,7 +1210,48 @@ object TextOps {
            |  md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)) AS feat_md5
            |FROM ct GROUP BY doc_id""".stripMargin))
 
+  /** X25 (beyond reference): within-document n-gram repetition — see
+    * [[repetitionStats]]. Complements x14 (word-level) and x18
+    * (cross-document boilerplate): this is the filter that catches a doc
+    * looping one phrase.
+    */
+  val x25: GraftQuery = GraftQuery(
+    "x25_repetition_ngrams",
+    (s, d) => repetitionStats(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT doc_id, length(text) AS n_chars, str_split(text, ' ') AS w FROM documents),
+           |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+           |  i -> w[i] || ' ' || w[i+1])) AS g FROM t WHERE len(w) >= 2),
+           |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+           |top2 AS (SELECT doc_id, c * length(g) AS topc FROM (
+           |  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+           |  FROM c2) WHERE rk = 1),
+           |dup2 AS (SELECT doc_id,
+           |  CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dupc
+           |  FROM c2 GROUP BY 1),
+           |g5 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+           |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+           |  FROM t WHERE len(w) >= 5),
+           |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+           |top5 AS (SELECT doc_id, c * length(g) AS topc FROM (
+           |  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+           |  FROM c5) WHERE rk = 1),
+           |dup5 AS (SELECT doc_id,
+           |  CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dupc
+           |  FROM c5 GROUP BY 1)
+           |SELECT t.doc_id, t.n_chars,
+           |  COALESCE(top2.topc, 0)::DOUBLE / t.n_chars AS top2_frac,
+           |  COALESCE(dup2.dupc, 0)::DOUBLE / t.n_chars AS dup2_frac,
+           |  COALESCE(top5.topc, 0)::DOUBLE / t.n_chars AS top5_frac,
+           |  COALESCE(dup5.dupc, 0)::DOUBLE / t.n_chars AS dup5_frac,
+           |  (COALESCE(top2.topc, 0)::DOUBLE / t.n_chars < 0.20 AND
+           |   COALESCE(dup5.dupc, 0)::DOUBLE / t.n_chars < 0.15) AS keep
+           |FROM t
+           |LEFT JOIN top2 ON t.doc_id = top2.doc_id
+           |LEFT JOIN dup2 ON t.doc_id = dup2.doc_id
+           |LEFT JOIN top5 ON t.doc_id = top5.doc_id
+           |LEFT JOIN dup5 ON t.doc_id = dup5.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25)
 }

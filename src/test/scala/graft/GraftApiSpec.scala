@@ -166,6 +166,18 @@ class GraftApiSpec extends SparkSpec {
     assert(drift(ts(15)) === 16.0)
   }
 
+  test("repetitionStats flags phrase-looping docs the word rules miss") {
+    val looping = Array.fill(30)("click here now buy cheap").mkString(" ")
+    val normal = (1 to 150).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, looping), (2L, normal)).toDF("doc_id", "text")
+    val r = Graft.repetitionStats(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r(1L).getBoolean(6), "looping doc must be dropped")
+    assert(r(1L).getDouble(5) > 0.9, "nearly all chars sit in duplicated 5-grams")
+    assert(r(2L).getBoolean(6), "all-distinct doc passes")
+    assert(r(2L).getDouble(3) === 0.0, "no duplicated 2-grams in distinct doc")
+  }
+
   test("nearDupPairs adapts LSH banding to the threshold") {
     // two docs at shingle-jaccard ~0.5: a fixed 16x4 banding tuned for 0.9
     // has only ~64% candidate recall down here; the derived 32x2 banding
