@@ -72,6 +72,12 @@ object Graft {
     */
   def repetitionStats(docs: DataFrame): DataFrame = TextOps.repetitionStats(docs)
 
+  /** Duplicate-span removal (C4/RefinedWeb-style): drop every repeated
+    * 16-word block after its globally-first occurrence and rebuild docs —
+    * (doc_id, n_spans, n_removed, clean_md5).
+    */
+  def spanDedup(docs: DataFrame): DataFrame = TextOps.spanDedup(docs)
+
   /** SimHash 32-bit fingerprint per doc: (doc_id, simhash). */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     TextOps.simhashFingerprints(docs)

@@ -1251,7 +1251,70 @@ object TextOps {
            |LEFT JOIN top5 ON t.doc_id = top5.doc_id
            |LEFT JOIN dup5 ON t.doc_id = dup5.doc_id""".stripMargin))
 
+  /** Span size for [[spanDedup]] — consecutive 16-word blocks, the unit of
+    * cross-document exact-duplicate removal.
+    */
+  private val SpanTokens = 16
+
+  /** Inter-document duplicate-span removal — the surgical cousin of
+    * document-level dedup that C4 (Raffel et al. 2020, "three-sentence
+    * spans") and RefinedWeb (Penedo et al. 2023) run: cut each document
+    * into consecutive [[SpanTokens]]-word blocks, elect the globally first
+    * occurrence (min (doc_id, idx)) of every distinct block, drop every
+    * other occurrence — including repeats within one document — and
+    * rebuild each document from its surviving blocks in order. Returns
+    * (doc_id, n_spans, n_removed, clean_md5); the digest pins the exact
+    * rebuilt text.
+    *
+    * Scale: the block explode is linear in corpus tokens and shuffle-free;
+    * first-occurrence election is a hash aggregation on md5 span keys
+    * (uniform, map-side partials); the verdict join shuffles on those same
+    * keys, so a boilerplate-grade hot span is an AQE-splittable join key,
+    * never a single-task window; the rebuild groups by doc_id with state
+    * bounded by one document. No all-pairs stage at any corpus size.
+    */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val blocks = docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (n - 1) div $SpanTokens)")).as("idx"),
+        col("w"))
+      .withColumn("span", concat_ws(" ",
+        expr(s"slice(w, idx * $SpanTokens + 1, $SpanTokens)")))
+      .select(col("doc_id"), col("idx"), col("span"), md5(col("span")).as("h"))
+    val first = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    blocks.join(first, "h")
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(idx, span) END)), x -> x.span)")))
+          .as("clean_md5"))
+  }
+
+  /** X26 (beyond reference): duplicate-span removal — see [[spanDedup]].
+    * Complements x1 (whole-document dedup) and x18 (boilerplate scoring):
+    * this one edits documents, removing repeated spans while keeping the
+    * unique remainder.
+    */
+  val x26: GraftQuery = GraftQuery(
+    "x26_span_dedup",
+    (s, d) => spanDedup(Tables.documents(s, d)),
+    Some(s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |b AS (SELECT doc_id, unnest(generate_series(0, (len(w) - 1) // $SpanTokens)) AS idx, w FROM t),
+           |s AS (SELECT doc_id, idx, array_to_string(w[idx * $SpanTokens + 1 : idx * $SpanTokens + $SpanTokens], ' ') AS span FROM b),
+           |r AS (SELECT doc_id, idx, span,
+           |  row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, idx) = 1 AS kept FROM s)
+           |SELECT doc_id, count(*) AS n_spans,
+           |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           |  md5(COALESCE(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '')) AS clean_md5
+           |FROM r GROUP BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
 }

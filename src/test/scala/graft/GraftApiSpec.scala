@@ -178,6 +178,27 @@ class GraftApiSpec extends SparkSpec {
     assert(r(2L).getDouble(3) === 0.0, "no duplicated 2-grams in distinct doc")
   }
 
+  test("spanDedup removes repeated spans, keeps first occurrence") {
+    // doc 1: blocks A B; doc 2: blocks A C (A repeats doc 1's); doc 3: B B
+    val a = (1 to 16).map(i => s"a$i").mkString(" ")
+    val b = (1 to 16).map(i => s"b$i").mkString(" ")
+    val c = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$b $b"))
+      .toDF("doc_id", "text")
+    val r = Graft.spanDedup(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 2 && r(1L).getLong(2) === 0,
+      "doc 1 owns both first occurrences")
+    assert(r(2L).getLong(2) === 1, "doc 2 loses the repeated A block")
+    assert(r(3L).getLong(2) === 2,
+      "doc 3 loses both B copies (doc 1 holds the first)")
+    // doc 2's survivor is exactly C
+    assert(r(2L).getString(3) ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(c))
+    // all-removed doc hashes the empty string
+    assert(r(3L).getString(3) ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
+  }
+
   test("nearDupPairs adapts LSH banding to the threshold") {
     // two docs at shingle-jaccard ~0.5: a fixed 16x4 banding tuned for 0.9
     // has only ~64% candidate recall down here; the derived 32x2 banding
