@@ -72,6 +72,13 @@ object Graft {
     */
   def repetitionStats(docs: DataFrame): DataFrame = TextOps.repetitionStats(docs)
 
+  /** Robust median/MAD anomaly flags per series: input (user_id,
+    * bucket_ts, demand), output adds (med, mad, is_anomaly) where a point
+    * is anomalous when |demand - med| > 3·1.4826·MAD.
+    */
+  def anomalies(seriesDf: DataFrame): DataFrame =
+    Forecast.madAnomalies(seriesDf)
+
   /** Duplicate-span removal (C4/RefinedWeb-style): drop every repeated
     * 16-word block after its globally-first occurrence and rebuild docs —
     * (doc_id, n_spans, n_removed, clean_md5).

@@ -878,5 +878,51 @@ object Forecast {
            |       max(abs_err) AS max_abs_err
            |FROM e GROUP BY user_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7)
+  /** Robust per-series anomaly detection: median/MAD flagging (the
+    * classic robust alternative to mean/stddev z-scores — Leys et al.
+    * 2013). Each point is flagged when its absolute deviation from the
+    * series median exceeds 3·1.4826·MAD (1.4826 makes MAD a consistent σ
+    * estimator under normality; the product is spliced as one literal so
+    * both engines compare against the identical double).
+    *
+    * Cross-engine exactness: medians are PERCENTILE_DISC order statistics
+    * (actual input elements, lower-median rule — no interpolation
+    * arithmetic), deviations are single IEEE subtractions, so the flag
+    * boundary is bit-identical in Spark and the oracle.
+    *
+    * Scale: two keyed aggregations + two shuffle joins, all on user_id;
+    * per-key state is one series (bounded by the time range, not corpus
+    * size). No window over an unbounded partition, no collect.
+    */
+  def madAnomalies(seriesDf: DataFrame): DataFrame = {
+    val med = seriesDf.groupBy("user_id").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY demand)").as("med"))
+    val dev = seriesDf.join(med, "user_id")
+      .withColumn("dev", abs(col("demand") - col("med")))
+    val mad = dev.groupBy("user_id").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    dev.join(mad, "user_id")
+      .withColumn("is_anomaly", col("dev") > lit(4.4478) * col("mad"))
+      .select("user_id", "bucket_ts", "demand", "med", "mad", "is_anomaly")
+  }
+
+  /** M8 (beyond reference): median/MAD anomaly flags over the bucketed
+    * demand series — see [[madAnomalies]].
+    */
+  val m8: GraftQuery = GraftQuery(
+    "m8_anomaly_mad",
+    (s, d) => madAnomalies(series(s, d)),
+    Some("""WITH base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |med AS (SELECT user_id, quantile_disc(demand, 0.5) AS med FROM base GROUP BY 1),
+           |dev AS (SELECT base.user_id, bucket_ts, demand, med, abs(demand - med) AS dev
+           |        FROM base JOIN med USING (user_id)),
+           |mad AS (SELECT user_id, quantile_disc(dev, 0.5) AS mad FROM dev GROUP BY 1)
+           |SELECT user_id, bucket_ts, demand, med, mad,
+           |       dev > 4.4478 * mad AS is_anomaly
+           |FROM dev JOIN mad USING (user_id)""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8)
 }

@@ -178,6 +178,21 @@ class GraftApiSpec extends SparkSpec {
     assert(r(2L).getDouble(3) === 0.0, "no duplicated 2-grams in distinct doc")
   }
 
+  test("anomalies flags MAD outliers, robust to the outlier itself") {
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 300000L)
+    // series 1: flat at 10 with one spike; series 2: clean ramp
+    val pts = (0 until 20).map(i =>
+      (1L, ts(i), if (i == 7) 1000.0 else 10.0 + (i % 3))) ++
+      (0 until 20).map(i => (2L, ts(i), 5.0 + i))
+    val r = Graft.anomalies(pts.toDF("user_id", "bucket_ts", "demand"))
+      .collect()
+    val s1 = r.filter(_.getLong(0) == 1L)
+    assert(s1.count(_.getBoolean(5)) === 1, "exactly the spike is flagged")
+    assert(s1.find(_.getDouble(2) == 1000.0).get.getBoolean(5))
+    assert(r.filter(_.getLong(0) == 2L).forall(!_.getBoolean(5)),
+      "a clean ramp has no MAD outliers")
+  }
+
   test("spanDedup removes repeated spans, keeps first occurrence") {
     // doc 1: blocks A B; doc 2: blocks A C (A repeats doc 1's); doc 3: B B
     val a = (1 to 16).map(i => s"a$i").mkString(" ")
