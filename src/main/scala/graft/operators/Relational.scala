@@ -783,6 +783,43 @@ object Relational {
         (abs(col("approx") - col("exact_p50")) / col("exact_p50") < 0.02).as("within_2pct"))
   }
 
+  /** A20 (beyond reference): count-min-sketch heavy hitters, GATED — the
+    * streaming-sketch answer to "what are the hot keys" (Cormode &
+    * Muthukrishnan 2005). One pass builds a mergeable CMS over the word
+    * stream (`count_min_sketch` aggregate: map-side partial sketches,
+    * merged to ~eps⁻¹·ln(1/δ) counters regardless of corpus size); the
+    * exact top-10 comes from a keyed count + TakeOrdered (no global sort).
+    * The driver probes the 10 survivors against the sketch — a 10-row +
+    * one-sketch collect, legitimately tiny — and emits the CMS guarantee
+    * as the gate: exact ≤ estimate ≤ exact + eps·N. Only exact counts and
+    * the gate are emitted (the estimate itself is seed-dependent), a14/a15
+    * pattern.
+    */
+  val a20 = q(
+    "a20_cms_heavyhitter_gate",
+    """SELECT w, c, CAST(rank AS INT) AS rank, true AS within_eps FROM (
+      |  SELECT w, count(*) AS c, row_number() OVER (ORDER BY count(*) DESC, w) AS rank
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) GROUP BY w)
+      |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(10)
+    val eps = 0.001
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(
+        words.agg(expr(s"count_min_sketch(w, ${eps}D, 0.99D, 42)"))
+          .head().getAs[Array[Byte]](0)))
+    val bound = (eps * sk.totalCount()).toLong
+    val rows = top.collect().zipWithIndex.map { case (r, i) =>
+      val est = sk.estimateCount(r.getString(0))
+      (r.getString(0), r.getLong(1), i + 1,
+        est >= r.getLong(1) && est <= r.getLong(1) + bound)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("w", "c", "rank", "within_eps")
+  }
+
   /** J12 (beyond reference): salted skew join — a third of the fact rows
     * are collapsed onto ONE foreign key (the classic hot-key disaster: that
     * key's partition takes the whole join's wall-clock). The salt spreads
@@ -1070,7 +1107,7 @@ object Relational {
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, set1,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, set1,
     w1, w2, w3, w4, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }
