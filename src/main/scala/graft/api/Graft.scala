@@ -148,6 +148,14 @@ object Graft {
   /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
     * than [[annIvfTopK]], the variant that holds recall on clustered data.
     */
+  /** Recall@k of the IVF index against the exact brute-force baseline:
+    * (q_id, k, hits, recall) per query — the faiss-style index-quality
+    * evaluation loop.
+    */
+  def annRecallEval(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probes: Int = 2): DataFrame =
+    VectorOps.recallEval(corpus, queries, k, probes)
+
   def annKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, excludeSelf: Boolean = true,
       probes: Int = 2): DataFrame =
     VectorOps.kmeansTopK(corpus, queries, k, probes, excludeSelf)

@@ -660,5 +660,64 @@ object VectorOps {
            |SELECT q_id, neighbor_id, adc FROM scored
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9)
+  /** Recall@k of an ANN method against the exact baseline — the evaluation
+    * loop every vector index ships with (faiss-style): per query,
+    * |approx ∩ exact| / k. Both sides are the library's own operators;
+    * the measurement joins two k-row-per-query sets on (q_id, neighbor_id)
+    * and reduces per query — trivially scale-safe next to the searches it
+    * measures. recall = hits/k is a small-integer IEEE division,
+    * cross-engine exact.
+    */
+  def recallEval(corpus: DataFrame, queries: DataFrame, k: Int,
+      probes: Int = 2): DataFrame = {
+    val bf = bruteForceTopK(corpus, queries, k).select("q_id", "neighbor_id")
+    val ivf = ivfTopK(corpus, queries, k, probes)
+      .select(col("q_id").as("iq"), col("neighbor_id").as("inb"))
+    bf.join(ivf, bf("q_id") === col("iq") && bf("neighbor_id") === col("inb"),
+        "left")
+      .groupBy("q_id").agg(
+        count(lit(1)).as("k"),
+        sum(when(col("iq").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+      .select("q_id", "k", "hits", "recall")
+  }
+
+  /** V10 (beyond reference): ANN recall evaluation — IVF (v2's index) vs
+    * the brute-force baseline (v1), recall@3 per query. The oracle replays
+    * both searches and the intersection.
+    */
+  val v10: GraftQuery = GraftQuery(
+    "v10_ann_recall_eval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      recallEval(emb, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |bf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+           |         list_cosine_similarity(q.e, v.e) AS cos
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |ivf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3)
+           |SELECT bf.q_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(sum(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+           |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
+           |GROUP BY bf.q_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10)
 }

@@ -38,6 +38,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("v10 recallEval agrees with a hand-computed set intersection") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val truth = VectorOps.bruteForceTopK(emb, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.ivfTopK(emb, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = VectorOps.recallEval(emb, qs, 3).collect()
+    assert(r.length === 10, "one row per query")
+    r.foreach { row =>
+      val qid = row.getLong(0)
+      val expect = truth.filter(_._1 == qid).count(approx.contains).toDouble / 3
+      assert(row.getLong(1) === 3)
+      assert(row.getDouble(3) === expect, s"recall mismatch for query $qid")
+    }
+    // on this tightly clustered fixture the index should be near-exact
+    assert(r.map(_.getDouble(3)).sum / r.length >= 0.9)
+  }
+
   test("v4 k-means IVF recall@3 vs v1 brute force is >= 0.9 on clustered data") {
     val dir = clusteredDir()
     val truth = VectorOps.v1.build(spark, dir).collect()
