@@ -445,6 +445,50 @@ object StreamingOps {
            |  AND c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)""".stripMargin),
     bench = false)
 
+  /** T19 (beyond reference): `transformWithState` — Spark 4's
+    * arbitrary-state API (named state variables in RocksDB, timers, TTL;
+    * the successor to flatMapGroupsWithState). A ValueState cell per user
+    * accumulates (count, max value, last event id) with order-free math;
+    * update-mode AvailableNow over the file stream ends with every key's
+    * final aggregate == the batch group-by. The state store provider is
+    * switched to RocksDB (required by the API) for this query only and
+    * restored after.
+    */
+  val t19: GraftQuery = GraftQuery(
+    "t19_transform_with_state",
+    (s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = graft.streaming.StatefulOps.runningUserAgg(
+          eventsStream(s, d)
+            .select(col("user_id"), col("event_id"), col("value"))
+            .as[graft.streaming.EventIn])
+          .writeStream.format("memory").queryName("graft_t19")
+          .outputMode("update")
+          .option("checkpointLocation", checkpoint())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // update-mode memory sink appends every batch's emissions; the
+        // final state per key is the row with the highest running count
+        s.table("graft_t19").groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("max_value"), col("last_event_id"))).as("f"))
+          .select(col("user_id"), col("f.n_events"), col("f.max_value"),
+            col("f.last_event_id"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    },
+    Some("""SELECT user_id, count(*) AS n_events, max(value) AS max_value,
+           |max(event_id) AS last_event_id FROM events GROUP BY user_id""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
-    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10)
+    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19)
 }

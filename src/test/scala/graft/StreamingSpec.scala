@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState accumulates per-key state across micro-batches") {
+    import graft.streaming.{EventIn, StatefulOps}
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventIn]
+      val q = StatefulOps.runningUserAgg(in.toDS())
+        .writeStream.format("memory").queryName("st_tws")
+        .outputMode("update").start()
+
+      in.addData(EventIn(1L, 100L, 5.0), EventIn(1L, 101L, 9.0), EventIn(2L, 102L, 3.0))
+      q.processAllAvailable()
+      def rows() = spark.table("st_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(rows().toSet === Set((1L, 2L, 9.0, 101L), (2L, 1L, 3.0, 102L)))
+
+      // batch 2: state carries over — user 1's count continues from 2
+      in.addData(EventIn(1L, 103L, 1.0))
+      q.processAllAvailable()
+      assert(rows().toSet ===
+        Set((1L, 2L, 9.0, 101L), (2L, 1L, 3.0, 102L), (1L, 3L, 9.0, 103L)))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("file-source streaming query t5 equals its batch equivalent") {
     val streamed = graft.operators.StreamingOps.t5.build(spark, sf)
       .orderBy("user_id").collect()
