@@ -79,6 +79,13 @@ object Graft {
   def anomalies(seriesDf: DataFrame): DataFrame =
     Forecast.madAnomalies(seriesDf)
 
+  /** Per-node triangle counts over an undirected (u, v) edge list —
+    * duplicate-cluster density (clique vs chain). Degree-ordered wedge
+    * enumeration, scale-safe on skewed graphs.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    GraphOps.triangleCounts(edges)
+
   /** Duplicate-span removal (C4/RefinedWeb-style): drop every repeated
     * 16-word block after its globally-first occurrence and rebuild docs —
     * (doc_id, n_spans, n_removed, clean_md5).

@@ -1314,7 +1314,28 @@ object TextOps {
            |  md5(COALESCE(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '')) AS clean_md5
            |FROM r GROUP BY doc_id""".stripMargin))
 
+  /** X27 (beyond reference): per-node triangle counts over the exact-dup
+    * pair graph (x5's edges) — see [[GraphOps.triangleCounts]]. A node in
+    * a k-clique dup set sits in (k-1 choose 2) triangles; triangle density
+    * separates true duplicate clusters from LSH chain noise.
+    */
+  val x27: GraftQuery = GraftQuery(
+    "x27_triangle_count",
+    (s, d) => GraphOps.triangleCounts(
+      minHashDupSets(Tables.documents(s, d))
+        .select(col("a_id").as("u"), col("b_id").as("v"))),
+    Some("""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS w FROM documents),
+           |e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM t a JOIN t b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.w, b.w)) = len(list_distinct(list_concat(a.w, b.w)))),
+           |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |nodes AS (SELECT DISTINCT id FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)),
+           |corners AS (SELECT unnest([x, y, z]) AS id FROM tri),
+           |cnt AS (SELECT id, count(*) AS c FROM corners GROUP BY id)
+           |SELECT nodes.id, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_triangles
+           |FROM nodes LEFT JOIN cnt ON nodes.id = cnt.id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27)
 }

@@ -67,6 +67,45 @@ class GraphOpsSpec extends SparkSpec {
       (20L, 20L, 1L)))
   }
 
+  test("triangleCounts: K4 + pendant + isolated edge, hand-computed") {
+    // K4 on {1,2,3,4}: 4 triangles, each vertex in 3; pendant 5-1 and
+    // isolated edge 6-7 contribute none
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (6L, 7L)).toDF("u", "v")
+    val got = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+    // total triangles = sum of corners / 3
+    assert(got.values.sum / 3 === 4)
+  }
+
+  test("triangleCounts matches brute force on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val es = (for {
+        u <- 0L until n; v <- (u + 1) until n if rng.nextDouble() < 0.2
+      } yield (u, v)).toSeq
+      val adj = es.toSet
+      def isEdge(a: Long, b: Long) =
+        adj.contains((math.min(a, b), math.max(a, b)))
+      val expect = (for {
+        x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+        if isEdge(x, y) && isEdge(y, z) && isEdge(x, z)
+      } yield Seq(x, y, z)).flatten
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = GraphOps.triangleCounts(es.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // nodes present in edges but triangle-free must report 0
+      val nodesInEdges = es.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet === nodesInEdges)
+      got.foreach { case (id, c) =>
+        assert(c === expect.getOrElse(id, 0L), s"node $id")
+      }
+    }
+  }
+
   test("empty edge set yields all-singleton components") {
     val universe = Seq(5L, 6L).toDF("doc_id")
     val empty = Seq.empty[(Long, Long)].toDF("u", "v")
