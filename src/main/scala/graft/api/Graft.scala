@@ -152,9 +152,6 @@ object Graft {
       probes: Int = 2): DataFrame =
     VectorOps.ivfTopK(corpus, queries, k, probes, excludeSelf)
 
-  /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
-    * than [[annIvfTopK]], the variant that holds recall on clustered data.
-    */
   /** Recall@k of the IVF index against the exact brute-force baseline:
     * (q_id, k, hits, recall) per query — the faiss-style index-quality
     * evaluation loop.
@@ -163,6 +160,9 @@ object Graft {
       probes: Int = 2): DataFrame =
     VectorOps.recallEval(corpus, queries, k, probes)
 
+  /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
+    * than [[annIvfTopK]], the variant that holds recall on clustered data.
+    */
   def annKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, excludeSelf: Boolean = true,
       probes: Int = 2): DataFrame =
     VectorOps.kmeansTopK(corpus, queries, k, probes, excludeSelf)
