@@ -15,7 +15,7 @@ class PlanGuardSpec extends SparkSpec {
     "t12_stream_dedup", "t13_stream_table_mirror",
     "t14_stream_stream_join", "t15_stream_merge_upsert",
     "t16_stream_session_window", "t17_stream_append_eviction",
-    "t18_stream_outer_join")
+    "t18_stream_outer_join", "t19_transform_with_state")
 
   test("x9_tfidf_topterm: document frequency is never a term-partitioned window") {
     // A Window.partitionBy(term) has no map-side partials and AQE cannot
@@ -30,6 +30,28 @@ class PlanGuardSpec extends SparkSpec {
       s"x9 windows by term — skew-unsplittable at scale:\n$plan")
     assert(plan.contains("HashAggregate"),
       s"x9 lost its partial-aggregated df side:\n$plan")
+  }
+
+  test("x26_span_dedup: first-occurrence election is a hash agg + join, not a span window") {
+    // same skew argument as x9: a window partitioned by span hash would
+    // funnel every occurrence of a boilerplate span into one task. The
+    // election must stay HashAggregate(min(struct)) + shuffle join.
+    val plan = SparkEntry.queries("x26_span_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*windowspecdefinition\\(h#.*"),
+      s"x26 windows by span hash — skew-unsplittable at scale:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"x26 lost its partial-aggregated election:\n$plan")
+  }
+
+  test("x27_triangle_count: every join is a hash/sort-merge equi-join") {
+    // the wedge and closing joins must stay equi-joins on computed keys;
+    // a nested-loop form would re-introduce the all-pairs shape the
+    // degree orientation exists to avoid.
+    val plan = SparkEntry.queries("x27_triangle_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"x27 fell back to nested-loop join:\n$plan")
   }
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
