@@ -1103,11 +1103,36 @@ object Relational {
         sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_5min"))
   }
 
+  /** W5 (beyond reference): relative-rank navigation — percent_rank,
+    * cume_dist, ntile(4) in ONE WindowExec. The order key includes the
+    * unique event_id, so no row has true peers and all three functions are
+    * deterministic (ntile's bucket boundaries depend on physical row order
+    * among ties otherwise). percent_rank/cume_dist are small-integer IEEE
+    * divisions — cross-engine exact. Partitioned by user_id (bounded
+    * per-key cardinality), never by a low-cardinality column whose
+    * partition would be one task at scale.
+    */
+  val w5 = q(
+    "w5_rank_navigation",
+    """SELECT user_id, event_id, value,
+      |percent_rank() OVER w AS pr,
+      |cume_dist() OVER w AS cd,
+      |CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, set1,
-    w1, w2, w3, w4, o1, o2, o3,
+    w1, w2, w3, w4, w5, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -466,6 +466,44 @@ object Sources {
            |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** S24 (beyond reference): DYNAMIC partition overwrite — the production
+    * incremental-reload primitive: a second write replaces ONLY the
+    * partitions it contains rows for and leaves every other partition's
+    * files untouched (static mode — the default — would wipe the whole
+    * table first). Here the full per-type aggregate is seeded, then one
+    * partition (event_type='error') is rewritten with a sentinel row; the
+    * read-back proves 'error' was replaced and the others survived. At
+    * scale this is what makes hourly/daily partition refreshes touch
+    * O(changed partitions), not O(table). The mode conf is scoped to the
+    * query and restored.
+    */
+  val s24: GraftQuery = GraftQuery(
+    "s24_dynamic_partition_overwrite",
+    (s, d) => {
+      val path = scratch(s, s"s24_dyn_${java.util.UUID.randomUUID()}")
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(modeKey)
+      try {
+        Tables.events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .write.partitionBy("event_type").mode(SaveMode.Overwrite).parquet(path)
+        s.conf.set(modeKey, "dynamic")
+        import s.implicits._
+        Seq(("error", -1L)).toDF("event_type", "n")
+          .select(col("n"), col("event_type")) // partition col order-free
+          .write.partitionBy("event_type").mode(SaveMode.Overwrite).parquet(path)
+        s.read.parquet(path).select("event_type", "n")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(modeKey, v)
+          case None => s.conf.unset(modeKey)
+        }
+      }
+    },
+    Some("""SELECT event_type,
+           |CASE WHEN event_type = 'error' THEN CAST(-1 AS BIGINT) ELSE count(*) END AS n
+           |FROM events GROUP BY event_type""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 }
