@@ -55,6 +55,13 @@ object Graft {
   def components(universe: DataFrame, idCol: String, edges: DataFrame): DataFrame =
     GraphOps.components(universe, idCol, edges)
 
+  /** Leakage-safe train/val/test split: whole near-dup components are the
+    * assignment unit (80/10/10 by md5 of component id), so near-duplicates
+    * never straddle the train/test boundary: (doc_id, component, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.9): DataFrame =
+    TextOps.leakageSafeSplit(docs, threshold)
+
   // ---- text analysis ------------------------------------------------------
 
   /** Per-doc token statistics (whitespace + BPE-ish regex counts). */

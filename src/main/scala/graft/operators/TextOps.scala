@@ -1335,7 +1335,57 @@ object TextOps {
            |SELECT nodes.id, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_triangles
            |FROM nodes LEFT JOIN cnt ON nodes.id = cnt.id""".stripMargin))
 
+  /** Leakage-safe train/val/test split: the whole near-dup COMPONENT is
+    * the unit of assignment, so two near-duplicate documents can never
+    * land on opposite sides of the train/test boundary (the classic eval
+    * contamination: a test doc whose near-copy was trained on scores as
+    * memorization, not generalization — the motivation behind
+    * train/test-overlap audits in GPT-3/Gopher appendices). Split is a
+    * deterministic md5 bucket of the component id (80/10/10), so the
+    * assignment is reproducible on any cluster and any engine; singleton
+    * docs are their own component (x11 semantics).
+    *
+    * Scale: adds one codegen'd hash projection on top of [[dupComponents]]
+    * (whose alternating-star closure is the O(log n)-round scale path).
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val bucket = expr(
+      "CAST(conv(substr(md5(CAST(component AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
+    dupComponents(docs, threshold)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .select("doc_id", "component", "split")
+  }
+
+  /** X28 (beyond reference): component-level dataset split — see
+    * [[leakageSafeSplit]]. The oracle replays the closure (recursive CTE)
+    * and the identical md5 bucket arithmetic.
+    */
+  val x28: GraftQuery = GraftQuery(
+    "x28_leakage_safe_split",
+    (s, d) => leakageSafeSplit(Tables.documents(s, d), 0.9),
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+           |b AS (SELECT doc_id, component,
+           |  CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS bucket
+           |  FROM comp)
+           |SELECT doc_id, component,
+           |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+           |FROM b""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }

@@ -193,6 +193,24 @@ class GraftApiSpec extends SparkSpec {
       "a clean ramp has no MAD outliers")
   }
 
+  test("leakageSafeSplit keeps near-dup components on one side") {
+    // docs 1-3 are one near-dup cluster (identical), 4-60 are distinct
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq((1L, shared), (2L, shared), (3L, shared)) ++
+      (4L to 60L).map(i => (i, (1 to 40).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = Graft.leakageSafeSplit(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.length === 60)
+    val cluster = r.filter(_._1 <= 3L)
+    assert(cluster.map(_._2).distinct.length === 1, "one component")
+    assert(cluster.map(_._3).distinct.length === 1,
+      "near-dups must share a split")
+    // all three labels appear across enough singleton components
+    assert(r.map(_._3).distinct.toSet.subsetOf(Set("train", "val", "test")))
+    assert(r.count(_._3 == "train") > 30, "~80% lands in train")
+  }
+
   test("spanDedup removes repeated spans, keeps first occurrence") {
     // doc 1: blocks A B; doc 2: blocks A C (A repeats doc 1's); doc 3: B B
     val a = (1 to 16).map(i => s"a$i").mkString(" ")
