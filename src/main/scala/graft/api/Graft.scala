@@ -55,6 +55,13 @@ object Graft {
   def components(universe: DataFrame, idCol: String, edges: DataFrame): DataFrame =
     GraphOps.components(universe, idCol, edges)
 
+  /** Per-node triangle counts over an undirected (u, v) edge list —
+    * duplicate-cluster density (clique vs chain). Degree-ordered wedge
+    * enumeration, scale-safe on skewed graphs.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    GraphOps.triangleCounts(edges)
+
   /** Leakage-safe train/val/test split: whole near-dup components are the
     * assignment unit (80/10/10 by md5 of component id), so near-duplicates
     * never straddle the train/test boundary: (doc_id, component, split).
@@ -78,20 +85,6 @@ object Graft {
     * pass the word-level rules.
     */
   def repetitionStats(docs: DataFrame): DataFrame = TextOps.repetitionStats(docs)
-
-  /** Robust median/MAD anomaly flags per series: input (user_id,
-    * bucket_ts, demand), output adds (med, mad, is_anomaly) where a point
-    * is anomalous when |demand - med| > 3·1.4826·MAD.
-    */
-  def anomalies(seriesDf: DataFrame): DataFrame =
-    Forecast.madAnomalies(seriesDf)
-
-  /** Per-node triangle counts over an undirected (u, v) edge list —
-    * duplicate-cluster density (clique vs chain). Degree-ordered wedge
-    * enumeration, scale-safe on skewed graphs.
-    */
-  def triangleCounts(edges: DataFrame): DataFrame =
-    GraphOps.triangleCounts(edges)
 
   /** Duplicate-span removal (C4/RefinedWeb-style): drop every repeated
     * 16-word block after its globally-first occurrence and rebuild docs —
@@ -161,11 +154,12 @@ object Graft {
 
   /** Recall@k of the IVF index against the exact brute-force baseline:
     * (q_id, k, hits, recall) per query — the faiss-style index-quality
-    * evaluation loop.
+    * evaluation loop. `excludeSelf` follows the same id-space contract as
+    * [[annBruteForceTopK]]: pass false for disjoint-id query tables.
     */
   def annRecallEval(corpus: DataFrame, queries: DataFrame, k: Int = 3,
-      probes: Int = 2): DataFrame =
-    VectorOps.recallEval(corpus, queries, k, probes)
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    VectorOps.recallEval(corpus, queries, k, probes, excludeSelf)
 
   /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
     * than [[annIvfTopK]], the variant that holds recall on clustered data.
@@ -175,6 +169,13 @@ object Graft {
     VectorOps.kmeansTopK(corpus, queries, k, probes, excludeSelf)
 
   // ---- time series --------------------------------------------------------
+
+  /** Robust median/MAD anomaly flags per series: input (user_id,
+    * bucket_ts, demand), output adds (med, mad, is_anomaly) where a point
+    * is anomalous when |demand - med| > 3·1.4826·MAD.
+    */
+  def anomalies(seriesDf: DataFrame): DataFrame =
+    Forecast.madAnomalies(seriesDf)
 
   /** Linear gap-fill over per-key bucketed series (see [[GapFill.linearKernel]]):
     * fills every missing bucket between each key's first and last

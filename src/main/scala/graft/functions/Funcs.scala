@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -9,6 +9,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * WholeStageCodegen and keep predicate pushdown intact.
   */
 object Funcs {
+
+  /** Run `body` with session conf `key` set to `value`, restoring the
+    * previous value (or unsetting) after — a scoped conf change (state
+    * store provider, partition overwrite mode, ...) must never leak into
+    * later queries in the same session.
+    */
+  def withConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   /** TIMESTAMP_BUCKET(ts, INTERVAL n SECOND) — floor-to-epoch-multiple
     * bucketing (reference: lakehouse_part3_time_series_forecasting.py:463

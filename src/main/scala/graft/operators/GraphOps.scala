@@ -32,14 +32,19 @@ object GraphOps {
     *              (self-loops and duplicates tolerated)
     * @return (id, component) — one row per distinct node
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-
-    // canonical unordered pairs (small, large), self-loops dropped
-    var e = edges
+  /** Canonical unordered pairs (small, large), self-loops dropped; pinned
+    * with localCheckpoint so iterative callers don't re-derive the scan.
+    */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+
+    var e = canonicalEdges(edges)
 
     // one round = per-node neighborhood minimum (m) re-pointing a slice of
     // the neighborhood at m; large-star re-points strictly larger
@@ -118,9 +123,7 @@ object GraphOps {
     * @return (id, n_triangles) for every node appearing in an edge
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val e = canonicalEdges(edges)
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val fwd = col("du") < col("dv") ||

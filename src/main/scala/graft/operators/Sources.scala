@@ -480,24 +480,20 @@ object Sources {
   val s24: GraftQuery = GraftQuery(
     "s24_dynamic_partition_overwrite",
     (s, d) => {
-      val path = scratch(s, s"s24_dyn_${java.util.UUID.randomUUID()}")
-      val modeKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.getOption(modeKey)
-      try {
+      val path = scratch(s, "s24_dyn")
+      deleteRecursively(new java.io.File(path)) // fresh seed per build
+      // dynamic throughout: on the wiped (empty) target the seed write is
+      // identical under either mode; only the sentinel write's
+      // replace-one-partition behavior depends on it
+      withConf(s, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
         Tables.events(s, d).groupBy("event_type")
           .agg(count(lit(1)).as("n"))
           .write.partitionBy("event_type").mode(SaveMode.Overwrite).parquet(path)
-        s.conf.set(modeKey, "dynamic")
         import s.implicits._
         Seq(("error", -1L)).toDF("event_type", "n")
           .select(col("n"), col("event_type")) // partition col order-free
           .write.partitionBy("event_type").mode(SaveMode.Overwrite).parquet(path)
         s.read.parquet(path).select("event_type", "n")
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(modeKey, v)
-          case None => s.conf.unset(modeKey)
-        }
       }
     },
     Some("""SELECT event_type,

@@ -458,11 +458,8 @@ object StreamingOps {
     "t19_transform_with_state",
     (s, d) => {
       import s.implicits._
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
         val q = graft.streaming.StatefulOps.runningUserAgg(
           eventsStream(s, d)
             .select(col("user_id"), col("event_id"), col("value"))
@@ -478,11 +475,6 @@ object StreamingOps {
           .agg(max(struct(col("n_events"), col("max_value"), col("last_event_id"))).as("f"))
           .select(col("user_id"), col("f.n_events"), col("f.max_value"),
             col("f.last_event_id"))
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(providerKey, v)
-          case None => s.conf.unset(providerKey)
-        }
       }
     },
     Some("""SELECT user_id, count(*) AS n_events, max(value) AS max_value,

@@ -669,9 +669,10 @@ object VectorOps {
     * cross-engine exact.
     */
   def recallEval(corpus: DataFrame, queries: DataFrame, k: Int,
-      probes: Int = 2): DataFrame = {
-    val bf = bruteForceTopK(corpus, queries, k).select("q_id", "neighbor_id")
-    val ivf = ivfTopK(corpus, queries, k, probes)
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    val bf = bruteForceTopK(corpus, queries, k, excludeSelf)
+      .select("q_id", "neighbor_id")
+    val ivf = ivfTopK(corpus, queries, k, probes, excludeSelf)
       .select(col("q_id").as("iq"), col("neighbor_id").as("inb"))
     bf.join(ivf, bf("q_id") === col("iq") && bf("neighbor_id") === col("inb"),
         "left")

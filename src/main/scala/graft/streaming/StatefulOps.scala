@@ -11,15 +11,6 @@ final case class KeyedUpdate(key: String, seq: Long, remaining: Long, lastStop: 
 /** Current state of one key. */
 final case class KeyedLatest(key: String, seq: Long, remaining: Long)
 
-/** SURVEY §7.3 U3-v2: real incremental state via flatMapGroupsWithState —
-  * the proper replacement for the reference's collect_list+UDF-per-batch
-  * hack (pyspark-job.py:34-54). State is O(#keys) and updated
-  * incrementally per micro-batch (the complete-mode variant in
-  * StreamingOps.t5 recomputes from all data each epoch, faithful to the
-  * reference); a tombstoned key (lastStop on its latest update) is removed
-  * from the store and a later-seq update recreates it, exactly matching
-  * the "ride ended / next ride starts" lifecycle.
-  */
 /** Input row for [[StatefulOps.runningUserAgg]]. */
 final case class EventIn(user_id: Long, event_id: Long, value: Double)
 
@@ -58,6 +49,17 @@ final class RunningUserAggProcessor
   }
 }
 
+/** SURVEY §7.3 U3-v2: real incremental state via flatMapGroupsWithState —
+  * the proper replacement for the reference's collect_list+UDF-per-batch
+  * hack (pyspark-job.py:34-54). State is O(#keys) and updated
+  * incrementally per micro-batch (the complete-mode variant in
+  * StreamingOps.t5 recomputes from all data each epoch, faithful to the
+  * reference); a tombstoned key (lastStop on its latest update) is removed
+  * from the store and a later-seq update recreates it, exactly matching
+  * the "ride ended / next ride starts" lifecycle. T19's
+  * [[RunningUserAggProcessor]] is the transformWithState successor of the
+  * same idea.
+  */
 object StatefulOps {
 
   /** T19 core: per-user running aggregates via `transformWithState` —
