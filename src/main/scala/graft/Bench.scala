@@ -95,7 +95,9 @@ object Bench {
     "m4b_holdout_eval" -> 1.0, "x5_minhash_lsh_dupsets" -> 0.9,
     "v4_ann_kmeans_topk" -> 0.8, "x7_ngram_jaccard_neardup" -> 0.7,
     "x9_tfidf_topterm" -> 0.6, "x18_boilerplate_df" -> 0.6,
-    "sim_bus_rides" -> 0.5)
+    "sim_bus_rides" -> 0.5, "x27_triangle_count" -> 2.3,
+    "x28_leakage_safe_split" -> 2.0, "s22_compaction" -> 2.1,
+    "s23_cdc_apply" -> 1.9, "t11_throughput" -> 5.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
