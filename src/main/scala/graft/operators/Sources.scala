@@ -500,6 +500,29 @@ object Sources {
            |CASE WHEN event_type = 'error' THEN CAST(-1 AS BIGINT) ELSE count(*) END AS n
            |FROM events GROUP BY event_type""".stripMargin))
 
+  /** S25 (beyond reference): CACHE TABLE — the explicit materialization
+    * surface (`CACHE TABLE` / `UNCACHE TABLE` SQL, eager by default) every
+    * interactive/serving workload uses for a hot dimension or repeatedly
+    * polled aggregate. The query reads through the cached view (scan
+    * becomes an InMemoryRelation — asserted in CachingSpec); results are
+    * identical to the uncached plan, which is what the oracle pins. At
+    * scale the cache is partition-local executor memory/disk — no shuffle
+    * is added or removed by caching, so it is a pure latency trade.
+    */
+  val s25: GraftQuery = GraftQuery(
+    "s25_cache_table",
+    (s, d) => {
+      val v = "s25_events_v"
+      Tables.events(s, d).createOrReplaceTempView(v)
+      s.sql(s"CACHE TABLE $v")
+      s.sql(s"""SELECT event_type, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM $v GROUP BY event_type""")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY event_type""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
 }

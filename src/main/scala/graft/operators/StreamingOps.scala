@@ -210,6 +210,33 @@ object StreamingOps {
     Some("SELECT DISTINCT user_id, event_type FROM events"),
     bench = false)
 
+  /** T20 (beyond reference): `dropDuplicatesWithinWatermark` — the
+    * bounded-state dedup API (Spark 3.5+): unlike t12's dropDuplicates,
+    * whose key state grows forever on an unbounded stream, state here is
+    * EVICTED once the watermark passes a key's event time — at-least-once
+    * sources re-deliver within the delay bound, so that horizon is exactly
+    * what dedup state must cover. Same deterministic contract as t12: only
+    * the key set is emitted (which physical duplicate survives is
+    * arbitrary), and on bounded replay it equals batch DISTINCT.
+    */
+  val t20: GraftQuery = GraftQuery(
+    "t20_stream_dedup_within_watermark",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream.format("memory").queryName("graft_t20")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t20")
+    },
+    Some("SELECT DISTINCT user_id, event_type FROM events"),
+    bench = false)
+
   /** T14 (beyond reference): watermarked stream-stream interval join — the
     * attribution shape (click -> purchase by the same user within 10
     * minutes) that batch engines do with a range join and streams need
@@ -482,5 +509,5 @@ object StreamingOps {
     bench = false)
 
   val all: Seq[GraftQuery] =
-    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19)
+    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20)
 }

@@ -18,6 +18,26 @@ class BucketingSpec extends SparkSpec {
     // bucketed-scan-ordering flag; the shuffle is the cost that matters
   }
 
+  test("s25 CACHE TABLE serves the query from an InMemoryRelation") {
+    val df = Sources.s25.build(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"cached view must scan memory, not parquet:\n$plan")
+    val cached = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    spark.sql("UNCACHE TABLE s25_events_v")
+    val uncachedPlan = spark.sql(
+      "SELECT event_type, count(*) AS n FROM s25_events_v GROUP BY event_type")
+      .queryExecution.executedPlan.toString
+    assert(!uncachedPlan.contains("InMemoryTableScan"),
+      s"UNCACHE must drop the materialization:\n$uncachedPlan")
+    // and caching never changes results
+    val plain = graft.core.Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Funcs.decSum(col("value")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(cached.sameElements(plain))
+  }
+
   test("s17 result matches the plain (unbucketed) join") {
     val bucketed = Sources.s17.build(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)

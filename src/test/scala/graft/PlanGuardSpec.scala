@@ -15,7 +15,8 @@ class PlanGuardSpec extends SparkSpec {
     "t12_stream_dedup", "t13_stream_table_mirror",
     "t14_stream_stream_join", "t15_stream_merge_upsert",
     "t16_stream_session_window", "t17_stream_append_eviction",
-    "t18_stream_outer_join", "t19_transform_with_state")
+    "t18_stream_outer_join", "t19_transform_with_state",
+    "t20_stream_dedup_within_watermark")
 
   test("x9_tfidf_topterm: document frequency is never a term-partitioned window") {
     // A Window.partitionBy(term) has no map-side partials and AQE cannot
