@@ -523,6 +523,58 @@ object Sources {
            |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY event_type""".stripMargin))
 
+  /** S26 (beyond reference): dynamic partition pruning — the mechanism
+    * that makes star-schema joins viable at 100 TB: the fact table is
+    * partitioned on the join key, the dim side's selective filter is
+    * evaluated FIRST (broadcast), and its keys become a runtime partition
+    * filter on the fact scan — so the fact reads O(matching partitions),
+    * not the whole table. BucketingSpec asserts the `dynamicpruning`
+    * expression actually lands in the fact scan's PartitionFilters; the
+    * oracle pins result identity with the statically-filtered equivalent.
+    */
+  val s26: GraftQuery = GraftQuery(
+    "s26_dynamic_partition_pruning",
+    (s, d) => dppJoin(s, d),
+    Some("""SELECT event_type, count(*) AS n,
+           |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events WHERE event_type IN ('error', 'purchase') GROUP BY event_type""".stripMargin))
+
+  /** The DPP join behind [[s26]], exposed for the plan assertion. */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // path keyed by the source dir: a cached fact from another SF would
+    // silently serve the wrong data to this build
+    val sfLeaf = new java.io.File(d).getName
+    val factPath = scratch(s, s"s26_fact_$sfLeaf")
+    val dimPath = scratch(s, s"s26_dim_$sfLeaf")
+    if (!new java.io.File(s"$factPath/_SUCCESS").exists()) {
+      Tables.events(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type").parquet(factPath)
+      Seq(("error", "alert"), ("purchase", "alert"), ("click", "noise"),
+        ("view", "noise"), ("signup", "noise"))
+        .toDF("event_type", "tier")
+        .write.mode(SaveMode.Overwrite).parquet(dimPath)
+    }
+    val fact = s.read.parquet(factPath)
+    // the dim predicate must be one DPP's isLikelySelective recognizes
+    // (string equality qualifies; a bare boolean attribute does not)
+    val dim = s.read.parquet(dimPath).filter(col("tier") === "alert")
+    // DPP's stats-based benefit estimate correctly concludes a KB-scale
+    // fact isn't worth pruning — the exact opposite holds at production
+    // scale. The fallback-ratio estimate (useStats=false) applies the rule
+    // whenever the dim plan is cheaper than the estimated skip, which is
+    // the 100-TB-shaped decision this op demonstrates.
+    withConf(s, "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false") {
+      val out = fact.join(broadcast(dim), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+      // optimization is lazy: force it NOW so the DPP decision is made
+      // under the scoped conf (QueryExecution memoizes the plan)
+      out.queryExecution.executedPlan
+      out
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
+    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26)
 }

@@ -18,6 +18,12 @@ class BucketingSpec extends SparkSpec {
     // bucketed-scan-ordering flag; the shuffle is the cost that matters
   }
 
+  test("s26 dim filter becomes a dynamic partition filter on the fact scan") {
+    val plan = Sources.dppJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition filter from the dim side:\n$plan")
+  }
+
   test("s25 CACHE TABLE serves the query from an InMemoryRelation") {
     val df = Sources.s25.build(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
