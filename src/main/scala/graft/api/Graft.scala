@@ -148,8 +148,8 @@ object Graft {
     * only their `probes` nearest cells (~probes/K of the corpus) instead of
     * scanning it. Recall gates live in VectorOpsSpec.
     */
-  def annIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, excludeSelf: Boolean = true,
-      probes: Int = 2): DataFrame =
+  def annIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
     VectorOps.ivfTopK(corpus, queries, k, probes, excludeSelf)
 
   /** Recall@k of the IVF index against the exact brute-force baseline:
@@ -164,8 +164,8 @@ object Graft {
   /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
     * than [[annIvfTopK]], the variant that holds recall on clustered data.
     */
-  def annKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, excludeSelf: Boolean = true,
-      probes: Int = 2): DataFrame =
+  def annKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
     VectorOps.kmeansTopK(corpus, queries, k, probes, excludeSelf)
 
   // ---- time series --------------------------------------------------------

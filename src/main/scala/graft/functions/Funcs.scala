@@ -24,6 +24,14 @@ object Funcs {
     }
   }
 
+  /** Multi-key [[withConf]]: sets every pair, runs `body`, restores all in
+    * reverse order. For queries that need several coordinated conf flips
+    * (e.g. a runtime-filter demo that must also pin the join strategy).
+    */
+  def withConfs[T](s: SparkSession, pairs: (String, String)*)(body: => T): T =
+    pairs.foldRight(() => body)((kv, inner) =>
+      () => withConf(s, kv._1, kv._2)(inner())).apply()
+
   /** TIMESTAMP_BUCKET(ts, INTERVAL n SECOND) — floor-to-epoch-multiple
     * bucketing (reference: lakehouse_part3_time_series_forecasting.py:463
     * uses 5-minute buckets). Matches DuckDB `time_bucket` for intervals that

@@ -924,5 +924,155 @@ object Forecast {
            |       dev > 4.4478 * mad AS is_anomaly
            |FROM dev JOIN mad USING (user_id)""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8)
+  /** M9 (beyond reference): rolling-origin backtesting — the other half of
+    * ML.ARIMA_EVALUATE (reference part3:539-553 evaluates ONE fixed
+    * holdout; BQML's backtest table re-fits at k rolled-back origins).
+    * The forecast origin rolls back K=3 times in H=4-bucket steps; each
+    * fold re-fits all three models (naive / drift / AR(1)) on its own
+    * shorter train prefix and scores the next H buckets — emitting the
+    * standard per-(series, fold, model) MAE / MAPE / RMSE / cov90 table.
+    *
+    * One shuffle total: each series is collected once (sorted array),
+    * folds x horizon x models fan out of that single row NARROWLY
+    * (explode — no join, no re-shuffle), and every training statistic is
+    * an ordered fold over a prefix of the SAME array, so DuckDB replays
+    * the arithmetic bit-for-bit (the m4b contract). Per-series state is
+    * one series array — the documented forecast-family bound; fold
+    * re-fits cost K list passes, not K data scans.
+    */
+  val m9: GraftQuery = {
+    val K = 3; val H = 4
+    GraftQuery(
+      "m9_rolling_origin_backtest",
+      (s, d) => {
+        val g = series(s, d)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("bucket_ts").as("b"),
+            col("demand").as("d")))).as("trd"),
+            count(lit(1)).as("n_total"))
+          // the earliest origin still needs >= 2 train points for a slope
+          .filter(col("n_total") > K * H + 1)
+          .withColumn("fold", explode(sequence(lit(1), lit(K))))
+          .withColumn("tn", (col("n_total") - (lit(K + 1) - col("fold")) * H).cast("int"))
+          .withColumn("lastd", expr("element_at(trd, tn).d"))
+          .withColumn("slope",
+            (col("lastd") - expr("element_at(trd, 1).d")) / (col("tn") - 1).cast("double"))
+          .withColumn("nres", (col("tn") - 1).cast("double"))
+          .withColumn("s2n",
+            expr("aggregate(transform(sequence(2, tn), i -> (element_at(trd, i).d - element_at(trd, i - 1).d) * (element_at(trd, i).d - element_at(trd, i - 1).d)), 0D, (acc, v) -> acc + v)") / col("nres"))
+          .withColumn("s2d",
+            expr("aggregate(transform(sequence(2, tn), i -> (element_at(trd, i).d - element_at(trd, i - 1).d - slope) * (element_at(trd, i).d - element_at(trd, i - 1).d - slope)), 0D, (acc, v) -> acc + v)") / col("nres"))
+          .withColumn("tmean",
+            expr("aggregate(transform(sequence(1, tn), i -> element_at(trd, i).d), 0D, (acc, v) -> acc + v)") / col("tn"))
+          .withColumn("arnum",
+            expr("aggregate(transform(sequence(2, tn), i -> (element_at(trd, i).d - tmean) * (element_at(trd, i - 1).d - tmean)), 0D, (acc, v) -> acc + v)"))
+          .withColumn("arden",
+            expr("aggregate(transform(sequence(2, tn), i -> (element_at(trd, i - 1).d - tmean) * (element_at(trd, i - 1).d - tmean)), 0D, (acc, v) -> acc + v)"))
+          .withColumn("phi",
+            when(col("arden") =!= 0.0, col("arnum") / col("arden")).otherwise(lit(0.0)))
+          .withColumn("s2a",
+            expr("aggregate(transform(sequence(2, tn), i -> (element_at(trd, i).d - (tmean + phi * (element_at(trd, i - 1).d - tmean))) * (element_at(trd, i).d - (tmean + phi * (element_at(trd, i - 1).d - tmean)))), 0D, (acc, v) -> acc + v)") / col("nres"))
+          .withColumn("h", explode(sequence(lit(1), lit(H))))
+          .withColumn("actual", expr("element_at(trd, tn + h).d"))
+          .withColumn("phipow",
+            expr("aggregate(transform(sequence(1, h), x -> phi), 1D, (acc, v) -> acc * v)"))
+          // Spark's sequence(1, 0) DESCENDS — guard h = 1 explicitly (the
+          // m4b arvs contract; DuckDB's empty generate_series agrees)
+          .withColumn("arvs", when(col("h") === 1, lit(1.0)).otherwise(
+            expr("aggregate(transform(sequence(1, h - 1), x -> 0D), 1D, (acc, x) -> 1.0D + phi * phi * acc)")))
+        g.select(col("user_id"), col("fold"), col("h"), col("actual"),
+            explode(array(
+              struct(lit("naive").as("model"), col("lastd").as("fv"),
+                col("s2n").as("s2"), col("h").cast("double").as("vs")),
+              struct(lit("drift").as("model"),
+                (col("lastd") + col("h") * col("slope")).as("fv"),
+                col("s2d").as("s2"), col("h").cast("double").as("vs")),
+              struct(lit("ar1").as("model"),
+                (col("tmean") + col("phipow") * (col("lastd") - col("tmean"))).as("fv"),
+                col("s2a").as("s2"), col("arvs").as("vs")))).as("mf"))
+          .select(col("user_id"), col("fold"), col("h"), col("actual"),
+            col("mf.model").as("model"), col("mf.fv").as("fv"),
+            col("mf.s2").as("s2"), col("mf.vs").as("vs"))
+          .withColumn("lo", expr(s"fv - $Z90 * sqrt(s2 * vs)"))
+          .withColumn("hi", expr(s"fv + $Z90 * sqrt(s2 * vs)"))
+          .withColumn("err", col("actual") - col("fv"))
+          .groupBy("user_id", "fold", "model").agg(
+            count(lit(1)).as("n_eval"),
+            sum(when(col("actual") =!= 0, 1).otherwise(0)).as("nz"),
+            sum(when(col("actual") >= col("lo") && col("actual") <= col("hi"), 1)
+              .otherwise(0)).as("n_cov"),
+            sort_array(collect_list(struct(col("h").as("h"),
+              abs(col("err")).as("ae"), (col("err") * col("err")).as("se"),
+              col("actual").as("a")))).as("pts"))
+          .withColumn("mae",
+            expr("aggregate(transform(pts, s -> s.ae), 0D, (acc, v) -> acc + v)") / col("n_eval"))
+          .withColumn("mape", when(col("nz") > 0,
+            expr("aggregate(transform(pts, s -> CASE WHEN s.a <> 0D THEN s.ae / abs(s.a) ELSE 0D END), 0D, (acc, v) -> acc + v)") / col("nz")))
+          .withColumn("rmse",
+            sqrt(expr("aggregate(transform(pts, s -> s.se), 0D, (acc, v) -> acc + v)") / col("n_eval")))
+          .withColumn("cov90", col("n_cov").cast("double") / col("n_eval"))
+          .select("user_id", "fold", "model", "n_eval", "mae", "mape", "rmse", "cov90")
+      },
+      Some(s"""WITH base AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT user_id, list(struct_pack(b := b, d := demand) ORDER BY b) AS trd,
+             |  count(*) AS n_total FROM base GROUP BY 1),
+             |f0 AS (SELECT user_id, trd, n_total, CAST(fold AS INT) AS fold,
+             |  CAST(n_total - ($K + 1 - fold) * $H AS INT) AS tn
+             |  FROM g, range(1, ${K + 1}) r(fold) WHERE n_total > ${K * H + 1}),
+             |st0 AS (SELECT *, trd[tn].d AS lastd,
+             |  (trd[tn].d - trd[1].d) / CAST(tn - 1 AS DOUBLE) AS slope,
+             |  CAST(tn - 1 AS DOUBLE) AS nres,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(2, tn),
+             |    i -> (trd[i].d - trd[i-1].d) * (trd[i].d - trd[i-1].d))), (acc, v) -> acc + v) / CAST(tn - 1 AS DOUBLE) AS s2n,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, tn),
+             |    i -> trd[i].d)), (acc, v) -> acc + v) / tn AS tmean
+             |  FROM f0),
+             |st1 AS (SELECT *,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(2, tn),
+             |    i -> (trd[i].d - trd[i-1].d - slope) * (trd[i].d - trd[i-1].d - slope))), (acc, v) -> acc + v) / nres AS s2d,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(2, tn),
+             |    i -> (trd[i].d - tmean) * (trd[i-1].d - tmean))), (acc, v) -> acc + v) AS arnum,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(2, tn),
+             |    i -> (trd[i-1].d - tmean) * (trd[i-1].d - tmean))), (acc, v) -> acc + v) AS arden
+             |  FROM st0),
+             |st2 AS (SELECT *, CASE WHEN arden <> 0.0 THEN arnum / arden ELSE 0.0 END AS phi FROM st1),
+             |st AS (SELECT *,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(2, tn),
+             |    i -> (trd[i].d - (tmean + phi * (trd[i-1].d - tmean))) * (trd[i].d - (tmean + phi * (trd[i-1].d - tmean))))),
+             |    (acc, v) -> acc + v) / nres AS s2a
+             |  FROM st2),
+             |ev AS (SELECT user_id, fold, CAST(h AS INT) AS h, trd[tn + CAST(h AS INT)].d AS actual,
+             |  lastd, slope, s2n, s2d, s2a, tmean, phi,
+             |  list_reduce(list_transform(generate_series(1, CAST(h AS INT)), x -> phi), (a, b) -> a * b) AS phipow,
+             |  list_reduce(list_prepend(CAST(1 AS DOUBLE),
+             |    list_transform(generate_series(1, CAST(h AS INT) - 1), j -> CAST(0 AS DOUBLE))),
+             |    (acc, x) -> 1.0 + phi * phi * acc) AS arvs
+             |  FROM st, range(1, ${H + 1}) rh(h)),
+             |sc AS (SELECT user_id, fold, h, actual, 'naive' AS model, lastd AS fv, s2n AS s2,
+             |    CAST(h AS DOUBLE) AS vs FROM ev
+             |  UNION ALL
+             |  SELECT user_id, fold, h, actual, 'drift' AS model, lastd + h * slope AS fv, s2d AS s2,
+             |    CAST(h AS DOUBLE) AS vs FROM ev
+             |  UNION ALL
+             |  SELECT user_id, fold, h, actual, 'ar1' AS model,
+             |    tmean + phipow * (lastd - tmean) AS fv, s2a AS s2, arvs AS vs FROM ev),
+             |scb AS (SELECT *, fv - $Z90 * sqrt(s2 * vs) AS lo, fv + $Z90 * sqrt(s2 * vs) AS hi FROM sc),
+             |pts AS (SELECT user_id, fold, model, count(*) AS n_eval,
+             |  SUM(CASE WHEN actual <> 0 THEN 1 ELSE 0 END) AS nz,
+             |  SUM(CASE WHEN actual >= lo AND actual <= hi THEN 1 ELSE 0 END) AS n_cov,
+             |  list(struct_pack(h := h, ae := abs(actual - fv),
+             |    se := (actual - fv)*(actual - fv), a := actual) ORDER BY h) AS l
+             |  FROM scb GROUP BY 1, 2, 3)
+             |SELECT user_id, fold, model, n_eval,
+             |  list_reduce(list_transform(l, s -> s.ae), (acc, v) -> acc + v) / n_eval AS mae,
+             |  CASE WHEN nz > 0 THEN list_reduce(list_transform(l,
+             |    s -> CASE WHEN s.a <> 0 THEN s.ae / abs(s.a) ELSE 0.0 END), (acc, v) -> acc + v) / nz END AS mape,
+             |  sqrt(list_reduce(list_transform(l, s -> s.se), (acc, v) -> acc + v) / n_eval) AS rmse,
+             |  CAST(n_cov AS DOUBLE) / n_eval AS cov90
+             |FROM pts""".stripMargin))
+  }
+
+  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9)
 }

@@ -794,6 +794,13 @@ object Relational {
     * as the gate: exact ≤ estimate ≤ exact + eps·N. Only exact counts and
     * the gate are emitted (the estimate itself is seed-dependent), a14/a15
     * pattern.
+    *
+    * The gate is PROBABILISTIC: the upper bound holds with probability
+    * ≥ 1−δ = 0.99 per probed key, so `within_eps = true` is validated
+    * against each fixed SF dataset, not guaranteed universally. If the
+    * testdata is ever regenerated, re-verify — a breached bound there is
+    * the sketch's documented failure probability, not an engine bug (and
+    * in practice top-10 heavy hitters sit far inside the eps·N slack).
     */
   val a20 = q(
     "a20_cms_heavyhitter_gate",
@@ -818,6 +825,33 @@ object Relational {
     }
     import s.implicits._
     rows.toSeq.toDF("w", "c", "rank", "within_eps")
+  }
+
+  /** A21 (beyond reference): mergeable HLL sketch rollup, GATED — the
+    * production incremental-distinct pattern approx_count_distinct (a14)
+    * cannot express: per (event_type, day) a Datasketches HLL sketch is
+    * built ONCE (hll_sketch_agg), then re-aggregated to the event_type
+    * level by sketch UNION (hll_union_agg) — at 100 TB this is how daily
+    * distinct-user counts roll up to weekly/monthly without ever
+    * rescanning raw events: store the per-day sketches (KBs each),
+    * union-on-read. The gate: the union estimate lands within 5% of the
+    * exact distinct (lgK=12 standard error is ~1.6%, and the sketch is
+    * deterministic for fixed input — no runtime seed), a14/a20 pattern.
+    */
+  val a21 = q(
+    "a21_hll_union_rollup_gate",
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS ok
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val unioned = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(unioned, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05).as("ok"))
   }
 
   /** J12 (beyond reference): salted skew join — a third of the fact rows
@@ -1132,7 +1166,7 @@ object Relational {
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, set1,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
     w1, w2, w3, w4, w5, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

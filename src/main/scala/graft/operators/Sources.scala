@@ -547,7 +547,10 @@ object Sources {
     val sfLeaf = new java.io.File(d).getName
     val factPath = scratch(s, s"s26_fact_$sfLeaf")
     val dimPath = scratch(s, s"s26_dim_$sfLeaf")
-    if (!new java.io.File(s"$factPath/_SUCCESS").exists()) {
+    // gate the seed on BOTH success markers: a run that wrote the fact but
+    // died before the dim write must re-seed, not trust a half-built scratch
+    if (!(new java.io.File(s"$factPath/_SUCCESS").exists() &&
+          new java.io.File(s"$dimPath/_SUCCESS").exists())) {
       Tables.events(s, d).write.mode(SaveMode.Overwrite)
         .partitionBy("event_type").parquet(factPath)
       Seq(("error", "alert"), ("purchase", "alert"), ("click", "noise"),
@@ -575,6 +578,52 @@ object Sources {
     }
   }
 
+  /** S27 (beyond reference): runtime bloom-filter join pruning — the
+    * row-level complement of [[s26]]'s partition-level DPP. When the fact
+    * table is NOT laid out on the join key (no partition or zone-map help),
+    * Spark can still evaluate the dim side first, build a bloom filter of
+    * its join keys, and apply `bloom_filter_might_contain` to the fact rows
+    * BEFORE the fact shuffle — at 100 TB that turns a full-fact exchange
+    * into one proportional to the semi-join selectivity. BucketingSpec
+    * asserts the filter actually lands in the plan; the oracle pins result
+    * identity with the plain join.
+    */
+  val s27: GraftQuery = GraftQuery(
+    "s27_bloom_filter_join",
+    (s, d) => bloomJoin(s, d),
+    Some("""SELECT p_brand, count(*) AS n,
+           |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_size = 1 GROUP BY p_brand""".stripMargin))
+
+  /** The runtime-filtered join behind [[s27]], exposed for the plan gate. */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+    // the creation side must be a selective filter over a scan for
+    // InjectRuntimeFilter to consider it (p_size equality qualifies)
+    val dim = Tables.part(s, d).filter(col("p_size") === 1)
+    withConfs(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // the default application-side threshold (10 GB) is the right guard
+      // in production — a bloom only pays when it skips real scan/shuffle
+      // IO; the bench-SF fact is KBs, so demonstrate the rule by lowering
+      // the floor rather than inflating the data
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // pin the shuffle join: the injected filter's payoff is cutting fact
+      // rows BEFORE the exchange, which only exists in the shuffle plan —
+      // and mirrors the 100-TB case, where this dim exceeds broadcast size
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+      // optimization is lazy: force it NOW so InjectRuntimeFilter runs
+      // under the scoped confs (QueryExecution memoizes the plan)
+      out.queryExecution.executedPlan
+      out
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26)
+    Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
+      s23, s24, s25, s26, s27)
 }

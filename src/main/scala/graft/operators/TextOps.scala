@@ -338,6 +338,72 @@ object TextOps {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin))
 
+  /** Per-doc FULL MinHash signature (same a*h+b family and fnv64 base as
+    * [[lshBands]], which only exposes folded band keys): (doc_id,
+    * sig: array<long>[numHashes]). One typed pass, each shingle hashed
+    * once per component.
+    */
+  private def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    sets.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .map { case (id, sh) =>
+        val base = sh.iterator.map(fnv64).toArray
+        val sig = Array.tabulate(numHashes) { i =>
+          val a = mixCoef(2L * i) | 1L
+          val b = mixCoef(2L * i + 1)
+          var mn = Long.MaxValue
+          var k = 0
+          while (k < base.length) { val v = a * base(k) + b; if (v < mn) mn = v; k += 1 }
+          mn
+        }
+        (id, sig)
+      }.toDF("doc_id", "sig")
+  }
+
+  /** MinHash estimator quality evaluation — the v10-for-text loop: for
+    * every verified near-dup pair at `threshold`, compare the signature
+    * estimate Ĵ = |{i : sig_a[i] = sig_b[i]}| / numHashes against the
+    * exact shingle Jaccard, and gate |Ĵ − J| <= 0.2 (at J >= 0.9 and 64
+    * hashes the estimator's σ = sqrt(J(1−J)/64) ≈ 0.037, so the gate sits
+    * ~5σ out; like a20/a21 the estimate is deterministic for fixed input —
+    * validated per-SF, re-verify if the data is regenerated). This is the
+    * measurement that justifies trusting banded signatures INSTEAD of
+    * exact verification when the corpus outgrows the verify join.
+    * Output: (a_id, b_id, jaccard, ok). Signatures are computed once per
+    * doc and joined by id — the pair side never carries shingle arrays.
+    */
+  def minhashJaccardEval(docs: DataFrame, threshold: Double = 0.9,
+      numHashes: Int = 64): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold)
+    val sigs = minhashSignatures(shingleSets(docs), numHashes)
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("est",
+        expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          / numHashes.toDouble)
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        (abs(col("est") - col("jaccard")) <= 0.2).as("ok"))
+  }
+
+  /** X29 (beyond reference): the [[minhashJaccardEval]] gate on the
+    * documents corpus at the x7 threshold — oracle replays the exact
+    * Jaccard brute-force and pins ok = true.
+    */
+  val x29: GraftQuery = GraftQuery(
+    "x29_minhash_jaccard_eval",
+    (s, d) => minhashJaccardEval(Tables.documents(s, d), 0.9),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard,
+           |  true AS ok
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin))
+
   /** X6: SimHash document fingerprint — 32-bit majority-vote over md5-based
     * word hashes. A typed per-partition kernel hashes each distinct word
     * exactly ONCE and updates 32 bit-counters; the earlier nested-HOF
@@ -768,9 +834,17 @@ object TextOps {
     * distinct-word ratio). One typed pass per doc, all-integer counting
     * (covered chars = count x gram length, overlaps uncounted — the
     * standard approximation); the only doubles are the final divisions, so
-    * DuckDB replays bit-for-bit. Top-gram ties break by lexicographic
-    * gram — both engines order ASCII identically. Scale: mapPartitions
-    * over docs, zero shuffle, per-doc state is one gram hash map.
+    * DuckDB replays bit-for-bit. Scale: mapPartitions over docs, zero
+    * shuffle, per-doc state is one gram hash map.
+    *
+    * ASCII-only contract (explicit): cross-engine exactness relies on (a)
+    * tie-breaking the top gram by `<` — UTF-16 code-unit order in Spark vs
+    * UTF-8 binary collation in DuckDB, identical only on ASCII — and (b)
+    * `String.length`/`length()` counting the same units, true only when
+    * code point = code unit = byte count coincide (ASCII). Non-ASCII
+    * corpora can legitimately diverge on both; run those through the Spark
+    * side only, or normalize first. Empty texts emit 0.0 fractions (both
+    * engines guard the 0/0).
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -798,11 +872,15 @@ object TextOps {
         (id, text.length.toLong, t2, d2, t5, d5)
       }
       .toDF("doc_id", "n_chars", "top2_chars", "dup2_chars", "top5_chars", "dup5_chars")
+    // 0/0 on an empty text is NaN in Spark but NULL/inf in DuckDB — pin 0.0
+    def frac(c: String) =
+      when(col("n_chars") === 0, lit(0.0))
+        .otherwise(col(c).cast("double") / col("n_chars"))
     raw.select(col("doc_id"), col("n_chars"),
-        (col("top2_chars").cast("double") / col("n_chars")).as("top2_frac"),
-        (col("dup2_chars").cast("double") / col("n_chars")).as("dup2_frac"),
-        (col("top5_chars").cast("double") / col("n_chars")).as("top5_frac"),
-        (col("dup5_chars").cast("double") / col("n_chars")).as("dup5_frac"))
+        frac("top2_chars").as("top2_frac"),
+        frac("dup2_chars").as("dup2_frac"),
+        frac("top5_chars").as("top5_frac"),
+        frac("dup5_chars").as("dup5_frac"))
       .withColumn("keep", col("top2_frac") < 0.20 && col("dup5_frac") < 0.15)
   }
 
@@ -1239,12 +1317,12 @@ object TextOps {
            |  CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dupc
            |  FROM c5 GROUP BY 1)
            |SELECT t.doc_id, t.n_chars,
-           |  COALESCE(top2.topc, 0)::DOUBLE / t.n_chars AS top2_frac,
-           |  COALESCE(dup2.dupc, 0)::DOUBLE / t.n_chars AS dup2_frac,
-           |  COALESCE(top5.topc, 0)::DOUBLE / t.n_chars AS top5_frac,
-           |  COALESCE(dup5.dupc, 0)::DOUBLE / t.n_chars AS dup5_frac,
-           |  (COALESCE(top2.topc, 0)::DOUBLE / t.n_chars < 0.20 AND
-           |   COALESCE(dup5.dupc, 0)::DOUBLE / t.n_chars < 0.15) AS keep
+           |  CASE WHEN t.n_chars = 0 THEN 0.0 ELSE COALESCE(top2.topc, 0)::DOUBLE / t.n_chars END AS top2_frac,
+           |  CASE WHEN t.n_chars = 0 THEN 0.0 ELSE COALESCE(dup2.dupc, 0)::DOUBLE / t.n_chars END AS dup2_frac,
+           |  CASE WHEN t.n_chars = 0 THEN 0.0 ELSE COALESCE(top5.topc, 0)::DOUBLE / t.n_chars END AS top5_frac,
+           |  CASE WHEN t.n_chars = 0 THEN 0.0 ELSE COALESCE(dup5.dupc, 0)::DOUBLE / t.n_chars END AS dup5_frac,
+           |  (CASE WHEN t.n_chars = 0 THEN 0.0 ELSE COALESCE(top2.topc, 0)::DOUBLE / t.n_chars END < 0.20 AND
+           |   CASE WHEN t.n_chars = 0 THEN 0.0 ELSE COALESCE(dup5.dupc, 0)::DOUBLE / t.n_chars END < 0.15) AS keep
            |FROM t
            |LEFT JOIN top2 ON t.doc_id = top2.doc_id
            |LEFT JOIN dup2 ON t.doc_id = dup2.doc_id
@@ -1386,6 +1464,6 @@ object TextOps {
            |FROM b""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }

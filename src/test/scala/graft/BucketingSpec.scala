@@ -24,6 +24,21 @@ class BucketingSpec extends SparkSpec {
       s"fact scan must carry a runtime partition filter from the dim side:\n$plan")
   }
 
+  test("s27 dim filter becomes a runtime bloom filter on the fact side") {
+    val plan = Sources.bloomJoin(spark, sf).queryExecution.executedPlan.toString
+    // Spark 4.1 renders the injected pair as might_contain (fact side) fed
+    // by a bloom_filter_agg subquery (dim side)
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"fact rows must pass through the dim-derived bloom filter:\n$plan")
+    // and the filter must sit below the fact exchange (deeper in the tree =
+    // later in the rendered text), or it prunes nothing before the shuffle
+    assert(plan.indexOf("Exchange hashpartitioning(l_partkey") <
+             plan.indexOf("might_contain"),
+      s"bloom filter must sit below the fact shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"the demo only means something on the shuffle-join plan:\n$plan")
+  }
+
   test("s25 CACHE TABLE serves the query from an InMemoryRelation") {
     val df = Sources.s25.build(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -27,6 +27,22 @@ class KafkaIOSpec extends SparkSpec {
     assert(w != null)
   }
 
+  /** Jar-gated integration (DIVERGENCES #7): the day the environment gains
+    * `spark-sql-kafka-0-10`, this activates with zero code change and
+    * proves the option surface actually resolves the Kafka provider and
+    * yields the fixed Kafka schema. Until then it cancels (assume), which
+    * scalatest reports as canceled, not failed.
+    */
+  test("kafka source resolves the connector and exposes the Kafka schema (jar-gated)") {
+    assume(SparkSpec.canLoad("org.apache.spark.sql.kafka010.KafkaSourceProvider"),
+      "spark-sql-kafka not on classpath — option-surface-only coverage applies")
+    val df = KafkaIO.source(spark,
+      KafkaConf("broker:9092", "bus-updates", startingOffsets = "earliest")).load()
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet === Set(
+      "key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+  }
+
   test("T8 streaming confs are applied to the session") {
     KafkaIO.applyStreamingConfs(spark)
     assert(spark.conf.get("spark.streaming.stopGracefullyOnShutdown") === "true")

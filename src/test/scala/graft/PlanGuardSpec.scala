@@ -1,11 +1,28 @@
 package graft
 
-/** Registry-wide plan-quality gate: no query may plan a CartesianProduct
-  * (the all-pairs shape that sinks at scale — broadcast nested-loop against
-  * a bounded side is the allowed non-equi form) and nothing may fall off
-  * the JVM fast path into external eval. Streaming queries are skipped
-  * here: their `build` executes the stream (OpsSmokeSpec covers them) and
-  * the returned sink table's plan is just a memory scan.
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Registry-wide plan-quality gate, one loop over `SparkEntry.registry`:
+  *
+  *  1. no CartesianProduct (the all-pairs shape that sinks at scale);
+  *  2. no external eval (BatchEvalPython / ArrowEvalPython) — everything
+  *     stays on the JVM codegen path;
+  *  3. a BroadcastNestedLoopJoin (the allowed non-equi form) must
+  *     broadcast a STRUCTURALLY bounded side — an aggregate, a limit, a
+  *     literal table, or a catalog-tiny dim scan — never a data-sized
+  *     input, which would OOM the driver at 100 TB;
+  *  4. a shuffle join (SortMergeJoin / ShuffledHashJoin) must never have a
+  *     side consisting solely of catalog-tiny dim scans (region, nation) —
+  *     those are broadcast-or-bust.
+  *
+  * Streaming queries (the t-family, including t19's RocksDB
+  * transformWithState) are excluded: their `build` EXECUTES the stream
+  * (OpsSmokeSpec covers them end-to-end) and the returned sink table's
+  * plan is just a memory scan, so auditing it would assert nothing about
+  * the streaming topology.
   */
 class PlanGuardSpec extends SparkSpec {
 
@@ -55,13 +72,65 @@ class PlanGuardSpec extends SparkSpec {
       s"x27 fell back to nested-loop join:\n$plan")
   }
 
+  private val tinyDimFiles = Set("region.parquet", "nation.parquet")
+
+  private def isTinyDimScan(p: SparkPlan): Boolean = p match {
+    case f: FileSourceScanExec =>
+      tinyDimFiles.exists(t => f.metadata.get("Location").exists(_.contains(t)))
+    case _ => false
+  }
+
+  /** A broadcast side that cannot grow with the data: an aggregation
+    * (cardinality = group count of a keyed/global agg used as a scalar or
+    * bounded set), a literal table, or a catalog-tiny dim. Anything else
+    * broadcast under a nested loop is a scale hazard.
+    */
+  private def structurallyBounded(p: SparkPlan): Boolean =
+    (p.collectFirst {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a
+      case a: SortAggregateExec => a
+      case l: LocalTableScanExec => l
+    }).isDefined || p.collectLeaves().forall(isTinyDimScan)
+
+  /** ANN queries broadcast the QUERY-VECTOR side under the non-equi
+    * similarity join. That side is bounded by API contract (the
+    * Graft.ann* scaladoc: "queries are broadcast — keep that side
+    * small"; here a 10-vector `vec_id < 10` slice), not by plan
+    * structure, so the structural check cannot see it. Listed explicitly
+    * rather than loosening the check to accept any filtered scan — that
+    * would gut the gate.
+    */
+  private val contractBoundedBroadcast = Set(
+    "v1_ann_bruteforce_topk", "v2_ann_ivf_topk", "v3_embedding_neardup",
+    "v4_ann_kmeans_topk", "v10_ann_recall_eval")
+
   for (q <- SparkEntry.registry if !skipped(q.name)) {
-    test(s"${q.name}: no cartesian product, no external eval") {
-      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+    test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {
+      val df = q.build(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans an all-pairs cartesian:\n$plan")
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ArrowEvalPython"),
         s"${q.name} leaves the JVM:\n$plan")
+      // tree-walk the pre-AQE physical plan for the structural invariants
+      val phys = df.queryExecution.sparkPlan
+      phys.foreach {
+        case b: BroadcastNestedLoopJoinExec =>
+          val bcast = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          assert(structurallyBounded(bcast) || contractBoundedBroadcast(q.name),
+            s"${q.name} nested-loop-broadcasts a data-sized side:\n$bcast")
+        case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec) =>
+          j.children.foreach { side =>
+            val leaves = side.collectLeaves()
+            assert(!(leaves.nonEmpty && leaves.forall(isTinyDimScan)),
+              s"${q.name} shuffle-joins a catalog-tiny dim (broadcast it):\n$j")
+          }
+        case _ => ()
+      }
     }
   }
 }

@@ -14,6 +14,13 @@ object SparkSpec {
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Classpath probe for jar-gated integration specs (Kafka, Iceberg): the
+    * spec `assume`s on this so coverage turns on automatically the day the
+    * connector jar lands, and cancels (not fails) until then.
+    */
+  def canLoad(className: String): Boolean =
+    try { Class.forName(className); true } catch { case _: Throwable => false }
 }
 
 trait SparkSpec extends AnyFunSuite {

@@ -127,6 +127,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** DIVERGENCES #3 made observable: t5 keeps the reference's inert
+    * watermark (complete-mode aggregation never evicts state), while the
+    * incremental path (StatefulOps.latestPerKey, update mode, explicit
+    * tombstone removal) keeps state bounded by the LIVE key set. This test
+    * measures both via StateOperatorProgress.numRowsTotal — the faithful
+    * bug's cost is monotone state growth, the number a 100-TB deployment
+    * would page on. SCALE.md (streaming section) quotes the asserted
+    * numbers.
+    */
+  test("state size: complete-mode (t5 shape) grows monotonically; tombstoned latestPerKey stays bounded") {
+    import graft.streaming.{EventIn, KeyedUpdate, StatefulOps}
+    implicit val sqlCtx = spark.sqlContext
+
+    // complete-mode t5 shape: watermark attached but inert by design
+    val inA = MemoryStream[EventIn]
+    val qA = inA.toDF()
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy("user_id").agg(max("value").as("last_value"))
+      .writeStream.format("memory").queryName("st_growth_complete")
+      .outputMode("complete").start()
+
+    // incremental latest-per-key: every batch tombstones the previous
+    // batch's keys, so the live set is always exactly one batch wide
+    val inB = MemoryStream[KeyedUpdate]
+    val qB = StatefulOps.latestPerKey(inB.toDS())
+      .writeStream.format("memory").queryName("st_growth_bounded")
+      .outputMode("update").start()
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.head.numRowsTotal
+
+    val perBatch = 10
+    var completeSizes = List.empty[Long]
+    var boundedSizes = List.empty[Long]
+    (0 until 3).foreach { b =>
+      val keys = (b * perBatch) until ((b + 1) * perBatch)
+      inA.addData(keys.map(k => EventIn(k.toLong, (b * 3600L) + k, k.toDouble)))
+      qA.processAllAvailable()
+      completeSizes :+= stateRows(qA)
+
+      val adds = keys.map(k => KeyedUpdate(s"k$k", b * 100L + k, k.toLong, false))
+      val tombs = if (b == 0) Seq.empty else
+        ((b - 1) * perBatch until (b * perBatch))
+          .map(k => KeyedUpdate(s"k$k", b * 100L + 50L + k, 0L, true))
+      inB.addData(adds ++ tombs)
+      qB.processAllAvailable()
+      boundedSizes :+= stateRows(qB)
+    }
+    qA.stop(); qB.stop()
+
+    // complete mode: state = every key ever seen, monotone by batch
+    assert(completeSizes === List(10L, 20L, 30L),
+      s"complete-mode state must accumulate all keys: $completeSizes")
+    // tombstoned incremental path: state = live keys only, flat at 10
+    assert(boundedSizes === List(10L, 10L, 10L),
+      s"tombstoned state must stay one batch wide: $boundedSizes")
+  }
+
   test("file-source streaming query t5 equals its batch equivalent") {
     val streamed = graft.operators.StreamingOps.t5.build(spark, sf)
       .orderBy("user_id").collect()
