@@ -161,6 +161,20 @@ object Graft {
       probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
     VectorOps.recallEval(corpus, queries, k, probes, excludeSelf)
 
+  /** Per-vector simplified silhouette of the IVF cell assignment:
+    * (vec_id, cluster, a_dist, b_dist, sil) — the cluster-separability
+    * complement of [[annRecallEval]]. O(n·K), aggregation-free.
+    */
+  def annSilhouette(corpus: DataFrame): DataFrame =
+    VectorOps.silhouette(corpus)
+
+  /** SemDeDup cluster-scoped semantic pruning (Abbas et al. 2023):
+    * (vec_id, cluster, pruned) — pruned rows have a lower-id in-cluster
+    * neighbor at cosine >= `tau`.
+    */
+  def semDedupPrune(corpus: DataFrame, tau: Double = 0.95): DataFrame =
+    VectorOps.semDedupPrune(corpus, tau)
+
   /** IVF ANN with k-means-refined cells (2 Lloyd rounds) — tighter cells
     * than [[annIvfTopK]], the variant that holds recall on clustered data.
     */

@@ -247,6 +247,38 @@ object StreamingOps {
     * bounded replay the result equals the batch interval join exactly —
     * which is the oracle.
     */
+  /** T21 (beyond reference): stream-static dimension enrichment — the
+    * most common production streaming join: each micro-batch of the event
+    * stream is enriched with a BATCH dimension (customer segment) via a
+    * broadcast hash join. Stateless by construction: the static side is
+    * re-resolved per micro-batch (Spark re-plans the batch side each
+    * trigger, which is how slowly-changing dims pick up updates without
+    * restarting the query), no watermark, no state store — at 100 TB/day
+    * the stream side never shuffles, the dim broadcasts once per trigger.
+    * Append-mode parquet sink; the oracle is the equivalent batch join.
+    */
+  val t21: GraftQuery = GraftQuery(
+    "t21_stream_static_enrich",
+    (s, d) => {
+      val dim = graft.core.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t21_enrich_${java.util.UUID.randomUUID()}"
+      val q = eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(path)
+    },
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+           |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin),
+    bench = false)
+
   val t14: GraftQuery = GraftQuery(
     "t14_stream_stream_join",
     (s, d) => {
@@ -509,5 +541,5 @@ object StreamingOps {
     bench = false)
 
   val all: Seq[GraftQuery] =
-    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20)
+    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21)
 }

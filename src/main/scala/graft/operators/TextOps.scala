@@ -404,6 +404,36 @@ object TextOps {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin))
 
+  /** X30 (beyond reference): deterministic training-order shuffle +
+    * sharding — the corpus-to-dataloader layout step every training run
+    * needs: each doc gets a REPRODUCIBLE pseudo-random sort key (salted
+    * md5, the x10 family), lands in one of 32 shards by key residue, and
+    * receives its within-shard position. Re-running with the same salt
+    * reproduces the exact global order (restartable training); changing
+    * the salt is a fresh epoch-level shuffle with zero data movement
+    * beyond the re-sort. Scale: the position window partitions by shard —
+    * pick nShards ∝ corpus/target-shard-size and every window task is
+    * bounded at the target shard size; the shard assignment itself is a
+    * pure map. Output: (doc_id, shard, pos).
+    */
+  val x30: GraftQuery = GraftQuery(
+    "x30_corpus_shuffle_shard",
+    (s, d) => {
+      val w = Window.partitionBy("shard").orderBy(col("key"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("key", expr(
+          "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':42')), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("shard", col("key") % 32)
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    },
+    Some("""WITH k AS (SELECT doc_id,
+           |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT) AS key
+           |  FROM documents)
+           |SELECT doc_id, key % 32 AS shard,
+           |  CAST(row_number() OVER (PARTITION BY key % 32 ORDER BY key, doc_id) AS INT) AS pos
+           |FROM k""".stripMargin))
+
   /** X6: SimHash document fingerprint — 32-bit majority-vote over md5-based
     * word hashes. A typed per-partition kernel hashes each distinct word
     * exactly ONCE and updates 32 bit-counters; the earlier nested-HOF
@@ -1464,6 +1494,6 @@ object TextOps {
            |FROM b""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29,
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }

@@ -720,5 +720,122 @@ object VectorOps {
            |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
            |GROUP BY bf.q_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10)
+  /** Public DataFrame-in API (see graft.api.Graft): per-vector simplified
+    * silhouette over the IVF assignment — the clustering-quality half of
+    * the index-eval loop (v10 measures RECALL of the probe search; this
+    * measures how SEPARABLE the cells are, the number that tells you
+    * whether K is right before you pay for a full re-index). For each
+    * vector: a = cosine distance to its own (nearest) centroid, b = to
+    * the runner-up centroid, sil = (b−a)/max(a,b) ∈ [0,1] here (a ≤ b by
+    * construction); sil near 0 means the vector sits on a cell boundary.
+    * This is the centroid-based simplification (Hartigan-style) of
+    * Rousseeuw 1987's silhouette — the full form needs all pairwise
+    * distances, the banned all-pairs shape; the centroid form is O(n·K).
+    *
+    * Plan shape = the v2 assignment: one K-row broadcast join, a
+    * bounded-16-row window per vector, zero unbounded state — emitting
+    * PER-VECTOR rows keeps the op aggregation-free, so it scales as a
+    * pure map and the caller picks the rollup (a mean is map-side
+    * combinable; exact cross-engine means need the usual ordered-fold
+    * harness, which is why none is baked in).
+    */
+  def silhouette(corpus: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cents = centroidsOf(corpus)
+    val w = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
+    withNorm(corpus, "c").join(broadcast(cents), col("c_id").isNotNull)
+      .withColumn("kcos", cosine("c_e", "k_e"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .groupBy("c_id")
+      // clamp at 0: a centroid's distance to ITSELF is 1 − cos(v,v), and
+      // the two engines round the self-cosine to opposite sides of 1.0
+      // (graft_cosine 1+4e-16, list_cosine_similarity exactly 1) — the
+      // only last-ulp disagreement in the family, surfaced here because
+      // the distance VALUE is emitted, not just used for ranking
+      .agg(
+        max(when(col("rk") === 1, col("k_id"))).as("cluster"),
+        max(when(col("rk") === 1,
+          greatest(lit(1.0) - col("kcos"), lit(0.0)))).as("a_dist"),
+        max(when(col("rk") === 2,
+          greatest(lit(1.0) - col("kcos"), lit(0.0)))).as("b_dist"))
+      .withColumn("sil", when(col("b_dist") === 0.0, lit(0.0))
+        .otherwise((col("b_dist") - col("a_dist")) /
+          greatest(col("a_dist"), col("b_dist"))))
+      .select(col("c_id").as("vec_id"), col("cluster"),
+        col("a_dist"), col("b_dist"), col("sil"))
+  }
+
+  /** V11 (beyond reference): [[silhouette]] on the embeddings corpus —
+    * oracle replays centroid selection, both distances, and the ratio.
+    */
+  val v11: GraftQuery = GraftQuery(
+    "v11_cluster_silhouette",
+    (s, d) => silhouette(Tables.embeddings(s, d)),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |rk AS (SELECT v.vec_id, c.k_id,
+           |  greatest(1.0 - list_cosine_similarity(v.e, c.ke), 0.0) AS dist,
+           |  row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c),
+           |p AS (SELECT vec_id,
+           |  max(CASE WHEN rk = 1 THEN k_id END) AS cluster,
+           |  max(CASE WHEN rk = 1 THEN dist END) AS a_dist,
+           |  max(CASE WHEN rk = 2 THEN dist END) AS b_dist
+           |  FROM rk WHERE rk <= 2 GROUP BY 1)
+           |SELECT vec_id, cluster, a_dist, b_dist,
+           |  CASE WHEN b_dist = 0.0 THEN 0.0
+           |       ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END AS sil
+           |FROM p""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): SemDeDup-style
+    * cluster-scoped semantic pruning (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): vectors are k-means/IVF-assigned, and WITHIN each
+    * cluster any vector with a lower-id neighbor at cosine >= tau is
+    * pruned (the paper keeps one exemplar per semantic-dup group; lowest
+    * id is the deterministic stand-in for its random choice). Unlike v3's
+    * global LSH near-dup, the candidate set here is the CELL — the
+    * paper's trick for making semantic (not just near-identical) dedup
+    * tractable: the within-cluster comparison is O(Σ cell²), kept bounded
+    * by growing K with the corpus (K ∝ √n keeps expected cell size √n;
+    * the paper additionally caps cell size). The join is cluster-keyed
+    * and AQE-splittable — never a global all-pairs.
+    * Output: (vec_id, cluster, pruned).
+    */
+  def semDedupPrune(corpus: DataFrame, tau: Double = 0.95): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val assigned = assign(withNorm(corpus, "c"), centroidsOf(corpus))
+    val a = assigned.select(col("cluster"), col("c_id").as("a_id"), col("c_e").as("a_e"))
+    val b = assigned.select(col("cluster"), col("c_id").as("b_id"), col("c_e").as("b_e"))
+    val pruned = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine("a_e", "b_e") >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    assigned.select(col("c_id").as("vec_id"), col("cluster"))
+      .join(pruned, Seq("vec_id"), "left")
+      .withColumn("pruned", coalesce(col("pruned"), lit(false)))
+  }
+
+  /** V12 (beyond reference): [[semDedupPrune]] on the embeddings corpus —
+    * oracle replays assignment and the within-cluster dominance test.
+    */
+  val v12: GraftQuery = GraftQuery(
+    "v12_semdedup_prune",
+    (s, d) => semDedupPrune(Tables.embeddings(s, d), 0.95),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |pr AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b USING (cluster)
+           |  WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.95)
+           |SELECT s.vec_id, s.cluster, (pr.vec_id IS NOT NULL) AS pruned
+           |FROM assign s LEFT JOIN pr ON s.vec_id = pr.vec_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -33,7 +33,7 @@ class PlanGuardSpec extends SparkSpec {
     "t14_stream_stream_join", "t15_stream_merge_upsert",
     "t16_stream_session_window", "t17_stream_append_eviction",
     "t18_stream_outer_join", "t19_transform_with_state",
-    "t20_stream_dedup_within_watermark")
+    "t20_stream_dedup_within_watermark", "t21_stream_static_enrich")
 
   test("x9_tfidf_topterm: document frequency is never a term-partitioned window") {
     // A Window.partitionBy(term) has no map-side partials and AQE cannot
@@ -91,6 +91,9 @@ class PlanGuardSpec extends SparkSpec {
       case a: ObjectHashAggregateExec => a
       case a: SortAggregateExec => a
       case l: LocalTableScanExec => l
+      case l: GlobalLimitExec => l
+      case l: LocalLimitExec => l
+      case l: TakeOrderedAndProjectExec => l // the K-row centroid sample
     }).isDefined || p.collectLeaves().forall(isTinyDimScan)
 
   /** ANN queries broadcast the QUERY-VECTOR side under the non-equi
