@@ -1162,11 +1162,53 @@ object Relational {
         ntile(4).over(w).as("quartile"))
   }
 
+  /** W6 (beyond reference): leakage-safe rolling feature extraction — the
+    * per-entity time-series features every training pipeline derives before
+    * a model sees the data: previous value, inter-event gap, and
+    * trailing-window min/max/count. The frame is `ROWS BETWEEN 5 PRECEDING
+    * AND 1 PRECEDING`: it ends BEFORE the current row, so no feature ever
+    * contains the label row's own information (the temporal complement of
+    * x28's component-level split hygiene). Every emitted feature is
+    * order-exact — lag copies a value bit-for-bit, the gap is integer
+    * microsecond arithmetic (`unix_micros`, matching DuckDB `epoch_us`),
+    * and min/max/count never accumulate floats — so the oracle match is
+    * exact without the decimal-sum harness; a rolling SUM/AVG in production
+    * adds one [[graft.functions.Funcs.decSum]]-style expression.
+    *
+    * Scale: one shuffle on user_id; per-task state is the 5-row frame, not
+    * the partition (WindowExec streams a bounded buffer for PRECEDING-only
+    * frames). The order key appends event_id so tied timestamps cannot make
+    * the frame contents run-dependent.
+    */
+  val w6 = q(
+    "w6_rolling_features",
+    """SELECT event_id, user_id, ts, value,
+      |lag(value, 1) OVER w AS prev_value,
+      |epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+      |min(value) OVER wf AS roll5_min,
+      |max(value) OVER wf AS roll5_max,
+      |count(value) OVER wf AS roll5_cnt
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(-5, -1)
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        min(col("value")).over(wf).as("roll5_min"),
+        max(col("value")).over(wf).as("roll5_max"),
+        count(col("value")).over(wf).as("roll5_cnt"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

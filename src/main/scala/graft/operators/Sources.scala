@@ -623,7 +623,50 @@ object Sources {
     }
   }
 
+  /** S28 (beyond reference): ANALYZE TABLE column statistics, GATED — the
+    * CBO food chain: CTAS a projection into the session catalog, run
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`, and read the
+    * stats back through `DESCRIBE EXTENDED <table> <column>`. Distinct
+    * counts from ANALYZE are HyperLogLog++ estimates (deterministic for
+    * fixed input — no runtime seed — but approximate), so the a14/a15/a20
+    * sketch-gate pattern applies: the emitted rows carry the EXACT
+    * distinct count plus a boolean pinning the estimate within 10% (HLL++
+    * default rsd is 5%). At 100 TB these stats are what lets Catalyst pick
+    * broadcast sides and join orders without rescanning — the one-pass
+    * ANALYZE is the entire cost. Driver-side collect is the 2-column
+    * DESCRIBE output, bounded and tiny.
+    */
+  val s28: GraftQuery = GraftQuery(
+    "s28_table_stats_cbo",
+    (s, d) => {
+      s.sql("DROP TABLE IF EXISTS graft_s28_stats")
+      deleteRecursively(new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + "/graft_s28_stats"))
+      Tables.lineitem(s, d).select("l_partkey", "l_returnflag")
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("graft_s28_stats")
+      s.sql("ANALYZE TABLE graft_s28_stats COMPUTE STATISTICS FOR COLUMNS l_partkey, l_returnflag")
+      def estimated(colName: String): Long =
+        s.sql(s"DESCRIBE EXTENDED graft_s28_stats $colName").collect()
+          .find(_.getString(0) == "distinct_count")
+          .map(_.getString(1).toLong)
+          .getOrElse(sys.error(s"ANALYZE left no distinct_count stat for $colName"))
+      val exact = Tables.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("pk"),
+        countDistinct(col("l_returnflag")).as("rf")).head()
+      val rows = Seq(
+        ("l_partkey", exact.getLong(0), estimated("l_partkey")),
+        ("l_returnflag", exact.getLong(1), estimated("l_returnflag")))
+        .map { case (c, ex, est) =>
+          (c, ex, math.abs(est - ex).toDouble / ex <= 0.10)
+        }
+      import s.implicits._
+      rows.toDF("column_name", "n_exact", "within_10pct")
+    },
+    Some("""SELECT 'l_partkey' AS column_name, count(DISTINCT l_partkey) AS n_exact, true AS within_10pct FROM lineitem
+           |UNION ALL
+           |SELECT 'l_returnflag', count(DISTINCT l_returnflag), true FROM lineitem""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-      s23, s24, s25, s26, s27)
+      s23, s24, s25, s26, s27, s28)
 }

@@ -434,6 +434,81 @@ object TextOps {
            |  CAST(row_number() OVER (PARTITION BY key % 32 ORDER BY key, doc_id) AS INT) AS pos
            |FROM k""".stripMargin))
 
+  /** X31 (beyond reference): BM25 relevance scoring (Robertson &
+    * Spärck Jones; the Okapi tf-saturation form with k1=1.2, b=0.75) — the
+    * lexical-retrieval half of training-data selection: score every
+    * document against a query term set, e.g. to mine domain-relevant
+    * subsets of a web corpus. The idf is kept RATIONAL —
+    * (N − df + 0.5)/(df + 0.5), the exponential of the standard log-idf —
+    * for the same reason as x9: ln() libm implementations differ across
+    * engines in the last ulp, while this form is a fixed tree of
+    * correctly-rounded IEEE ops, bit-exact everywhere (production swaps in
+    * `log(...)` as a one-expression change; per-term ranking is invariant
+    * under the monotone transform, and the documented contract here is the
+    * rational variant). The per-doc total is a FIXED-ORDER sum of the
+    * per-term pivot columns, not a float `sum()` aggregate, so
+    * accumulation order cannot differ between engines.
+    *
+    * Scale: the term filter collapses the exploded word stream to
+    * query-term hits BEFORE the tf aggregation, so the shuffle carries
+    * only matching (doc, term) pairs; df (|terms| rows) and the corpus
+    * stats (1 row) broadcast. Everything else is keyed by doc_id —
+    * AQE-splittable, no all-pairs, no global sort.
+    */
+  val x31: GraftQuery = GraftQuery(
+    "x31_bm25_score",
+    (s, d) => {
+      val terms = Seq("dup", "join", "batch") // rare / mid / common: df spread
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("dl", size(col("ws")).cast("long"))
+      val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n").cast("double"))
+        .withColumn("idf",
+          ((col("n").cast("double") - col("df").cast("double")) + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        .withColumn("tfn",
+          (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+        .withColumn("sc", col("idf") * col("tfn"))
+      scored.groupBy("doc_id")
+        .agg(
+          max(when(col("w") === "dup", col("sc"))).as("s_dup"),
+          max(when(col("w") === "join", col("sc"))).as("s_join"),
+          max(when(col("w") === "batch", col("sc"))).as("s_batch"))
+        .withColumn("bm25",
+          coalesce(col("s_dup"), lit(0.0)) + coalesce(col("s_join"), lit(0.0)) +
+            coalesce(col("s_batch"), lit(0.0)))
+        .select("doc_id", "bm25")
+    },
+    Some("""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+           |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
+           |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d3),
+           |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM (
+           |    SELECT doc_id, dl, unnest(ws) AS w FROM d3)
+           |  WHERE w IN ('dup', 'join', 'batch') GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.w,
+           |  (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+           |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           |  * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+           |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
+           |  AS sc
+           |  FROM tf CROSS JOIN stats JOIN dfreq ON tf.w = dfreq.w)
+           |SELECT doc_id,
+           |  coalesce(max(CASE WHEN w = 'dup' THEN sc END), CAST(0 AS DOUBLE))
+           |  + coalesce(max(CASE WHEN w = 'join' THEN sc END), CAST(0 AS DOUBLE))
+           |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
+           |FROM sc GROUP BY doc_id""".stripMargin))
+
   /** X6: SimHash document fingerprint — 32-bit majority-vote over md5-based
     * word hashes. A typed per-partition kernel hashes each distinct word
     * exactly ONCE and updates 32 bit-counters; the earlier nested-HOF
@@ -1494,6 +1569,6 @@ object TextOps {
            |FROM b""".stripMargin))
 
   val all: Seq[GraftQuery] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30,
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }
