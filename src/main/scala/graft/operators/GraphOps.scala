@@ -162,4 +162,60 @@ object GraphOps {
       Seq("component"))
       .select(col("id"), col("component"), col("n_members"))
   }
+
+  /** PageRank (Brin & Page, "The anatomy of a large-scale hypertextual Web
+    * search engine" — public literature) over an undirected edge list: the
+    * graph-centrality quality signal web-corpus pipelines rank domains and
+    * pages by. Fixed `iterations` power steps of
+    * `r' = (1−d)/N + d·Σ_in r/deg` with d = 0.85; nodes without edges keep
+    * the teleport mass `(1−d)/N` (the uniform-teleport simplification:
+    * dangling mass is not redistributed — rank is a per-node score here,
+    * not a probability distribution; same contract as most large-scale
+    * implementations' default).
+    *
+    * Scale: the edge list (with out-degree attached) is computed ONCE and
+    * pinned with localCheckpoint; each iteration is one hash join
+    * (ranks×edges on src, both keyed) plus one aggregation keyed by dst —
+    * O(E) shuffle per step, a fixed step count, no adjacency list in
+    * memory. Determinism: the per-node in-sum is a FIXED-ORDER fold over
+    * neighbors sorted by source id (`array_sort` + `aggregate`), so the
+    * float accumulation order — normally partition-dependent — is
+    * bit-identical on any cluster and any engine; a web-scale deployment
+    * with million-degree hubs swaps the fold for a plain `sum()` (one
+    * expression) and accepts last-ulp variance.
+    *
+    * @param nodes node universe (one row per node)
+    * @param idCol long node-id column of `nodes`
+    * @param edges undirected edges, long columns `u`, `v` (dups/loops ok)
+    * @return (id, pagerank) — one row per node of `nodes`
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    val e = canonicalEdges(edges)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ed = sym.join(deg, "u")
+      .select(col("u").as("src"), col("v").as("dst"), col("deg"))
+      .localCheckpoint()
+    var ranks = nodes.select(col(idCol).as("id"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+      .select(col("id"),
+        (lit(0.15) / col("n").cast("double")).as("base"),
+        (lit(1.0) / col("n").cast("double")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val sums = ed.join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst"), col("src"),
+          (col("rank") / col("deg").cast("double")).as("c"))
+        .groupBy("dst")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("s"))
+      ranks = ranks.join(sums, ranks("id") === sums("dst"), "left")
+        .select(ranks("id"), ranks("base"),
+          (ranks("base") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("id"), col("rank").as("pagerank"))
+  }
 }

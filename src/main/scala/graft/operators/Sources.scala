@@ -666,7 +666,87 @@ object Sources {
            |UNION ALL
            |SELECT 'l_returnflag', count(DISTINCT l_returnflag), true FROM lineitem""".stripMargin))
 
+  /** S29 (beyond reference): one-pass column profiler — the data-quality
+    * report every ingestion pipeline emits before a dataset is trusted:
+    * per-column null count, exact distinct count, and numeric min/max, in
+    * ONE scan of the table (Catalyst plans the multi-distinct agg as a
+    * single pass with an Expand — the row stream is read once however many
+    * columns are profiled). Null counts are `count(*) − count(col)` so
+    * both engines stay in 64-bit integers (a summed CASE would be HUGEINT
+    * in the oracle engine); min/max are cast to DOUBLE (ids and epoch-µs
+    * are < 2^53, exact), string columns profile nulls/distinct only.
+    * Timestamps profile at µs grain on both sides (`unix_micros` /
+    * `epoch_us`) so the NANOS source file cannot desync the engines.
+    *
+    * Scale: distinct counts dominate (Expand multiplies the stream per
+    * distinct column); at 100 TB the swap is `approx_count_distinct` per
+    * column — one expression each, no Expand, single-pass partial aggs —
+    * with the a14-style gate pattern if exactness must be audited.
+    */
+  val s29: GraftQuery = GraftQuery(
+    "s29_column_profile",
+    (s, d) => {
+      val a = Tables.events(s, d).agg(
+        (count(lit(1)) - count(col("event_id"))).as("event_id_nulls"),
+        countDistinct(col("event_id")).as("event_id_distinct"),
+        min(col("event_id")).as("event_id_min"),
+        max(col("event_id")).as("event_id_max"),
+        (count(lit(1)) - count(col("user_id"))).as("user_id_nulls"),
+        countDistinct(col("user_id")).as("user_id_distinct"),
+        min(col("user_id")).as("user_id_min"),
+        max(col("user_id")).as("user_id_max"),
+        (count(lit(1)) - count(col("event_type"))).as("event_type_nulls"),
+        countDistinct(col("event_type")).as("event_type_distinct"),
+        (count(lit(1)) - count(col("value"))).as("value_nulls"),
+        countDistinct(col("value")).as("value_distinct"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"),
+        (count(lit(1)) - count(col("ts"))).as("ts_nulls"),
+        countDistinct(unix_micros(col("ts"))).as("ts_distinct"),
+        min(unix_micros(col("ts"))).as("ts_min"),
+        max(unix_micros(col("ts"))).as("ts_max"))
+      a.selectExpr(
+        """stack(5,
+          |  'event_id', event_id_nulls, event_id_distinct,
+          |    CAST(event_id_min AS DOUBLE), CAST(event_id_max AS DOUBLE),
+          |  'user_id', user_id_nulls, user_id_distinct,
+          |    CAST(user_id_min AS DOUBLE), CAST(user_id_max AS DOUBLE),
+          |  'event_type', event_type_nulls, event_type_distinct,
+          |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'value', value_nulls, value_distinct, value_min, value_max,
+          |  'ts', ts_nulls, ts_distinct,
+          |    CAST(ts_min AS DOUBLE), CAST(ts_max AS DOUBLE))
+          |AS (column_name, n_nulls, n_distinct, min_d, max_d)""".stripMargin)
+    },
+    Some("""WITH a AS (SELECT
+           |  count(*) - count(event_id) AS event_id_nulls,
+           |  count(DISTINCT event_id) AS event_id_distinct,
+           |  CAST(min(event_id) AS DOUBLE) AS event_id_min,
+           |  CAST(max(event_id) AS DOUBLE) AS event_id_max,
+           |  count(*) - count(user_id) AS user_id_nulls,
+           |  count(DISTINCT user_id) AS user_id_distinct,
+           |  CAST(min(user_id) AS DOUBLE) AS user_id_min,
+           |  CAST(max(user_id) AS DOUBLE) AS user_id_max,
+           |  count(*) - count(event_type) AS event_type_nulls,
+           |  count(DISTINCT event_type) AS event_type_distinct,
+           |  count(*) - count(value) AS value_nulls,
+           |  count(DISTINCT value) AS value_distinct,
+           |  min(value) AS value_min,
+           |  max(value) AS value_max,
+           |  count(*) - count(ts) AS ts_nulls,
+           |  count(DISTINCT epoch_us(ts)) AS ts_distinct,
+           |  CAST(min(epoch_us(ts)) AS DOUBLE) AS ts_min,
+           |  CAST(max(epoch_us(ts)) AS DOUBLE) AS ts_max
+           |FROM events)
+           |SELECT 'event_id' AS column_name, event_id_nulls AS n_nulls,
+           |  event_id_distinct AS n_distinct, event_id_min AS min_d, event_id_max AS max_d FROM a
+           |UNION ALL SELECT 'user_id', user_id_nulls, user_id_distinct, user_id_min, user_id_max FROM a
+           |UNION ALL SELECT 'event_type', event_type_nulls, event_type_distinct,
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+           |UNION ALL SELECT 'value', value_nulls, value_distinct, value_min, value_max FROM a
+           |UNION ALL SELECT 'ts', ts_nulls, ts_distinct, ts_min, ts_max FROM a""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-      s23, s24, s25, s26, s27, s28)
+      s23, s24, s25, s26, s27, s28, s29)
 }

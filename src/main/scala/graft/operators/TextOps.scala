@@ -509,6 +509,109 @@ object TextOps {
            |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
            |FROM sc GROUP BY doc_id""".stripMargin))
 
+  /** One PageRank power-step of the x32 oracle: contributions folded in
+    * source-id order (list_sort of [src, contrib] pairs — src is unique per
+    * dst, so the order is total), seeded with a DOUBLE zero per the
+    * DECIMAL-literal gotcha, mirroring the Spark side's
+    * `aggregate(array_sort(collect_list(struct(src, c))), 0.0, +)` exactly.
+    */
+  private def prIterSql(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""s$i AS (SELECT dst, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_sort(list([CAST(src AS DOUBLE), rank / CAST(deg AS DOUBLE)])),
+       |      q -> q[2])), (a, b) -> a + b) AS s
+       |  FROM ed JOIN $p ON ed.src = $p.id GROUP BY dst),
+       |r$i AS (SELECT id, base, base + CAST(0.85 AS DOUBLE) * coalesce(s, CAST(0 AS DOUBLE)) AS rank
+       |  FROM $p LEFT JOIN s$i ON $p.id = s$i.dst)""".stripMargin
+  }
+
+  /** X32 (beyond reference): PageRank centrality over the near-duplicate
+    * graph — the graph-quality signal of web-corpus curation (link-graph
+    * centrality ranks pages/domains; here the same kernel runs on the
+    * duplicate graph, where high rank = hub of a large dup cluster).
+    * Kernel in [[graft.operators.GraphOps.pageRank]]: 3 fixed power steps,
+    * d = 0.85, per-node in-sums as fixed-order folds so every float
+    * accumulates in source-id order on both engines — bit-exact without
+    * any tolerance. The oracle replays the exact all-pairs Jaccard-0.9
+    * pair derivation (feasible only at oracle scale — the engine path is
+    * LSH-bucketed, never all-pairs) and the same three steps as chained
+    * CTEs.
+    */
+  val x32: GraftQuery = GraftQuery(
+    "x32_pagerank",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      GraphOps.pageRank(docs, "doc_id",
+        nearDupPairs(docs, 0.9).select(col("a_id").as("u"), col("b_id").as("v")))
+        .select(col("id").as("doc_id"), col("pagerank"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |sym AS (SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |degt AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+           |ed AS (SELECT sym.src, sym.dst, degt.deg FROM sym JOIN degt USING (src)),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |r0 AS (SELECT doc_id AS id, CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) AS base,
+           |  CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS rank FROM documents CROSS JOIN nn),
+           |${(1 to 3).map(prIterSql).mkString(",\n")}
+           |SELECT id AS doc_id, rank AS pagerank FROM r3""".stripMargin))
+
+  /** X33 (beyond reference): unigram language-model quality score — the
+    * CCNet-style LM filter (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data" — public literature) with
+    * the model trained on the corpus itself: per-token probability
+    * cnt(w)/total, per-doc score = MEAN token probability (low = mostly
+    * rare/garbage tokens). The score stays RATIONAL — one division per
+    * vocab entry — instead of log-perplexity, for the x31 reason: `ln` is
+    * libm-dependent in the last ulp while this is a fixed tree of
+    * correctly-rounded IEEE ops; a production variant swaps in
+    * `-avg(log2(p))` as a one-expression change (ranking is
+    * monotone-equivalent on the mean only when token counts match, which
+    * is why the contract here names mean-probability, not perplexity).
+    * The per-doc sum folds probabilities in sorted order (duplicated
+    * values are equal doubles, so intra-tie order cannot change the sum) —
+    * bit-exact cross-engine.
+    *
+    * Scale: vocab is a (word, count) aggregation — term-keyed,
+    * AQE-splittable like x9; the score join streams tokens against the
+    * vocab keyed by word (never broadcast-sized by assumption); the
+    * per-doc fold state is one doc's token list, bounded by doc length.
+    */
+  val x33: GraftQuery = GraftQuery(
+    "x33_lm_quality_score",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val probs = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+        .select(col("w"),
+          (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+      toks.join(probs, "w")
+        .groupBy("doc_id")
+        .agg(
+          aggregate(array_sort(collect_list(col("p"))), lit(0.0),
+            (acc, x) => acc + x).as("sp"),
+          count(lit(1)).as("n_tok"))
+        .select(col("doc_id"),
+          (col("sp") / col("n_tok").cast("double")).as("mean_token_prob"),
+          col("n_tok"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |tot AS (SELECT count(*) AS total FROM toks),
+           |vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+           |probs AS (SELECT w, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p
+           |  FROM vocab CROSS JOIN tot)
+           |SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(p))), (a, b) -> a + b)
+           |    / CAST(count(*) AS DOUBLE) AS mean_token_prob,
+           |  count(*) AS n_tok
+           |FROM toks JOIN probs USING (w)
+           |GROUP BY doc_id""".stripMargin))
+
   /** X6: SimHash document fingerprint — 32-bit majority-vote over md5-based
     * word hashes. A typed per-partition kernel hashes each distinct word
     * exactly ONCE and updates 32 bit-counters; the earlier nested-HOF
@@ -1570,5 +1673,5 @@ object TextOps {
 
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
+      x32, x33, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }
