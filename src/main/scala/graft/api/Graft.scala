@@ -62,6 +62,24 @@ object Graft {
   def triangleCounts(edges: DataFrame): DataFrame =
     GraphOps.triangleCounts(edges)
 
+  /** PageRank centrality over an undirected (u, v) edge list — fixed
+    * power iterations, d = 0.85: (id, pagerank) for every node of
+    * `nodes`. Hubs of large duplicate families rank highest on the
+    * near-dup graph.
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      iterations: Int = 3): DataFrame =
+    GraphOps.pageRank(nodes, idCol, edges, iterations)
+
+  /** k-core of an undirected (u, v) edge list by fixed-round peeling:
+    * (id, core_deg, in_core, converged) for every node of `nodes` —
+    * the 2-core of the near-dup graph isolates densely-duplicated
+    * content families.
+    */
+  def kCore(nodes: DataFrame, idCol: String, edges: DataFrame,
+      k: Int = 2, rounds: Int = 4): DataFrame =
+    GraphOps.kCore(nodes, idCol, edges, k, rounds)
+
   /** Leakage-safe train/val/test split: whole near-dup components are the
     * assignment unit (80/10/10 by md5 of component id), so near-duplicates
     * never straddle the train/test boundary: (doc_id, component, split).
@@ -182,6 +200,22 @@ object Graft {
       probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
     VectorOps.kmeansTopK(corpus, queries, k, probes, excludeSelf)
 
+  /** Exact maximum-inner-product top-k (ranking by raw dot product, the
+    * scoring rule for unnormalized embeddings): (q_id, neighbor_id, dot).
+    * Same broadcast-queries contract as [[annBruteForceTopK]].
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.mipsTopK(corpus, queries, k, excludeSelf)
+
+  /** Approximate MIPS via the norm-augmentation reduction to cosine IVF
+    * (every augmented corpus norm becomes the constant max-norm, so
+    * cosine ranking IS dot ranking): (q_id, neighbor_id, aug_cos).
+    */
+  def mipsIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    VectorOps.mipsIvfTopK(corpus, queries, k, probes, excludeSelf)
+
   // ---- time series --------------------------------------------------------
 
   /** Robust median/MAD anomaly flags per series: input (user_id,
@@ -203,8 +237,11 @@ object Graft {
   /** Per-series forecast in the ML.FORECAST output shape — the reference's
     * `ML.FORECAST(model, STRUCT(horizon, confidence))` parameters surface
     * here directly. `seriesDf` needs (user_id: long, bucket_ts: timestamp,
-    * demand: double); `model` is "naive" | "drift" | "ar1" (anything else
-    * fails fast at plan build). `horizon` rows per series; lo/hi are
+    * demand: double); `model` is "naive" | "drift" | "ar1" | "holt" |
+    * "hw" (additive Holt-Winters; series shorter than two seasons emit
+    * no rows)
+    * (anything else fails fast at plan build). `horizon` rows per series;
+    * lo/hi are
     * central `confidence` intervals from the model's one-step residual
     * variance (see [[Forecast.forecast]]).
     */

@@ -63,6 +63,11 @@ object Forecast {
   val Horizon = 12
   val BucketSeconds = 300L
 
+  /** Holt-Winters season length in buckets (one hour of 5-minute
+    * buckets — the shortest cycle the demand series actually repeats).
+    */
+  val SeasonLen = 12
+
   /** Inverse standard-normal CDF — Acklam's 2003 rational approximation
     * (public domain, |relative error| < 1.15e-9). Runs on the DRIVER while
     * building the plan, so the z-score enters both the Spark expression
@@ -167,7 +172,9 @@ object Forecast {
   /** Public DataFrame-in API (see graft.api.Graft): per-series forecast
     * over an arbitrary bucketed series table with (user_id: long,
     * bucket_ts: timestamp, demand: double) columns. `model` is one of
-    * "naive" | "drift" | "ar1"; emits `horizon` rows per series in the
+    * "naive" | "drift" | "ar1" | "holt" | "hw" (additive Holt-Winters —
+    * series shorter than 2·[[SeasonLen]] emit no rows); emits `horizon`
+    * rows per series in the
     * ML.FORECAST output shape — the reference's
     * `ML.FORECAST(model, STRUCT(horizon, confidence))` signature
     * (part3:556-578) maps onto (horizon, confidence) here.
@@ -184,8 +191,8 @@ object Forecast {
       confidence: Double = 0.9): DataFrame = {
     // a bad model name must fail plan-building with a clear message, not
     // surface as a MatchError task failure deep inside flatMapGroups
-    require(Set("naive", "drift", "ar1")(model),
-      s"unknown forecast model '$model' (expected one of naive|drift|ar1)")
+    require(Set("naive", "drift", "ar1", "holt", "hw")(model),
+      s"unknown forecast model '$model' (expected one of naive|drift|ar1|holt|hw)")
     require(horizon >= 1, s"horizon must be >= 1, got $horizon")
     val z = zFor(confidence)
     val s = seriesDf.sparkSession
@@ -213,10 +220,78 @@ object Forecast {
             }
             if (den == 0.0) 0.0 else num / den
           }
+        // Holt linear exponential smoothing (Holt 1957; Hyndman &
+        // Athanasopoulos, "Forecasting: Principles and Practice" — public
+        // literature): level/trend recursion with fixed α=0.5, β=0.3, FPP
+        // initialization l₁=y₁, b₁=y₂−y₁. ONE ascending-t fold computes
+        // the final (level, trend) AND the squared one-step residuals —
+        // the oracle replays it as a struct-state list_reduce, so every
+        // intermediate double matches bitwise. Constants are decimal
+        // LITERALS on both sides (0.7 written out, never 1−0.3 — the two
+        // differ in the last ulp as doubles).
+        val holt =
+          if (model != "holt") (0.0, 0.0, 0.0)
+          else if (n == 1) (pts.head.demand, 0.0, 0.0)
+          else {
+            var l = pts.head.demand
+            var b = pts(1).demand - pts.head.demand
+            var acc = 0.0
+            var i = 1
+            while (i < n) {
+              val yi = pts(i).demand
+              val e = yi - (l + b)
+              acc += e * e
+              val ln = 0.5 * yi + 0.5 * (l + b)
+              val bn = 0.3 * (ln - l) + 0.7 * b
+              l = ln; b = bn; i += 1
+            }
+            (l, b, acc / (n - 1).toDouble)
+          }
+        // Additive Holt-Winters (level + trend + season, ETS(A,A,A) shape;
+        // Winters 1960; FPP §7.3 — public literature) with fixed α=0.5,
+        // β=0.3, γ=0.2 and season length m = [[SeasonLen]] buckets. FPP
+        // initialization over the first two seasons: l_m = mean(y_1..y_m),
+        // b_m = (mean(y_{m+1}..y_{2m}) − l_m)/m, s_i = y_i − l_m for
+        // i ≤ m. ONE ascending-t recursion from t = m+1 carries
+        // (l, b, seasonal list, Σe²); the oracle replays it as a recursive
+        // CTE whose state row carries the SAME columns (the seasonal list
+        // rides along as a LIST column), so every intermediate double is
+        // bitwise-identical cross-engine. Series shorter than two seasons
+        // cannot initialize and emit NO forecast rows (mirrored by the
+        // oracle's n >= 2m filter). Complement literals are written out
+        // (0.5/0.7/0.8), never 1−α — the two differ in the last ulp.
+        val hw: (Double, Double, Array[Double], Double) =
+          if (model != "hw" || n < 2 * SeasonLen) null
+          else {
+            var sum1 = 0.0; var i = 0
+            while (i < SeasonLen) { sum1 += pts(i).demand; i += 1 }
+            val l0 = sum1 / SeasonLen.toDouble
+            var sum2 = 0.0
+            while (i < 2 * SeasonLen) { sum2 += pts(i).demand; i += 1 }
+            val b0 = (sum2 / SeasonLen.toDouble - l0) / SeasonLen.toDouble
+            val sl = Array.ofDim[Double](n)
+            i = 0
+            while (i < SeasonLen) { sl(i) = pts(i).demand - l0; i += 1 }
+            var l = l0; var b = b0; var acc = 0.0
+            var t = SeasonLen
+            while (t < n) {
+              val y = pts(t).demand
+              val sPrev = sl(t - SeasonLen)
+              val e = y - (l + b + sPrev)
+              acc += e * e
+              val ln = 0.5 * (y - sPrev) + 0.5 * (l + b)
+              val bn = 0.3 * (ln - l) + 0.7 * b
+              val sn = 0.2 * (y - (l + b)) + 0.8 * sPrev
+              sl(t) = sn; l = ln; b = bn; t += 1
+            }
+            (l, b, sl, acc / (n - SeasonLen).toDouble)
+          }
         // one-step residual variance of the chosen model's in-sample fit:
         // n-1 residuals, ascending-t fold, σ² = Σe²/(n-1)
         val s2 =
-          if (n == 1) 0.0
+          if (model == "hw") (if (hw == null) 0.0 else hw._4)
+          else if (model == "holt") holt._3
+          else if (n == 1) 0.0
           else {
             var acc = 0.0; var i = 1
             while (i < n) {
@@ -230,7 +305,8 @@ object Forecast {
             }
             acc / (n - 1).toDouble
           }
-        (1 to horizon).iterator.map { h =>
+        if (model == "hw" && hw == null) Iterator.empty
+        else (1 to horizon).iterator.map { h =>
           val ts = new java.sql.Timestamp(lastP.bucket_ts.getTime + h * BucketSeconds * 1000L)
           val (v, varScale) = model match {
             case "naive" => (lastP.demand, h.toDouble)
@@ -246,6 +322,29 @@ object Forecast {
               var g = 1.0; var j = 1
               while (j < h) { g = 1.0 + phi2 * g; j += 1 }
               (mean + p * (lastP.demand - mean), g)
+            case "holt" =>
+              // h-step variance scale for additive Holt (FPP §7.5 / state
+              // space ETS(A,A,N)): g_h = 1 + Σ_{j=1}^{h-1} (α + j·α·β)²,
+              // folded in ascending j — the oracle replays the same fold
+              var g = 1.0; var j = 1
+              while (j < h) {
+                val c = 0.5 + j.toDouble * 0.5 * 0.3
+                g += c * c; j += 1
+              }
+              (holt._1 + h * holt._2, g)
+            case "hw" =>
+              // ŷ_h = l + h·b + s_{n+h−m} (h ≤ m reads the last season's
+              // smoothed values); ETS(A,A,A) h-step variance scale
+              // g_h = 1 + Σ_{j<h} (α + jαβ + γ·1[j ≡ 0 mod m])², folded
+              // ascending j — the seasonal indicator is inert for
+              // h ≤ m but written on both engines for the general form
+              var g = 1.0; var j = 1
+              while (j < h) {
+                val c = 0.5 + j.toDouble * 0.5 * 0.3 +
+                  (if (j % SeasonLen == 0) 0.2 else 0.0)
+                g += c * c; j += 1
+              }
+              (hw._1 + h * hw._2 + hw._3(n - SeasonLen + h - 1), g)
           }
           val halfw = z * math.sqrt(s2 * varScale)
           ForecastRow(uid, ts, v, v - halfw, v + halfw)
@@ -346,6 +445,118 @@ object Forecast {
            |         list_transform(generate_series(1, h - 1), j -> CAST(0 AS DOUBLE))),
            |         (acc, x) -> 1.0 + phi * phi * acc)) AS halfw
            |       FROM s2c CROSS JOIN generate_series(1, 12) t(h))
+           |SELECT user_id, forecast_timestamp, v AS forecast_value,
+           |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
+
+  /** M10 (beyond reference): Holt linear exponential smoothing — the
+    * trend-capable member of the exponential-smoothing family (the ETS
+    * half of classical forecasting, next to m7's AR half). Level/trend
+    * recursion with fixed α=0.5, β=0.3 (see [[forecast]]); forecast
+    * ŷ_h = l_n + h·b_n with model intervals from the one-step residual
+    * variance scaled by the ETS(A,A,N) h-step factor
+    * 1 + Σ_{j<h} (α+jαβ)². The oracle replays the level/trend/residual
+    * recursion as a recursive CTE stepping ascending-t, one row of
+    * (l, b, Σe²) state per series per step — every intermediate double
+    * bitwise-identical cross-engine. (NOT a struct-state list_reduce:
+    * DuckDB 1.0 computes chained struct folds with mixed-generation
+    * accumulator fields — single steps are right, chains are not.)
+    */
+  val m10: GraftQuery = GraftQuery(
+    "m10_forecast_holt",
+    forecastKernel("holt"),
+    Some(s"""WITH RECURSIVE base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |rec AS (
+           |  SELECT user_id, y, n, last_b, 1 AS i, y[1] AS l,
+           |         CASE WHEN n = 1 THEN CAST(0 AS DOUBLE) ELSE y[2] - y[1] END AS b,
+           |         CAST(0 AS DOUBLE) AS s
+           |  FROM ser
+           |  UNION ALL
+           |  SELECT user_id, y, n, last_b, i + 1,
+           |         CAST(0.5 AS DOUBLE) * y[i+1] + CAST(0.5 AS DOUBLE) * (l + b),
+           |         CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * y[i+1]
+           |             + CAST(0.5 AS DOUBLE) * (l + b)) - l)
+           |           + CAST(0.7 AS DOUBLE) * b,
+           |         s + (y[i+1] - (l + b)) * (y[i+1] - (l + b))
+           |  FROM rec WHERE i < n),
+           |sg AS (SELECT user_id, last_b, l, b,
+           |       CASE WHEN n > 1 THEN s / CAST(n - 1 AS DOUBLE)
+           |            ELSE CAST(0 AS DOUBLE) END AS s2 FROM rec WHERE i = n),
+           |fc AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
+           |       l + h * b AS v,
+           |       $Z90 * sqrt(s2 * list_reduce(
+           |         list_prepend(CAST(1 AS DOUBLE), list_transform(generate_series(1, h - 1),
+           |           j -> (CAST(0.5 AS DOUBLE) + (j * CAST(0.5 AS DOUBLE)) * CAST(0.3 AS DOUBLE))
+           |              * (CAST(0.5 AS DOUBLE) + (j * CAST(0.5 AS DOUBLE)) * CAST(0.3 AS DOUBLE)))),
+           |         (acc, cc) -> acc + cc)) AS halfw
+           |       FROM sg CROSS JOIN generate_series(1, 12) t(h))
+           |SELECT user_id, forecast_timestamp, v AS forecast_value,
+           |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
+
+  /** M11 (beyond reference): additive Holt-Winters — the seasonal member
+    * of the exponential-smoothing family (ETS(A,A,A) shape), completing
+    * the ladder m5 naive → m6 drift → m7 AR(1) → m10 Holt → seasonal.
+    * Season = [[SeasonLen]] 5-minute buckets (one hour); FPP two-season
+    * initialization, fixed α=0.5 β=0.3 γ=0.2 (see [[forecast]]). The
+    * oracle replays the level/trend/season recursion as a recursive CTE
+    * whose per-step state row carries the seasonal values as a LIST
+    * column (list_append per step — each step reads s_{t−m} from the
+    * carried list, exactly as the Scala fold reads its array). Series
+    * shorter than two seasons emit no rows on either engine (all sf0.01
+    * series are ≥ 49 points, so every series forecasts here).
+    *
+    * Scale: same single-shuffle per-series kernel as m5–m10 — one
+    * groupByKey on the series id, per-series state is one series plus
+    * its seasonal array (bounded by series length, not corpus size), and
+    * the recursion is one ascending pass. 100-TB posture is identical to
+    * m10's (the measured r6 exponent family).
+    */
+  val m11: GraftQuery = GraftQuery(
+    "m11_forecast_holt_winters",
+    forecastKernel("hw"),
+    Some(s"""WITH RECURSIVE base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |el AS (SELECT * FROM ser WHERE n >= 24),
+           |i0 AS (SELECT user_id, y, n, last_b,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE), y[1:12]), (a, v) -> a + v)
+           |    / CAST(12 AS DOUBLE) AS l0,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE), y[13:24]), (a, v) -> a + v)
+           |    / CAST(12 AS DOUBLE) AS m2 FROM el),
+           |rec AS (
+           |  SELECT user_id, y, n, last_b, 12 AS i, l0 AS l,
+           |         (m2 - l0) / CAST(12 AS DOUBLE) AS b,
+           |         list_transform(y[1:12], v -> v - l0) AS sl,
+           |         CAST(0 AS DOUBLE) AS s
+           |  FROM i0
+           |  UNION ALL
+           |  SELECT user_id, y, n, last_b, i + 1,
+           |         CAST(0.5 AS DOUBLE) * (y[i+1] - sl[i+1-12]) + CAST(0.5 AS DOUBLE) * (l + b),
+           |         CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (y[i+1] - sl[i+1-12])
+           |             + CAST(0.5 AS DOUBLE) * (l + b)) - l) + CAST(0.7 AS DOUBLE) * b,
+           |         list_append(sl, CAST(0.2 AS DOUBLE) * (y[i+1] - (l + b))
+           |             + CAST(0.8 AS DOUBLE) * sl[i+1-12]),
+           |         s + (y[i+1] - (l + b + sl[i+1-12])) * (y[i+1] - (l + b + sl[i+1-12]))
+           |  FROM rec WHERE i < n),
+           |sg AS (SELECT user_id, last_b, n, l, b, sl,
+           |       s / CAST(n - 12 AS DOUBLE) AS s2 FROM rec WHERE i = n),
+           |fc AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
+           |       l + h * b + sl[n - 12 + h] AS v,
+           |       $Z90 * sqrt(s2 * list_reduce(
+           |         list_prepend(CAST(1 AS DOUBLE), list_transform(generate_series(1, h - 1),
+           |           j -> (CAST(0.5 AS DOUBLE) + (j * CAST(0.5 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+           |              + CASE WHEN j % 12 = 0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+           |              * (CAST(0.5 AS DOUBLE) + (j * CAST(0.5 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+           |              + CASE WHEN j % 12 = 0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))),
+           |         (acc, cc) -> acc + cc)) AS halfw
+           |       FROM sg CROSS JOIN generate_series(1, 12) t(h))
            |SELECT user_id, forecast_timestamp, v AS forecast_value,
            |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
 
@@ -1074,5 +1285,5 @@ object Forecast {
              |FROM pts""".stripMargin))
   }
 
-  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9)
+  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11)
 }

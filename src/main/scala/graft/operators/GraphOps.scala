@@ -218,4 +218,52 @@ object GraphOps {
     }
     ranks.select(col("id"), col("rank").as("pagerank"))
   }
+
+  /** k-core decomposition by iterative peeling (Batagelj & Zaversnik,
+    * "An O(m) Algorithm for Cores Decomposition of Networks" — public
+    * literature; the distributed form peels one degree-filter round at a
+    * time): repeatedly drop nodes of degree < k and their incident edges.
+    * In corpus curation the 2-core of the near-duplicate graph separates
+    * densely-duplicated content (spam farms, boilerplate families — dup
+    * sets are cliques, so any set of size ≥ 3 survives) from isolated
+    * pairs.
+    *
+    * Round count is FIXED (`rounds`) rather than run-to-fixpoint, so the
+    * oracle can replay the exact same rounds as chained CTEs; the
+    * `converged` column (this round's survivor count == last round's)
+    * reports whether the fixpoint was reached, instead of a hardcoded
+    * gate that could mask an unconverged run. Each round is one
+    * degree aggregation + two semi-join filters over the shrinking edge
+    * list — O(E) shuffle, no adjacency list in memory; localCheckpoint
+    * pins each round's edges so lineage stays flat.
+    *
+    * @return (id, core_deg, in_core, converged) — one row per node of
+    *         `nodes`; core_deg = degree among survivors after `rounds`
+    *         peels (0 if peeled), in_core = core_deg >= k.
+    */
+  def kCore(nodes: DataFrame, idCol: String, edges: DataFrame,
+      k: Int, rounds: Int = 4): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+    var e = canonicalEdges(edges)
+    var prevCount = e.count()
+    var converged = false
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("u").as("kid"))
+      e = e
+        .join(keep, e("u") === col("kid"), "left_semi")
+        .join(keep, e("v") === col("kid"), "left_semi")
+        .localCheckpoint()
+      val c = e.count()
+      converged = c == prevCount
+      prevCount = c
+    }
+    nodes.select(col(idCol).as("id"))
+      .join(degrees(e).select(col("u").as("id"), col("deg")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"),
+        (coalesce(col("deg"), lit(0L)) >= k).as("in_core"),
+        lit(converged).as("converged"))
+  }
 }

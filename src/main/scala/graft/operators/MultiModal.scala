@@ -143,5 +143,41 @@ object MultiModal {
            |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 64)) AS frame_md5
            |FROM e""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3)
+  /** MM4 (beyond reference): modality-weighted sequence packing — the
+    * multimodal batch-layout step: a record's context-window cost is its
+    * text token count PLUS a fixed per-frame visual-token charge (16
+    * here) for each frame mm3's strided sampler would emit, and records
+    * are packed into fixed windows by the same two-level shard-offset
+    * prefix sum as x16 ([[TextOps.packByCost]]) — integer-only, no
+    * window partition proportional to a source. `greatest(blen, 1)`
+    * keeps the frame count cross-engine for degenerate empty payloads
+    * (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    * disagree only at negative operands).
+    */
+  val mm4: GraftQuery = GraftQuery(
+    "mm4_multimodal_pack",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cost = docs.select(col("doc_id"), col("source"),
+        (size(split(col("text"), " ")) +
+          lit(16) * least(lit(8),
+            expr("(greatest(length(encode(text, 'utf-8')), 1) - 1) div 256") + 1))
+          .cast("int").as("n_tok"))
+      TextOps.packByCost(cost, "source", 2048, shardSpan = 128L)
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+           |  CAST(len(str_split(text, ' '))
+           |    + 16 * least(8, (greatest(octet_length(encode(text)), 1) - 1) // 256 + 1) AS INT) AS n_tok
+           |  FROM documents),
+           |c AS (SELECT doc_id, source, n_tok,
+           |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+           |  FROM t)
+           |SELECT doc_id, source, n_tok, start_tok,
+           |  start_tok // 2048 AS first_pack,
+           |  (start_tok + n_tok - 1) // 2048 AS last_pack,
+           |  (start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_packs
+           |FROM c""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4)
 }

@@ -1204,11 +1204,39 @@ object Relational {
         count(col("value")).over(wf).as("roll5_cnt"))
   }
 
+  /** W7 (beyond reference): cohort retention matrix — the standard product
+    * analytics rollup (users grouped by first-seen day, activity counted
+    * per later day): for each (cohort_day, day_offset), how many of that
+    * cohort's users were active. Two keyed aggregations (first-seen per
+    * user, distinct user-days) + one join keyed on user_id — each
+    * shuffle keyed and map-side-partialed; no window, no per-day scan.
+    * At 100 TB the distinct user-day dedup is the dominant exchange and
+    * is AQE-splittable; the first-seen table is orders of magnitude
+    * smaller than events (one row per user).
+    */
+  val w7 = q(
+    "w7_retention_cohort",
+    """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT fs.cohort_day, CAST(date_diff('day', fs.cohort_day, act.day) AS INT) AS day_offset,
+      |       count(DISTINCT act.user_id) AS n_users
+      |FROM act JOIN fs ON act.user_id = fs.user_id
+      |GROUP BY 1, 2""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val fs = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+      val act = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      act.join(fs, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

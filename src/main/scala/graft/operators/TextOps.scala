@@ -219,10 +219,22 @@ object TextOps {
     * for every shardSpan — sharding is pure parallelism, not semantics.
     */
   def sequencePack(docs: DataFrame, domainCol: String, packTokens: Int,
-      shardSpan: Long = 65536L): DataFrame = {
-    val t = docs
-      .select(col("doc_id"), col(domainCol),
-        size(split(col("text"), " ")).as("n_tok"))
+      shardSpan: Long = 65536L): DataFrame =
+    packByCost(
+      docs.select(col("doc_id"), col(domainCol),
+        size(split(col("text"), " ")).as("n_tok")),
+      domainCol, packTokens, shardSpan)
+
+  /** Packing core over an arbitrary per-doc cost: `t0` must carry
+    * (doc_id, domainCol, n_tok) where n_tok is the doc's integer cost in
+    * context-window units (plain token count for text packing; a
+    * modality-weighted cost for multimodal packing — see MultiModal.mm4).
+    * Two-level shard-offset prefix sum, integer-only (see [[TextOps]]
+    * x16 notes).
+    */
+  def packByCost(t0: DataFrame, domainCol: String, packTokens: Int,
+      shardSpan: Long): DataFrame = {
+    val t = t0
       .withColumn("shard", expr(s"doc_id div $shardSpan"))
     val offsets = t.groupBy(col(domainCol), col("shard"))
       .agg(sum(col("n_tok").cast("long")).as("stok"))
@@ -517,11 +529,14 @@ object TextOps {
     */
   private def prIterSql(i: Int): String = {
     val p = s"r${i - 1}"
-    s"""s$i AS (SELECT dst, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    // MATERIALIZED: r_{i-1} is referenced twice per step (sum + join) —
+    // inlined CTEs would re-evaluate the all-pairs `pairs` subtree 2^steps
+    // times
+    s"""s$i AS MATERIALIZED (SELECT dst, list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(list_sort(list([CAST(src AS DOUBLE), rank / CAST(deg AS DOUBLE)])),
        |      q -> q[2])), (a, b) -> a + b) AS s
        |  FROM ed JOIN $p ON ed.src = $p.id GROUP BY dst),
-       |r$i AS (SELECT id, base, base + CAST(0.85 AS DOUBLE) * coalesce(s, CAST(0 AS DOUBLE)) AS rank
+       |r$i AS MATERIALIZED (SELECT id, base, base + CAST(0.85 AS DOUBLE) * coalesce(s, CAST(0 AS DOUBLE)) AS rank
        |  FROM $p LEFT JOIN s$i ON $p.id = s$i.dst)""".stripMargin
   }
 
@@ -546,14 +561,14 @@ object TextOps {
         .select(col("id").as("doc_id"), col("pagerank"))
     },
     Some(s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |sh AS MATERIALIZED (SELECT doc_id, CASE WHEN len(w) >= 3
            |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
            |  ELSE [] END AS s FROM t),
-           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |pairs AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
            |sym AS (SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs),
            |degt AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
-           |ed AS (SELECT sym.src, sym.dst, degt.deg FROM sym JOIN degt USING (src)),
+           |ed AS MATERIALIZED (SELECT sym.src, sym.dst, degt.deg FROM sym JOIN degt USING (src)),
            |nn AS (SELECT count(*) AS n FROM documents),
            |r0 AS (SELECT doc_id AS id, CAST(0.15 AS DOUBLE) / CAST(n AS DOUBLE) AS base,
            |  CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS rank FROM documents CROSS JOIN nn),
@@ -611,6 +626,56 @@ object TextOps {
            |  count(*) AS n_tok
            |FROM toks JOIN probs USING (w)
            |GROUP BY doc_id""".stripMargin))
+
+  /** One peeling round of the x34 oracle: degrees over the symmetrized
+    * round-(i−1) edges, keep nodes with degree ≥ 2, keep edges with both
+    * endpoints kept — the chained-CTE replay of one
+    * [[graft.operators.GraphOps.kCore]] round.
+    */
+  private def kcIterSql(i: Int): String = {
+    val p = s"e${i - 1}"
+    // MATERIALIZED: each round references the previous round's edges
+    // twice (degree + filter) — inlined CTEs would re-evaluate the
+    // expensive all-pairs `pairs` subtree 2^rounds times
+    s"""d$i AS MATERIALIZED (SELECT u, count(*) AS deg FROM
+       |  (SELECT u, v FROM $p UNION ALL SELECT v, u FROM $p) GROUP BY u),
+       |k$i AS MATERIALIZED (SELECT u FROM d$i WHERE deg >= 2),
+       |e$i AS MATERIALIZED (SELECT e.u, e.v FROM $p e JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+  }
+
+  /** X34 (beyond reference): 2-core of the near-duplicate graph by fixed
+    * 4-round peeling ([[graft.operators.GraphOps.kCore]]) — separates
+    * densely-duplicated content families (dup sets are cliques: any set
+    * of size ≥ 3 survives the 2-core) from isolated near-dup pairs, the
+    * graph-shape complement of x27's triangle count. `converged` is
+    * COMPUTED on both engines (survivor-count fixpoint test), not a
+    * hardcoded gate. The oracle replays the pair derivation and each
+    * peeling round as chained CTEs.
+    */
+  val x34: GraftQuery = GraftQuery(
+    "x34_kcore",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      GraphOps.kCore(docs, "doc_id",
+        nearDupPairs(docs, 0.9).select(col("a_id").as("u"), col("b_id").as("v")),
+        k = 2, rounds = 4)
+        .select(col("id").as("doc_id"), col("core_deg"), col("in_core"),
+          col("converged"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS MATERIALIZED (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |pairs AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |e0 AS MATERIALIZED (SELECT u, v FROM pairs),
+           |${(1 to 4).map(kcIterSql).mkString(",\n")},
+           |df AS (SELECT u, count(*) AS deg FROM
+           |  (SELECT u, v FROM e4 UNION ALL SELECT v, u FROM e4) GROUP BY u),
+           |cv AS (SELECT (SELECT count(*) FROM e4) = (SELECT count(*) FROM e3) AS converged)
+           |SELECT d.doc_id, coalesce(df.deg, CAST(0 AS BIGINT)) AS core_deg,
+           |       coalesce(df.deg, CAST(0 AS BIGINT)) >= 2 AS in_core, cv.converged
+           |FROM documents d LEFT JOIN df ON d.doc_id = df.u CROSS JOIN cv""".stripMargin))
 
   /** X6: SimHash document fingerprint — 32-bit majority-vote over md5-based
     * word hashes. A typed per-partition kernel hashes each distinct word
@@ -1673,5 +1738,5 @@ object TextOps {
 
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
-      x32, x33, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
+      x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }

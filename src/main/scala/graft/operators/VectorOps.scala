@@ -837,5 +837,144 @@ object VectorOps {
            |SELECT s.vec_id, s.cluster, (pr.vec_id IS NOT NULL) AS pruned
            |FROM assign s LEFT JOIN pr ON s.vec_id = pr.vec_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12)
+  /** Inner-product score column via the codegen'd
+    * [[graft.plans.DotProductExpr]] (ascending-index accumulation — the
+    * oracle replays the same fold).
+    */
+  private def dot(aE: String, bE: String): Column =
+    call_function("graft_dot", col(aE), col(bE))
+
+  /** Public DataFrame-in API (see graft.api.Graft): exact maximum-inner-
+    * product top-k — ranking by RAW dot product, the scoring rule of
+    * recommendation and retrieval models whose embeddings are NOT
+    * normalized (where MIPS ranking genuinely differs from cosine: a
+    * long vector can out-score a better-aligned short one). Same
+    * broadcast-queries/scan-corpus-once shape as [[bruteForceTopK]].
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = withNorm(corpus, "c")
+    val q = withNorm(queries, "q")
+    val scored = c.join(broadcast(q),
+      if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
+      .withColumn("dot", dot("q_e", "c_e"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("dot"))
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction to cosine ANN
+    * (Bachrach et al., "Speeding up the Xbox recommender system using a
+    * Euclidean transformation for inner-product spaces", RecSys'14;
+    * Neyshabur & Srebro 2015 — public literature): every corpus vector
+    * gains one extra coordinate sqrt(M² − ‖x‖²) (M = max corpus norm) and
+    * queries gain a 0, making every augmented corpus norm exactly M — so
+    * cosine ranking on the augmented space IS inner-product ranking on
+    * the original, and the whole IVF index (centroids, assignment,
+    * probing) is reused verbatim on the augmented vectors. The
+    * augmentation itself is one broadcast of a 1-row max and a per-row
+    * map — no extra shuffle over the corpus.
+    */
+  def mipsIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val dbl = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val n2 = corpus.select(col("vec_id"), dbl.as("e"))
+      .withColumn("nn", call_function("graft_dot", col("e"), col("e")))
+    val mx = n2.agg(max(col("nn")).as("mx2"))
+    val caug = n2.crossJoin(broadcast(mx))
+      .select(col("vec_id"),
+        concat(col("e"), array(sqrt(col("mx2") - col("nn")))).as("embedding"))
+    val qaug = queries.select(col("vec_id"), dbl.as("e"))
+      .select(col("vec_id"),
+        concat(col("e"), array(lit(0.0))).as("embedding"))
+    ivfTopK(caug, qaug, k, probes, excludeSelf)
+      .withColumnRenamed("cos", "aug_cos")
+  }
+
+  /** V13 (beyond reference): exact MIPS top-3 — the brute-force baseline
+    * of inner-product retrieval. The oracle replays the ascending-index
+    * dot-product fold per pair.
+    */
+  val v13: GraftQuery = GraftQuery(
+    "v13_mips_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      mipsTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |sc AS (SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(generate_series(1, len(q.e)), i -> q.e[i] * v.e[i])),
+           |    (a, b) -> a + b) AS dot
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |SELECT q_id, neighbor_id, dot FROM sc
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, neighbor_id) <= 3""".stripMargin))
+
+  /** V14 (beyond reference): recall@3 of norm-augmented IVF-MIPS
+    * ([[mipsIvfTopK]]) against the exact baseline ([[mipsTopK]]) — the
+    * faiss-style evaluation loop for the inner-product metric. The oracle
+    * replays BOTH searches: the exact dot fold, and the full augmented
+    * index (norms, max, augmented lists, md5 centroids, assignment,
+    * probing) in SQL.
+    */
+  val v14: GraftQuery = GraftQuery(
+    "v14_mips_ivf_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val bf = mipsTopK(emb, queries, k = 3).select("q_id", "neighbor_id")
+      val ivf = mipsIvfTopK(emb, queries, k = 3, probes = 2)
+        .select(col("q_id").as("iq"), col("neighbor_id").as("inb"))
+      bf.join(ivf, bf("q_id") === col("iq") && bf("neighbor_id") === col("inb"),
+          "left")
+        .groupBy("q_id").agg(
+          count(lit(1)).as("k"),
+          sum(when(col("iq").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall", col("hits").cast("double") / col("k"))
+        .select("q_id", "k", "hits", "recall")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |bf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(generate_series(1, len(q.e)), i -> q.e[i] * v.e[i])),
+           |      (a, b) -> a + b) AS dot
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, neighbor_id) <= 3),
+           |n2 AS (SELECT vec_id, e,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(generate_series(1, len(e)), i -> e[i] * e[i])),
+           |    (a, b) -> a + b) AS nn FROM v),
+           |mx AS (SELECT max(nn) AS mx2 FROM n2),
+           |aug AS (SELECT vec_id, list_append(e, sqrt(mx2 - nn)) AS e
+           |        FROM n2 CROSS JOIN mx),
+           |qa AS (SELECT vec_id, list_append(e, CAST(0 AS DOUBLE)) AS e
+           |       FROM v WHERE vec_id < 10),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM aug
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT aug.vec_id, aug.e, c.k_id, row_number() OVER (PARTITION BY aug.vec_id
+           |    ORDER BY list_cosine_similarity(aug.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM aug CROSS JOIN cents c) WHERE rk = 1),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT qa.vec_id, qa.e, c.k_id, row_number() OVER (PARTITION BY qa.vec_id
+           |    ORDER BY list_cosine_similarity(qa.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM qa CROSS JOIN cents c) WHERE rk <= 2),
+           |ivf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id,
+           |         list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3)
+           |SELECT bf.q_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(sum(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+           |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
+           |GROUP BY bf.q_id""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14)
 }

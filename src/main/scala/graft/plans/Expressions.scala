@@ -84,6 +84,48 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** DOT_PRODUCT(a, b) over double arrays: Σ a[i]·b[i] accumulated in index
+  * order — the inner-product scoring kernel of maximum-inner-product
+  * search (MIPS), where ranking by raw dot differs from cosine whenever
+  * corpus norms vary (recommendation scores, unnormalized embeddings).
+  * The oracle replays the same ascending-index fold (`list_reduce` over
+  * `a[i]*b[i]`), so scores are bitwise-identical cross-engine. Fully
+  * codegen'd like [[CosineSimilarityExpr]]; `graft_dot(e, e)` doubles as
+  * the squared-norm kernel of the MIPS→cosine norm augmentation.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  @inline private def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("graftDot", this, classOf[DotProductExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$expr.computeJava($a, $b)")
+  }
+
+  /** Codegen entry point (generated Java calls back into this instance). */
+  def computeJava(a: ArrayData, b: ArrayData): Double = compute(a, b)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ARRAY_JACCARD(a, b): |A ∩ B| / |A ∪ B| over string arrays in one fused
   * pass — the exact-verify step of the LSH dedup pipeline. The composed
   * form `size(array_intersect)/size(array_union)` materializes two

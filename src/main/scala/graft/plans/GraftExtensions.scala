@@ -36,6 +36,9 @@ object GraftExtensions {
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
     ("graft_latest_by_seq",
       new ExpressionInfo(classOf[LatestBySeqAgg].getName, "graft_latest_by_seq"),
       (args: Seq[Expression]) => LatestBySeqAgg(args(0), args(1), args(2))

@@ -113,4 +113,52 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((5L, 5L, 1L), (6L, 6L, 1L)))
   }
+
+  test("kCore: triangle + pendant chain peels to the triangle") {
+    // 0-1-2 triangle, chain 2-3-4: the 2-core is exactly the triangle;
+    // peeling removes 4 (deg 1), then 3, needing >1 round — exercises the
+    // iteration, the converged flag, and isolated node 9
+    val nodes = (0L to 4L).toDF("doc_id").union(Seq(9L).toDF("doc_id"))
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = GraphOps.kCore(nodes, "doc_id", edges, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    assert(got === Set(
+      (0L, 2L, true, true), (1L, 2L, true, true), (2L, 2L, true, true),
+      (3L, 0L, false, true), (4L, 0L, false, true), (9L, 0L, false, true)))
+  }
+
+  test("kCore: too few rounds reports converged = false") {
+    // chain 0-1-2-3-4-5 needs multiple peels; 1 round only strips the ends
+    val nodes = (0L to 5L).toDF("doc_id")
+    val edges = (0L to 4L).map(i => (i, i + 1)).toDF("u", "v")
+    val one = GraphOps.kCore(nodes, "doc_id", edges, k = 2, rounds = 1)
+    assert(one.select("converged").distinct().collect().map(_.getBoolean(0)).toSeq === Seq(false))
+    val enough = GraphOps.kCore(nodes, "doc_id", edges, k = 2, rounds = 5)
+    assert(enough.select("converged").distinct().collect().map(_.getBoolean(0)).toSeq === Seq(true))
+    // a chain has no 2-core at all
+    assert(enough.filter($"in_core").count() === 0L)
+  }
+
+  test("pageRank: symmetric pair splits teleport+damping mass equally; sums conserve") {
+    // two connected nodes + one isolated, 3 iterations, d=0.85: by symmetry
+    // the pair's ranks are equal; isolated keeps base mass 0.15/3
+    val nodes = Seq(0L, 1L, 2L).toDF("doc_id")
+    val edges = Seq((0L, 1L)).toDF("u", "v")
+    val got = GraphOps.pageRank(nodes, "doc_id", edges)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(0L) === got(1L))
+    assert(math.abs(got(2L) - 0.05) < 1e-12)
+    // connected-pair recursion: r = 0.05 + 0.85*r (deg 1 each) -> fixpoint
+    // 1/3; after 3 iterations from 1/3 it stays exactly at the fixpoint
+    assert(math.abs(got(0L) - (1.0 / 3)) < 1e-12)
+  }
+
+  test("pageRank: star center out-ranks leaves") {
+    val nodes = (0L to 4L).toDF("doc_id")
+    val edges = (1L to 4L).map(i => (0L, i)).toDF("u", "v")
+    val got = GraphOps.pageRank(nodes, "doc_id", edges)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert((1L to 4L).forall(i => got(0L) > got(i)))
+    assert((2L to 4L).forall(i => math.abs(got(1L) - got(i)) < 1e-15))
+  }
 }

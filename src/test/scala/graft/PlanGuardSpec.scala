@@ -106,7 +106,9 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val contractBoundedBroadcast = Set(
     "v1_ann_bruteforce_topk", "v2_ann_ivf_topk", "v3_embedding_neardup",
-    "v4_ann_kmeans_topk", "v10_ann_recall_eval")
+    "v4_ann_kmeans_topk", "v10_ann_recall_eval",
+    // MIPS family: same broadcast-the-query-side contract as v1/v2
+    "v13_mips_topk", "v14_mips_ivf_recall")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {

@@ -205,4 +205,39 @@ class VectorOpsSpec extends SparkSpec {
       assert(adcs.forall(a => !a.isNaN))
     }
   }
+
+  test("v13 mipsTopK matches a local dot-product recomputation") {
+    val all = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val got = VectorOps.v13.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length === 3)
+      val qe = all(q)
+      // every returned neighbor's dot must equal the local recomputation
+      rs.foreach { case (_, nb, d) =>
+        val exact = qe.zip(all(nb)).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        assert(d === exact)
+      }
+      // and nothing outside the top-3 may beat the weakest returned dot
+      val kth = rs.map(_._3).min
+      val better = all.count { case (id, e) =>
+        id != q && qe.zip(e).foldLeft(0.0) { case (a, (x, y)) => a + x * y } > kth
+      }
+      assert(better < 3, s"query $q: $better corpus vectors beat the kth result")
+    }
+  }
+
+  test("mipsIvfTopK with probes=16 (all cells) equals exact MIPS ids") {
+    val emb = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter("vec_id < 10")
+    val exact = VectorOps.mipsTopK(emb, q, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell removes the approximation entirely: the augmented
+    // cosine ranking must reproduce the dot ranking exactly
+    val full = VectorOps.mipsIvfTopK(emb, q, 3, probes = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+  }
 }
