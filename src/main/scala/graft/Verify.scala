@@ -19,13 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failed queries must stay visible in the artifact: r6 lost 75 entries
+    // silently because failures only went to stderr and the driver's JSON
+    // shrank without a trace. Collect them here and dump _errors.json below
+    // so artifact row-count always equals registry size.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] $name failed: $msg")
+          errors(name) = msg.take(500)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +51,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so a missing/non-empty file is
+    // an unambiguous health signal for the driver and for post-hoc audits.
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed (see _errors.json)")
     spark.stop()
   }
 }

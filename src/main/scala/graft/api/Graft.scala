@@ -141,6 +141,24 @@ object Graft {
   def contaminationCheck(train: DataFrame, benchmark: DataFrame): DataFrame =
     TextOps.contaminationCheck(train, benchmark)
 
+  /** Approximate Jaccard similarity join between two corpora (both need
+    * (doc_id, text)): (a_id, b_id, jaccard) for cross pairs at 3-shingle
+    * Jaccard >= `threshold`. LSH-banded candidates, exact-verified — the
+    * cross-table generalization of [[nearDupPairs]]; keep the smaller
+    * corpus on one side for a semi-join-shaped band probe.
+    */
+  def similarityJoin(left: DataFrame, right: DataFrame,
+      threshold: Double = 0.9): DataFrame =
+    TextOps.similarityJoin(left, right, threshold)
+
+  /** One-call corpus curation: Gopher quality gate -> exact dedup ->
+    * near-dup component dedup at `threshold` -> leakage-safe 80/10/10
+    * split by component -> token accounting. One row per KEPT doc:
+    * (doc_id, component, n_dups, split, n_tok).
+    */
+  def curate(docs: DataFrame, threshold: Double = 0.9): DataFrame =
+    TextOps.curate(docs, threshold)
+
   /** Concatenate-and-chunk packing layout into `packTokens`-token context
     * windows, packed independently per `domainCol` shard:
     * (doc_id, domain, n_tok, start_tok, first_pack, last_pack, n_packs).
@@ -215,6 +233,17 @@ object Graft {
   def mipsIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
       probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
     VectorOps.mipsIvfTopK(corpus, queries, k, probes, excludeSelf)
+
+  /** Two-stage retrieval: cheap candidate generation on the first
+    * `prefixDims` embedding coordinates (Matryoshka-style), then exact
+    * full-width cosine rerank of the top-`candidates` survivors per query:
+    * (q_id, neighbor_id, cos). The retrieve-then-rerank dataflow with a
+    * deterministic reranker.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      prefixDims: Int = 8, candidates: Int = 32,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.rerankTopK(corpus, queries, k, prefixDims, candidates, excludeSelf)
 
   // ---- time series --------------------------------------------------------
 

@@ -20,8 +20,10 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingOps {
 
   /** Kafka-envelope-shaped stream over the events table: file source with
-    * declared schema (streaming requires one), ns->us truncation as in
-    * [[graft.core.Tables.events]].
+    * declared schema (streaming requires one), ts normalized to engine-grain
+    * TimestampType by the same schema-adaptive rule as the batch loader
+    * ([[graft.core.Tables.normalizedTs]] — nanos-as-long, NTZ, and plain
+    * timestamp layouts all supported).
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     graft.streaming.KafkaIO.applyStreamingConfs(s) // T8 session confs
@@ -30,7 +32,7 @@ object StreamingOps {
     s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.core.Tables.normalizedTs(schema("ts").dataType))
   }
 
   private def checkpoint(): String =

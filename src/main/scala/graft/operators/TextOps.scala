@@ -1736,7 +1736,140 @@ object TextOps {
            |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
            |FROM b""".stripMargin))
 
+  /** Approximate Jaccard SIMILARITY JOIN between two corpora — the
+    * cross-table generalization of [[nearDupPairs]] (which is the self-join
+    * special case): for (a in left, b in right) emit (a_id, b_id, jaccard)
+    * where 3-shingle Jaccard >= `threshold`. Users of x5/x7 hand-rolled
+    * this by unioning tables and post-filtering pair sides; first-class it
+    * is both cheaper (each side is banded once, candidates come from the
+    * cross-side band-bucket equijoin only) and correct under id collisions
+    * between the two tables (the union trick conflates them).
+    *
+    * Scale: identical contract to [[nearDupPairs]] — banding derived from
+    * the threshold ([[bandingFor]], recall >= 0.999), candidates are
+    * id-pairs only (shingle arrays re-attach by id for the exact verify),
+    * never all-pairs. The typical use is asymmetric (100 TB corpus vs a
+    * small incoming batch or benchmark set); the band join then behaves
+    * like a semi-join keyed by the small side's buckets.
+    */
+  def similarityJoin(left: DataFrame, right: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(left.sparkSession)
+    val (bands, rows) = bandingFor(threshold)
+    val ls = shingleSets(left)
+    val rs = shingleSets(right)
+    val lb = lshBands(ls, numHashes = 64, bands = bands, rows = rows)
+      .select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    val rb = lshBands(rs, numHashes = 64, bands = bands, rows = rows)
+      .select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    lb.join(rb, Seq("band", "bh")).select("a_id", "b_id").distinct()
+      .join(ls.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(rs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** X35 (beyond reference): cross-corpus similarity join — even-id docs
+    * vs odd-id docs at 0.9 (the corpus-vs-incoming-batch shape). The
+    * oracle brute-forces the cross product; the engine path stays banded.
+    */
+  val x35: GraftQuery = GraftQuery(
+    "x35_similarity_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      similarityJoin(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), 0.9)
+    },
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |a AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+           |b AS (SELECT * FROM sh WHERE doc_id % 2 = 1)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+           |FROM a JOIN b ON true
+           |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin))
+
+  /** End-to-end corpus curation — the composed pipeline every pretraining
+    * data run executes, as ONE call (see graft.api.Graft.curate):
+    *
+    *   1. quality gate: Gopher-style rules ([[qualityRules]]), keep only
+    *      passing docs;
+    *   2. exact dedup: one keeper (min doc_id) per identical-text group;
+    *   3. near-dup dedup: [[dupComponents]] closure at `threshold` over the
+    *      survivors, keep each component's canonical doc (its min id —
+    *      which IS the component label);
+    *   4. leakage-safe split: md5-bucket of the COMPONENT id, 80/10/10
+    *      ([[leakageSafeSplit]] semantics), so near-dups of a kept doc can
+    *      never straddle the train/test boundary;
+    *   5. token accounting for the downstream packing/budget step.
+    *
+    * Output: one row per KEPT doc — (doc_id, component, n_dups, split,
+    * n_tok). Scale: the stages compose scans and the x11 closure; nothing
+    * here adds a shuffle beyond its standalone constituent ops, and the
+    * quality + exact-dedup prefilter shrinks the corpus BEFORE the
+    * (costlier) LSH stage — the order is load-bearing at 100 TB.
+    */
+  def curate(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val clean = qualityRules(docs).filter(col("keep")).select("doc_id")
+      .join(docs, "doc_id")
+    val exactKeep = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val surv = exactKeep.join(clean, "doc_id")
+    dupComponents(surv, threshold)
+      .filter(col("doc_id") === col("component"))
+      .withColumnRenamed("n_members", "n_dups")
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(CAST(component AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .join(surv.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "doc_id")
+      .select("doc_id", "component", "n_dups", "split", "n_tok")
+  }
+
+  /** X36 (beyond reference): the one-call curation pipeline — see
+    * [[curate]]. The oracle replays the full chain: Gopher rules, exact
+    * keep-min dedup, recursive near-dup closure over survivors, component
+    * md5 split buckets, token counts.
+    */
+  val x36: GraftQuery = GraftQuery(
+    "x36_curate_pipeline",
+    (s, d) => curate(Tables.documents(s, d), 0.9),
+    Some("""WITH RECURSIVE wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |ct AS (SELECT doc_id, w, count(*) AS c FROM wds GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+           |  max(c) AS top_count, CAST(sum(length(w) * c) AS BIGINT) AS n_word_chars FROM ct GROUP BY 1),
+           |qual AS (SELECT doc_id FROM agg WHERE n_words >= 20 AND n_distinct::DOUBLE / n_words > 0.4
+           |  AND top_count::DOUBLE / n_words < 0.15 AND n_word_chars::DOUBLE / n_words BETWEEN 3.0 AND 10.0),
+           |clean AS (SELECT d.doc_id, d.text FROM documents d JOIN qual USING (doc_id)),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+           |surv AS (SELECT c.doc_id, c.text FROM clean c JOIN ek USING (doc_id)),
+           |t AS (SELECT doc_id, str_split(text, ' ') AS w FROM surv),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM surv
+           |  UNION
+           |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+           |cm AS (SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS n_dups FROM comp),
+           |keep AS (SELECT doc_id, component, n_dups,
+           |  CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS bucket
+           |  FROM cm WHERE doc_id = component)
+           |SELECT k.doc_id, k.component, k.n_dups,
+           |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           |  CAST(len(str_split(s.text, ' ')) AS BIGINT) AS n_tok
+           |FROM keep k JOIN surv s ON s.doc_id = k.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
-      x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
+      x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36)
 }

@@ -975,6 +975,73 @@ object VectorOps {
            |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
            |GROUP BY bf.q_id""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): two-stage retrieval —
+    * cheap candidate generation on a PREFIX of the embedding (the
+    * Matryoshka-representation pattern: score on the first `prefixDims`
+    * coordinates, which at real scale live in their own slim column/table
+    * so stage 1 never reads the full vectors), then exact full-dimension
+    * rerank of the `candidates` survivors per query. This is the
+    * retrieve-then-rerank dataflow of every production retrieval stack
+    * (candidate generator + cross-encoder); the reranker here is the exact
+    * cosine so the whole pipeline stays deterministic and oracle-checkable.
+    *
+    * Scale shape: stage 1 is the [[bruteForceTopK]] scan but over
+    * prefixDims/dim of the bytes (8/64 here — an 8x IO and FLOP cut with
+    * column pruning to a dedicated prefix column); stage 2 touches only
+    * |Q| x candidates rows — the candidate-id list is broadcast back
+    * against the corpus, so the expensive full-width scoring never
+    * shuffles the corpus and reads full vectors for candidates only.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDims: Int = 8, candidates: Int = 32,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = withNorm(corpus, "c")
+    val q = withNorm(queries, "q")
+    // stage 1: slim projections only — (id, prefix) rows
+    val cSlim = c.select(col("c_id"), expr(s"slice(c_e, 1, $prefixDims)").as("c_p"))
+    val qSlim = q.select(col("q_id"), expr(s"slice(q_e, 1, $prefixDims)").as("q_p"))
+    val cw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("c_id"))
+    val cand = cSlim.join(broadcast(qSlim),
+        if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
+      .withColumn("pcos", cosine("q_p", "c_p"))
+      .withColumn("crk", row_number().over(cw)).filter(col("crk") <= candidates)
+      .select("q_id", "c_id")
+    // stage 2: full-width exact rerank of the candidate set only
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    broadcast(cand)
+      .join(c, "c_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cos", cosine("q_e", "c_e"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** V15 (beyond reference): two-stage prefix-then-rerank retrieval — see
+    * [[rerankTopK]]. The oracle replays both stages: prefix-slice cosine
+    * top-32 candidates, exact cosine top-3 rerank, identical tie-breaks.
+    */
+  val v15: GraftQuery = GraftQuery(
+    "v15_rerank_two_stage",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      rerankTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+        prefixDims = 8, candidates = 32)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |cand AS (SELECT q_id, c_id FROM (
+           |  SELECT q.vec_id AS q_id, v.vec_id AS c_id,
+           |    list_cosine_similarity(q.e[1:8], v.e[1:8]) AS pcos
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, c_id) <= 32)
+           |SELECT q_id, c_id AS neighbor_id, cos FROM (
+           |  SELECT cand.q_id, cand.c_id,
+           |    list_cosine_similarity(q.e, v.e) AS cos
+           |  FROM cand JOIN v ON v.vec_id = cand.c_id
+           |            JOIN q ON q.vec_id = cand.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 3""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14)
+    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15)
 }

@@ -32,8 +32,9 @@ object ScaleProbe {
     def reps(df: DataFrame): DataFrame =
       df.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
 
-    // events: raw read keeps ts as nanos-long, so the replica parquet is a
-    // plain BIGINT column the Tables.events loader handles unchanged
+    // events: raw read preserves the source ts layout (nanos-long under the
+    // conf below, or native timestamp), and the schema-adaptive
+    // Tables.events loader handles the replica either way
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.core.Tables.load(s, base, "events")
     val evSpan = ev.agg(max("user_id")).head().getLong(0) + 1

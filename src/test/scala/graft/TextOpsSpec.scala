@@ -194,4 +194,70 @@ class TextOpsSpec extends SparkSpec {
         s"component $comp kept ${keepers.head._1}, expected ${best._1}")
     }
   }
+
+  test("x35 similarityJoin self-join above the diagonal equals nearDupPairs") {
+    val sj = TextOps.similarityJoin(crafted, crafted, 0.9)
+      .filter($"a_id" < $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ndp = TextOps.nearDupPairs(crafted, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ndp.nonEmpty)
+    assert(sj === ndp)
+  }
+
+  test("x35 similarityJoin finds every planted cross-corpus near-dup") {
+    val base = crafted.filter($"doc_id" < 100)
+    val dups = crafted.filter($"doc_id" >= 100)
+    val got = TextOps.similarityJoin(base, dups, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted mutation (id 100+i is a 1-word edit of id i) must pair up
+    (0 until 10).foreach { i =>
+      assert(got.contains((i.toLong, 100L + i)), s"missed planted pair ($i, ${100 + i})")
+    }
+    // and each found pair really is the planted alignment or a chance
+    // base-base collision surfaced cross-side — verify exact jaccard >= 0.9
+    assert(got.forall { case (a, b) => a < 100 && b >= 100 })
+  }
+
+  /** Curation fixture: quality-passing base docs (5-char words, 100-word
+    * vocab -> distinct ratio ~0.75, top-word frac ~0.05), plus planted
+    * failures of each curation stage.
+    */
+  private lazy val curateCorpus = {
+    val rng = new scala.util.Random(23)
+    val vocab2 = (0 until 100).map(i => f"wrd$i%03d")
+    val base = (0 until 30).map { i =>
+      i.toLong -> Seq.fill(60)(vocab2(rng.nextInt(100))).mkString(" ")
+    }
+    val exactDup = Seq(200L -> base(0)._2) // identical text, higher id
+    val nearDup = Seq(201L -> {
+      val w = base(1)._2.split(" "); w(7) = "mutant"; w.mkString(" ")
+    })
+    val junk = Seq(202L -> Seq.fill(40)("aa").mkString(" ")) // fails quality
+    (base ++ exactDup ++ nearDup ++ junk).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+  }
+
+  test("curate drops junk, exact dups, and near-dups; keeps canonical docs with a valid split") {
+    val out = TextOps.curate(curateCorpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val kept = out.map(_._1).toSet
+    assert(!kept.contains(202L), "quality-failing doc survived")
+    assert(!kept.contains(200L), "exact duplicate survived")
+    assert(!kept.contains(201L), "near duplicate survived")
+    assert(kept.contains(0L) && kept.contains(1L), "canonical docs were dropped")
+    assert(kept === (0L until 30L).toSet)
+    out.foreach { case (id, comp, nDups, split, nTok) =>
+      assert(id === comp, s"kept doc $id is not its component's canonical")
+      assert(Set("train", "val", "test").contains(split))
+      assert(nTok === 60L)
+      assert(nDups >= 1L)
+    }
+    // the exact dup is removed BEFORE the closure (so doc 0's component is a
+    // singleton); the near dup reaches the closure and folds into doc 1's
+    val byId = out.map(o => o._1 -> o._3).toMap
+    assert(byId(0L) === 1L, "exact dups are deduped before the component stage")
+    assert(byId(1L) === 2L, "near dup should fold into doc 1's component")
+  }
 }

@@ -240,4 +240,36 @@ class VectorOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === exact)
   }
+
+  test("rerankTopK with candidate budget >= corpus equals brute force exactly") {
+    val emb = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter("vec_id < 10")
+    val n = emb.count().toInt
+    val bf = VectorOps.bruteForceTopK(emb, q, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a candidate budget covering the whole corpus makes stage 1 a no-op
+    // filter, so the full-width rerank must reproduce brute force bitwise
+    val rr = VectorOps.rerankTopK(emb, q, 3, prefixDims = 8, candidates = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rr === bf)
+  }
+
+  test("rerankTopK recall@3 vs brute force >= 0.9 on clustered data at a 32-candidate budget") {
+    // Quality gate runs on data where a dimension prefix is informative
+    // (clustered vectors: any 8 of the 16 coords separate the 20 cluster
+    // centers) — mirroring the IVF recall gates. On isotropic random
+    // embeddings a coordinate prefix carries no special signal and recall
+    // legitimately degrades (real Matryoshka embeddings are TRAINED to
+    // front-load information); the oracle still checks exactness of the
+    // two-stage computation itself on the driver data.
+    val dir = clusteredDir()
+    val emb = SparkSpec.spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter("vec_id < 10")
+    val truth = VectorOps.bruteForceTopK(emb, q, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = VectorOps.rerankTopK(emb, q, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"two-stage rerank recall too low: $recall")
+  }
 }
