@@ -159,6 +159,21 @@ object Graft {
   def curate(docs: DataFrame, threshold: Double = 0.9): DataFrame =
     TextOps.curate(docs, threshold)
 
+  /** Funnel audit of [[curate]]: one row per stage
+    * (input/quality_pass/exact_deduped/kept) with surviving doc and token
+    * counts — the removal report a curation run ships with its output.
+    */
+  def curationReport(docs: DataFrame, threshold: Double = 0.9): DataFrame =
+    TextOps.curationReport(docs, threshold)
+
+  /** DSIR-style importance weights: score each `raw` doc by the mean
+    * hashed-unigram probability ratio p_target/p_raw (add-1 smoothed,
+    * 64 md5 buckets): (doc_id, dsir_ratio, n_tok). Higher = more
+    * target-like; feed into [[tokenBudgetSelect]]-style selection.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame =
+    TextOps.dsirWeights(raw, target)
+
   /** Concatenate-and-chunk packing layout into `packTokens`-token context
     * windows, packed independently per `domainCol` shard:
     * (doc_id, domain, n_tok, start_tok, first_pack, last_pack, n_packs).
@@ -244,6 +259,14 @@ object Graft {
       prefixDims: Int = 8, candidates: Int = 32,
       excludeSelf: Boolean = true): DataFrame =
     VectorOps.rerankTopK(corpus, queries, k, prefixDims, candidates, excludeSelf)
+
+  /** Cosine range search: ALL corpus neighbors with cos >= `tau` per query
+    * (no fixed k — the faiss range_search surface), IVF-pruned to each
+    * query's `probes` nearest cells: (q_id, neighbor_id, cos).
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double = 0.15,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    VectorOps.rangeSearch(corpus, queries, tau, probes, excludeSelf)
 
   // ---- time series --------------------------------------------------------
 

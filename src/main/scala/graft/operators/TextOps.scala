@@ -1869,7 +1869,164 @@ object TextOps {
            |  CAST(len(str_split(s.text, ' ')) AS BIGINT) AS n_tok
            |FROM keep k JOIN surv s ON s.doc_id = k.doc_id""".stripMargin))
 
+  /** Per-stage funnel audit of the [[curate]] pipeline — the report every
+    * curation run ships next to its output (what went in, what each stage
+    * removed, what survived, in docs AND tokens): one row per stage
+    * (input -> quality_pass -> exact_deduped -> kept), columns
+    * (stage, n_docs, n_tokens). Same chain as [[curate]], but each stage's
+    * frame reduces to a single count/sum row — four scalar aggregations
+    * over progressively smaller inputs, so the report costs barely more
+    * than the pipeline itself and parallelizes identically.
+    */
+  def curationReport(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    def stat(df: DataFrame, stage: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .withColumn("stage", lit(stage))
+    val clean = qualityRules(docs).filter(col("keep")).select("doc_id")
+      .join(docs, "doc_id")
+    val exactKeep = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val surv = exactKeep.join(clean, "doc_id")
+    val kept = dupComponents(surv, threshold)
+      .filter(col("doc_id") === col("component"))
+      .select("doc_id").join(surv, "doc_id")
+    stat(docs, "input")
+      .unionByName(stat(clean, "quality_pass"))
+      .unionByName(stat(surv, "exact_deduped"))
+      .unionByName(stat(kept, "kept"))
+      .select("stage", "n_docs", "n_tokens")
+  }
+
+  /** X37 (beyond reference): curation funnel report — see
+    * [[curationReport]]. The oracle replays the full chain and UNION ALLs
+    * the four stage aggregates.
+    */
+  val x37: GraftQuery = GraftQuery(
+    "x37_curation_report",
+    (s, d) => curationReport(Tables.documents(s, d), 0.9),
+    Some("""WITH RECURSIVE wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |ct AS (SELECT doc_id, w, count(*) AS c FROM wds GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+           |  max(c) AS top_count, CAST(sum(length(w) * c) AS BIGINT) AS n_word_chars FROM ct GROUP BY 1),
+           |qual AS (SELECT doc_id FROM agg WHERE n_words >= 20 AND n_distinct::DOUBLE / n_words > 0.4
+           |  AND top_count::DOUBLE / n_words < 0.15 AND n_word_chars::DOUBLE / n_words BETWEEN 3.0 AND 10.0),
+           |clean AS (SELECT d.doc_id, d.text FROM documents d JOIN qual USING (doc_id)),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+           |surv AS (SELECT c.doc_id, c.text FROM clean c JOIN ek USING (doc_id)),
+           |t AS (SELECT doc_id, str_split(text, ' ') AS w FROM surv),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM surv
+           |  UNION
+           |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+           |kept AS (SELECT s.doc_id, s.text FROM comp c JOIN surv s ON s.doc_id = c.doc_id
+           |  WHERE c.doc_id = c.component),
+           |tok AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n FROM documents)
+           |SELECT 'input' AS stage, count(*) AS n_docs,
+           |  COALESCE(CAST(sum(len(str_split(text, ' '))) AS BIGINT), 0) AS n_tokens FROM documents
+           |UNION ALL SELECT 'quality_pass', count(*),
+           |  COALESCE(CAST(sum(len(str_split(text, ' '))) AS BIGINT), 0) FROM clean
+           |UNION ALL SELECT 'exact_deduped', count(*),
+           |  COALESCE(CAST(sum(len(str_split(text, ' '))) AS BIGINT), 0) FROM surv
+           |UNION ALL SELECT 'kept', count(*),
+           |  COALESCE(CAST(sum(len(str_split(text, ' '))) AS BIGINT), 0) FROM kept""".stripMargin))
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public literature):
+    * score every raw-corpus doc by how much more likely its hashed-unigram
+    * features are under a TARGET domain than under the raw corpus — the
+    * domain-targeted selection signal that picks "looks like the target"
+    * docs out of a crawl. Features are the [[hashedFeatures]] md5 buckets
+    * (no vocabulary to build; 64 buckets here), bucket distributions carry
+    * add-1 smoothing, and each doc's score is the MEAN per-token
+    * probability ratio p_target(b)/p_raw(b).
+    *
+    * Divergence from the paper, documented: DSIR sums per-feature LOG
+    * ratios; JVM `Math.log` and C libm are not guaranteed to round
+    * identically, so for cross-engine bit-exactness the score is the mean
+    * RAW ratio instead (integer-derived IEEE divisions + an order-fixed
+    * sorted fold — deterministic in both engines). Rankings differ only
+    * where the log/linear weighting of extreme buckets differs; the
+    * selection semantics (higher = more target-like) are unchanged.
+    *
+    * Scale: two bucket-count aggregations (64 rows each, broadcast back),
+    * one token-side join against the 64-row ratio table, one per-doc fold.
+    * No all-pairs, no vocabulary broadcast, target side can be tiny.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val B = HashBuckets
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("bucket", expr(
+          s"CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % $B"))
+    val rb = buckets(raw)
+    val spine = raw.sparkSession.range(B).toDF("bucket")
+    val ratios = spine
+      .join(rb.groupBy("bucket").agg(count(lit(1)).as("cr")), Seq("bucket"), "left")
+      .join(buckets(target).groupBy("bucket").agg(count(lit(1)).as("ct")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(rb.agg(count(lit(1)).as("nr"))))
+      .crossJoin(broadcast(buckets(target).agg(count(lit(1)).as("nt"))))
+      .select(col("bucket"),
+        ((coalesce(col("ct"), lit(0L)) + 1L).cast("double")
+          / (col("nt") + B).cast("double")
+          / ((coalesce(col("cr"), lit(0L)) + 1L).cast("double")
+            / (col("nr") + B).cast("double"))).as("ratio"))
+    rb.join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        aggregate(array_sort(collect_list(col("ratio"))), lit(0.0),
+          (acc, x) => acc + x).as("sr"),
+        count(lit(1)).as("n_tok"))
+      .select(col("doc_id"),
+        (col("sr") / col("n_tok").cast("double")).as("dsir_ratio"),
+        col("n_tok"))
+  }
+
+  /** X38 (beyond reference): DSIR importance weights with target = the
+    * English slice of the corpus — see [[dsirWeights]]. The oracle replays
+    * bucket hashing, smoothed distributions, and the sorted ratio fold.
+    */
+  val x38: GraftQuery = GraftQuery(
+    "x38_dsir_importance",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      dsirWeights(docs, docs.filter(col("lang") === "en"))
+    },
+    Some(s"""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |rb AS (SELECT doc_id,
+           |  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $HashBuckets AS bucket FROM wds),
+           |twds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents WHERE lang = 'en'),
+           |tb AS (SELECT doc_id,
+           |  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $HashBuckets AS bucket FROM twds),
+           |spine AS (SELECT unnest(generate_series(0, ${HashBuckets - 1})) AS bucket),
+           |rc AS (SELECT bucket, count(*) AS cr FROM rb GROUP BY 1),
+           |tc AS (SELECT bucket, count(*) AS ct FROM tb GROUP BY 1),
+           |nr AS (SELECT count(*) AS nr FROM rb),
+           |nt AS (SELECT count(*) AS nt FROM tb),
+           |ratios AS (SELECT spine.bucket,
+           |  CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + $HashBuckets AS DOUBLE)
+           |    / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / CAST(nr + $HashBuckets AS DOUBLE)) AS ratio
+           |  FROM spine LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+           |  CROSS JOIN nr CROSS JOIN nt)
+           |SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(ratio))), (a, b) -> a + b)
+           |    / CAST(count(*) AS DOUBLE) AS dsir_ratio,
+           |  count(*) AS n_tok
+           |FROM rb JOIN ratios USING (bucket)
+           |GROUP BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
-      x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36)
+      x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
+      x37, x38)
 }

@@ -1042,6 +1042,62 @@ object VectorOps {
            |            JOIN q ON q.vec_id = cand.q_id)
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) <= 3""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): cosine RANGE search —
+    * every corpus neighbor with cos >= `tau` per query (not a fixed k; the
+    * faiss `range_search` surface, what dedup-at-threshold and
+    * radius-retrieval use). Same IVF pruning as [[ivfTopK]]: queries touch
+    * only their `probes` nearest cells, so result recall follows the cell
+    * probe coverage (for exhaustive range semantics set probes = K). No
+    * per-query window at all — the threshold filter replaces ranking, so
+    * the operator is a pure scan-side filter after the posting-list join,
+    * cheaper than top-k at scale (no sort state).
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cents = centroidsOf(corpus)
+    val assigned = assign(withNorm(corpus, "c"), cents)
+    val q = withNorm(queries, "q")
+    val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
+    val probed = q.join(broadcast(cents), col("q_id").isNotNull)
+      .withColumn("kcos", cosine("q_e", "k_e"))
+      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= probes)
+      .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
+      .withColumn("cos", cosine("q_e", "c_e"))
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** V16 (beyond reference): IVF-pruned cosine range search at tau = 0.15
+    * — see [[rangeSearch]]. The oracle replays centroid selection,
+    * assignment, probing, and the threshold filter (the v2 oracle without
+    * the top-k QUALIFY).
+    */
+  val v16: GraftQuery = GraftQuery(
+    "v16_range_search",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      rangeSearch(emb, emb.filter(col("vec_id") < 10), tau = 0.15, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |WHERE cos >= 0.15""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15)
+    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16)
 }

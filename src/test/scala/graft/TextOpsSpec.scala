@@ -260,4 +260,37 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(0L) === 1L, "exact dups are deduped before the component stage")
     assert(byId(1L) === 2L, "near dup should fold into doc 1's component")
   }
+
+  test("curationReport stage counts match the planted funnel exactly") {
+    val rows = TextOps.curationReport(curateCorpus, 0.9).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.size === 4)
+    // 30 base (60 tok) + exact dup (60) + near dup (60) + junk (40 tok)
+    assert(rows("input") === ((33L, 30L * 60 + 60 + 60 + 40)))
+    assert(rows("quality_pass") === ((32L, 32L * 60)))   // junk gone
+    assert(rows("exact_deduped") === ((31L, 31L * 60)))  // copy gone
+    assert(rows("kept") === ((30L, 30L * 60)))           // near dup gone
+  }
+
+  test("dsirWeights ranks target-domain docs above off-domain docs") {
+    val rng = new scala.util.Random(41)
+    val vocabA = (0 until 50).map(i => f"alpha$i%02d")
+    val vocabB = (0 until 50).map(i => f"beta$i%02d")
+    val aDocs = (0 until 20).map { i =>
+      i.toLong -> Seq.fill(40)(vocabA(rng.nextInt(50))).mkString(" ")
+    }
+    val bDocs = (0 until 20).map { i =>
+      (100L + i) -> Seq.fill(40)(vocabB(rng.nextInt(50))).mkString(" ")
+    }
+    val docs = (aDocs ++ bDocs).toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" < 5) // a slice of the A domain
+    val w = TextOps.dsirWeights(docs, target).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(w.length === 40)
+    w.foreach { case (_, _, nTok) => assert(nTok === 40L) }
+    val aMin = w.filter(_._1 < 100).map(_._2).min
+    val bMax = w.filter(_._1 >= 100).map(_._2).max
+    assert(aMin > bMax,
+      s"every A-domain doc should out-score every B-domain doc ($aMin vs $bMax)")
+  }
 }

@@ -272,4 +272,26 @@ class VectorOpsSpec extends SparkSpec {
     val recall = truth.count(got.contains).toDouble / truth.size
     assert(recall >= 0.9, s"two-stage rerank recall too low: $recall")
   }
+
+  test("rangeSearch with probes=16 (all cells) equals a local brute-force threshold scan") {
+    val emb = SparkSpec.spark.read.parquet(s"$sf/embeddings.parquet")
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val tau = 0.15
+    val expected = (for {
+      (q, qe) <- all.iterator if q < 10
+      (c, ce) <- all.iterator if c != q && cos(qe, ce) >= tau
+    } yield (q, c)).toSet
+    // probing every cell removes the IVF approximation: the pruned plan
+    // must return exactly the brute-force threshold set
+    val got = VectorOps.rangeSearch(emb, emb.filter("vec_id < 10"), tau, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture produced no in-range pairs — lower tau")
+    assert(got === expected)
+  }
 }
