@@ -108,7 +108,10 @@ class PlanGuardSpec extends SparkSpec {
     "v1_ann_bruteforce_topk", "v2_ann_ivf_topk", "v3_embedding_neardup",
     "v4_ann_kmeans_topk", "v10_ann_recall_eval",
     // MIPS family: same broadcast-the-query-side contract as v1/v2
-    "v13_mips_topk", "v14_mips_ivf_recall")
+    "v13_mips_topk", "v14_mips_ivf_recall",
+    // two-stage rerank: stage 1 broadcasts the (slim, prefix-only) query
+    // side under the candidate-generation join — same contract as v1
+    "v15_rerank_two_stage")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {
