@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.api.GraftQuery
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical monitoring operators over the events stream table: the
+  * distribution-drift / A-B / changepoint checks a production data platform
+  * runs between ingestion and training (beyond the reference surface, which
+  * stops at threshold alerts — pyspark-job.py:142).
+  *
+  * Cross-engine determinism strategy, shared by all four ops:
+  *   - every count is integral, every mean/variance comes from an exact
+  *     DECIMAL sum cast to double once at the end (decSum discipline,
+  *     functions/Funcs.scala), so per-row scalar math is bitwise identical
+  *     in Spark and DuckDB;
+  *   - there is NO float aggregation and NO round() anywhere (engines
+  *     disagree on .xx5 shortest-repr cases): even the CUSUM accumulates
+  *     DECIMALs inside the window and converts to double per row, so frame
+  *     fold order cannot perturb a single bit.
+  *
+  * Scale: each op is one scan + one hash aggregate; the drift pair adds a
+  * single-row bounds aggregate broadcast back over the scan. The global
+  * windows (ECDF, CUSUM) run over the *aggregated* domain (distinct metric
+  * values / time buckets), which is bounded by metric resolution and
+  * calendar — not by row count — so they stay single-partition-safe at
+  * 100 TB; an unbounded-domain metric would first be quantile-bucketed
+  * (a15's sketch) to restore that bound.
+  */
+object StatOps {
+
+  /** value cast for exact, order-independent accumulation (4 dp covers the
+    * generator's 2-dp metric exactly; see Funcs.decSum for the rationale).
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** D2 (beyond reference): Population Stability Index drift report —
+    * events.value binned into 10 equal-width buckets, reference period =
+    * first half of the observed time range vs current = second half. One
+    * row per bin with smoothed-proportion PSI contribution (sum of
+    * psi_term = the headline PSI). Two passes: a single-row bounds
+    * aggregate (broadcast), then one binning scan + 10-row spine join, so
+    * the cost at 100 TB is one full scan regardless of bin count. All
+    * inputs to psi_term are integer counts — deterministic across engines.
+    */
+  val d2: GraftQuery = GraftQuery(
+    "d2_drift_psi",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("value"), unix_micros(col("ts")).as("us"))
+      val bounds = e.agg(
+        min("value").as("vmin"), max("value").as("vmax"),
+        expr("(min(us) + max(us)) div 2").as("mid_us"))
+      val binned = e.crossJoin(broadcast(bounds))
+        .select(
+          least(lit(9), floor((col("value") - col("vmin")) /
+            ((col("vmax") - col("vmin")) / 10.0))).cast("int").as("bin"),
+          (col("us") < col("mid_us")).as("is_ref"))
+      val agg = binned.groupBy("bin").agg(
+        count(when(col("is_ref"), 1)).as("ref_n"),
+        count(when(!col("is_ref"), 1)).as("cur_n"))
+      // total-function spine: a bin emptied by drift must still surface
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bin"))
+      val f = spine.join(agg, Seq("bin"), "left").na.fill(0L, Seq("ref_n", "cur_n"))
+        .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
+        .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
+      val pr = (col("ref_n") + 0.5) / (col("rt") + 5.0)
+      val pc = (col("cur_n") + 0.5) / (col("ct") + 5.0)
+      // ln() is the one libm call in this file and JVM Math.log vs DuckDB's
+      // libm CAN differ in the last ulp (observed at sf0.1). Quantize to 9 dp
+      // with floor(x*1e9 + 0.5)/1e9 — the SAME IEEE expression on both
+      // engines (never the round() builtin: Spark rounds the shortest-repr
+      // string, DuckDB the binary value, and they disagree on .xx5 cases).
+      f.select(col("bin"), col("ref_n"), col("cur_n"),
+        (floor((pc - pr) * log(pc / pr) * 1e9 + 0.5).cast("double") / 1e9)
+          .as("psi_term"))
+    },
+    Some("""WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax,
+           |  (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events),
+           |e AS (SELECT CAST(least(9, floor((value - b.vmin) / ((b.vmax - b.vmin) / 10.0))) AS INT) AS bin,
+           |             epoch_us(ts) < b.mid_us AS is_ref
+           |      FROM events, b),
+           |a AS (SELECT bin, count(*) FILTER (WHERE is_ref) AS ref_n,
+           |             count(*) FILTER (WHERE NOT is_ref) AS cur_n FROM e GROUP BY bin),
+           |sp AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+           |f AS (SELECT sp.bin, coalesce(a.ref_n, 0) AS ref_n, coalesce(a.cur_n, 0) AS cur_n
+           |      FROM sp LEFT JOIN a USING (bin)),
+           |t AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM f)
+           |SELECT bin, ref_n, cur_n,
+           |  floor(((cur_n + 0.5) / (ct + 5.0) - (ref_n + 0.5) / (rt + 5.0))
+           |    * ln(((cur_n + 0.5) / (ct + 5.0)) / ((ref_n + 0.5) / (rt + 5.0)))
+           |    * 1e9 + 0.5) / 1e9 AS psi_term
+           |FROM t""".stripMargin))
+
+  /** D3 (beyond reference): two-sample Kolmogorov-Smirnov statistic between
+    * the value distributions of two event populations ('click' vs 'error')
+    * — the standard nonparametric "did the metric distribution shift"
+    * test. ECDFs are built on the *distinct-value* domain (group first,
+    * then one ordered cumulative count), so the window input is bounded by
+    * metric resolution, not row count. Every ECDF step is a ratio of
+    * integers — the max over them is order-independent and deterministic.
+    */
+  val d3: GraftQuery = GraftQuery(
+    "d3_ks_drift",
+    (s, d) => {
+      val sdf = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("value"), (col("event_type") === "click").as("isa"))
+      val dd = sdf.groupBy("value").agg(
+        count(when(col("isa"), 1)).as("na_v"),
+        count(when(!col("isa"), 1)).as("nb_v"))
+      val wv = Window.orderBy("value")
+      val cdf = dd.select(col("value"),
+        sum("na_v").over(wv).as("cum_a"), sum("nb_v").over(wv).as("cum_b"))
+      val tot = dd.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"))
+      cdf.crossJoin(broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(max(abs(
+          col("cum_a").cast("double") / col("n_a") -
+            col("cum_b").cast("double") / col("n_b"))).as("ks_stat"))
+        .select(col("n_a"), col("n_b"), col("ks_stat"))
+    },
+    Some("""WITH s AS (SELECT value, event_type = 'click' AS isa FROM events
+           |           WHERE event_type IN ('click', 'error')),
+           |d AS (SELECT value, count(*) FILTER (WHERE isa) AS na_v,
+           |             count(*) FILTER (WHERE NOT isa) AS nb_v FROM s GROUP BY value),
+           |c AS (SELECT sum(na_v) OVER (ORDER BY value) AS cum_a,
+           |             sum(nb_v) OVER (ORDER BY value) AS cum_b FROM d),
+           |t AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+           |             CAST(sum(nb_v) AS BIGINT) AS n_b FROM d)
+           |SELECT t.n_a, t.n_b,
+           |  max(abs(CAST(cum_a AS DOUBLE) / t.n_a - CAST(cum_b AS DOUBLE) / t.n_b)) AS ks_stat
+           |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin))
+
+  /** A22 (beyond reference): Welch's unequal-variance t-test between the
+    * 'click' and 'error' value populations — the A/B-comparison primitive.
+    * One conditional-aggregate scan; mean and variance are derived from
+    * exact DECIMAL sum / sum-of-squares, converted to double once, so
+    * every engine computes the identical t statistic and Welch-
+    * Satterthwaite df with no streaming-variance implementation drift.
+    * Squares are written as products (not pow) because pow(x, 2) is
+    * libm-dependent while x*x is a single IEEE multiply.
+    */
+  val a22: GraftQuery = GraftQuery(
+    "a22_welch_ttest",
+    (s, d) => {
+      def side(t: String, n: String, sm: String, sq: String) = Seq(
+        count(when(col("event_type") === t, 1)).as(n),
+        sum(when(col("event_type") === t, dec(col("value")))).cast("double").as(sm),
+        sum(when(col("event_type") === t, dec(col("value")) * dec(col("value"))))
+          .cast("double").as(sq))
+      val aggs = side("click", "n1", "s1", "q1") ++ side("error", "n2", "s2", "q2")
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .agg(aggs.head, aggs.tail: _*)
+      val k = g.select(col("n1"), col("n2"),
+        (col("s1") / col("n1")).as("m1"), (col("s2") / col("n2")).as("m2"),
+        ((col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)).as("v1"),
+        ((col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)).as("v2"))
+      val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+      k.select(col("n1"), col("n2"),
+        (col("m1") - col("m2")).as("mean_diff"),
+        ((col("m1") - col("m2")) / sqrt(se2)).as("t_stat"),
+        (se2 * se2 /
+          ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1) +
+            (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1))).as("df"))
+    },
+    Some("""WITH g AS (SELECT
+           |  count(*) FILTER (WHERE event_type = 'click') AS n1,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS s1,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS q1,
+           |  count(*) FILTER (WHERE event_type = 'error') AS n2,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS s2,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS q2
+           | FROM events WHERE event_type IN ('click', 'error')),
+           |k AS (SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+           |        (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+           |        (q2 - s2 * s2 / n2) / (n2 - 1) AS v2 FROM g)
+           |SELECT n1, n2, m1 - m2 AS mean_diff,
+           |  (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+           |  (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+           |    ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS df
+           |FROM k""".stripMargin))
+
+  /** Micros per 6-hour CUSUM bucket (Jan testdata -> ~120 points). */
+  private val BucketUs = 21600000000L
+
+  /** M12 (beyond reference): CUSUM changepoint detection — Page's
+    * observation-level CUSUM C_t = sum_{v <= t}(v - mu) evaluated at 6-hour
+    * bucket boundaries, peak |C_t| flagged as the changepoint candidate.
+    * C_t is computed as D_t - K_t * mu where D_t (cumulative DECIMAL value
+    * sum) and K_t (cumulative count) come from *exact* window
+    * accumulations: no float ever enters an aggregate, so engines agree
+    * bitwise no matter how they fold window frames. The window input is
+    * one row per calendar bucket — bounded by the time span, never by row
+    * count, so the single-partition window holds at 100 TB.
+    */
+  val m12: GraftQuery = GraftQuery(
+    "m12_changepoint_cusum",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div $BucketUs").as("bucket"), col("value"))
+      val g = e.groupBy("bucket").agg(
+        count(lit(1)).as("n"), sum(dec(col("value"))).as("svd"))
+      val t = e.agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("mu"))
+      val wb = Window.orderBy("bucket")
+      val c = g.crossJoin(broadcast(t))
+        .withColumn("x_mean", col("svd").cast("double") / col("n"))
+        .withColumn("cusum",
+          sum("svd").over(wb).cast("double") - sum("n").over(wb) * col("mu"))
+        .select(col("bucket"), col("n"), col("x_mean"), col("cusum"))
+      c.withColumn("is_peak",
+        abs(col("cusum")) === max(abs(col("cusum"))).over(Window.partitionBy()))
+    },
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+            |g AS (SELECT bucket, count(*) AS n,
+            |        sum(CAST(value AS DECIMAL(18,4))) AS svd FROM e GROUP BY bucket),
+            |t AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mu FROM e),
+            |c AS (SELECT bucket, n, CAST(svd AS DOUBLE) / n AS x_mean,
+            |        CAST(sum(svd) OVER (ORDER BY bucket) AS DOUBLE)
+            |          - CAST(sum(n) OVER (ORDER BY bucket) AS DOUBLE) * t.mu AS cusum
+            |      FROM g, t)
+            |SELECT bucket, n, x_mean, cusum,
+            |  abs(cusum) = max(abs(cusum)) OVER () AS is_peak
+            |FROM c""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, a22, m12)
+}

@@ -2025,8 +2025,38 @@ object TextOps {
            |FROM rb JOIN ratios USING (bucket)
            |GROUP BY doc_id""".stripMargin))
 
+  /** X39 (beyond reference): corpus-level n-gram statistics — the top-20
+    * bigrams by frequency (deterministic tie-break on the bigram itself),
+    * the summary a corpus audit runs to spot boilerplate and templating
+    * before training. One explode + one hash aggregate with map-side
+    * partial counts; the top-k is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+    * finalists), never a global sort — the aggregate domain (distinct
+    * bigrams) is vocabulary-bounded, not corpus-bounded, so the shape
+    * holds at 100 TB.
+    */
+  val x39: GraftQuery = GraftQuery(
+    "x39_ngram_topk",
+    (s, d) => {
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+      Tables.documents(s, d)
+        .select(toks.as("w"))
+        .select(explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                                 t -> t <> '') AS w FROM documents),
+           |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+           |                                    i -> w[i] || ' ' || w[i + 1])) AS bigram FROM toks)
+           |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+           |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38)
+      x37, x38, x39)
 }

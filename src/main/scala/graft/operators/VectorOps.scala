@@ -1098,6 +1098,50 @@ object VectorOps {
            |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
            |WHERE cos >= 0.15""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): cluster-scoped k-NN
+    * graph over the WHOLE corpus — every vector linked to its k nearest
+    * neighbors within its IVF cell (the bottom layer of HNSW/NSG-style
+    * graph indexes, and the edge input GraphOps consumes for component /
+    * PageRank / k-core analytics over semantic neighborhoods). Never
+    * all-pairs: the self-join is equi-keyed on cluster id, so compare
+    * volume is sum over cells of |cell|^2 — with K ~ sqrt(n) cells this is
+    * O(n^1.5) worst-case and ~O(n) under balanced assignment, the standard
+    * large-scale kNN-graph construction trade (recall bounded by cell
+    * membership; raise recall by probing neighbor cells as in [[ivfTopK]]).
+    */
+  def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val a = assign(withNorm(corpus, "c"), centroidsOf(corpus))
+    val l = a.select(col("c_id").as("src_id"), col("c_e").as("src_e"), col("cluster"))
+    val r = a.select(col("c_id").as("n_id"), col("c_e").as("n_e"), col("cluster"))
+    val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("neighbor_id"))
+    l.join(r, Seq("cluster")).filter(col("src_id") =!= col("n_id"))
+      .withColumn("cos", cosine("src_e", "n_e"))
+      .select(col("src_id"), col("n_id").as("neighbor_id"), col("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** V17 (beyond reference): k-NN graph (k = 3) — see [[knnGraph]]. The
+    * oracle replays the deterministic centroid selection + assignment of
+    * v2, then the within-cell self-join and per-source top-k.
+    */
+  val v17: GraftQuery = GraftQuery(
+    "v17_knn_graph",
+    (s, d) => knnGraph(Tables.embeddings(s, d), k = 3),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1)
+           |SELECT src_id, neighbor_id, cos FROM (
+           |  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+           |         list_cosine_similarity(a.e, b.e) AS cos
+           |  FROM assign a JOIN assign b USING (cluster) WHERE b.vec_id != a.vec_id)
+           |QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16)
+    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17)
 }
