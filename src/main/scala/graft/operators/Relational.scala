@@ -1232,11 +1232,53 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Session gap: a new session starts after 6 h of inactivity (micros). */
+  private val SessionGapUs = 21600000000L
+
+  /** W8 (beyond reference): batch sessionization — the gap-based session
+    * assembly behind every funnel/engagement metric (and the batch twin of
+    * t16's streaming session window): per user, a session breaks wherever
+    * the inter-event gap exceeds [[SessionGapUs]]; the running count of
+    * breaks IS the session id, then one keyed aggregate emits
+    * start/end/size per session. Two windows + one hash aggregate, all
+    * partitioned by user_id — per-user data is bounded (a user's events,
+    * not the corpus), so the window tasks stay small at 100 TB and the
+    * shuffle is one user-keyed exchange reused by both windows and the
+    * aggregate. Gap arithmetic is integer micros; timestamps and counts
+    * only — nothing float anywhere.
+    */
+  val w8 = q(
+    "w8_sessionize_gap",
+    s"""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT user_id, ts, us, event_id,
+      |        CASE WHEN lag(us) OVER w IS NULL
+      |               OR us - lag(us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS is_new
+      |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM m)
+      |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY 1, 2""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+      ev.withColumn("is_new",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

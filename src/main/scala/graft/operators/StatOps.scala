@@ -227,5 +227,88 @@ object StatOps {
             |  abs(cusum) = max(abs(cusum)) OVER () AS is_peak
             |FROM c""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, a22, m12)
+  /** D4 (beyond reference): chi-square categorical drift — the companion to
+    * [[d2]]'s numeric PSI: did the event-TYPE mix shift between the first
+    * and second half of the window? Standard two-way contingency chi-square:
+    * per category, observed ref/cur counts vs expected under independence,
+    * chi2_term = (o_r - e_r)^2/e_r + (o_c - e_c)^2/e_c (sum over rows = the
+    * test statistic). One single-row bounds aggregate (broadcast) + one
+    * conditional-count scan + a category-bounded window — one full pass at
+    * 100 TB regardless of category count. Expected counts are formed as
+    * CAST-to-double products of integer counts in the identical expression
+    * order on both engines (cast BEFORE multiply so the product cannot
+    * overflow BIGINT at scale); every remaining op is IEEE +,-,*,/ — no
+    * libm, so no quantization is needed.
+    */
+  val d4: GraftQuery = GraftQuery(
+    "d4_chi2_drift",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+      val o = e.crossJoin(broadcast(mid))
+        .groupBy("event_type")
+        .agg(count(when(col("us") < col("mid_us"), 1)).as("ref_n"),
+          count(when(col("us") >= col("mid_us"), 1)).as("cur_n"))
+      val t = o
+        .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
+        .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
+      val rowTot = (col("ref_n") + col("cur_n")).cast("double")
+      val n = (col("rt") + col("ct")).cast("double")
+      val er = rowTot * col("rt").cast("double") / n
+      val ec = rowTot * col("ct").cast("double") / n
+      t.select(col("event_type"), col("ref_n"), col("cur_n"),
+        ((col("ref_n") - er) * (col("ref_n") - er) / er +
+          (col("cur_n") - ec) * (col("cur_n") - ec) / ec).as("chi2_term"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+           |b AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+           |o AS (SELECT event_type,
+           |        count(*) FILTER (WHERE us < b.mid_us) AS ref_n,
+           |        count(*) FILTER (WHERE us >= b.mid_us) AS cur_n
+           |      FROM e, b GROUP BY 1),
+           |t AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM o)
+           |SELECT event_type, ref_n, cur_n,
+           |  (ref_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(rt AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |    * (ref_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(rt AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |    / (CAST(ref_n + cur_n AS DOUBLE) * CAST(rt AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |  + (cur_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |    * (cur_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |    / (CAST(ref_n + cur_n AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(rt + ct AS DOUBLE)) AS chi2_term
+           |FROM t""".stripMargin))
+
+  /** D5 (beyond reference): join-key skew report — the diagnostic that
+    * decides whether a join needs the j12 salting treatment. Per-key row
+    * counts for lineitem.l_partkey reduced to one summary row: key count,
+    * hottest key (deterministic: the smallest key attaining the max), and
+    * skew_ratio = max_n * n_keys / total_n (1.0 = perfectly uniform; the
+    * hot key's partition is skew_ratio times the average, which is exactly
+    * the straggler factor an unsalted shuffle would see). Shape: one hash
+    * aggregate + a two-level (max, argmin) reduction over the KEY domain —
+    * at 100 TB the per-key aggregate is map-side combined and the summary
+    * side is a single-row reduce; nothing is ever collected or sorted
+    * globally. Integer counts throughout; the one double is a ratio of
+    * integers computed by the identical expression on both engines.
+    */
+  val d5: GraftQuery = GraftQuery(
+    "d5_join_key_skew",
+    (s, d) => {
+      val k = Tables.lineitem(s, d).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      k.agg(
+          count(lit(1)).as("n_keys"),
+          sum("n").as("total_n"),
+          max("n").as("max_n"),
+          min_by(col("l_partkey"), struct(negate(col("n")), col("l_partkey"))).as("hot_key"))
+        .select(col("n_keys"), col("total_n"), col("max_n"), col("hot_key"),
+          (col("max_n").cast("double") * col("n_keys").cast("double") /
+            col("total_n").cast("double")).as("skew_ratio"))
+    },
+    Some("""WITH k AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+           |s AS (SELECT count(*) AS n_keys, sum(n) AS total_n, max(n) AS max_n FROM k)
+           |SELECT s.n_keys, s.total_n, s.max_n,
+           |  (SELECT min(l_partkey) FROM k WHERE n = s.max_n) AS hot_key,
+           |  CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total_n AS DOUBLE) AS skew_ratio
+           |FROM s""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, a22, m12)
 }

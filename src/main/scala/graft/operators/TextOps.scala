@@ -2055,8 +2055,86 @@ object TextOps {
            |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
            |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin))
 
+  /** X40 (beyond reference): cross-source n-gram overlap matrix — for every
+    * source pair, how many distinct 8-gram shingles the two sources share.
+    * This is the corpus-license/contamination audit run BEFORE mixing
+    * sources into one training set (x15 answers "is doc d contaminated by
+    * benchmark B"; x40 answers "which source pairs leak into each other").
+    * Shape: per-doc distinct grams (the [[grams8]] kernel with the source
+    * carried through), distinct down to (source, gram) — so the join input
+    * is vocabulary-bounded per source, not corpus-bounded — then a
+    * hash-partitioned self-equi-join on the gram. Per-gram fanout is
+    * capped by the number of sources (each source contributes the gram at
+    * most once after the distinct), so the worst gram key yields
+    * S*(S-1)/2 pairs, never a row-count blowup; no all-pairs anywhere.
+    */
+  val x40: GraftQuery = GraftQuery(
+    "x40_cross_source_overlap",
+    (s, d) => {
+      import s.implicits._
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("text"))
+        .as[(String, Long, String)]
+        .flatMap { case (src, _, text) =>
+          val w = text.split(" ")
+          if (w.length < 8) Iterator.empty
+          else w.sliding(8).map(_.mkString(" ")).toSet.iterator.map((g: String) => (src, g))
+        }.toDF("source", "g").distinct()
+      g.as("a").join(g.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents),
+           |g0 AS (SELECT source, unnest(CASE WHEN len(w) >= 8
+           |  THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w) - 7)])
+           |  ELSE [] END) AS g FROM t),
+           |g AS (SELECT DISTINCT source, g FROM g0)
+           |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_grams
+           |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+           |GROUP BY 1, 2""".stripMargin))
+
+  /** X41 (beyond reference): per-document unigram entropy — the
+    * information-density quality signal (low entropy = repetitive/
+    * templated text; Gopher's repetition rules approximate it, this is the
+    * exact Shannon form H = ln(n) - (sum c*ln(c))/n over term counts c).
+    * One explode + two hash aggregates, all map-side combinable.
+    * Determinism: ln is libm (JVM vs DuckDB can differ in the last ulp),
+    * so each c*ln(c) term is quantized to an INTEGER milli-nat before the
+    * order-sensitive float sum — the aggregate is then a BIGINT sum
+    * (order-free), and the final entropy is derived from integers by the
+    * same IEEE expression in both engines. 3-dp resolution is ample for a
+    * filter threshold and keeps the boundary-crossing risk of the ulp
+    * difference negligible.
+    */
+  val x41: GraftQuery = GraftQuery(
+    "x41_word_entropy",
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val cd = col("c").cast("double")
+      f.groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          sum(floor(cd * log(cd) * 1000.0 + 0.5).cast("long")).as("clnc_milli"))
+        .select(col("doc_id"), col("n_tokens"),
+          ((floor(log(col("n_tokens").cast("double")) * 1000.0 + 0.5) -
+            col("clnc_milli").cast("double") / col("n_tokens").cast("double")) / 1000.0)
+            .as("entropy"))
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           |f AS (SELECT doc_id, word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1, 2),
+           |t AS (SELECT doc_id, sum(c) AS n_tokens,
+           |        sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)) AS clnc_milli
+           |      FROM f GROUP BY 1)
+           |SELECT doc_id, n_tokens,
+           |  (floor(ln(CAST(n_tokens AS DOUBLE)) * 1000.0 + 0.5)
+           |    - CAST(clnc_milli AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1000.0 AS entropy
+           |FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39)
+      x37, x38, x39, x40, x41)
 }

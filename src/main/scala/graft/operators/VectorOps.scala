@@ -1142,6 +1142,66 @@ object VectorOps {
            |  FROM assign a JOIN assign b USING (cluster) WHERE b.vec_id != a.vec_id)
            |QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
+  /** V18 (beyond reference): incremental IVF index maintenance — the
+    * update path a streaming embedding pipeline needs: centroids trained on
+    * the base corpus stay FROZEN while a new batch (here vec_id % 10 == 0,
+    * standing in for "today's embeddings") is assigned to those cells
+    * without any re-clustering scan of the base. Output is the per-cell
+    * occupancy report (base_n, new_n) plus a needs_split flag — cell total
+    * exceeding 2x the mean — which is the signal a real index uses to
+    * trigger LOCAL re-clustering of just the overgrown posting lists
+    * (FAISS's add-then-rebalance regime). At 100 TB: assignment of the
+    * delta is O(batch*K) against a K-row broadcast, the base occupancy is
+    * a counted groupBy of the existing assignment, and the imbalance test
+    * is integer-only ((base+new)*cells > 2*grand) so both engines agree
+    * exactly with no ratio arithmetic.
+    */
+  val v18: GraftQuery = GraftQuery(
+    "v18_ivf_incremental",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val cents = centroidsOf(base)
+      val baseN = assign(withNorm(base, "c"), cents)
+        .groupBy("cluster").agg(count(lit(1)).as("base_n"))
+      val newN = assign(withNorm(batch, "c"), cents)
+        .groupBy("cluster").agg(count(lit(1)).as("new_n"))
+      val occ = cents.select(col("k_id").as("cluster"))
+        .join(baseN, Seq("cluster"), "left")
+        .join(newN, Seq("cluster"), "left")
+        .na.fill(0L, Seq("base_n", "new_n"))
+      occ
+        .withColumn("cells", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("grand", sum(col("base_n") + col("new_n")).over(Window.partitionBy()))
+        .select(col("cluster"), col("base_n"), col("new_n"),
+          ((col("base_n") + col("new_n")) * col("cells") > col("grand") * 2).as("needs_split"))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |base AS (SELECT * FROM v WHERE vec_id % 10 != 0),
+           |batch AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM base
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |ab AS (SELECT vec_id, k_id AS cluster FROM (
+           |  SELECT b.vec_id, c.k_id, row_number() OVER (PARTITION BY b.vec_id
+           |    ORDER BY list_cosine_similarity(b.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM base b CROSS JOIN cents c) WHERE rk = 1),
+           |an AS (SELECT vec_id, k_id AS cluster FROM (
+           |  SELECT b.vec_id, c.k_id, row_number() OVER (PARTITION BY b.vec_id
+           |    ORDER BY list_cosine_similarity(b.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM batch b CROSS JOIN cents c) WHERE rk = 1),
+           |ga AS (SELECT cluster, count(*) AS base_n FROM ab GROUP BY 1),
+           |gb AS (SELECT cluster, count(*) AS new_n FROM an GROUP BY 1),
+           |occ AS (SELECT c.k_id AS cluster, coalesce(ga.base_n, 0) AS base_n,
+           |               coalesce(gb.new_n, 0) AS new_n
+           |        FROM cents c LEFT JOIN ga ON ga.cluster = c.k_id
+           |                     LEFT JOIN gb ON gb.cluster = c.k_id),
+           |t AS (SELECT *, count(*) OVER () AS cells,
+           |             sum(base_n + new_n) OVER () AS grand FROM occ)
+           |SELECT cluster, base_n, new_n,
+           |  (base_n + new_n) * cells > grand * 2 AS needs_split FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17)
+    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18)
 }

@@ -83,6 +83,47 @@ class StatOpsSpec extends SparkSpec {
     })
   }
 
+  test("d4 chi-square: categories conserve totals, terms non-negative and finite") {
+    val out = StatOps.d4.build(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .as[String].collect().toSet
+    assert(out.map(_.getAs[String]("event_type")).toSet == types)
+    val total = out.map(r => r.getAs[Long]("ref_n") + r.getAs[Long]("cur_n")).sum
+    assert(total == Tables.events(spark, sf).count())
+    assert(out.forall { r =>
+      val t = r.getAs[Double]("chi2_term")
+      t >= 0.0 && !t.isNaN && !t.isInfinite
+    })
+  }
+
+  test("d5 key-skew: totals match the table, hot key attains max_n, ratio >= 1") {
+    val r = StatOps.d5.build(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf)
+    assert(r.getAs[Long]("total_n") == li.count())
+    assert(r.getAs[Long]("n_keys") == li.select("l_partkey").distinct().count())
+    val hotN = li.filter(col("l_partkey") === r.getAs[Long]("hot_key")).count()
+    assert(hotN == r.getAs[Long]("max_n"))
+    assert(r.getAs[Double]("skew_ratio") >= 1.0)
+  }
+
+  test("w8 sessionization: sessions partition events and respect the 6h gap rule") {
+    val gapUs = 21600000000L
+    val sess = graft.operators.Relational.w8.build(spark, sf).collect()
+    assert(sess.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    // replay one user locally: break positions must match exactly
+    val uid = sess.head.getAs[Long]("user_id")
+    val times = Tables.events(spark, sf).filter(col("user_id") === uid)
+      .select(unix_micros(col("ts"))).as[Long].collect().sorted
+    val localSessions = times.foldLeft(List.empty[List[Long]]) {
+      case (acc, t) if acc.nonEmpty && t - acc.head.head <= gapUs =>
+        (t :: acc.head) :: acc.tail
+      case (acc, t) => List(t) :: acc
+    }
+    val mine = sess.filter(_.getAs[Long]("user_id") == uid)
+      .map(_.getAs[Long]("n_events")).sorted.toSeq
+    assert(mine == localSessions.map(_.length).sorted)
+  }
+
   test("x39 n-gram top-k: descending counts, well-formed bigrams, k rows") {
     val out = TextOps.x39.build(spark, sf).collect()
     assert(out.length == 20)

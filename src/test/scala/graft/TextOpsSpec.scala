@@ -293,4 +293,58 @@ class TextOpsSpec extends SparkSpec {
     assert(aMin > bMax,
       s"every A-domain doc should out-score every B-domain doc ($aMin vs $bMax)")
   }
+
+  test("x40 cross-source overlap: canonical pair order, counts bounded by source vocab") {
+    val out = TextOps.x40.build(SparkSpec.spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("shared_grams")))
+    assert(out.forall { case (a, b, n) => a < b && n > 0 })
+    assert(out.map { case (a, b, _) => (a, b) }.distinct.length == out.length)
+    // a pair's shared grams cannot exceed either side's distinct-gram vocab
+    val perSource = TablesFixture.docs(sf)
+      .flatMap { case (_, src, text) =>
+        val w = text.split(" ")
+        if (w.length < 8) Iterator.empty
+        else w.sliding(8).map(g => (src, g.mkString(" ")))
+      }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).distinct.size }
+    out.foreach { case (a, b, n) =>
+      assert(n <= math.min(perSource(a), perSource(b)))
+    }
+  }
+
+  test("x41 entropy: bounded by ln(n_tokens), exact for uniform and constant docs") {
+    val out = TextOps.x41.build(SparkSpec.spark, sf).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val h = r.getAs[Double]("entropy")
+      assert(h >= -1e-3 && h <= math.log(n.toDouble) + 1e-3,
+        s"doc ${r.getAs[Long]("doc_id")}: H=$h outside [0, ln($n)]")
+    }
+    // closed-form checks on a synthetic corpus: all-same words => H = 0;
+    // all-distinct words => H = ln(n)
+    val docs = Seq(
+      (1L, Seq.fill(16)("same").mkString(" ")),
+      (2L, (0 until 16).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val f = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy("doc_id", "word").count()
+    val got = f.groupBy("doc_id").agg(
+        sum("count").as("n"),
+        sum(floor($"count".cast("double") * log($"count".cast("double")) * 1000.0 + 0.5)
+          .cast("long")).as("clnc"))
+      .select($"doc_id",
+        ((floor(log($"n".cast("double")) * 1000.0 + 0.5) -
+          $"clnc".cast("double") / $"n".cast("double")) / 1000.0).as("h"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("h")).toMap
+    // tolerance = the op's documented milli-nat quantization resolution
+    assert(math.abs(got(1L)) < 2e-3)
+    assert(math.abs(got(2L) - math.log(16.0)) < 2e-3)
+  }
+}
+
+/** Tiny shared fixture: the documents table as local tuples. */
+object TablesFixture {
+  def docs(sf: String): Seq[(Long, String, String)] =
+    graft.core.Tables.documents(SparkSpec.spark, sf)
+      .selectExpr("doc_id", "source", "text")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
 }

@@ -294,4 +294,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture produced no in-range pairs — lower tau")
     assert(got === expected)
   }
+
+  test("v18 incremental IVF: occupancy conserves both corpora, split flag matches the 2x rule") {
+    import org.apache.spark.sql.functions._
+    val out = VectorOps.v18.build(spark, sf).collect()
+    assert(out.length == 16, "one row per frozen centroid cell")
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val baseCount = emb.filter(col("vec_id") % 10 =!= 0).count()
+    val newCount = emb.filter(col("vec_id") % 10 === 0).count()
+    assert(out.map(_.getAs[Long]("base_n")).sum == baseCount)
+    assert(out.map(_.getAs[Long]("new_n")).sum == newCount)
+    val grand = baseCount + newCount
+    out.foreach { r =>
+      val tot = r.getAs[Long]("base_n") + r.getAs[Long]("new_n")
+      assert(r.getAs[Boolean]("needs_split") == (tot * 16 > grand * 2))
+    }
+  }
 }
