@@ -1274,11 +1274,53 @@ object Relational {
           count(lit(1)).as("n_events"))
   }
 
+  /** W9 (beyond reference): ordered funnel analysis — the
+    * view -> click -> purchase conversion report: a user counts at a stage
+    * only if the stage event happened AT OR AFTER their entry into the
+    * previous stage (min-timestamp semantics, the standard strict-order
+    * funnel). Three user-keyed min aggregations chained by user_id joins —
+    * every join co-partitions on the same key, the per-stage tables shrink
+    * monotonically, and the final row is three single-row counts; no
+    * window, no per-user event sorting. At 100 TB the first aggregate is
+    * the only full-events pass (map-side combined); stages 2 and 3 scan
+    * events pre-filtered by event_type with the stage table as the join
+    * probe. Counts are integral; ratios are integer ratios.
+    */
+  val w9 = q(
+    "w9_funnel_steps",
+    """WITH v AS (SELECT user_id, min(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS fc FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.fv GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS fp FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.fc GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase,
+      |       CAST((SELECT count(*) FROM c) AS DOUBLE) / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+      |       CAST((SELECT count(*) FROM p) AS DOUBLE) / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("fv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("fv"))
+        .groupBy("user_id").agg(min(col("ts")).as("fc"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("fc"))
+        .groupBy("user_id").agg(min(col("ts")).as("fp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          (col("n_click").cast("double") / col("n_view").cast("double")).as("view_to_click"),
+          (col("n_purchase").cast("double") / col("n_click").cast("double")).as("click_to_purchase"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

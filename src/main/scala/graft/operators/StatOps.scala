@@ -310,5 +310,54 @@ object StatOps {
            |  CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total_n AS DOUBLE) AS skew_ratio
            |FROM s""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, a22, m12)
+  /** M13 (beyond reference): STL-style seasonal-trend decomposition of the
+    * daily events.value series — the diagnostic that separates "the metric
+    * is trending" from "it's just the weekly cycle" before any forecast or
+    * drift test runs (completes the m5..m11 ladder with the classical
+    * decomposition view). Classical form: trend = centered 7-day moving
+    * mean of the RAW values (exact DECIMAL window sums of (sum, count),
+    * divided once — not a mean-of-means, so heavy days weigh correctly);
+    * seasonal = day-of-week mean of the detrended series; residual = the
+    * rest. Determinism: the detrended values are doubles, so before the
+    * dow aggregation each is quantized to an integer micro-unit (the x41
+    * discipline) — every aggregate is then an exact DECIMAL or BIGINT sum
+    * and both engines agree bitwise. Day-of-week is epoch-day mod 7
+    * (engine-neutral; SQL dayofweek() disagrees between engines on
+    * numbering). All windows run over the DAY domain — calendar-bounded,
+    * never row-count-bounded — so single-partition windows hold at 100 TB.
+    */
+  val m13: GraftQuery = GraftQuery(
+    "m13_stl_decompose",
+    (s, d) => {
+      val e = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("value"))
+      val g = e.groupBy("day").agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("svd"))
+      val wt = Window.orderBy("day").rowsBetween(-3, 3)
+      val t = g
+        .withColumn("daily_mean", col("svd").cast("double") / col("n"))
+        .withColumn("trend",
+          sum("svd").over(wt).cast("double") / sum("n").over(wt).cast("double"))
+        .withColumn("dow", datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+        .withColumn("dq",
+          floor((col("daily_mean") - col("trend")) * 1e6 + 0.5).cast("long"))
+      val wd = Window.partitionBy("dow")
+      t.withColumn("seasonal",
+          sum("dq").over(wd).cast("double") / count(lit(1)).over(wd) / 1e6)
+        .select(col("day"), col("n"), col("daily_mean"), col("trend"), col("seasonal"),
+          (col("daily_mean") - col("trend") - col("seasonal")).as("residual"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+           |g AS (SELECT day, count(*) AS n,
+           |        sum(CAST(value AS DECIMAL(18,4))) AS svd FROM e GROUP BY 1),
+           |t AS (SELECT day, n,
+           |        CAST(svd AS DOUBLE) / n AS daily_mean,
+           |        CAST(sum(svd) OVER w AS DOUBLE) / CAST(sum(n) OVER w AS DOUBLE) AS trend,
+           |        (day - DATE '1970-01-01') % 7 AS dow
+           |      FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |q AS (SELECT *, CAST(floor((daily_mean - trend) * 1e6 + 0.5) AS BIGINT) AS dq FROM t),
+           |s AS (SELECT *, CAST(sum(dq) OVER dw AS DOUBLE) / (count(*) OVER dw) / 1e6 AS seasonal
+           |      FROM q WINDOW dw AS (PARTITION BY dow))
+           |SELECT day, n, daily_mean, trend, seasonal,
+           |       daily_mean - trend - seasonal AS residual FROM s""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, a22, m12, m13)
 }

@@ -1202,6 +1202,43 @@ object VectorOps {
            |SELECT cluster, base_n, new_n,
            |  (base_n + new_n) * cells > grand * 2 AS needs_split FROM t""".stripMargin))
 
+  /** V19 (beyond reference): hard-negative mining — the contrastive-
+    * training data step: for each query, the top-3 most-similar corpus
+    * vectors with a DIFFERENT label (highest-cosine wrong-label items are
+    * exactly the "hard negatives" a two-tower/embedding model trains
+    * against; random negatives are too easy to carry gradient). The v7
+    * filtered-ANN shape with the predicate negated: corpus scanned once
+    * against a broadcast query set, label-mismatch applied in the join
+    * condition so pruning happens before the cosine, per-query rank with
+    * deterministic ties. At 100 TB the same IVF pre-bucketing as v2 drops
+    * in front unchanged (assignment ignores labels), so the scan cost
+    * follows the probed-cells contract rather than the corpus.
+    */
+  val v19: GraftQuery = GraftQuery(
+    "v19_hard_negatives",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val emb = Tables.embeddings(s, d)
+      def side(p: String, df: DataFrame) =
+        df.select(col("vec_id").as(s"${p}_id"), col("label").as(s"${p}_label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(s"${p}_e"))
+      val corpus = side("c", emb)
+      val queries = side("q", emb.filter(col("vec_id") < 10))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      corpus.join(broadcast(queries), col("c_label") =!= col("q_label"))
+        .withColumn("cos", cosine("q_e", "c_e"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("q_id"), col("q_label").as("label"),
+          col("c_id").as("negative_id"), col("c_label").as("negative_label"), col("cos"))
+    },
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |pairs AS (SELECT q.vec_id AS q_id, q.label AS label, v.vec_id AS negative_id,
+           |          v.label AS negative_label, list_cosine_similarity(q.e, v.e) AS cos
+           |          FROM q JOIN v ON v.label != q.label)
+           |SELECT q_id, label, negative_id, negative_label, cos FROM pairs
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, negative_id) <= 3""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18)
+    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
 }

@@ -124,6 +124,51 @@ class StatOpsSpec extends SparkSpec {
     assert(mine == localSessions.map(_.length).sorted)
   }
 
+  test("w9 funnel: stage counts are monotone and match a local strict-order replay") {
+    val r = graft.operators.Relational.w9.build(spark, sf).collect().head
+    val (nv, nc, np) =
+      (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"))
+    assert(nv >= nc && nc >= np && np >= 0)
+    // local replay over (user, type, ts)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    def firstAtOrAfter(u: Long, t: String, lo: Long): Option[Long] = {
+      val c = ev.collect { case (`u`, `t`, ts) if ts >= lo => ts }
+      if (c.isEmpty) None else Some(c.min)
+    }
+    val users = ev.map(_._1).distinct
+    var (lv, lc, lp) = (0L, 0L, 0L)
+    users.foreach { u =>
+      firstAtOrAfter(u, "view", Long.MinValue).foreach { fv =>
+        lv += 1
+        firstAtOrAfter(u, "click", fv).foreach { fc =>
+          lc += 1
+          firstAtOrAfter(u, "purchase", fc).foreach(_ => lp += 1)
+        }
+      }
+    }
+    assert((nv, nc, np) == ((lv, lc, lp)))
+  }
+
+  test("m13 STL: one row per day, exact additive reconstruction, dow seasonal is centered-ish") {
+    val out = StatOps.m13.build(spark, sf).collect()
+    assert(out.length == Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count())
+    out.foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(recon - r.getAs[Double]("daily_mean")) < 1e-9,
+        s"day ${r.getAs[java.sql.Date]("day")}: reconstruction off")
+    }
+    // seasonal is a per-dow constant: each dow group carries one value
+    val byDow = out.groupBy(r =>
+      (r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay % 7).toInt)
+    byDow.values.foreach { rs =>
+      assert(rs.map(_.getAs[Double]("seasonal")).distinct.length == 1)
+    }
+  }
+
   test("x39 n-gram top-k: descending counts, well-formed bigrams, k rows") {
     val out = TextOps.x39.build(spark, sf).collect()
     assert(out.length == 20)

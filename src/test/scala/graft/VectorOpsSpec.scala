@@ -295,6 +295,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("v19 hard negatives: 3 wrong-label items per query, each beats every unpicked wrong-label cosine") {
+    import org.apache.spark.sql.functions._
+    val out = VectorOps.v19.build(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 3))
+    assert(out.forall(r => r.getAs[Int]("label") != r.getAs[Int]("negative_label")))
+    // spot-check one query against a local brute-force scan
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .as[(Long, Int, Seq[Double])].collect()
+    val (qid, qlabel, qe) = emb.find(_._1 == 0L).get
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = emb.filter(_._2 != qlabel)
+      .map { case (id, _, e) => (id, cos(qe, e)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    val got = out.filter(_.getAs[Long]("q_id") == qid)
+      .sortBy(-_.getAs[Double]("cos")).map(_.getAs[Long]("negative_id")).toSeq
+    assert(got == expect)
+  }
+
   test("v18 incremental IVF: occupancy conserves both corpora, split flag matches the 2x rule") {
     import org.apache.spark.sql.functions._
     val out = VectorOps.v18.build(spark, sf).collect()
