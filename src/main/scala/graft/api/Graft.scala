@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{Forecast, GapFill, GraphOps, TextOps, VectorOps}
+import graft.operators.{Forecast, GapFill, GraphOps, Relational, StatOps, TextOps, VectorOps}
 import org.apache.spark.sql.DataFrame
 
 /** Public library facade: DataFrame-in / DataFrame-out entry points for the
@@ -300,4 +300,75 @@ object Graft {
   def forecast(seriesDf: DataFrame, model: String = "ar1", horizon: Int = 12,
       confidence: Double = 0.9): DataFrame =
     Forecast.forecast(seriesDf, model, horizon, confidence)
+
+  /** Classical daily/weekly seasonal-trend decomposition of a
+    * (ts, value) series: one row per day with
+    * (n, daily_mean, trend, seasonal, residual), exactly additive.
+    */
+  def stlDecompose(df: DataFrame): DataFrame = StatOps.stlDecompose(df)
+
+  // ---- event analytics ----------------------------------------------------
+
+  /** Gap-based sessionization of (user_id, event_id, ts) events: one row
+    * per session; a session breaks after `gapUs` micros of inactivity.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 21600000000L): DataFrame =
+    Relational.sessionize(events, gapUs)
+
+  /** Strict-order funnel over (user_id, event_type, ts): one row per stage
+    * (stage_idx, stage, n_users); a user reaches stage i only via a
+    * stage-i event at or after their stage-(i-1) entry.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
+    Relational.funnel(events, stages)
+
+  // ---- distribution monitoring --------------------------------------------
+
+  /** Chi-square categorical drift of `catCol` between the first and second
+    * half of the observed time range (df needs catCol + ts); one row per
+    * category, sum(chi2_term) = the statistic.
+    */
+  def chiSquareDrift(df: DataFrame, catCol: String): DataFrame =
+    StatOps.chiSquareDrift(df, catCol)
+
+  /** One-row join-key skew summary for `keyCol` (n_keys, total_n, max_n,
+    * hot_key, skew_ratio) — the salting-decision diagnostic.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
+    StatOps.keySkewReport(df, keyCol)
+
+  // ---- corpus analytics ---------------------------------------------------
+
+  /** Per-document unigram Shannon entropy (nats, milli-nat resolution):
+    * (doc_id, n_tokens, entropy). Low entropy = repetitive/templated text.
+    */
+  def wordEntropy(docs: DataFrame): DataFrame = TextOps.wordEntropy(docs)
+
+  /** Cross-source 8-gram overlap matrix over (doc_id, source, text):
+    * one row per overlapping source pair (source_a < source_b,
+    * shared_grams) — the source-mixing contamination audit.
+    */
+  def crossSourceOverlap(docs: DataFrame): DataFrame =
+    TextOps.crossSourceOverlap(docs)
+
+  // ---- retrieval training data --------------------------------------------
+
+  /** Hard-negative mining: per query, the k highest-cosine wrong-label
+    * corpus items ((vec_id, label, embedding) on both sides).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
+    VectorOps.hardNegatives(corpus, queries, k)
+
+  /** Incremental IVF maintenance: frozen `base` centroids, `batch`
+    * assigned to them; per-cell occupancy + needs_split flag.
+    */
+  def ivfIncremental(base: DataFrame, batch: DataFrame): DataFrame =
+    VectorOps.ivfIncremental(base, batch)
+
+  /** Perceptual-hash near-duplicate screening over binary media
+    * (doc_id, payload): banded hamming LSH with a stop-bucket cap;
+    * returns (a_id, b_id, hamming) pairs within the hamming budget.
+    */
+  def phashNearDups(media: DataFrame, hammingMax: Int = 2): DataFrame =
+    graft.operators.MultiModal.phashNearDups(media, hammingMax)
 }

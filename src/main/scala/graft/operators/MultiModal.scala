@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.api.GraftQuery
 import graft.core.Tables
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One multimodal record: opaque binary payload + typed metadata. */
@@ -179,5 +179,103 @@ object MultiModal {
            |  (start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_packs
            |FROM c""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4)
+  /** DETERMINISTIC FAKE of a perceptual hash (real pHash — DCT + median
+    * threshold — goes here): a 60-bit signature from the payload's byte
+    * HISTOGRAM (bit k set iff the count of byte 97 + k%26 reaches the
+    * k-banded threshold), because histogram features are what gives a real
+    * perceptual hash its robustness: invariant to byte reordering, stable
+    * under small edits. 60 bits (not 64) so the signature stays a positive
+    * BIGINT on every engine.
+    */
+  def phashStub(payload: Array[Byte]): Long = {
+    val counts = new Array[Int](26)
+    var i = 0
+    while (i < payload.length) {
+      val c = payload(i) - 97
+      if (c >= 0 && c < 26) counts(c) += 1
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 60) {
+      if (counts(k % 26) >= (k / 26 + 1) * 4) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** Hamming-LSH parameters: 4 bands x 15 bits over the 60-bit signature
+    * (any near-identical pair shares at least one band), candidate buckets
+    * larger than [[BucketCap]] skipped — the stop-bucket rule: a band
+    * value carried by that many items is a corpus-wide commonality, not
+    * duplication evidence, and capping it bounds per-bucket pair fanout at
+    * BucketCap^2/2 no matter how skewed the signature distribution gets
+    * at 100 TB. Pairs within [[HammingMax]] bits are reported.
+    */
+  private val BucketCap = 50
+  private val HammingMax = 2
+
+  /** Public DataFrame-in API (see graft.api.Graft): perceptual-hash
+    * near-duplicate screening over (doc_id: long, payload: binary).
+    * Returns (a_id, b_id, hamming) for candidate pairs within
+    * `hammingMax` bits. Signature -> band explode -> capped bucket join ->
+    * hamming verify on candidates only; no all-pairs step anywhere.
+    */
+  def phashNearDups(media: DataFrame, hammingMax: Int = HammingMax): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val sigs = media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, phashStub(p)) }.toDF("doc_id", "sig")
+    val bv = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftright(sig, CAST(band_idx * 15 AS INT)) & 32767"))
+    val keep = bv.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= BucketCap)
+      .select("band_idx", "band_val")
+    val kept = bv.join(keep, Seq("band_idx", "band_val"))
+    kept.as("a").join(kept.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+  }
+
+  /** MM5 (beyond reference): perceptual-hash near-duplicate detection over
+    * the binary payload column — the image/video dedup step of a
+    * multimodal curation pipeline (x1/x5 dedup text; this dedups media
+    * bytes). Signature is the [[phashStub]] histogram fake (swap for real
+    * pHash bits; the banding/verify dataflow is the product); the oracle
+    * replays signature, banding, stop-bucket cap, and hamming verify
+    * exactly — byte counts re-derived from the text because the corpus is
+    * ASCII (byte_len == char_len, pinned by mm1).
+    */
+  val mm5: GraftQuery = GraftQuery(
+    "mm5_phash_neardup",
+    (s, d) => phashNearDups(Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))),
+    Some(s"""WITH sig AS (SELECT doc_id, list_sum(list_transform(range(0, 60),
+           |  k -> CASE WHEN (length(text) - length(replace(text, chr(CAST(97 + k % 26 AS INT)), '')))
+           |            >= (k // 26 + 1) * 4
+           |       THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))::BIGINT AS sig
+           |  FROM documents),
+           |bands AS (SELECT doc_id, sig, unnest(range(0, 4)) AS band_idx FROM sig),
+           |bv0 AS (SELECT doc_id, sig, band_idx,
+           |        (sig >> CAST(band_idx * 15 AS INT)) & 32767 AS band_val FROM bands),
+           |keep AS (SELECT band_idx, band_val FROM bv0
+           |         GROUP BY 1, 2 HAVING count(*) <= $BucketCap),
+           |bv AS (SELECT bv0.* FROM bv0 JOIN keep USING (band_idx, band_val)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |                a.sig AS sa, b.sig AS sb
+           |         FROM bv a JOIN bv b ON a.band_idx = b.band_idx
+           |           AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= $HammingMax""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5)
 }

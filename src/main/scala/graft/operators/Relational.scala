@@ -1247,6 +1247,26 @@ object Relational {
     * aggregate. Gap arithmetic is integer micros; timestamps and counts
     * only — nothing float anywhere.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): gap-based
+    * sessionization. `events` needs (user_id: long, event_id: long,
+    * ts: timestamp); returns one row per session
+    * (user_id, session_seq, session_start, session_end, n_events).
+    */
+  def sessionize(events: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    ev.withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   val w8 = q(
     "w8_sessionize_gap",
     s"""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
@@ -1259,19 +1279,7 @@ object Relational {
       |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
       |       count(*) AS n_events
       |FROM s GROUP BY 1, 2""".stripMargin) {
-    (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("ts"),
-          unix_micros(col("ts")).as("us"))
-      ev.withColumn("is_new",
-          when(lag(col("us"), 1).over(w).isNull ||
-            col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
-        .withColumn("session_seq",
-          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_seq")
-        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-          count(lit(1)).as("n_events"))
+    (s, d) => sessionize(Tables.events(s, d))
   }
 
   /** W9 (beyond reference): ordered funnel analysis — the
@@ -1286,6 +1294,33 @@ object Relational {
     * events pre-filtered by event_type with the stage table as the join
     * probe. Counts are integral; ratios are integer ratios.
     */
+  /** Stage-entry tables for an ordered funnel over `events`
+    * (user_id, event_type, ts): element i holds the users who reached
+    * stage i with their entry timestamp (`entered`), where reaching stage
+    * i requires a stage-i event at or after the user's stage-(i-1) entry.
+    */
+  def funnelStages(events: DataFrame, stages: Seq[String]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("entered"))
+    stages.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col("event_type") === st)
+        .join(prev, "user_id").filter(col("ts") >= col("entered"))
+        .groupBy("user_id").agg(min(col("ts")).as("entered"))
+    }
+  }
+
+  /** Public DataFrame-in API (see graft.api.Graft): ordered funnel summary —
+    * one row per stage (stage_idx, stage, n_users), strict-order semantics
+    * of [[funnelStages]]. Long format so any stage count is one filter away.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
+    funnelStages(events, stages).zip(stages).zipWithIndex.map {
+      case ((t, st), i) =>
+        t.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+
   val w9 = q(
     "w9_funnel_steps",
     """WITH v AS (SELECT user_id, min(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -1300,14 +1335,7 @@ object Relational {
       |       CAST((SELECT count(*) FROM p) AS DOUBLE) / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase""".stripMargin) {
     (s, d) =>
       val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("fv"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts") >= col("fv"))
-        .groupBy("user_id").agg(min(col("ts")).as("fc"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts") >= col("fc"))
-        .groupBy("user_id").agg(min(col("ts")).as("fp"))
+      val Seq(v, c, p) = funnelStages(ev, Seq("view", "click", "purchase"))
       v.agg(count(lit(1)).as("n_view"))
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))

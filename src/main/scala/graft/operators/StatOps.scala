@@ -240,27 +240,34 @@ object StatOps {
     * overflow BIGINT at scale); every remaining op is IEEE +,-,*,/ — no
     * libm, so no quantization is needed.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): chi-square categorical
+    * drift. `df` needs (`catCol`, ts: timestamp); reference = first half of
+    * the observed time range, current = second. Returns one row per
+    * category (catCol, ref_n, cur_n, chi2_term); sum(chi2_term) is the
+    * test statistic with (categories - 1) degrees of freedom.
+    */
+  def chiSquareDrift(df: DataFrame, catCol: String): DataFrame = {
+    val e = df.select(col(catCol), unix_micros(col("ts")).as("us"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val o = e.crossJoin(broadcast(mid))
+      .groupBy(catCol)
+      .agg(count(when(col("us") < col("mid_us"), 1)).as("ref_n"),
+        count(when(col("us") >= col("mid_us"), 1)).as("cur_n"))
+    val t = o
+      .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
+      .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
+    val rowTot = (col("ref_n") + col("cur_n")).cast("double")
+    val n = (col("rt") + col("ct")).cast("double")
+    val er = rowTot * col("rt").cast("double") / n
+    val ec = rowTot * col("ct").cast("double") / n
+    t.select(col(catCol), col("ref_n"), col("cur_n"),
+      ((col("ref_n") - er) * (col("ref_n") - er) / er +
+        (col("cur_n") - ec) * (col("cur_n") - ec) / ec).as("chi2_term"))
+  }
+
   val d4: GraftQuery = GraftQuery(
     "d4_chi2_drift",
-    (s, d) => {
-      val e = Tables.events(s, d)
-        .select(col("event_type"), unix_micros(col("ts")).as("us"))
-      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
-      val o = e.crossJoin(broadcast(mid))
-        .groupBy("event_type")
-        .agg(count(when(col("us") < col("mid_us"), 1)).as("ref_n"),
-          count(when(col("us") >= col("mid_us"), 1)).as("cur_n"))
-      val t = o
-        .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
-        .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
-      val rowTot = (col("ref_n") + col("cur_n")).cast("double")
-      val n = (col("rt") + col("ct")).cast("double")
-      val er = rowTot * col("rt").cast("double") / n
-      val ec = rowTot * col("ct").cast("double") / n
-      t.select(col("event_type"), col("ref_n"), col("cur_n"),
-        ((col("ref_n") - er) * (col("ref_n") - er) / er +
-          (col("cur_n") - ec) * (col("cur_n") - ec) / ec).as("chi2_term"))
-    },
+    (s, d) => chiSquareDrift(Tables.events(s, d), "event_type"),
     Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
            |b AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
            |o AS (SELECT event_type,
@@ -290,19 +297,25 @@ object StatOps {
     * globally. Integer counts throughout; the one double is a ratio of
     * integers computed by the identical expression on both engines.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): join-key skew summary
+    * for `keyCol` — one row (n_keys, total_n, max_n, hot_key, skew_ratio);
+    * skew_ratio >= ~4 is the usual "salt this join" signal.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val k = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    k.agg(
+        count(lit(1)).as("n_keys"),
+        sum("n").as("total_n"),
+        max("n").as("max_n"),
+        min_by(col(keyCol), struct(negate(col("n")), col(keyCol))).as("hot_key"))
+      .select(col("n_keys"), col("total_n"), col("max_n"), col("hot_key"),
+        (col("max_n").cast("double") * col("n_keys").cast("double") /
+          col("total_n").cast("double")).as("skew_ratio"))
+  }
+
   val d5: GraftQuery = GraftQuery(
     "d5_join_key_skew",
-    (s, d) => {
-      val k = Tables.lineitem(s, d).groupBy("l_partkey").agg(count(lit(1)).as("n"))
-      k.agg(
-          count(lit(1)).as("n_keys"),
-          sum("n").as("total_n"),
-          max("n").as("max_n"),
-          min_by(col("l_partkey"), struct(negate(col("n")), col("l_partkey"))).as("hot_key"))
-        .select(col("n_keys"), col("total_n"), col("max_n"), col("hot_key"),
-          (col("max_n").cast("double") * col("n_keys").cast("double") /
-            col("total_n").cast("double")).as("skew_ratio"))
-    },
+    (s, d) => keySkewReport(Tables.lineitem(s, d), "l_partkey"),
     Some("""WITH k AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
            |s AS (SELECT count(*) AS n_keys, sum(n) AS total_n, max(n) AS max_n FROM k)
            |SELECT s.n_keys, s.total_n, s.max_n,
@@ -326,25 +339,33 @@ object StatOps {
     * numbering). All windows run over the DAY domain — calendar-bounded,
     * never row-count-bounded — so single-partition windows hold at 100 TB.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): classical seasonal-
+    * trend decomposition of a (ts: timestamp, value: double) series at
+    * daily grain with a weekly season — returns one row per day
+    * (day, n, daily_mean, trend, seasonal, residual), additive:
+    * daily_mean = trend + seasonal + residual exactly.
+    */
+  def stlDecompose(df: DataFrame): DataFrame = {
+    val e = df.select(to_date(col("ts")).as("day"), col("value"))
+    val g = e.groupBy("day").agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("svd"))
+    val wt = Window.orderBy("day").rowsBetween(-3, 3)
+    val t = g
+      .withColumn("daily_mean", col("svd").cast("double") / col("n"))
+      .withColumn("trend",
+        sum("svd").over(wt).cast("double") / sum("n").over(wt).cast("double"))
+      .withColumn("dow", datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
+      .withColumn("dq",
+        floor((col("daily_mean") - col("trend")) * 1e6 + 0.5).cast("long"))
+    val wd = Window.partitionBy("dow")
+    t.withColumn("seasonal",
+        sum("dq").over(wd).cast("double") / count(lit(1)).over(wd) / 1e6)
+      .select(col("day"), col("n"), col("daily_mean"), col("trend"), col("seasonal"),
+        (col("daily_mean") - col("trend") - col("seasonal")).as("residual"))
+  }
+
   val m13: GraftQuery = GraftQuery(
     "m13_stl_decompose",
-    (s, d) => {
-      val e = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("value"))
-      val g = e.groupBy("day").agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("svd"))
-      val wt = Window.orderBy("day").rowsBetween(-3, 3)
-      val t = g
-        .withColumn("daily_mean", col("svd").cast("double") / col("n"))
-        .withColumn("trend",
-          sum("svd").over(wt).cast("double") / sum("n").over(wt).cast("double"))
-        .withColumn("dow", datediff(col("day"), lit("1970-01-01").cast("date")) % 7)
-        .withColumn("dq",
-          floor((col("daily_mean") - col("trend")) * 1e6 + 0.5).cast("long"))
-      val wd = Window.partitionBy("dow")
-      t.withColumn("seasonal",
-          sum("dq").over(wd).cast("double") / count(lit(1)).over(wd) / 1e6)
-        .select(col("day"), col("n"), col("daily_mean"), col("trend"), col("seasonal"),
-          (col("daily_mean") - col("trend") - col("seasonal")).as("residual"))
-    },
+    (s, d) => stlDecompose(Tables.events(s, d)),
     Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
            |g AS (SELECT day, count(*) AS n,
            |        sum(CAST(value AS DECIMAL(18,4))) AS svd FROM e GROUP BY 1),

@@ -2068,23 +2068,30 @@ object TextOps {
     * most once after the distinct), so the worst gram key yields
     * S*(S-1)/2 pairs, never a row-count blowup; no all-pairs anywhere.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): cross-source 8-gram
+    * overlap matrix. `docs` needs (doc_id, source, text); returns one row
+    * per overlapping source pair (source_a < source_b, shared_grams).
+    */
+  def crossSourceOverlap(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = docs
+      .select(col("source"), col("doc_id"), col("text"))
+      .as[(String, Long, String)]
+      .flatMap { case (src, _, text) =>
+        val w = text.split(" ")
+        if (w.length < 8) Iterator.empty
+        else w.sliding(8).map(_.mkString(" ")).toSet.iterator.map((g: String) => (src, g))
+      }.toDF("source", "g").distinct()
+    g.as("a").join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   val x40: GraftQuery = GraftQuery(
     "x40_cross_source_overlap",
-    (s, d) => {
-      import s.implicits._
-      val g = Tables.documents(s, d)
-        .select(col("source"), col("doc_id"), col("text"))
-        .as[(String, Long, String)]
-        .flatMap { case (src, _, text) =>
-          val w = text.split(" ")
-          if (w.length < 8) Iterator.empty
-          else w.sliding(8).map(_.mkString(" ")).toSet.iterator.map((g: String) => (src, g))
-        }.toDF("source", "g").distinct()
-      g.as("a").join(g.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("shared_grams"))
-    },
+    (s, d) => crossSourceOverlap(Tables.documents(s, d)),
     Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents),
            |g0 AS (SELECT source, unnest(CASE WHEN len(w) >= 8
            |  THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w) - 7)])
@@ -2107,22 +2114,28 @@ object TextOps {
     * filter threshold and keeps the boundary-crossing risk of the ulp
     * difference negligible.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): per-document unigram
+    * Shannon entropy in nats at milli-nat resolution. `docs` needs
+    * (doc_id, text); returns (doc_id, n_tokens, entropy).
+    */
+  def wordEntropy(docs: DataFrame): DataFrame = {
+    val f = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    f.groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        sum(floor(cd * log(cd) * 1000.0 + 0.5).cast("long")).as("clnc_milli"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((floor(log(col("n_tokens").cast("double")) * 1000.0 + 0.5) -
+          col("clnc_milli").cast("double") / col("n_tokens").cast("double")) / 1000.0)
+          .as("entropy"))
+  }
+
   val x41: GraftQuery = GraftQuery(
     "x41_word_entropy",
-    (s, d) => {
-      val f = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      val cd = col("c").cast("double")
-      f.groupBy("doc_id").agg(
-          sum("c").as("n_tokens"),
-          sum(floor(cd * log(cd) * 1000.0 + 0.5).cast("long")).as("clnc_milli"))
-        .select(col("doc_id"), col("n_tokens"),
-          ((floor(log(col("n_tokens").cast("double")) * 1000.0 + 0.5) -
-            col("clnc_milli").cast("double") / col("n_tokens").cast("double")) / 1000.0)
-            .as("entropy"))
-    },
+    (s, d) => wordEntropy(Tables.documents(s, d)),
     Some("""WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
            |f AS (SELECT doc_id, word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1, 2),
            |t AS (SELECT doc_id, sum(c) AS n_tokens,

@@ -1156,27 +1156,36 @@ object VectorOps {
     * is integer-only ((base+new)*cells > 2*grand) so both engines agree
     * exactly with no ratio arithmetic.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): incremental IVF
+    * occupancy — centroids frozen on `base`, `batch` assigned to them;
+    * returns one row per cell (cluster, base_n, new_n, needs_split). Both
+    * inputs need (vec_id: long, embedding: array<float>).
+    */
+  def ivfIncremental(base: DataFrame, batch: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(base.sparkSession)
+    val cents = centroidsOf(base)
+    val baseN = assign(withNorm(base, "c"), cents)
+      .groupBy("cluster").agg(count(lit(1)).as("base_n"))
+    val newN = assign(withNorm(batch, "c"), cents)
+      .groupBy("cluster").agg(count(lit(1)).as("new_n"))
+    val occ = cents.select(col("k_id").as("cluster"))
+      .join(baseN, Seq("cluster"), "left")
+      .join(newN, Seq("cluster"), "left")
+      .na.fill(0L, Seq("base_n", "new_n"))
+    occ
+      .withColumn("cells", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("grand", sum(col("base_n") + col("new_n")).over(Window.partitionBy()))
+      .select(col("cluster"), col("base_n"), col("new_n"),
+        ((col("base_n") + col("new_n")) * col("cells") > col("grand") * 2).as("needs_split"))
+  }
+
   val v18: GraftQuery = GraftQuery(
     "v18_ivf_incremental",
     (s, d) => {
-      graft.plans.GraftExtensions.register(s)
       val emb = Tables.embeddings(s, d)
-      val base = emb.filter(col("vec_id") % 10 =!= 0)
-      val batch = emb.filter(col("vec_id") % 10 === 0)
-      val cents = centroidsOf(base)
-      val baseN = assign(withNorm(base, "c"), cents)
-        .groupBy("cluster").agg(count(lit(1)).as("base_n"))
-      val newN = assign(withNorm(batch, "c"), cents)
-        .groupBy("cluster").agg(count(lit(1)).as("new_n"))
-      val occ = cents.select(col("k_id").as("cluster"))
-        .join(baseN, Seq("cluster"), "left")
-        .join(newN, Seq("cluster"), "left")
-        .na.fill(0L, Seq("base_n", "new_n"))
-      occ
-        .withColumn("cells", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("grand", sum(col("base_n") + col("new_n")).over(Window.partitionBy()))
-        .select(col("cluster"), col("base_n"), col("new_n"),
-          ((col("base_n") + col("new_n")) * col("cells") > col("grand") * 2).as("needs_split"))
+      ivfIncremental(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0))
     },
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
            |base AS (SELECT * FROM v WHERE vec_id % 10 != 0),
@@ -1214,22 +1223,31 @@ object VectorOps {
     * in front unchanged (assignment ignores labels), so the scan cost
     * follows the probed-cells contract rather than the corpus.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): hard-negative mining —
+    * per query, the k highest-cosine corpus items with a different label.
+    * Inputs need (vec_id: long, label: int, embedding: array<float>);
+    * returns (q_id, label, negative_id, negative_label, cos).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    def side(p: String, df: DataFrame) =
+      df.select(col("vec_id").as(s"${p}_id"), col("label").as(s"${p}_label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(s"${p}_e"))
+    val c = side("c", corpus)
+    val q = side("q", queries)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .withColumn("cos", cosine("q_e", "c_e"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("q_label").as("label"),
+        col("c_id").as("negative_id"), col("c_label").as("negative_label"), col("cos"))
+  }
+
   val v19: GraftQuery = GraftQuery(
     "v19_hard_negatives",
     (s, d) => {
-      graft.plans.GraftExtensions.register(s)
       val emb = Tables.embeddings(s, d)
-      def side(p: String, df: DataFrame) =
-        df.select(col("vec_id").as(s"${p}_id"), col("label").as(s"${p}_label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(s"${p}_e"))
-      val corpus = side("c", emb)
-      val queries = side("q", emb.filter(col("vec_id") < 10))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-      corpus.join(broadcast(queries), col("c_label") =!= col("q_label"))
-        .withColumn("cos", cosine("q_e", "c_e"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("q_id"), col("q_label").as("label"),
-          col("c_id").as("negative_id"), col("c_label").as("negative_label"), col("cos"))
+      hardNegatives(emb, emb.filter(col("vec_id") < 10))
     },
     Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
            |q AS (SELECT * FROM v WHERE vec_id < 10),

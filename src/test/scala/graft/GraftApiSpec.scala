@@ -294,6 +294,66 @@ class GraftApiSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown forecast model"))
   }
 
+  test("sessionize splits a user's events at the configured gap") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (7L, 1L, ts(0)), (7L, 2L, ts(5)), (7L, 3L, ts(9)),   // session 1
+      (7L, 4L, ts(60)), (7L, 5L, ts(62)),                  // session 2 (>30min gap)
+      (8L, 6L, ts(0))                                      // other user
+    ).toDF("user_id", "event_id", "ts")
+    val sess = Graft.sessionize(events, gapUs = 30L * 60 * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(sess.count(_._1 == 7L) === 2)
+    assert(sess.filter(_._1 == 7L).map(_._3).sorted.toSeq == Seq(2L, 3L))
+    assert(sess.count(_._1 == 8L) === 1)
+  }
+
+  test("funnel emits long-format stage counts with strict ordering semantics") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, "signup", ts(0)), (1L, "activate", ts(5)),  // completes both
+      (2L, "signup", ts(0)),                           // stage 1 only
+      (3L, "activate", ts(0)), (3L, "signup", ts(5))   // out of order: stage 1 only
+    ).toDF("user_id", "event_type", "ts")
+    val rows = Graft.funnel(events, Seq("signup", "activate")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0, "signup", 3L), (1, "activate", 1L)))
+  }
+
+  test("chiSquareDrift on a shifted categorical mix: sum of terms grows with the shift") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // first half all 'a', second half all 'b' -> maximal drift
+    val drifted = ((0 until 10).map(i => ("a", ts(i))) ++
+      (0 until 10).map(i => ("b", ts(i + 10)))).toDF("cat", "ts")
+    val chi = Graft.chiSquareDrift(drifted, "cat").collect()
+      .map(_.getAs[Double]("chi2_term")).sum
+    // balanced mix -> near-zero statistic
+    val even = (0 until 20).map(i => (if (i % 2 == 0) "a" else "b", ts(i))).toDF("cat", "ts")
+    val chiEven = Graft.chiSquareDrift(even, "cat").collect()
+      .map(_.getAs[Double]("chi2_term")).sum
+    assert(chi > 10.0 && chiEven < 1.0)
+  }
+
+  test("keySkewReport flags a planted hot key") {
+    val df = ((1 to 100).map(i => i.toLong) ++ Seq.fill(50)(7L)).toDF("k")
+    val r = Graft.keySkewReport(df, "k").collect().head
+    assert(r.getAs[Long]("hot_key") === 7L)
+    assert(r.getAs[Long]("max_n") === 51L)
+    assert(r.getAs[Double]("skew_ratio") > 10.0)
+  }
+
+  test("wordEntropy ranks a templated doc below a diverse one") {
+    val docs = Seq(
+      (1L, Seq.fill(32)("spam").mkString(" ")),
+      (2L, (0 until 32).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val h = Graft.wordEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("entropy")).toMap
+    assert(h(1L) < 0.01 && h(2L) > 3.0)
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)

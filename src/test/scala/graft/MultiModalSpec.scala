@@ -39,4 +39,30 @@ class MultiModalSpec extends SparkSpec {
     assert(featA.toSeq === featB.toSeq)
     assert(MultiModal.decodeStub(Array.emptyByteArray)._2.forall(_ == 0f))
   }
+
+  test("phashNearDups flags identical and reordered payloads, not disjoint ones") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val media = Seq(
+      (1L, base),
+      (2L, base),                           // identical bytes -> hamming 0
+      (3L, base.split(" ").reverse.mkString(" ")), // same histogram -> hamming 0
+      (4L, "zzz qqq xxx vvv www yyy kkk fff ggg hhh jjj lll mmm nnn ppp rrr sss")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val pairs = MultiModal.phashNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val flagged = pairs.map(p => (p._1, p._2)).toSet
+    assert(flagged.contains((1L, 2L)) && flagged.contains((1L, 3L)) && flagged.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.filter(p => Set((1L,2L),(1L,3L),(2L,3L))(p._1 -> p._2)).forall(_._3 == 0))
+  }
+
+  test("phashStub is reorder-invariant and edit-stable") {
+    val a = MultiModal.phashStub("alpha beta gamma delta".getBytes("UTF-8"))
+    val b = MultiModal.phashStub("delta gamma beta alpha".getBytes("UTF-8"))
+    assert(a === b)
+    assert(a >= 0L, "60-bit signature stays a positive BIGINT")
+  }
 }
