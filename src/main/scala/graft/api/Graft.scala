@@ -354,7 +354,8 @@ object Graft {
   // ---- retrieval training data --------------------------------------------
 
   /** Hard-negative mining: per query, the k highest-cosine wrong-label
-    * corpus items ((vec_id, label, embedding) on both sides).
+    * corpus items ((vec_id, label, embedding) on both sides). Queries are
+    * broadcast — keep that side small; the corpus side streams.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
     VectorOps.hardNegatives(corpus, queries, k)
@@ -364,6 +365,26 @@ object Graft {
     */
   def ivfIncremental(base: DataFrame, batch: DataFrame): DataFrame =
     VectorOps.ivfIncremental(base, batch)
+
+  /** Tie-aware ROC-AUC of `scoreCol` against boolean `posCol` via the
+    * Mann-Whitney rank statistic over a 1e-6-quantized score histogram:
+    * one row (n_pos, n_neg, auc).
+    */
+  def aucRank(df: DataFrame, scoreCol: String, posCol: String): DataFrame =
+    StatOps.aucRank(df, scoreCol, posCol)
+
+  /** Edit-distance-1 record linkage over (`idCol`, `strCol`) via the
+    * SymSpell deletion neighborhood: (a_id, b_id, dist) pairs, no
+    * all-pairs step.
+    */
+  def fuzzyMatchPairs(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    TextOps.fuzzyMatchPairs(df, idCol, strCol)
+
+  /** Adjacent character-pair frequencies over the word histogram — the
+    * pair-count half of one BPE tokenizer-training merge iteration:
+    * (pair, freq).
+    */
+  def bpePairCounts(docs: DataFrame): DataFrame = TextOps.bpePairCounts(docs)
 
   /** Perceptual-hash near-duplicate screening over binary media
     * (doc_id, payload): banded hamming LSH with a stop-bucket cap;

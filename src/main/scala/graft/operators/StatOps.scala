@@ -380,5 +380,59 @@ object StatOps {
            |SELECT day, n, daily_mean, trend, seasonal,
            |       daily_mean - trend - seasonal AS residual FROM s""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, a22, m12, m13)
+  /** Public DataFrame-in API (see graft.api.Graft): histogram Mann-Whitney
+    * AUC — the rank-statistic form of ROC-AUC, the standard scale-out
+    * formulation (per-pair comparison is O(n^2); rank-sum over a quantized
+    * score histogram is one aggregate + one bounded window). `scoreCol` is
+    * quantized to 1e-6 buckets, scores are histogrammed per bucket
+    * (np/nn = positive/negative counts), and the tie-aware U statistic is
+    * accumulated as the INTEGER 2U = sum(np * (2*cum_nn_below + nn_tied))
+    * so both engines agree exactly; AUC = 2U / (2 * NP * NN) with one final
+    * IEEE division. The ordered window runs over the DISTINCT quantized
+    * score domain — bounded by score range x 1e6 buckets, not by row count —
+    * so it stays single-partition-safe at 100 TB (an unbounded-range score
+    * would first be quantile-bucketed via a15's sketch).
+    */
+  def aucRank(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val b = df
+      .select(floor(col(scoreCol).cast("double") * 1e6).cast("long").as("q"),
+        col(posCol).cast("boolean").as("pos"))
+      .groupBy("q")
+      .agg(count(when(col("pos"), 1)).as("np"),
+        count(when(!col("pos"), 1)).as("nn"))
+    val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (col("cum_nn") * 2 + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("u2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+  }
+
+  /** D6 (beyond reference): model-evaluation AUC over the embeddings table —
+    * score = first embedding component, positive = label < 5. The op a
+    * training pipeline runs on every scored eval split; near-0.5 here
+    * because the generator's first component carries no label signal
+    * (which is itself the point of an eval harness: it must report the
+    * null result exactly, not optimistically).
+    */
+  val d6: GraftQuery = GraftQuery(
+    "d6_auc_rank",
+    (s, d) => aucRank(
+      Tables.embeddings(s, d).select(
+        element_at(col("embedding"), 1).as("score"), (col("label") < 5).as("pos")),
+      "score", "pos"),
+    Some("""WITH e AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS q,
+           |            label < 5 AS pos FROM embeddings),
+           |b AS (SELECT q, count(*) FILTER (pos) AS np,
+           |             count(*) FILTER (NOT pos) AS nn FROM e GROUP BY 1),
+           |t AS (SELECT q, np, nn,
+           |        coalesce(sum(nn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+           |      FROM b)
+           |SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+           |       CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE) /
+           |         CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
+           |FROM t""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, a22, m12, m13)
 }

@@ -2146,8 +2146,108 @@ object TextOps {
            |    - CAST(clnc_milli AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1000.0 AS entropy
            |FROM t""".stripMargin))
 
+  /** Stop-variant cap for [[fuzzyMatchPairs]]: a deletion variant shared by
+    * more than this many ids is a corpus-wide commonality (e.g. a templated
+    * prefix), not linkage evidence; skipping it bounds per-bucket pair
+    * fanout at cap^2/2 no matter how skewed the string distribution is.
+    */
+  private val FuzzyVariantCap = 100
+
+  /** Public DataFrame-in API (see graft.api.Graft): edit-distance-1 record
+    * linkage via the SymSpell/FastSS deletion neighborhood. `df` needs
+    * (`idCol`: long, `strCol`: string); returns (a_id, b_id, dist) for
+    * pairs within edit distance 1.
+    *
+    * Candidate generation: each string emits itself plus its length
+    * delete-one variants; any two strings within edit distance 1 share at
+    * least one variant (substitution: delete the differing position from
+    * both; insert/delete: the shorter string IS a variant of the longer),
+    * so an equi-join on the variant key finds every true pair — no
+    * all-pairs step, no similarity scan. Verification runs `levenshtein`
+    * on the deduped candidates only. At 100 TB the variant join is the
+    * one heavy exchange and it hashes uniformly; [[FuzzyVariantCap]]
+    * removes the only skew mechanism (hot template variants).
+    */
+  def fuzzyMatchPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val dv = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("i", explode(sequence(lit(0), length(col("s")))))
+      .select(col("id"), col("s"),
+        when(col("i") === 0, col("s"))
+          .otherwise(concat(
+            expr("substring(s, 1, i - 1)"),
+            expr("substring(s, i + 1, length(s))"))).as("variant"))
+      .distinct()
+    val keep = dv.groupBy("variant").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= FuzzyVariantCap).select("variant")
+    val kept = dv.join(keep, Seq("variant"))
+    kept.as("a").join(kept.as("b"),
+        col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
+  /** X42 (beyond reference): entity resolution over the customer table —
+    * the blocking+verify record-linkage step a data platform runs before
+    * joining user-supplied keys. Deletion-neighborhood candidates, exact
+    * Levenshtein verify; both engines compute classic integer edit
+    * distance, so the verify is bitwise-free.
+    */
+  val x42: GraftQuery = GraftQuery(
+    "x42_fuzzy_match_pairs",
+    (s, d) => fuzzyMatchPairs(Tables.customer(s, d), "c_custkey", "c_name"),
+    Some(s"""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+           |v0 AS (SELECT id, s, unnest(range(0, length(s) + 1)) AS i FROM c),
+           |dv AS (SELECT DISTINCT id, s,
+           |         CASE WHEN i = 0 THEN s
+           |              ELSE substr(s, 1, CAST(i - 1 AS INT)) || substr(s, CAST(i + 1 AS INT), length(s)) END AS variant
+           |       FROM v0),
+           |keep AS (SELECT variant FROM dv GROUP BY 1 HAVING count(*) <= $FuzzyVariantCap),
+           |kv AS (SELECT dv.* FROM dv JOIN keep USING (variant)),
+           |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS s_a, b.s AS s_b
+           |         FROM kv a JOIN kv b ON a.variant = b.variant AND a.id < b.id)
+           |SELECT a_id, b_id, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+           |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): the pair-count half of
+    * one BPE merge iteration — adjacent character-pair frequencies over the
+    * word histogram (tokenizer training's inner loop). `docs` needs a text
+    * column; returns (pair, freq). Counting runs over the DISTINCT word
+    * domain (vocabulary-bounded, a tiny fraction of the corpus at 100 TB),
+    * so the per-word pair explosion costs O(vocab x word-length), not
+    * O(corpus); the corpus-sized work is the one word-count aggregate.
+    */
+  def bpePairCounts(docs: DataFrame): DataFrame = {
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    wc.filter(length(col("w")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), length(col("w")) - 1)))
+      .select(expr("substring(w, i, 2)").as("pair"), col("n"))
+      .groupBy("pair").agg(sum("n").as("freq"))
+  }
+
+  /** X43 (beyond reference): top-20 BPE merge candidates over the corpus,
+    * deterministic tiebreak (freq desc, pair asc) so the top-k cutoff is
+    * engine-independent.
+    */
+  val x43: GraftQuery = GraftQuery(
+    "x43_bpe_pair_counts",
+    (s, d) => bpePairCounts(Tables.documents(s, d))
+      .orderBy(col("freq").desc, col("pair")).limit(20),
+    Some("""WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+           |wc AS (SELECT w, count(*) AS n FROM w WHERE w <> '' GROUP BY 1),
+           |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+           |      FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM wc
+           |            WHERE length(w) >= 2))
+           |SELECT pair, CAST(sum(n) AS BIGINT) AS freq FROM p GROUP BY 1
+           |ORDER BY freq DESC, pair LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41)
+      x37, x38, x39, x40, x41, x42, x43)
 }

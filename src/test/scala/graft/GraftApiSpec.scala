@@ -354,6 +354,36 @@ class GraftApiSpec extends SparkSpec {
     assert(h(1L) < 0.01 && h(2L) > 3.0)
   }
 
+  test("aucRank: perfect separation scores 1.0, constant score 0.5, reversal 0.0") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      Graft.aucRank(rows.toDF("score", "pos"), "score", "pos")
+        .collect().head.getAs[Double]("auc")
+    val pos = (1 to 10).map(i => (i + 100.0, true))
+    val neg = (1 to 10).map(i => (i + 0.0, false))
+    assert(auc(pos ++ neg) === 1.0)
+    assert(auc(Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false))) === 0.5)
+    assert(auc(pos.map { case (s, _) => (s, false) } ++ neg.map { case (s, _) => (s, true) }) === 0.0)
+  }
+
+  test("fuzzyMatchPairs links strings within edit distance 1 and nothing else") {
+    val df = Seq(
+      (1L, "alpha"), (2L, "alphb"),   // substitution -> dist 1
+      (3L, "alph"),                   // deletion of 1 -> dist 1
+      (4L, "gamma")                   // unrelated
+    ).toDF("id", "name")
+    val pairs = Graft.fuzzyMatchPairs(df, "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("bpePairCounts weights adjacent char pairs by word frequency") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "b aab")).toDF("doc_id", "text")
+    val freq = Graft.bpePairCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "aa": from 2x "aa" + 1x "aab"(pos1) = 3; "ab": 1x "ab" + 1x "aab"(pos2) = 2
+    assert(freq === Map("aa" -> 3L, "ab" -> 2L))
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)

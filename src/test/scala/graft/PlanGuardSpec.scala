@@ -111,7 +111,10 @@ class PlanGuardSpec extends SparkSpec {
     "v13_mips_topk", "v14_mips_ivf_recall",
     // two-stage rerank: stage 1 broadcasts the (slim, prefix-only) query
     // side under the candidate-generation join — same contract as v1
-    "v15_rerank_two_stage")
+    "v15_rerank_two_stage",
+    // hard-negative mining broadcasts the query side under the
+    // label-mismatch non-equi join — same contract as v1
+    "v19_hard_negatives")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {
