@@ -380,6 +380,19 @@ object Graft {
   def fuzzyMatchPairs(df: DataFrame, idCol: String, strCol: String): DataFrame =
     TextOps.fuzzyMatchPairs(df, idCol, strCol)
 
+  /** Priority sampling (Duffield-Lund-Thorup): k rows drawn without
+    * replacement with probability ~ weight, as a deterministic
+    * hash-keyed top-k — (input columns, priority).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame =
+    TextOps.prioritySample(df, idCol, weightCol, k)
+
+  /** Per-dimension means and upper-triangle covariance of the embedding
+    * column — whitening/PCA input: one row per (i, j), i <= j, with
+    * (i, j, mean_i, cov).
+    */
+  def embeddingMoments(df: DataFrame): DataFrame = VectorOps.embeddingMoments(df)
+
   /** Adjacent character-pair frequencies over the word histogram — the
     * pair-count half of one BPE tokenizer-training merge iteration:
     * (pair, freq).

@@ -1344,11 +1344,41 @@ object Relational {
           (col("n_purchase").cast("double") / col("n_click").cast("double")).as("click_to_purchase"))
   }
 
+  /** W10 (beyond reference): gap sessions via Spark's NATIVE
+    * `session_window` operator — the declarative form of w8's lag/window
+    * construction. One shuffle on user_id, sessions merged per-key by the
+    * dedicated session-aggregation physical operator (no ordered window
+    * function), and the same API works unchanged on a stream (t22). Break
+    * semantics: windows are [ts, ts+gap) and merge only on OVERLAP, so a
+    * successor exactly gap micros later starts a NEW session — hence the
+    * `>=` in the oracle where w8's convention uses `>`. session_end is the
+    * session-window upper bound (last event + gap), not the last event ts.
+    */
+  val w10 = q(
+    "w10_session_window",
+    s"""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+      |d AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |        OR us - lag(us) OVER w >= $SessionGapUs THEN 1 ELSE 0 END AS is_new
+      |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, ts, us,
+      |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |      FROM d)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 6 HOUR AS session_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

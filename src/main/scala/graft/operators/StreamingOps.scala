@@ -281,6 +281,45 @@ object StreamingOps {
            |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin),
     bench = false)
 
+  /** T22 (beyond reference): STREAMING gap sessionization with the native
+    * `session_window` operator — the same declarative expression as the
+    * batch w10, run as a stateful streaming aggregation (session state
+    * merged per user across micro-batches). Complete output mode so the
+    * AvailableNow replay materializes every closed-over session; the
+    * batch oracle can check it exactly because session merging is
+    * batch-split-invariant. At scale this is the canonical "user activity
+    * sessions from an event stream" job: state is keyed by user, bounded
+    * by active users, and a production deployment adds the watermark to
+    * age state out.
+    */
+  val t22: GraftQuery = GraftQuery(
+    "t22_stream_session_window",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .writeStream.format("memory").queryName("graft_t22")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t22")
+    },
+    Some(s"""WITH o AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+           |d AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+           |        OR us - lag(us) OVER w >= 21600000000 THEN 1 ELSE 0 END AS is_new
+           |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |s AS (SELECT user_id, ts, us,
+           |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |      FROM d)
+           |SELECT user_id, min(ts) AS session_start,
+           |       max(ts) + INTERVAL 6 HOUR AS session_end, count(*) AS n_events
+           |FROM s GROUP BY user_id, session_seq""".stripMargin),
+    bench = false)
+
   val t14: GraftQuery = GraftQuery(
     "t14_stream_stream_join",
     (s, d) => {
@@ -543,5 +582,5 @@ object StreamingOps {
     bench = false)
 
   val all: Seq[GraftQuery] =
-    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21)
+    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22)
 }

@@ -2246,8 +2246,42 @@ object TextOps {
            |SELECT pair, CAST(sum(n) AS BIGINT) AS freq FROM p GROUP BY 1
            |ORDER BY freq DESC, pair LIMIT 20""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): priority sampling
+    * (Duffield, Lund & Thorup, JACM 54(6) 2007) — weighted sampling
+    * without replacement as a pure top-k: priority = weight / u(id), with
+    * u the keyed 60-bit md5 draw (functions/HashDraw), so the sample is
+    * deterministic, partition-order-free, and cross-engine reproducible;
+    * item inclusion probability approaches min(1, k * w_i / W). The
+    * priority is a ratio of two integers computed by one IEEE division,
+    * so both engines agree bitwise — no ln() anywhere (the exponential-
+    * jump A-ES formulation would drag libm in). Scale: one scan +
+    * TakeOrderedAndProject; no global sort, no corpus shuffle.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame =
+    df.withColumn("priority",
+        col(weightCol).cast("double") /
+          (expr(s"CAST(conv(substr(md5(concat(CAST($idCol AS STRING), ':ps')), 1, 15), 16, 10) AS BIGINT)")
+            + 1).cast("double"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+
+  /** X44 (beyond reference): weighted corpus sampling — 50 documents drawn
+    * with probability proportional to length (n_chars), the curation move
+    * for building a size-budgeted eval slice that still represents the
+    * long documents.
+    */
+  val x44: GraftQuery = GraftQuery(
+    "x44_priority_sample",
+    (s, d) => prioritySample(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", 50),
+    Some("""SELECT doc_id, n_chars,
+           |  CAST(n_chars AS DOUBLE) /
+           |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ps'), 1, 15) AS BIGINT) + 1 AS DOUBLE) AS priority
+           |FROM documents ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43)
+      x37, x38, x39, x40, x41, x42, x43, x44)
 }

@@ -1257,6 +1257,71 @@ object VectorOps {
            |SELECT q_id, label, negative_id, negative_label, cos FROM pairs
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, negative_id) <= 3""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): per-dimension means and
+    * upper-triangle covariance of the embedding column — the moment matrix
+    * feeding whitening / PCA / ZCA preprocessing. Returns one row per
+    * (i, j), i <= j, with (i, j, mean_i, cov).
+    *
+    * Cross-engine exactness: each value and pairwise product is quantized
+    * to nano-units ONCE (floor(x*1e9+0.5), pure IEEE ops on identical
+    * doubles) and accumulated as integer sums, so the aggregation is
+    * order-free and bit-identical on both engines; the mean/covariance
+    * come from the integer sums by an identical chain of IEEE divisions.
+    *
+    * Scale: the explode emits d(d+1)/2 rows per vector — inherent to the
+    * O(n d^2) covariance computation — but hash-aggregate partial
+    * combining folds them map-side, so the one shuffle carries only
+    * d(d+1)/2 rows PER PARTITION (d=64: 2 080 rows), independent of n.
+    * The nano-quantized per-partition partial sums stay far from Long
+    * overflow until ~1e8 rows per partition x O(10) magnitudes; beyond
+    * that, lift the partials to DECIMAL(38,0).
+    */
+  def embeddingMoments(df: DataFrame): DataFrame = {
+    val e = df.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val pairs = e
+      .select(col("e"), explode(sequence(lit(1), size(col("e")))).as("i"))
+      .select(col("e"), col("i"),
+        explode(sequence(col("i"), size(col("e")))).as("j"))
+      .select(col("i"), col("j"),
+        floor(element_at(col("e"), col("i")) * 1e9 + 0.5).cast("long").as("qi"),
+        floor(element_at(col("e"), col("j")) * 1e9 + 0.5).cast("long").as("qj"),
+        floor(element_at(col("e"), col("i")) * element_at(col("e"), col("j")) * 1e9 + 0.5)
+          .cast("long").as("qp"))
+    pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("qi").as("si"), sum("qj").as("sj"),
+        sum("qp").as("sp"))
+      .select(col("i"), col("j"),
+        (col("si").cast("double") / col("n") / 1e9).as("mean_i"),
+        (col("sp").cast("double") / col("n") / 1e9 -
+          (col("si").cast("double") / col("n") / 1e9) *
+            (col("sj").cast("double") / col("n") / 1e9)).as("cov"))
+  }
+
+  /** V20 (beyond reference): whitening statistics over the embeddings
+    * table — the preprocessing matrix every production retrieval stack
+    * computes before PCA/OPQ rotation (means + covariance; the eigen
+    * solve on the resulting d x d matrix is a driver-side O(d^3) step on
+    * 2 080 rows, not a data-scale job).
+    */
+  val v20: GraftQuery = GraftQuery(
+    "v20_embedding_moments",
+    (s, d) => embeddingMoments(Tables.embeddings(s, d)),
+    Some("""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+           |a AS (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM v),
+           |p AS (SELECT e, i, unnest(range(i, len(e) + 1)) AS j FROM a),
+           |q AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           |        CAST(floor(e[CAST(i AS INT)] * 1e9 + 0.5) AS BIGINT) AS qi,
+           |        CAST(floor(e[CAST(j AS INT)] * 1e9 + 0.5) AS BIGINT) AS qj,
+           |        CAST(floor(e[CAST(i AS INT)] * e[CAST(j AS INT)] * 1e9 + 0.5) AS BIGINT) AS qp
+           |      FROM p)
+           |SELECT i, j,
+           |  CAST(sum(qi) AS DOUBLE) / count(*) / 1e9 AS mean_i,
+           |  CAST(sum(qp) AS DOUBLE) / count(*) / 1e9
+           |    - (CAST(sum(qi) AS DOUBLE) / count(*) / 1e9)
+           |      * (CAST(sum(qj) AS DOUBLE) / count(*) / 1e9) AS cov
+           |FROM q GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19)
+    Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
+      v20)
 }

@@ -384,6 +384,26 @@ class GraftApiSpec extends SparkSpec {
     assert(freq === Map("aa" -> 3L, "ab" -> 2L))
   }
 
+  test("prioritySample is deterministic and weight-sensitive") {
+    val df = (1L to 100L).map(i => (i, if (i == 42L) 1000000L else 1L)).toDF("id", "w")
+    val s1 = Graft.prioritySample(df, "id", "w", 10).collect().map(_.getLong(0)).toSeq
+    val s2 = Graft.prioritySample(df, "id", "w", 10).collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2)
+    assert(s1.size === 10)
+    assert(s1.contains(42L), "a 1e6x weight must be sampled")
+  }
+
+  test("embeddingMoments reproduces the closed-form 2x2 moment matrix") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val m = Graft.embeddingMoments(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(close(m((1, 1))._1, 2.0) && close(m((1, 1))._2, 1.0))
+    assert(close(m((1, 2))._2, 1.0))
+    assert(close(m((2, 2))._1, 3.0) && close(m((2, 2))._2, 1.0))
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
