@@ -322,7 +322,25 @@ object Graft {
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
     Relational.funnel(events, stages)
 
+  /** RFM (recency/frequency/monetary) quartile segmentation over
+    * (user_id, ts, value) events: one row per user (user_id, r_q, f_q,
+    * m_q), quartiles 1-4.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = Relational.rfmSegments(events)
+
+  /** First-order Markov transition matrix over per-user event journeys:
+    * (from_type, to_type, n, p), p row-normalized per from_type.
+    */
+  def markovTransitions(events: DataFrame): DataFrame =
+    Relational.markovTransitions(events)
+
   // ---- distribution monitoring --------------------------------------------
+
+  /** Rolling z-score anomaly flags on the daily mean of a (ts, value)
+    * series — each day scored against its trailing 7 full days, |z| > 3
+    * flagged: (day, daily_mean, mean7, z, is_anomaly).
+    */
+  def rollingAnomaly(df: DataFrame): DataFrame = StatOps.rollingAnomaly(df)
 
   /** Chi-square categorical drift of `catCol` between the first and second
     * half of the observed time range (df needs catCol + ts); one row per

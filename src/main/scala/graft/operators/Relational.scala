@@ -1374,11 +1374,105 @@ object Relational {
         col("session_window.end").as("session_end"), col("n_events"))
   }
 
+  /** W11 (beyond reference): RFM (recency / frequency / monetary) user
+    * segmentation — the classic lifecycle-marketing rollup. Per-user
+    * aggregates, then quartile assignment by comparing each metric to the
+    * three EXACT interpolated quartile boundaries computed in one
+    * single-row aggregate and broadcast back over the users — a scan +
+    * broadcast-join, NOT a global ntile window, so no user-count-sized
+    * single partition exists anywhere (the 100 TB version swaps the exact
+    * percentile for a15's sketch; the comparison dataflow is unchanged).
+    * Quartile boundaries interpolate as b = a + (hi-lo)*frac on sorted
+    * doubles — the same closed form in both engines — and every input is
+    * integral (epoch micros, counts) or an exact DECIMAL sum, so the
+    * boundaries agree bitwise.
+    */
+  val w11 = q(
+    "w11_rfm_segments",
+    """WITH u AS (SELECT user_id, epoch_us(max(ts)) AS last_us,
+      |        count(*) AS freq,
+      |        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+      |      FROM events GROUP BY 1),
+      |b AS (SELECT quantile_cont(CAST(last_us AS DOUBLE), [0.25, 0.5, 0.75]) AS rb,
+      |             quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]) AS fb,
+      |             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb FROM u)
+      |SELECT user_id,
+      |  1 + CAST(CAST(last_us AS DOUBLE) > rb[1] AS INT) + CAST(CAST(last_us AS DOUBLE) > rb[2] AS INT)
+      |    + CAST(CAST(last_us AS DOUBLE) > rb[3] AS INT) AS r_q,
+      |  1 + CAST(CAST(freq AS DOUBLE) > fb[1] AS INT) + CAST(CAST(freq AS DOUBLE) > fb[2] AS INT)
+      |    + CAST(CAST(freq AS DOUBLE) > fb[3] AS INT) AS f_q,
+      |  1 + CAST(monetary > mb[1] AS INT) + CAST(monetary > mb[2] AS INT)
+      |    + CAST(monetary > mb[3] AS INT) AS m_q
+      |FROM u, b""".stripMargin) { (s, d) => rfmSegments(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): RFM quartile
+    * segmentation. `events` needs (user_id, ts: timestamp, value); returns
+    * one row per user (user_id, r_q, f_q, m_q), quartiles 1-4 by raw
+    * metric order (4 = most recent / most frequent / highest spend).
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val u = events
+      .groupBy("user_id")
+      .agg(unix_micros(max(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"), decSum(col("value")).cast("double").as("monetary"))
+    val b = u.agg(
+      expr("percentile(CAST(last_us AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("rb"),
+      expr("percentile(CAST(freq AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("fb"),
+      expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mb"))
+    def quart(m: org.apache.spark.sql.Column, bs: String) =
+      lit(1) + (m > element_at(col(bs), 1)).cast("int") +
+        (m > element_at(col(bs), 2)).cast("int") +
+        (m > element_at(col(bs), 3)).cast("int")
+    u.crossJoin(broadcast(b))
+      .select(col("user_id"),
+        quart(col("last_us").cast("double"), "rb").as("r_q"),
+        quart(col("freq").cast("double"), "fb").as("f_q"),
+        quart(col("monetary"), "mb").as("m_q"))
+  }
+
+  /** W12 (beyond reference): first-order Markov transition matrix over the
+    * per-user event-type journey — the behavioral model behind next-action
+    * prediction and synthetic-session generation. One lead() per user
+    * partition (user-bounded window), one hash aggregate on the
+    * (from, to) pair domain (|event_types|^2-bounded); the probability is
+    * a ratio of two counts computed by one identical IEEE division.
+    */
+  val w12 = q(
+    "w12_markov_transitions",
+    """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |p AS (SELECT event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      |      FROM o),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c""".stripMargin) { (s, d) => markovTransitions(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): first-order Markov
+    * transition matrix. `events` needs (user_id, event_type, ts, event_id);
+    * returns (from_type, to_type, n, p) with p row-normalized per
+    * from_type.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val c = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")).cast("double"))
+      .select("from_type", "to_type", "n", "p")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

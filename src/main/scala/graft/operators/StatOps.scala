@@ -434,5 +434,75 @@ object StatOps {
            |         CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
            |FROM t""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, a22, m12, m13)
+  /** Public DataFrame-in API (see graft.api.Graft): rolling z-score anomaly
+    * flags on the daily mean of a (ts, value) series — each day scored
+    * against the TRAILING 7 full days (current day excluded, so an anomaly
+    * cannot mask itself), |z| > 3 flagged. Returns
+    * (day, daily_mean, mean7, z, is_anomaly) for days with a full trailing
+    * window.
+    *
+    * Cross-engine exactness: the daily mean is micro-quantized once
+    * (floor(x*1e6+0.5) on identical doubles) and the rolling first/second
+    * moments are INTEGER window sums, so frame fold order cannot perturb a
+    * bit; mean/std/z then come from one identical chain of IEEE ops —
+    * sqrt is exactly rounded under IEEE 754, so it is as deterministic as
+    * +-*_/. The window runs over the DAY domain (calendar-bounded).
+    */
+  def rollingAnomaly(df: DataFrame): DataFrame = {
+    val g = df.select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      .withColumn("daily_mean", col("sv").cast("double") / col("n"))
+      .withColumn("dq", floor(col("daily_mean") * 1e6 + 0.5).cast("long"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    val t = g
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s1", sum("dq").over(w))
+      .withColumn("s2", sum(col("dq") * col("dq")).over(w))
+      .filter(col("n7") === 7)
+    val mean = col("s1").cast("double") / col("n7") / 1e6
+    val variance = (col("s2").cast("double") / col("n7") -
+      (col("s1").cast("double") / col("n7")) * (col("s1").cast("double") / col("n7"))) / 1e12
+    // variance == 0 (a constant baseline) makes z degenerate; any departure
+    // from that baseline is then anomalous by definition — the integer test
+    // dq*n7 != s1 decides it exactly.
+    t.withColumn("mean7", mean)
+      .withColumn("z",
+        when(variance > 0, (col("dq").cast("double") / 1e6 - mean) / sqrt(variance))
+          .otherwise(lit(0.0)))
+      .select(col("day"), col("daily_mean"), col("mean7"), col("z"),
+        (abs(col("z")) > 3.0 ||
+          (variance <= 0 && col("dq") * col("n7") =!= col("s1"))).as("is_anomaly"))
+  }
+
+  /** M14 (beyond reference): daily anomaly flags over the events value
+    * series — the alerting layer a platform runs on every ingested metric
+    * (the reference stops at fixed-threshold alerts; this is the adaptive
+    * baseline version).
+    */
+  val m14: GraftQuery = GraftQuery(
+    "m14_rolling_anomaly",
+    (s, d) => rollingAnomaly(Tables.events(s, d)),
+    Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+           |g AS (SELECT day, count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sv FROM e GROUP BY 1),
+           |m AS (SELECT day, CAST(sv AS DOUBLE) / n AS daily_mean,
+           |        CAST(floor(CAST(sv AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT) AS dq FROM g),
+           |t AS (SELECT *, count(*) OVER w AS n7, sum(dq) OVER w AS s1,
+           |        sum(dq * dq) OVER w AS s2
+           |      FROM m WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+           |z AS (SELECT day, daily_mean,
+           |        CAST(s1 AS DOUBLE) / n7 / 1e6 AS mean7,
+           |        CASE WHEN (CAST(s2 AS DOUBLE) / n7
+           |                   - (CAST(s1 AS DOUBLE) / n7) * (CAST(s1 AS DOUBLE) / n7)) / 1e12 > 0
+           |             THEN (CAST(dq AS DOUBLE) / 1e6 - CAST(s1 AS DOUBLE) / n7 / 1e6)
+           |                  / sqrt((CAST(s2 AS DOUBLE) / n7
+           |                          - (CAST(s1 AS DOUBLE) / n7) * (CAST(s1 AS DOUBLE) / n7)) / 1e12)
+           |             ELSE 0.0 END AS z,
+           |        (CAST(s2 AS DOUBLE) / n7
+           |         - (CAST(s1 AS DOUBLE) / n7) * (CAST(s1 AS DOUBLE) / n7)) / 1e12 AS var0,
+           |        dq, n7, s1
+           |      FROM t WHERE n7 = 7)
+           |SELECT day, daily_mean, mean7, z,
+           |       abs(z) > 3.0 OR (var0 <= 0 AND dq * n7 <> s1) AS is_anomaly FROM z""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, a22, m12, m13, m14)
 }

@@ -404,6 +404,45 @@ class GraftApiSpec extends SparkSpec {
     assert(close(m((2, 2))._1, 3.0) && close(m((2, 2))._2, 1.0))
   }
 
+  test("rollingAnomaly flags a planted spike day and not the steady baseline") {
+    val rows = (0 until 30).flatMap { day =>
+      val v = if (day == 20) 100.0 else 10.0
+      Seq((java.sql.Timestamp.valueOf(f"2025-01-${day + 1}%02d 12:00:00"), v))
+    }.toDF("ts", "value")
+    val out = Graft.rollingAnomaly(rows).collect()
+      .map(r => r.getDate(0).toString -> r.getBoolean(4)).toMap
+    assert(out("2025-01-21"), "the 10x spike day must be flagged")
+    assert(out.count(_._2) === 1, "only the spike day is anomalous")
+  }
+
+  test("rfmSegments puts the whale user in the top monetary quartile") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val events = (1L to 8L).flatMap { u =>
+      val spend = if (u == 8L) 1000.0 else u.toDouble
+      (0 until 3).map(i => (u, ts(u.toInt * 10 + i), spend))
+    }.toDF("user_id", "ts", "value")
+    val m = Graft.rfmSegments(events).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m(8L)._3 === 4, "whale lands in monetary quartile 4")
+    assert(m(1L)._3 === 1)
+    assert(m(8L)._1 === 4, "latest-active user lands in recency quartile 4")
+  }
+
+  test("markovTransitions row-normalizes and orders by event time") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)), (1L, 3L, "a", ts(2)),
+      (2L, 4L, "a", ts(0)), (2L, 5L, "b", ts(1))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val rows = Graft.markovTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(("a", "b")) === ((2L, 1.0)))
+    assert(rows(("b", "a")) === ((1L, 1.0)))
+    assert(rows.size === 2)
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
