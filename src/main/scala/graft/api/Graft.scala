@@ -405,6 +405,14 @@ object Graft {
   def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame =
     TextOps.prioritySample(df, idCol, weightCol, k)
 
+  /** Matryoshka dimension-truncation recall curve: for each prefix length
+    * in `dims`, recall@k of truncated-embedding retrieval vs full-dim
+    * ground truth — (dim, recall). Queries are broadcast; keep that side
+    * small.
+    */
+  def mrlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int]): DataFrame = VectorOps.mrlRecall(corpus, queries, k, dims)
+
   /** Per-dimension means and upper-triangle covariance of the embedding
     * column — whitening/PCA input: one row per (i, j), i <= j, with
     * (i, j, mean_i, cov).

@@ -1468,11 +1468,56 @@ object Relational {
       .select("from_type", "to_type", "n", "p")
   }
 
+  /** W13 (beyond reference): engagement stickiness (DAU / trailing-30-day
+    * MAU) per day, computed BOTH ways — exact distinct counts (the oracle-
+    * checkable path) and mergeable HLL sketches (the 100 TB path: one
+    * sketch per day, each sketch fanned out to the <=30 target days it
+    * covers, union-aggregated per target day — sketch traffic is
+    * day-bounded, never row-bounded), gated within 5% like a21. The exact
+    * MAU path explodes distinct (user, day) pairs x30, which is linear
+    * with a calendar constant; at real scale only the sketch path runs and
+    * the exact columns become a sampled audit.
+    */
+  val w13 = q(
+    "w13_stickiness_gate",
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+      |sp AS (SELECT user_id, day + CAST(i AS INT) AS tday
+      |       FROM (SELECT user_id, day, unnest(range(0, 30)) AS i FROM du)),
+      |mau AS (SELECT tday, count(DISTINCT user_id) AS mau FROM sp GROUP BY 1)
+      |SELECT d.day, d.dau AS dau_exact, m.mau AS mau_exact,
+      |  CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness, true AS ok
+      |FROM dau d JOIN mau m ON d.day = m.tday""".stripMargin) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau_exact"))
+    val mau = du
+      .withColumn("i", explode(sequence(lit(0), lit(29))))
+      .withColumn("tday", date_add(col("day"), col("i")))
+      .groupBy("tday").agg(countDistinct(col("user_id")).as("mau_exact"))
+    val dailySk = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val dauEst = dailySk.select(col("day"),
+      expr("hll_sketch_estimate(sk)").as("dau_est"))
+    val mauEst = dailySk
+      .withColumn("i", explode(sequence(lit(0), lit(29))))
+      .withColumn("tday", date_add(col("day"), col("i")))
+      .groupBy("tday").agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("mau_est"))
+    dau.join(mau, col("day") === col("tday")).drop("tday")
+      .join(dauEst, "day")
+      .join(mauEst.withColumnRenamed("tday", "day"), "day")
+      .select(col("day"), col("dau_exact"), col("mau_exact"),
+        (col("dau_exact").cast("double") / col("mau_exact").cast("double")).as("stickiness"),
+        (abs(col("dau_est") - col("dau_exact")) / col("dau_exact") <= 0.05 &&
+          abs(col("mau_est") - col("mau_exact")) / col("mau_exact") <= 0.05).as("ok"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -1321,7 +1321,57 @@ object VectorOps {
            |      * (CAST(sum(qj) AS DOUBLE) / count(*) / 1e9) AS cov
            |FROM q GROUP BY 1, 2""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): Matryoshka (MRL)
+    * dimension-truncation recall curve — for each prefix length in `dims`,
+    * the recall@k of exact top-k retrieval on the TRUNCATED embedding
+    * against the full-dimension ground truth (Kusupati et al. 2022's
+    * deployment question: how few leading dimensions does this corpus
+    * need?). Returns (dim, recall). Each arm is a v1-shape scan (query
+    * side broadcast, corpus scanned once, per-query top-k rank); recall is
+    * an integer overlap count over an integer denominator.
+    */
+  def mrlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    val nq = queries.count()
+    val full = bruteForceTopK(corpus, queries, k).select("q_id", "neighbor_id")
+    dims.map { dim =>
+      val tc = corpus.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
+      val tq = queries.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
+      bruteForceTopK(tc, tq, k).as("a")
+        .join(full.as("b"),
+          col("a.q_id") === col("b.q_id") &&
+            col("a.neighbor_id") === col("b.neighbor_id"))
+        .agg((count(lit(1)).cast("double") / lit(k.toDouble * nq)).as("recall"))
+        .select(lit(dim).as("dim"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** V21 (beyond reference): MRL truncation-recall audit over the
+    * embeddings table — prefix dims 8/16/32/64 (64 = full, so its recall
+    * row must be exactly 1.0, a built-in self-check).
+    */
+  val v21: GraftQuery = GraftQuery(
+    "v21_mrl_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      mrlRecall(emb, emb.filter(col("vec_id") < 10), 10, Seq(8, 16, 32, 64))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |gt AS (SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id
+           |       FROM q JOIN v ON v.vec_id != q.vec_id
+           |       QUALIFY row_number() OVER (PARTITION BY q.vec_id
+           |         ORDER BY list_cosine_similarity(q.e, v.e) DESC, v.vec_id) <= 10),
+           |dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+           |td AS (SELECT d.dim, q.vec_id AS q_id, v.vec_id AS neighbor_id
+           |       FROM dims d, q, v WHERE v.vec_id != q.vec_id
+           |       QUALIFY row_number() OVER (PARTITION BY d.dim, q.vec_id
+           |         ORDER BY list_cosine_similarity(q.e[1:d.dim], v.e[1:d.dim]) DESC, v.vec_id) <= 10)
+           |SELECT td.dim, CAST(count(*) AS DOUBLE) / 100.0 AS recall
+           |FROM td JOIN gt ON td.q_id = gt.q_id AND td.neighbor_id = gt.neighbor_id
+           |GROUP BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20)
+      v20, v21)
 }

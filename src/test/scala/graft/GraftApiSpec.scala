@@ -443,6 +443,18 @@ class GraftApiSpec extends SparkSpec {
     assert(rows.size === 2)
   }
 
+  test("mrlRecall is exactly 1.0 at full dimension and monotone-bounded below it") {
+    // first two dims carry no signal; the last two decide neighborhoods
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.5f, 1.0f, 0.0f)), (1L, Array(0.5f, 0.5f, 0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f, 0.0f, 1.0f)), (3L, Array(0.5f, 0.5f, 0.1f, 0.9f)),
+      (4L, Array(0.5f, 0.5f, 0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val r = Graft.mrlRecall(vecs, vecs.filter($"vec_id" < 2), 2, Seq(2, 4))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(4) === 1.0, "full-dimension recall must be exactly 1")
+    assert(r(2) <= 1.0 && r(2) >= 0.0)
+  }
+
   test("gapFillLinear interpolates missing buckets on a user series") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)

@@ -114,7 +114,9 @@ class PlanGuardSpec extends SparkSpec {
     "v15_rerank_two_stage",
     // hard-negative mining broadcasts the query side under the
     // label-mismatch non-equi join — same contract as v1
-    "v19_hard_negatives")
+    "v19_hard_negatives",
+    // MRL recall runs one v1-shape arm per prefix dim — same contract
+    "v21_mrl_recall")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {
