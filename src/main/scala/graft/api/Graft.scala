@@ -291,7 +291,7 @@ object Graft {
     * here directly. `seriesDf` needs (user_id: long, bucket_ts: timestamp,
     * demand: double); `model` is "naive" | "drift" | "ar1" | "holt" |
     * "hw" (additive Holt-Winters; series shorter than two seasons emit
-    * no rows)
+    * no rows) | "theta" (SES-with-drift Theta method)
     * (anything else fails fast at plan build). `horizon` rows per series;
     * lo/hi are
     * central `confidence` intervals from the model's one-step residual
@@ -431,4 +431,64 @@ object Graft {
     */
   def phashNearDups(media: DataFrame, hammingMax: Int = 2): DataFrame =
     graft.operators.MultiModal.phashNearDups(media, hammingMax)
+
+  /** 1-bit binary quantization + Hamming candidate search with exact
+    * cosine rerank: `corpus`/`queries` need (vec_id, embedding); top-`c`
+    * Hamming candidates per query, reranked to `k` by exact cosine.
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      c: Int = 20, excludeSelf: Boolean = true): DataFrame =
+    VectorOps.binaryHammingTopK(corpus, queries, k, c, excludeSelf)
+
+  /** Calibration / reliability bins with ECE contributions for a scored
+    * eval split: `df` needs (`scoreCol` in [0,1], `posCol` boolean);
+    * one row per non-empty bin, sum(ece_term) = the ECE.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, posCol: String,
+      bins: Int = 10): DataFrame =
+    StatOps.calibrationBins(df, scoreCol, posCol, bins)
+
+  /** Top-k 3-event journey patterns over (user_id, event_type, ts,
+    * event_id) — the n-gram extension of [[markovTransitions]].
+    */
+  def eventTrigrams(events: DataFrame, k: Int = 20): DataFrame =
+    Relational.eventTrigrams(events, k)
+
+  /** Log2-bucketed inter-arrival-gap histogram over (user_id, ts,
+    * event_id): (bucket = bit length of the micros gap, n, pct).
+    */
+  def intereventGapHistogram(events: DataFrame): DataFrame =
+    Relational.intereventGapHistogram(events)
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: one row
+    * (n_vocab, slope, intercept, r2); natural text sits near slope −1.
+    */
+  def zipfFit(docs: DataFrame): DataFrame = TextOps.zipfFit(docs)
+
+  /** Precision/recall/F1 operating-point sweep for a scored eval split:
+    * `steps` thresholds over [0,1); one row per threshold with exact
+    * integer confusion counts.
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, posCol: String,
+      steps: Int = 10): DataFrame =
+    StatOps.thresholdSweep(df, scoreCol, posCol, steps)
+
+  /** Kaplan-Meier survival over per-user lifetimes with right-censoring:
+    * one row per distinct duration (t_days, n_risk, d, c, survival).
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 7): DataFrame =
+    Relational.kaplanMeier(events, censorDays)
+
+  /** Exact Gini coefficient of per-user event concentration, from the
+    * count histogram (no global user sort): one row
+    * (n_users, n_events, gini).
+    */
+  def giniConcentration(events: DataFrame): DataFrame =
+    Relational.giniConcentration(events)
+
+  /** Directed label modularity of the embeddings kNN graph: one row
+    * (m, intra, modularity) — do nearest neighbors share labels?
+    */
+  def knnLabelModularity(corpus: DataFrame, k: Int = 3): DataFrame =
+    VectorOps.knnLabelModularity(corpus, k)
 }

@@ -191,8 +191,8 @@ object Forecast {
       confidence: Double = 0.9): DataFrame = {
     // a bad model name must fail plan-building with a clear message, not
     // surface as a MatchError task failure deep inside flatMapGroups
-    require(Set("naive", "drift", "ar1", "holt", "hw")(model),
-      s"unknown forecast model '$model' (expected one of naive|drift|ar1|holt|hw)")
+    require(Set("naive", "drift", "ar1", "holt", "hw", "theta")(model),
+      s"unknown forecast model '$model' (expected one of naive|drift|ar1|holt|hw|theta)")
     require(horizon >= 1, s"horizon must be >= 1, got $horizon")
     val z = zFor(confidence)
     val s = seriesDf.sparkSession
@@ -286,11 +286,50 @@ object Forecast {
             }
             (l, b, sl, acc / (n - SeasonLen).toDouble)
           }
+        // Theta method in its SES-with-drift equivalence (Assimakopoulos &
+        // Nikolopoulos 2000; Hyndman & Billah 2003, "Unmasking the Theta
+        // method" — public literature), θ = 2, fixed α = 0.5:
+        // ŷ_{T+h} = ℓ_T + (h − 1 + 1/α − (1−α)^T/α)·(b̂/2) where ℓ_T is the
+        // SES level and b̂ the OLS slope of y on t = 0..n−1. ONE ascending-t
+        // fold carries (ℓ, Σy, Σt·y, Σe², (1−α)^t); Σt and Σt² come from
+        // the exact closed forms (integral for n < 2^26, so no fold
+        // needed). The oracle replays the fold as a recursive CTE with the
+        // SAME state columns, so every intermediate double is
+        // bitwise-identical cross-engine; 0.5 is a decimal literal on both
+        // sides (never 1−α).
+        // State: (level, bls, pow05n = (1−α)^n, σ²)
+        val theta: (Double, Double, Double, Double) =
+          if (model != "theta") (0.0, 0.0, 0.0, 0.0)
+          else if (n == 1) (pts.head.demand, 0.0, 0.5, 0.0)
+          else {
+            var l = pts.head.demand
+            var sy = pts.head.demand
+            var sty = 0.0
+            var acc = 0.0
+            var pp = 0.5
+            var i = 1
+            while (i < n) {
+              val yi = pts(i).demand
+              val e = yi - l
+              acc += e * e
+              l = 0.5 * yi + 0.5 * l
+              sy += yi
+              sty += i.toDouble * yi
+              pp *= 0.5
+              i += 1
+            }
+            val nD = n.toDouble
+            val stD = (nD - 1.0) * nD / 2.0
+            val sttD = (nD - 1.0) * nD * (2.0 * nD - 1.0) / 6.0
+            val bls = (nD * sty - stD * sy) / (nD * sttD - stD * stD)
+            (l, bls, pp, acc / (n - 1).toDouble)
+          }
         // one-step residual variance of the chosen model's in-sample fit:
         // n-1 residuals, ascending-t fold, σ² = Σe²/(n-1)
         val s2 =
           if (model == "hw") (if (hw == null) 0.0 else hw._4)
           else if (model == "holt") holt._3
+          else if (model == "theta") theta._4
           else if (n == 1) 0.0
           else {
             var acc = 0.0; var i = 1
@@ -332,6 +371,12 @@ object Forecast {
                 g += c * c; j += 1
               }
               (holt._1 + h * holt._2, g)
+            case "theta" =>
+              // SES h-step variance scale g_h = 1 + (h−1)·α² (the theta
+              // drift is a deterministic trend, so it adds no variance)
+              (theta._1 +
+                (h.toDouble - 1.0 + 2.0 - theta._3 * 2.0) * (theta._2 * 0.5),
+                1.0 + (h.toDouble - 1.0) * 0.5 * 0.5)
             case "hw" =>
               // ŷ_h = l + h·b + s_{n+h−m} (h ≤ m reads the last season's
               // smoothed values); ETS(A,A,A) h-step variance scale
@@ -1285,5 +1330,54 @@ object Forecast {
              |FROM pts""".stripMargin))
   }
 
-  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11)
+  /** M15 (beyond reference): per-series Theta-method forecast — the
+    * M3-competition benchmark model (Assimakopoulos & Nikolopoulos 2000),
+    * in the SES-with-drift form; completes the m5..m11 classical ladder
+    * between Holt and the regression models. The oracle replays the
+    * engine's exact ascending-t fold as a recursive CTE (state = level,
+    * Σy, Σt·y, Σe², (1−α)^t), so every forecast double matches bitwise.
+    */
+  val m15: GraftQuery = GraftQuery(
+    "m15_forecast_theta",
+    forecastKernel("theta"),
+    Some(s"""WITH RECURSIVE base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |rec AS (
+           |  SELECT user_id, y, n, last_b, 1 AS i, y[1] AS l, y[1] AS sy,
+           |         CAST(0 AS DOUBLE) AS sty, CAST(0 AS DOUBLE) AS s,
+           |         CAST(0.5 AS DOUBLE) AS pp
+           |  FROM ser
+           |  UNION ALL
+           |  SELECT user_id, y, n, last_b, i + 1,
+           |         CAST(0.5 AS DOUBLE) * y[i+1] + CAST(0.5 AS DOUBLE) * l,
+           |         sy + y[i+1],
+           |         sty + CAST(i AS DOUBLE) * y[i+1],
+           |         s + (y[i+1] - l) * (y[i+1] - l),
+           |         pp * CAST(0.5 AS DOUBLE)
+           |  FROM rec WHERE i < n),
+           |sg AS (SELECT user_id, last_b, l, pp,
+           |       CASE WHEN n > 1 THEN s / CAST(n - 1 AS DOUBLE)
+           |            ELSE CAST(0 AS DOUBLE) END AS s2,
+           |       CASE WHEN n > 1 THEN
+           |         (CAST(n AS DOUBLE) * sty
+           |            - ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) / 2.0) * sy)
+           |         / (CAST(n AS DOUBLE)
+           |              * ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE)
+           |                 * (2.0 * CAST(n AS DOUBLE) - 1.0) / 6.0)
+           |            - ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) / 2.0)
+           |              * ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) / 2.0))
+           |       ELSE CAST(0 AS DOUBLE) END AS bls
+           |       FROM rec WHERE i = n),
+           |fc AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
+           |       l + (CAST(h AS DOUBLE) - 1.0 + 2.0 - pp * 2.0) * (bls * 0.5) AS v,
+           |       $Z90 * sqrt(s2 * (1.0 + (CAST(h AS DOUBLE) - 1.0) * 0.5 * 0.5)) AS halfw
+           |       FROM sg CROSS JOIN generate_series(1, 12) t(h))
+           |SELECT user_id, forecast_timestamp, v AS forecast_value,
+           |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15)
 }

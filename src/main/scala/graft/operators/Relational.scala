@@ -1513,11 +1513,224 @@ object Relational {
           abs(col("mau_est") - col("mau_exact")) / col("mau_exact") <= 0.05).as("ok"))
   }
 
+  /** W14 (beyond reference): top-k 3-event journey patterns — the n-gram
+    * extension of [[w12]]'s first-order transitions (path analysis: which
+    * exact three-step sequences dominate the product?). Two lead()s per
+    * user partition (user-bounded window), one hash aggregate on the
+    * trigram domain (|event_types|^3-bounded), and a global top-k sort
+    * over that bounded domain — never over rows. Ties break on the trigram
+    * string, so the LIMIT cut is deterministic in any engine.
+    */
+  val w14 = q(
+    "w14_event_trigrams",
+    """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |p AS (SELECT event_type AS e1,
+      |        lead(event_type, 1) OVER w AS e2,
+      |        lead(event_type, 2) OVER w AS e3
+      |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |c AS (SELECT e1 || '>' || e2 || '>' || e3 AS trigram, count(*) AS n
+      |      FROM p WHERE e3 IS NOT NULL GROUP BY 1)
+      |SELECT trigram, n FROM c ORDER BY n DESC, trigram LIMIT 20""".stripMargin) {
+    (s, d) => eventTrigrams(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): top-k 3-event
+    * sequences. `events` needs (user_id, event_type, ts, event_id);
+    * returns (trigram, n), the k most frequent per-user event trigrams,
+    * ties broken by trigram text.
+    */
+  def eventTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(k)
+  }
+
+  /** W15 (beyond reference): inter-event arrival-gap histogram on a log2
+    * scale — the latency/cadence profile behind session-timeout tuning
+    * (w2/w8's 30-min gap) and bot detection (sub-second spikes). The
+    * bucket is the BIT LENGTH of the integral micros gap
+    * (length(bin(gap)) = floor(log2)+1) — pure integer, no libm log, so
+    * the histogram is bitwise-identical in any engine. One lag() per
+    * user partition (user-bounded window) + one hash aggregate on a
+    * <= 64-bucket domain; pct is a ratio of counts over that bounded
+    * domain.
+    */
+  val w15 = q(
+    "w15_interevent_gap_hist",
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+      |g AS (SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM o),
+      |b AS (SELECT CASE WHEN gap_us = 0 THEN 0
+      |             ELSE CAST(length(bin(gap_us)) AS INT) END AS bucket
+      |      FROM g WHERE gap_us IS NOT NULL),
+      |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+      |SELECT bucket, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS pct
+      |FROM c""".stripMargin) { (s, d) => intereventGapHistogram(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): log2-bucketed
+    * inter-arrival-gap histogram. `events` needs (user_id, ts, event_id);
+    * returns (bucket, n, pct) where bucket = bit length of the micros gap
+    * (0 for exactly-simultaneous events).
+    */
+  def intereventGapHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val g = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    g.select(when(col("gap_us") === 0, lit(0))
+        .otherwise(length(bin(col("gap_us")))).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("pct", col("n").cast("double") /
+        sum("n").over(Window.partitionBy()).cast("double"))
+  }
+
+  /** W16 (beyond reference): Kaplan-Meier survival curve over user
+    * lifetimes — the churn-retention statistic (Kaplan & Meier 1958)
+    * behind every "how long do users stay" dashboard, with right-censoring
+    * done correctly: a user whose last event falls within `censorDays` of
+    * the corpus end may still be alive, so they leave the risk set without
+    * counting as churn (the naive "last event = churn" read biases
+    * survival down).
+    *
+    * Shape: one per-user aggregate, one single-row max broadcast, then
+    * every window runs over the DURATION domain — bounded by the
+    * observation span in days, never by user count. Determinism: risk
+    * sets and event counts are integers; each KM factor takes ONE ln,
+    * quantized to 1e-12 immediately (the d2 discipline), the cumulative
+    * sum is then an exact BIGINT fold, and the final exp is quantized to
+    * 1e-9 — so the curve is reproducible cross-engine. A duration where
+    * the whole risk set churns (factor 0, ln undefined) is tracked by an
+    * integer flag and zeroes the curve exactly from that point on.
+    */
+  val w16 = q(
+    "w16_survival_km",
+    """WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+      |              max(CAST(ts AS DATE)) AS last_day FROM events GROUP BY 1),
+      |mx AS (SELECT max(last_day) AS max_day FROM pu),
+      |u AS (SELECT CAST(last_day - first_day AS INT) AS t_days,
+      |        last_day <= max_day - 7 AS churned FROM pu, mx),
+      |g AS (SELECT t_days, count(*) FILTER (churned) AS d,
+      |        count(*) FILTER (NOT churned) AS c FROM u GROUP BY 1),
+      |t AS (SELECT t_days, d, c,
+      |        CAST(sum(d + c) OVER () AS BIGINT)
+      |          - CAST(coalesce(sum(d + c) OVER (ORDER BY t_days
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |      FROM g),
+      |q0 AS (SELECT *,
+      |        CASE WHEN d = 0 THEN 0
+      |             WHEN d < n_risk THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)
+      |             ELSE 0 END AS qln,
+      |        CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+      |      FROM t),
+      |s AS (SELECT *, CAST(sum(qln) OVER wo AS BIGINT) AS cq,
+      |        CAST(sum(z) OVER wo AS BIGINT) AS zeroed
+      |      FROM q0 WINDOW wo AS (ORDER BY t_days))
+      |SELECT t_days, n_risk, d, c,
+      |  CASE WHEN zeroed > 0 THEN 0.0
+      |       ELSE floor(exp(CAST(cq AS DOUBLE) / 1e12) * 1e9 + 0.5) / 1e9 END AS survival
+      |FROM s""".stripMargin) { (s, d) => kaplanMeier(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): Kaplan-Meier survival
+    * over per-user lifetimes. `events` needs (user_id, ts: timestamp);
+    * duration = days between a user's first and last event, churn
+    * observed only when the last event predates the corpus end by more
+    * than `censorDays` (otherwise right-censored). Returns one row per
+    * distinct duration (t_days, n_risk, d, c, survival).
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val perUser = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("first_day"), max("day").as("last_day"))
+    val maxDay = perUser.agg(max("last_day").as("max_day"))
+    val u = perUser.crossJoin(broadcast(maxDay))
+      .select(datediff(col("last_day"), col("first_day")).as("t_days"),
+        (col("last_day") <= date_sub(col("max_day"), censorDays)).as("churned"))
+    val g = u.groupBy("t_days").agg(
+      count(when(col("churned"), 1)).as("d"),
+      count(when(!col("churned"), 1)).as("c"))
+    val wPrev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    val wAt = Window.orderBy("t_days")
+    val t = g.withColumn("n_risk",
+      sum(col("d") + col("c")).over(Window.partitionBy()) -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+    val lnq = when(col("d") === 0, lit(0L))
+      .otherwise(floor(
+        log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+          * 1e12 + 0.5).cast("long"))
+    t.withColumn("qln", when(col("d") < col("n_risk"), lnq).otherwise(lit(0L)))
+      .withColumn("z", when(col("d") === col("n_risk"), 1).otherwise(0))
+      .withColumn("cq", sum("qln").over(wAt))
+      .withColumn("zeroed", sum("z").over(wAt))
+      .select(col("t_days"), col("n_risk"), col("d"), col("c"),
+        when(col("zeroed") > 0, lit(0.0))
+          .otherwise(floor(exp(col("cq").cast("double") / 1e12) * 1e9 + 0.5) / 1e9)
+          .as("survival"))
+  }
+
+  /** W17 (beyond reference): activity-concentration summary — the Gini
+    * coefficient of events-per-user, the "do 1% of users generate 90% of
+    * traffic" number behind capacity planning and the j12 skew decision.
+    *
+    * Computed from the COUNT HISTOGRAM, not from ranked users: users are
+    * grouped by their event count (domain bounded by the busiest user's
+    * activity, not by user count), and the exact grouped-data Gini comes
+    * from the trapezoid rule over that histogram:
+    * G = 1 − Σ_i m_i·(ce_{i−1} + ce_i) / (U·E), where m_i = users at
+    * count i, ce_i = cumulative events through count i. Every term is an
+    * integer (the Σ is an exact BIGINT fold over the bounded count
+    * domain), so G is one IEEE division — bitwise identical cross-engine
+    * — and there is NO global user sort anywhere: at 100 TB the ranked
+    * formulation would need a total order over billions of users, while
+    * the histogram is a two-level hash aggregate plus a count-domain
+    * window.
+    */
+  val w17 = q(
+    "w17_gini_concentration",
+    """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |h AS (SELECT n, count(*) AS m FROM u GROUP BY 1),
+      |c AS (SELECT n, m, CAST(sum(n * m) OVER wo AS BIGINT) AS ce,
+      |        CAST(coalesce(sum(n * m) OVER (ORDER BY n
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ce_prev
+      |      FROM h WINDOW wo AS (ORDER BY n)),
+      |t AS (SELECT CAST(sum(m) AS BIGINT) AS n_users,
+      |        CAST(sum(n * m) AS BIGINT) AS n_events,
+      |        CAST(sum(m * (ce_prev + ce)) AS BIGINT) AS s FROM c)
+      |SELECT n_users, n_events,
+      |  1.0 - CAST(s AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE)) AS gini
+      |FROM t""".stripMargin) { (s, d) => giniConcentration(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): exact Gini
+    * coefficient of per-user event concentration. `events` needs
+    * (user_id); returns one row (n_users, n_events, gini) with gini in
+    * [0, 1), 0 = perfectly uniform activity.
+    */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    val h = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("m"))
+    val wAt = Window.orderBy("n")
+    val wPrev = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+    val c = h
+      .withColumn("ce", sum(col("n") * col("m")).over(wAt))
+      .withColumn("ce_prev", coalesce(sum(col("n") * col("m")).over(wPrev), lit(0L)))
+    c.agg(sum("m").as("n_users"), sum(col("n") * col("m")).as("n_events"),
+        sum(col("m") * (col("ce_prev") + col("ce"))).as("s"))
+      .select(col("n_users"), col("n_events"),
+        (lit(1.0) - col("s").cast("double") /
+          (col("n_users").cast("double") * col("n_events").cast("double"))).as("gini"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -504,5 +504,133 @@ object StatOps {
            |SELECT day, daily_mean, mean7, z,
            |       abs(z) > 3.0 OR (var0 <= 0 AND dq * n7 <> s1) AS is_anomaly FROM z""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, a22, m12, m13, m14)
+  /** Public DataFrame-in API (see graft.api.Graft): calibration /
+    * reliability bins with ECE contributions — the companion to [[d6]]'s
+    * AUC in a model-eval harness: is the score USABLE as a probability?
+    * `scoreCol` is clamped to [0, 1] and cut into `bins` equal-width bins;
+    * per non-empty bin: n, pos_n, mean_score (confidence), frac_pos
+    * (accuracy), and ece_term = n/N * |frac_pos - mean_score| (sum over
+    * bins = the Expected Calibration Error, Naeini et al. AAAI'15).
+    *
+    * Cross-engine exactness: the clamped score is micro-quantized once
+    * (floor(s*1e6+0.5) on identical IEEE doubles) and every aggregate is
+    * an integer sum; mean/frac/ece come from the integer sums by one
+    * identical chain of IEEE divisions. Shape: one scan + one hash
+    * aggregate on the bin domain + a bin-bounded total window — one full
+    * pass at 100 TB regardless of bin count.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, posCol: String,
+      bins: Int = 10): DataFrame = {
+    val s01 = greatest(lit(0.0), least(lit(1.0), col(scoreCol).cast("double")))
+    val b = df
+      .select(
+        least(lit(bins - 1), floor(s01 * bins)).cast("int").as("bin"),
+        floor(s01 * 1e6 + 0.5).cast("long").as("qs"),
+        col(posCol).cast("boolean").as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), count(when(col("pos"), 1)).as("pos_n"),
+        sum("qs").as("sq"))
+    b.withColumn("nt", sum("n").over(Window.partitionBy()))
+      .select(col("bin"), col("n"), col("pos_n"),
+        (col("sq").cast("double") / col("n") / 1e6).as("mean_score"),
+        (col("pos_n").cast("double") / col("n")).as("frac_pos"),
+        (col("n").cast("double") / col("nt") *
+          abs(col("pos_n").cast("double") / col("n") -
+            col("sq").cast("double") / col("n") / 1e6)).as("ece_term"))
+  }
+
+  /** D7 (beyond reference): calibration audit of the embeddings eval split —
+    * score = first component mapped to [0, 1] by (x+1)/2, positive =
+    * label < 5 (the same null-signal pairing as [[d6]], so the bins report
+    * the miscalibration of an uninformative score exactly).
+    */
+  val d7: GraftQuery = GraftQuery(
+    "d7_calibration_bins",
+    (s, d) => calibrationBins(
+      Tables.embeddings(s, d).select(
+        ((element_at(col("embedding"), 1).cast("double") + 1.0) / 2.0).as("score"),
+        (col("label") < 5).as("pos")),
+      "score", "pos"),
+    Some("""WITH e AS (SELECT greatest(0.0, least(1.0, (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0)) AS s,
+           |            label < 5 AS pos FROM embeddings),
+           |b AS (SELECT CAST(least(9, floor(s * 10)) AS INT) AS bin,
+           |        CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS qs, pos FROM e),
+           |g AS (SELECT bin, count(*) AS n, count(*) FILTER (pos) AS pos_n,
+           |        sum(qs) AS sq FROM b GROUP BY 1),
+           |t AS (SELECT *, sum(n) OVER () AS nt FROM g)
+           |SELECT bin, n, pos_n,
+           |  CAST(sq AS DOUBLE) / n / 1e6 AS mean_score,
+           |  CAST(pos_n AS DOUBLE) / n AS frac_pos,
+           |  CAST(n AS DOUBLE) / nt
+           |    * abs(CAST(pos_n AS DOUBLE) / n - CAST(sq AS DOUBLE) / n / 1e6) AS ece_term
+           |FROM t""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): precision/recall/F1
+    * threshold sweep — the operating-point table a model-eval harness
+    * publishes next to [[aucRank]]'s AUC and [[calibrationBins]]'s ECE.
+    * The score is micro-quantized once (the d6/d7 discipline) and
+    * histogrammed; each threshold t/`steps` then reads the HISTOGRAM, not
+    * the rows, with the integer predicate qs >= t*(1e6/steps) — so the
+    * sweep costs one scan + one hash aggregate regardless of step count,
+    * and every confusion count is an exact integer in any engine. Ratios
+    * guard their zero denominators explicitly (Spark yields NULL on x/0,
+    * DuckDB yields inf — the CASE keeps the engines identical).
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, posCol: String,
+      steps: Int = 10): DataFrame = {
+    require(1000000 % steps == 0, s"steps must divide 1e6, got $steps")
+    val quantum = 1000000L / steps
+    val h = df
+      .select(
+        floor(greatest(lit(0.0), least(lit(1.0), col(scoreCol).cast("double")))
+          * 1e6 + 0.5).cast("long").as("qs"),
+        col(posCol).cast("boolean").as("pos"))
+      .groupBy("qs")
+      .agg(count(when(col("pos"), 1)).as("np"), count(when(!col("pos"), 1)).as("nn"))
+    val spine = df.sparkSession.range(0, steps).select(col("id").as("t"))
+    val conf = h.crossJoin(broadcast(spine))
+      .groupBy("t")
+      .agg(
+        sum(when(col("qs") >= col("t") * quantum, col("np")).otherwise(0L)).as("tp"),
+        sum(when(col("qs") >= col("t") * quantum, col("nn")).otherwise(0L)).as("fp"),
+        sum(when(col("qs") < col("t") * quantum, col("np")).otherwise(0L)).as("fn"))
+    def ratio(num: Column, den: Column) =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    conf.select((col("t").cast("double") / steps).as("threshold"),
+      col("tp"), col("fp"), col("fn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** D8 (beyond reference): operating-point sweep over the embeddings eval
+    * split — same score/label pairing as [[d6]]/[[d7]].
+    */
+  val d8: GraftQuery = GraftQuery(
+    "d8_threshold_sweep",
+    (s, d) => thresholdSweep(
+      Tables.embeddings(s, d).select(
+        ((element_at(col("embedding"), 1).cast("double") + 1.0) / 2.0).as("score"),
+        (col("label") < 5).as("pos")),
+      "score", "pos"),
+    Some("""WITH e AS (SELECT CAST(floor(greatest(0.0, least(1.0, (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0)) * 1e6 + 0.5) AS BIGINT) AS qs,
+           |            label < 5 AS pos FROM embeddings),
+           |h AS (SELECT qs, count(*) FILTER (pos) AS np,
+           |        count(*) FILTER (NOT pos) AS nn FROM e GROUP BY 1),
+           |sp AS (SELECT unnest(range(10)) AS t),
+           |c AS (SELECT t,
+           |        CAST(sum(CASE WHEN qs >= t * 100000 THEN np ELSE 0 END) AS BIGINT) AS tp,
+           |        CAST(sum(CASE WHEN qs >= t * 100000 THEN nn ELSE 0 END) AS BIGINT) AS fp,
+           |        CAST(sum(CASE WHEN qs < t * 100000 THEN np ELSE 0 END) AS BIGINT) AS fn
+           |      FROM h CROSS JOIN sp GROUP BY 1)
+           |SELECT CAST(t AS DOUBLE) / 10 AS threshold, tp, fp, fn,
+           |  CASE WHEN tp + fp = 0 THEN 0.0
+           |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           |  CASE WHEN tp + fn = 0 THEN 0.0
+           |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           |  CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+           |       ELSE CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) END AS f1
+           |FROM c""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, d7, d8, a22, m12, m13, m14)
 }

@@ -2280,8 +2280,87 @@ object TextOps {
            |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ps'), 1, 15) AS BIGINT) + 1 AS DOUBLE) AS priority
            |FROM documents ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): Zipf rank-frequency
+    * fit over the corpus vocabulary — log-log OLS of term frequency on
+    * rank. Natural text follows slope ≈ −1 (Zipf 1949); templated,
+    * machine-generated, or boilerplate-heavy corpora flatten or kink the
+    * curve, so the slope is a one-number corpus-health monitor (the
+    * distributional companion to x41's per-document entropy). Returns one
+    * row (n_vocab, slope, intercept, r2).
+    *
+    * Scale: one tokenize scan + one hash aggregate on the VOCABULARY
+    * domain; the rank window and the final fit run over vocab rows only —
+    * bounded by language, not corpus size. Determinism: ranks and
+    * frequencies are integers; each ln (the libm step) is quantized to
+    * 1e-6 immediately (the d2 discipline — ulp-boundary straddles are the
+    * accepted residual risk), and every aggregate is then an exact BIGINT
+    * sum, so the fit inputs are bitwise-identical cross-engine.
+    */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("w"))))
+    def qz(c: Column) = floor(c * 1e6 + 0.5).cast("long")
+    val lx = log(col("r").cast("double"))
+    val ly = log(col("f").cast("double"))
+    val g = ranked
+      .select(qz(lx).as("qx"), qz(ly).as("qy"), qz(lx * ly).as("qxy"),
+        qz(lx * lx).as("qxx"), qz(ly * ly).as("qyy"))
+      .agg(count(lit(1)).as("n_vocab"), sum("qx").as("sx"), sum("qy").as("sy"),
+        sum("qxy").as("sxy"), sum("qxx").as("sxx"), sum("qyy").as("syy"))
+    val n = col("n_vocab").cast("double")
+    def d(c: String) = col(c).cast("double") / 1e6
+    val covN = n * d("sxy") - d("sx") * d("sy")
+    val varXN = n * d("sxx") - d("sx") * d("sx")
+    val varYN = n * d("syy") - d("sy") * d("sy")
+    g.select(col("n_vocab"),
+      (covN / varXN).as("slope"),
+      ((d("sy") - covN / varXN * d("sx")) / n).as("intercept"),
+      (covN * covN / (varXN * varYN)).as("r2"))
+  }
+
+  /** X45 (beyond reference): Zipf-law audit of the documents corpus. */
+  val x45: GraftQuery = GraftQuery(
+    "x45_zipf_fit",
+    (s, d) => zipfFit(Tables.documents(s, d)),
+    Some("""WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+           |f AS (SELECT w, count(*) AS f FROM w WHERE length(w) > 0 GROUP BY 1),
+           |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM f),
+           |q AS (SELECT
+           |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qx,
+           |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qy,
+           |    CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qxy,
+           |    CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qxx,
+           |    CAST(floor(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qyy
+           |  FROM r),
+           |g AS (SELECT count(*) AS n_vocab, sum(qx) AS sx, sum(qy) AS sy,
+           |        sum(qxy) AS sxy, sum(qxx) AS sxx, sum(qyy) AS syy FROM q)
+           |SELECT n_vocab,
+           |  (CAST(n_vocab AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |  / (CAST(n_vocab AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)) AS slope,
+           |  ((CAST(sy AS DOUBLE) / 1e6)
+           |     - (CAST(n_vocab AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |       / (CAST(n_vocab AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+           |       * (CAST(sx AS DOUBLE) / 1e6)) / CAST(n_vocab AS DOUBLE) AS intercept,
+           |  (CAST(n_vocab AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |  * (CAST(n_vocab AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |  / ((CAST(n_vocab AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+           |     * (CAST(n_vocab AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e6)
+           |        - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))) AS r2
+           |FROM g""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45)
 }

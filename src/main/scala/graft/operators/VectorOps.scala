@@ -1371,7 +1371,156 @@ object VectorOps {
            |FROM td JOIN gt ON td.q_id = gt.q_id AND td.neighbor_id = gt.neighbor_id
            |GROUP BY 1""".stripMargin))
 
+  /** Sign-bit packing: bit j of word w set iff embedding[32w + j] > 0 —
+    * 32 bits per BIGINT word (not 64: bit 63 would overflow the signed sum
+    * both engines build the word with), so a 64-dim vector packs to two
+    * words = 16 bytes, a 32x compression of the double math. Pure per-row
+    * map, integer-exact in any engine.
+    */
+  private def packSignBits(df: DataFrame, prefix: String): DataFrame =
+    df.select(col("vec_id").as(s"${prefix}_id"),
+      expr("""aggregate(sequence(0, 31), 0L,
+              (a, i) -> a + IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))""")
+        .as(s"${prefix}_w0"),
+      expr("""aggregate(sequence(32, 63), 0L,
+              (a, i) -> a + IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i - 32), 0L))""")
+        .as(s"${prefix}_w1"))
+
+  /** Public DataFrame-in API (see graft.api.Graft): 1-bit (sign) binary
+    * quantization + Hamming candidate search with exact cosine rerank —
+    * the cheapest compression tier of a production vector store (below
+    * [[v6]]'s int8 and [[v8]]'s PQ): corpus and queries pack to two bit
+    * words, candidates come from Hamming distance (xor + popcount, pure
+    * integer), and only the top-`c` candidates per query touch the float
+    * vectors for the exact rerank to `k`.
+    *
+    * Scale: the candidate scan reads 16 bytes/vector against a broadcast
+    * packed query set — codegen'd integer ops, corpus scanned once, no
+    * shuffle before the per-query top-c rank; float vectors are fetched
+    * (an id join) for only c x |Q| rows. Everything before the rerank is
+    * integer, so candidate sets are bitwise-identical cross-engine; the
+    * rerank cosine is the fused graft_cosine == DuckDB's
+    * list_cosine_similarity.
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      c: Int = 20, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cw = packSignBits(corpus, "c")
+    val qw = packSignBits(queries, "q")
+    val wham = Window.partitionBy("q_id").orderBy(col("hamming"), col("c_id"))
+    val cand = cw.join(broadcast(qw),
+        if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
+      .withColumn("hamming",
+        (bit_count(expr("c_w0 ^ q_w0")) + bit_count(expr("c_w1 ^ q_w1"))).cast("int"))
+      .withColumn("hrk", row_number().over(wham)).filter(col("hrk") <= c)
+      .select(col("q_id"), col("c_id"), col("hamming"))
+    val ce = withNorm(corpus, "cc")
+    val qe = withNorm(queries, "qq")
+    val wcos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.join(ce, col("c_id") === col("cc_id"))
+      .join(broadcast(qe), col("q_id") === col("qq_id"))
+      .withColumn("cos", cosine("qq_e", "cc_e"))
+      .withColumn("rk", row_number().over(wcos)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("hamming"), col("cos"))
+  }
+
+  /** V22 (beyond reference): binary-quantized ANN over the embeddings
+    * table — Hamming top-20 candidates, exact rerank to k = 3.
+    */
+  val v22: GraftQuery = GraftQuery(
+    "v22_binary_hamming_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      binaryHammingTopK(emb, emb.filter(col("vec_id") < 10), 3)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |bits AS (SELECT vec_id, i, e[CAST(i + 1 AS INT)] > 0 AS b
+           |         FROM v CROSS JOIN (SELECT unnest(range(64)) AS i)),
+           |pk AS (SELECT vec_id,
+           |         CAST(sum(CASE WHEN b AND i < 32 THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS w0,
+           |         CAST(sum(CASE WHEN b AND i >= 32 THEN 1::BIGINT << CAST(i - 32 AS INT) ELSE 0 END) AS BIGINT) AS w1
+           |       FROM bits GROUP BY 1),
+           |q AS (SELECT * FROM pk WHERE vec_id < 10),
+           |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |           CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INT) AS hamming
+           |         FROM q JOIN pk c ON c.vec_id != q.vec_id
+           |         QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY hamming, c_id) <= 20),
+           |r AS (SELECT cand.q_id, cand.c_id AS neighbor_id, cand.hamming,
+           |        list_cosine_similarity(qv.e, cv.e) AS cos
+           |      FROM cand JOIN v qv ON qv.vec_id = cand.q_id
+           |                JOIN v cv ON cv.vec_id = cand.c_id)
+           |SELECT q_id, neighbor_id, hamming, cos FROM r
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): label modularity of
+    * the kNN graph — does the labeling carve the neighborhood structure
+    * into real communities? Directed modularity (Leicht & Newman 2008):
+    * Q = intra/m − Σ_l dout_l·din_l / m², over the [[knnGraph]] edge
+    * list with `labelCol` as the community assignment. The
+    * embedding-space companion to [[v11]]'s silhouette: silhouette asks
+    * "are labels geometrically compact", modularity asks "do neighbors
+    * share labels".
+    *
+    * Determinism: every term is an integer count (edges, intra edges,
+    * per-label out/in degrees, Σ dout·din), so Q is two IEEE divisions on
+    * integers — bitwise identical in any engine. Scale: the kNN graph is
+    * the expensive part (IVF-celled, see knnGraph); on top of it this is
+    * two id-joins against the label table and label-domain-bounded
+    * aggregates.
+    */
+  def knnLabelModularity(corpus: DataFrame, k: Int = 3): DataFrame = {
+    val edges = knnGraph(corpus, k).select("src_id", "neighbor_id")
+    val lab = corpus.select(col("vec_id"), col("label"))
+    val e = edges
+      .join(lab.select(col("vec_id").as("src_id"), col("label").as("src_label")),
+        "src_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("dst_label")),
+        "neighbor_id")
+    val tot = e.agg(count(lit(1)).as("m"),
+      count(when(col("src_label") === col("dst_label"), 1)).as("intra"))
+    val dl = e.groupBy(col("src_label").as("label")).agg(count(lit(1)).as("dout"))
+    val il = e.groupBy(col("dst_label").as("label")).agg(count(lit(1)).as("din"))
+    val ddi = dl.join(il, Seq("label"), "full")
+      .na.fill(0L, Seq("dout", "din"))
+      .agg(sum(col("dout") * col("din")).as("ddi"))
+    tot.crossJoin(broadcast(ddi))
+      .select(col("m"), col("intra"),
+        (col("intra").cast("double") / col("m").cast("double") -
+          col("ddi").cast("double") /
+            (col("m").cast("double") * col("m").cast("double"))).as("modularity"))
+  }
+
+  /** V23 (beyond reference): label-community audit of the embeddings kNN
+    * graph (near zero on the driver's signal-free labels — the null
+    * result an eval harness must report exactly).
+    */
+  val v23: GraftQuery = GraftQuery(
+    "v23_knn_label_modularity",
+    (s, d) => knnLabelModularity(Tables.embeddings(s, d)),
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, label, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.label, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |edges AS (SELECT src_id, src_label, dst_label FROM (
+           |  SELECT a.vec_id AS src_id, a.label AS src_label, b.label AS dst_label,
+           |         list_cosine_similarity(a.e, b.e) AS cos, b.vec_id AS neighbor_id
+           |  FROM assign a JOIN assign b USING (cluster) WHERE b.vec_id != a.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, neighbor_id) <= 3),
+           |tot AS (SELECT count(*) AS m,
+           |          count(*) FILTER (src_label = dst_label) AS intra FROM edges),
+           |dl AS (SELECT src_label AS label, count(*) AS dout FROM edges GROUP BY 1),
+           |il AS (SELECT dst_label AS label, count(*) AS din FROM edges GROUP BY 1),
+           |dd AS (SELECT CAST(sum(coalesce(dout, 0) * coalesce(din, 0)) AS BIGINT) AS ddi
+           |       FROM dl FULL JOIN il USING (label))
+           |SELECT m, intra,
+           |  CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
+           |    - CAST(ddi AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
+           |FROM tot, dd""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21)
+      v20, v21, v22, v23)
 }

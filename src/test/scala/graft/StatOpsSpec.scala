@@ -176,4 +176,160 @@ class StatOpsSpec extends SparkSpec {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
     assert(out.forall(_.getAs[String]("bigram").matches("[a-z0-9]+ [a-z0-9]+")))
   }
+
+  test("d7 calibration: counts conserve, ECE bounded, confidences sit inside their bins") {
+    val out = StatOps.d7.build(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == Tables.embeddings(spark, sf).count())
+    val ece = out.map(_.getAs[Double]("ece_term")).sum
+    assert(ece >= 0.0 && ece <= 1.0)
+    out.foreach { r =>
+      val b = r.getAs[Int]("bin")
+      val m = r.getAs[Double]("mean_score")
+      val fp = r.getAs[Double]("frac_pos")
+      assert(m >= b / 10.0 - 1e-6 && m <= (b + 1) / 10.0 + 1e-6,
+        s"bin $b mean_score $m outside bin bounds")
+      assert(fp >= 0.0 && fp <= 1.0)
+    }
+  }
+
+  test("w14 trigrams: full-domain totals match per-user window arithmetic") {
+    // the registry query truncates to top-20; the full-domain check uses
+    // a k larger than |types|^3 so nothing is cut
+    val full = graft.operators.Relational
+      .eventTrigrams(Tables.events(spark, sf), k = 1000).collect()
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .as[(Long, Long)].collect()
+    val expected = perUser.map { case (_, n) => math.max(0L, n - 2) }.sum
+    assert(full.map(_.getAs[Long]("n")).sum == expected)
+    assert(full.forall(_.getAs[String]("trigram").split(">").length == 3))
+    val top = graft.operators.Relational.w14.build(spark, sf).collect()
+    assert(top.length == math.min(20, full.length))
+    assert(top.map(_.getAs[Long]("n")).min >=
+      full.map(_.getAs[Long]("n")).sorted(Ordering[Long].reverse)
+        .take(20).min)
+  }
+
+  test("w15 gap histogram: rows conserve (events - users), pct sums to 1, buckets sane") {
+    val out = graft.operators.Relational.w15.build(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n")).sum == expected)
+    assert(math.abs(out.map(_.getAs[Double]("pct")).sum - 1.0) < 1e-9)
+    assert(out.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b <= 64
+    })
+  }
+
+  test("m15 theta: 12 rows per series, widths widen with h, constant series stay flat") {
+    val out = graft.operators.Forecast.m15.build(spark, sf).collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    assert(byUser.values.forall(_.length == 12))
+    byUser.values.foreach { rs =>
+      val widths = rs.sortBy(_.getAs[java.sql.Timestamp]("forecast_timestamp").getTime)
+        .map(r => r.getAs[Double]("hi") - r.getAs[Double]("lo"))
+      assert(widths.zip(widths.tail).forall { case (a, b) => b >= a - 1e-12 })
+    }
+    // constant series: level = the constant, zero residual variance -> flat
+    val const = Seq.tabulate(8)(i =>
+      (1L, new java.sql.Timestamp(i * 300000L), 5.0))
+      .toDF("user_id", "bucket_ts", "demand")
+    val fc = graft.api.Graft.forecast(const, "theta").collect()
+    assert(fc.length == 12)
+    fc.foreach { r =>
+      assert(math.abs(r.getAs[Double]("forecast_value") - 5.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("hi") - r.getAs[Double]("lo")) < 1e-9)
+    }
+  }
+
+  test("d8 threshold sweep: monotone confusion counts, endpoints exact, f1 consistent") {
+    val out = StatOps.d8.build(spark, sf).collect().sortBy(_.getAs[Double]("threshold"))
+    assert(out.length == 10)
+    val emb = Tables.embeddings(spark, sf)
+    val total = emb.count()
+    val nPos = emb.filter(col("label") < 5).count()
+    // t = 0 predicts everything positive: tp = all positives, fp = all negatives
+    assert(out.head.getAs[Long]("tp") == nPos)
+    assert(out.head.getAs[Long]("fp") == total - nPos)
+    assert(out.head.getAs[Long]("fn") == 0L)
+    // rising threshold can only shrink the predicted-positive set
+    val tps = out.map(_.getAs[Long]("tp"))
+    val fps = out.map(_.getAs[Long]("fp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => b <= a })
+    assert(fps.zip(fps.tail).forall { case (a, b) => b <= a })
+    out.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPos)
+      val (tp, fp, fn) =
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+      val f1 = if (2 * tp + fp + fn == 0) 0.0
+        else 2.0 * tp / (2.0 * tp + fp + fn)
+      assert(math.abs(r.getAs[Double]("f1") - f1) < 1e-12)
+    }
+  }
+
+  test("w16 Kaplan-Meier: risk sets telescope, survival starts <= 1 and never increases") {
+    val out = graft.operators.Relational.w16.build(spark, sf)
+      .collect().sortBy(_.getAs[Int]("t_days"))
+    assert(out.nonEmpty)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.head.getAs[Long]("n_risk") == nUsers)
+    // n_risk at t+1 = n_risk at t - (d + c) at t
+    out.zip(out.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("n_risk") ==
+        a.getAs[Long]("n_risk") - a.getAs[Long]("d") - a.getAs[Long]("c"))
+    }
+    val surv = out.map(_.getAs[Double]("survival"))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 })
+    // replay the curve locally from the integer counts
+    var s = 1.0
+    out.foreach { r =>
+      val (d, n) = (r.getAs[Long]("d"), r.getAs[Long]("n_risk"))
+      s *= (1.0 - d.toDouble / n.toDouble)
+      assert(math.abs(r.getAs[Double]("survival") - s) < 1e-6,
+        s"t=${r.getAs[Int]("t_days")}")
+    }
+  }
+
+  test("w17 Gini matches a per-user Lorenz-polygon replay, totals conserve") {
+    val r = graft.operators.Relational.w17.build(spark, sf).collect().head
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .select("count").as[Long].collect().sorted
+    assert(r.getAs[Long]("n_users") == counts.length)
+    assert(r.getAs[Long]("n_events") == counts.sum)
+    val (u, e) = (counts.length.toDouble, counts.sum.toDouble)
+    var (cum, acc) = (0.0, 0.0)
+    counts.foreach { x =>
+      val prev = cum; cum += x
+      acc += (1.0 / u) * ((prev + cum) / e)
+    }
+    val gini = 1.0 - acc
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-9)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("v23 kNN label modularity: single bounded row, intra within m") {
+    val r = VectorOps.v23.build(spark, sf).collect().head
+    val (m, intra) = (r.getAs[Long]("m"), r.getAs[Long]("intra"))
+    assert(m > 0 && intra >= 0 && intra <= m)
+    val q = r.getAs[Double]("modularity")
+    assert(q >= -1.0 && q <= 1.0)
+    // the edge count is bounded by k per source node
+    val srcs = graft.operators.VectorOps
+      .knnGraph(Tables.embeddings(spark, sf), 3)
+      .groupBy("src_id").count().as[(Long, Long)].collect()
+    assert(srcs.forall(_._2 <= 3))
+    assert(m == srcs.map(_._2).sum)
+  }
+
+  test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
+    val r = TextOps.x45.build(spark, sf).collect().head
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    assert(r.getAs[Long]("n_vocab") == vocab)
+    assert(r.getAs[Double]("slope") < 0.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
 }

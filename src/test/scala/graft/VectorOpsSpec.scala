@@ -333,4 +333,28 @@ class VectorOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("needs_split") == (tot * 16 > grand * 2))
     }
   }
+
+  test("v22 binary-Hamming: 3 rows per query, rerank stays inside the Hamming candidate set") {
+    import org.apache.spark.sql.functions._
+    val out = VectorOps.v22.build(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 3))
+    assert(out.forall { r =>
+      val h = r.getAs[Int]("hamming"); h >= 0 && h <= 64
+    })
+    assert(out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
+    // the reranked neighbors must be a subset of the top-20 Hamming
+    // candidates (k = c returns the whole candidate set, reranked)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cand = VectorOps
+      .binaryHammingTopK(emb, emb.filter(col("vec_id") < 10), k = 20, c = 20)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(out.forall(r =>
+      cand.contains((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))))
+    // Hamming on sign bits is a coarse cosine proxy: at Hamming distance 0
+    // every component pair shares a sign, so every product — and the dot —
+    // is non-negative
+    out.filter(_.getAs[Int]("hamming") == 0)
+      .foreach(r => assert(r.getAs[Double]("cos") >= 0.0))
+  }
 }
