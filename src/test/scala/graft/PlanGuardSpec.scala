@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -94,6 +94,7 @@ class PlanGuardSpec extends SparkSpec {
       case l: GlobalLimitExec => l
       case l: LocalLimitExec => l
       case l: TakeOrderedAndProjectExec => l // the K-row centroid sample
+      case r: RangeExec => r // literal spine (e.g. d8's 10-row threshold grid)
     }).isDefined || p.collectLeaves().forall(isTinyDimScan)
 
   /** ANN queries broadcast the QUERY-VECTOR side under the non-equi
@@ -116,7 +117,10 @@ class PlanGuardSpec extends SparkSpec {
     // label-mismatch non-equi join — same contract as v1
     "v19_hard_negatives",
     // MRL recall runs one v1-shape arm per prefix dim — same contract
-    "v21_mrl_recall")
+    "v21_mrl_recall",
+    // binary-Hamming candidate gen broadcasts the PACKED query side (two
+    // longs per query vector) under the non-equi join — same contract
+    "v22_binary_hamming_topk")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {
