@@ -491,4 +491,17 @@ object Graft {
     */
   def knnLabelModularity(corpus: DataFrame, k: Int = 3): DataFrame =
     VectorOps.knnLabelModularity(corpus, k)
+
+  /** IVF recall-vs-probes tuning curve against brute-force ground truth:
+    * one row per probe count (probes, truth_pairs, hits, recall).
+    */
+  def recallVsProbes(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probesSeq: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame =
+    VectorOps.recallVsProbes(corpus, queries, k, probesSeq)
+
+  /** Daily new-vs-returning user split over (user_id, ts): one row per
+    * active day (day, active, new_users, returning_users).
+    */
+  def newVsReturning(events: DataFrame): DataFrame =
+    Relational.newVsReturning(events)
 }

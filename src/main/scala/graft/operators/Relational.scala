@@ -1726,11 +1726,46 @@ object Relational {
           (col("n_users").cast("double") * col("n_events").cast("double"))).as("gini"))
   }
 
+  /** W18 (beyond reference): daily new-vs-returning growth accounting —
+    * the acquisition/retention split every growth dashboard leads with,
+    * and the numerator decomposition behind [[w13]]'s stickiness. A
+    * user's first-seen day comes from one per-user aggregate; each active
+    * (user, day) then classifies as new (day = first_day) or returning.
+    * Two hash aggregates + one id-join — no window at all, so nothing is
+    * calendar- or user-sort-bound at 100 TB; every output is an integer
+    * count.
+    */
+  val w18 = q(
+    "w18_new_vs_returning",
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1),
+      |c AS (SELECT du.day,
+      |        count(*) FILTER (WHERE du.day = f.first_day) AS new_users,
+      |        count(*) FILTER (WHERE du.day > f.first_day) AS returning_users
+      |      FROM du JOIN f USING (user_id) GROUP BY 1)
+      |SELECT day, new_users + returning_users AS active, new_users, returning_users
+      |FROM c""".stripMargin) { (s, d) => newVsReturning(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): daily active users
+    * split into new (first-ever activity) vs returning. `events` needs
+    * (user_id, ts); returns (day, active, new_users, returning_users).
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val du = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val f = du.groupBy("user_id").agg(min("day").as("first_day"))
+    du.join(f, "user_id")
+      .groupBy("day")
+      .agg(count(when(col("day") === col("first_day"), 1)).as("new_users"),
+        count(when(col("day") > col("first_day"), 1)).as("returning_users"))
+      .select(col("day"), (col("new_users") + col("returning_users")).as("active"),
+        col("new_users"), col("returning_users"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -4,6 +4,7 @@ import graft.api.GraftQuery
 import graft.core.Tables
 import graft.functions.Funcs._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -746,7 +747,69 @@ object Sources {
            |UNION ALL SELECT 'value', value_nulls, value_distinct, value_min, value_max FROM a
            |UNION ALL SELECT 'ts', ts_nulls, ts_distinct, ts_min, ts_max FROM a""".stripMargin))
 
+  /** S30 (beyond reference): SCD type-2 dimension materialization — the
+    * slowly-changing-dimension build every warehouse runs between a CDC
+    * change log ([[s23]]) and its BI layer: one row per attribute VERSION
+    * with an effective-validity interval, change-suppressed (an event
+    * that repeats the user's current (event_type, value) pair opens no
+    * new version), exactly one open (is_current) row per key. The
+    * versioned dim is materialized to Parquet and read back — the point
+    * is the STORED table, so the uniqueness invariant is enforced on the
+    * read-back, not the plan.
+    *
+    * Shape: two user-partitioned windows (lag for change suppression,
+    * lead for interval close) + one write — user-bounded windows, no
+    * global sort; at 100 TB the write partitions by a date of
+    * effective_from and the current-row slice is a partition filter.
+    * Determinism: ordering keys are integral (micros, event_id), change
+    * detection is exact equality, and both engines share the same
+    * three-valued-logic filter semantics.
+    */
+  val s30: GraftQuery = GraftQuery(
+    "s30_scd2_dimension",
+    (s, d) => {
+      val wU = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val base = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      val changed = base
+        .withColumn("pt", lag(col("event_type"), 1).over(wU))
+        .withColumn("pv", lag(col("value"), 1).over(wU))
+        .filter(col("pt").isNull ||
+          col("pt") =!= col("event_type") || col("pv") =!= col("value"))
+      val scd = changed
+        .withColumn("ver", row_number().over(wU).cast("int"))
+        .withColumn("to_us", lead(col("us"), 1).over(wU))
+        .select(col("user_id"), col("ver"),
+          col("event_type").as("attr_type"), col("value").as("attr_value"),
+          timestamp_micros(col("us")).as("effective_from"),
+          timestamp_micros(col("to_us")).as("effective_to"),
+          col("to_us").isNull.as("is_current"))
+      val path = scratch(s, "s30_scd2")
+      scd.write.mode(SaveMode.Overwrite).parquet(path)
+      val dim = s.read.parquet(path)
+      val dup = dim.filter(col("is_current")).groupBy("user_id")
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 1).count()
+      require(dup == 0, s"SCD2 invariant broken: $dup users with != 1 current row")
+      dim
+    },
+    Some("""WITH b AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+           |           FROM events),
+           |ch AS (SELECT * FROM (
+           |  SELECT *, lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
+           |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+           |  WHERE pt IS NULL OR pt <> event_type OR pv <> value),
+           |scd AS (SELECT user_id, CAST(row_number() OVER w2 AS INT) AS ver,
+           |        event_type AS attr_type, value AS attr_value,
+           |        us AS from_us, lead(us) OVER w2 AS to_us
+           |        FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+           |SELECT user_id, ver, attr_type, attr_value,
+           |  make_timestamp(from_us) AS effective_from,
+           |  make_timestamp(to_us) AS effective_to,
+           |  to_us IS NULL AS is_current
+           |FROM scd""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-      s23, s24, s25, s26, s27, s28, s29)
+      s23, s24, s25, s26, s27, s28, s29, s30)
 }

@@ -632,5 +632,55 @@ object StatOps {
            |       ELSE CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) END AS f1
            |FROM c""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, d7, d8, a22, m12, m13, m14)
+  /** D9 (beyond reference): Jensen-Shannon divergence of the event-type
+    * mix, first half vs second half of the window — the bounded,
+    * symmetric member of the drift family (d2 PSI diverges on vanishing
+    * bins, d4 chi-square grows with n; JS is always in [0, ln 2] and is
+    * the right default for alerting thresholds). Per category:
+    * js_term = 0.5·(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2; the sum over
+    * categories is the divergence. p/q/m are ratios of integer counts
+    * (identical IEEE doubles in any engine); each of the two ln terms is
+    * the libm step, so the per-category term is quantized to 1e-12 once
+    * (the d2 discipline). A category absent from one half contributes
+    * only the other half's term (0·ln 0 := 0), handled by an explicit
+    * integer-count CASE, never by NULL arithmetic. Shape: one bounds
+    * aggregate broadcast + one conditional-count scan + category-bounded
+    * arithmetic — one pass at any scale.
+    */
+  val d9: GraftQuery = GraftQuery(
+    "d9_js_divergence",
+    (s, d) => {
+      val o = chiSquareDrift(Tables.events(s, d), "event_type")
+        .select(col("event_type"), col("ref_n"), col("cur_n"))
+        .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
+        .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
+      val p = col("ref_n").cast("double") / col("rt").cast("double")
+      val qq = col("cur_n").cast("double") / col("ct").cast("double")
+      val m = (p + qq) / 2.0
+      val term =
+        when(col("ref_n") > 0, p * log(p / m)).otherwise(lit(0.0)) * 0.5 +
+          when(col("cur_n") > 0, qq * log(qq / m)).otherwise(lit(0.0)) * 0.5
+      o.select(col("event_type"), col("ref_n"), col("cur_n"),
+        (floor(term * 1e12 + 0.5).cast("double") / 1e12).as("js_term"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+           |b AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+           |o AS (SELECT event_type,
+           |        count(*) FILTER (WHERE us < b.mid_us) AS ref_n,
+           |        count(*) FILTER (WHERE us >= b.mid_us) AS cur_n
+           |      FROM e, b GROUP BY 1),
+           |t AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM o),
+           |r AS (SELECT event_type, ref_n, cur_n,
+           |        CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE) AS p,
+           |        CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE) AS q,
+           |        (CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE)
+           |           + CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE)) / 2.0 AS m
+           |      FROM t)
+           |SELECT event_type, ref_n, cur_n,
+           |  floor((CASE WHEN ref_n > 0 THEN p * ln(p / m) ELSE 0.0 END * 0.5
+           |         + CASE WHEN cur_n > 0 THEN q * ln(q / m) ELSE 0.0 END * 0.5)
+           |        * 1e12 + 0.5) / 1e12 AS js_term
+           |FROM r""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, d7, d8, d9, a22, m12, m13, m14)
 }

@@ -1520,7 +1520,74 @@ object VectorOps {
            |    - CAST(ddi AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
            |FROM tot, dd""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): IVF recall-vs-probes
+    * tuning curve — the operating table behind the one knob an IVF index
+    * exposes in production (more probes = more recall = more corpus
+    * touched). One [[bruteForceTopK]] ground-truth pass plus one
+    * [[ivfTopK]] arm per probe count, each arm the v2 scan shape; recall
+    * is an integer overlap over an integer denominator, so the curve is
+    * exact cross-engine.
+    */
+  def recallVsProbes(corpus: DataFrame, queries: DataFrame, k: Int,
+      probesSeq: Seq[Int]): DataFrame = {
+    val full = bruteForceTopK(corpus, queries, k).select("q_id", "neighbor_id")
+    val truth = full.count()
+    probesSeq.map { p =>
+      ivfTopK(corpus, queries, k, p).as("a")
+        .join(full.as("b"),
+          col("a.q_id") === col("b.q_id") &&
+            col("a.neighbor_id") === col("b.neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("probes"), lit(truth).as("truth_pairs"), col("hits"),
+          (col("hits").cast("double") / lit(truth.toDouble)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** V24 (beyond reference): the probes-tuning curve for the embeddings
+    * IVF index, probes 1..4 of K = 16 cells (probes = K would be exact by
+    * construction — the curve shows how quickly recall saturates while
+    * cost stays ~probes/K of the corpus).
+    */
+  val v24: GraftQuery = GraftQuery(
+    "v24_recall_vs_probes",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      recallVsProbes(emb, emb.filter(col("vec_id") < 10), 3, Seq(1, 2, 3, 4))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |bf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+           |         list_cosine_similarity(q.e, v.e) AS cos
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |pd AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS np),
+           |pr AS (SELECT np, vec_id AS q_id, qe, cluster FROM (
+           |  SELECT pd.np, q.vec_id, q.e AS qe, c.k_id AS cluster,
+           |         row_number() OVER (PARTITION BY pd.np, q.vec_id
+           |           ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM pd CROSS JOIN q CROSS JOIN cents c) WHERE rk <= np),
+           |ivf AS (SELECT np, q_id, neighbor_id FROM (
+           |  SELECT p.np, p.q_id, a.vec_id AS neighbor_id,
+           |         list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM pr p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |  QUALIFY row_number() OVER (PARTITION BY np, q_id ORDER BY cos DESC, neighbor_id) <= 3)
+           |SELECT pd.np AS probes, CAST(count(*) AS BIGINT) AS truth_pairs,
+           |  CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM pd CROSS JOIN bf
+           |LEFT JOIN ivf i ON i.np = pd.np AND i.q_id = bf.q_id
+           |  AND i.neighbor_id = bf.neighbor_id
+           |GROUP BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23)
+      v20, v21, v22, v23, v24)
 }

@@ -65,4 +65,29 @@ class SnapshotsSpec extends SparkSpec {
     // the failed merge must not have produced a snapshot
     assert(Snapshots.versions(t) === Seq(1))
   }
+
+  test("s30 SCD2: versions tile per user, one open row each, no same-state repeats") {
+    import org.apache.spark.sql.functions._
+    val dim = graft.operators.Sources.s30.build(spark, sf).collect()
+    val byUser = dim.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("ver"))
+      assert(sorted.map(_.getAs[Int]("ver")).toSeq == (1 to sorted.length))
+      // exactly one open interval, and it is the last version
+      assert(rows.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // intervals tile: each version closes exactly where the next opens
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[java.sql.Timestamp]("effective_to") ==
+          b.getAs[java.sql.Timestamp]("effective_from"))
+        // change suppression: consecutive versions differ in state
+        assert(a.getAs[String]("attr_type") != b.getAs[String]("attr_type") ||
+          a.getAs[Double]("attr_value") != b.getAs[Double]("attr_value"))
+      }
+    }
+    // every user with events appears
+    assert(byUser.keySet ==
+      graft.core.Tables.events(spark, sf).select("user_id").distinct()
+        .as[Long].collect().toSet)
+  }
 }

@@ -322,6 +322,41 @@ class StatOpsSpec extends SparkSpec {
     assert(m == srcs.map(_._2).sum)
   }
 
+  test("d9 JS divergence: bounded by ln 2, categories conserve the row total") {
+    val out = StatOps.d9.build(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .as[String].collect().toSet
+    assert(out.map(_.getAs[String]("event_type")).toSet == types)
+    val total = out.map(r => r.getAs[Long]("ref_n") + r.getAs[Long]("cur_n")).sum
+    assert(total == Tables.events(spark, sf).count())
+    val js = out.map(_.getAs[Double]("js_term")).sum
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"js=$js out of [0, ln 2]")
+  }
+
+  test("w18 new-vs-returning: new users sum to the user count, active matches a daily replay") {
+    val out = graft.operators.Relational.w18.build(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(out.map(_.getAs[Long]("new_users")).sum ==
+      ev.select("user_id").distinct().count())
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy("day").count().as[(java.sql.Date, Long)].collect().toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("active") == daily(r.getAs[java.sql.Date]("day")))
+      assert(r.getAs[Long]("active") ==
+        r.getAs[Long]("new_users") + r.getAs[Long]("returning_users"))
+    }
+  }
+
+  test("v24 recall-vs-probes: monotone non-decreasing curve over a fixed truth set") {
+    val out = VectorOps.v24.build(spark, sf).collect().sortBy(_.getAs[Int]("probes"))
+    assert(out.map(_.getAs[Int]("probes")).toSeq == Seq(1, 2, 3, 4))
+    assert(out.forall(_.getAs[Long]("truth_pairs") == 30L))
+    val recalls = out.map(_.getAs[Double]("recall"))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-12 },
+      s"recall curve not monotone: ${recalls.mkString(",")}")
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
