@@ -504,4 +504,12 @@ object Graft {
     */
   def newVsReturning(events: DataFrame): DataFrame =
     Relational.newVsReturning(events)
+
+  /** One-pass Poisson-bootstrap confidence interval for the mean of
+    * `valueCol` (deterministic md5-drawn weights, `b` replicas): one row
+    * (n_replicas, point_mean, lo, mid, hi) with a 90% percentile CI.
+    */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 100): DataFrame =
+    StatOps.bootstrapCI(df, idCol, valueCol, b)
 }

@@ -682,5 +682,92 @@ object StatOps {
            |        * 1e12 + 0.5) / 1e12 AS js_term
            |FROM r""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, d7, d8, d9, a22, m12, m13, m14)
+  /** Poisson(1) CDF thresholds scaled to the 48-bit md5 draw domain
+    * (floor(P(X <= k) * 2^48) for k = 0..6; draws past the last threshold
+    * take weight 7). Integer literals so the weight assignment is one
+    * integer comparison chain — no runtime exp(), no engine drift.
+    */
+  private val PoissonCdf48: Seq[Long] = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L, 276130285696162L,
+    280444821410164L, 281307728552965L, 281451546410098L)
+
+  /** Public DataFrame-in API (see graft.api.Graft): percentile-bootstrap
+    * confidence interval for the mean of `valueCol`, via the POISSON
+    * bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    * Data Streams" — the resampling scheme that works in one pass on
+    * partitioned data): replica b gives row i a Poisson(1) weight drawn
+    * from md5(id:b), so no replica ever materializes a resample or needs
+    * the global row count up front. Returns one row
+    * (n_replicas, point_mean, lo, mid, hi) where lo/hi are the 5th/95th
+    * order statistics of the replica means (a 90% percentile CI) and mid
+    * the 50th.
+    *
+    * Determinism: weights are integer comparisons of a 48-bit md5 draw
+    * against hardcoded CDF literals (the x10/x44 hash-sampling
+    * discipline), replica sums are exact DECIMAL x integer products, and
+    * the order statistics select by (mean, b) rank — every step replays
+    * identically in any engine. Scale: the explode is x B (a constant),
+    * weight sums combine map-side, and the final selection sorts B rows,
+    * not data.
+    */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 100): DataFrame = {
+    val w = PoissonCdf48.zipWithIndex.foldRight(lit(7): Column) {
+      case ((thr, k), rest) => when(col("u") < thr, k).otherwise(rest)
+    }
+    val rep = df.select(col(idCol).as("id"), dec(col(valueCol)).as("v"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat(CAST(id AS STRING), ':', CAST(b AS STRING), ':bs')), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("w", w)
+    val means = rep.groupBy("b")
+      .agg(sum(col("v") * col("w")).as("sv"), sum(col("w")).as("sw"))
+      .select(col("b"),
+        (col("sv").cast("double") / col("sw").cast("double")).as("m"))
+    val pm = df.agg((sum(dec(col(valueCol))).cast("double") /
+      count(lit(1)).cast("double")).as("point_mean"))
+    means
+      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
+      .agg(count(lit(1)).as("n_replicas"),
+        min(when(col("rk") === 5, col("m"))).as("lo"),
+        min(when(col("rk") === 50, col("m"))).as("mid"),
+        min(when(col("rk") === 95, col("m"))).as("hi"))
+      .crossJoin(broadcast(pm))
+      .select(col("n_replicas"), col("point_mean"), col("lo"), col("mid"), col("hi"))
+  }
+
+  /** D10 (beyond reference): bootstrap uncertainty on the events mean —
+    * the error bar a metrics platform attaches to every aggregate it
+    * publishes.
+    */
+  val d10: GraftQuery = GraftQuery(
+    "d10_bootstrap_ci",
+    (s, d) => bootstrapCI(Tables.events(s, d), "event_id", "value"),
+    Some("""WITH r AS (SELECT event_id AS id, CAST(value AS DECIMAL(18,4)) AS v,
+           |            unnest(range(100)) AS b FROM events),
+           |u AS (SELECT id, v, b,
+           |        CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':bs'), 1, 12) AS BIGINT) AS u
+           |      FROM r),
+           |w AS (SELECT b, v,
+           |        CASE WHEN u < 103548857136060 THEN 0
+           |             WHEN u < 207097714272121 THEN 1
+           |             WHEN u < 258872142840152 THEN 2
+           |             WHEN u < 276130285696162 THEN 3
+           |             WHEN u < 280444821410164 THEN 4
+           |             WHEN u < 281307728552965 THEN 5
+           |             WHEN u < 281451546410098 THEN 6
+           |             ELSE 7 END AS w
+           |      FROM u),
+           |m AS (SELECT b, CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+           |      FROM w GROUP BY 1),
+           |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+           |pm AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |         / CAST(count(*) AS DOUBLE) AS point_mean FROM events)
+           |SELECT CAST(count(*) AS BIGINT) AS n_replicas, pm.point_mean,
+           |  min(CASE WHEN rk = 5 THEN m END) AS lo,
+           |  min(CASE WHEN rk = 50 THEN m END) AS mid,
+           |  min(CASE WHEN rk = 95 THEN m END) AS hi
+           |FROM rk, pm GROUP BY pm.point_mean""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, a22, m12, m13, m14)
 }

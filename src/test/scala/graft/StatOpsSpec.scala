@@ -357,6 +357,19 @@ class StatOpsSpec extends SparkSpec {
       s"recall curve not monotone: ${recalls.mkString(",")}")
   }
 
+  test("d10 bootstrap CI: ordered bounds bracketing the point mean, 100 replicas") {
+    val r = StatOps.d10.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n_replicas") == 100L)
+    val (lo, mid, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("mid"), r.getAs[Double]("hi"))
+    assert(lo <= mid && mid <= hi)
+    // the point mean must sit inside the 90% interval on real data (the
+    // bootstrap distribution of a mean is centered on it)
+    val pm = r.getAs[Double]("point_mean")
+    assert(pm >= lo && pm <= hi, s"point mean $pm outside [$lo, $hi]")
+    // the interval is non-degenerate but tight at n = 1000 events
+    assert(hi - lo > 0.0 && hi - lo < pm)
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
