@@ -1109,9 +1109,27 @@ object VectorOps {
     * large-scale kNN-graph construction trade (recall bounded by cell
     * membership; raise recall by probing neighbor cells as in [[ivfTopK]]).
     */
-  def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
+  /** Target within-cell occupancy for the auto-scaled kNN-graph cell
+    * count. The within-cell self-join costs O(n·cell_size): at a FIXED
+    * cell count K the cell size — and the join — grows quadratically
+    * with the corpus (measured: v23's 27x exponent 1.05, SCALE.md), so
+    * the graph build must scale CELLS with the corpus, not hold them
+    * constant. cells = ceil(n / 256) keeps each cell's pair block
+    * bounded at ~256² comparisons regardless of corpus size.
+    */
+  private val KnnTargetCell = 256
+
+  private def centroidsN(corpus: DataFrame, cells: Int): DataFrame =
+    withNorm(corpus.orderBy(md5(col("vec_id").cast("string"))).limit(cells), "k")
+
+  def knnGraph(corpus: DataFrame, k: Int, cells: Int = 0): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val a = assign(withNorm(corpus, "c"), centroidsOf(corpus))
+    // cells = 0 -> auto: bounded cell occupancy (one count() job; pass an
+    // explicit cell count to skip it when the corpus size is known)
+    val nCells =
+      if (cells > 0) cells
+      else math.max(K, math.ceil(corpus.count().toDouble / KnnTargetCell).toInt)
+    val a = assign(withNorm(corpus, "c"), centroidsN(corpus, nCells))
     val l = a.select(col("c_id").as("src_id"), col("c_e").as("src_e"), col("cluster"))
     val r = a.select(col("c_id").as("n_id"), col("c_e").as("n_e"), col("cluster"))
     val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("neighbor_id"))
