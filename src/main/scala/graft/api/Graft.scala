@@ -512,4 +512,12 @@ object Graft {
   def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
       b: Int = 100): DataFrame =
     StatOps.bootstrapCI(df, idCol, valueCol, b)
+
+  /** Consolidated model-eval report over a scored split: long-format
+    * rows (metric, value) for n, pos_rate, auc, ece, best_f1 — the
+    * one-call form of [[aucRank]] + [[calibrationBins]] +
+    * [[thresholdSweep]].
+    */
+  def evalReport(df: DataFrame, scoreCol: String, posCol: String): DataFrame =
+    StatOps.evalReport(df, scoreCol, posCol)
 }

@@ -769,5 +769,87 @@ object StatOps {
            |  min(CASE WHEN rk = 95 THEN m END) AS hi
            |FROM rk, pm GROUP BY pm.point_mean""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, a22, m12, m13, m14)
+  /** Public DataFrame-in API (see graft.api.Graft): consolidated model
+    * evaluation — the one-call report a scoring pipeline publishes per
+    * eval split, chaining [[aucRank]] (ranking power), [[calibrationBins]]
+    * (probability quality, summed to the ECE), and [[thresholdSweep]]
+    * (best operating point) over one scored input. Long-format output,
+    * one row per metric: n, pos_rate, auc, ece, best_f1.
+    *
+    * Determinism: each leg inherits its own op's exactness contract; the
+    * only new aggregation is the ECE sum, which quantizes each term to
+    * 1e-12 first so the 10-bin fold is an exact integer sum (a raw
+    * double sum's fold order differs between engines). Scale: three
+    * scans of the scored input (or one, when the caller caches it),
+    * every aggregate bin/threshold/histogram-domain-bounded.
+    */
+  def evalReport(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val n = df.agg(count(lit(1)).as("n"), count(when(col(posCol), 1)).as("np"))
+    val counts = n.select(lit("n").as("metric"), col("n").cast("double").as("value"))
+      .unionByName(n.select(lit("pos_rate").as("metric"),
+        (col("np").cast("double") / col("n").cast("double")).as("value")))
+    val auc = aucRank(df, scoreCol, posCol)
+      .select(lit("auc").as("metric"), col("auc").as("value"))
+    val ece = calibrationBins(df, scoreCol, posCol)
+      .agg((sum(floor(col("ece_term") * 1e12 + 0.5).cast("long")).cast("double") / 1e12)
+        .as("value"))
+      .select(lit("ece").as("metric"), col("value"))
+    val f1 = thresholdSweep(df, scoreCol, posCol)
+      .agg(max("f1").as("value"))
+      .select(lit("best_f1").as("metric"), col("value"))
+    counts.unionByName(auc).unionByName(ece).unionByName(f1)
+  }
+
+  /** D11 (beyond reference): the consolidated eval report over the
+    * embeddings split — same score/label pairing as d6/d7/d8, so each
+    * row must equal the corresponding standalone op's headline number.
+    */
+  val d11: GraftQuery = GraftQuery(
+    "d11_eval_report",
+    (s, d) => evalReport(
+      Tables.embeddings(s, d).select(
+        ((element_at(col("embedding"), 1).cast("double") + 1.0) / 2.0).as("score"),
+        (col("label") < 5).as("pos")),
+      "score", "pos"),
+    Some("""WITH sc AS (SELECT (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 AS s,
+           |             label < 5 AS pos FROM embeddings),
+           |auc_b AS (SELECT CAST(floor(s * 1e6) AS BIGINT) AS q, pos FROM sc),
+           |auc_h AS (SELECT q, count(*) FILTER (pos) AS np,
+           |            count(*) FILTER (NOT pos) AS nn FROM auc_b GROUP BY 1),
+           |auc_t AS (SELECT np, nn,
+           |            coalesce(sum(nn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+           |          FROM auc_h),
+           |auc_v AS (SELECT CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE) /
+           |            CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS v FROM auc_t),
+           |cal AS (SELECT CAST(least(9, floor(greatest(0.0, least(1.0, s)) * 10)) AS INT) AS bin,
+           |          CAST(floor(greatest(0.0, least(1.0, s)) * 1e6 + 0.5) AS BIGINT) AS qs,
+           |          pos FROM sc),
+           |cal_g AS (SELECT bin, count(*) AS n, count(*) FILTER (pos) AS pos_n,
+           |            sum(qs) AS sq FROM cal GROUP BY 1),
+           |cal_t AS (SELECT *, sum(n) OVER () AS nt FROM cal_g),
+           |ece_v AS (SELECT CAST(sum(CAST(floor(
+           |            CAST(n AS DOUBLE) / nt
+           |              * abs(CAST(pos_n AS DOUBLE) / n - CAST(sq AS DOUBLE) / n / 1e6)
+           |            * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS v FROM cal_t),
+           |sw_h AS (SELECT CAST(floor(greatest(0.0, least(1.0, s)) * 1e6 + 0.5) AS BIGINT) AS qs,
+           |           count(*) FILTER (pos) AS np, count(*) FILTER (NOT pos) AS nn
+           |         FROM sc GROUP BY 1),
+           |sw_c AS (SELECT t,
+           |           CAST(sum(CASE WHEN qs >= t * 100000 THEN np ELSE 0 END) AS BIGINT) AS tp,
+           |           CAST(sum(CASE WHEN qs >= t * 100000 THEN nn ELSE 0 END) AS BIGINT) AS fp,
+           |           CAST(sum(CASE WHEN qs < t * 100000 THEN np ELSE 0 END) AS BIGINT) AS fn
+           |         FROM sw_h CROSS JOIN (SELECT unnest(range(10)) AS t) GROUP BY 1),
+           |f1_v AS (SELECT max(CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+           |            ELSE CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) END) AS v
+           |         FROM sw_c),
+           |base AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |           CAST(count(*) FILTER (pos) AS DOUBLE) AS np FROM sc)
+           |SELECT 'n' AS metric, n AS value FROM base
+           |UNION ALL SELECT 'pos_rate', np / n FROM base
+           |UNION ALL SELECT 'auc', v FROM auc_v
+           |UNION ALL SELECT 'ece', v FROM ece_v
+           |UNION ALL SELECT 'best_f1', v FROM f1_v""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, a22, m12, m13, m14)
 }

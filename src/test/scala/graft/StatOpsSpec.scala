@@ -370,6 +370,23 @@ class StatOpsSpec extends SparkSpec {
     assert(hi - lo > 0.0 && hi - lo < pm)
   }
 
+  test("d11 eval report: each row equals its standalone op's headline number") {
+    val rows = StatOps.d11.build(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(rows.keySet == Set("n", "pos_rate", "auc", "ece", "best_f1"))
+    val emb = Tables.embeddings(spark, sf)
+    assert(rows("n") == emb.count().toDouble)
+    assert(rows("pos_rate") ==
+      emb.filter(col("label") < 5).count().toDouble / emb.count())
+    val d7ece = StatOps.d7.build(spark, sf)
+      .agg(sum("ece_term")).as[Double].collect().head
+    assert(math.abs(rows("ece") - d7ece) < 1e-9)
+    val d8best = StatOps.d8.build(spark, sf)
+      .agg(max("f1")).as[Double].collect().head
+    assert(rows("best_f1") == d8best)
+    assert(rows("auc") >= 0.0 && rows("auc") <= 1.0)
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
