@@ -520,4 +520,9 @@ object Graft {
     */
   def evalReport(df: DataFrame, scoreCol: String, posCol: String): DataFrame =
     StatOps.evalReport(df, scoreCol, posCol)
+
+  /** Cohort lifetime-value curves over (user_id, ts, value): one row per
+    * (cohort_day, age) with cumulative ltv_per_user.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = Relational.cohortLtv(events)
 }

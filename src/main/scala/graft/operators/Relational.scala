@@ -1761,11 +1761,58 @@ object Relational {
         col("new_users"), col("returning_users"))
   }
 
+  /** W19 (beyond reference): cohort lifetime-value curves — cumulative
+    * value per user by (acquisition cohort, age), the revenue companion
+    * to [[w7]]'s retention triangle and the payback-period input every
+    * growth model needs. Shape: one per-user first-day aggregate, one
+    * (cohort, age) hash aggregate, then a cumulative window over the AGE
+    * domain within each cohort — both calendar-bounded. Determinism:
+    * value accumulates as exact DECIMAL through the cumulative window
+    * (fold order cannot perturb a bit), counts are integers, and the
+    * per-user LTV is one final IEEE division.
+    */
+  val w19 = q(
+    "w19_cohort_ltv",
+    """WITH uv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |              CAST(value AS DECIMAL(18,4)) AS v FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM uv GROUP BY 1),
+      |cs AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+      |g AS (SELECT f.cohort_day, CAST(uv.day - f.cohort_day AS INT) AS age,
+      |        count(DISTINCT uv.user_id) AS active_users, sum(uv.v) AS sv
+      |      FROM uv JOIN f USING (user_id) GROUP BY 1, 2),
+      |c AS (SELECT g.cohort_day, g.age, g.active_users, cs.cohort_size,
+      |        sum(g.sv) OVER (PARTITION BY g.cohort_day ORDER BY g.age) AS cum_sv
+      |      FROM g JOIN cs USING (cohort_day))
+      |SELECT cohort_day, age, active_users, cohort_size,
+      |  CAST(cum_sv AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS ltv_per_user
+      |FROM c""".stripMargin) { (s, d) => cohortLtv(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): cohort LTV curves.
+    * `events` needs (user_id, ts, value); returns one row per
+    * (cohort_day, age) with active_users, cohort_size and cumulative
+    * ltv_per_user.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val uv = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("v"))
+    val f = uv.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cs = f.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    val g = uv.join(f, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("age"))
+      .agg(countDistinct(col("user_id")).as("active_users"), sum("v").as("sv"))
+    val w = Window.partitionBy("cohort_day").orderBy("age")
+    g.join(cs, "cohort_day")
+      .withColumn("cum_sv", sum("sv").over(w))
+      .select(col("cohort_day"), col("age"), col("active_users"), col("cohort_size"),
+        (col("cum_sv").cast("double") / col("cohort_size").cast("double"))
+          .as("ltv_per_user"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

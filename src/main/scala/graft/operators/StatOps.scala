@@ -850,6 +850,59 @@ object StatOps {
            |UNION ALL SELECT 'ece', v FROM ece_v
            |UNION ALL SELECT 'best_f1', v FROM f1_v""".stripMargin))
 
+  /** Two-sided alpha = 0.05 and power = 0.80 z multipliers, spliced as
+    * round-trip literals into both engines (the Z90 discipline —
+    * [[graft.operators.Forecast.zFor]] runs on the driver only).
+    * zFor(0.95) = z_{0.975}; zFor(0.6) = invNorm(0.8).
+    */
+  private val ZMde: Double = Forecast.zFor(0.95) + Forecast.zFor(0.6)
+  private val ZMdeStr: String = java.lang.Double.toString(ZMde)
+
+  /** D12 (beyond reference): minimum detectable effect — the power
+    * analysis a platform runs BEFORE an A/B test (a22 judges the result;
+    * d12 plans the sample): at alpha = 0.05 two-sided and 80% power,
+    * MDE = (z_{0.975} + z_{0.8})·sqrt(v1/n1 + v2/n2) on the observed
+    * populations. One conditional-aggregate scan (the a22 DECIMAL moment
+    * discipline: exact sums, variance derived once in IEEE), then
+    * driver-literal z multipliers — no executor-side libm beyond the
+    * exactly-rounded sqrt.
+    */
+  val d12: GraftQuery = GraftQuery(
+    "d12_mde_power",
+    (s, d) => {
+      def side(t: String, n: String, sm: String, sq: String) = Seq(
+        count(when(col("event_type") === t, 1)).as(n),
+        sum(when(col("event_type") === t, dec(col("value")))).cast("double").as(sm),
+        sum(when(col("event_type") === t, dec(col("value")) * dec(col("value"))))
+          .cast("double").as(sq))
+      val aggs = side("click", "n1", "s1", "q1") ++ side("error", "n2", "s2", "q2")
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .agg(aggs.head, aggs.tail: _*)
+      val k = g.select(col("n1"), col("n2"),
+        (col("s1") / col("n1")).as("m1"),
+        ((col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)).as("v1"),
+        ((col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)).as("v2"))
+      val mde = lit(ZMde) * sqrt(col("v1") / col("n1") + col("v2") / col("n2"))
+      k.select(col("n1"), col("n2"), mde.as("mde_abs"),
+        (mde / col("m1")).as("mde_rel"))
+    },
+    Some(s"""WITH g AS (SELECT
+            |  count(*) FILTER (WHERE event_type = 'click') AS n1,
+            |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS s1,
+            |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS q1,
+            |  count(*) FILTER (WHERE event_type = 'error') AS n2,
+            |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS s2,
+            |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS q2
+            | FROM events WHERE event_type IN ('click', 'error')),
+            |k AS (SELECT n1, n2, s1 / n1 AS m1,
+            |        (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+            |        (q2 - s2 * s2 / n2) / (n2 - 1) AS v2 FROM g)
+            |SELECT n1, n2,
+            |  $ZMdeStr * sqrt(v1 / n1 + v2 / n2) AS mde_abs,
+            |  $ZMdeStr * sqrt(v1 / n1 + v2 / n2) / m1 AS mde_rel
+            |FROM k""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, a22, m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, a22, m12, m13, m14)
 }

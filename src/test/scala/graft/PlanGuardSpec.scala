@@ -120,7 +120,10 @@ class PlanGuardSpec extends SparkSpec {
     "v21_mrl_recall",
     // binary-Hamming candidate gen broadcasts the PACKED query side (two
     // longs per query vector) under the non-equi join — same contract
-    "v22_binary_hamming_topk")
+    "v22_binary_hamming_topk",
+    // probes curve runs one v1-shape ground-truth arm + per-probe IVF arms
+    // over the same broadcast query side — same contract
+    "v24_recall_vs_probes")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {

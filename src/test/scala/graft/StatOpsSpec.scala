@@ -387,6 +387,39 @@ class StatOpsSpec extends SparkSpec {
     assert(rows("auc") >= 0.0 && rows("auc") <= 1.0)
   }
 
+  test("w19 cohort LTV: curves are non-decreasing, cohort sizes partition the users") {
+    val out = graft.operators.Relational.w19.build(spark, sf).collect()
+    val byCohort = out.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    // each user belongs to exactly one cohort
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.head.getAs[Long]("cohort_size")).sum == users)
+    byCohort.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("age"))
+      assert(sorted.head.getAs[Int]("age") == 0, "cohort day itself must be age 0")
+      // day-0 actives = the whole cohort by definition of first day
+      assert(sorted.head.getAs[Long]("active_users") ==
+        sorted.head.getAs[Long]("cohort_size"))
+      val ltv = sorted.map(_.getAs[Double]("ltv_per_user"))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a - 1e-12 },
+        "cumulative LTV decreased")
+    }
+  }
+
+  test("d12 MDE agrees with a local recomputation and shrinks with n") {
+    val r = StatOps.d12.build(spark, sf).collect().head
+    def sample(t: String): Array[Double] = Tables.events(spark, sf)
+      .filter(col("event_type") === t).select("value").as[Double].collect()
+    val (a, b) = (sample("click"), sample("error"))
+    def variance(x: Array[Double]): Double = {
+      val m = x.sum / x.length
+      x.map(v => (v - m) * (v - m)).sum / (x.length - 1)
+    }
+    val z = graft.operators.Forecast.zFor(0.95) + graft.operators.Forecast.zFor(0.6)
+    val mde = z * math.sqrt(variance(a) / a.length + variance(b) / b.length)
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-6)
+    assert(r.getAs[Double]("mde_rel") > 0.0)
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
