@@ -525,4 +525,11 @@ object Graft {
     * (cohort_day, age) with cumulative ltv_per_user.
     */
   def cohortLtv(events: DataFrame): DataFrame = Relational.cohortLtv(events)
+
+  /** Absorbing-Markov conversion probabilities (reach purchase before
+    * error) per transient state, solved exactly by integer Cramer
+    * determinants: (state, p_convert).
+    */
+  def conversionAbsorption(events: DataFrame): DataFrame =
+    Relational.conversionAbsorption(events)
 }

@@ -1808,11 +1808,130 @@ object Relational {
           .as("ltv_per_user"))
   }
 
+  /** W20 (beyond reference): conversion probability by absorbing Markov
+    * chain — for each transient state (view / click / signup), the
+    * probability the user's journey reaches `purchase` before `error`,
+    * the principled form of multi-step conversion attribution on top of
+    * [[w12]]'s transition matrix. Solved in CLOSED FORM, not by float
+    * iteration: the absorption system x = Qx + b, multiplied through by
+    * the integer row totals, becomes (diag(t) − N)·x = c with every
+    * entry an integer transition count — solved by 3x3 Cramer
+    * determinants in exact BIGINT arithmetic (the Forecast H4 Cramer
+    * discipline), so each probability is ONE IEEE division of two exact
+    * integers and is bitwise identical in any engine. Count magnitudes
+    * cube inside the determinants: ~1e12 events per state still fits
+    * BIGINT; beyond that lift the products to DECIMAL(38,0).
+    *
+    * Shape: one lead() per user partition + one conditional aggregate to
+    * a SINGLE row of 15 counts; the solve is constant-time arithmetic on
+    * that row. Nothing scales with anything but the scan.
+    */
+  val w20 = q(
+    "w20_conversion_absorption",
+    """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |p AS (SELECT event_type AS f,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t
+      |      FROM o),
+      |m AS (SELECT
+      |  count(*) FILTER (f = 'view') AS t_v,
+      |  count(*) FILTER (f = 'click') AS t_c,
+      |  count(*) FILTER (f = 'signup') AS t_s,
+      |  count(*) FILTER (f = 'view' AND t = 'view') AS n_vv,
+      |  count(*) FILTER (f = 'view' AND t = 'click') AS n_vc,
+      |  count(*) FILTER (f = 'view' AND t = 'signup') AS n_vs,
+      |  count(*) FILTER (f = 'click' AND t = 'view') AS n_cv,
+      |  count(*) FILTER (f = 'click' AND t = 'click') AS n_cc,
+      |  count(*) FILTER (f = 'click' AND t = 'signup') AS n_cs,
+      |  count(*) FILTER (f = 'signup' AND t = 'view') AS n_sv,
+      |  count(*) FILTER (f = 'signup' AND t = 'click') AS n_sc,
+      |  count(*) FILTER (f = 'signup' AND t = 'signup') AS n_ss,
+      |  count(*) FILTER (f = 'view' AND t = 'purchase') AS n_vp,
+      |  count(*) FILTER (f = 'click' AND t = 'purchase') AS n_cp,
+      |  count(*) FILTER (f = 'signup' AND t = 'purchase') AS n_sp
+      |  FROM p WHERE t IS NOT NULL),
+      |k AS (SELECT
+      |  t_v - n_vv AS a11, -n_vc AS a12, -n_vs AS a13,
+      |  -n_cv AS a21, t_c - n_cc AS a22, -n_cs AS a23,
+      |  -n_sv AS a31, -n_sc AS a32, t_s - n_ss AS a33,
+      |  n_vp AS b1, n_cp AS b2, n_sp AS b3 FROM m),
+      |dd AS (SELECT *,
+      |  a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31)
+      |    + a13 * (a21 * a32 - a22 * a31) AS det FROM k)
+      |SELECT 'view' AS state,
+      |  CAST(b1 * (a22 * a33 - a23 * a32) - a12 * (b2 * a33 - a23 * b3)
+      |    + a13 * (b2 * a32 - a22 * b3) AS DOUBLE) / CAST(det AS DOUBLE) AS p_convert
+      |FROM dd
+      |UNION ALL SELECT 'click',
+      |  CAST(a11 * (b2 * a33 - a23 * b3) - b1 * (a21 * a33 - a23 * a31)
+      |    + a13 * (a21 * b3 - b2 * a31) AS DOUBLE) / CAST(det AS DOUBLE)
+      |FROM dd
+      |UNION ALL SELECT 'signup',
+      |  CAST(a11 * (a22 * b3 - b2 * a32) - a12 * (a21 * b3 - b2 * a31)
+      |    + b1 * (a21 * a32 - a22 * a31) AS DOUBLE) / CAST(det AS DOUBLE)
+      |FROM dd""".stripMargin) { (s, d) => conversionAbsorption(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): absorbing-Markov
+    * conversion probabilities. `events` needs (user_id, event_type, ts,
+    * event_id) with transient states view/click/signup and absorbing
+    * purchase (success) / error (failure); returns
+    * (state, p_convert) per transient state.
+    */
+  def conversionAbsorption(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val p = events
+      .select(col("event_type").as("f"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_id"))
+      .withColumn("t", lead(col("f"), 1).over(w))
+      .filter(col("t").isNotNull)
+    def cnt(cond: org.apache.spark.sql.Column) = count(when(cond, 1))
+    val m = p.agg(
+      cnt(col("f") === "view").as("t_v"),
+      cnt(col("f") === "click").as("t_c"),
+      cnt(col("f") === "signup").as("t_s"),
+      cnt(col("f") === "view" && col("t") === "view").as("n_vv"),
+      cnt(col("f") === "view" && col("t") === "click").as("n_vc"),
+      cnt(col("f") === "view" && col("t") === "signup").as("n_vs"),
+      cnt(col("f") === "click" && col("t") === "view").as("n_cv"),
+      cnt(col("f") === "click" && col("t") === "click").as("n_cc"),
+      cnt(col("f") === "click" && col("t") === "signup").as("n_cs"),
+      cnt(col("f") === "signup" && col("t") === "view").as("n_sv"),
+      cnt(col("f") === "signup" && col("t") === "click").as("n_sc"),
+      cnt(col("f") === "signup" && col("t") === "signup").as("n_ss"),
+      cnt(col("f") === "view" && col("t") === "purchase").as("n_vp"),
+      cnt(col("f") === "click" && col("t") === "purchase").as("n_cp"),
+      cnt(col("f") === "signup" && col("t") === "purchase").as("n_sp"))
+    val k = m.select(
+      (col("t_v") - col("n_vv")).as("a11"), (-col("n_vc")).as("a12"), (-col("n_vs")).as("a13"),
+      (-col("n_cv")).as("a21"), (col("t_c") - col("n_cc")).as("a22"), (-col("n_cs")).as("a23"),
+      (-col("n_sv")).as("a31"), (-col("n_sc")).as("a32"), (col("t_s") - col("n_ss")).as("a33"),
+      col("n_vp").as("b1"), col("n_cp").as("b2"), col("n_sp").as("b3"))
+    def c(n: String) = col(n)
+    val det = c("a11") * (c("a22") * c("a33") - c("a23") * c("a32")) -
+      c("a12") * (c("a21") * c("a33") - c("a23") * c("a31")) +
+      c("a13") * (c("a21") * c("a32") - c("a22") * c("a31"))
+    val dd = k.withColumn("det", det)
+    val xv = c("b1") * (c("a22") * c("a33") - c("a23") * c("a32")) -
+      c("a12") * (c("b2") * c("a33") - c("a23") * c("b3")) +
+      c("a13") * (c("b2") * c("a32") - c("a22") * c("b3"))
+    val xc = c("a11") * (c("b2") * c("a33") - c("a23") * c("b3")) -
+      c("b1") * (c("a21") * c("a33") - c("a23") * c("a31")) +
+      c("a13") * (c("a21") * c("b3") - c("b2") * c("a31"))
+    val xs = c("a11") * (c("a22") * c("b3") - c("b2") * c("a32")) -
+      c("a12") * (c("a21") * c("b3") - c("b2") * c("a31")) +
+      c("b1") * (c("a21") * c("a32") - c("a22") * c("a31"))
+    dd.select(lit("view").as("state"),
+        (xv.cast("double") / c("det").cast("double")).as("p_convert"))
+      .unionByName(dd.select(lit("click").as("state"),
+        (xc.cast("double") / c("det").cast("double")).as("p_convert")))
+      .unionByName(dd.select(lit("signup").as("state"),
+        (xs.cast("double") / c("det").cast("double")).as("p_convert")))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -420,6 +420,47 @@ class StatOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mde_rel") > 0.0)
   }
 
+  test("w20 absorption probabilities match a local linear solve and live in [0, 1]") {
+    val out = graft.operators.Relational.w20.build(spark, sf).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Double]("p_convert")).toMap
+    assert(out.keySet == Set("view", "click", "signup"))
+    assert(out.values.forall(p => p >= 0.0 && p <= 1.0))
+    // local replay: build the transition counts and Gauss-solve (I-Q)x = b
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._4)).map(_._2)
+      s.zip(s.tail)
+    }.toSeq
+    val states = Seq("view", "click", "signup")
+    val a = Array.tabulate(3, 3) { (i, j) =>
+      val diag = if (i == j) pairs.count(_._1 == states(i)).toDouble else 0.0
+      diag - pairs.count(p => p._1 == states(i) && p._2 == states(j)).toDouble
+    }
+    val b = states.map(s => pairs.count(p => p._1 == s && p._2 == "purchase").toDouble).toArray
+    // 3x3 Gaussian elimination with partial pivoting
+    for (col0 <- 0 until 3) {
+      val piv = (col0 until 3).maxBy(r => math.abs(a(r)(col0)))
+      val (ta, tb) = (a(col0), b(col0)); a(col0) = a(piv); a(piv) = ta
+      b(col0) = b(piv); b(piv) = tb
+      for (r <- col0 + 1 until 3) {
+        val f = a(r)(col0) / a(col0)(col0)
+        for (cc <- col0 until 3) a(r)(cc) -= f * a(col0)(cc)
+        b(r) -= f * b(col0)
+      }
+    }
+    val x = new Array[Double](3)
+    for (r <- 2 to 0 by -1) {
+      var acc = b(r)
+      for (cc <- r + 1 until 3) acc -= a(r)(cc) * x(cc)
+      x(r) = acc / a(r)(r)
+    }
+    states.zipWithIndex.foreach { case (s, i) =>
+      assert(math.abs(out(s) - x(i)) < 1e-9, s"$s: ${out(s)} vs ${x(i)}")
+    }
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
