@@ -532,4 +532,12 @@ object Graft {
     */
   def conversionAbsorption(events: DataFrame): DataFrame =
     Relational.conversionAbsorption(events)
+
+  /** int8-quantized ANN serving (the search half of the v6 compression):
+    * integer-dot candidates descaled per vector, exact cosine rerank —
+    * (q_id, neighbor_id, approx, cos).
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      c: Int = 20, excludeSelf: Boolean = true): DataFrame =
+    VectorOps.int8TopK(corpus, queries, k, c, excludeSelf)
 }

@@ -903,6 +903,71 @@ object StatOps {
             |  $ZMdeStr * sqrt(v1 / n1 + v2 / n2) / m1 AS mde_rel
             |FROM k""".stripMargin))
 
+  /** D13 (beyond reference): robust central tendency — 5%-winsorized and
+    * 5%-trimmed means of events.value next to the plain mean, the
+    * outlier-resistant aggregates a metrics platform publishes when the
+    * raw mean is hostage to a fat tail. Computed from the VALUE
+    * HISTOGRAM, not from ranked rows: values quantize exactly to 1e-4
+    * integers (the generator's 2-dp metric), one hash aggregate builds
+    * (qv, n), and the trim arithmetic — order statistics at ranks t+1
+    * and N−t, partial-bucket sums of the t smallest/largest — is integer
+    * window math over the bounded value domain. No global row sort
+    * exists anywhere (the w17 discipline), and every output is a ratio
+    * of exact integers.
+    */
+  val d13: GraftQuery = GraftQuery(
+    "d13_robust_mean",
+    (s, d) => {
+      val h = Tables.events(s, d)
+        .select(floor(col("value") * 1e4 + 0.5).cast("long").as("qv"))
+        .groupBy("qv").agg(count(lit(1)).as("n"))
+      val wAt = Window.orderBy("qv")
+      val wPrev = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, -1)
+      val t0 = h
+        .withColumn("cum", sum("n").over(wAt))
+        .withColumn("cum_prev", coalesce(sum("n").over(wPrev), lit(0L)))
+        .withColumn("nt", sum("n").over(Window.partitionBy()))
+        .withColumn("sv", sum(col("qv") * col("n")).over(Window.partitionBy()))
+      val t = expr("nt div 20")
+      val lowPart = least(col("n"), greatest(lit(0L), t - col("cum_prev")))
+      val highPart = least(col("n"), greatest(lit(0L), col("cum") - (col("nt") - t)))
+      val g = t0
+        .withColumn("t", t)
+        .withColumn("s_low", sum(lowPart * col("qv")).over(Window.partitionBy()))
+        .withColumn("s_high", sum(highPart * col("qv")).over(Window.partitionBy()))
+        .withColumn("lo_cut", min(when(col("cum") >= t + 1, col("qv")))
+          .over(Window.partitionBy()))
+        .withColumn("hi_cut", min(when(col("cum") >= col("nt") - t, col("qv")))
+          .over(Window.partitionBy()))
+        .limit(1)
+      g.select(col("nt").as("n"), col("t").as("trim_n"),
+        (col("sv").cast("double") / col("nt") / 1e4).as("mean"),
+        ((col("sv") - col("s_low") - col("s_high") + col("t") * col("lo_cut") +
+          col("t") * col("hi_cut")).cast("double") / col("nt") / 1e4)
+          .as("winsorized_mean"),
+        ((col("sv") - col("s_low") - col("s_high")).cast("double") /
+          (col("nt") - col("t") * 2) / 1e4).as("trimmed_mean"))
+    },
+    Some("""WITH h AS (SELECT CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS qv, count(*) AS n
+           |           FROM events GROUP BY 1),
+           |c AS (SELECT qv, n,
+           |        CAST(sum(n) OVER wo AS BIGINT) AS cum,
+           |        CAST(coalesce(sum(n) OVER (ORDER BY qv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev,
+           |        CAST(sum(n) OVER () AS BIGINT) AS nt,
+           |        CAST(sum(qv * n) OVER () AS BIGINT) AS sv
+           |      FROM h WINDOW wo AS (ORDER BY qv)),
+           |g AS (SELECT nt, sv, nt // 20 AS t,
+           |        CAST(sum(least(n, greatest(0, nt // 20 - cum_prev)) * qv) OVER () AS BIGINT) AS s_low,
+           |        CAST(sum(least(n, greatest(0, cum - (nt - nt // 20))) * qv) OVER () AS BIGINT) AS s_high,
+           |        min(CASE WHEN cum >= nt // 20 + 1 THEN qv END) OVER () AS lo_cut,
+           |        min(CASE WHEN cum >= nt - nt // 20 THEN qv END) OVER () AS hi_cut
+           |      FROM c LIMIT 1)
+           |SELECT nt AS n, t AS trim_n,
+           |  CAST(sv AS DOUBLE) / nt / 1e4 AS mean,
+           |  CAST(sv - s_low - s_high + t * lo_cut + t * hi_cut AS DOUBLE) / nt / 1e4 AS winsorized_mean,
+           |  CAST(sv - s_low - s_high AS DOUBLE) / (nt - t * 2) / 1e4 AS trimmed_mean
+           |FROM g""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, a22, m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, a22, m12, m13, m14)
 }

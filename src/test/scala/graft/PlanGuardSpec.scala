@@ -123,7 +123,10 @@ class PlanGuardSpec extends SparkSpec {
     "v22_binary_hamming_topk",
     // probes curve runs one v1-shape ground-truth arm + per-probe IVF arms
     // over the same broadcast query side — same contract
-    "v24_recall_vs_probes")
+    "v24_recall_vs_probes",
+    // int8 serving broadcasts the QUANTIZED query side (codes + one
+    // scale per query vector) under the non-equi join — same contract
+    "v25_int8_ann_topk")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {

@@ -461,6 +461,39 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("d13 robust means match a local sorted-replay of winsorize/trim") {
+    val r = StatOps.d13.build(spark, sf).collect().head
+    val vals = Tables.events(spark, sf).select("value").as[Double].collect()
+      .map(v => math.floor(v * 1e4 + 0.5).toLong).sorted
+    val n = vals.length
+    val t = n / 20
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("trim_n") == t)
+    assert(math.abs(r.getAs[Double]("mean") - vals.sum.toDouble / n / 1e4) < 1e-12)
+    val win = vals.zipWithIndex.map { case (v, i) =>
+      if (i < t) vals(t) else if (i >= n - t) vals(n - t - 1) else v
+    }
+    assert(math.abs(r.getAs[Double]("winsorized_mean") -
+      win.sum.toDouble / n / 1e4) < 1e-9)
+    val trimmed = vals.slice(t, n - t)
+    assert(math.abs(r.getAs[Double]("trimmed_mean") -
+      trimmed.sum.toDouble / trimmed.length / 1e4) < 1e-9)
+  }
+
+  test("v25 int8 ANN: 3 rows per query, approx tracks exact cosine ordering closely") {
+    val out = VectorOps.v25.build(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 3))
+    assert(out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
+    // int8 at 64 dims quantizes finely enough that the reranked top-3
+    // must overlap the exact brute-force top-3 substantially
+    val emb = Tables.embeddings(spark, sf)
+    val truth = VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"int8 recall too low: $recall")
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
