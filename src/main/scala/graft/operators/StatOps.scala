@@ -682,48 +682,92 @@ object StatOps {
            |        * 1e12 + 0.5) / 1e12 AS js_term
            |FROM r""".stripMargin))
 
-  /** Poisson(1) CDF thresholds scaled to the 48-bit md5 draw domain
-    * (floor(P(X <= k) * 2^48) for k = 0..6; draws past the last threshold
-    * take weight 7). Integer literals so the weight assignment is one
-    * integer comparison chain — no runtime exp(), no engine drift.
+  /** splitmix64 finalizer — generator for the per-replica affine
+    * coefficients (data-independent, 100 values, computed once on the
+    * driver and spliced into the oracle as unsigned literals).
     */
-  private val PoissonCdf48: Seq[Long] = Seq(
-    103548857136060L, 207097714272121L, 258872142840152L, 276130285696162L,
-    280444821410164L, 281307728552965L, 281451546410098L)
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-replica universal-hash coefficients u_b = h·a_b + c_b (mod 2^64):
+    * odd multipliers so each replica's map is a bijection of the draw
+    * space. ONE md5 per row feeds all `B` replicas — the earlier
+    * md5-per-(row, replica) form spent ~90% of the op's time in string
+    * hashing.
+    */
+  private val BootA: Array[Long] = Array.tabulate(100)(i => mix64(2L * i) | 1L)
+  private val BootC: Array[Long] = Array.tabulate(100)(i => mix64(2L * i + 1))
+
+  /** Poisson(1) CDF thresholds scaled to the full unsigned 64-bit draw
+    * domain (floor(P(X <= k) * 2^64), k = 0..6; larger draws take weight
+    * 7). Stored as Long BIT PATTERNS compared unsigned — no runtime
+    * exp(), no engine drift.
+    */
+  private val PoissonCdf64: Array[Long] = {
+    val e = math.exp(-1.0)
+    var cum = 0.0
+    var fact = 1L
+    (0 until 7).map { k =>
+      if (k > 0) fact *= k
+      cum += e / fact
+      (BigDecimal(cum) * BigDecimal(BigInt(1) << 64)).toBigInt.longValue
+    }.toArray
+  }
+
+  private def poissonWeight(u: Long): Int = {
+    var k = 0
+    while (k < 7 && java.lang.Long.compareUnsigned(u, PoissonCdf64(k)) >= 0) k += 1
+    k // 0..6 below their thresholds; everything past the last is 7
+  }
 
   /** Public DataFrame-in API (see graft.api.Graft): percentile-bootstrap
     * confidence interval for the mean of `valueCol`, via the POISSON
     * bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for Massive
     * Data Streams" — the resampling scheme that works in one pass on
-    * partitioned data): replica b gives row i a Poisson(1) weight drawn
-    * from md5(id:b), so no replica ever materializes a resample or needs
-    * the global row count up front. Returns one row
-    * (n_replicas, point_mean, lo, mid, hi) where lo/hi are the 5th/95th
-    * order statistics of the replica means (a 90% percentile CI) and mid
-    * the 50th.
+    * partitioned data): replica b gives row i a Poisson(1) weight, so no
+    * replica ever materializes a resample or needs the global row count
+    * up front. Returns one row (n_replicas, point_mean, lo, mid, hi)
+    * where lo/hi are the 5th/95th order statistics of the replica means
+    * (a 90% percentile CI) and mid the 50th.
     *
-    * Determinism: weights are integer comparisons of a 48-bit md5 draw
-    * against hardcoded CDF literals (the x10/x44 hash-sampling
-    * discipline), replica sums are exact DECIMAL x integer products, and
-    * the order statistics select by (mean, b) rank — every step replays
-    * identically in any engine. Scale: the explode is x B (a constant),
-    * weight sums combine map-side, and the final selection sorts B rows,
-    * not data.
+    * Determinism: the per-row draw is ONE 60-bit md5 digest (the
+    * x10/x44 discipline) pushed through per-replica affine maps in
+    * wrapping 64-bit arithmetic — the oracle replays the wrap as HUGEINT
+    * mod 2^64 (the x8 discipline) and the Poisson inverse-CDF is an
+    * unsigned comparison chain against hardcoded integer thresholds.
+    * Values quantize exactly to 1e-4 integers, so every replica sum is
+    * BIGINT-exact in any fold order. Scale: the typed kernel emits x B
+    * rows (a constant) that map-side-combine to B partials per
+    * partition; the final selection sorts B rows, not data.
     */
   def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
       b: Int = 100): DataFrame = {
-    val w = PoissonCdf48.zipWithIndex.foldRight(lit(7): Column) {
-      case ((thr, k), rest) => when(col("u") < thr, k).otherwise(rest)
-    }
-    val rep = df.select(col(idCol).as("id"), dec(col(valueCol)).as("v"))
-      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("u", expr(
-        "CAST(conv(substr(md5(concat(CAST(id AS STRING), ':', CAST(b AS STRING), ':bs')), 1, 12), 16, 10) AS BIGINT)"))
-      .withColumn("w", w)
+    require(b <= 100, s"bootstrapCI supports at most 100 replicas, got $b")
+    val s = df.sparkSession
+    import s.implicits._
+    val rep = df
+      .select(col(idCol).cast("long").as("id"), col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, v) =>
+          val h = graft.functions.HashDraw.draw(md, s"$id:bs")
+          val qv = math.floor(v * 1e4 + 0.5).toLong
+          (0 until b).iterator.map { bi =>
+            val w = poissonWeight(h * BootA(bi) + BootC(bi))
+            (bi, qv * w, w.toLong)
+          }
+        }
+      }
+      .toDF("b", "qvw", "w")
     val means = rep.groupBy("b")
-      .agg(sum(col("v") * col("w")).as("sv"), sum(col("w")).as("sw"))
+      .agg(sum(col("qvw")).as("sv"), sum(col("w")).as("sw"))
       .select(col("b"),
-        (col("sv").cast("double") / col("sw").cast("double")).as("m"))
+        (col("sv").cast("double") / col("sw").cast("double") / 1e4).as("m"))
     val pm = df.agg((sum(dec(col(valueCol))).cast("double") /
       count(lit(1)).cast("double")).as("point_mean"))
     means
@@ -736,6 +780,13 @@ object StatOps {
       .select(col("n_replicas"), col("point_mean"), col("lo"), col("mid"), col("hi"))
   }
 
+  /** The oracle's 100-row coefficient table and unsigned thresholds,
+    * spliced as literals (HUGEINT-safe decimal strings).
+    */
+  private def unsignedList(xs: Array[Long]): String =
+    xs.map(java.lang.Long.toUnsignedString).mkString("[", ",", "]")
+  private def t64(k: Int): String = java.lang.Long.toUnsignedString(PoissonCdf64(k))
+
   /** D10 (beyond reference): bootstrap uncertainty on the events mean —
     * the error bar a metrics platform attaches to every aggregate it
     * publishes.
@@ -743,31 +794,35 @@ object StatOps {
   val d10: GraftQuery = GraftQuery(
     "d10_bootstrap_ci",
     (s, d) => bootstrapCI(Tables.events(s, d), "event_id", "value"),
-    Some("""WITH r AS (SELECT event_id AS id, CAST(value AS DECIMAL(18,4)) AS v,
-           |            unnest(range(100)) AS b FROM events),
-           |u AS (SELECT id, v, b,
-           |        CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':bs'), 1, 12) AS BIGINT) AS u
-           |      FROM r),
-           |w AS (SELECT b, v,
-           |        CASE WHEN u < 103548857136060 THEN 0
-           |             WHEN u < 207097714272121 THEN 1
-           |             WHEN u < 258872142840152 THEN 2
-           |             WHEN u < 276130285696162 THEN 3
-           |             WHEN u < 280444821410164 THEN 4
-           |             WHEN u < 281307728552965 THEN 5
-           |             WHEN u < 281451546410098 THEN 6
-           |             ELSE 7 END AS w
-           |      FROM u),
-           |m AS (SELECT b, CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
-           |      FROM w GROUP BY 1),
-           |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
-           |pm AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-           |         / CAST(count(*) AS DOUBLE) AS point_mean FROM events)
-           |SELECT CAST(count(*) AS BIGINT) AS n_replicas, pm.point_mean,
-           |  min(CASE WHEN rk = 5 THEN m END) AS lo,
-           |  min(CASE WHEN rk = 50 THEN m END) AS mid,
-           |  min(CASE WHEN rk = 95 THEN m END) AS hi
-           |FROM rk, pm GROUP BY pm.point_mean""".stripMargin))
+    Some(s"""WITH mix AS (SELECT unnest(range(100)) AS b,
+            |         unnest(${unsignedList(BootA)}::HUGEINT[]) AS a,
+            |         unnest(${unsignedList(BootC)}::HUGEINT[]) AS c),
+            |r AS (SELECT event_id AS id,
+            |        CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS qv FROM events),
+            |h AS (SELECT id, qv, ${graft.functions.HashDraw.sql("CAST(id AS VARCHAR) || ':bs'")} AS h FROM r),
+            |u AS (SELECT mix.b, h.qv,
+            |        (CAST(h.h AS HUGEINT) * mix.a + mix.c) % 18446744073709551616 AS u
+            |      FROM h CROSS JOIN mix),
+            |w AS (SELECT b, qv,
+            |        CASE WHEN u < ${t64(0)} THEN 0
+            |             WHEN u < ${t64(1)} THEN 1
+            |             WHEN u < ${t64(2)} THEN 2
+            |             WHEN u < ${t64(3)} THEN 3
+            |             WHEN u < ${t64(4)} THEN 4
+            |             WHEN u < ${t64(5)} THEN 5
+            |             WHEN u < ${t64(6)} THEN 6
+            |             ELSE 7 END AS w
+            |      FROM u),
+            |m AS (SELECT b, CAST(sum(qv * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 1e4 AS m
+            |      FROM w GROUP BY 1),
+            |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+            |pm AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            |         / CAST(count(*) AS DOUBLE) AS point_mean FROM events)
+            |SELECT CAST(count(*) AS BIGINT) AS n_replicas, pm.point_mean,
+            |  min(CASE WHEN rk = 5 THEN m END) AS lo,
+            |  min(CASE WHEN rk = 50 THEN m END) AS mid,
+            |  min(CASE WHEN rk = 95 THEN m END) AS hi
+            |FROM rk, pm GROUP BY pm.point_mean""".stripMargin))
 
   /** Public DataFrame-in API (see graft.api.Graft): consolidated model
     * evaluation — the one-call report a scoring pipeline publishes per
