@@ -1813,11 +1813,15 @@ object TextOps {
     * (costlier) LSH stage — the order is load-bearing at 100 TB.
     */
   def curate(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    // clean/surv feed two consumers each (the next stage and the final
+    // token join) — cache the narrow survivor sets so the tokenize-heavy
+    // quality aggregation runs once, not per consumer (at cluster scale
+    // the same role is played by persisting the stage to storage)
     val clean = qualityRules(docs).filter(col("keep")).select("doc_id")
-      .join(docs, "doc_id")
+      .join(docs, "doc_id").cache()
     val exactKeep = clean.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val surv = exactKeep.join(clean, "doc_id")
+    val surv = exactKeep.join(clean, "doc_id").cache()
     dupComponents(surv, threshold)
       .filter(col("doc_id") === col("component"))
       .withColumnRenamed("n_members", "n_dups")
@@ -1885,11 +1889,13 @@ object TextOps {
         coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
           .as("n_tokens"))
         .withColumn("stage", lit(stage))
+    // same two-consumer caching as [[curate]]: every stage feeds both its
+    // stat() row and the next stage
     val clean = qualityRules(docs).filter(col("keep")).select("doc_id")
-      .join(docs, "doc_id")
+      .join(docs, "doc_id").cache()
     val exactKeep = clean.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val surv = exactKeep.join(clean, "doc_id")
+    val surv = exactKeep.join(clean, "doc_id").cache()
     val kept = dupComponents(surv, threshold)
       .filter(col("doc_id") === col("component"))
       .select("doc_id").join(surv, "doc_id")
