@@ -540,4 +540,10 @@ object Graft {
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
       c: Int = 20, excludeSelf: Boolean = true): DataFrame =
     VectorOps.int8TopK(corpus, queries, k, c, excludeSelf)
+
+  /** Growth-accounting lifecycle counts over (user_id, ts): one row per
+    * day (day, n_new, n_retained, n_resurrected, n_churned).
+    */
+  def lifecycleStates(events: DataFrame): DataFrame =
+    Relational.lifecycleStates(events)
 }

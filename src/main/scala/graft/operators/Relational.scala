@@ -1927,11 +1927,80 @@ object Relational {
         (xs.cast("double") / c("det").cast("double")).as("p_convert")))
   }
 
+  /** W21 (beyond reference): growth-accounting lifecycle states — each
+    * active (user, day) classified as new / retained (active again within
+    * 7 days) / resurrected (returned after a 7+ day gap), plus churn
+    * events booked on the day a user completes 7 days of silence — the
+    * standard MAU growth-accounting decomposition (new + resurrected −
+    * churned = net growth), extending [[w18]]'s two-way split. One lag()
+    * and one lead() per user partition, day-domain aggregates, all
+    * integer date arithmetic — deterministic in any engine and
+    * user-bounded at any scale.
+    */
+  val w21 = q(
+    "w21_lifecycle_states",
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |st AS (SELECT day,
+      |         CASE WHEN prev IS NULL THEN 'new'
+      |              WHEN day - prev <= 7 THEN 'retained'
+      |              ELSE 'resurrected' END AS state
+      |       FROM (SELECT user_id, day,
+      |               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |             FROM du)),
+      |act AS (SELECT day,
+      |          count(*) FILTER (state = 'new') AS n_new,
+      |          count(*) FILTER (state = 'retained') AS n_retained,
+      |          count(*) FILTER (state = 'resurrected') AS n_resurrected
+      |        FROM st GROUP BY 1),
+      |mx AS (SELECT max(day) AS max_day FROM du),
+      |ch AS (SELECT day + 7 AS day, count(*) AS n_churned
+      |       FROM (SELECT user_id, day,
+      |               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+      |             FROM du), mx
+      |       WHERE (nxt IS NOT NULL AND nxt - day > 7)
+      |          OR (nxt IS NULL AND max_day - day >= 7)
+      |       GROUP BY 1)
+      |SELECT coalesce(act.day, ch.day) AS day,
+      |  coalesce(n_new, 0) AS n_new,
+      |  coalesce(n_retained, 0) AS n_retained,
+      |  coalesce(n_resurrected, 0) AS n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned
+      |FROM act FULL JOIN ch ON act.day = ch.day""".stripMargin) {
+    (s, d) => lifecycleStates(Tables.events(s, d)) }
+
+  /** Public DataFrame-in API (see graft.api.Graft): growth-accounting
+    * lifecycle counts. `events` needs (user_id, ts); returns one row per
+    * day (day, n_new, n_retained, n_resurrected, n_churned) with a 7-day
+    * activity window.
+    */
+  def lifecycleStates(events: DataFrame): DataFrame = {
+    val du = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val st = du.withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("state",
+        when(col("prev").isNull, "new")
+          .when(datediff(col("day"), col("prev")) <= 7, "retained")
+          .otherwise("resurrected"))
+    val act = st.groupBy("day").agg(
+      count(when(col("state") === "new", 1)).as("n_new"),
+      count(when(col("state") === "retained", 1)).as("n_retained"),
+      count(when(col("state") === "resurrected", 1)).as("n_resurrected"))
+    val mx = du.agg(max("day").as("max_day"))
+    val ch = du.withColumn("nxt", lead(col("day"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .filter((col("nxt").isNotNull && datediff(col("nxt"), col("day")) > 7) ||
+        (col("nxt").isNull && datediff(col("max_day"), col("day")) >= 7))
+      .select(date_add(col("day"), 7).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    act.join(ch, Seq("day"), "full")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

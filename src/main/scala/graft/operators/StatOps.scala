@@ -1023,6 +1023,68 @@ object StatOps {
            |  CAST(sv - s_low - s_high AS DOUBLE) / (nt - t * 2) / 1e4 AS trimmed_mean
            |FROM g""".stripMargin))
 
+  /** D14 (beyond reference): seasonal and trend strength of the daily
+    * series — Hyndman & Athanasopoulos's STL feature pair
+    * (F_s = max(0, 1 − Var(residual)/Var(seasonal + residual)),
+    * F_t likewise against trend), the one-number answers to "is this
+    * metric actually weekly-cyclic / actually trending" that decide which
+    * forecast model (m5..m15) a pipeline should pick. Built on [[m13]]'s
+    * decomposition: each component is quantized to 1e-6 integers (the
+    * m13 dq discipline) so the variance sums are exact BIGINT folds, and
+    * each strength is a guarded ratio of integer variance numerators —
+    * deterministic cross-engine, day-domain-bounded everywhere.
+    */
+  val d14: GraftQuery = GraftQuery(
+    "d14_seasonality_strength",
+    (s, d) => {
+      val z = stlDecompose(Tables.events(s, d)).select(
+        floor(col("residual") * 1e6 + 0.5).cast("long").as("qr"),
+        floor((col("seasonal") + col("residual")) * 1e6 + 0.5).cast("long").as("qsr"),
+        floor((col("trend") + col("residual")) * 1e6 + 0.5).cast("long").as("qtr"))
+      val a = z.agg(count(lit(1)).as("n"),
+        sum("qr").as("sr"), sum(col("qr") * col("qr")).as("srr"),
+        sum("qsr").as("ss"), sum(col("qsr") * col("qsr")).as("sss"),
+        sum("qtr").as("st"), sum(col("qtr") * col("qtr")).as("stt"))
+      val vr = col("n") * col("srr") - col("sr") * col("sr")
+      val vs = col("n") * col("sss") - col("ss") * col("ss")
+      val vt = col("n") * col("stt") - col("st") * col("st")
+      def strength(den: Column) =
+        when(den === 0, lit(0.0)).otherwise(
+          greatest(lit(0.0), lit(1.0) - vr.cast("double") / den.cast("double")))
+      a.select(col("n").as("n_days"),
+        strength(vs).as("seasonal_strength"),
+        strength(vt).as("trend_strength"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+           |g AS (SELECT day, count(*) AS n,
+           |        sum(CAST(value AS DECIMAL(18,4))) AS svd FROM e GROUP BY 1),
+           |t AS (SELECT day, n,
+           |        CAST(svd AS DOUBLE) / n AS daily_mean,
+           |        CAST(sum(svd) OVER w AS DOUBLE) / CAST(sum(n) OVER w AS DOUBLE) AS trend,
+           |        (day - DATE '1970-01-01') % 7 AS dow
+           |      FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |q AS (SELECT *, CAST(floor((daily_mean - trend) * 1e6 + 0.5) AS BIGINT) AS dq FROM t),
+           |s AS (SELECT *, CAST(sum(dq) OVER dw AS DOUBLE) / (count(*) OVER dw) / 1e6 AS seasonal
+           |      FROM q WINDOW dw AS (PARTITION BY dow)),
+           |stl AS (SELECT trend, seasonal,
+           |          daily_mean - trend - seasonal AS residual FROM s),
+           |z AS (SELECT CAST(floor(residual * 1e6 + 0.5) AS BIGINT) AS qr,
+           |        CAST(floor((seasonal + residual) * 1e6 + 0.5) AS BIGINT) AS qsr,
+           |        CAST(floor((trend + residual) * 1e6 + 0.5) AS BIGINT) AS qtr FROM stl),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(qr) AS BIGINT) AS sr, CAST(sum(qr * qr) AS BIGINT) AS srr,
+           |        CAST(sum(qsr) AS BIGINT) AS ss, CAST(sum(qsr * qsr) AS BIGINT) AS sss,
+           |        CAST(sum(qtr) AS BIGINT) AS st, CAST(sum(qtr * qtr) AS BIGINT) AS stt
+           |      FROM z)
+           |SELECT n AS n_days,
+           |  CASE WHEN n * sss - ss * ss = 0 THEN 0.0
+           |       ELSE greatest(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+           |              / CAST(n * sss - ss * ss AS DOUBLE)) END AS seasonal_strength,
+           |  CASE WHEN n * stt - st * st = 0 THEN 0.0
+           |       ELSE greatest(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+           |              / CAST(n * stt - st * st AS DOUBLE)) END AS trend_strength
+           |FROM a""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, a22, m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, a22, m12, m13, m14)
 }

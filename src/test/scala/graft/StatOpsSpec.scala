@@ -494,6 +494,40 @@ class StatOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall too low: $recall")
   }
 
+  test("w21 lifecycle: states partition active user-days, churn conserves users") {
+    val out = graft.operators.Relational.w21.build(spark, sf).collect()
+    val du = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val activeDays = du.count()
+    assert(out.map(r => r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+      r.getAs[Long]("n_resurrected")).sum == activeDays)
+    val users = du.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_new")).sum == users)
+    // churn events never exceed the user count, and each user churns at
+    // most once more than they resurrect (gap arithmetic)
+    val churned = out.map(_.getAs[Long]("n_churned")).sum
+    val resurrected = out.map(_.getAs[Long]("n_resurrected")).sum
+    assert(churned <= resurrected + users)
+  }
+
+  test("d14 strengths live in [0, 1] and reconstruct from an m13 replay") {
+    val r = StatOps.d14.build(spark, sf).collect().head
+    val fs = r.getAs[Double]("seasonal_strength")
+    val ft = r.getAs[Double]("trend_strength")
+    assert(fs >= 0.0 && fs <= 1.0 && ft >= 0.0 && ft <= 1.0)
+    val stl = StatOps.m13.build(spark, sf).collect()
+    assert(r.getAs[Long]("n_days") == stl.length)
+    def varOf(xs: Array[Double]): Double = {
+      val q = xs.map(x => math.floor(x * 1e6 + 0.5))
+      val n = q.length
+      (n * q.map(x => x * x).sum - q.sum * q.sum) / n / n
+    }
+    val res = stl.map(_.getAs[Double]("residual"))
+    val sr = stl.map(x => x.getAs[Double]("seasonal") + x.getAs[Double]("residual"))
+    val expect = math.max(0.0, 1.0 - varOf(res) / varOf(sr))
+    assert(math.abs(fs - expect) < 1e-9)
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
