@@ -546,4 +546,12 @@ object Graft {
     */
   def lifecycleStates(events: DataFrame): DataFrame =
     Relational.lifecycleStates(events)
+
+  /** Equal-weight naive/drift/theta forecast ensemble with the
+    * conservative interval envelope — same series contract as
+    * [[forecast]].
+    */
+  def forecastEnsemble(seriesDf: DataFrame, horizon: Int = 12,
+      confidence: Double = 0.9): DataFrame =
+    Forecast.forecastEnsemble(seriesDf, horizon, confidence)
 }

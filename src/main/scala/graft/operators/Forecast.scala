@@ -1379,5 +1379,106 @@ object Forecast {
            |SELECT user_id, forecast_timestamp, v AS forecast_value,
            |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15)
+  /** M16 (beyond reference): forecast combination — the equal-weight
+    * ensemble of the naive, drift and theta models, with the
+    * conservative interval envelope (min lo, max hi). Combinations beat
+    * single models on average (the M4 lesson; Bates & Granger 1969), and
+    * the envelope is the defensible default when component intervals
+    * disagree. Determinism: each leg's outputs are the oracle-proven
+    * m5/m6/m15 doubles; every value is quantized to 1e-9 BEFORE the
+    * 3-way mean/min/max, so the combination aggregates are exact integer
+    * folds in any order.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): equal-weight
+    * naive/drift/theta ensemble over a (user_id, bucket_ts, demand)
+    * series — mean point forecast, envelope interval; see [[m16]].
+    */
+  def forecastEnsemble(seriesDf: DataFrame, horizon: Int = Horizon,
+      confidence: Double = 0.9): DataFrame = {
+    Seq("naive", "drift", "theta")
+      .map(m => forecast(seriesDf, m, horizon, confidence))
+      .map(df => df.select(col("user_id"), col("forecast_timestamp"),
+        floor(col("forecast_value") * 1e9 + 0.5).cast("long").as("qv"),
+        floor(col("lo") * 1e9 + 0.5).cast("long").as("ql"),
+        floor(col("hi") * 1e9 + 0.5).cast("long").as("qh")))
+      .reduce(_ unionByName _)
+      .groupBy("user_id", "forecast_timestamp")
+      .agg((sum("qv").cast("double") / 3.0 / 1e9).as("forecast_value"),
+        (min("ql").cast("double") / 1e9).as("lo"),
+        (max("qh").cast("double") / 1e9).as("hi"))
+  }
+
+  val m16: GraftQuery = GraftQuery(
+    "m16_forecast_ensemble",
+    (s, d) => forecastEnsemble(series(s, d)),
+    Some(s"""WITH RECURSIVE base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |nv AS (SELECT user_id, last_b, y[n] AS last_d,
+           |  CASE WHEN n > 1 THEN list_reduce(list_prepend(0.0, list_transform(generate_series(2, n),
+           |    i -> (y[i] - y[i-1]) * (y[i] - y[i-1]))), (acc, v) -> acc + v) / (n - 1)
+           |    ELSE 0.0 END AS s2
+           |  FROM ser),
+           |leg_n AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS fts,
+           |       CAST(floor(last_d * 1e9 + 0.5) AS BIGINT) AS qv,
+           |       CAST(floor((last_d - $Z90 * sqrt(s2 * h)) * 1e9 + 0.5) AS BIGINT) AS ql,
+           |       CAST(floor((last_d + $Z90 * sqrt(s2 * h)) * 1e9 + 0.5) AS BIGINT) AS qh
+           |       FROM nv CROSS JOIN generate_series(1, 12) t(h)),
+           |dl AS (SELECT user_id, last_b, n, y, y[n] AS last_d,
+           |       CASE WHEN n = 1 THEN 0.0 ELSE (y[n] - y[1]) / CAST(n - 1 AS DOUBLE) END AS slope FROM ser),
+           |dg AS (SELECT user_id, last_b, last_d, slope,
+           |  CASE WHEN n > 1 THEN list_reduce(list_prepend(0.0, list_transform(generate_series(2, n),
+           |    i -> (y[i] - y[i-1] - slope) * (y[i] - y[i-1] - slope))), (acc, v) -> acc + v) / (n - 1)
+           |    ELSE 0.0 END AS s2
+           |  FROM dl),
+           |leg_d AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS fts,
+           |       CAST(floor((last_d + h * slope) * 1e9 + 0.5) AS BIGINT) AS qv,
+           |       CAST(floor(((last_d + h * slope) - $Z90 * sqrt(s2 * h)) * 1e9 + 0.5) AS BIGINT) AS ql,
+           |       CAST(floor(((last_d + h * slope) + $Z90 * sqrt(s2 * h)) * 1e9 + 0.5) AS BIGINT) AS qh
+           |       FROM dg CROSS JOIN generate_series(1, 12) t(h)),
+           |rec AS (
+           |  SELECT user_id, y, n, last_b, 1 AS i, y[1] AS l, y[1] AS sy,
+           |         CAST(0 AS DOUBLE) AS sty, CAST(0 AS DOUBLE) AS s,
+           |         CAST(0.5 AS DOUBLE) AS pp
+           |  FROM ser
+           |  UNION ALL
+           |  SELECT user_id, y, n, last_b, i + 1,
+           |         CAST(0.5 AS DOUBLE) * y[i+1] + CAST(0.5 AS DOUBLE) * l,
+           |         sy + y[i+1],
+           |         sty + CAST(i AS DOUBLE) * y[i+1],
+           |         s + (y[i+1] - l) * (y[i+1] - l),
+           |         pp * CAST(0.5 AS DOUBLE)
+           |  FROM rec WHERE i < n),
+           |tg AS (SELECT user_id, last_b, l, pp,
+           |       CASE WHEN n > 1 THEN s / CAST(n - 1 AS DOUBLE)
+           |            ELSE CAST(0 AS DOUBLE) END AS s2,
+           |       CASE WHEN n > 1 THEN
+           |         (CAST(n AS DOUBLE) * sty
+           |            - ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) / 2.0) * sy)
+           |         / (CAST(n AS DOUBLE)
+           |              * ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE)
+           |                 * (2.0 * CAST(n AS DOUBLE) - 1.0) / 6.0)
+           |            - ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) / 2.0)
+           |              * ((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) / 2.0))
+           |       ELSE CAST(0 AS DOUBLE) END AS bls
+           |       FROM rec WHERE i = n),
+           |leg_t AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS fts,
+           |       CAST(floor((l + (CAST(h AS DOUBLE) - 1.0 + 2.0 - pp * 2.0) * (bls * 0.5)) * 1e9 + 0.5) AS BIGINT) AS qv,
+           |       CAST(floor(((l + (CAST(h AS DOUBLE) - 1.0 + 2.0 - pp * 2.0) * (bls * 0.5))
+           |         - $Z90 * sqrt(s2 * (1.0 + (CAST(h AS DOUBLE) - 1.0) * 0.5 * 0.5))) * 1e9 + 0.5) AS BIGINT) AS ql,
+           |       CAST(floor(((l + (CAST(h AS DOUBLE) - 1.0 + 2.0 - pp * 2.0) * (bls * 0.5))
+           |         + $Z90 * sqrt(s2 * (1.0 + (CAST(h AS DOUBLE) - 1.0) * 0.5 * 0.5))) * 1e9 + 0.5) AS BIGINT) AS qh
+           |       FROM tg CROSS JOIN generate_series(1, 12) t(h)),
+           |u AS (SELECT * FROM leg_n UNION ALL SELECT * FROM leg_d UNION ALL SELECT * FROM leg_t)
+           |SELECT user_id, fts AS forecast_timestamp,
+           |  CAST(sum(qv) AS DOUBLE) / 3.0 / 1e9 AS forecast_value,
+           |  CAST(min(ql) AS DOUBLE) / 1e9 AS lo,
+           |  CAST(max(qh) AS DOUBLE) / 1e9 AS hi
+           |FROM u GROUP BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16)
 }

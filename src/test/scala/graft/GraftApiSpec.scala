@@ -467,4 +467,89 @@ class GraftApiSpec extends SparkSpec {
     assert(filled.size === 4)
     assert(filled(ts(1)) === 20.0 && filled(ts(2)) === 30.0)
   }
+
+  test("kaplanMeier on hand-built lifetimes: textbook survival steps") {
+    // corpus ends at day 30; censor window 7 days.
+    // user 1: days 0..2  (duration 2, last day 2  -> churn observed)
+    // user 2: days 0..2  (duration 2, churn)
+    // user 3: days 0..10 (duration 10, churn)
+    // user 4: days 20..29 (duration 9, last day 29 > 30-7 -> censored)
+    // user 5: day 30 only (duration 0, censored)
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2025-01-01 12:00:00").getTime + day * 86400000L)
+    val ev = Seq(
+      (1L, t(0)), (1L, t(2)), (2L, t(0)), (2L, t(2)), (3L, t(0)), (3L, t(10)),
+      (4L, t(20)), (4L, t(29)), (5L, t(30))).toDF("user_id", "ts")
+    val km = Graft.kaplanMeier(ev).collect()
+      .map(r => r.getAs[Int]("t_days") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("d"), r.getAs[Long]("c"),
+          r.getAs[Double]("survival")))).toMap
+    // duration 0: 5 at risk, 0 churn, 1 censored -> S = 1
+    assert(km(0) === ((5L, 0L, 1L, 1.0)))
+    // duration 2: 4 at risk, 2 churn -> S = 1 * (1 - 2/4) = 0.5
+    assert(km(2)._1 == 4L && km(2)._2 == 2L)
+    assert(math.abs(km(2)._4 - 0.5) < 1e-9)
+    // duration 9: 2 at risk, 0 churn, 1 censored -> S stays 0.5
+    assert(km(9) === ((2L, 0L, 1L, km(2)._4)))
+    // duration 10: last one at risk churns -> S = 0 exactly
+    assert(km(10) === ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("conversionAbsorption on a deterministic chain solves the known system") {
+    // one user repeating view -> click -> purchase teaches
+    // P(view->click) = P(click->purchase) = 1 (plus the final purchase
+    // having no successor); signup never appears as a source with
+    // outgoing mass except its constructed self-loop below.
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val ev = Seq(
+      (1L, "view", t(0), 1L), (1L, "click", t(1), 2L), (1L, "purchase", t(2), 3L),
+      (2L, "view", t(0), 4L), (2L, "click", t(1), 5L), (2L, "error", t(2), 6L),
+      (3L, "signup", t(0), 7L), (3L, "purchase", t(1), 8L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val p = Graft.conversionAbsorption(ev).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Double]("p_convert")).toMap
+    // click -> purchase w.p. 1/2, error w.p. 1/2
+    assert(math.abs(p("click") - 0.5) < 1e-12)
+    // view -> click always, then click's 1/2
+    assert(math.abs(p("view") - 0.5) < 1e-12)
+    // signup -> purchase always
+    assert(math.abs(p("signup") - 1.0) < 1e-12)
+  }
+
+  test("calibrationBins on a perfectly calibrated score has zero-ish ECE") {
+    // score 0.25 with 1-in-4 positives, score 0.75 with 3-in-4 positives
+    val rows = Seq.tabulate(40) { i =>
+      if (i < 20) (0.25, i % 4 == 0) else (0.75, i % 4 != 0)
+    }.toDF("score", "pos")
+    val out = Graft.calibrationBins(rows, "score", "pos").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("frac_pos") -
+        r.getAs[Double]("mean_score")) < 1e-6)
+      assert(r.getAs[Double]("ece_term") < 1e-6)
+    }
+  }
+
+  test("forecastEnsemble is exactly the quantized component mean with the interval envelope") {
+    val series = Seq(
+      (1L, new java.sql.Timestamp(0L), 1.0),
+      (1L, new java.sql.Timestamp(300000L), 3.0),
+      (1L, new java.sql.Timestamp(600000L), 5.0)).toDF("user_id", "bucket_ts", "demand")
+    def leg(m: String) = Graft.forecast(series, m).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("forecast_timestamp") ->
+        ((r.getAs[Double]("forecast_value"), r.getAs[Double]("lo"),
+          r.getAs[Double]("hi")))).toMap
+    val comp = Seq("naive", "drift", "theta").map(leg)
+    val ens = graft.operators.Forecast.forecastEnsemble(series).collect()
+    assert(ens.length == 12)
+    ens.foreach { r =>
+      val ts = r.getAs[java.sql.Timestamp]("forecast_timestamp")
+      val vs = comp.map(_(ts))
+      val mean = vs.map(v => math.floor(v._1 * 1e9 + 0.5)).sum / 3.0 / 1e9
+      val lo = vs.map(v => math.floor(v._2 * 1e9 + 0.5)).min / 1e9
+      val hi = vs.map(v => math.floor(v._3 * 1e9 + 0.5)).max / 1e9
+      assert(r.getAs[Double]("forecast_value") == mean)
+      assert(r.getAs[Double]("lo") == lo && r.getAs[Double]("hi") == hi)
+    }
+  }
 }
