@@ -759,7 +759,11 @@ object Relational {
       |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d).groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx"))
+        // rsd 0.01: the default 0.05 precision gives the sketch a ~1-sigma
+        // budget against the 5% gate — observed failing at sf0.1 (1.5k
+        // distinct users per type); 1% precision leaves 5x headroom at any
+        // cardinality
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")).cast("double") /
           col("exact_users") < 0.05).as("within_5pct"))

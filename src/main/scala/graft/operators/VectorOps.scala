@@ -1385,9 +1385,11 @@ object VectorOps {
            |       FROM dims d, q, v WHERE v.vec_id != q.vec_id
            |       QUALIFY row_number() OVER (PARTITION BY d.dim, q.vec_id
            |         ORDER BY list_cosine_similarity(q.e[1:d.dim], v.e[1:d.dim]) DESC, v.vec_id) <= 10)
-           |SELECT td.dim, CAST(count(*) AS DOUBLE) / 100.0 AS recall
-           |FROM td JOIN gt ON td.q_id = gt.q_id AND td.neighbor_id = gt.neighbor_id
-           |GROUP BY 1""".stripMargin))
+           |, h AS (SELECT td.dim, count(*) AS hits
+           |      FROM td JOIN gt ON td.q_id = gt.q_id AND td.neighbor_id = gt.neighbor_id
+           |      GROUP BY 1)
+           |SELECT d.dim, CAST(coalesce(h.hits, 0) AS DOUBLE) / 100.0 AS recall
+           |FROM dims d LEFT JOIN h USING (dim)""".stripMargin))
 
   /** Sign-bit packing: bit j of word w set iff embedding[32w + j] > 0 —
     * 32 bits per BIGINT word (not 64: bit 63 would overflow the signed sum
