@@ -554,4 +554,10 @@ object Graft {
   def forecastEnsemble(seriesDf: DataFrame, horizon: Int = 12,
       confidence: Double = 0.9): DataFrame =
     Forecast.forecastEnsemble(seriesDf, horizon, confidence)
+
+  /** Vocabulary coverage curve over (text): one row per candidate vocab
+    * size (vocab_k, covered_tokens, total_tokens, coverage).
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame =
+    TextOps.vocabCoverage(docs, ks)
 }

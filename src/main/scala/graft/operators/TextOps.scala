@@ -2365,8 +2365,54 @@ object TextOps {
            |        - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))) AS r2
            |FROM g""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): vocabulary coverage
+    * curve — for each candidate vocabulary size k, the fraction of all
+    * corpus tokens covered by the k most frequent words (ties broken by
+    * word text). The tokenizer-budget planning table: where the curve
+    * flattens is where growing the vocab stops paying (the corpus-level
+    * companion to x23's per-doc OOV rate). One tokenize scan + one hash
+    * aggregate; the rank window and the per-k sums run over the
+    * VOCABULARY domain only. Counts are integers; coverage is one IEEE
+    * division per k.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val ranked = wc.withColumn("r",
+      row_number().over(Window.orderBy(col("n").desc, col("w"))))
+    val tot = wc.agg(sum("n").as("total_tokens"))
+    ks.map { k =>
+      ranked.filter(col("r") <= k)
+        .agg(sum("n").as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k).as("vocab_k"), col("covered_tokens"), col("total_tokens"),
+          (col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double")).as("coverage"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** X46 (beyond reference): vocabulary-budget coverage audit of the
+    * documents corpus.
+    */
+  val x46: GraftQuery = GraftQuery(
+    "x46_vocab_coverage",
+    (s, d) => vocabCoverage(Tables.documents(s, d)),
+    Some("""WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+           |f AS (SELECT w, count(*) AS n FROM w WHERE length(w) > 0 GROUP BY 1),
+           |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r FROM f),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM f),
+           |ks AS (SELECT unnest([5, 10, 20]) AS vocab_k)
+           |SELECT ks.vocab_k,
+           |  CAST(sum(CASE WHEN r.r <= ks.vocab_k THEN n ELSE 0 END) AS BIGINT) AS covered_tokens,
+           |  t.total_tokens,
+           |  CAST(sum(CASE WHEN r.r <= ks.vocab_k THEN n ELSE 0 END) AS DOUBLE)
+           |    / CAST(t.total_tokens AS DOUBLE) AS coverage
+           |FROM ks CROSS JOIN r CROSS JOIN t
+           |GROUP BY ks.vocab_k, t.total_tokens""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46)
 }

@@ -528,6 +528,22 @@ class StatOpsSpec extends SparkSpec {
     assert(math.abs(fs - expect) < 1e-9)
   }
 
+  test("x46 vocab coverage: monotone in k, totals conserve, full vocab covers everything") {
+    val out = TextOps.x46.build(spark, sf).collect().sortBy(_.getAs[Int]("vocab_k"))
+    assert(out.map(_.getAs[Int]("vocab_k")).toSeq == Seq(5, 10, 20))
+    val covs = out.map(_.getAs[Double]("coverage"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => b >= a })
+    assert(covs.forall(c => c > 0.0 && c <= 1.0))
+    val total = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(out.forall(_.getAs[Long]("total_tokens") == total))
+    // with a vocab this small, k = 20+ must cover a large majority
+    val vocab = graft.api.Graft.vocabCoverage(
+      Tables.documents(spark, sf), Seq(Int.MaxValue)).collect().head
+    assert(vocab.getAs[Double]("coverage") == 1.0)
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
