@@ -560,4 +560,10 @@ object Graft {
     */
   def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame =
     TextOps.vocabCoverage(docs, ks)
+
+  /** Compression-tier distortion report over (vec_id, embedding): one
+    * row per tier (int8, binary) with mean/worst reconstruction cosine.
+    */
+  def compressionDistortion(corpus: DataFrame): DataFrame =
+    VectorOps.compressionDistortion(corpus)
 }

@@ -1687,7 +1687,66 @@ object VectorOps {
            |SELECT q_id, neighbor_id, approx, cos FROM r
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): compression-tier
+    * distortion report — for each quantization tier (int8 = [[v6]]'s
+    * symmetric scalar codes, binary = [[v22]]'s sign bits), the cosine
+    * between every vector and its reconstruction, reduced to
+    * (tier, n, mean_cos, worst_cos). The capacity-planning table that
+    * says which tier a corpus tolerates BEFORE building its index; read
+    * next to the recall evals (v10/v14/v24), it separates "the index
+    * lost it" from "the compression lost it".
+    *
+    * Pure per-row map + one aggregate per tier; each cosine is the fused
+    * graft_cosine (bitwise equal to the oracle's list_cosine_similarity)
+    * quantized to 1e-9 before the mean so the fold is an exact integer
+    * sum in any order.
+    */
+  def compressionDistortion(corpus: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val e = corpus.withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    def tier(name: String, recon: Column): DataFrame =
+      e.withColumn("recon", recon)
+        .select(floor(cosine("e", "recon") * 1e9 + 0.5).cast("long").as("qc"))
+        .agg(count(lit(1)).as("n"), sum("qc").as("sq"), min("qc").as("mq"))
+        .select(lit(name).as("tier"), col("n"),
+          (col("sq").cast("double") / col("n") / 1e9).as("mean_cos"),
+          (col("mq").cast("double") / 1e9).as("worst_cos"))
+    val int8 = e.withColumn("sc",
+        expr("array_max(transform(e, x -> abs(x))) / 127.0"))
+      .withColumn("recon", expr(
+        "transform(e, x -> CAST(greatest(-127D, least(127D, floor(x / sc + 0.5D))) AS DOUBLE) * sc)"))
+      .select(floor(cosine("e", "recon") * 1e9 + 0.5).cast("long").as("qc"))
+      .agg(count(lit(1)).as("n"), sum("qc").as("sq"), min("qc").as("mq"))
+      .select(lit("int8").as("tier"), col("n"),
+        (col("sq").cast("double") / col("n") / 1e9).as("mean_cos"),
+        (col("mq").cast("double") / 1e9).as("worst_cos"))
+    val binary = tier("binary",
+      expr("transform(e, x -> IF(x > 0D, 1.0D, -1.0D))"))
+    int8.unionByName(binary)
+  }
+
+  /** V26 (beyond reference): the tier table for the embeddings corpus. */
+  val v26: GraftQuery = GraftQuery(
+    "v26_compression_distortion",
+    (s, d) => compressionDistortion(Tables.embeddings(s, d)),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |i8 AS (SELECT e, list_transform(e, x ->
+           |         CAST(greatest(-127, least(127, floor(x / (sc) + 0.5))) AS DOUBLE) * sc) AS recon
+           |       FROM (SELECT e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM v)),
+           |qi AS (SELECT CAST(floor(list_cosine_similarity(e, recon) * 1e9 + 0.5) AS BIGINT) AS qc FROM i8),
+           |bi AS (SELECT e, list_transform(e, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS recon FROM v),
+           |qb AS (SELECT CAST(floor(list_cosine_similarity(e, recon) * 1e9 + 0.5) AS BIGINT) AS qc FROM bi)
+           |SELECT 'int8' AS tier, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(qc) AS DOUBLE) / count(*) / 1e9 AS mean_cos,
+           |  CAST(min(qc) AS DOUBLE) / 1e9 AS worst_cos
+           |FROM qi
+           |UNION ALL
+           |SELECT 'binary', CAST(count(*) AS BIGINT),
+           |  CAST(sum(qc) AS DOUBLE) / count(*) / 1e9,
+           |  CAST(min(qc) AS DOUBLE) / 1e9
+           |FROM qb""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25)
+      v20, v21, v22, v23, v24, v25, v26)
 }

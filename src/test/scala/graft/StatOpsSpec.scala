@@ -544,6 +544,20 @@ class StatOpsSpec extends SparkSpec {
     assert(vocab.getAs[Double]("coverage") == 1.0)
   }
 
+  test("v26 compression tiers: int8 dominates binary, both bounded by exact cosine") {
+    val out = VectorOps.v26.build(spark, sf).collect()
+      .map(r => r.getAs[String]("tier") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_cos"), r.getAs[Double]("worst_cos")))).toMap
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out("int8")._1 == n && out("binary")._1 == n)
+    // 8-bit reconstruction must preserve direction far better than 1-bit
+    assert(out("int8")._2 > out("binary")._2)
+    assert(out("int8")._2 > 0.999, s"int8 mean cos ${out("int8")._2}")
+    out.values.foreach { case (_, mean, worst) =>
+      assert(worst <= mean && mean <= 1.0 + 1e-9)
+    }
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
