@@ -566,4 +566,10 @@ object Graft {
     */
   def compressionDistortion(corpus: DataFrame): DataFrame =
     VectorOps.compressionDistortion(corpus)
+
+  /** One-way ANOVA: does `groupCol` explain `valueCol`? One row
+    * (k, n, ss_between, ss_within, f_stat).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    StatOps.anovaF(df, groupCol, valueCol)
 }

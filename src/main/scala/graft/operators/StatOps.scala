@@ -1085,6 +1085,56 @@ object StatOps {
            |              / CAST(n * stt - st * st AS DOUBLE)) END AS trend_strength
            |FROM a""".stripMargin))
 
+  /** D15 (beyond reference): one-way ANOVA — does the grouping key
+    * explain the metric? F = (SS_between/(k−1)) / (SS_within/(N−k)) over
+    * events.value grouped by user, the k-group generalization of [[a22]]'s
+    * two-sample t. Sums of squares come from the algebraic identities
+    * (SS_total = Σx² − S²/N; SS_between = Σ_u S_u²/n_u − S²/N) over exact
+    * DECIMAL sums; the one order-sensitive reduction — Σ_u S_u²/n_u over
+    * the group domain — quantizes each per-group term to 1e-6 first (the
+    * d2 discipline), making the fold an exact BIGINT sum. One scan + one
+    * group-domain aggregate at any scale.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): the ANOVA itself,
+    * over any (`groupCol`, `valueCol`) pairing.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val perGroup = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("nu"), sum(dec(col(valueCol))).cast("double").as("su"))
+    val g = perGroup.agg(count(lit(1)).as("k"),
+      sum(floor(col("su") * col("su") / col("nu") * 1e6 + 0.5).cast("long")).as("qb"))
+    val tot = df.agg(count(lit(1)).as("n"),
+      sum(dec(col(valueCol))).cast("double").as("sv"),
+      sum(dec(col(valueCol)) * dec(col(valueCol))).cast("double").as("sq"))
+    val j = g.crossJoin(broadcast(tot))
+    val corr = col("sv") * col("sv") / col("n")
+    val ssb = col("qb").cast("double") / 1e6 - corr
+    val sst = col("sq") - corr
+    val ssw = sst - ssb
+    j.select(col("k"), col("n"), ssb.as("ss_between"), ssw.as("ss_within"),
+      ((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k")))).as("f_stat"))
+  }
+
+  val d15: GraftQuery = GraftQuery(
+    "d15_anova_f",
+    (s, d) => anovaF(Tables.events(s, d), "user_id", "value"),
+    Some("""WITH pu AS (SELECT user_id, count(*) AS nu,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS su
+           |      FROM events GROUP BY 1),
+           |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |        CAST(sum(CAST(floor(su * su / nu * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qb
+           |      FROM pu),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sq
+           |      FROM events)
+           |SELECT k, n,
+           |  CAST(qb AS DOUBLE) / 1e6 - sv * sv / n AS ss_between,
+           |  (sq - sv * sv / n) - (CAST(qb AS DOUBLE) / 1e6 - sv * sv / n) AS ss_within,
+           |  ((CAST(qb AS DOUBLE) / 1e6 - sv * sv / n) / (k - 1))
+           |    / (((sq - sv * sv / n) - (CAST(qb AS DOUBLE) / 1e6 - sv * sv / n)) / (n - k)) AS f_stat
+           |FROM g, t""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, a22, m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, a22, m12, m13, m14)
 }

@@ -558,6 +558,26 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("d15 ANOVA matches a local sums-of-squares replay; event_type grouping sanity") {
+    val r = StatOps.d15.build(spark, sf).collect().head
+    val vals = Tables.events(spark, sf).select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect()
+    val n = vals.length.toDouble
+    val sv = vals.map(_._2).sum
+    val sq = vals.map(v => v._2 * v._2).sum
+    val groups = vals.groupBy(_._1)
+    val ssb = groups.values.map { g =>
+      val s = g.map(_._2).sum; s * s / g.length
+    }.sum - sv * sv / n
+    val sst = sq - sv * sv / n
+    val k = groups.size.toDouble
+    val f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert(r.getAs[Long]("k") == groups.size && r.getAs[Long]("n") == vals.length)
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) < math.abs(ssb) * 1e-6 + 1e-3)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < math.abs(f) * 1e-4 + 1e-6)
+    assert(r.getAs[Double]("ss_within") >= 0.0)
+  }
+
   test("x45 Zipf fit: vocab count matches, slope negative, r2 in [0, 1]") {
     val r = TextOps.x45.build(spark, sf).collect().head
     val vocab = Tables.documents(spark, sf)
