@@ -2000,11 +2000,36 @@ object Relational {
       .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
   }
 
+  /** W22 (beyond reference): weekly usage heatmap — event counts and mean
+    * value per (day-of-week, hour) cell, the seasonality fingerprint
+    * behind m11/m13's weekly-cycle assumptions and every "when are users
+    * here" product view. Day-of-week is epoch-day mod 7 (engine-neutral —
+    * SQL dayofweek() numbering differs between engines); one hash
+    * aggregate onto a 168-cell domain, DECIMAL-exact means.
+    */
+  val w22 = q(
+    "w22_usage_heatmap",
+    """WITH e AS (SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INT) AS dow,
+      |             CAST(extract(hour FROM ts) AS INT) AS hour,
+      |             CAST(value AS DECIMAL(18,4)) AS v
+      |      FROM events)
+      |SELECT dow, hour, count(*) AS n,
+      |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_value
+      |FROM e GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        (decSum(col("value")).cast("double") / count(lit(1))).as("mean_value"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }
