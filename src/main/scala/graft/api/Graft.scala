@@ -547,6 +547,14 @@ object Graft {
   def lifecycleStates(events: DataFrame): DataFrame =
     Relational.lifecycleStates(events)
 
+  /** Exact ordered funnel over (user_id, event_type, ts): one row per
+    * step in `steps` with the count of users who performed the whole
+    * prefix in strictly-increasing event time, plus the fraction of
+    * step-1 users.
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame =
+    Relational.funnelSteps(events, steps)
+
   /** Equal-weight naive/drift/theta forecast ensemble with the
     * conservative interval envelope — same series contract as
     * [[forecast]].

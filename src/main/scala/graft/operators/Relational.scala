@@ -2025,11 +2025,71 @@ object Relational {
         (decSum(col("value")).cast("double") / count(lit(1))).as("mean_value"))
   }
 
+  /** W23 (beyond reference): ordered conversion funnel — how many users
+    * performed view, then click strictly AFTER that view, then purchase
+    * strictly after that click. The chained-min-timestamp formulation
+    * (stage k keeps a user's earliest qualifying event after their stage
+    * k-1 time) is the classic exact funnel; [[w12]]/[[w20]] model
+    * single-step transitions, this demands the full ordered sequence.
+    * Shape: one filtered hash aggregate per stage, each joined to the
+    * previous stage ON user_id — every stage is partitioned by the same
+    * key, so the exchange is planned once and reused; per-stage counts are
+    * single-row aggregates crossJoin-broadcast back. No windows, no
+    * per-user event sorting. Determinism: counts are integers and
+    * frac_of_first is one IEEE division.
+    */
+  val w23 = q(
+    "w23_funnel_steps",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      |n AS (SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+      |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |SELECT step, step_name, n_users,
+      |  CASE WHEN (SELECT count(*) FROM s1) > 0
+      |       THEN CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1) END AS frac_of_first
+      |FROM n""".stripMargin) { (s, d) =>
+    funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"))
+  }
+
+  /** Public DataFrame-in API (see graft.api.Graft): exact ordered funnel.
+    * `events` needs (user_id, event_type, ts); `steps` is the ordered list
+    * of event types. Returns one row per step with the user count that
+    * reached it (strictly-increasing event times) and the fraction of
+    * step-1 users.
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: at least one step")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    // stage k: earliest step-k event strictly after the user's stage k-1 time
+    val stages = steps.tail.scanLeft(
+      e.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min("ts").as("t"))) { (prev, ev) =>
+      e.filter(col("event_type") === ev)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    val counts = stages.zip(steps).zipWithIndex.map { case ((df, ev), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(ev).as("step_name"), col("n_users"))
+    }.reduce(_ union _)
+    val first = stages.head.agg(count(lit(1)).as("n_first"))
+    counts.crossJoin(broadcast(first))
+      .select(col("step"), col("step_name"), col("n_users"),
+        when(col("n_first") > 0,
+          col("n_users").cast("double") / col("n_first")).as("frac_of_first"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -429,6 +429,26 @@ class GraftApiSpec extends SparkSpec {
     assert(m(8L)._1 === 4, "latest-active user lands in recency quartile 4")
   }
 
+  test("funnelSteps demands strict event-time order, not mere presence") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // u1 completes a->b->c in order; u2 has all three but b precedes a;
+    // u3 stops at b; u4 only a; b-at-the-same-instant-as-a must NOT count.
+    val events = Seq(
+      (1L, "a", ts(0)), (1L, "b", ts(1)), (1L, "c", ts(2)),
+      (2L, "b", ts(0)), (2L, "a", ts(1)), (2L, "c", ts(2)),
+      (3L, "a", ts(0)), (3L, "b", ts(3)),
+      (4L, "a", ts(5)),
+      (5L, "a", ts(0)), (5L, "b", ts(0))).toDF("user_id", "event_type", "ts")
+    val out = Graft.funnelSteps(events, Seq("a", "b", "c")).collect()
+      .sortBy(_.getAs[Int]("step"))
+    // hand replay: u1 a@0->b@1->c@2 (all 3); u2's first a is @1 with no
+    // later b (step 1); u3 a@0->b@3 (step 2); u4 a only; u5's b ties a's
+    // instant so strict order rejects it (step 1).
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(5L, 2L, 1L))
+    assert(out.map(_.getAs[Double]("frac_of_first")).toSeq == Seq(1.0, 0.4, 0.2))
+  }
+
   test("markovTransitions row-normalizes and orders by event time") {
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)

@@ -405,6 +405,42 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("w23 funnel: counts non-increasing and equal to a per-user replay") {
+    val out = graft.operators.Relational.w23.build(spark, sf).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(out.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("view", "click", "purchase"))
+    val n = out.map(_.getAs[Long]("n_users"))
+    assert(n.zip(n.tail).forall { case (a, b) => b <= a }, "funnel widened")
+    // replay: per user, chain first view -> first later click -> first later purchase
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val steps = Seq("view", "click", "purchase")
+    val reached = Array.fill(3)(0L)
+    byUser.values.foreach { evs =>
+      var t = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
+      var k = 0
+      var advanced = true
+      while (k < 3 && advanced) {
+        val nxt = evs.filter(e => e.getAs[String]("event_type") == steps(k) &&
+          e.getAs[java.sql.Timestamp]("ts").after(t))
+        if (nxt.isEmpty) advanced = false
+        else {
+          t = nxt.map(_.getAs[java.sql.Timestamp]("ts")).min(
+            Ordering.fromLessThan[java.sql.Timestamp](_ before _))
+          reached(k) += 1
+          k += 1
+        }
+      }
+    }
+    assert(n.toSeq == reached.toSeq)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("frac_of_first") -
+        r.getAs[Long]("n_users").toDouble / n.head) < 1e-12)
+    }
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
