@@ -547,6 +547,14 @@ object Graft {
   def lifecycleStates(events: DataFrame): DataFrame =
     Relational.lifecycleStates(events)
 
+  /** Mann-Whitney U rank-sum test: `isFirstCol` (boolean) marks group-1
+    * rows; returns one row (n1, n2, u1, z) with tie-corrected normal
+    * approximation (z null when variance is zero). Exact integer rank
+    * sums — see operators.StatOps.mannWhitneyU.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, isFirstCol: String): DataFrame =
+    StatOps.mannWhitneyU(df, valueCol, isFirstCol)
+
   /** Exact ordered funnel over (user_id, event_type, ts): one row per
     * step in `steps` with the count of users who performed the whole
     * prefix in strictly-increasing event time, plus the fraction of

@@ -1135,6 +1135,73 @@ object StatOps {
            |    / (((sq - sv * sv / n) - (CAST(qb AS DOUBLE) / 1e6 - sv * sv / n)) / (n - k)) AS f_stat
            |FROM g, t""".stripMargin))
 
+  /** D16 (beyond reference): Mann-Whitney U rank-sum test between the
+    * 'click' and 'view' value populations — the nonparametric partner of
+    * [[a22]]'s Welch t (median shift without normality) and the decision
+    * companion to [[d3]]'s KS distance. Ranks are computed on the
+    * *distinct-value* domain (the d3 discipline): group to per-value
+    * counts, one ordered cumulative window over that bounded domain, so
+    * no global row sort at any scale. Determinism is engineered through
+    * the doubled-rank identity: 2·avgrank(v) = 2·cum_before + t_v + 1 is
+    * an INTEGER, so the rank sum R1×2 = Σ n1_v·(2·cb + t_v + 1) and the
+    * tie term Σ(t³−t) are exact BIGINT folds — order cannot perturb a
+    * bit — and the z statistic is a handful of IEEE ops quantized to 9 dp
+    * (sqrt is correctly rounded; the quantize guards the libm-free rest).
+    * Count magnitudes: n1_v·3n inside the fold stays in BIGINT to ~1e9
+    * rows per side; lift to DECIMAL(38,0) beyond (the w20 note).
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): the U test itself —
+    * `isFirstCol` is a boolean column marking group-1 membership.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, isFirstCol: String): DataFrame = {
+    val p = df.select(col(valueCol).as("v"), col(isFirstCol).as("g1"))
+    val dd = p.groupBy("v").agg(
+      count(when(col("g1"), 1)).as("n1v"),
+      count(when(!col("g1"), 1)).as("n2v"),
+      count(lit(1)).as("tv"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val c = dd.withColumn("cb", coalesce(sum("tv").over(w), lit(0L)))
+    val t = c.agg(
+      sum("n1v").as("n1"), sum("n2v").as("n2"), sum("tv").as("n"),
+      sum(col("n1v") * (lit(2L) * col("cb") + col("tv") + lit(1L))).as("r1x2"),
+      sum(col("tv") * col("tv") * col("tv") - col("tv")).as("ties"))
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1L))
+    val sigma2 = (col("n1") * col("n2") / lit(12.0)) *
+      ((col("n") + lit(1L)) - col("ties") / (col("n") * (col("n") - lit(1.0))))
+    t.select(col("n1"), col("n2"),
+      (u1x2.cast("double") / 2.0).as("u1"),
+      when(sigma2 > 0,
+        floor((u1x2 - col("n1") * col("n2")).cast("double") /
+          (lit(2.0) * sqrt(sigma2)) * 1e9 + 0.5).cast("double") / 1e9).as("z"))
+  }
+
+  val d16: GraftQuery = GraftQuery(
+    "d16_mann_whitney",
+    (s, d) => mannWhitneyU(
+      Tables.events(s, d).filter(col("event_type").isin("click", "view"))
+        .withColumn("g1", col("event_type") === "click"),
+      "value", "g1"),
+    Some("""WITH p AS (SELECT value AS v, event_type = 'click' AS g1 FROM events
+           |           WHERE event_type IN ('click', 'view')),
+           |d AS (SELECT v, count(*) FILTER (WHERE g1) AS n1v,
+           |             count(*) FILTER (WHERE NOT g1) AS n2v,
+           |             count(*) AS tv FROM p GROUP BY v),
+           |c AS (SELECT *, coalesce(CAST(sum(tv) OVER (ORDER BY v
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+           |      FROM d),
+           |t AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+           |             CAST(sum(tv) AS BIGINT) AS n,
+           |             CAST(sum(n1v * (2 * cb + tv + 1)) AS BIGINT) AS r1x2,
+           |             CAST(sum(tv * tv * tv - tv) AS BIGINT) AS ties FROM c)
+           |SELECT n1, n2,
+           |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           |  CASE WHEN (n1 * n2 / 12.0) * ((n + 1) - ties / (n * (n - 1.0))) > 0
+           |       THEN floor(CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+           |              / (2.0 * sqrt((n1 * n2 / 12.0)
+           |                  * ((n + 1) - ties / (n * (n - 1.0)))))
+           |              * 1e9 + 0.5) / 1e9 END AS z
+           |FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, a22, m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, a22, m12, m13, m14)
 }

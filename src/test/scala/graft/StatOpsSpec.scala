@@ -441,6 +441,41 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("d16 Mann-Whitney agrees with a local average-rank recomputation") {
+    val r = StatOps.d16.build(spark, sf).collect().head
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("value", "event_type").collect()
+      .map(x => (x.getDouble(0), x.getString(1) == "click"))
+    val n1 = rows.count(_._2).toLong
+    val n2 = rows.size - n1
+    // average ranks over the pooled sample, ties share the mean rank
+    val ranked = rows.sortBy(_._1).zipWithIndex
+    val avgRank: Seq[(Boolean, Double)] =
+      ranked.groupBy(_._1._1).toSeq.flatMap { case (_, g) =>
+        val mean = g.map(_._2 + 1).sum.toDouble / g.size
+        g.toSeq.map { case ((_, g1), _) => (g1, mean) }
+      }
+    val r1 = avgRank.collect { case (true, rk) => rk }.sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(math.abs(r.getAs[Double]("u1") - u1) < 1e-6)
+    val n = n1 + n2
+    val ties = rows.groupBy(_._1).values.map(g =>
+      g.size.toLong * g.size * g.size - g.size).sum
+    val sigma2 = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))
+    val z = (u1 - n1 * n2 / 2.0) / math.sqrt(sigma2)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+  }
+
+  test("mannWhitneyU tie handling: all-tied groups give U = n1*n2/2 and null z") {
+    val df = Seq((5.0, true), (5.0, true), (5.0, false), (5.0, false))
+      .toDF("value", "g1")
+    val out = StatOps.mannWhitneyU(df, "value", "g1").collect().head
+    assert(out.getAs[Double]("u1") == 2.0) // n1*n2/2 under total ties
+    assert(out.isNullAt(out.fieldIndex("z")), "zero variance must yield null z")
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
