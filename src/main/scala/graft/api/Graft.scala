@@ -547,6 +547,14 @@ object Graft {
   def lifecycleStates(events: DataFrame): DataFrame =
     Relational.lifecycleStates(events)
 
+  /** Embedding-distribution drift (vector-space PSI): `df` needs
+    * (embedding, `isRefCol`: boolean snapshot marker); one row per
+    * fixed random-hyperplane cosine cell (2^bits) with its smoothed PSI
+    * contribution — sum of psi_term is the headline drift score.
+    */
+  def embeddingDrift(df: DataFrame, isRefCol: String, bits: Int = 6): DataFrame =
+    VectorOps.embeddingDrift(df, isRefCol, bits)
+
   /** Mann-Whitney U rank-sum test: `isFirstCol` (boolean) marks group-1
     * rows; returns one row (n1, n2, u1, z) with tie-corrected normal
     * approximation (z null when variance is zero). Exact integer rank

@@ -1746,7 +1746,102 @@ object VectorOps {
            |  CAST(min(qc) AS DOUBLE) / 1e9
            |FROM qb""".stripMargin))
 
+  /** V27 (beyond reference): embedding-distribution drift — the d2 PSI
+    * lifted from a scalar metric to VECTOR space. Two corpus snapshots
+    * (here: even vs odd vec_id, standing in for yesterday/today) are
+    * bucketed by a shared 6-bit random-hyperplane signature (the [[v5]]
+    * basis under its own salt — the buckets are fixed cosine cells, so
+    * occupancy shift = directional distribution shift), then each of the
+    * 64 cells contributes a smoothed PSI term. This is the monitoring
+    * primitive behind "did my embedding model / corpus drift" — cheap
+    * enough to run on every ingest batch, no model needed. Shape: one
+    * map-side signature pass (no shuffle), one 64-cell hash aggregate, a
+    * spine join so emptied cells still surface; at 100 TB the aggregate
+    * state is 64 rows per partition. Determinism: the hyperplanes are
+    * md5-derived uniforms replayed exactly by the oracle (the HashDraw
+    * contract), dots fold dims in ascending order, counts are integers,
+    * and the single ln() is quantized to 9 dp (the d2 discipline).
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): the drift report
+    * itself — `df` needs (embedding, `isRefCol`: boolean); one row per
+    * signature cell (2^bits total) with smoothed psi_term.
+    */
+  def embeddingDrift(df: DataFrame, isRefCol: String, bits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 16, "embeddingDrift: bits in [1, 16]")
+    val s = df.sparkSession
+    import s.implicits._
+    val cells = 1 << bits
+    val sigs = df
+      .select(col(isRefCol), col("embedding")).as[(Boolean, Seq[Float])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var hp: Array[Array[Double]] = null // built once per partition
+        it.map { case (isRef, e) =>
+          if (hp == null) hp = Array.tabulate(bits, e.size) { (h, i) =>
+            graft.functions.HashDraw.draw(md, s"v27:$h:$i").toDouble /
+              (1L << 59).toDouble - 1.0
+          }
+          var sig = 0
+          var h = 0
+          while (h < bits) {
+            val w = hp(h)
+            var dot = 0.0
+            var i = 0
+            while (i < w.length) { dot += e(i).toDouble * w(i); i += 1 }
+            if (dot > 0) sig |= 1 << h
+            h += 1
+          }
+          (isRef, sig)
+        }
+      }
+      .toDF("is_ref", "sig")
+    val agg = sigs.groupBy("sig").agg(
+      count(when(col("is_ref"), 1)).as("ref_n"),
+      count(when(!col("is_ref"), 1)).as("cur_n"))
+    val spine = s.range(0, cells).select(col("id").cast("int").as("sig"))
+    val f = spine.join(agg, Seq("sig"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
+      .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
+    val half = cells / 2.0
+    val pr = (col("ref_n") + 0.5) / (col("rt") + half)
+    val pc = (col("cur_n") + 0.5) / (col("ct") + half)
+    f.select(col("sig"), col("ref_n"), col("cur_n"),
+      (floor((pc - pr) * log(pc / pr) * 1e9 + 0.5).cast("double") / 1e9)
+        .as("psi_term"))
+  }
+
+  val v27: GraftQuery = GraftQuery(
+    "v27_embedding_drift",
+    (s, d) => embeddingDrift(
+      Tables.embeddings(s, d).withColumn("is_ref", expr("vec_id % 2 = 0")),
+      "is_ref"),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |hp AS (SELECT h, list_transform(generate_series(1, 64),
+           |    i -> CAST('0x' || substr(md5('v27:' || h || ':' || (i - 1)), 1, 15) AS BIGINT)
+           |         / 576460752303423488.0 - 1.0) AS w
+           |  FROM generate_series(0, 5) t(h)),
+           |dots AS (SELECT vec_id, h,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> e[i] * w[i]),
+           |      (a, b) -> a + b) AS dot
+           |  FROM v CROSS JOIN hp),
+           |sg AS (SELECT vec_id,
+           |    CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS INT) AS sig
+           |  FROM dots GROUP BY vec_id),
+           |a AS (SELECT sig, count(*) FILTER (WHERE vec_id % 2 = 0) AS ref_n,
+           |             count(*) FILTER (WHERE vec_id % 2 <> 0) AS cur_n
+           |      FROM sg GROUP BY sig),
+           |sp AS (SELECT CAST(unnest(range(64)) AS INT) AS sig),
+           |f AS (SELECT sp.sig, coalesce(a.ref_n, 0) AS ref_n, coalesce(a.cur_n, 0) AS cur_n
+           |      FROM sp LEFT JOIN a USING (sig)),
+           |t AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM f)
+           |SELECT sig, ref_n, cur_n,
+           |  floor(((cur_n + 0.5) / (ct + 32.0) - (ref_n + 0.5) / (rt + 32.0))
+           |    * ln(((cur_n + 0.5) / (ct + 32.0)) / ((ref_n + 0.5) / (rt + 32.0)))
+           |    * 1e9 + 0.5) / 1e9 AS psi_term
+           |FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26)
+      v20, v21, v22, v23, v24, v25, v26, v27)
 }

@@ -357,4 +357,22 @@ class VectorOpsSpec extends SparkSpec {
     out.filter(_.getAs[Int]("hamming") == 0)
       .foreach(r => assert(r.getAs[Double]("cos") >= 0.0))
   }
+
+  test("v27 drift: full 64-cell spine, counts conserve the parity split, terms finite") {
+    val out = VectorOps.v27.build(spark, sf).collect()
+    assert(out.length == 64)
+    assert(out.map(_.getAs[Int]("sig")).sorted.toSeq == (0 until 64))
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val even = emb.filter(org.apache.spark.sql.functions.expr("vec_id % 2 = 0")).count()
+    val odd = emb.count() - even
+    assert(out.map(_.getAs[Long]("ref_n")).sum == even)
+    assert(out.map(_.getAs[Long]("cur_n")).sum == odd)
+    out.foreach { r =>
+      val t = r.getAs[Double]("psi_term")
+      assert(!t.isNaN && !t.isInfinite)
+      // each smoothed PSI contribution is non-negative by construction:
+      // (p-q) and ln(p/q) always share a sign
+      assert(t >= 0.0)
+    }
+  }
 }
