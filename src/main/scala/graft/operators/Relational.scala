@@ -2085,11 +2085,34 @@ object Relational {
           col("n_users").cast("double") / col("n_first")).as("frac_of_first"))
   }
 
+  /** W24 (beyond reference): power-user curve (the "L30" engagement
+    * histogram) — how many users were active on exactly k distinct days
+    * of the observed window, the canonical engagement-depth distribution
+    * next to [[w13]]'s DAU/MAU ratio and [[w21]]'s lifecycle flows. A
+    * left-skewed curve = drive-by users; a right bump = habit. Shape: two
+    * chained hash aggregates (user-day dedup, then per-user day count,
+    * then the k-histogram) — each reduces cardinality by orders of
+    * magnitude, all counts integers, no windows at all.
+    */
+  val w24 = q(
+    "w24_power_user_curve",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |k AS (SELECT user_id, count(*) AS active_days FROM ud GROUP BY 1)
+      |SELECT CAST(active_days AS INT) AS active_days,
+      |       count(*) AS n_users
+      |FROM k GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("active_days"))
+      .groupBy(col("active_days").cast("int").as("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -476,6 +476,18 @@ class StatOpsSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("z")), "zero variance must yield null z")
   }
 
+  test("w24 power-user curve: user mass conserved, k bounded by window days") {
+    val out = graft.operators.Relational.w24.build(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == users,
+      "histogram must partition the user base")
+    val days = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(out.forall { r =>
+      val k = r.getAs[Int]("active_days"); k >= 1 && k <= days
+    })
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
