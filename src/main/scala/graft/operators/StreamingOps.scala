@@ -581,6 +581,75 @@ object StreamingOps {
            |max(event_id) AS last_event_id FROM events GROUP BY user_id""".stripMargin),
     bench = false)
 
+  /** T23 (beyond reference): streaming drift monitor — the d2 PSI with the
+    * CURRENT side computed as a streaming aggregation: static reference
+    * histogram (first half of the time range) broadcast to the stream,
+    * incoming events binned with the same frozen bounds, per-bin counts
+    * maintained as 10 rows of streaming state, PSI composed on the
+    * materialized sink. This is the production data-quality posture: the
+    * reference is computed once offline, the monitor rides the ingest
+    * stream, and alerting reads a 10-row table — no batch rescan of the
+    * corpus. State is O(bins) regardless of throughput; AvailableNow here
+    * replays the whole file as the backlog. Output is bitwise-identical
+    * to [[graft.operators.StatOps.d2]] (same bounds, bins, smoothing,
+    * 9 dp quantization), so the same batch oracle gates the streaming
+    * path — micro-batch splits cannot change a count.
+    */
+  val t23: GraftQuery = GraftQuery(
+    "t23_stream_drift_monitor",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.core.Tables.events(s, d)
+        .select(col("value"), unix_micros(col("ts")).as("us"))
+      val bounds = e.agg(
+        min("value").as("vmin"), max("value").as("vmax"),
+        expr("(min(us) + max(us)) div 2").as("mid_us"))
+      def binExpr = least(lit(9), floor((col("value") - col("vmin")) /
+        ((col("vmax") - col("vmin")) / 10.0))).cast("int")
+      val ref = e.crossJoin(broadcast(bounds))
+        .filter(col("us") < col("mid_us"))
+        .groupBy(binExpr.as("bin")).agg(count(lit(1)).as("ref_n"))
+      val q = eventsStream(s, d)
+        .select(col("value"), unix_micros(col("ts")).as("us"), lit(1).as("one"))
+        .join(broadcast(bounds.withColumn("one", lit(1))), "one")
+        .filter(!(col("us") < col("mid_us")))
+        .groupBy(binExpr.as("bin")).agg(count(lit(1)).as("cur_n"))
+        .writeStream.format("memory").queryName("graft_t23")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bin"))
+      val f = spine
+        .join(ref, Seq("bin"), "left")
+        .join(s.table("graft_t23"), Seq("bin"), "left")
+        .na.fill(0L, Seq("ref_n", "cur_n"))
+        .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
+        .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
+      val pr = (col("ref_n") + 0.5) / (col("rt") + 5.0)
+      val pc = (col("cur_n") + 0.5) / (col("ct") + 5.0)
+      f.select(col("bin"), col("ref_n"), col("cur_n"),
+        (floor((pc - pr) * log(pc / pr) * 1e9 + 0.5).cast("double") / 1e9)
+          .as("psi_term"))
+    },
+    Some("""WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax,
+           |  (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events),
+           |e AS (SELECT CAST(least(9, floor((value - b.vmin) / ((b.vmax - b.vmin) / 10.0))) AS INT) AS bin,
+           |             epoch_us(ts) < b.mid_us AS is_ref
+           |      FROM events, b),
+           |a AS (SELECT bin, count(*) FILTER (WHERE is_ref) AS ref_n,
+           |             count(*) FILTER (WHERE NOT is_ref) AS cur_n FROM e GROUP BY bin),
+           |sp AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+           |f AS (SELECT sp.bin, coalesce(a.ref_n, 0) AS ref_n, coalesce(a.cur_n, 0) AS cur_n
+           |      FROM sp LEFT JOIN a USING (bin)),
+           |t AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM f)
+           |SELECT bin, ref_n, cur_n,
+           |  floor(((cur_n + 0.5) / (ct + 5.0) - (ref_n + 0.5) / (rt + 5.0))
+           |    * ln(((cur_n + 0.5) / (ct + 5.0)) / ((ref_n + 0.5) / (rt + 5.0)))
+           |    * 1e9 + 0.5) / 1e9 AS psi_term
+           |FROM t""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
-    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22)
+    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23)
 }

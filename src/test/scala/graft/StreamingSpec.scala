@@ -218,4 +218,13 @@ class StreamingSpec extends SparkSpec {
     assert(appended === closed, "append output != watermark-closed windows")
     assert(open.nonEmpty, "fixture should leave some windows open")
   }
+
+  test("t23 streaming drift monitor equals batch d2 bitwise") {
+    val streaming = graft.operators.StreamingOps.t23.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.StatOps.d2.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streaming === batch,
+      "micro-batched current histogram must reproduce the batch PSI exactly")
+  }
 }
