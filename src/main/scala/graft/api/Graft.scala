@@ -547,6 +547,14 @@ object Graft {
   def lifecycleStates(events: DataFrame): DataFrame =
     Relational.lifecycleStates(events)
 
+  /** Corpus-mass length quantiles over a sized corpus (`n_chars`
+    * column): per percentile, the length quantile by doc count AND by
+    * byte mass — the curve that governs packing/token budgets on
+    * heavy-tailed corpora. Exact integer arithmetic, no interpolation.
+    */
+  def massQuantiles(docs: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
+    TextOps.massQuantiles(docs, pcts)
+
   /** Embedding-distribution drift (vector-space PSI): `df` needs
     * (embedding, `isRefCol`: boolean snapshot marker); one row per
     * fixed random-hyperplane cosine cell (2^bits) with its smoothed PSI

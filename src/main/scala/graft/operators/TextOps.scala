@@ -2411,8 +2411,63 @@ object TextOps {
            |FROM ks CROSS JOIN r CROSS JOIN t
            |GROUP BY ks.vocab_k, t.total_tokens""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): corpus-mass length
+    * quantiles. `docs` needs a `n_chars` column (or any positive integer
+    * size); returns one row per requested percentile with the length
+    * quantile by DOC COUNT and by BYTE MASS.
+    */
+  def massQuantiles(docs: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "massQuantiles: percentiles in [1, 100]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val dd = docs.groupBy("n_chars")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("mass"))
+    val w = Window.orderBy("n_chars")
+    val c = dd.select(col("n_chars"),
+      sum("cnt").over(w).as("cum_cnt"), sum("mass").over(w).as("cum_mass"))
+    val t = dd.agg(sum("cnt").as("tot_cnt"), sum("mass").as("tot_mass"))
+    val p = pcts.toDF("pct")
+    broadcast(p).crossJoin(c).crossJoin(broadcast(t))
+      .groupBy("pct").agg(
+        min(when(col("cum_cnt") * 100 >= col("pct") * col("tot_cnt"),
+          col("n_chars"))).as("len_by_docs"),
+        min(when(col("cum_mass") * 100 >= col("pct") * col("tot_mass"),
+          col("n_chars"))).as("len_by_mass"))
+  }
+
+  /** X47 (beyond reference): corpus-mass length quantiles — for each
+    * percentile, the document length below which p% of DOCS sit vs the
+    * length below which p% of the corpus BYTES sit. The two diverge hard
+    * on heavy-tailed corpora (most docs are short, most bytes live in
+    * long docs), and the by-mass curve is the one that governs training
+    * cost, packing ([[x16]]) and token budgets ([[x19]]/[[x20]]) — a
+    * curation decision made on the by-docs curve over-weights the tail.
+    * Shape: one hash aggregate onto the distinct-length domain, one
+    * cumulative window over that bounded domain (the d3 discipline), and
+    * a 4-row percentile spine; every comparison is exact integer
+    * arithmetic (cum·100 ≥ p·total — no float percentile interpolation
+    * to disagree across engines). Magnitudes: cum_mass·100 stays in
+    * BIGINT to ~1e16 corpus chars (about 10 PB of text).
+    */
+  val x47: GraftQuery = GraftQuery(
+    "x47_corpus_mass_quantiles",
+    (s, d) => massQuantiles(Tables.documents(s, d)),
+    Some("""WITH d AS (SELECT n_chars, count(*) AS cnt, sum(n_chars) AS mass
+           |           FROM documents GROUP BY 1),
+           |c AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum_cnt,
+           |             sum(mass) OVER (ORDER BY n_chars) AS cum_mass FROM d),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot_cnt,
+           |             CAST(sum(mass) AS BIGINT) AS tot_mass FROM d),
+           |p AS (SELECT CAST(unnest([25, 50, 75, 90]) AS INT) AS pct)
+           |SELECT p.pct,
+           |  min(CASE WHEN cum_cnt * 100 >= p.pct * tot_cnt THEN n_chars END) AS len_by_docs,
+           |  min(CASE WHEN cum_mass * 100 >= p.pct * tot_mass THEN n_chars END) AS len_by_mass
+           |FROM p CROSS JOIN c CROSS JOIN t
+           |GROUP BY p.pct""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
 }

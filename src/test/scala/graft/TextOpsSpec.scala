@@ -339,6 +339,29 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got(1L)) < 2e-3)
     assert(math.abs(got(2L) - math.log(16.0)) < 2e-3)
   }
+
+  test("x47 mass quantiles: monotone in pct, by-mass >= by-docs on a heavy tail") {
+    val out = graft.operators.TextOps.x47.build(SparkSpec.spark, sf)
+      .collect().sortBy(_.getAs[Int]("pct"))
+    assert(out.map(_.getAs[Int]("pct")).toSeq == Seq(25, 50, 75, 90))
+    val byDocs = out.map(_.getAs[Long]("len_by_docs"))
+    val byMass = out.map(_.getAs[Long]("len_by_mass"))
+    assert(byDocs.zip(byDocs.tail).forall { case (a, b) => b >= a })
+    assert(byMass.zip(byMass.tail).forall { case (a, b) => b >= a })
+    // byte mass concentrates in longer docs, so each mass quantile sits at
+    // or above the corresponding doc-count quantile
+    assert(byDocs.zip(byMass).forall { case (d, m) => m >= d })
+    // hand replay at the median: cumulative mass over the distinct-length
+    // domain, first length whose cum crosses half the total (the op's
+    // exact integer rule)
+    val lens = graft.core.Tables.documents(SparkSpec.spark, sf)
+      .select("n_chars").collect().map(_.getLong(0))
+    val totMass = lens.sum
+    var cum = 0L
+    val medExact = lens.groupBy(identity).toSeq.sortBy(_._1).find { case (l, g) =>
+      cum += l * g.length; cum * 100 >= 50 * totMass }.get._1
+    assert(out(1).getAs[Long]("len_by_mass") == medExact)
+  }
 }
 
 /** Tiny shared fixture: the documents table as local tuples. */
