@@ -563,6 +563,14 @@ object Graft {
   def embeddingDrift(df: DataFrame, isRefCol: String, bits: Int = 6): DataFrame =
     VectorOps.embeddingDrift(df, isRefCol, bits)
 
+  /** Consolidated drift dashboard: one long-format row per headline —
+    * value_psi, ks_stat, type_chi2 and (when `embeddings` with an
+    * `is_ref` column is given) embedding_psi. The monitoring
+    * counterpart of [[evalReport]].
+    */
+  def driftReport(events: DataFrame, embeddings: DataFrame = null): DataFrame =
+    StatOps.driftReport(events, embeddings)
+
   /** Mann-Whitney U rank-sum test: `isFirstCol` (boolean) marks group-1
     * rows; returns one row (n1, n2, u1, z) with tie-corrected normal
     * approximation (z null when variance is zero). Exact integer rank

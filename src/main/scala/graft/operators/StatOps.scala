@@ -1202,6 +1202,147 @@ object StatOps {
            |              * 1e9 + 0.5) / 1e9 END AS z
            |FROM t""".stripMargin))
 
+  /** D17 (beyond reference): consolidated drift report — ONE call, one
+    * long-format row per headline statistic, the data-quality dashboard
+    * the individual monitors feed: value_psi ([[d2]]'s 10-bin numeric
+    * PSI), ks_stat ([[d3]]'s two-sample distance), type_chi2 ([[d4]]'s
+    * categorical-mix statistic), embedding_psi ([[VectorOps.embeddingDrift]]'s
+    * vector-space PSI) — the d11 consolidation pattern applied to
+    * monitoring. Each headline that sums per-bin terms quantizes every
+    * term to an integer (floor(t·1e9 + 0.5) as BIGINT) BEFORE the sum, so
+    * the fold is exact integer arithmetic and bin order cannot perturb a
+    * bit (the d11 ECE discipline); ks is an order-free max of integer
+    * ratios. Cost: the four underlying scans, each one pass; nothing new
+    * at scale beyond its components.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): the report itself.
+    * `events` needs (event_type, value, ts); `embeddings` needs
+    * (embedding, is_ref: boolean). Pass embeddings = null to skip the
+    * vector headline.
+    */
+  def driftReport(events: DataFrame, embeddings: DataFrame): DataFrame = {
+    def sumQuantized(df: DataFrame, termCol: String, name: String): DataFrame =
+      df.agg((sum(floor(col(termCol) * 1e9 + 0.5).cast("long")).cast("double") / 1e9)
+        .as("value")).select(lit(name).as("metric"), col("value"))
+    // value PSI: the d2 pipeline, terms left raw here and quantized by the sum
+    val e = events.select(col("value"), unix_micros(col("ts")).as("us"))
+    val bounds = e.agg(
+      min("value").as("vmin"), max("value").as("vmax"),
+      expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .select(
+        least(lit(9), floor((col("value") - col("vmin")) /
+          ((col("vmax") - col("vmin")) / 10.0))).cast("int").as("bin"),
+        (col("us") < col("mid_us")).as("is_ref"))
+    val agg = binned.groupBy("bin").agg(
+      count(when(col("is_ref"), 1)).as("ref_n"),
+      count(when(!col("is_ref"), 1)).as("cur_n"))
+    val spine = events.sparkSession.range(0, 10)
+      .select(col("id").cast("int").as("bin"))
+    val fbins = spine.join(agg, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .withColumn("rt", sum("ref_n").over(Window.partitionBy()))
+      .withColumn("ct", sum("cur_n").over(Window.partitionBy()))
+    val pr = (col("ref_n") + 0.5) / (col("rt") + 5.0)
+    val pc = (col("cur_n") + 0.5) / (col("ct") + 5.0)
+    val psi = sumQuantized(
+      fbins.select(((pc - pr) * log(pc / pr)).as("t")), "t", "value_psi")
+    // KS: the d3 pipeline's headline (click vs error), order-free max
+    val sdf = events.filter(col("event_type").isin("click", "error"))
+      .select(col("value"), (col("event_type") === "click").as("isa"))
+    val dd = sdf.groupBy("value").agg(
+      count(when(col("isa"), 1)).as("na_v"),
+      count(when(!col("isa"), 1)).as("nb_v"))
+    val wv = Window.orderBy("value")
+    val cdf = dd.select(
+      sum("na_v").over(wv).as("cum_a"), sum("nb_v").over(wv).as("cum_b"))
+    val tot = dd.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"))
+    val ks = cdf.crossJoin(broadcast(tot))
+      .agg(max(abs(
+        col("cum_a").cast("double") / col("n_a") -
+          col("cum_b").cast("double") / col("n_b"))).as("value"))
+      .select(lit("ks_stat").as("metric"), col("value"))
+    // categorical chi2 + embedding PSI: reuse the public kernels
+    val chi = sumQuantized(
+      chiSquareDrift(events, "event_type"), "chi2_term", "type_chi2")
+    val parts = Seq(psi, ks, chi) ++ Option(embeddings).map(emb =>
+      sumQuantized(VectorOps.embeddingDrift(emb, "is_ref"),
+        "psi_term", "embedding_psi"))
+    parts.reduce(_ unionByName _)
+  }
+
+  val d17: GraftQuery = GraftQuery(
+    "d17_drift_report",
+    (s, d) => driftReport(Tables.events(s, d),
+      Tables.embeddings(s, d).withColumn("is_ref", expr("vec_id % 2 = 0"))),
+    Some("""WITH e1 AS (SELECT value, epoch_us(ts) AS us FROM events),
+           |b1 AS (SELECT min(value) AS vmin, max(value) AS vmax,
+           |         (min(us) + max(us)) // 2 AS mid_us FROM e1),
+           |e1b AS (SELECT CAST(least(9, floor((value - b1.vmin) / ((b1.vmax - b1.vmin) / 10.0))) AS INT) AS bin,
+           |              us < b1.mid_us AS is_ref FROM e1, b1),
+           |a1 AS (SELECT bin, count(*) FILTER (WHERE is_ref) AS ref_n,
+           |              count(*) FILTER (WHERE NOT is_ref) AS cur_n FROM e1b GROUP BY bin),
+           |sp1 AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+           |f1 AS (SELECT sp1.bin, coalesce(a1.ref_n, 0) AS ref_n, coalesce(a1.cur_n, 0) AS cur_n
+           |       FROM sp1 LEFT JOIN a1 USING (bin)),
+           |t1 AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM f1),
+           |psi AS (SELECT CAST(sum(CAST(floor(
+           |          ((cur_n + 0.5) / (ct + 5.0) - (ref_n + 0.5) / (rt + 5.0))
+           |            * ln(((cur_n + 0.5) / (ct + 5.0)) / ((ref_n + 0.5) / (rt + 5.0)))
+           |          * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS value FROM t1),
+           |s2 AS (SELECT value, event_type = 'click' AS isa FROM events
+           |       WHERE event_type IN ('click', 'error')),
+           |d2_ AS (SELECT value, count(*) FILTER (WHERE isa) AS na_v,
+           |              count(*) FILTER (WHERE NOT isa) AS nb_v FROM s2 GROUP BY value),
+           |c2 AS (SELECT sum(na_v) OVER (ORDER BY value) AS cum_a,
+           |              sum(nb_v) OVER (ORDER BY value) AS cum_b FROM d2_),
+           |t2 AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+           |              CAST(sum(nb_v) AS BIGINT) AS n_b FROM d2_),
+           |ks AS (SELECT max(abs(CAST(cum_a AS DOUBLE) / t2.n_a
+           |              - CAST(cum_b AS DOUBLE) / t2.n_b)) AS value FROM c2, t2),
+           |e3 AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+           |b3 AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e3),
+           |o3 AS (SELECT event_type,
+           |         count(*) FILTER (WHERE us < b3.mid_us) AS ref_n,
+           |         count(*) FILTER (WHERE us >= b3.mid_us) AS cur_n
+           |       FROM e3, b3 GROUP BY 1),
+           |t3 AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM o3),
+           |chi AS (SELECT CAST(sum(CAST(floor((
+           |          (ref_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(rt AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |            * (ref_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(rt AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |            / (CAST(ref_n + cur_n AS DOUBLE) * CAST(rt AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |          + (cur_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |            * (cur_n - CAST(ref_n + cur_n AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |            / (CAST(ref_n + cur_n AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(rt + ct AS DOUBLE))
+           |          ) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS value FROM t3),
+           |v4 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |hp4 AS (SELECT h, list_transform(generate_series(1, 64),
+           |    i -> CAST('0x' || substr(md5('v27:' || h || ':' || (i - 1)), 1, 15) AS BIGINT)
+           |         / 576460752303423488.0 - 1.0) AS w
+           |  FROM generate_series(0, 5) t(h)),
+           |dots4 AS (SELECT vec_id, h,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> e[i] * w[i]),
+           |      (a, b) -> a + b) AS dot
+           |  FROM v4 CROSS JOIN hp4),
+           |sg4 AS (SELECT vec_id,
+           |    CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS INT) AS sig
+           |  FROM dots4 GROUP BY vec_id),
+           |a4 AS (SELECT sig, count(*) FILTER (WHERE vec_id % 2 = 0) AS ref_n,
+           |              count(*) FILTER (WHERE vec_id % 2 <> 0) AS cur_n
+           |       FROM sg4 GROUP BY sig),
+           |sp4 AS (SELECT CAST(unnest(range(64)) AS INT) AS sig),
+           |f4 AS (SELECT sp4.sig, coalesce(a4.ref_n, 0) AS ref_n, coalesce(a4.cur_n, 0) AS cur_n
+           |       FROM sp4 LEFT JOIN a4 USING (sig)),
+           |t4 AS (SELECT *, sum(ref_n) OVER () AS rt, sum(cur_n) OVER () AS ct FROM f4),
+           |epsi AS (SELECT CAST(sum(CAST(floor(
+           |          ((cur_n + 0.5) / (ct + 32.0) - (ref_n + 0.5) / (rt + 32.0))
+           |            * ln(((cur_n + 0.5) / (ct + 32.0)) / ((ref_n + 0.5) / (rt + 32.0)))
+           |          * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS value FROM t4)
+           |SELECT 'value_psi' AS metric, value FROM psi
+           |UNION ALL SELECT 'ks_stat', value FROM ks
+           |UNION ALL SELECT 'type_chi2', value FROM chi
+           |UNION ALL SELECT 'embedding_psi', value FROM epsi""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, a22, m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, a22, m12, m13, m14)
 }

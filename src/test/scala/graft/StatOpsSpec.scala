@@ -488,6 +488,20 @@ class StatOpsSpec extends SparkSpec {
     })
   }
 
+  test("d17 drift report: each headline equals its component monitor's aggregate") {
+    val rows = StatOps.d17.build(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(rows.keySet == Set("value_psi", "ks_stat", "type_chi2", "embedding_psi"))
+    def sumQ(df: org.apache.spark.sql.DataFrame, c: String): Double =
+      df.select(floor(col(c) * 1e9 + 0.5).cast("long")).as[Long].collect().sum / 1e9
+    assert(rows("value_psi") == sumQ(StatOps.d2.build(spark, sf), "psi_term"))
+    assert(rows("ks_stat") ==
+      StatOps.d3.build(spark, sf).select("ks_stat").as[Double].collect().head)
+    assert(rows("type_chi2") == sumQ(StatOps.d4.build(spark, sf), "chi2_term"))
+    assert(rows("embedding_psi") ==
+      sumQ(graft.operators.VectorOps.v27.build(spark, sf), "psi_term"))
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
