@@ -582,10 +582,12 @@ object Graft {
   /** Exact ordered funnel over (user_id, event_type, ts): one row per
     * step in `steps` with the count of users who performed the whole
     * prefix in strictly-increasing event time, plus the fraction of
-    * step-1 users.
+    * step-1 users. `window` (e.g. "24 hours"), when set, additionally
+    * requires every step within that interval of the user's first step.
     */
-  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame =
-    Relational.funnelSteps(events, steps)
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      window: String = null): DataFrame =
+    Relational.funnelSteps(events, steps, window)
 
   /** Equal-weight naive/drift/theta forecast ensemble with the
     * conservative interval envelope — same series contract as

@@ -2025,27 +2025,37 @@ object Relational {
         (decSum(col("value")).cast("double") / count(lit(1))).as("mean_value"))
   }
 
-  /** W23 (beyond reference): ordered conversion funnel — how many users
-    * performed view, then click strictly AFTER that view, then purchase
-    * strictly after that click. The chained-min-timestamp formulation
-    * (stage k keeps a user's earliest qualifying event after their stage
-    * k-1 time) is the classic exact funnel; [[w12]]/[[w20]] model
-    * single-step transitions, this demands the full ordered sequence.
-    * Shape: one filtered hash aggregate per stage, each joined to the
-    * previous stage ON user_id — every stage is partitioned by the same
-    * key, so the exchange is planned once and reused; per-stage counts are
-    * single-row aggregates crossJoin-broadcast back. No windows, no
-    * per-user event sorting. Determinism: counts are integers and
+  /** W23 (beyond reference): WINDOWED conversion funnel — view, then
+    * click strictly after it, then purchase strictly after that, ALL
+    * within 24 hours of the first view (the "conversion window" every
+    * product-analytics funnel carries; [[w9]] is the unbounded variant,
+    * and on this data the 24 h deadline excludes about half the w9
+    * converters — median first-click delay is ~32 h). Semantics are
+    * EXACT, not greedy-approximate: because the deadline anchors at step
+    * 1, the constraint set is t1 < t2 < ... < tk ≤ t1 + W with one
+    * common upper bound, so taking the earliest qualifying event at each
+    * stage (chained min) finds a chain iff any chain exists — the choice
+    * of an earlier t_j only loosens every later lower bound. (A
+    * PER-STEP sliding deadline would break this greedy property and
+    * need a per-user DP kernel instead.) Shape: one filtered hash
+    * aggregate per stage joined to the previous stage ON user_id — every
+    * stage partitioned by the same key, exchange planned once; per-stage
+    * counts are single-row aggregates broadcast back. Determinism:
+    * timestamp arithmetic is integer micros, counts are integers,
     * frac_of_first is one IEEE division.
     */
   val w23 = q(
-    "w23_funnel_steps",
-    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+    "w23_funnel_windowed",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM events
       |           WHERE event_type = 'view' GROUP BY 1),
-      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
-      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
-      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t, any_value(s1.t1) AS t1
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t
+      |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t, any_value(s2.t1) AS t1
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      |         AND e.ts <= s2.t1 + INTERVAL 24 HOUR GROUP BY 1),
       |n AS (SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
       |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
       |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
@@ -2053,33 +2063,45 @@ object Relational {
       |  CASE WHEN (SELECT count(*) FROM s1) > 0
       |       THEN CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1) END AS frac_of_first
       |FROM n""".stripMargin) { (s, d) =>
-    funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"))
+    funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"),
+      window = "24 hours")
   }
 
-  /** Public DataFrame-in API (see graft.api.Graft): exact ordered funnel.
-    * `events` needs (user_id, event_type, ts); `steps` is the ordered list
-    * of event types. Returns one row per step with the user count that
-    * reached it (strictly-increasing event times) and the fraction of
-    * step-1 users.
+  /** Public DataFrame-in API (see graft.api.Graft): ordered funnel with
+    * an optional conversion window. `events` needs (user_id, event_type,
+    * ts); `steps` is the ordered list of event types; `window` (e.g.
+    * "24 hours"), when set, requires every step to land within that
+    * interval of the user's FIRST step (exact under chained-min — see
+    * [[w23]]). Returns one row per step with the user count that reached
+    * it in strictly-increasing event time and the fraction of step-1
+    * users.
     */
-  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      window: String = null): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: at least one step")
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
-    // stage k: earliest step-k event strictly after the user's stage k-1 time
-    val stages = steps.tail.scanLeft(
-      e.filter(col("event_type") === steps.head)
-        .groupBy("user_id").agg(min("ts").as("t"))) { (prev, ev) =>
-      e.filter(col("event_type") === ev)
-        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+    // stage k: earliest step-k event strictly after the user's stage k-1
+    // time (and, when windowed, no later than t1 + window)
+    val stage1 = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+      .withColumn("t1", col("t"))
+    val stages = steps.tail.scanLeft(stage1) { (prev, ev) =>
+      val joined = e.filter(col("event_type") === ev)
+        .join(prev.select(col("user_id"), col("t").as("t_prev"), col("t1")),
+          "user_id")
         .filter(col("ts") > col("t_prev"))
-        .groupBy("user_id").agg(min("ts").as("t"))
+      val bounded =
+        if (window == null) joined
+        else joined.filter(col("ts") <= col("t1") + expr(s"INTERVAL $window"))
+      bounded.groupBy("user_id")
+        .agg(min("ts").as("t"), first("t1").as("t1"))
     }
     val counts = stages.zip(steps).zipWithIndex.map { case ((df, ev), i) =>
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("step"), lit(ev).as("step_name"), col("n_users"))
     }.reduce(_ union _)
-    val first = stages.head.agg(count(lit(1)).as("n_first"))
-    counts.crossJoin(broadcast(first))
+    val first1 = stages.head.agg(count(lit(1)).as("n_first"))
+    counts.crossJoin(broadcast(first1))
       .select(col("step"), col("step_name"), col("n_users"),
         when(col("n_first") > 0,
           col("n_users").cast("double") / col("n_first")).as("frac_of_first"))

@@ -447,6 +447,12 @@ class GraftApiSpec extends SparkSpec {
     // instant so strict order rejects it (step 1).
     assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(5L, 2L, 1L))
     assert(out.map(_.getAs[Double]("frac_of_first")).toSeq == Seq(1.0, 0.4, 0.2))
+    // windowed variant: a 2-hour deadline from the first a cuts u1's c@2h?
+    // No — c@2h is exactly at the deadline (<=), so u1 still completes;
+    // u3's b@3h now falls outside and drops to step 1.
+    val win = Graft.funnelSteps(events, Seq("a", "b", "c"), window = "2 hours")
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(win.map(_.getAs[Long]("n_users")).toSeq == Seq(5L, 1L, 1L))
   }
 
   test("markovTransitions row-normalizes and orders by event time") {

@@ -405,32 +405,35 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
-  test("w23 funnel: counts non-increasing and equal to a per-user replay") {
+  test("w23 windowed funnel: counts equal a per-user deadline replay, tighter than w9") {
     val out = graft.operators.Relational.w23.build(spark, sf).collect()
       .sortBy(_.getAs[Int]("step"))
     assert(out.map(_.getAs[String]("step_name")).toSeq ==
       Seq("view", "click", "purchase"))
     val n = out.map(_.getAs[Long]("n_users"))
     assert(n.zip(n.tail).forall { case (a, b) => b <= a }, "funnel widened")
-    // replay: per user, chain first view -> first later click -> first later purchase
+    // replay: first view anchors a 24 h deadline; chain earliest strictly
+    // later qualifying events under that common deadline
     val byUser = Tables.events(spark, sf)
       .select("user_id", "event_type", "ts").collect()
       .groupBy(_.getAs[Long]("user_id"))
     val steps = Seq("view", "click", "purchase")
     val reached = Array.fill(3)(0L)
     byUser.values.foreach { evs =>
-      var t = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
-      var k = 0
-      var advanced = true
-      while (k < 3 && advanced) {
-        val nxt = evs.filter(e => e.getAs[String]("event_type") == steps(k) &&
-          e.getAs[java.sql.Timestamp]("ts").after(t))
-        if (nxt.isEmpty) advanced = false
-        else {
-          t = nxt.map(_.getAs[java.sql.Timestamp]("ts")).min(
-            Ordering.fromLessThan[java.sql.Timestamp](_ before _))
-          reached(k) += 1
-          k += 1
+      def tsOf(e: org.apache.spark.sql.Row) = e.getAs[java.sql.Timestamp]("ts")
+      val views = evs.filter(_.getAs[String]("event_type") == "view")
+      if (views.nonEmpty) {
+        val t1 = views.map(tsOf(_).getTime).min
+        val deadline = t1 + 24L * 3600 * 1000
+        reached(0) += 1
+        var t = t1
+        var k = 1
+        var advanced = true
+        while (k < 3 && advanced) {
+          val cand = evs.filter(e => e.getAs[String]("event_type") == steps(k) &&
+            tsOf(e).getTime > t && tsOf(e).getTime <= deadline)
+          if (cand.isEmpty) advanced = false
+          else { t = cand.map(tsOf(_).getTime).min; reached(k) += 1; k += 1 }
         }
       }
     }
@@ -439,6 +442,11 @@ class StatOpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("frac_of_first") -
         r.getAs[Long]("n_users").toDouble / n.head) < 1e-12)
     }
+    // the deadline must bite: strictly fewer step-2 converters than the
+    // unbounded w9 funnel (median first-click delay on this data is ~32 h)
+    val w9clicks = graft.operators.Relational.w9.build(spark, sf)
+      .collect().head.getAs[Long]("n_click")
+    assert(n(1) < w9clicks, "24 h window should exclude some w9 converters")
   }
 
   test("d16 Mann-Whitney agrees with a local average-rank recomputation") {
