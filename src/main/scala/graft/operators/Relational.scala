@@ -2130,11 +2130,44 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** W25 (beyond reference): longest-activity-streak histogram — for each
+    * user the longest run of CONSECUTIVE active days, histogrammed over
+    * the user base; the habit-formation metric next to [[w24]]'s depth
+    * histogram (w24 counts active days, this demands adjacency). Classic
+    * gaps-and-islands: within each user, epoch_day − row_number is
+    * constant exactly on consecutive-day runs, so three hash aggregates
+    * (user-day dedup → run lengths → per-user max → histogram) and ONE
+    * window partitioned BY USER — state bounded by a user's active days,
+    * nothing global. All integer arithmetic.
+    */
+  val w25 = q(
+    "w25_activity_streaks",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (SELECT user_id,
+      |        CAST(day - DATE '1970-01-01' AS INT)
+      |          - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      |      FROM ud),
+      |s AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp),
+      |m AS (SELECT user_id, max(len) AS longest FROM s GROUP BY 1)
+      |SELECT CAST(longest AS INT) AS streak_days, count(*) AS n_users
+      |FROM m GROUP BY 1""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    ud.select(col("user_id"),
+        (datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w)).as("grp"))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("longest"))
+      .groupBy(col("longest").cast("int").as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -510,6 +510,28 @@ class StatOpsSpec extends SparkSpec {
       sumQ(graft.operators.VectorOps.v27.build(spark, sf), "psi_term"))
   }
 
+  test("w25 streaks: user mass conserved, equals a per-user consecutive-run replay") {
+    val out = graft.operators.Relational.w25.build(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == users)
+    // replay longest consecutive-day run per user
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val days = rows.map(_.getDate(1).toLocalDate.toEpochDay).sorted.toSeq
+        var best = 1; var run = 1
+        days.zip(days.drop(1)).foreach { case (a, b) =>
+          run = if (b == a + 1) run + 1 else 1
+          best = math.max(best, run)
+        }
+        u -> best
+      }
+    val expect = byUser.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out.map(r => r.getAs[Int]("streak_days") -> r.getAs[Long]("n_users")).toMap
+      == expect)
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
