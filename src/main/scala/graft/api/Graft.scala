@@ -597,6 +597,13 @@ object Graft {
       confidence: Double = 0.9): DataFrame =
     Forecast.forecastEnsemble(seriesDf, horizon, confidence)
 
+  /** Per-series autocorrelation diagnostics (lags 1..maxLag) — same
+    * series contract as [[forecast]]; the model-selection companion:
+    * seasonal-lag spikes say "hw", geometric decay says "ar1".
+    */
+  def acf(seriesDf: DataFrame, maxLag: Int = 6): DataFrame =
+    Forecast.acf(seriesDf, maxLag)
+
   /** Vocabulary coverage curve over (text): one row per candidate vocab
     * size (vocab_k, covered_tokens, total_tokens, coverage).
     */

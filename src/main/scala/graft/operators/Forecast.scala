@@ -1479,6 +1479,77 @@ object Forecast {
            |  CAST(max(qh) AS DOUBLE) / 1e9 AS hi
            |FROM u GROUP BY 1, 2""".stripMargin))
 
+  /** M17 (beyond reference): per-series autocorrelation function — acf at
+    * lags 1..6 of each user's bucketed demand series, the diagnostic that
+    * picks between the [[m7]] AR(1) / [[m10]] Holt / [[m11]] seasonal
+    * members of the forecast ladder (a spike at the season lag says hw, a
+    * geometric decay says ar1) and the residual-whiteness check after a
+    * fit. acf_k = Σ_{t>k}(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)², every fold in
+    * ascending t order, replayed by the oracle as ordered list_reduce
+    * over the same list (the m7 moment discipline — 0.0-seeded JVM folds
+    * equal element-seeded list_reduce because 0.0 + x is exact); the one
+    * division is quantized to 9 dp. Shape: the m5-family single shuffle —
+    * one groupByKey on the series id, per-series state bounded by series
+    * length, lags emitted from one pass.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): the ACF itself over
+    * (user_id, bucket_ts, demand); lags 1..min(maxLag, n−1), series
+    * shorter than 2 points emit nothing.
+    */
+  def acf(seriesDf: DataFrame, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = seriesDf.sparkSession
+    import s.implicits._
+    seriesDf.as[SeriesPoint]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[SeriesPoint]) =>
+        val y = it.toVector.sortBy(_.bucket_ts.getTime).map(_.demand)
+        val n = y.size
+        if (n < 2) Iterator.empty
+        else {
+          var sy = 0.0
+          y.foreach(sy += _)
+          val mean = sy / n
+          var den = 0.0
+          var i = 0
+          while (i < n) { val d0 = y(i) - mean; den += d0 * d0; i += 1 }
+          (1 to math.min(maxLag, n - 1)).iterator.map { k =>
+            var num = 0.0
+            var t = k
+            while (t < n) { num += (y(t) - mean) * (y(t - k) - mean); t += 1 }
+            val a = if (den == 0.0) 0.0
+              else math.floor(num / den * 1e9 + 0.5) / 1e9
+            (uid, k, a)
+          }
+        }
+      }
+      .toDF("user_id", "lag", "acf")
+  }
+
+  val m17: GraftQuery = GraftQuery(
+    "m17_acf_diagnostics",
+    (s, d) => acf(series(s, d)),
+    Some("""WITH base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |m AS (SELECT user_id, y, n,
+           |        list_reduce(y, (a, b) -> a + b) / n AS mean
+           |      FROM ser WHERE n >= 2),
+           |dn AS (SELECT *, list_reduce(list_transform(y, v -> (v - mean) * (v - mean)),
+           |         (a, b) -> a + b) AS den FROM m),
+           |lg AS (SELECT unnest(generate_series(1, 6)) AS lag),
+           |ac AS (SELECT user_id, lag, den,
+           |         list_reduce(list_transform(generate_series(lag + 1, n),
+           |           t -> (y[t] - mean) * (y[t - lag] - mean)), (a, b) -> a + b) AS num
+           |       FROM dn CROSS JOIN lg WHERE lag <= n - 1)
+           |SELECT user_id, CAST(lag AS INT) AS lag,
+           |  CASE WHEN den = 0 THEN 0.0
+           |       ELSE floor(num / den * 1e9 + 0.5) / 1e9 END AS acf
+           |FROM ac""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16)
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17)
 }

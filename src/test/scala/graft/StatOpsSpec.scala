@@ -532,6 +532,35 @@ class StatOpsSpec extends SparkSpec {
       == expect)
   }
 
+  test("m17 ACF: bounded, matches a local recomputation, constant series -> 0") {
+    val out = graft.operators.Forecast.m17.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val a = r.getAs[Double]("acf"); a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9
+    })
+    // local replay for one user
+    val uid = out.head.getAs[Long]("user_id")
+    val y = Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .groupBy(graft.functions.Funcs.timestampBucket(col("ts"), 300L).as("b"))
+      .agg(graft.functions.Funcs.decAvg(col("value")).as("demand"))
+      .orderBy("b").select("demand").as[Double].collect()
+    val mean = y.sum / y.length
+    val den = y.map(v => (v - mean) * (v - mean)).sum
+    val got = out.filter(_.getAs[Long]("user_id") == uid)
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    (1 to math.min(6, y.length - 1)).foreach { k =>
+      val num = (k until y.length).map(t => (y(t) - mean) * (y(t - k) - mean)).sum
+      assert(math.abs(got(k) - num / den) < 1e-6, s"lag $k")
+    }
+    // degenerate constant series via the public API
+    val const = Seq.tabulate(8)(i =>
+      (1L, new java.sql.Timestamp(i * 300000L), 5.0))
+      .toDF("user_id", "bucket_ts", "demand")
+    val ca = graft.operators.Forecast.acf(const).collect()
+    assert(ca.forall(_.getAs[Double]("acf") == 0.0))
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
