@@ -155,4 +155,25 @@ class BucketingSpec extends SparkSpec {
     assert(sCk < 0.3, s"sanity: the single-dim sort is tight on its own key: $sCk")
     assert(sDy > 0.9, s"single-dim sort leaves the date dimension unprunable: $sDy")
   }
+
+  test("s31 pruning report: clustered layout prunes, scans cover all matches") {
+    val rows = graft.operators.Sources.s31.build(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files_hit"), r.getAs[Long]("rows_scanned"),
+          r.getAs[Long]("n_match"))).toMap
+    assert(rows.keySet == Set("insertion", "time", "clustered"))
+    // every matching row must live in a scanned file (min-max skipping is
+    // never allowed to lose rows), so rows_scanned >= n_match
+    rows.values.foreach { case (hit, scanned, matched) =>
+      assert(hit >= 1 && hit <= 32)
+      assert(scanned >= matched)
+    }
+    // the predicate column is uncorrelated with insertion/time order, so
+    // those layouts scan (nearly) everything; clustering must beat both
+    val (cHit, _, _) = rows("clustered")
+    assert(cHit < rows("insertion")._1 && cHit < rows("time")._1,
+      s"clustered layout should prune: $rows")
+    // all three layouts agree on the true match count
+    assert(rows.values.map(_._3).toSet.size == 1)
+  }
 }
