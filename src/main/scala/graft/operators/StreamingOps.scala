@@ -17,6 +17,12 @@ import org.apache.spark.sql.streaming.Trigger
   * fresh checkpoint, then returns the sink table — so the driver's oracle
   * compares true streaming output against batch SQL.
   */
+/** Per-user funnel state for [[StreamingOps.t24]]: the step reached so
+  * far, the first-step anchor (micros), and the time of the last step
+  * taken — 3 numbers per user, the whole streaming-funnel state.
+  */
+final case class FunnelProgress(step: Int, t1: Long, tPrev: Long)
+
 object StreamingOps {
 
   /** Kafka-envelope-shaped stream over the events table: file source with
@@ -650,6 +656,89 @@ object StreamingOps {
            |FROM t""".stripMargin),
     bench = false)
 
+  /** T24 (beyond reference): STREAMING windowed funnel — the
+    * [[graft.operators.Relational.w23]] conversion funnel maintained as
+    * per-user state on the event stream via flatMapGroupsWithState: state
+    * = (step reached, first-view anchor, last-step time), advanced by
+    * each micro-batch's events in ascending event time; the greedy
+    * first-qualifying-event advance equals the batch chained-min EXACTLY
+    * (common step-1-anchored deadline — the w23 argument), so the batch
+    * w23 oracle gates the streaming path bit-for-bit. This is the funnel
+    * every product-analytics pipeline actually runs in production: state
+    * is 3 numbers per user (bounded by users, not events), emission is
+    * monotone (max per user recovers the final state from an update-mode
+    * sink), and a real deployment adds a state TTL at the conversion
+    * deadline. Complements [[t19]] (generic running agg) with ORDERED
+    * multi-step semantics.
+    */
+  val t24: GraftQuery = GraftQuery(
+    "t24_stream_funnel",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val steps = Seq("view", "click", "purchase")
+      val windowUs = 24L * 3600 * 1000000L
+      val q = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          (uid: Long, it: Iterator[(Long, String, Long)],
+              st: GroupState[FunnelProgress]) => {
+            var cur = st.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
+            it.toArray.sortBy(_._3).foreach { case (_, et, us) =>
+              if (cur.step == 0) {
+                if (et == steps.head) cur = FunnelProgress(1, us, us)
+              } else if (cur.step < steps.size &&
+                  et == steps(cur.step) && us > cur.tPrev &&
+                  us <= cur.t1 + windowUs) {
+                cur = FunnelProgress(cur.step + 1, cur.t1, us)
+              }
+            }
+            st.update(cur)
+            Iterator.single((uid, cur.step))
+          })
+        .toDF("user_id", "step_reached")
+        .writeStream.format("memory").queryName("graft_t24")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val last = s.table("graft_t24").groupBy("user_id")
+        .agg(max("step_reached").as("sr"))
+      val agg = last.agg(
+        count(when(col("sr") >= 1, 1)).as("n1"),
+        count(when(col("sr") >= 2, 1)).as("n2"),
+        count(when(col("sr") >= 3, 1)).as("n3"))
+      agg.select(explode(array(
+          struct(lit(1).as("step"), lit("view").as("step_name"), col("n1").as("n_users")),
+          struct(lit(2).as("step"), lit("click").as("step_name"), col("n2").as("n_users")),
+          struct(lit(3).as("step"), lit("purchase").as("step_name"), col("n3").as("n_users"))))
+          .as("r"), col("n1"))
+        .select(col("r.step"), col("r.step_name"), col("r.n_users"),
+          when(col("n1") > 0, col("r.n_users").cast("double") / col("n1"))
+            .as("frac_of_first"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM events
+           |           WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t, any_value(s1.t1) AS t1
+           |       FROM events e JOIN s1 USING (user_id)
+           |       WHERE e.event_type = 'click' AND e.ts > s1.t
+           |         AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t, any_value(s2.t1) AS t1
+           |       FROM events e JOIN s2 USING (user_id)
+           |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+           |         AND e.ts <= s2.t1 + INTERVAL 24 HOUR GROUP BY 1),
+           |n AS (SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+           |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+           |SELECT step, step_name, n_users,
+           |  CASE WHEN (SELECT count(*) FROM s1) > 0
+           |       THEN CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1) END AS frac_of_first
+           |FROM n""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
-    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23)
+    Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
+      t24)
 }

@@ -219,6 +219,15 @@ class StreamingSpec extends SparkSpec {
     assert(open.nonEmpty, "fixture should leave some windows open")
   }
 
+  test("t24 streaming funnel equals batch w23 bitwise") {
+    val streaming = graft.operators.StreamingOps.t24.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Relational.w23.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streaming === batch,
+      "stateful per-user funnel must reproduce the batch chained-min funnel")
+  }
+
   test("t23 streaming drift monitor equals batch d2 bitwise") {
     val streaming = graft.operators.StreamingOps.t23.build(spark, sf)
       .collect().map(_.toSeq).toSet
