@@ -2466,8 +2466,51 @@ object TextOps {
            |FROM p CROSS JOIN c CROSS JOIN t
            |GROUP BY p.pct""".stripMargin))
 
+  /** X48 (beyond reference): distinct-n diversity ratios per source —
+    * distinct-1 (type/token ratio) and distinct-2 (distinct bigrams /
+    * total bigrams), the standard corpus-diversity metrics (Li et al.
+    * 2016's distinct-n, used to spot templated / machine-generated /
+    * over-deduplicated slices): a source whose distinct-2 craters is
+    * boilerplate or model output, and the numbers complement [[x41]]'s
+    * per-doc entropy with a per-SOURCE vocabulary-reuse view. Shape: one
+    * explode per n, two count-distinct hash aggregates on the (source,
+    * gram) domain — map-side combining collapses repeated grams before
+    * the shuffle; counts are integers, the ratios single divisions.
+    */
+  val x48: GraftQuery = GraftQuery(
+    "x48_distinct_ngrams",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("w"))
+      val u = t.select(col("source"), explode(col("w")).as("g"))
+      val b = t.select(col("source"), explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> concat(x, ' ', w[i + 1]))"))
+        .as("g"))
+      val us = u.groupBy("source").agg(
+        count(lit(1)).as("n1"), countDistinct("g").as("d1"))
+      val bs = b.groupBy("source").agg(
+        count(lit(1)).as("n2"), countDistinct("g").as("d2"))
+      us.join(bs, "source")
+        .select(col("source"), col("n1"), col("d1"),
+          (col("d1").cast("double") / col("n1")).as("distinct1"),
+          col("n2"), col("d2"),
+          (col("d2").cast("double") / col("n2")).as("distinct2"))
+    },
+    Some("""WITH t AS (SELECT source, str_split(text, ' ') AS w FROM documents),
+           |u AS (SELECT source, unnest(w) AS g FROM t),
+           |b AS (SELECT source, unnest(CASE WHEN len(w) >= 2
+           |        THEN [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]
+           |        ELSE [] END) AS g FROM t),
+           |us AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
+           |         CAST(count(DISTINCT g) AS BIGINT) AS d1 FROM u GROUP BY 1),
+           |bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n2,
+           |         CAST(count(DISTINCT g) AS BIGINT) AS d2 FROM b GROUP BY 1)
+           |SELECT us.source, n1, d1, CAST(d1 AS DOUBLE) / n1 AS distinct1,
+           |       n2, d2, CAST(d2 AS DOUBLE) / n2 AS distinct2
+           |FROM us JOIN bs USING (source)""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
 }

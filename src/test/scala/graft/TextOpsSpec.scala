@@ -362,6 +362,29 @@ class TextOpsSpec extends SparkSpec {
       cum += l * g.length; cum * 100 >= 50 * totMass }.get._1
     assert(out(1).getAs[Long]("len_by_mass") == medExact)
   }
+
+  test("x48 distinct-n: matches a local recomputation per source") {
+    val out = graft.operators.TextOps.x48.build(SparkSpec.spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("d1"),
+          r.getAs[Long]("n2"), r.getAs[Long]("d2"))).toMap
+    val docs = graft.core.Tables.documents(SparkSpec.spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val words = ds.toSeq.map(_._2.split(" ").toSeq)
+      val unis = words.flatten
+      val bis = words.flatMap(w => w.zip(w.drop(1)).map { case (a, b) => s"$a $b" })
+      src -> (unis.size.toLong, unis.distinct.size.toLong,
+        bis.size.toLong, bis.distinct.size.toLong)
+    }
+    assert(out == expect)
+    // ratios must sit in (0, 1]
+    graft.operators.TextOps.x48.build(SparkSpec.spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("distinct1") > 0 && r.getAs[Double]("distinct1") <= 1.0)
+      assert(r.getAs[Double]("distinct2") > 0 && r.getAs[Double]("distinct2") <= 1.0)
+    }
+  }
 }
 
 /** Tiny shared fixture: the documents table as local tuples. */
