@@ -579,6 +579,17 @@ object Graft {
   def mannWhitneyU(df: DataFrame, valueCol: String, isFirstCol: String): DataFrame =
     StatOps.mannWhitneyU(df, valueCol, isFirstCol)
 
+  /** Active-days engagement histogram over (user_id, ts): one row per
+    * distinct-active-day count with the number of users at it.
+    */
+  def powerUserCurve(events: DataFrame): DataFrame =
+    Relational.powerUserCurve(events)
+
+  /** Longest consecutive-active-day streak histogram over (user_id, ts).
+    */
+  def activityStreaks(events: DataFrame): DataFrame =
+    Relational.activityStreaks(events)
+
   /** Exact ordered funnel over (user_id, event_type, ts): one row per
     * step in `steps` with the count of users who performed the whole
     * prefix in strictly-increasing event time, plus the fraction of

@@ -2123,12 +2123,17 @@ object Relational {
       |SELECT CAST(active_days AS INT) AS active_days,
       |       count(*) AS n_users
       |FROM k GROUP BY 1""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    powerUserCurve(Tables.events(s, d))
+  }
+
+  /** Public DataFrame-in API (see graft.api.Graft): the active-days
+    * histogram over (user_id, ts).
+    */
+  def powerUserCurve(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       .groupBy("user_id").agg(count(lit(1)).as("active_days"))
       .groupBy(col("active_days").cast("int").as("active_days"))
       .agg(count(lit(1)).as("n_users"))
-  }
 
   /** W25 (beyond reference): longest-activity-streak histogram — for each
     * user the longest run of CONSECUTIVE active days, histogrammed over
@@ -2151,7 +2156,14 @@ object Relational {
       |m AS (SELECT user_id, max(len) AS longest FROM s GROUP BY 1)
       |SELECT CAST(longest AS INT) AS streak_days, count(*) AS n_users
       |FROM m GROUP BY 1""".stripMargin) { (s, d) =>
-    val ud = Tables.events(s, d)
+    activityStreaks(Tables.events(s, d))
+  }
+
+  /** Public DataFrame-in API (see graft.api.Graft): the longest-streak
+    * histogram over (user_id, ts).
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val ud = events
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val w = Window.partitionBy("user_id").orderBy("day")
     ud.select(col("user_id"),
