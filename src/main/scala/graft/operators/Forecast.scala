@@ -1550,6 +1550,57 @@ object Forecast {
            |       ELSE floor(num / den * 1e9 + 0.5) / 1e9 END AS acf
            |FROM ac""".stripMargin))
 
+  /** M18 (beyond reference): Ljung-Box portmanteau statistic per series —
+    * Q(h) = n(n+2)·Σ_{k≤h} r_k²/(n−k) over the [[m17]] autocorrelations
+    * (h = 6), THE standard "is anything left in this series/residual"
+    * test that turns m17's per-lag diagnostics into one decision number
+    * (compare to χ²_h). Determinism: each r_k is the m17 9-dp-quantized
+    * value, each r_k²/(n−k) term is quantized to an integer at 1e15 and
+    * the 6-term fold is an exact BIGINT sum (the d11 discipline — SQL SUM
+    * has no defined order), then one integer product n(n+2) and one
+    * division, re-quantized at 9 dp. Same single-shuffle series kernel as
+    * m17.
+    */
+  val m18: GraftQuery = GraftQuery(
+    "m18_ljung_box",
+    (s, d) => {
+      val a = acf(series(s, d))
+      val n = series(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+      a.join(n, "user_id")
+        .select(col("user_id"), col("n"),
+          floor(col("acf") * col("acf") / (col("n") - col("lag")) * 1e15 + 0.5)
+            .cast("long").as("term"))
+        .groupBy("user_id", "n").agg(sum("term").as("ts"))
+        .select(col("user_id"), col("n"),
+          (floor((col("n") * (col("n") + 2)).cast("double") *
+            (col("ts").cast("double") / 1e15) * 1e9 + 0.5).cast("double") / 1e9)
+            .as("q_stat"))
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |m AS (SELECT user_id, y, n,
+           |        list_reduce(y, (a, b) -> a + b) / n AS mean
+           |      FROM ser WHERE n >= 2),
+           |dn AS (SELECT *, list_reduce(list_transform(y, v -> (v - mean) * (v - mean)),
+           |         (a, b) -> a + b) AS den FROM m),
+           |lg AS (SELECT unnest(generate_series(1, 6)) AS lag),
+           |ac AS (SELECT user_id, n, lag,
+           |         CASE WHEN den = 0 THEN 0.0
+           |              ELSE floor(list_reduce(list_transform(generate_series(lag + 1, n),
+           |                t -> (y[t] - mean) * (y[t - lag] - mean)), (a, b) -> a + b)
+           |                / den * 1e9 + 0.5) / 1e9 END AS acf
+           |       FROM dn CROSS JOIN lg WHERE lag <= n - 1),
+           |tm AS (SELECT user_id, n,
+           |         CAST(sum(CAST(floor(acf * acf / (n - lag) * 1e15 + 0.5) AS BIGINT)) AS BIGINT) AS ts
+           |       FROM ac GROUP BY 1, 2)
+           |SELECT user_id, CAST(n AS BIGINT) AS n,
+           |  floor(CAST(n * (n + 2) AS DOUBLE) * (CAST(ts AS DOUBLE) / 1e15) * 1e9 + 0.5) / 1e9 AS q_stat
+           |FROM tm""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17)
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18)
 }

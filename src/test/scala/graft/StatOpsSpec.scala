@@ -561,6 +561,23 @@ class StatOpsSpec extends SparkSpec {
     assert(ca.forall(_.getAs[Double]("acf") == 0.0))
   }
 
+  test("m18 Ljung-Box: Q >= 0 and equals the quantized fold over m17's acfs") {
+    val q = graft.operators.Forecast.m18.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n"), r.getAs[Double]("q_stat")))
+      .toMap
+    assert(q.nonEmpty && q.values.forall(_._2 >= 0.0))
+    val acfs = graft.operators.Forecast.m17.build(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    q.foreach { case (uid, (n, qs)) =>
+      val ts = acfs(uid).map { r =>
+        val a = r.getAs[Double]("acf"); val k = r.getAs[Int]("lag")
+        math.floor(a * a / (n - k) * 1e15 + 0.5).toLong
+      }.sum
+      val expect = math.floor((n * (n + 2)).toDouble * (ts.toDouble / 1e15) * 1e9 + 0.5) / 1e9
+      assert(qs == expect, s"user $uid")
+    }
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
