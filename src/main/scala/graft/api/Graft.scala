@@ -547,6 +547,14 @@ object Graft {
   def lifecycleStates(events: DataFrame): DataFrame =
     Relational.lifecycleStates(events)
 
+  /** Asymmetric near-dup pairs by CONTAINMENT (|Sa∩Sb|/min set size >=
+    * threshold) — the quote/subset detector symmetric Jaccard dedup
+    * misses; candidates via rare-shingle inverted index, never
+    * all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9): DataFrame =
+    TextOps.containmentPairs(docs, threshold)
+
   /** Corpus-mass length quantiles over a sized corpus (`n_chars`
     * column): per percentile, the length quantile by doc count AND by
     * byte mass — the curve that governs packing/token budgets on

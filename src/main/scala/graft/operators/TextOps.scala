@@ -2509,8 +2509,70 @@ object TextOps {
            |       n2, d2, CAST(d2 AS DOUBLE) / n2 AS distinct2
            |FROM us JOIN bs USING (source)""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): containment pairs.
+    * Candidates = pairs sharing >= 1 rare shingle (global DF in [2, 4] —
+    * DF 1 cannot pair, the cap bounds per-shingle fanout at C(4,2));
+    * verified exactly: containment = |Sa∩Sb| / min(|Sa|, |Sb|) >= thr.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val sets = shingleSets(docs)
+    val g = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 4)).select("g")
+    val rg = g.join(rare, "g")
+    val cand = rg.select(col("g"), col("doc_id").as("a_id"))
+      .join(rg.select(col("g"), col("doc_id").as("b_id")), "g")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val thrNum = math.round(threshold * 10).toInt
+    withSets(cand, sets)
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+        least(size(col("a_sh")), size(col("b_sh"))).as("mn"))
+      .filter(col("mn") > 0 && col("inter") * 10 >= col("mn") * thrNum)
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / col("mn")).as("containment"))
+  }
+
+  /** X49 (beyond reference): asymmetric near-dup by CONTAINMENT — the
+    * quote/subset detector Jaccard dedup ([[x7]]) structurally misses: a
+    * short doc fully embedded in a long one has containment ~1 but
+    * Jaccard ~|A|/|B| (arbitrarily small), so symmetric thresholds never
+    * fire. Candidates come from RARE shingles (global DF in [2, 4]) — an
+    * inverted-index pass whose fanout is bounded at C(4,2) pairs per
+    * shingle, never all-pairs — then the exact containment
+    * |Sa∩Sb|/min(|Sa|, |Sb|) >= 0.9 verifies each candidate; the
+    * threshold compares as exact integers (inter·10 >= mn·9). The
+    * candidate rule is part of the operator contract, replayed exactly
+    * by the oracle. At 100 TB: one DF aggregate (map-side combined), one
+    * self-equi-join on the rare-shingle key, per-pair set ops on the
+    * candidates only — the contamination-check dataflow ([[x15]])
+    * without the broadcast side.
+    */
+  val x49: GraftQuery = GraftQuery(
+    "x49_containment_pairs",
+    (s, d) => containmentPairs(Tables.documents(s, d), 0.9),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
+           |         WHERE df BETWEEN 2 AND 4),
+           |rg AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id),
+           |p AS (SELECT c.a_id, c.b_id,
+           |        len(list_intersect(sa.s, sb.s)) AS inter,
+           |        least(len(sa.s), len(sb.s)) AS mn
+           |      FROM cand c
+           |      JOIN sh sa ON sa.doc_id = c.a_id
+           |      JOIN sh sb ON sb.doc_id = c.b_id)
+           |SELECT a_id, b_id, CAST(inter AS DOUBLE) / mn AS containment
+           |FROM p WHERE mn > 0 AND inter * 10 >= mn * 9""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
 }

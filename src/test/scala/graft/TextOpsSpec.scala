@@ -363,6 +363,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("len_by_mass") == medExact)
   }
 
+  test("x49 containment finds an embedded quote that Jaccard dedup misses") {
+    // long doc = 120 unique-ish words; short doc = a verbatim 15-word span
+    // of it. Jaccard ~ 13/118 (tiny), containment = 1.0.
+    val rng = new scala.util.Random(23)
+    val longWords = Seq.fill(120)(vocab(rng.nextInt(vocab.size)) + rng.nextInt(100))
+    val span = longWords.slice(40, 55)
+    val rows = Seq(
+      (1L, longWords.mkString(" "), "src"),
+      (2L, span.mkString(" "), "src"),
+      (3L, Seq.fill(60)("qq" + rng.nextInt(9)).mkString(" "), "src"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cont2").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.x49.build(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("containment"))).toMap
+    assert(got.contains((1L, 2L)), s"embedded span must surface: ${got.keySet}")
+    assert(got((1L, 2L)) == 1.0, "verbatim span has containment exactly 1")
+    // and the symmetric Jaccard op does NOT pair them at 0.9
+    val jac = TextOps.x7.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("x48 distinct-n: matches a local recomputation per source") {
     val out = graft.operators.TextOps.x48.build(SparkSpec.spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
