@@ -136,4 +136,21 @@ object Snapshots {
     }
     if (root(table).exists()) rec(root(table))
   }
+
+  /** VACUUM / snapshot expiry: drop all but the newest `keep` snapshots
+    * (Iceberg `expireSnapshots` / Delta `VACUUM` semantics at this seam).
+    * Returns the dropped version ids, ascending. Time travel to a dropped
+    * version fails afterwards — that loss is the contract; callers keep
+    * enough history for their audit window.
+    */
+  def vacuum(table: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuum must keep at least 1 snapshot, got $keep")
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete(): Unit
+    }
+    val drop = versions(table).dropRight(keep)
+    drop.foreach(v => rec(new java.io.File(s"${root(table)}/v$v")))
+    drop
+  }
 }

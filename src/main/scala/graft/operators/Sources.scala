@@ -885,7 +885,49 @@ object Sources {
            |  CAST(sum(match_in_file) AS BIGINT) AS n_match
            |FROM fl GROUP BY 1""".stripMargin))
 
+  /** S32 (beyond reference): snapshot retention / VACUUM report — build a
+    * 3-version history ([[s16]]'s construction pattern), expire all but
+    * the newest via [[graft.core.Snapshots.vacuum]], and report one row
+    * per version: kept or dropped, with the row count that version held
+    * (the "what did expiry reclaim" summary an Iceberg expireSnapshots /
+    * Delta VACUUM run logs). The query proves the storage seam's whole
+    * retention lifecycle inside the oracle gate: counts are taken BEFORE
+    * the expiry, the vacuum's returned drop-list must agree with the
+    * retention arithmetic (require'd), and SnapshotsSpec separately
+    * proves dropped versions actually become unreadable. Metadata-scale
+    * op: cost is one listing plus directory deletes; the row counts here
+    * are the report's payload, not the vacuum's cost.
+    */
+  val s32: GraftQuery = GraftQuery(
+    "s32_vacuum_retention",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_vac"
+      Snapshots.reset(t)
+      Snapshots.write(s, t, Tables.orders(s, d))
+      Snapshots.write(s, t,
+        Snapshots.latest(s, t).filter(expr("o_orderkey % 2 = 0")))
+      Snapshots.write(s, t,
+        Snapshots.latest(s, t).filter(expr("o_orderkey % 4 = 0")))
+      val counts = Snapshots.versions(t)
+        .map(v => v -> Snapshots.read(s, t, v).count())
+      val dropped = Snapshots.vacuum(t, keep = 1)
+      require(dropped == Seq(1, 2) && Snapshots.versions(t) == Seq(3),
+        s"retention arithmetic broken: dropped=$dropped")
+      import s.implicits._
+      counts.map { case (v, n) =>
+        (v, if (dropped.contains(v)) "dropped" else "kept", n)
+      }.toDF("version", "status", "n_rows")
+    },
+    Some("""SELECT 1 AS version, 'dropped' AS status,
+           |       (SELECT count(*) FROM orders) AS n_rows
+           |UNION ALL SELECT 2, 'dropped',
+           |       (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+           |UNION ALL SELECT 3, 'kept',
+           |       (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0)""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-      s23, s24, s25, s26, s27, s28, s29, s30, s31)
+      s23, s24, s25, s26, s27, s28, s29, s30, s31, s32)
 }

@@ -66,6 +66,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(t) === Seq(1))
   }
 
+  test("vacuum drops old versions for real: listing shrinks, reads fail, latest survives") {
+    import graft.core.Snapshots
+    val t = "vac_spec"
+    Snapshots.reset(t)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    Snapshots.write(spark, t, df)
+    Snapshots.write(spark, t, df.filter($"k" > 1))
+    Snapshots.write(spark, t, df.filter($"k" > 2))
+    assert(Snapshots.vacuum(t, keep = 2) == Seq(1))
+    assert(Snapshots.versions(t) == Seq(2, 3))
+    intercept[Exception](Snapshots.read(spark, t, 1).count())
+    assert(Snapshots.latest(spark, t).count() == 1)
+    // keep >= current count is a no-op; keep < 1 rejected
+    assert(Snapshots.vacuum(t, keep = 5).isEmpty)
+    intercept[IllegalArgumentException](Snapshots.vacuum(t, keep = 0))
+  }
+
   test("s30 SCD2: versions tile per user, one open row each, no same-state repeats") {
     import org.apache.spark.sql.functions._
     val dim = graft.operators.Sources.s30.build(spark, sf).collect()
