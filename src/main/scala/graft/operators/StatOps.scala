@@ -1343,6 +1343,85 @@ object StatOps {
            |UNION ALL SELECT 'type_chi2', value FROM chi
            |UNION ALL SELECT 'embedding_psi', value FROM epsi""".stripMargin))
 
+  /** D18 (beyond reference): CUPED variance reduction — the standard
+    * experiment-sensitivity technique (Deng et al. 2013): use each user's
+    * PRE-period metric as a control covariate for their post-period
+    * metric; the adjusted metric Y − θ(X − X̄) has variance
+    * var(Y)·(1 − ρ²), so the report (θ, var_post, var_cuped, reduction)
+    * quantifies how much smaller an experiment this telemetry supports —
+    * the multiplier that feeds straight into [[d12]]'s MDE. Pre/post =
+    * first/second half of the time range per user (users present in both
+    * halves). Determinism: per-user means come from exact DECIMAL sums
+    * and are quantized to 1e-4 integers, so ALL five moment sums are
+    * exact BIGINT folds (order-free); θ/ρ² are then a fixed IEEE
+    * expression over those integer scalars, 9-dp-quantized. Magnitudes:
+    * q² sums stay in BIGINT to ~1e6 users at this value range — lift the
+    * quantized moments to DECIMAL(38,0) beyond. Shape: one scan, one
+    * user-keyed aggregate, one single-row reduce.
+    */
+  val d18: GraftQuery = GraftQuery(
+    "d18_cuped_reduction",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+      val pu = e.crossJoin(broadcast(mid)).groupBy("user_id").agg(
+        count(when(col("us") < col("mid_us"), 1)).as("n_pre"),
+        sum(when(col("us") < col("mid_us"), dec(col("value")))).as("s_pre"),
+        count(when(col("us") >= col("mid_us"), 1)).as("n_post"),
+        sum(when(col("us") >= col("mid_us"), dec(col("value")))).as("s_post"))
+        .filter(col("n_pre") > 0 && col("n_post") > 0)
+        .select(
+          floor(col("s_pre").cast("double") / col("n_pre") * 1e4 + 0.5)
+            .cast("long").as("x"),
+          floor(col("s_post").cast("double") / col("n_post") * 1e4 + 0.5)
+            .cast("long").as("y"))
+      val t = pu.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val n = col("n").cast("double")
+      val cxy = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+      val cxx = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+      val cyy = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+      def q9(c: Column) = floor(c * 1e9 + 0.5).cast("double") / 1e9
+      t.select(col("n").as("n_users"),
+        q9(cxy / cxx).as("theta"),
+        q9(cyy / (n * (n - 1.0)) / 1e8).as("var_post"),
+        q9(cyy / (n * (n - 1.0)) / 1e8 * (lit(1.0) - cxy * cxy / (cxx * cyy)))
+          .as("var_cuped"),
+        q9(cxy * cxy / (cxx * cyy)).as("reduction"))
+    },
+    Some("""WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+           |b AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+           |pu AS (SELECT user_id,
+           |         count(*) FILTER (WHERE us < b.mid_us) AS n_pre,
+           |         sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE us < b.mid_us) AS s_pre,
+           |         count(*) FILTER (WHERE us >= b.mid_us) AS n_post,
+           |         sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE us >= b.mid_us) AS s_post
+           |       FROM e, b GROUP BY 1),
+           |xy AS (SELECT CAST(floor(CAST(s_pre AS DOUBLE) / n_pre * 1e4 + 0.5) AS BIGINT) AS x,
+           |              CAST(floor(CAST(s_post AS DOUBLE) / n_post * 1e4 + 0.5) AS BIGINT) AS y
+           |       FROM pu WHERE n_pre > 0 AND n_post > 0),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+           |        CAST(sum(x * y) AS BIGINT) AS sxy FROM xy),
+           |c AS (SELECT n,
+           |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+           |        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+           |        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+           |      FROM t)
+           |SELECT n AS n_users,
+           |  floor(cxy / cxx * 1e9 + 0.5) / 1e9 AS theta,
+           |  floor(cyy / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e8 * 1e9 + 0.5) / 1e9 AS var_post,
+           |  floor(cyy / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e8
+           |    * (1.0 - cxy * cxy / (cxx * cyy)) * 1e9 + 0.5) / 1e9 AS var_cuped,
+           |  floor(cxy * cxy / (cxx * cyy) * 1e9 + 0.5) / 1e9 AS reduction
+           |FROM c""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, a22, m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, a22, m12,
+      m13, m14)
 }

@@ -738,7 +738,34 @@ object StreamingOps {
            |FROM n""".stripMargin),
     bench = false)
 
+  /** T25 (beyond reference): streaming top-k — the live "top users right
+    * now" leaderboard: a complete-mode streaming aggregation with the
+    * sort AND limit INSIDE the streaming query (complete mode is the one
+    * output mode where Structured Streaming permits a global sort,
+    * because each trigger re-emits the whole result). Deterministic
+    * tiebreak on user_id so the k-boundary cannot flap between engines.
+    * State is one count per user (bounded by users); the sort runs on
+    * the AGGREGATED domain, not events. The batch oracle is the same
+    * ORDER BY/LIMIT — micro-batching cannot change a count.
+    */
+  val t25: GraftQuery = GraftQuery(
+    "t25_stream_topk",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .orderBy(desc("n_events"), asc("user_id")).limit(10)
+        .writeStream.format("memory").queryName("graft_t25")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t25")
+    },
+    Some("""SELECT user_id, count(*) AS n_events FROM events
+           |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24)
+      t24, t25)
 }

@@ -578,6 +578,33 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("d18 CUPED: reduction in [0,1], identity var_cuped = var_post(1-rho2), theta replays") {
+    val r = StatOps.d18.build(spark, sf).collect().head
+    val red = r.getAs[Double]("reduction")
+    assert(red >= 0.0 && red <= 1.0)
+    assert(math.abs(r.getAs[Double]("var_cuped") -
+      r.getAs[Double]("var_post") * (1.0 - red)) < 1e-6)
+    // replay theta from per-user quantized means
+    val mid = Tables.events(spark, sf)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")).as[Long].head()
+    val xs = Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us")).collect()
+      .groupBy(_.getLong(0)).flatMap { case (_, rows) =>
+        val (pre, post) = rows.partition(_.getLong(2) < mid)
+        if (pre.isEmpty || post.isEmpty) None
+        else Some((
+          math.floor(pre.map(_.getDouble(1)).sum / pre.size * 1e4 + 0.5).toLong,
+          math.floor(post.map(_.getDouble(1)).sum / post.size * 1e4 + 0.5).toLong))
+      }.toSeq
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+    val sxy = xs.map(p => p._1.toDouble * p._2).sum
+    val sxx = xs.map(p => p._1.toDouble * p._1).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-4)
+    assert(r.getAs[Long]("n_users") == xs.size)
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
