@@ -2175,11 +2175,47 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** W26 (beyond reference): rolling 7-day active users — for each day of
+    * the observed range, how many distinct users were active in the
+    * trailing 7-day window (the rolling-MAU curve; [[w13]] reports the
+    * global DAU/MAU ratio, this is its full time series). COUNT DISTINCT
+    * does not decompose over sliding windows, so the exact formulation
+    * EXPLODES each user-day into the <= 7 window-end days it supports and
+    * hash-aggregates distinct users per window-end — a bounded 7x row
+    * multiplication on the (user, day) DEDUPED domain (not raw events),
+    * then one distinct-count shuffle; no window function at all. Days
+    * with no trailing activity simply don't appear (total function over
+    * observed days via the spine join). At 100 TB the user-day domain is
+    * the small one, and the alternative (7 self-joins or a sliding HLL)
+    * trades exactness for nothing at this blowup factor.
+    */
+  val w26 = q(
+    "w26_rolling_mau",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      |w AS (SELECT user_id, day + CAST(off AS INTEGER) AS wend
+      |      FROM ud CROSS JOIN (SELECT unnest(range(7)) AS off)),
+      |r AS (SELECT wend AS day, count(DISTINCT user_id) AS rolling_users
+      |      FROM w, bounds WHERE wend <= bounds.d1 GROUP BY 1)
+      |SELECT day, rolling_users FROM r, bounds WHERE day >= bounds.d0""".stripMargin) {
+    (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(0, 6)")).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("wend"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wend") <= col("d1") && col("wend") >= col("d0"))
+        .groupBy(col("wend").as("day"))
+        .agg(countDistinct("user_id").as("rolling_users"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

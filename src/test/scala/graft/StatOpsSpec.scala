@@ -605,6 +605,31 @@ class StatOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_users") == xs.size)
   }
 
+  test("w26 rolling MAU: equals a per-day brute-force distinct over the trailing window") {
+    val out = graft.operators.Relational.w26.build(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getAs[Long]("rolling_users")).toMap
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val (d0, d1) = (days.min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)),
+      days.max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)))
+    var d = d0
+    while (!d.isAfter(d1)) {
+      val lo = d.minusDays(6)
+      val expect = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(lo)
+      }.map(_._1).distinct.length.toLong
+      if (expect > 0)
+        assert(out(d) == expect, s"day $d")
+      else assert(!out.contains(d))
+      d = d.plusDays(1)
+    }
+    // the rolling count dominates the daily distinct count everywhere
+    val daily = ud.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    daily.foreach { case (day, n) => assert(out(day) >= n) }
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
