@@ -277,5 +277,66 @@ object MultiModal {
            |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
            |FROM cand WHERE bit_count(xor(sa, sb)) <= $HammingMax""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5)
+  /** MM6 (beyond reference): video-level near-duplicate pairs by SHARED
+    * SAMPLED FRAMES — the shot-level dedup a video curation pipeline runs
+    * on top of [[mm3]]'s keyframe sampler: two payloads are candidate
+    * dups when they share >= 2 distinct sampled-frame digests, reported
+    * with the overlap fraction over the smaller frame set (the
+    * containment view — a clip embedded in a longer cut still surfaces).
+    * Complements [[mm5]]: phash catches whole-payload similarity, this
+    * catches SEGMENT reuse (frames before an edit point stay identical
+    * even when everything after shifts). Shape: frame digests from the
+    * strided sampler (scan-parallel), a DF-capped inverted index on the
+    * digest (stop-frame rule — a digest carried by > 50 payloads is
+    * corpus boilerplate, not dup evidence; bounds bucket fanout), one
+    * equi-join on the digest key, integer counts and one division. Never
+    * all-pairs.
+    */
+  val mm6: GraftQuery = GraftQuery(
+    "mm6_video_neardup",
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .withColumn("blen", length(col("payload")))
+        .select(col("doc_id"), col("payload"),
+          explode(expr("sequence(0, least(7, (blen - 1) div 256))")).as("fi"))
+        .select(col("doc_id"),
+          md5(expr("substring(payload, fi * 256 + 1, 64)")).as("h"))
+        .distinct()
+      val nf = f.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      val keep = f.groupBy("h").agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= 50).select("h")
+      val fk = f.join(keep, "h")
+      val p = fk.select(col("h"), col("doc_id").as("a_id"))
+        .join(fk.select(col("h"), col("doc_id").as("b_id")), "h")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      p.join(nf.select(col("doc_id").as("a_id"), col("n_frames").as("na")), "a_id")
+        .join(nf.select(col("doc_id").as("b_id"), col("n_frames").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          least(col("na"), col("nb")).as("min_frames"),
+          (col("n_shared").cast("double") / least(col("na"), col("nb")))
+            .as("overlap_frac"))
+    },
+    Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents),
+           |e AS (SELECT doc_id, text,
+           |        unnest(generate_series(0, least(7, (blen - 1) // 256))) AS fi FROM b),
+           |f AS (SELECT DISTINCT doc_id,
+           |        md5(substr(text, CAST(fi * 256 + 1 AS INT), 64)) AS h FROM e),
+           |nf AS (SELECT doc_id, count(*) AS n_frames FROM f GROUP BY 1),
+           |keep AS (SELECT h FROM f GROUP BY h HAVING count(*) <= 50),
+           |fk AS (SELECT f.* FROM f JOIN keep USING (h)),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |        CAST(count(*) AS BIGINT) AS n_shared
+           |      FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT p.a_id, p.b_id, p.n_shared,
+           |  CAST(least(na.n_frames, nb.n_frames) AS BIGINT) AS min_frames,
+           |  CAST(p.n_shared AS DOUBLE) / least(na.n_frames, nb.n_frames) AS overlap_frac
+           |FROM p
+           |JOIN nf na ON na.doc_id = p.a_id
+           |JOIN nf nb ON nb.doc_id = p.b_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5, mm6)
 }

@@ -59,6 +59,30 @@ class MultiModalSpec extends SparkSpec {
     assert(pairs.filter(p => Set((1L,2L),(1L,3L),(2L,3L))(p._1 -> p._2)).forall(_._3 == 0))
   }
 
+  test("mm6 finds shared-prefix payloads, ignores disjoint ones, and reports containment") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(31)
+    def blob(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val shared = blob(1024) // 4 full frames worth of shared prefix
+    val rows = Seq(
+      (1L, shared + blob(1024)),  // frames 0-3 shared, 4-7 unique
+      (2L, shared + blob(1024)),  // same prefix, different tail
+      (3L, blob(2048)))           // disjoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm6").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MultiModal.mm6.build(SparkSpec.spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L)
+    assert(r.getAs[Long]("n_shared") == 4L)
+    assert(r.getAs[Long]("min_frames") == 8L)
+    assert(r.getAs[Double]("overlap_frac") == 0.5)
+  }
+
   test("phashStub is reorder-invariant and edit-stable") {
     val a = MultiModal.phashStub("alpha beta gamma delta".getBytes("UTF-8"))
     val b = MultiModal.phashStub("delta gamma beta alpha".getBytes("UTF-8"))
