@@ -2211,11 +2211,53 @@ object Relational {
         .agg(countDistinct("user_id").as("rolling_users"))
   }
 
+  /** W27 (beyond reference): first-touch / last-touch attribution — for
+    * each converting user (any purchase), which event TYPE opened their
+    * journey and which one directly preceded the first purchase; counts
+    * per (touch, event_type). The two bookend heuristics every marketing
+    * stack reports next to [[w20]]'s principled Markov attribution —
+    * shipping all three lets a user quantify how much the heuristics
+    * disagree with the model. Shape: one purchase-time aggregate, one
+    * join + min_by/max_by aggregate per user (deterministic
+    * (ts, event_id) tiebreak), one tiny count; all hash aggregates on
+    * user_id, no windows.
+    */
+  val w27 = q(
+    "w27_touch_attribution",
+    """WITH fp AS (SELECT user_id, min(ts) AS tp FROM events
+      |           WHERE event_type = 'purchase' GROUP BY 1),
+      |pre AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+      |        FROM events e JOIN fp USING (user_id) WHERE e.ts < fp.tp),
+      |bk AS (SELECT user_id,
+      |         arg_min(event_type, printf('%020d-%012d', epoch_us(ts), event_id)) AS ft,
+      |         arg_max(event_type, printf('%020d-%012d', epoch_us(ts), event_id)) AS lt
+      |       FROM pre GROUP BY 1)
+      |SELECT 'first' AS touch, ft AS event_type, count(*) AS n_users
+      |FROM bk GROUP BY 2
+      |UNION ALL
+      |SELECT 'last', lt, count(*) FROM bk GROUP BY 2""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val pre = e.join(fp, "user_id").filter(col("ts") < col("tp"))
+    val key = format_string("%020d-%012d", unix_micros(col("ts")), col("event_id"))
+    val bk = pre.groupBy("user_id").agg(
+      min_by(col("event_type"), key).as("ft"),
+      max_by(col("event_type"), key).as("lt"))
+    bk.groupBy(col("ft").as("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit("first").as("touch"), col("event_type"), col("n_users"))
+      .union(bk.groupBy(col("lt").as("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("last").as("touch"), col("event_type"), col("n_users")))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

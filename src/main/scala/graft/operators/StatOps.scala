@@ -1421,7 +1421,65 @@ object StatOps {
            |  floor(cxy * cxy / (cxx * cyy) * 1e9 + 0.5) / 1e9 AS reduction
            |FROM c""".stripMargin))
 
+  /** D19 (beyond reference): two-proportion z-test — THE most-used A/B
+    * statistic (conversion rate A vs B): here, the click→purchase rate
+    * of users whose first event landed in the first half of the window
+    * vs the second (a natural quasi-experiment on this data; swap any
+    * boolean assignment in). z = (p1 − p2)/√(p̂(1−p̂)(1/n1 + 1/n2)) with
+    * pooled p̂ — completes the testing family: [[a22]] compares means,
+    * [[d16]] distributions, this compares PROPORTIONS. Everything is a
+    * ratio of integer counts combined in one fixed IEEE expression
+    * (sqrt is correctly rounded), quantized at 9 dp; one scan + one
+    * user-keyed aggregate + one single-row reduce.
+    */
+  val d19: GraftQuery = GraftQuery(
+    "d19_two_proportion_z",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+      val pu = e.crossJoin(broadcast(mid)).groupBy("user_id").agg(
+        (min("us") < first("mid_us")).as("grp_a"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      val t = pu.agg(
+        count(when(col("grp_a"), 1)).as("n1"),
+        sum(when(col("grp_a"), col("converted"))).as("c1"),
+        count(when(!col("grp_a"), 1)).as("n2"),
+        sum(when(!col("grp_a"), col("converted"))).as("c2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val p1 = col("c1").cast("double") / n1
+      val p2 = col("c2").cast("double") / n2
+      val pp = (col("c1") + col("c2")).cast("double") / (col("n1") + col("n2")).cast("double")
+      val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
+      t.select(col("n1"), col("c1"), col("n2"), col("c2"),
+        (floor(p1 * 1e9 + 0.5).cast("double") / 1e9).as("p1"),
+        (floor(p2 * 1e9 + 0.5).cast("double") / 1e9).as("p2"),
+        when(se > 0, floor((p1 - p2) / se * 1e9 + 0.5).cast("double") / 1e9).as("z"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |b AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+           |pu AS (SELECT user_id, min(us) < any_value(b.mid_us) AS grp_a,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+           |       FROM e, b GROUP BY 1),
+           |t AS (SELECT CAST(count(*) FILTER (WHERE grp_a) AS BIGINT) AS n1,
+           |        CAST(sum(converted) FILTER (WHERE grp_a) AS BIGINT) AS c1,
+           |        CAST(count(*) FILTER (WHERE NOT grp_a) AS BIGINT) AS n2,
+           |        CAST(sum(converted) FILTER (WHERE NOT grp_a) AS BIGINT) AS c2 FROM pu)
+           |SELECT n1, c1, n2, c2,
+           |  floor(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1e9 + 0.5) / 1e9 AS p1,
+           |  floor(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) * 1e9 + 0.5) / 1e9 AS p2,
+           |  CASE WHEN sqrt(CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+           |         * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+           |         * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) > 0
+           |       THEN floor((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           |              - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           |         / sqrt(CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+           |             * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+           |             * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+           |         * 1e9 + 0.5) / 1e9 END AS z
+           |FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, a22, m12,
-      m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, a22,
+      m12, m13, m14)
 }

@@ -630,6 +630,56 @@ class StatOpsSpec extends SparkSpec {
     daily.foreach { case (day, n) => assert(out(day) >= n) }
   }
 
+  test("d19 two-proportion z: groups partition users, rates replay, z sign matches") {
+    val r = StatOps.d19.build(spark, sf).collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == users)
+    assert(r.getAs[Long]("c1") <= r.getAs[Long]("n1"))
+    assert(r.getAs[Long]("c2") <= r.getAs[Long]("n2"))
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    // an empty arm (possible on tiny fixtures) must yield null rate/z, not NaN
+    if (n1 == 0 || n2 == 0) {
+      assert(r.isNullAt(r.fieldIndex("z")))
+    } else {
+      val p1 = r.getAs[Long]("c1").toDouble / n1
+      val p2 = r.getAs[Long]("c2").toDouble / n2
+      assert(math.abs(r.getAs[Double]("p1") - p1) < 1e-9)
+      assert(math.abs(r.getAs[Double]("p2") - p2) < 1e-9)
+      val pp = (r.getAs[Long]("c1") + r.getAs[Long]("c2")).toDouble / (n1 + n2)
+      val se = math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+      if (se > 0)
+        assert(math.abs(r.getAs[Double]("z") - (p1 - p2) / se) < 1e-6)
+    }
+  }
+
+  test("w27 touch attribution: totals agree across touches and replay per user") {
+    val out = graft.operators.Relational.w27.build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_users")).toMap
+    val first = out.collect { case (("first", _), n) => n }.sum
+    val last = out.collect { case (("last", _), n) => n }.sum
+    assert(first == last, "every attributed user has exactly one first and one last touch")
+    // replay
+    val byUser = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .groupBy(_.getLong(0))
+    var ftCounts = Map.empty[String, Long].withDefaultValue(0L)
+    var ltCounts = Map.empty[String, Long].withDefaultValue(0L)
+    byUser.values.foreach { evs =>
+      val purchases = evs.filter(_.getString(1) == "purchase")
+      if (purchases.nonEmpty) {
+        val tp = purchases.map(_.getTimestamp(2).getTime).min
+        val pre = evs.filter(_.getTimestamp(2).getTime < tp)
+          .sortBy(e => (e.getTimestamp(2).getTime, e.getLong(3)))
+        if (pre.nonEmpty) {
+          ftCounts += pre.head.getString(1) -> (ftCounts(pre.head.getString(1)) + 1)
+          ltCounts += pre.last.getString(1) -> (ltCounts(pre.last.getString(1)) + 1)
+        }
+      }
+    }
+    ftCounts.foreach { case (t, n) => assert(out(("first", t)) == n, s"first $t") }
+    ltCounts.foreach { case (t, n) => assert(out(("last", t)) == n, s"last $t") }
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
