@@ -927,7 +927,62 @@ object Sources {
            |       (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0)""".stripMargin),
     bench = false)
 
+  /** S33 (beyond reference): incremental materialized-view maintenance —
+    * an aggregate MV (per-status order count + DECIMAL revenue) is
+    * brought from snapshot v1 to v2 by applying the [[s21]] CDC
+    * changelog as SIGNED DELTAS (+1/−1 per insert/delete, ±price into
+    * the sum), never rescanning the base table: the O(changed rows)
+    * refresh that makes dashboard aggregates affordable at 100 TB, and
+    * the standard IVM construction for distributive aggregates
+    * (count/sum compose under deltas; min/max would need the full
+    * group). DECIMAL accumulation makes the incremental result EQUAL to
+    * a direct recompute bit-for-bit — which is exactly what the oracle
+    * checks: it computes v2's aggregate directly, the query computes it
+    * via MV1 ⊕ delta. Groups whose count reaches zero are dropped (the
+    * MV tombstone rule). v2 = v1 minus keys ≡ 0 (mod 3), with keys ≡ 0
+    * (mod 5) doubled in price (updates = delete+insert pairs in the
+    * changelog).
+    */
+  val s33: GraftQuery = GraftQuery(
+    "s33_incremental_mv",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_mv"
+      val dp = org.apache.spark.sql.types.DecimalType(18, 4)
+      Snapshots.reset(t)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("p"))
+      Snapshots.write(s, t, base)
+      Snapshots.write(s, t, base.filter(expr("o_orderkey % 3 <> 0"))
+        .withColumn("p",
+          when(expr("o_orderkey % 5 = 0"), col("p") * 2).otherwise(col("p"))))
+      val mv1 = Snapshots.read(s, t, 1).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("p").cast(dp)).as("sm"))
+      val dAgg = Snapshots.diff(s, t, 1, 2)
+        .groupBy("o_orderstatus").agg(
+          sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("dn"),
+          sum(when(col("_change_type") === "insert", col("p").cast(dp))
+            .otherwise(-col("p").cast(dp))).as("dsum"))
+      mv1.join(dAgg, Seq("o_orderstatus"), "full")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("sm"), lit(0).cast(dp)) +
+            coalesce(col("dsum"), lit(0).cast(dp))).as("smf"))
+        .filter(col("n_orders") > 0)
+        .select(col("o_orderstatus"), col("n_orders"),
+          col("smf").cast("double").as("total"))
+    },
+    Some("""WITH v2 AS (SELECT o_orderstatus,
+           |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+           |       ELSE o_totalprice END AS p
+           |  FROM orders WHERE o_orderkey % 3 <> 0)
+           |SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS total
+           |FROM v2 GROUP BY 1""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-      s23, s24, s25, s26, s27, s28, s29, s30, s31, s32)
+      s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33)
 }

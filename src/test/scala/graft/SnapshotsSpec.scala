@@ -83,6 +83,22 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.vacuum(t, keep = 0))
   }
 
+  test("s33 incremental MV equals a direct recompute of the v2 aggregate") {
+    val inc = graft.operators.Sources.s33.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_orders"), r.getAs[Double]("total")))
+      .toMap
+    val direct = graft.core.Tables.orders(spark, sf)
+      .filter(expr("o_orderkey % 3 <> 0"))
+      .select(col("o_orderstatus"),
+        when(expr("o_orderkey % 5 = 0"), col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("p"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("p").cast("double").as("t")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("t"))).toMap
+    assert(inc == direct, "delta-applied MV must equal the recomputed aggregate")
+  }
+
   test("s30 SCD2: versions tile per user, one open row each, no same-state repeats") {
     import org.apache.spark.sql.functions._
     val dim = graft.operators.Sources.s30.build(spark, sf).collect()
