@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Snapshots
+import org.apache.spark.sql.functions._
 
 /** MERGE semantics at the snapshot seam: all three branches (update,
   * insert, carry-over), the cardinality rule, and time-travel isolation of
