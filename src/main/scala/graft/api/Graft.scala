@@ -563,6 +563,13 @@ object Graft {
   def massQuantiles(docs: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
     TextOps.massQuantiles(docs, pcts)
 
+  /** Embedding OOD/outlier report over (vec_id, embedding): per vector
+    * its k-means cell, 1−cos distance to the cell centroid, and the
+    * cell's population — filter with `ood_score > tau OR cluster_n <
+    * minSupport` (orphaned cells are outlier evidence too).
+    */
+  def oodScores(emb: DataFrame): DataFrame = VectorOps.oodScores(emb)
+
   /** Embedding-distribution drift (vector-space PSI): `df` needs
     * (embedding, `isRefCol`: boolean snapshot marker); one row per
     * fixed random-hyperplane cosine cell (2^bits) with its smoothed PSI

@@ -1861,21 +1861,26 @@ object VectorOps {
     * bit-for-bit (the v4 machinery); the score is one subtraction,
     * 9-dp-quantized.
     */
+  /** Public DataFrame-in API (see graft.api.Graft): the OOD report
+    * itself — `emb` needs (vec_id: long, embedding: array<float>);
+    * returns (vec_id, cluster, ood_score, cluster_n).
+    */
+  def oodScores(emb: DataFrame): DataFrame = {
+    val cents = kmeansCentroidsOf(emb)
+    val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
+    withNorm(emb, "c").join(broadcast(cents), col("c_id").isNotNull)
+      .withColumn("kcos", cosine("c_e", "k_e"))
+      .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
+      .select(col("c_id").as("vec_id"), col("k_id").as("cluster"),
+        (floor((lit(1.0) - col("kcos")) * 1e9 + 0.5).cast("double") / 1e9)
+          .as("ood_score"))
+      .withColumn("cluster_n",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+  }
+
   val v28: GraftQuery = GraftQuery(
     "v28_ood_centroid_score",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cents = kmeansCentroidsOf(emb)
-      val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
-      withNorm(emb, "c").join(broadcast(cents), col("c_id").isNotNull)
-        .withColumn("kcos", cosine("c_e", "k_e"))
-        .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
-        .select(col("c_id").as("vec_id"), col("k_id").as("cluster"),
-          (floor((lit(1.0) - col("kcos")) * 1e9 + 0.5).cast("double") / 1e9)
-            .as("ood_score"))
-        .withColumn("cluster_n",
-          count(lit(1)).over(Window.partitionBy("cluster")))
-    },
+    (s, d) => oodScores(Tables.embeddings(s, d)),
     Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
            |c0 AS (SELECT vec_id AS k_id, e AS ke FROM v
            |       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
