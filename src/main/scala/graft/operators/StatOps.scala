@@ -1479,7 +1479,71 @@ object StatOps {
            |         * 1e9 + 0.5) / 1e9 END AS z
            |FROM t""".stripMargin))
 
+  /** D20 (beyond reference): k-anonymity audit — for each combination of
+    * the quasi-identifier columns (here nation × market segment on the
+    * customer dim), the group size and whether it violates k = 5: the
+    * data-governance check run before any dataset leaves the boundary
+    * (a QI group smaller than k re-identifies its members by linkage).
+    * Complements [[graft.operators.TextOps]]'s x22 PII redaction: x22
+    * scrubs direct identifiers, this measures INDIRECT identifiability.
+    * One hash aggregate on the QI key — the d5 shape; integer counts
+    * only.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): the audit itself
+    * over any table and QI column list.
+    */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[String], k: Int = 5): DataFrame = {
+    require(qi.nonEmpty && k >= 2, "kAnonymityAudit: QI columns and k >= 2")
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", col("group_n") < k)
+  }
+
+  val d20: GraftQuery = GraftQuery(
+    "d20_k_anonymity",
+    (s, d) => kAnonymityAudit(
+      Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"), 5),
+    Some("""SELECT c_nationkey, c_mktsegment, count(*) AS group_n,
+           |count(*) < 5 AS at_risk
+           |FROM customer GROUP BY 1, 2""".stripMargin))
+
+  /** D21 (beyond reference): differentially-private count release —
+    * per-event-type counts with Laplace(1/ε) noise, ε = 1 (sensitivity 1
+    * for a count). The twist that makes it ORACLE-CHECKABLE: the noise
+    * draw is a keyed md5 uniform (the [[graft.functions.HashDraw]]
+    * contract, u = first 60 md5 bits / 2^60) pushed through the exact
+    * inverse Laplace CDF −(1/ε)·sgn(u−½)·ln(1−2|u−½|) — deterministic
+    * across engines, so the released values hash-match while the
+    * MECHANISM (noise magnitude distribution) is the real one. A
+    * production release swaps the keyed draw for a secret-seeded one —
+    * one line — and everything else stands. ln is quantized at 9 dp (the
+    * d2 discipline). One aggregate over the category domain.
+    */
+  val d21: GraftQuery = GraftQuery(
+    "d21_dp_release",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val u = expr("CAST(conv(substring(md5(concat('d21:', event_type)), 1, 15), 16, 10) AS BIGINT)")
+        .cast("double") / lit(1152921504606846976.0)
+      val v = u - lit(0.5)
+      val sgn = when(v < 0, lit(-1.0)).otherwise(lit(1.0))
+      val noise = floor(-sgn * log(lit(1.0) - lit(2.0) * abs(v)) * 1e9 + 0.5)
+        .cast("double") / 1e9
+      counts.select(col("event_type"),
+        (col("n") + noise).as("noisy_n"), lit(1.0).as("epsilon"))
+    },
+    Some("""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+           |u AS (SELECT event_type, n,
+           |        CAST('0x' || substr(md5('d21:' || event_type), 1, 15) AS BIGINT)
+           |          / 1152921504606846976.0 - 0.5 AS v FROM c)
+           |SELECT event_type,
+           |  n + floor(-(CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END)
+           |        * ln(1.0 - 2.0 * abs(v)) * 1e9 + 0.5) / 1e9 AS noisy_n,
+           |  1.0 AS epsilon
+           |FROM u""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, a22,
-      m12, m13, m14)
+    Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
+      d21, a22, m12, m13, m14)
 }

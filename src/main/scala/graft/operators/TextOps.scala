@@ -2510,20 +2510,31 @@ object TextOps {
            |FROM us JOIN bs USING (source)""".stripMargin))
 
   /** Public DataFrame-in API (see graft.api.Graft): containment pairs.
-    * Candidates = pairs sharing >= 1 rare shingle (global DF in [2, 4] —
-    * DF 1 cannot pair, the cap bounds per-shingle fanout at C(4,2));
-    * verified exactly: containment = |Sa∩Sb| / min(|Sa|, |Sb|) >= thr.
+    * Candidates = pairs sharing >= 2 rare shingles (global DF in [2, 4] —
+    * DF 1 cannot pair, the cap bounds per-shingle fanout at C(4,2), and
+    * the >= 2 rule rejects single birthday-collision shingles before the
+    * set-intersect verify); verified exactly:
+    * containment = |Sa∩Sb| / min(|Sa|, |Sb|) >= thr.
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val sets = shingleSets(docs)
+    // the shingle sets feed candidate generation AND both sides of the
+    // verify join — pin them once (the kmeansCentroidsOf discipline) so
+    // the plan doesn't re-shingle the corpus three times
+    val sets = shingleSets(docs).localCheckpoint()
     val g = sets.select(col("doc_id"), explode(col("sh")).as("g"))
     val rare = g.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 4)).select("g")
     val rg = g.join(rare, "g")
+    // demand >= 2 shared rare shingles before paying the set-intersect
+    // verify: one shared rare shingle happens by birthday collision on any
+    // large corpus (measured: it made verification the bench's slowest
+    // step), two is overwhelming evidence of real overlap — and any
+    // containment >= 0.9 pair shares far more than two
     val cand = rg.select(col("g"), col("doc_id").as("a_id"))
       .join(rg.select(col("g"), col("doc_id").as("b_id")), "g")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_rare"))
+      .filter(col("n_rare") >= 2).select("a_id", "b_id")
     val thrNum = math.round(threshold * 10).toInt
     withSets(cand, sets)
       .select(col("a_id"), col("b_id"),
@@ -2541,7 +2552,10 @@ object TextOps {
     * fire. Candidates come from RARE shingles (global DF in [2, 4]) — an
     * inverted-index pass whose fanout is bounded at C(4,2) pairs per
     * shingle, never all-pairs — then the exact containment
-    * |Sa∩Sb|/min(|Sa|, |Sb|) >= 0.9 verifies each candidate; the
+    * |Sa∩Sb|/min(|Sa|, |Sb|) >= 0.9 verifies each candidate (only pairs
+    * sharing >= 2 rare shingles reach it — a single shared rare shingle
+    * is a birthday collision on any big corpus, and admitting those made
+    * verification the measured bottleneck); the
     * threshold compares as exact integers (inter·10 >= mn·9). The
     * candidate rule is part of the operator contract, replayed exactly
     * by the oracle. At 100 TB: one DF aggregate (map-side combined), one
@@ -2560,8 +2574,9 @@ object TextOps {
            |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
            |         WHERE df BETWEEN 2 AND 4),
            |rg AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id),
+           |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2 HAVING count(*) >= 2),
            |p AS (SELECT c.a_id, c.b_id,
            |        len(list_intersect(sa.s, sb.s)) AS inter,
            |        least(len(sa.s), len(sb.s)) AS mn
