@@ -563,6 +563,13 @@ object Graft {
   def massQuantiles(docs: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
     TextOps.massQuantiles(docs, pcts)
 
+  /** k-anonymity audit: group sizes per quasi-identifier combination
+    * with an `at_risk` flag for groups below `k` — the re-identification
+    * check before a dataset release.
+    */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[String], k: Int = 5): DataFrame =
+    StatOps.kAnonymityAudit(df, qi, k)
+
   /** Embedding OOD/outlier report over (vec_id, embedding): per vector
     * its k-means cell, 1−cos distance to the cell centroid, and the
     * cell's population — filter with `ood_score > tau OR cluster_n <

@@ -680,6 +680,40 @@ class StatOpsSpec extends SparkSpec {
     ltCounts.foreach { case (t, n) => assert(out(("last", t)) == n, s"last $t") }
   }
 
+  test("d20 k-anonymity: groups partition the table, risk flag matches k") {
+    val out = StatOps.d20.build(spark, sf).collect()
+    val total = Tables.customer(spark, sf).count()
+    assert(out.map(_.getAs[Long]("group_n")).sum == total)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") == (r.getAs[Long]("group_n") < 5))
+    }
+    // a planted unique quasi-identifier must surface as at-risk
+    val df = Seq((1, "A"), (2, "A"), (3, "A"), (4, "A"), (5, "A"), (9, "Z"))
+      .toDF("qi1", "qi2")
+    val audit = StatOps.kAnonymityAudit(df, Seq("qi2"), 5).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("at_risk")).toMap
+    assert(!audit("A") && audit("Z"))
+  }
+
+  test("d21 DP release: noise replays from the keyed draw, bounded for these keys") {
+    val out = StatOps.d21.build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("noisy_n")).toMap
+    val truth = Tables.events(spark, sf).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == truth.keySet)
+    out.foreach { case (et, noisy) =>
+      val u = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"d21:$et".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+        .toDouble / (1L << 60).toDouble
+      val v = u - 0.5
+      val noise = math.floor(-(if (v < 0) -1.0 else 1.0) *
+        math.log(1.0 - 2.0 * math.abs(v)) * 1e9 + 0.5) / 1e9
+      assert(math.abs(noisy - (truth(et) + noise)) < 1e-6, s"$et")
+    }
+  }
+
   test("d12 MDE agrees with a local recomputation and shrinks with n") {
     val r = StatOps.d12.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
