@@ -23,6 +23,11 @@ import org.apache.spark.sql.streaming.Trigger
   */
 final case class FunnelProgress(step: Int, t1: Long, tPrev: Long)
 
+/** One funnel input event (top-level so Janino codegen reaches the
+  * accessors — see StreamingSpec's Update note).
+  */
+final case class FunnelEv(user_id: Long, event_type: String, us: Long)
+
 object StreamingOps {
 
   /** Kafka-envelope-shaped stream over the events table: file source with
@@ -671,34 +676,48 @@ object StreamingOps {
     * deadline. Complements [[t19]] (generic running agg) with ORDERED
     * multi-step semantics.
     */
+  /** The t24 stateful core over any funnel-event stream — extracted so
+    * StreamingSpec can drive it through a MemoryStream in MULTIPLE
+    * micro-batches (the AvailableNow file replay below is one batch, so
+    * the cross-batch state carry would otherwise go untested). Batches
+    * must arrive in event-time order for the incremental greedy advance
+    * to equal the batch chained-min (true for an ordered replay or a
+    * log-ordered source; an out-of-order source needs a watermark hold).
+    */
+  def funnelStateful(events: org.apache.spark.sql.Dataset[FunnelEv],
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[FunnelEv], st: GroupState[FunnelProgress]) => {
+          var cur = st.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
+          it.toArray.sortBy(_.us).foreach { ev =>
+            if (cur.step == 0) {
+              if (ev.event_type == steps.head)
+                cur = FunnelProgress(1, ev.us, ev.us)
+            } else if (cur.step < steps.size &&
+                ev.event_type == steps(cur.step) && ev.us > cur.tPrev &&
+                ev.us <= cur.t1 + windowUs) {
+              cur = FunnelProgress(cur.step + 1, cur.t1, ev.us)
+            }
+          }
+          st.update(cur)
+          Iterator.single((uid, cur.step))
+        })
+      .toDF("user_id", "step_reached")
+  }
+
   val t24: GraftQuery = GraftQuery(
     "t24_stream_funnel",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val steps = Seq("view", "click", "purchase")
-      val windowUs = 24L * 3600 * 1000000L
-      val q = eventsStream(s, d)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-        .as[(Long, String, Long)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-          (uid: Long, it: Iterator[(Long, String, Long)],
-              st: GroupState[FunnelProgress]) => {
-            var cur = st.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
-            it.toArray.sortBy(_._3).foreach { case (_, et, us) =>
-              if (cur.step == 0) {
-                if (et == steps.head) cur = FunnelProgress(1, us, us)
-              } else if (cur.step < steps.size &&
-                  et == steps(cur.step) && us > cur.tPrev &&
-                  us <= cur.t1 + windowUs) {
-                cur = FunnelProgress(cur.step + 1, cur.t1, us)
-              }
-            }
-            st.update(cur)
-            Iterator.single((uid, cur.step))
-          })
-        .toDF("user_id", "step_reached")
+      val q = funnelStateful(
+        eventsStream(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+          .as[FunnelEv],
+        Seq("view", "click", "purchase"), 24L * 3600 * 1000000L)
         .writeStream.format("memory").queryName("graft_t24")
         .outputMode("update")
         .option("checkpointLocation", checkpoint())

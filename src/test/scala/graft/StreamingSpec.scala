@@ -219,6 +219,34 @@ class StreamingSpec extends SparkSpec {
     assert(open.nonEmpty, "fixture should leave some windows open")
   }
 
+  test("t24 funnel state carries across micro-batches and matches the one-batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{FunnelEv, StreamingOps}
+    val H = 3600L * 1000000L // one hour in micros
+    val in = MemoryStream[FunnelEv]
+    val q = StreamingOps.funnelStateful(in.toDS(), Seq("a", "b", "c"), 24 * H)
+      .writeStream.format("memory").queryName("st_t24_multi")
+      .outputMode("update").start()
+    // batch 1: u1 and u2 both view; u1 clicks
+    in.addData(FunnelEv(1, "a", 0), FunnelEv(1, "b", 1 * H), FunnelEv(2, "a", 2 * H))
+    q.processAllAvailable()
+    def latest(): Map[Long, Int] = spark.table("st_t24_multi")
+      .groupBy("user_id").agg(max("step_reached").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("s")).toMap
+    assert(latest() == Map(1L -> 2, 2L -> 1))
+    // batch 2: u1 completes inside the window; u2's click lands too late
+    in.addData(FunnelEv(1, "c", 3 * H), FunnelEv(2, "b", 27 * H))
+    q.processAllAvailable()
+    assert(latest() == Map(1L -> 3, 2L -> 1),
+      "state must advance u1 across batches and hold u2 at the deadline")
+    // batch 3: a late 'a' for u2 cannot re-anchor (first view stays first)
+    in.addData(FunnelEv(2, "a", 28 * H), FunnelEv(2, "b", 29 * H))
+    q.processAllAvailable()
+    assert(latest() == Map(1L -> 3, 2L -> 1),
+      "re-anchoring on a later first-step event would break w23 equivalence")
+    q.stop()
+  }
+
   test("t24 streaming funnel equals batch w23 bitwise") {
     val streaming = graft.operators.StreamingOps.t24.build(spark, sf)
       .collect().map(_.toSeq).toSet
