@@ -2586,8 +2586,89 @@ object TextOps {
            |SELECT a_id, b_id, CAST(inter AS DOUBLE) / mn AS containment
            |FROM p WHERE mn > 0 AND inter * 10 >= mn * 9""".stripMargin))
 
+  /** X50 (beyond reference): dedup METHOD comparison — one row per
+    * strategy (exact md5, near-dup components at 0.9, containment) with
+    * how many docs it would remove: the settings-selection audit a
+    * curation team runs before committing to a dedup config ([[x37]]
+    * reports ONE pipeline's funnel; this compares the strategies).
+    * Removal rules are each method's canonical one: exact keeps the
+    * min-id per hash group; near-dup keeps one doc per component;
+    * containment removes the smaller-set side of each >= 0.9 pair
+    * (tiebreak: the larger doc_id goes). The oracle replays all three
+    * pipelines — md5 groups, the recursive-CTE component closure, and
+    * the rare-shingle containment index — and the counts must agree
+    * exactly. Cost = the three underlying passes; nothing new at scale.
+    */
+  val x50: GraftQuery = GraftQuery(
+    "x50_dedup_method_report",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val exactRemoved = exactDupGroups(docs)
+        .agg(sum(col("n") - 1).as("r")).select(col("r")).head().getLong(0)
+      val nearRemoved = dupComponents(docs, 0.9)
+        .select("component", "n_members").distinct()
+        .agg(sum(col("n_members") - 1).as("r")).head().getLong(0)
+      val cp = containmentPairs(docs, 0.9)
+      val sizes = shingleSets(docs).select(col("doc_id"), size(col("sh")).as("ns"))
+      val contRemoved = cp
+        .join(sizes.select(col("doc_id").as("a_id"), col("ns").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("ns").as("nb")), "b_id")
+        .select(when(col("na") < col("nb"), col("a_id"))
+          .when(col("nb") < col("na"), col("b_id"))
+          .otherwise(greatest(col("a_id"), col("b_id"))).as("removed"))
+        .distinct().count()
+      import s.implicits._
+      Seq(
+        ("exact_md5", n, exactRemoved),
+        ("neardup_components", n, nearRemoved),
+        ("containment", n, contRemoved))
+        .toDF("method", "n_docs", "n_removed")
+        .withColumn("frac_removed",
+          col("n_removed").cast("double") / col("n_docs"))
+    },
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |ex AS (SELECT CAST(sum(c - 1) AS BIGINT) AS r FROM
+           |        (SELECT count(*) AS c FROM documents GROUP BY md5(text))),
+           |pairs AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+           |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id),
+           |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+           |nr AS (SELECT CAST(sum(m - 1) AS BIGINT) AS r FROM
+           |        (SELECT count(*) AS m FROM comp GROUP BY component)),
+           |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |rare AS (SELECT g FROM (SELECT g, count(*) AS c FROM g GROUP BY 1)
+           |         WHERE c BETWEEN 2 AND 4),
+           |rg AS (SELECT doc_id, g.g FROM g JOIN rare USING (g)),
+           |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2 HAVING count(*) >= 2),
+           |cp AS (SELECT c.a_id, c.b_id, len(sa.s) AS na, len(sb.s) AS nb,
+           |         len(list_intersect(sa.s, sb.s)) AS inter,
+           |         least(len(sa.s), len(sb.s)) AS mn
+           |       FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+           |       JOIN sh sb ON sb.doc_id = c.b_id),
+           |cr AS (SELECT CAST(count(DISTINCT CASE WHEN na < nb THEN a_id
+           |                 WHEN nb < na THEN b_id
+           |                 ELSE greatest(a_id, b_id) END) AS BIGINT) AS r
+           |       FROM cp WHERE mn > 0 AND inter * 10 >= mn * 9)
+           |SELECT 'exact_md5' AS method, nd.n AS n_docs, ex.r AS n_removed,
+           |       CAST(ex.r AS DOUBLE) / nd.n AS frac_removed FROM nd, ex
+           |UNION ALL SELECT 'neardup_components', nd.n, nr.r,
+           |       CAST(nr.r AS DOUBLE) / nd.n FROM nd, nr
+           |UNION ALL SELECT 'containment', nd.n, cr.r,
+           |       CAST(cr.r AS DOUBLE) / nd.n FROM nd, cr""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
 }

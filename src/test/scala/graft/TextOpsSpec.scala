@@ -388,6 +388,22 @@ class TextOpsSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("x50 method report agrees with the standalone dedup ops") {
+    val rows = graft.operators.TextOps.x50.build(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed")))
+      .toMap
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.values.forall(_._1 == n))
+    val exact = graft.operators.TextOps.x1.build(spark, sf).collect()
+      .map(_.getAs[Long]("n") - 1).sum
+    assert(rows("exact_md5")._2 == exact)
+    val near = graft.operators.TextOps.x11.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("component") -> r.getAs[Long]("n_members")).distinct
+      .map(_._2 - 1).sum
+    assert(rows("neardup_components")._2 == near)
+    assert(rows("containment")._2 >= 0 && rows("containment")._2 <= n)
+  }
+
   test("x48 distinct-n: matches a local recomputation per source") {
     val out = graft.operators.TextOps.x48.build(SparkSpec.spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
