@@ -126,7 +126,11 @@ class PlanGuardSpec extends SparkSpec {
     "v24_recall_vs_probes",
     // int8 serving broadcasts the QUANTIZED query side (codes + one
     // scale per query vector) under the non-equi join — same contract
-    "v25_int8_ann_topk")
+    "v25_int8_ann_topk",
+    // OOD scoring broadcasts the 16-row k-means centroid set under the
+    // assignment join — the v4 contract (the checkpoint pin hides the
+    // LIMIT from the structural check, hence the contract entry)
+    "v28_ood_centroid_score")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {
