@@ -2667,8 +2667,74 @@ object TextOps {
            |UNION ALL SELECT 'containment', nd.n, cr.r,
            |       CAST(cr.r AS DOUBLE) / nd.n FROM nd, cr""".stripMargin))
 
+  /** X51 (beyond reference): PMI collocations — the top-20 bigrams by
+    * pointwise mutual information (ln of observed-over-expected under
+    * unigram independence), min count 5. [[x39]] ranks bigrams by raw
+    * frequency, which surfaces function-word pairs ("of the"); PMI
+    * normalizes by the unigram marginals and surfaces true collocations
+    * (named entities, fixed phrases) — the phrase-mining/boilerplate
+    * lens a corpus audit wants next to the frequency table. Shape: one
+    * bigram hash aggregate + one unigram hash aggregate (both
+    * vocabulary-bounded, map-side partial), two marginal equi-joins on
+    * the token key, 1-row totals broadcast; top-k is orderBy+limit →
+    * TakeOrderedAndProject. Nothing is corpus-bounded after the
+    * aggregates, so the shape holds at 100 TB. Determinism: PMI is
+    * ln((c_ab/N_bg) / ((c_a/N_u)·(c_b/N_u))) with the SAME IEEE
+    * expression tree on both engines, quantized at 1e-9 (the d2
+    * discipline); ties break on the bigram string.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): top-k PMI collocations
+    * over any corpus with a `text` column.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame = {
+      val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+      val w = docs.select(toks.as("w"))
+      val uni = w.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bg = w.select(explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      val nu = uni.agg(sum(col("c")).as("n_uni"))
+      val nb = bg.agg(sum(col("c_ab")).as("n_bg"))
+      bg.filter(col("c_ab") >= minCount)
+        .withColumn("a", expr("split(bigram, ' ')[0]"))
+        .withColumn("b", expr("split(bigram, ' ')[1]"))
+        .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+        .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .withColumn("pmi",
+          floor(log((col("c_ab").cast("double") / col("n_bg")) /
+            ((col("c_a").cast("double") / col("n_uni")) *
+              (col("c_b").cast("double") / col("n_uni")))) * 1e9 + 0.5)
+            .cast("double") / 1e9)
+        .select(col("bigram"), col("c_ab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(k)
+  }
+
+  val x51: GraftQuery = GraftQuery(
+    "x51_pmi_collocations",
+    (s, d) => pmiCollocations(Tables.documents(s, d)),
+    Some("""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           |                                 t -> t <> '') AS w FROM documents),
+           |uni AS (SELECT unnest(w) AS t FROM toks),
+           |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+           |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+           |                                    i -> w[i] || ' ' || w[i + 1])) AS bigram FROM toks),
+           |bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+           |nu AS (SELECT sum(c) AS n_uni FROM uc),
+           |nb AS (SELECT sum(c_ab) AS n_bg FROM bc)
+           |SELECT bigram, c_ab,
+           |  floor(ln((c_ab::DOUBLE / n_bg) / ((ca.c::DOUBLE / n_uni) * (cb.c::DOUBLE / n_uni))) * 1e9 + 0.5) / 1e9 AS pmi
+           |FROM bc
+           |JOIN uc ca ON ca.t = str_split(bigram, ' ')[1]
+           |JOIN uc cb ON cb.t = str_split(bigram, ' ')[2], nu, nb
+           |WHERE c_ab >= 5
+           |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
 }

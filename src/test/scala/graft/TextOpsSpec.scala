@@ -404,6 +404,30 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("containment")._2 >= 0 && rows("containment")._2 <= n)
   }
 
+  test("x51 PMI ranks a true collocation above a frequent independent pair") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    // "york" only ever follows "new" (perfect collocation); "the cat"
+    // co-occurs often but both words also appear apart everywhere else.
+    val filler = (1 to 40).map(i => s"the dog saw a cat and the bird $i")
+    val docs = ((1 to 8).map(_ => "we flew to new york yesterday") ++
+      (1 to 8).map(_ => "the cat sat") ++ filler)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.operators.TextOps.pmiCollocations(docs, minCount = 5, k = 5)
+      .collect().map(r => r.getAs[String]("bigram") -> r.getAs[Double]("pmi"))
+    val rank = out.map(_._1)
+    assert(rank.contains("new york"))
+    val pmi = out.toMap
+    assert(pmi("new york") > pmi.getOrElse("the cat", Double.NegativeInfinity))
+    // PMI of a perfect 1:1 collocation is ln(N_uni^2 / (N_bg * c_ab)) —
+    // replay it locally from the same counts
+    val toksAll = docs.collect().flatMap(_.getString(1).split("[^a-z0-9]+").filter(_.nonEmpty))
+    val nUni = toksAll.length.toDouble
+    val nBg = docs.collect().map(_.getString(1).split("[^a-z0-9]+").count(_.nonEmpty) - 1).sum.toDouble
+    val expected = math.floor(math.log((8 / nBg) / ((8 / nUni) * (8 / nUni))) * 1e9 + 0.5) / 1e9
+    assert(math.abs(pmi("new york") - expected) < 1e-12)
+  }
+
   test("x48 distinct-n: matches a local recomputation per source") {
     val out = graft.operators.TextOps.x48.build(SparkSpec.spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
