@@ -1543,7 +1543,77 @@ object StatOps {
            |  1.0 AS epsilon
            |FROM u""".stripMargin))
 
+  /** A23 (beyond reference): KMV set-overlap estimation — for every pair of
+    * event types, the estimated Jaccard of their user sets from bottom-k
+    * sketches next to the exact value, the audience-overlap question
+    * ("how much do these segments share?") answered WITHOUT holding the
+    * sets. The sketch side is the scale path: [[graft.plans.BottomKSketchAgg]]
+    * (`graft_bottom_k`) keeps O(k) state per type through map-side partial
+    * aggregation — at 100 TB each type's billion-user set flows through the
+    * shuffle as k=64 longs — and the pair stage is array math over T×k
+    * values (T = type-domain size). J ≈ |bottomK(S_A∪S_B) ∩ S_A ∩ S_B| / kk
+    * (Beyer et al. SIGMOD'07), with kk = |bottomK(union)| so small sets
+    * degrade to exact. The exact columns (a distinct self-join, affordable
+    * at verify scale) make the query its own accuracy eval, the v10 recall
+    * pattern. Determinism: the hash is the keyed-md5 60-bit draw (HashDraw
+    * contract), so the oracle replays the sketch bit-for-bit.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): pairwise KMV overlap of
+    * `idCol` sets across `setCol` groups, est + exact eval columns.
+    */
+  def kmvOverlap(df: DataFrame, setCol: String, idCol: String, k: Int = 64): DataFrame = {
+    require(k >= 1, "kmvOverlap: k must be >= 1")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val tu = df.select(col(setCol).as("g"), col(idCol).as("id")).distinct()
+    val h = expr("CAST(conv(substring(md5(concat('a23:', id)), 1, 15), 16, 10) AS BIGINT)")
+    val sk = tu.select(col("g"), h.as("h"))
+      .groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("sk"))
+    val cnt = tu.groupBy("g").agg(count(lit(1)).as("n"))
+    val ix = tu.as("a").join(tu.as("b"),
+        col("a.id") === col("b.id") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("type_a"), col("b.g").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+    sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("type_a"), col("b.g").as("type_b"),
+        col("a.sk").as("sa"), col("b.sk").as("sb"))
+      .withColumn("unionk", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("kk", size(col("unionk")).cast("long"))
+      .withColumn("matches",
+        size(expr("array_intersect(unionk, array_intersect(sa, sb))")).cast("long"))
+      .join(ix, Seq("type_a", "type_b"), "left")
+      .join(broadcast(cnt.select(col("g").as("type_a"), col("n").as("na"))), "type_a")
+      .join(broadcast(cnt.select(col("g").as("type_b"), col("n").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("kk"), col("matches"),
+        (col("matches").cast("double") / col("kk")).as("est_jaccard"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("exact_jaccard"))
+  }
+
+  val a23: GraftQuery = GraftQuery(
+    "a23_kmv_set_overlap",
+    (s, d) => kmvOverlap(Tables.events(s, d), "event_type", "user_id", 64),
+    Some("""WITH tu AS (SELECT DISTINCT event_type AS g, user_id AS id FROM events),
+           |h AS (SELECT g, CAST('0x' || substr(md5('a23:' || id), 1, 15) AS BIGINT) AS h FROM tu),
+           |sk AS (SELECT g, list_sort(list_distinct(list(h)))[1:64] AS sk FROM h GROUP BY g),
+           |cnt AS (SELECT g, count(*) AS n FROM tu GROUP BY g),
+           |ix AS (SELECT a.g AS type_a, b.g AS type_b, count(*) AS inter
+           |       FROM tu a JOIN tu b ON a.id = b.id AND a.g < b.g GROUP BY 1, 2),
+           |p AS (SELECT a.g AS type_a, b.g AS type_b, a.sk AS sa, b.sk AS sb
+           |      FROM sk a JOIN sk b ON a.g < b.g),
+           |u AS (SELECT type_a, type_b, sa, sb,
+           |        list_sort(list_distinct(list_concat(sa, sb)))[1:64] AS unionk FROM p),
+           |e AS (SELECT type_a, type_b, CAST(len(unionk) AS BIGINT) AS kk,
+           |        CAST(len(list_intersect(unionk, list_intersect(sa, sb))) AS BIGINT) AS matches
+           |      FROM u)
+           |SELECT e.type_a, e.type_b, kk, matches,
+           |  CAST(matches AS DOUBLE) / kk AS est_jaccard,
+           |  CAST(coalesce(inter, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(inter, 0)) AS exact_jaccard
+           |FROM e
+           |LEFT JOIN ix ON ix.type_a = e.type_a AND ix.type_b = e.type_b
+           |JOIN cnt ca ON ca.g = e.type_a
+           |JOIN cnt cb ON cb.g = e.type_b""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, a22, m12, m13, m14)
+      d21, a22, a23, m12, m13, m14)
 }

@@ -42,6 +42,10 @@ object GraftExtensions {
     ("graft_latest_by_seq",
       new ExpressionInfo(classOf[LatestBySeqAgg].getName, "graft_latest_by_seq"),
       (args: Seq[Expression]) => LatestBySeqAgg(args(0), args(1), args(2))
+        .toAggregateExpression()),
+    ("graft_bottom_k",
+      new ExpressionInfo(classOf[BottomKSketchAgg].getName, "graft_bottom_k"),
+      (args: Seq[Expression]) => BottomKSketchAgg(args(0), args(1))
         .toAggregateExpression()))
 
   /** Idempotent registration on a live session. */

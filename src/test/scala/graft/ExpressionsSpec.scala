@@ -78,6 +78,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.toSeq === Seq("a" -> 30.0, "b" -> null, "c" -> 70.0))
   }
 
+  test("graft_bottom_k: distinct, capped at k, sorted, merges across partitions") {
+    import SparkSpec.spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // 200 hashes with duplicates, spread over 8 partitions so the partial
+    // buffers must merge; expected = 5 smallest distinct values
+    val vals = (1 to 100).flatMap(i => Seq(i.toLong * 7, i.toLong * 7))
+    val df = vals.toDF("h").repartition(8)
+    df.createOrReplaceTempView("bk_test")
+    val got = spark.sql("SELECT graft_bottom_k(h, 5) AS sk FROM bk_test")
+      .head().getSeq[Long](0)
+    assert(got === Seq(7L, 14L, 21L, 28L, 35L))
+    // group smaller than k returns the whole distinct set, sorted
+    val small = spark.sql(
+      "SELECT graft_bottom_k(h, 64) AS sk FROM (SELECT * FROM bk_test WHERE h <= 21)")
+      .head().getSeq[Long](0)
+    assert(small === Seq(7L, 14L, 21L))
+  }
+
   test("extensions class injects via SparkSessionExtensions API") {
     // separate session built with the extensions conf
     val s2 = org.apache.spark.sql.SparkSession.builder()

@@ -37,6 +37,22 @@ class StatOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_b") == byType("error"))
   }
 
+  test("a23 KMV overlap: exact at k >= |union|, bounded error below it") {
+    import SparkSpec.spark.implicits._
+    // planted: A = 1..100, B = 51..150 → J = 50/150 = 1/3
+    val rows = (1L to 100L).map(("A", _)) ++ (51L to 150L).map(("B", _))
+    val df = rows.toDF("g", "id")
+    val exactRun = StatOps.kmvOverlap(df, "g", "id", k = 256).collect().head
+    assert(exactRun.getAs[Double]("exact_jaccard") === 50.0 / 150.0)
+    // k >= |union| → the sketch IS the set, estimate must equal exact
+    assert(exactRun.getAs[Double]("est_jaccard") === exactRun.getAs[Double]("exact_jaccard"))
+    assert(exactRun.getAs[Long]("kk") === 150L)
+    // truncated sketch: estimator noise is ~1/sqrt(k); allow 4 sigma
+    val est = StatOps.kmvOverlap(df, "g", "id", k = 64).collect().head
+    assert(est.getAs[Long]("kk") === 64L)
+    assert(math.abs(est.getAs[Double]("est_jaccard") - 1.0 / 3.0) < 4.0 / math.sqrt(64.0))
+  }
+
   test("a22 Welch t-test matches a local double recomputation within 1e-6") {
     val r = StatOps.a22.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
