@@ -1613,7 +1613,57 @@ object StatOps {
            |JOIN cnt ca ON ca.g = e.type_a
            |JOIN cnt cb ON cb.g = e.type_b""".stripMargin))
 
+  /** D22 (beyond reference): mutual information between two categorical
+    * columns (documents source × lang) — the field-redundancy audit
+    * ("does this metadata column carry signal the other doesn't?") that
+    * sits next to the chi-square type check in d17. One row per observed
+    * cell with its MI term plus the total; I(X;Y) = Σ p_xy·ln(p_xy/(p_x·p_y))
+    * over non-empty cells (empty cells contribute 0 by the 0·ln0 limit).
+    * Shape: one cell aggregate + two marginal aggregates (all map-side
+    * partial, domain-bounded), marginals broadcast back — no shuffle
+    * beyond the group-bys; the global total runs over the CELL domain
+    * (|X|·|Y|), not rows. Determinism: each term is ints pushed through
+    * one IEEE expression, ln quantized at 1e-9 (the d2 discipline); the
+    * TOTAL is a BIGINT sum of the 1e9-scaled integer terms, so fold
+    * order cannot perturb it.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): per-cell MI table for
+    * any two categorical columns.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = df.groupBy(col(xCol).as("x")).agg(count(lit(1)).as("n_x"))
+    val ny = df.groupBy(col(yCol).as("y")).agg(count(lit(1)).as("n_y"))
+    val tot = df.agg(count(lit(1)).as("n"))
+    cells.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_q", floor((col("n_xy").cast("double") / col("n")) *
+        log((col("n_xy").cast("double") * col("n")) /
+          (col("n_x").cast("double") * col("n_y"))) * 1e9 + 0.5).cast("long"))
+      .withColumn("mi_term", col("term_q").cast("double") / 1e9)
+      .withColumn("mi_total",
+        sum("term_q").over(Window.partitionBy()).cast("double") / 1e9)
+      .select(col("x"), col("y"), col("n_xy"), col("mi_term"), col("mi_total"))
+  }
+
+  val d22: GraftQuery = GraftQuery(
+    "d22_mutual_information",
+    (s, d) => mutualInformation(Tables.documents(s, d), "source", "lang")
+      .withColumnRenamed("x", "source").withColumnRenamed("y", "lang"),
+    Some("""WITH c AS (SELECT source, lang, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+           |nx AS (SELECT source, count(*) AS n_x FROM documents GROUP BY 1),
+           |ny AS (SELECT lang, count(*) AS n_y FROM documents GROUP BY 1),
+           |t AS (SELECT count(*) AS n FROM documents),
+           |q AS (SELECT source, lang, n_xy,
+           |        CAST(floor((n_xy::DOUBLE / n) * ln((n_xy::DOUBLE * n) / (n_x::DOUBLE * n_y))
+           |          * 1e9 + 0.5) AS BIGINT) AS term_q
+           |      FROM c JOIN nx USING (source) JOIN ny USING (lang), t)
+           |SELECT source, lang, n_xy, term_q / 1e9 AS mi_term,
+           |       CAST(sum(term_q) OVER () AS BIGINT) / 1e9 AS mi_total
+           |FROM q""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, a22, a23, m12, m13, m14)
+      d21, d22, a22, a23, m12, m13, m14)
 }

@@ -53,6 +53,22 @@ class StatOpsSpec extends SparkSpec {
     assert(math.abs(est.getAs[Double]("est_jaccard") - 1.0 / 3.0) < 4.0 / math.sqrt(64.0))
   }
 
+  test("d22 MI: ln(2) for a perfectly dependent pair, ~0 for independence") {
+    import SparkSpec.spark.implicits._
+    // dependent: y == x on a uniform binary x → I = ln 2
+    val dep = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", if (i % 2 == 0) "p" else "q"))
+      .toDF("x", "y")
+    val miDep = StatOps.mutualInformation(dep, "x", "y")
+      .select("mi_total").head().getDouble(0)
+    assert(math.abs(miDep - math.log(2.0)) < 1e-8)
+    // independent: all 4 cells equal mass → I = 0 exactly (each term ln 1)
+    val ind = (for { i <- 1 to 25; x <- Seq("a", "b"); y <- Seq("p", "q") } yield (x, y))
+      .toDF("x", "y")
+    val miInd = StatOps.mutualInformation(ind, "x", "y")
+      .select("mi_total").head().getDouble(0)
+    assert(miInd === 0.0)
+  }
+
   test("a22 Welch t-test matches a local double recomputation within 1e-6") {
     val r = StatOps.a22.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
