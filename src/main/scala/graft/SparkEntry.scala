@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Sources.all ++
       operators.StreamingOps.all ++
       operators.GapFill.all ++
+      operators.Quality.all ++
       operators.StatOps.all ++
       operators.Forecast.all ++
       operators.TextOps.all ++

@@ -654,4 +654,28 @@ object Graft {
     */
   def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     StatOps.anovaF(df, groupCol, valueCol)
+
+  /** Declarative data-quality suite compiled to ONE scan: returns
+    * (check_name, metric, threshold, passed) per constraint. See
+    * [[graft.operators.Quality.Constraint]] for the vocabulary.
+    */
+  def checkConstraints(df: DataFrame,
+      cs: Seq[graft.operators.Quality.Constraint]): DataFrame =
+    graft.operators.Quality.checkConstraints(df, cs)
+
+  /** Pairwise KMV set-overlap estimate (est + exact Jaccard eval) of
+    * `idCol` sets across `setCol` groups; O(k) sketch state per group.
+    */
+  def kmvOverlap(df: DataFrame, setCol: String, idCol: String, k: Int = 64): DataFrame =
+    StatOps.kmvOverlap(df, setCol, idCol, k)
+
+  /** Top-k PMI collocations over a corpus with a `text` column. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5, k: Int = 20): DataFrame =
+    TextOps.pmiCollocations(docs, minCount, k)
+
+  /** Per-cell mutual information between two categorical columns, with the
+    * exactly-summed total on every row.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    StatOps.mutualInformation(df, xCol, yCol)
 }

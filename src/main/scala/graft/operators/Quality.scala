@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.api.GraftQuery
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (deequ-style, beyond the
+  * reference surface): a user states WHAT must hold about a table —
+  * completeness, uniqueness, ranges, value domains — and the engine
+  * compiles the whole suite into ONE aggregate pass over the data plus a
+  * long-format verdict table.
+  *
+  * Scale: every constraint lowers to a conditional-count / count-distinct
+  * term inside a single `df.agg(...)`, so the 100 TB cost is one scan with
+  * map-side partial aggregation — never one job per check (the naive
+  * per-constraint loop deequ explicitly avoids, and the trap here). The
+  * verdict melt runs on the 1-row aggregate output. Uniqueness uses
+  * count_distinct in the same pass; at stream scale it would swap to the
+  * [[graft.plans.BottomKSketchAgg]] estimator — the seam is one term.
+  */
+object Quality {
+
+  /** What must hold about a table. `label` keys the verdict row. */
+  sealed trait Constraint { def label: String }
+  /** No NULLs in `col`. */
+  final case class NotNull(col: String) extends Constraint {
+    def label = s"not_null($col)"
+  }
+  /** `cols` form a unique key (metric = surplus rows beyond distinct). */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    def label = s"unique(${cols.mkString(",")})"
+  }
+  /** Non-null values of `col` lie in [lo, hi]. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Constraint {
+    def label = s"in_range($col,$lo,$hi)"
+  }
+  /** Non-null values of `col` come from `values`. */
+  final case class InSet(col: String, values: Seq[String]) extends Constraint {
+    def label = s"in_set($col)"
+  }
+  /** At least `ratio` of rows have `col` non-null. */
+  final case class MinCompleteness(col: String, ratio: Double) extends Constraint {
+    def label = s"completeness($col)"
+  }
+
+  /** Public DataFrame-in API (see graft.api.Graft): evaluate the suite in
+    * one scan; returns (check_name, metric, threshold, passed). For the
+    * violation-count constraints metric is the number of offending rows
+    * (threshold 0); for MinCompleteness metric is the non-null ratio.
+    */
+  def checkConstraints(df: DataFrame, cs: Seq[Constraint]): DataFrame = {
+    require(cs.nonEmpty, "checkConstraints: empty suite")
+    val aggs: Seq[Column] = cs.zipWithIndex.map { case (c, i) =>
+      (c match {
+        case NotNull(cl) => count(when(col(cl).isNull, 1)).cast("double")
+        case Unique(cols) =>
+          (count(lit(1)) -
+            count_distinct(col(cols.head), cols.tail.map(col): _*)).cast("double")
+        case InRange(cl, lo, hi) =>
+          count(when(col(cl) < lo || col(cl) > hi, 1)).cast("double")
+        case InSet(cl, vs) =>
+          count(when(!col(cl).isin(vs: _*), 1)).cast("double")
+        case MinCompleteness(cl, _) =>
+          count(col(cl)).cast("double") / count(lit(1))
+      }).as(s"m$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cs.zipWithIndex.map { case (c, i) =>
+      val m = col(s"m$i")
+      val (thr, passed) = c match {
+        case MinCompleteness(_, r) => (lit(r), m >= r)
+        case _                     => (lit(0.0), m === 0.0)
+      }
+      struct(lit(c.label).as("check_name"), m.as("metric"),
+        thr.as("threshold"), passed.as("passed"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
+  /** S34: the suite a lakehouse ingest job would pin on the orders table —
+    * key integrity, enum domain, money bounds, date completeness.
+    */
+  val s34: GraftQuery = GraftQuery(
+    "s34_constraint_suite",
+    (s, d) => checkConstraints(Tables.orders(s, d), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 1e7),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      MinCompleteness("o_orderdate", 0.99))),
+    Some("""WITH m AS (SELECT
+           |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS DOUBLE) AS m0,
+           |  CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS m1,
+           |  CAST(count(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 1e7) AS DOUBLE) AS m2,
+           |  CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS DOUBLE) AS m3,
+           |  CAST(count(o_orderdate) AS DOUBLE) / count(*) AS m4
+           |  FROM orders)
+           |SELECT 'not_null(o_custkey)' AS check_name, m0 AS metric, 0.0 AS threshold, m0 = 0.0 AS passed FROM m
+           |UNION ALL SELECT 'unique(o_orderkey)', m1, 0.0, m1 = 0.0 FROM m
+           |UNION ALL SELECT 'in_range(o_totalprice,0.0,1.0E7)', m2, 0.0, m2 = 0.0 FROM m
+           |UNION ALL SELECT 'in_set(o_orderstatus)', m3, 0.0, m3 = 0.0 FROM m
+           |UNION ALL SELECT 'completeness(o_orderdate)', m4, 0.99, m4 >= 0.99 FROM m""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(s34)
+}
