@@ -678,4 +678,9 @@ object Graft {
     */
   def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame =
     StatOps.mutualInformation(df, xCol, yCol)
+
+  /** Isotonic (PAVA) fit over a binned (bin, n, pos) calibration table:
+    * adds exact rate and monotone fitted columns.
+    */
+  def pavaFit(binned: DataFrame): DataFrame = StatOps.pavaFit(binned)
 }

@@ -1663,7 +1663,80 @@ object StatOps {
            |       CAST(sum(term_q) OVER () AS BIGINT) / 1e9 AS mi_total
            |FROM q""".stripMargin))
 
+  /** D23 (beyond reference): isotonic calibration curve — equal-width score
+    * bins with raw positive rate AND the PAVA (pool-adjacent-violators)
+    * monotone fit, the model-calibration step between raw scores and
+    * decisions (Zadrozny & Elkan KDD'02). Here: does `value` rank the
+    * 'click' event type?
+    *
+    * Shape: the bin aggregate is one scan + one 16-row hash aggregate; the
+    * PAVA itself runs in a typed flatMapGroups kernel over those 16 rows
+    * (bounded domain — the kernel input is the AGGREGATE, never raw rows,
+    * so at 100 TB the sequential step stays O(bins)). Determinism: pool
+    * merging compares means as cross-multiplied BIGINTs (pp·n ≥ pos·pn) —
+    * no float ever decides a merge — and each fitted value is one
+    * int-ratio division. The oracle replays the fit via the minimax
+    * identity fitted_i = max_{j≤i} min_{k≥i} wmean(j..k): IEEE rounding is
+    * monotone, so the max-min over correctly-rounded window means equals
+    * the correctly-rounded pool mean bit-for-bit.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): PAVA over a binned
+    * (bin, n, pos) table; integer-exact pool merges, int-ratio fits.
+    */
+  def pavaFit(agg: DataFrame): DataFrame = {
+    val s = agg.sparkSession
+    import s.implicits._
+    agg.select(col("bin").cast("int").as("bin"), col("n"), col("pos"))
+      .as[CalBin].groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val bins = it.toVector.sortBy(_.bin)
+        // stack of pools: (pos, n, members); members kept in bin order
+        val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, List[CalBin])]
+        for (b <- bins) {
+          var pos = b.pos; var n = b.n; var mem = List(b)
+          while (st.nonEmpty && st.last._1 * n >= pos * st.last._2) {
+            val (pp, pn, pm) = st.remove(st.size - 1)
+            pos += pp; n += pn; mem = pm ::: mem
+          }
+          st += ((pos, n, mem))
+        }
+        st.iterator.flatMap { case (pos, n, mem) =>
+          val f = pos.toDouble / n
+          mem.map(b => CalFit(b.bin, b.n, b.pos, b.pos.toDouble / b.n, f))
+        }
+      }.toDF()
+  }
+
+  val d23: GraftQuery = GraftQuery(
+    "d23_isotonic_calibration",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(min("value").as("vmin"), max("value").as("vmax"))
+      val agg = ev.crossJoin(broadcast(bounds))
+        .select(least(lit(15), floor((col("value") - col("vmin")) /
+            ((col("vmax") - col("vmin")) / 16.0))).cast("int").as("bin"),
+          (col("event_type") === "click").as("p"))
+        .groupBy("bin").agg(count(lit(1)).as("n"), count(when(col("p"), 1)).as("pos"))
+      pavaFit(agg)
+    },
+    Some("""WITH b0 AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+           |e AS (SELECT CAST(least(15, floor((value - vmin) / ((vmax - vmin) / 16.0))) AS INT) AS bin,
+           |             event_type = 'click' AS p FROM events, b0),
+           |b AS (SELECT bin, count(*) AS n, count(*) FILTER (WHERE p) AS pos FROM e GROUP BY bin),
+           |w AS (SELECT i.bin AS i, j.bin AS j, k.bin AS k,
+           |        (SELECT CAST(sum(t.pos) AS DOUBLE) / sum(t.n) FROM b t
+           |         WHERE t.bin BETWEEN j.bin AND k.bin) AS m
+           |      FROM b i, b j, b k WHERE j.bin <= i.bin AND k.bin >= i.bin),
+           |mm AS (SELECT i, j, min(m) AS mn FROM w GROUP BY i, j),
+           |f AS (SELECT i AS bin, max(mn) AS fitted FROM mm GROUP BY i)
+           |SELECT b.bin, b.n, b.pos, CAST(b.pos AS DOUBLE) / b.n AS rate, f.fitted
+           |FROM b JOIN f ON f.bin = b.bin""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, a22, a23, m12, m13, m14)
+      d21, d22, d23, a22, a23, m12, m13, m14)
 }
+
+/** Binned calibration rows for the d23 PAVA kernel. */
+final case class CalBin(bin: Int, n: Long, pos: Long)
+final case class CalFit(bin: Int, n: Long, pos: Long, rate: Double, fitted: Double)

@@ -69,6 +69,24 @@ class StatOpsSpec extends SparkSpec {
     assert(miInd === 0.0)
   }
 
+  test("d23 PAVA: pools violations, preserves mass, fitted non-decreasing") {
+    import SparkSpec.spark.implicits._
+    // bins with a planted violation: rates 0.1, 0.5, 0.3, 0.9
+    val agg = Seq((0, 10L, 1L), (1, 10L, 5L), (2, 10L, 3L), (3, 10L, 9L))
+      .toDF("bin", "n", "pos")
+    val out = StatOps.pavaFit(agg).collect()
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Double]("fitted")).sortBy(_._1)
+    // bins 1 and 2 must pool to (5+3)/20 = 0.4; ends untouched
+    assert(out.map(_._2).toSeq === Seq(0.1, 0.4, 0.4, 0.9))
+    // monotone + mass conservation (sum fitted·n == sum pos)
+    assert(out.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    assert(math.abs(out.map(_._2).sum * 10 - 18.0) < 1e-12)
+    // fully decreasing input collapses to one pool at the global rate
+    val dec = Seq((0, 10L, 9L), (1, 10L, 5L), (2, 10L, 1L)).toDF("bin", "n", "pos")
+    val flat = StatOps.pavaFit(dec).collect().map(_.getAs[Double]("fitted"))
+    assert(flat.forall(_ === 0.5))
+  }
+
   test("a22 Welch t-test matches a local double recomputation within 1e-6") {
     val r = StatOps.a22.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
