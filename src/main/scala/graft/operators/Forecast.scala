@@ -1601,6 +1601,69 @@ object Forecast {
            |  floor(CAST(n * (n + 2) AS DOUBLE) * (CAST(ts AS DOUBLE) / 1e15) * 1e9 + 0.5) / 1e9 AS q_stat
            |FROM tm""".stripMargin))
 
+  /** M19 (beyond reference): pinball-loss backtest of an empirical-quantile
+    * forecaster — the quantile-forecast evaluation [[m4]]'s point metrics
+    * (MAE/RMSE) cannot see. Split the bucketed series at the global time
+    * midpoint; the forecaster predicts each series' train-side type-1
+    * order-statistic quantile (the classic strong baseline for
+    * probabilistic demand forecasting) and every test point is scored
+    * with L_q(y, ŷ) = q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺ at q ∈ {0.1, 0.5, 0.9}.
+    * One row per q with the pooled mean loss: the number a forecasting
+    * team tracks per quantile head.
+    *
+    * Shape: one bucket aggregate, one per-series train fold (collect_list
+    * is bounded by the CALENDAR — buckets per series, not raw rows), one
+    * equi-join test×preds, and a 3-row final aggregate. Determinism: the
+    * order statistic is arr[ceil(q·n)] with q forced to DOUBLE on both
+    * engines (IEEE ceil agrees bit-for-bit); each loss term is quantized
+    * to a 1e9-scaled BIGINT before the unordered SUM (the d22 discipline).
+    */
+  val m19: GraftQuery = GraftQuery(
+    "m19_pinball_backtest",
+    (s, d) => {
+      val ser = series(s, d).select(col("user_id"),
+        unix_micros(col("bucket_ts")).as("us"), col("demand"))
+      val mid = ser.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+      val sp = ser.crossJoin(broadcast(mid))
+      val train = sp.filter(col("us") < col("mid_us"))
+      val test = sp.filter(col("us") >= col("mid_us"))
+      val preds = train.groupBy("user_id")
+        .agg(sort_array(collect_list(col("demand"))).as("arr"),
+          count(lit(1)).as("n"))
+      val qs = s.range(1)
+        .select(explode(array(lit(0.1), lit(0.5), lit(0.9))).as("q"))
+      test.join(preds, "user_id").crossJoin(broadcast(qs))
+        .withColumn("pred",
+          element_at(col("arr"), ceil(col("q") * col("n")).cast("int")))
+        .withColumn("term", when(col("demand") >= col("pred"),
+            col("q") * (col("demand") - col("pred")))
+          .otherwise((lit(1.0) - col("q")) * (col("pred") - col("demand"))))
+        .withColumn("term_q", floor(col("term") * 1e9 + 0.5).cast("long"))
+        .groupBy("q").agg(count(lit(1)).as("n_points"), sum("term_q").as("sq"))
+        .select(col("q"), col("n_points"),
+          ((col("sq").cast("double") / 1e9) / col("n_points")).as("pinball"))
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, epoch_us(b) AS us, demand FROM base),
+           |m AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ser),
+           |tr AS (SELECT user_id, list_sort(list(demand)) AS arr, count(*) AS n
+           |       FROM ser, m WHERE us < mid_us GROUP BY user_id),
+           |te AS (SELECT user_id, demand FROM ser, m WHERE us >= mid_us),
+           |q AS (SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q),
+           |p AS (SELECT te.demand, q.q,
+           |        tr.arr[CAST(ceil(q.q * tr.n) AS INT)] AS pred
+           |      FROM te JOIN tr USING (user_id) CROSS JOIN q),
+           |t AS (SELECT q, CAST(floor((CASE WHEN demand >= pred
+           |          THEN q * (demand - pred)
+           |          ELSE (1.0 - q) * (pred - demand) END) * 1e9 + 0.5) AS BIGINT) AS term_q
+           |      FROM p)
+           |SELECT q, count(*) AS n_points,
+           |  (CAST(sum(term_q) AS DOUBLE) / 1e9) / count(*) AS pinball
+           |FROM t GROUP BY q""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18)
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19)
 }

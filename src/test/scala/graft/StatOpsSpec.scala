@@ -87,6 +87,35 @@ class StatOpsSpec extends SparkSpec {
     assert(flat.forall(_ === 0.5))
   }
 
+  test("m19 pinball backtest matches a local replay at all three quantiles") {
+    val got = graft.operators.Forecast.m19.build(spark, sf).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(0.1, 0.5, 0.9))
+    // local replay on the bucketed series
+    val pts = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        graft.functions.Funcs.timestampBucket(col("ts"), 300L).as("b"))
+      .agg(graft.functions.Funcs.decAvg(col("value")).as("demand"))
+      .select(col("user_id"), unix_micros(col("b")).as("us"), col("demand"))
+      .as[(Long, Long, Double)].collect()
+    val mid = (pts.map(_._2).min + pts.map(_._2).max) / 2
+    val train = pts.filter(_._2 < mid).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).sorted }
+    val test = pts.filter(_._2 >= mid)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val terms = test.flatMap { case (u, _, y) =>
+        train.get(u).map { arr =>
+          val pred = arr(math.ceil(q * arr.length).toInt - 1)
+          val t = if (y >= pred) q * (y - pred) else (1.0 - q) * (pred - y)
+          math.floor(t * 1e9 + 0.5).toLong
+        }
+      }
+      val expect = (terms.sum.toDouble / 1e9) / terms.length
+      assert(got(q)._1 == terms.length.toLong)
+      assert(math.abs(got(q)._2 - expect) < 1e-12, s"q=$q")
+    }
+  }
+
   test("a22 Welch t-test matches a local double recomputation within 1e-6") {
     val r = StatOps.a22.build(spark, sf).collect().head
     def sample(t: String): Array[Double] = Tables.events(spark, sf)
