@@ -1732,9 +1732,100 @@ object StatOps {
            |SELECT b.bin, b.n, b.pos, CAST(b.pos AS DOUBLE) / b.n AS rate, f.fitted
            |FROM b JOIN f ON f.bin = b.bin""".stripMargin))
 
+  /** D24 (beyond reference): mSPRT always-valid A/B monitor (Johari et al.,
+    * "Peeking at A/B Tests", KDD'17) — per 6-hour bucket, the cumulative
+    * mean difference between the two arms (user_id parity as the synthetic
+    * assignment) and the mixture-SPRT log likelihood ratio
+    * ln Λ = ½·ln(V/(V+τ²)) + δ²τ²/(2V(V+τ²)), with V = σ²(1/n_a+1/n_b)
+    * and the mixture scale τ² = σ². Unlike the fixed-horizon tests (a22,
+    * d19), Λ is valid under CONTINUOUS monitoring: reject whenever
+    * Λ > 1/α (α = 0.05) no matter how often you look — the "when could we
+    * have stopped" column an experimentation platform renders live.
+    *
+    * Shape: one bucket aggregate, cumulative sums over the CALENDAR-bounded
+    * bucket domain (the m12 CUSUM discipline — exact DECIMAL/BIGINT
+    * accumulations, float enters per-row only), one global-moments
+    * broadcast. Determinism: δ and V are ratios of exact sums; the one ln
+    * call and the ln(20) boundary are both 1e-9-quantized (d2 discipline).
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): the monitor over any
+    * (bucket: long, isa: boolean, value: double) assignment table.
+    */
+  def msprtMonitor(ev: DataFrame): DataFrame = {
+    val byB = ev.groupBy("bucket").agg(
+        count(when(col("isa"), 1)).as("na_i"),
+        count(when(!col("isa"), 1)).as("nb_i"),
+        sum(when(col("isa"), dec(col("value")))).as("sa_i"),
+        sum(when(!col("isa"), dec(col("value")))).as("sb_i"))
+      val w = Window.orderBy("bucket")
+      val cum = byB.select(col("bucket"),
+        sum("na_i").over(w).as("na"), sum("nb_i").over(w).as("nb"),
+        sum("sa_i").over(w).as("sa"), sum("sb_i").over(w).as("sb"))
+      val g = ev.agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+      val sig = g.select(
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var0"))
+      val bound = floor(log(lit(20.0)) * 1e9 + 0.5).cast("double") / 1e9
+      cum.crossJoin(broadcast(sig))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .withColumn("delta",
+          col("sa").cast("double") / col("na") - col("sb").cast("double") / col("nb"))
+        .withColumn("v",
+          col("var0") * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+        .withColumn("ln_lambda", floor((
+            lit(0.5) * log(col("v") / (col("v") + col("var0"))) +
+            col("delta") * col("delta") * col("var0") /
+              (lit(2.0) * col("v") * (col("v") + col("var0")))) * 1e9 + 0.5)
+          .cast("double") / 1e9)
+        .withColumn("reject", col("ln_lambda") > bound)
+        .select(col("bucket"), col("na"), col("nb"), col("delta"),
+          col("ln_lambda"), col("reject"))
+  }
+
+  val d24: GraftQuery = GraftQuery(
+    "d24_msprt_monitor",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        expr(s"unix_micros(ts) div $BucketUs").as("bucket"),
+        (col("user_id") % 2 === 0).as("isa"),
+        col("value"))
+      msprtMonitor(ev)
+    },
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // $BucketUs AS bucket,
+           |              user_id % 2 = 0 AS isa, value FROM events),
+           |b AS (SELECT bucket,
+           |        count(*) FILTER (WHERE isa) AS na_i,
+           |        count(*) FILTER (WHERE NOT isa) AS nb_i,
+           |        sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE isa) AS sa_i,
+           |        sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT isa) AS sb_i
+           |      FROM e GROUP BY bucket),
+           |c AS (SELECT bucket,
+           |        CAST(sum(na_i) OVER (ORDER BY bucket) AS BIGINT) AS na,
+           |        CAST(sum(nb_i) OVER (ORDER BY bucket) AS BIGINT) AS nb,
+           |        sum(sa_i) OVER (ORDER BY bucket) AS sa,
+           |        sum(sb_i) OVER (ORDER BY bucket) AS sb
+           |      FROM b),
+           |g AS (SELECT count(*) AS n,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+           |      FROM e),
+           |sg AS (SELECT (s2 - s1 * s1 / n) / (n - 1) AS var0 FROM g),
+           |k AS (SELECT bucket, na, nb,
+           |        CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS delta,
+           |        var0, var0 * (1.0 / na + 1.0 / nb) AS v
+           |      FROM c, sg WHERE na > 0 AND nb > 0)
+           |SELECT bucket, na, nb, delta,
+           |  floor((0.5 * ln(v / (v + var0)) +
+           |    delta * delta * var0 / (2.0 * v * (v + var0))) * 1e9 + 0.5) / 1e9 AS ln_lambda,
+           |  floor((0.5 * ln(v / (v + var0)) +
+           |    delta * delta * var0 / (2.0 * v * (v + var0))) * 1e9 + 0.5) / 1e9
+           |    > floor(ln(20.0) * 1e9 + 0.5) / 1e9 AS reject
+           |FROM k""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, a22, a23, m12, m13, m14)
+      d21, d22, d23, d24, a22, a23, m12, m13, m14)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

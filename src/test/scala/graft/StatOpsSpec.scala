@@ -87,6 +87,36 @@ class StatOpsSpec extends SparkSpec {
     assert(flat.forall(_ === 0.5))
   }
 
+  test("d24 mSPRT: no rejection under the null, rejection under a planted lift") {
+    import SparkSpec.spark.implicits._
+    // null: both arms see the identical 0/1 mix in every bucket → delta = 0,
+    // ln Λ = ½·ln(V/(V+τ²)) < 0 → never rejects no matter how long we watch
+    val nullRows = for {
+      b <- 0L until 10L; i <- 1 to 50; isa <- Seq(true, false)
+    } yield (b, isa, (i % 2).toDouble)
+    val nullOut = StatOps.msprtMonitor(nullRows.toDF("bucket", "isa", "value"))
+      .orderBy("bucket").collect()
+    assert(nullOut.length == 10)
+    assert(nullOut.forall(!_.getAs[Boolean]("reject")))
+    assert(nullOut.forall(_.getAs[Double]("ln_lambda") < 0.0))
+    // cumulative sample sizes are monotone and end at the full population
+    val nas = nullOut.map(_.getAs[Long]("na"))
+    assert(nas.sliding(2).forall(p => p.head <= p.last) && nas.last == 500L)
+    // planted lift: arm A mean 1, arm B mean 0, within-arm variance from a
+    // small 0/2 mix → ln Λ grows with n and must cross ln(20) well before
+    // bucket 10 (n = 250/arm at b=4 → δ²/V ≈ n/2 ≫ ln 20)
+    val liftRows = for {
+      b <- 0L until 10L; i <- 1 to 50; isa <- Seq(true, false)
+    } yield (b, isa, (if (isa) 1.0 else 0.0) + (if (i % 2 == 0) 0.5 else -0.5))
+    val lift = StatOps.msprtMonitor(liftRows.toDF("bucket", "isa", "value"))
+      .orderBy("bucket").collect()
+    assert(lift.last.getAs[Boolean]("reject"))
+    // once rejected, stays rejected (ln Λ monotone here: δ fixed, V shrinking)
+    val lls = lift.map(_.getAs[Double]("ln_lambda"))
+    assert(lls.sliding(2).forall(p => p.head <= p.last))
+    assert(math.abs(lift.last.getAs[Double]("delta") - 1.0) < 1e-9)
+  }
+
   test("m19 pinball backtest matches a local replay at all three quantiles") {
     val got = graft.operators.Forecast.m19.build(spark, sf).collect()
       .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
