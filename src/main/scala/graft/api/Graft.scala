@@ -563,6 +563,23 @@ object Graft {
   def massQuantiles(docs: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
     TextOps.massQuantiles(docs, pcts)
 
+  /** Benjamini-Hochberg FDR step-up over a family of tests
+    * (test_id: string, z: double): per test its normal p-value, rank,
+    * BH threshold (rank/m·α) and the step-up reject decision — the
+    * multiple-testing layer above per-metric tests (a22/d19 style).
+    */
+  def bhAdjust(tests: DataFrame, alpha: Double = 0.05): DataFrame =
+    StatOps.bhAdjust(tests, alpha)
+
+  /** Always-valid mSPRT A/B monitor over any assignment table
+    * (bucket: long, isa: boolean, value: double): per bucket the
+    * cumulative-arm mean difference, mixture-SPRT ln Λ, and the
+    * continuous-monitoring reject decision at α = 0.05 — safe to peek
+    * at every bucket, unlike fixed-horizon tests.
+    */
+  def msprtMonitor(assignments: DataFrame): DataFrame =
+    StatOps.msprtMonitor(assignments)
+
   /** k-anonymity audit: group sizes per quasi-identifier combination
     * with an `at_risk` flag for groups below `k` — the re-identification
     * check before a dataset release.

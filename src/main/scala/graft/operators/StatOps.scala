@@ -1823,9 +1823,138 @@ object StatOps {
            |    > floor(ln(20.0) * 1e9 + 0.5) / 1e9 AS reject
            |FROM k""".stripMargin))
 
+  /** D25 (beyond reference): Benjamini-Hochberg FDR correction over a
+    * FAMILY of A/B tests — one Welch z per event_type (value, arm =
+    * user_id parity), a normal p-value, and the BH step-up: reject all
+    * hypotheses ranked at or below k = max{i : p_(i) <= (i/m)·α}. The
+    * multiple-testing layer every experimentation platform runs above its
+    * per-metric tests ([[a22]]/[[d19]] decide ONE hypothesis; a dashboard
+    * of m metrics at per-test α inflates false discoveries ~m-fold).
+    *
+    * Determinism: z is a ratio of exact DECIMAL sums (a22 discipline);
+    * Φ comes from the Abramowitz-Stegun 26.2.17 polynomial written as
+    * nested products — identical IEEE expression on both engines — with
+    * the one libm exp() quantized at 9 dp inside p (d2 discipline); ranks
+    * tiebreak on the test id. Shape: one conditional-aggregate scan to m
+    * rows, then windows over the m-row domain (bounded by the metric
+    * family, not data) — one pass at 100 TB.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): BH over any
+    * (test_id: string, z: double) family at level α.
+    */
+  def bhAdjust(tests: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val az = abs(col("z"))
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) + k * lit(1.330274429)))))
+    val p = lit(2.0) * exp(az * az * lit(-0.5)) * lit(0.3989422804014327) * poly
+    val wAll = Window.partitionBy()
+    val wr = Window.orderBy(col("p"), col("test_id"))
+    tests
+      .withColumn("p", floor(p * 1e9 + 0.5).cast("double") / 1e9)
+      .withColumn("rank", row_number().over(wr))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("bh_threshold",
+        col("rank").cast("double") / col("m").cast("double") * alpha)
+      .withColumn("kmax",
+        max(when(col("p") <= col("bh_threshold"), col("rank"))).over(wAll))
+      .withColumn("reject",
+        coalesce(col("rank") <= col("kmax"), lit(false)))
+      .select(col("test_id"), col("z"), col("p"), col("rank"),
+        col("bh_threshold"), col("reject"))
+  }
+
+  val d25: GraftQuery = GraftQuery(
+    "d25_bh_fdr",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        (col("user_id") % 2 === 0).as("isa"), col("value"))
+      val g = e.groupBy("event_type").agg(
+        count(when(col("isa"), 1)).as("n1"),
+        sum(when(col("isa"), dec(col("value")))).cast("double").as("s1"),
+        sum(when(col("isa"), dec(col("value")) * dec(col("value"))))
+          .cast("double").as("q1"),
+        count(when(!col("isa"), 1)).as("n2"),
+        sum(when(!col("isa"), dec(col("value")))).cast("double").as("s2"),
+        sum(when(!col("isa"), dec(col("value")) * dec(col("value"))))
+          .cast("double").as("q2"))
+      val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+      val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+      val z = (col("s1") / col("n1") - col("s2") / col("n2")) /
+        sqrt(v1 / col("n1") + v2 / col("n2"))
+      bhAdjust(g.filter(col("n1") > 1 && col("n2") > 1)
+        .select(col("event_type").as("test_id"), z.as("z")))
+    },
+    Some("""WITH e AS (SELECT event_type, user_id % 2 = 0 AS isa, value FROM events),
+           |g AS (SELECT event_type AS test_id,
+           |        count(*) FILTER (WHERE isa) AS n1,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE isa) AS DOUBLE) AS s1,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE isa) AS DOUBLE) AS q1,
+           |        count(*) FILTER (WHERE NOT isa) AS n2,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT isa) AS DOUBLE) AS s2,
+           |        CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT isa) AS DOUBLE) AS q2
+           |      FROM e GROUP BY 1),
+           |zt AS (SELECT test_id,
+           |        (s1 / n1 - s2 / n2) /
+           |          sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+           |             + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) AS z
+           |       FROM g WHERE n1 > 1 AND n2 > 1),
+           |pk AS (SELECT test_id, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS kk FROM zt),
+           |pv AS (SELECT test_id, z,
+           |        floor(2.0 * exp(abs(z) * abs(z) * -0.5) * 0.3989422804014327
+           |          * (kk * (0.319381530 + kk * (-0.356563782 + kk * (1.781477937
+           |             + kk * (-1.821255978 + kk * 1.330274429))))) * 1e9 + 0.5) / 1e9 AS p
+           |       FROM pk),
+           |rk AS (SELECT test_id, z, p,
+           |        CAST(row_number() OVER (ORDER BY p, test_id) AS INT) AS rank,
+           |        CAST(count(*) OVER () AS BIGINT) AS m
+           |       FROM pv),
+           |th AS (SELECT *, CAST(rank AS DOUBLE) / CAST(m AS DOUBLE) * 0.05 AS bh_threshold FROM rk),
+           |km AS (SELECT *, max(CASE WHEN p <= bh_threshold THEN rank END) OVER () AS kmax FROM th)
+           |SELECT test_id, z, p, rank, bh_threshold,
+           |  coalesce(rank <= kmax, false) AS reject
+           |FROM km""".stripMargin))
+
+  /** D26 (beyond reference): sample-ratio-mismatch (SRM) guardrail — per
+    * day, the chi-square (1 df) of the distinct-user arm split against
+    * the designed 50/50: chi2 = (n_a − n_b)²/(n_a + n_b), flagged above
+    * the 0.05 critical value 3.8415. THE experiment-health check that
+    * runs before any treatment-effect number is read ([[d25]]/[[a22]]
+    * are meaningless under a broken randomizer — SRM is how you notice).
+    * Integer distinct-counts, one ratio, 9-dp quantized; one
+    * distinct-aggregate per day — calendar-bounded output.
+    */
+  val d26: GraftQuery = GraftQuery(
+    "d26_srm_check",
+    (s, d) => {
+      val e = Tables.events(s, d).select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("user_id") % 2 === 0).as("isa"), col("user_id"))
+      val g = e.groupBy("day").agg(
+        countDistinct(when(col("isa"), col("user_id"))).as("n_a"),
+        countDistinct(when(!col("isa"), col("user_id"))).as("n_b"))
+      val diff = (col("n_a") - col("n_b")).cast("double")
+      val chi2 = floor(diff * diff / (col("n_a") + col("n_b")).cast("double")
+        * 1e9 + 0.5).cast("double") / 1e9
+      g.select(col("day"), col("n_a"), col("n_b"), chi2.as("chi2"))
+        .withColumn("srm", col("chi2") > 3.841458820694124)
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+           |              user_id % 2 = 0 AS isa, user_id FROM events),
+           |g AS (SELECT day,
+           |        CAST(count(DISTINCT user_id) FILTER (WHERE isa) AS BIGINT) AS n_a,
+           |        CAST(count(DISTINCT user_id) FILTER (WHERE NOT isa) AS BIGINT) AS n_b
+           |      FROM e GROUP BY 1)
+           |SELECT day, n_a, n_b,
+           |  floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+           |    / CAST(n_a + n_b AS DOUBLE) * 1e9 + 0.5) / 1e9 AS chi2,
+           |  floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+           |    / CAST(n_a + n_b AS DOUBLE) * 1e9 + 0.5) / 1e9 > 3.841458820694124 AS srm
+           |FROM g""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, a22, a23, m12, m13, m14)
+      d21, d22, d23, d24, d25, d26, a22, a23, m12, m13, m14)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

@@ -117,6 +117,42 @@ class StatOpsSpec extends SparkSpec {
     assert(math.abs(lift.last.getAs[Double]("delta") - 1.0) < 1e-9)
   }
 
+  test("d25 BH: p calibrated at z=0, step-up rescues a locally-failing rank") {
+    import SparkSpec.spark.implicits._
+    // A&S 26.2.17 at z=0: p = 2*(1-Phi(0)) = 1 to ~7.5e-8 (quantized 9 dp)
+    val base = StatOps.bhAdjust(
+      Seq(("t1", 0.0), ("t2", 10.0), ("t3", 4.0)).toDF("test_id", "z"))
+      .collect().map(r => r.getAs[String]("test_id") -> r).toMap
+    assert(math.abs(base("t1").getAs[Double]("p") - 1.0) < 1e-6)
+    assert(base("t2").getAs[Double]("p") < 1e-9 + 1e-12)
+    // p monotone decreasing in |z| => rank order t2, t3, t1
+    assert(base("t2").getAs[Int]("rank") == 1 && base("t1").getAs[Int]("rank") == 3)
+    assert(base("t2").getAs[Boolean]("reject") && base("t3").getAs[Boolean]("reject"))
+    assert(!base("t1").getAs[Boolean]("reject"))
+    // the STEP-UP property: p_(1)=0.0293 > 0.025 fails its own threshold but
+    // p_(2)=0.0444 <= 0.05 sets kmax=2, rejecting BOTH (Holm/Bonferroni
+    // would reject neither) — z values chosen to land on those p's
+    val su = StatOps.bhAdjust(
+      Seq(("a", 2.1775), ("b", 2.0128)).toDF("test_id", "z"))
+      .collect().map(r => r.getAs[String]("test_id") -> r).toMap
+    assert(su("a").getAs[Double]("p") > 0.025 && su("a").getAs[Int]("rank") == 1)
+    assert(su("b").getAs[Double]("p") <= 0.05)
+    assert(su("a").getAs[Boolean]("reject") && su("b").getAs[Boolean]("reject"))
+  }
+
+  test("d26 SRM: chi2 replays from the arm counts, flag matches the critical value") {
+    val out = StatOps.d26.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      assert(na + nb > 0)
+      val want = math.floor((na - nb).toDouble * (na - nb).toDouble /
+        (na + nb).toDouble * 1e9 + 0.5) / 1e9
+      assert(r.getAs[Double]("chi2") == want)
+      assert(r.getAs[Boolean]("srm") == (want > 3.841458820694124))
+    }
+  }
+
   test("m19 pinball backtest matches a local replay at all three quantiles") {
     val got = graft.operators.Forecast.m19.build(spark, sf).collect()
       .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
