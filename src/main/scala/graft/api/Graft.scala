@@ -563,6 +563,15 @@ object Graft {
   def massQuantiles(docs: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
     TextOps.massQuantiles(docs, pcts)
 
+  /** Croston/SBA intermittent-demand forecast over a bucketed sparse
+    * series (user_id, bucket_ts, demand): separate EWMAs of demand size
+    * and demand interval, per-bucket rate ẑ/p̂ plus the Syntetos-Boylan
+    * bias-corrected rate — the forecaster for series the smoothing
+    * ladder under-predicts because most buckets are empty.
+    */
+  def croston(seriesDf: DataFrame, alpha: Double = 0.1): DataFrame =
+    Forecast.croston(seriesDf, alpha)
+
   /** Benjamini-Hochberg FDR step-up over a family of tests
     * (test_id: string, z: double): per test its normal p-value, rank,
     * BH threshold (rank/m·α) and the step-up reject decision — the

@@ -1664,6 +1664,85 @@ object Forecast {
            |  (CAST(sum(term_q) AS DOUBLE) / 1e9) / count(*) AS pinball
            |FROM t GROUP BY q""".stripMargin))
 
+  /** M20 (beyond reference): Croston's method (1972) for INTERMITTENT
+    * demand — the forecaster for series whose buckets are mostly empty,
+    * where the m5–m11 ladder systematically under-forecasts (smoothing
+    * zeros drags the level down; Croston instead smooths demand SIZE and
+    * demand INTERVAL separately and forecasts their ratio). The sparse
+    * per-user 5-minute event series is exactly this shape: materialized
+    * buckets are the nonzero demands, the gaps between their bucket
+    * indexes are the intervals — no zero-filling pass is needed.
+    *
+    * Per series (positions q_j = bucket index from epoch, demands z_j,
+    * both in ascending time): ẑ init = z_1, p̂ init = mean interval
+    * (q_n−q_1)/(n−1) (1.0 for a single demand), then for j ≥ 2 the
+    * α = 0.1 EWMAs ẑ ← 0.1·z_j + 0.9·ẑ and p̂ ← 0.1·(q_j−q_{j−1}) +
+    * 0.9·p̂. Output per series: demand count, ẑ, p̂, the Croston
+    * per-bucket rate ẑ/p̂ and the Syntetos-Boylan (SBA) bias-corrected
+    * (1−α/2)·ẑ/p̂.
+    *
+    * Determinism: positions are exact integer bucket indexes; every EWMA
+    * step is the identical `0.1*z + 0.9*s` IEEE expression chained in
+    * ascending order, replayed by the oracle as a recursive CTE (the m10
+    * discipline — struct-state list_reduce chains are NOT bit-stable in
+    * DuckDB); no libm anywhere, so no quantization is needed. Shape: the
+    * m5-family single shuffle — one groupByKey on the series id, state
+    * bounded by series length.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): Croston/SBA over any
+    * bucketed sparse series (user_id, bucket_ts, demand); `bucketSeconds`
+    * sets the grain the intervals are counted in.
+    */
+  def croston(seriesDf: DataFrame, alpha: Double = 0.1,
+      bucketSeconds: Long = BucketSeconds): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val s = seriesDf.sparkSession
+    import s.implicits._
+    seriesDf.as[SeriesPoint]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid: Long, it: Iterator[SeriesPoint]) =>
+        val pts = it.toVector.sortBy(_.bucket_ts.getTime)
+        val q = pts.map(_.bucket_ts.getTime / (bucketSeconds * 1000L))
+        val n = pts.size
+        var zh = pts.head.demand
+        var ph =
+          if (n == 1) 1.0 else (q.last - q.head).toDouble / (n - 1).toDouble
+        var j = 1
+        while (j < n) {
+          zh = alpha * pts(j).demand + (1.0 - alpha) * zh
+          ph = alpha * (q(j) - q(j - 1)).toDouble + (1.0 - alpha) * ph
+          j += 1
+        }
+        (uid, n.toLong, zh, ph, zh / ph, (1.0 - alpha / 2.0) * (zh / ph))
+      }
+      .toDF("user_id", "n_demands", "z_hat", "p_hat", "croston", "sba")
+  }
+
+  val m20: GraftQuery = GraftQuery(
+    "m20_croston",
+    (s, d) => croston(series(s, d)),
+    Some("""WITH RECURSIVE base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y,
+           |        list(epoch_us(b) // 300000000 ORDER BY b) AS q,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |rec AS (
+           |  SELECT user_id, y, q, n, 1 AS i, y[1] AS zh,
+           |         CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+           |              ELSE CAST(q[n] - q[1] AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS ph
+           |  FROM ser
+           |  UNION ALL
+           |  SELECT user_id, y, q, n, i + 1,
+           |         CAST(0.1 AS DOUBLE) * y[i+1] + CAST(0.9 AS DOUBLE) * zh,
+           |         CAST(0.1 AS DOUBLE) * CAST(q[i+1] - q[i] AS DOUBLE)
+           |           + CAST(0.9 AS DOUBLE) * ph
+           |  FROM rec WHERE i < n)
+           |SELECT user_id, CAST(n AS BIGINT) AS n_demands, zh AS z_hat, ph AS p_hat,
+           |  zh / ph AS croston, 0.95 * (zh / ph) AS sba
+           |FROM rec WHERE i = n""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19)
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20)
 }

@@ -153,6 +153,43 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("m20 Croston matches a full local replay; ratio identities hold exactly") {
+    import SparkSpec.spark.implicits._
+    val got = graft.operators.Forecast.m20.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    // replay: same bucketing (5-min, DECIMAL(18,2) avg), same fold
+    val ser = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        expr("unix_millis(ts) div 300000").as("q"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(col("value"))).as("demand"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        val pts = rows.sortBy(_._2)
+        val q = pts.map(_._2); val y = pts.map(_._3); val n = pts.length
+        var zh = y.head
+        var ph = if (n == 1) 1.0 else (q.last - q.head).toDouble / (n - 1).toDouble
+        var j = 1
+        while (j < n) {
+          zh = 0.1 * y(j) + 0.9 * zh
+          ph = 0.1 * (q(j) - q(j - 1)).toDouble + 0.9 * ph
+          j += 1
+        }
+        u -> (n.toLong, zh, ph)
+      }
+    assert(got.keySet == ser.keySet)
+    ser.foreach { case (u, (n, zh, ph)) =>
+      val r = got(u)
+      assert(r.getAs[Long]("n_demands") == n)
+      assert(r.getAs[Double]("z_hat") == zh, s"z_hat user $u")
+      assert(r.getAs[Double]("p_hat") == ph, s"p_hat user $u")
+      assert(r.getAs[Double]("croston") == zh / ph)
+      assert(r.getAs[Double]("sba") == 0.95 * (zh / ph))
+      assert(ph >= 1.0) // intervals are >= 1 bucket, and so is their EWMA
+    }
+  }
+
   test("m19 pinball backtest matches a local replay at all three quantiles") {
     val got = graft.operators.Forecast.m19.build(spark, sf).collect()
       .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
