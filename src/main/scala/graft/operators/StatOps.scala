@@ -1952,9 +1952,86 @@ object StatOps {
            |    / CAST(n_a + n_b AS DOUBLE) * 1e9 + 0.5) / 1e9 > 3.841458820694124 AS srm
            |FROM g""".stripMargin))
 
+  /** D27 (beyond reference): difference-in-differences — the quasi-
+    * experimental estimator for a treatment that switches on at a known
+    * time: (treated post − treated pre) − (control post − control pre),
+    * which nets out both the stable group difference and the common time
+    * trend that a naive post-only comparison ([[a22]]) confounds. Arms =
+    * user_id parity, period split = global time midpoint; SE from the
+    * four cell variances (unpooled), t = DiD/SE. Completes the causal
+    * toolkit: [[d18]] reduces variance with pre-data, [[d19]]/[[d25]]
+    * test randomized splits, this estimates under PARALLEL-TRENDS when
+    * randomization is absent.
+    *
+    * Determinism: one conditional-aggregate scan to a single row of
+    * exact DECIMAL/BIGINT cell moments; means/variances/t are fixed IEEE
+    * expressions of those (sqrt is correctly rounded) — no libm, no
+    * quantization needed. One pass at 100 TB.
+    */
+  val d27: GraftQuery = GraftQuery(
+    "d27_did",
+    (s, d) => {
+      val e0 = Tables.events(s, d).select(
+        (col("user_id") % 2 === 0).as("treated"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val mid = e0.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+      val e = e0.crossJoin(broadcast(mid))
+        .withColumn("post", col("us") >= col("mid_us"))
+      def cell(t: Boolean, p: Boolean, tag: String) = {
+        val in = col("treated") === t && col("post") === p
+        Seq(count(when(in, 1)).as(s"n_$tag"),
+          sum(when(in, dec(col("value")))).cast("double").as(s"s_$tag"),
+          sum(when(in, dec(col("value")) * dec(col("value"))))
+            .cast("double").as(s"q_$tag"))
+      }
+      val aggs = cell(true, false, "t0") ++ cell(true, true, "t1") ++
+        cell(false, false, "c0") ++ cell(false, true, "c1")
+      val g = e.agg(aggs.head, aggs.tail: _*)
+      def m(tag: String) = (col(s"s_$tag") / col(s"n_$tag")).as(s"m_$tag")
+      def v(tag: String) =
+        (col(s"q_$tag") - col(s"s_$tag") * col(s"s_$tag") / col(s"n_$tag")) /
+          (col(s"n_$tag") - 1) / col(s"n_$tag")
+      val k = g.select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+        m("t0"), m("t1"), m("c0"), m("c1"),
+        sqrt(v("t0") + v("t1") + v("c0") + v("c1")).as("se"))
+      val did = (col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0"))
+      k.select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+        col("m_t0"), col("m_t1"), col("m_c0"), col("m_c1"),
+        did.as("did"), col("se"), (did / col("se")).as("t_stat"))
+    },
+    Some("""WITH e0 AS (SELECT user_id % 2 = 0 AS treated, epoch_us(ts) AS us, value FROM events),
+           |b AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e0),
+           |e AS (SELECT treated, us >= b.mid_us AS post, value FROM e0, b),
+           |g AS (SELECT
+           |  count(*) FILTER (WHERE treated AND NOT post) AS n_t0,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE treated AND NOT post) AS DOUBLE) AS s_t0,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE treated AND NOT post) AS DOUBLE) AS q_t0,
+           |  count(*) FILTER (WHERE treated AND post) AS n_t1,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE treated AND post) AS DOUBLE) AS s_t1,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE treated AND post) AS DOUBLE) AS q_t1,
+           |  count(*) FILTER (WHERE NOT treated AND NOT post) AS n_c0,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT treated AND NOT post) AS DOUBLE) AS s_c0,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT treated AND NOT post) AS DOUBLE) AS q_c0,
+           |  count(*) FILTER (WHERE NOT treated AND post) AS n_c1,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT treated AND post) AS DOUBLE) AS s_c1,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE NOT treated AND post) AS DOUBLE) AS q_c1
+           | FROM e),
+           |k AS (SELECT n_t0, n_t1, n_c0, n_c1,
+           |  s_t0 / n_t0 AS m_t0, s_t1 / n_t1 AS m_t1,
+           |  s_c0 / n_c0 AS m_c0, s_c1 / n_c1 AS m_c1,
+           |  sqrt((q_t0 - s_t0 * s_t0 / n_t0) / (n_t0 - 1) / n_t0
+           |     + (q_t1 - s_t1 * s_t1 / n_t1) / (n_t1 - 1) / n_t1
+           |     + (q_c0 - s_c0 * s_c0 / n_c0) / (n_c0 - 1) / n_c0
+           |     + (q_c1 - s_c1 * s_c1 / n_c1) / (n_c1 - 1) / n_c1) AS se
+           | FROM g)
+           |SELECT n_t0, n_t1, n_c0, n_c1, m_t0, m_t1, m_c0, m_c1,
+           |  (m_t1 - m_t0) - (m_c1 - m_c0) AS did, se,
+           |  ((m_t1 - m_t0) - (m_c1 - m_c0)) / se AS t_stat
+           |FROM k""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, a22, a23, m12, m13, m14)
+      d21, d22, d23, d24, d25, d26, d27, a22, a23, m12, m13, m14)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

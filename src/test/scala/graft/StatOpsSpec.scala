@@ -153,6 +153,19 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("d27 DiD nets out group and time effects; identity replays from cell means") {
+    val out = StatOps.d27.build(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val did = (r.getAs[Double]("m_t1") - r.getAs[Double]("m_t0")) -
+      (r.getAs[Double]("m_c1") - r.getAs[Double]("m_c0"))
+    assert(r.getAs[Double]("did") == did)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(r.getAs[Double]("t_stat") == did / r.getAs[Double]("se"))
+    val n = Seq("n_t0", "n_t1", "n_c0", "n_c1").map(r.getAs[Long]).sum
+    assert(n == Tables.events(spark, sf).count())
+  }
+
   test("m20 Croston matches a full local replay; ratio identities hold exactly") {
     import SparkSpec.spark.implicits._
     val got = graft.operators.Forecast.m20.build(spark, sf).collect()
