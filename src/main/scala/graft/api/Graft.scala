@@ -603,6 +603,15 @@ object Graft {
     */
   def oodScores(emb: DataFrame): DataFrame = VectorOps.oodScores(emb)
 
+  /** kNN label-noise audit over (vec_id, embedding, label): each vector
+    * with in-cell neighbors gets its neighbor-majority label and a
+    * `flagged` mislabel-candidate bit (majority differs AND is strict) —
+    * the per-item companion to the corpus-level label-geometry agreement
+    * score.
+    */
+  def labelNoise(emb: DataFrame, k: Int = 5): DataFrame =
+    VectorOps.labelNoise(emb, k)
+
   /** Embedding-distribution drift (vector-space PSI): `df` needs
     * (embedding, `isRefCol`: boolean snapshot marker); one row per
     * fixed random-hyperplane cosine cell (2^bits) with its smoothed PSI

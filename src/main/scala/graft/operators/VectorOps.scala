@@ -1909,7 +1909,70 @@ object VectorOps {
            |  count(*) OVER (PARTITION BY cluster) AS cluster_n
            |FROM af""".stripMargin))
 
+  /** V29 (beyond reference): kNN label-noise detection — the Cleanlab-style
+    * training-data audit: a vector whose label disagrees with the STRICT
+    * MAJORITY label of its k nearest neighbors is a mislabel candidate
+    * (confident-learning's core signal, computed geometrically). Where
+    * [[v23]] scores labels-vs-geometry agreement as ONE corpus number,
+    * this names the individual suspects a labeling team re-reviews.
+    *
+    * Composition: the [[knnGraph]] edge list (cluster-scoped, never
+    * all-pairs), neighbor labels joined in, one (src, label) count
+    * aggregate, majority by (count desc, label) — all integer-count
+    * arithmetic plus the graph's own deterministic tie-breaks, so both
+    * engines agree exactly. Vectors with no within-cell neighbor
+    * (singleton cells) have no evidence and emit nothing. At 100 TB the
+    * cost is the graph build itself (auto-scaled cells, SCALE.md); the
+    * vote adds two key-local aggregates.
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): mislabel candidates
+    * over (vec_id, embedding, label); `flagged` = neighbor majority label
+    * differs AND holds a strict majority (2·maj_n > k_n).
+    */
+  def labelNoise(emb: DataFrame, k: Int = 5): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val g = knnGraph(emb.select("vec_id", "embedding"), k)
+    val nb = g.join(
+      labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+      Seq("neighbor_id"))
+    val cnt = nb.groupBy("src_id", "n_label").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src_id").agg(sum("c").as("k_n"))
+    val w = Window.partitionBy("src_id").orderBy(col("c").desc, col("n_label"))
+    val maj = cnt.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("src_id"), col("n_label").as("maj_label"), col("c").as("maj_n"))
+    maj.join(tot, "src_id")
+      .join(labels.select(col("vec_id").as("src_id"), col("label")), "src_id")
+      .select(col("src_id").as("vec_id"), col("label"), col("maj_label"),
+        col("maj_n"), col("k_n"),
+        (col("maj_label") =!= col("label") && col("maj_n") * 2 > col("k_n"))
+          .as("flagged"))
+  }
+
+  val v29: GraftQuery = GraftQuery(
+    "v29_label_noise_knn",
+    (s, d) => labelNoise(Tables.embeddings(s, d), k = 5),
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, label, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.label, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |g AS (SELECT src_id, n_label FROM (
+           |  SELECT a.vec_id AS src_id, b.label AS n_label,
+           |         list_cosine_similarity(a.e, b.e) AS cos, b.vec_id AS neighbor_id
+           |  FROM assign a JOIN assign b USING (cluster) WHERE b.vec_id != a.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, neighbor_id) <= 5),
+           |cnt AS (SELECT src_id, n_label, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+           |tot AS (SELECT src_id, CAST(sum(c) AS BIGINT) AS k_n FROM cnt GROUP BY 1),
+           |maj AS (SELECT src_id, n_label AS maj_label, c AS maj_n FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY c DESC, n_label) AS rk
+           |  FROM cnt) WHERE rk = 1)
+           |SELECT m.src_id AS vec_id, v.label, m.maj_label, m.maj_n, t.k_n,
+           |  (m.maj_label != v.label AND m.maj_n * 2 > t.k_n) AS flagged
+           |FROM maj m JOIN tot t USING (src_id) JOIN v ON v.vec_id = m.src_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29)
 }

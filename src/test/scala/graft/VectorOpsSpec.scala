@@ -393,6 +393,34 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("v29 label noise: planted mislabel flagged, clean members are not") {
+    val dir = clusteredDir()
+    // plant: flip the label of vec 7 (deep inside cluster 0, not a query id
+    // used elsewhere) to cluster 19's label
+    val emb = graft.core.Tables.embeddings(spark, dir)
+      .withColumn("label", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("vec_id") === 7, 19)
+        .otherwise(org.apache.spark.sql.functions.col("label")))
+    val out = VectorOps.labelNoise(emb, k = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val planted = out(7L)
+    assert(planted.getAs[Boolean]("flagged"))
+    assert(planted.getAs[Int]("maj_label") == 0)
+    // strict-majority arithmetic is self-consistent on every row
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("maj_n") <= r.getAs[Long]("k_n"))
+      assert(r.getAs[Long]("k_n") <= 5L)
+      val expect = r.getAs[Int]("maj_label") != r.getAs[Int]("label") &&
+        2 * r.getAs[Long]("maj_n") > r.getAs[Long]("k_n")
+      assert(r.getAs[Boolean]("flagged") == expect)
+    }
+    // false-positive control: the 24 clean cluster-0 members stay unflagged
+    // (their neighborhoods are all label 0 — vec 7's flip cannot outvote)
+    val clean0 = out.filter { case (id, _) => id < 25 && id != 7L }
+    assert(clean0.nonEmpty)
+    assert(clean0.values.forall(!_.getAs[Boolean]("flagged")))
+  }
+
   test("v27 drift: full 64-cell spine, counts conserve the parity split, terms finite") {
     val out = VectorOps.v27.build(spark, sf).collect()
     assert(out.length == 64)
