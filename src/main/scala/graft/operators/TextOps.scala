@@ -2733,8 +2733,80 @@ object TextOps {
            |WHERE c_ab >= 5
            |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin))
 
+  /** X52 (beyond reference): LSH band-planning table — the s-curve
+    * P(candidate | jaccard = s) = 1 − (1 − s^r)^b for every (b, r)
+    * factorization of the 64-hash MinHash signature, on a 19-point s
+    * grid, plus each config's recall at the j = 0.9 threshold and a
+    * `chosen` flag marking the config [[bandingFor]] selects (largest r
+    * — fewest candidates — with recall ≥ 0.999). This materializes the
+    * x5/x35 design decision as an auditable query: the table an engineer
+    * reads to see WHY 16×4 is the 0.9-threshold banding and what any
+    * other threshold would cost in candidates or recall.
+    *
+    * Determinism: the integer powers are ascending multiply folds
+    * (`aggregate(sequence(...))` / ordered list_reduce) — pure IEEE
+    * products, no libm pow — so both engines produce bit-identical
+    * curves. Domain is configs × grid (133 rows): zero data touched,
+    * constant cost at any corpus scale.
+    */
+  val x52: GraftQuery = GraftQuery(
+    "x52_lsh_planner",
+    (s, _) => {
+      import s.implicits._
+      val configs = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1))
+        .toDF("bands", "rows_per_band")
+      val grid = s.range(1, 20).select(col("id").cast("int").as("i"))
+      val curve = configs.crossJoin(grid)
+        .withColumn("s", col("i").cast("double") * 0.05)
+        .withColumn("sr",
+          expr("aggregate(sequence(1, rows_per_band), CAST(1.0 AS DOUBLE), (acc, x) -> acc * s)"))
+        .withColumn("p_candidate",
+          lit(1.0) - expr("aggregate(sequence(1, bands), CAST(1.0 AS DOUBLE), (acc, x) -> acc * (1.0 - sr))"))
+        .drop("i", "sr")
+      val rec = configs
+        .withColumn("tr",
+          expr("aggregate(sequence(1, rows_per_band), CAST(1.0 AS DOUBLE), (acc, x) -> acc * 0.9)"))
+        .withColumn("recall_at_threshold",
+          lit(1.0) - expr("aggregate(sequence(1, bands), CAST(1.0 AS DOUBLE), (acc, x) -> acc * (1.0 - tr))"))
+        .drop("tr")
+        .withColumn("chosen_r", coalesce(
+          max(when(col("recall_at_threshold") >= 0.999, col("rows_per_band")))
+            .over(Window.partitionBy()), lit(1)))
+        .withColumn("chosen", col("rows_per_band") === col("chosen_r"))
+        .drop("chosen_r")
+      curve.join(rec, Seq("bands", "rows_per_band"))
+        .select(col("bands"), col("rows_per_band"), col("s"),
+          col("p_candidate"), col("recall_at_threshold"), col("chosen"))
+    },
+    Some("""WITH cfg AS (SELECT * FROM (VALUES (1, 64), (2, 32), (4, 16), (8, 8),
+           |                                   (16, 4), (32, 2), (64, 1))
+           |             AS t(bands, rows_per_band)),
+           |grid AS (SELECT CAST(unnest(generate_series(1, 19)) AS INT) AS i),
+           |curve AS (SELECT bands, rows_per_band,
+           |    CAST(i AS DOUBLE) * 0.05 AS s,
+           |    1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+           |        list_transform(generate_series(1, bands),
+           |          x -> 1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+           |            list_transform(generate_series(1, rows_per_band),
+           |              y -> CAST(i AS DOUBLE) * 0.05)), (a, b) -> a * b))),
+           |      (a, b) -> a * b) AS p_candidate
+           |  FROM cfg CROSS JOIN grid),
+           |rec0 AS (SELECT bands, rows_per_band,
+           |    1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+           |        list_transform(generate_series(1, bands),
+           |          x -> 1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+           |            list_transform(generate_series(1, rows_per_band),
+           |              y -> CAST(0.9 AS DOUBLE))), (a, b) -> a * b))),
+           |      (a, b) -> a * b) AS recall_at_threshold
+           |  FROM cfg),
+           |rec AS (SELECT *, coalesce(max(CASE WHEN recall_at_threshold >= 0.999
+           |          THEN rows_per_band END) OVER (), 1) AS chosen_r FROM rec0)
+           |SELECT c.bands, c.rows_per_band, c.s, c.p_candidate,
+           |  r.recall_at_threshold, r.rows_per_band = r.chosen_r AS chosen
+           |FROM curve c JOIN rec r USING (bands, rows_per_band)""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52)
 }

@@ -450,6 +450,31 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("distinct2") > 0 && r.getAs[Double]("distinct2") <= 1.0)
     }
   }
+
+  test("x52 planner: s-curves replay locally, chosen config is the x5 16x4 banding") {
+    val out = graft.operators.TextOps.x52.build(SparkSpec.spark, sf).collect()
+    assert(out.length == 7 * 19)
+    out.foreach { r =>
+      val b = r.getAs[Int]("bands"); val rr = r.getAs[Int]("rows_per_band")
+      assert(b * rr == 64)
+      val s = r.getAs[Double]("s")
+      // local replay with the same ascending multiply folds
+      var sr = 1.0; (1 to rr).foreach(_ => sr *= s)
+      var q = 1.0; (1 to b).foreach(_ => q *= (1.0 - sr))
+      assert(r.getAs[Double]("p_candidate") == 1.0 - q, s"p at b=$b r=$rr s=$s")
+      var tr = 1.0; (1 to rr).foreach(_ => tr *= 0.9)
+      var qt = 1.0; (1 to b).foreach(_ => qt *= (1.0 - tr))
+      assert(r.getAs[Double]("recall_at_threshold") == 1.0 - qt)
+      // chosen = largest r with recall >= 0.999 at t=0.9, which is 4 (16x4):
+      // r=8 reaches only ~0.989, r=4 reaches ~1-4e-8
+      assert(r.getAs[Boolean]("chosen") == (rr == 4))
+    }
+    // monotone: within a config, p_candidate is non-decreasing in s
+    out.groupBy(r => r.getAs[Int]("bands")).values.foreach { g =>
+      val ps = g.sortBy(_.getAs[Double]("s")).map(_.getAs[Double]("p_candidate"))
+      assert(ps.sliding(2).forall(p => p.head <= p.last))
+    }
+  }
 }
 
 /** Tiny shared fixture: the documents table as local tuples. */
