@@ -2029,9 +2029,49 @@ object StatOps {
            |  ((m_t1 - m_t0) - (m_c1 - m_c0)) / se AS t_stat
            |FROM k""".stripMargin))
 
+  /** D28 (beyond reference): consolidated experiment report — the one-stop
+    * readout an experimentation platform renders per experiment, in the
+    * [[d17]] long format: the SRM guardrail ([[d26]], worst day), the
+    * mean test ([[a22]] Welch t), the proportion test ([[d19]] z), the
+    * variance-reduction diagnostic ([[d18]] CUPED), the quasi-experimental
+    * estimate ([[d27]] DiD t), and the multiple-testing outcome ([[d25]]
+    * BH rejection count). Every number IS the standalone operator's number
+    * (both the Spark plan and the oracle are the component definitions,
+    * composed — equality asserted in spec), so the report can never drift
+    * from the parts. Six single-scan components; at 100 TB a production
+    * run caches the (user_id, event_type, ts, value) projection once and
+    * all six read it.
+    */
+  val d28: GraftQuery = GraftQuery(
+    "d28_experiment_report",
+    (s, d) => {
+      val srm = d26.build(s, d).agg(max("chi2").as("value"))
+        .select(lit("srm_worst_chi2").as("metric"), col("value"))
+      val welch = a22.build(s, d)
+        .select(lit("welch_t").as("metric"), col("t_stat").as("value"))
+      val tpz = d19.build(s, d)
+        .select(lit("two_prop_z").as("metric"), col("z").as("value"))
+      val cuped = d18.build(s, d)
+        .select(lit("cuped_reduction").as("metric"), col("reduction").as("value"))
+      val did = d27.build(s, d)
+        .select(lit("did_t").as("metric"), col("t_stat").as("value"))
+      val bh = d25.build(s, d)
+        .agg(count(when(col("reject"), 1)).cast("double").as("value"))
+        .select(lit("bh_rejections").as("metric"), col("value"))
+      srm.unionByName(welch).unionByName(tpz).unionByName(cuped)
+        .unionByName(did).unionByName(bh)
+    },
+    Some(s"""SELECT 'srm_worst_chi2' AS metric, max(chi2) AS value FROM (${d26.oracle.get})
+            |UNION ALL SELECT 'welch_t', t_stat FROM (${a22.oracle.get})
+            |UNION ALL SELECT 'two_prop_z', z FROM (${d19.oracle.get})
+            |UNION ALL SELECT 'cuped_reduction', reduction FROM (${d18.oracle.get})
+            |UNION ALL SELECT 'did_t', t_stat FROM (${d27.oracle.get})
+            |UNION ALL SELECT 'bh_rejections', CAST(count(*) FILTER (WHERE reject) AS DOUBLE)
+            |  FROM (${d25.oracle.get})""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, a22, a23, m12, m13, m14)
+      d21, d22, d23, d24, d25, d26, d27, d28, a22, a23, m12, m13, m14)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

@@ -166,6 +166,28 @@ class StatOpsSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("d28 report: every number equals its standalone operator's, bitwise") {
+    // value is nullable by design: d19's z is null on a degenerate arm
+    // (the sf0.001 fixture) — the report must carry that null through
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val rep = StatOps.d28.build(spark, sf).collect()
+      .map(r => r.getString(0) -> opt(r, 1)).toMap
+    assert(rep.size == 6)
+    val srm = StatOps.d26.build(spark, sf).collect().map(_.getAs[Double]("chi2")).max
+    assert(rep("srm_worst_chi2").contains(srm))
+    assert(rep("welch_t").contains(
+      StatOps.a22.build(spark, sf).head().getAs[Double]("t_stat")))
+    val z = StatOps.d19.build(spark, sf).head()
+    assert(rep("two_prop_z") == opt(z, z.fieldIndex("z")))
+    assert(rep("cuped_reduction").contains(
+      StatOps.d18.build(spark, sf).head().getAs[Double]("reduction")))
+    assert(rep("did_t").contains(
+      StatOps.d27.build(spark, sf).head().getAs[Double]("t_stat")))
+    val bh = StatOps.d25.build(spark, sf).collect().count(_.getAs[Boolean]("reject"))
+    assert(rep("bh_rejections").contains(bh.toDouble))
+  }
+
   test("m20 Croston matches a full local replay; ratio identities hold exactly") {
     import SparkSpec.spark.implicits._
     val got = graft.operators.Forecast.m20.build(spark, sf).collect()
