@@ -186,7 +186,7 @@ object StatOps {
            |FROM k""".stripMargin))
 
   /** Micros per 6-hour CUSUM bucket (Jan testdata -> ~120 points). */
-  private val BucketUs = 21600000000L
+  private[operators] val BucketUs = 21600000000L
 
   /** M12 (beyond reference): CUSUM changepoint detection — Page's
     * observation-level CUSUM C_t = sum_{v <= t}(v - mu) evaluated at 6-hour
@@ -1751,19 +1751,34 @@ object StatOps {
   /** Public DataFrame-in API (see graft.api.Graft): the monitor over any
     * (bucket: long, isa: boolean, value: double) assignment table.
     */
-  def msprtMonitor(ev: DataFrame): DataFrame = {
-    val byB = ev.groupBy("bucket").agg(
-        count(when(col("isa"), 1)).as("na_i"),
-        count(when(!col("isa"), 1)).as("nb_i"),
-        sum(when(col("isa"), dec(col("value")))).as("sa_i"),
-        sum(when(!col("isa"), dec(col("value")))).as("sb_i"))
+  def msprtMonitor(ev: DataFrame): DataFrame =
+    msprtCompose(
+      msprtArmAgg(ev),
+      ev.agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2")))
+
+  /** The per-bucket arm-sum state of the monitor — the only part whose
+    * input grows with data. Works on a streaming DataFrame too (it is a
+    * plain groupBy aggregate, O(calendar buckets) of state), which is how
+    * [[StreamingOps]]' t26 rides the ingest stream.
+    */
+  private[operators] def msprtArmAgg(ev: DataFrame): DataFrame =
+    ev.groupBy("bucket").agg(
+      count(when(col("isa"), 1)).as("na_i"),
+      count(when(!col("isa"), 1)).as("nb_i"),
+      sum(when(col("isa"), dec(col("value")))).as("sa_i"),
+      sum(when(!col("isa"), dec(col("value")))).as("sb_i"))
+
+  /** ln Λ composition over the materialized per-bucket arms + one-row
+    * moments — pure bucket-domain window work, shared by the batch and
+    * streaming monitors so they are bitwise-identical by construction.
+    */
+  private[operators] def msprtCompose(byB: DataFrame, g: DataFrame): DataFrame = {
       val w = Window.orderBy("bucket")
       val cum = byB.select(col("bucket"),
         sum("na_i").over(w).as("na"), sum("nb_i").over(w).as("nb"),
         sum("sa_i").over(w).as("sa"), sum("sb_i").over(w).as("sb"))
-      val g = ev.agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("s1"),
-        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
       val sig = g.select(
         ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var0"))
       val bound = floor(log(lit(20.0)) * 1e9 + 0.5).cast("double") / 1e9

@@ -784,7 +784,42 @@ object StreamingOps {
            |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin),
     bench = false)
 
+  /** T26 (beyond reference): STREAMING always-valid A/B monitor — the
+    * [[StatOps]] d24 mSPRT riding the event stream, which is where an
+    * always-valid test belongs: its whole point is continuous peeking,
+    * so the production deployment maintains the per-bucket arm sums as
+    * streaming state (O(calendar buckets) rows — the t23 posture) and
+    * recomposes ln Λ from the materialized sink after each trigger.
+    * The stream side runs [[StatOps.msprtArmAgg]] (exact DECIMAL sums —
+    * micro-batch splits cannot change a sum), the moments side is the
+    * frozen batch aggregate, and the composition is
+    * [[StatOps.msprtCompose]] — shared code, so the streaming monitor is
+    * bitwise-identical to batch d24 by construction and the SAME oracle
+    * SQL gates both.
+    */
+  val t26: GraftQuery = GraftQuery(
+    "t26_stream_msprt",
+    (s, d) => {
+      def armed(df: org.apache.spark.sql.DataFrame) = df.select(
+        expr(s"unix_micros(ts) div ${graft.operators.StatOps.BucketUs}").as("bucket"),
+        (col("user_id") % 2 === 0).as("isa"), col("value"))
+      val q = graft.operators.StatOps.msprtArmAgg(armed(eventsStream(s, d)))
+        .writeStream.format("memory").queryName("graft_t26")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val moments = armed(graft.core.Tables.events(s, d)).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+        sum(col("value").cast("decimal(18,4)") * col("value").cast("decimal(18,4)"))
+          .cast("double").as("s2"))
+      graft.operators.StatOps.msprtCompose(s.table("graft_t26"), moments)
+    },
+    graft.operators.StatOps.d24.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25)
+      t24, t25, t26)
 }

@@ -264,4 +264,14 @@ class StreamingSpec extends SparkSpec {
     assert(streaming === batch,
       "micro-batched current histogram must reproduce the batch PSI exactly")
   }
+
+  test("t26 streaming mSPRT monitor equals batch d24 bitwise") {
+    val streaming = graft.operators.StreamingOps.t26.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.StatOps.d24.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streaming.nonEmpty)
+    assert(streaming === batch,
+      "micro-batched arm sums must recompose to the batch ln-lambda exactly")
+  }
 }
