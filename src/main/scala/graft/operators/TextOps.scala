@@ -2733,6 +2733,48 @@ object TextOps {
            |WHERE c_ab >= 5
            |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin))
 
+  /** X53 (beyond reference): tokenizer fertility report — per (lang,
+    * source) slice: tokens-per-word (fertility) and chars-per-token under
+    * the x2 BPE-ish regex tokenizer. THE table a team reads when choosing
+    * or auditing a tokenizer: high-fertility slices (many tokens per
+    * word) burn training budget and signal vocabulary mismatch for that
+    * language/source; chars-per-token is the compression the token budget
+    * actually buys. Integer token/word/char sums per slice, three exact
+    * ratios — one scan + one slice-bounded aggregate, no libm.
+    */
+  val x53: GraftQuery = GraftQuery(
+    "x53_tokenizer_fertility",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(
+        col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      t.groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("w").as("n_words"), sum("t").as("n_tokens"), sum("c").as("n_chars"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("n_words"), col("n_tokens"), col("n_chars"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+    },
+    Some("""WITH t AS (SELECT lang, source,
+           |    CAST(len(str_split(text, ' ')) AS BIGINT) AS w,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t,
+           |    CAST(length(text) AS BIGINT) AS c
+           |  FROM documents),
+           |g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(t) AS BIGINT) AS n_tokens,
+           |    CAST(sum(c) AS BIGINT) AS n_chars
+           |  FROM t GROUP BY 1, 2)
+           |SELECT lang, source, n_docs, n_words, n_tokens, n_chars,
+           |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+           |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token
+           |FROM g""".stripMargin))
+
   /** X52 (beyond reference): LSH band-planning table — the s-curve
     * P(candidate | jaccard = s) = 1 − (1 − s^r)^b for every (b, r)
     * factorization of the 64-hash MinHash signature, on a 19-point s
@@ -2808,5 +2850,5 @@ object TextOps {
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
 }

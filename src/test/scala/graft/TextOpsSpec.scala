@@ -451,6 +451,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("x53 fertility: slice sums replay from x2's per-doc stats exactly") {
+    val perDoc = graft.operators.TextOps.x2.build(SparkSpec.spark, sf)
+      .selectExpr("doc_id", "n_words", "n_bpe_tokens", "len_chars").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong))
+      .toMap
+    val meta = graft.core.Tables.documents(SparkSpec.spark, sf)
+      .selectExpr("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    val expect = meta.groupBy(_._2).map { case (k, g) =>
+      val st = g.map(x => perDoc(x._1))
+      k -> (g.length.toLong, st.map(_._1).sum, st.map(_._2).sum, st.map(_._3).sum)
+    }
+    val got = graft.operators.TextOps.x53.build(SparkSpec.spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val (nd, w, t, c) = expect(k)
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_words") == w && r.getAs[Long]("n_tokens") == t &&
+        r.getAs[Long]("n_chars") == c)
+      assert(r.getAs[Double]("fertility") == t.toDouble / w.toDouble)
+      assert(r.getAs[Double]("chars_per_token") == c.toDouble / t.toDouble)
+      // a whitespace tokenizer can only split words further: fertility >= ~1
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
   test("x52 planner: s-curves replay locally, chosen config is the x5 16x4 banding") {
     val out = graft.operators.TextOps.x52.build(SparkSpec.spark, sf).collect()
     assert(out.length == 7 * 19)
