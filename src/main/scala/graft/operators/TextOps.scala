@@ -2733,6 +2733,77 @@ object TextOps {
            |WHERE c_ab >= 5
            |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin))
 
+  /** X54 (beyond reference): quality-rule ablation — per x14 Gopher rule:
+    * how many docs it fails, how many it ALONE fails (unique kills — the
+    * rule's marginal contribution; a rule with zero unique kills is
+    * redundant in this corpus), and the char mass it removes. The
+    * settings-selection audit for the quality gate, the [[x50]] dedup
+    * report's sibling: x50 compares dedup METHODS, this decomposes one
+    * filter into its RULES. One scan to per-doc booleans (the x14
+    * metrics), one conditional aggregate to a 5-row rule domain — all
+    * integer counts.
+    */
+  val x54: GraftQuery = GraftQuery(
+    "x54_quality_ablation",
+    (s, d) => {
+      val m = qualityRules(Tables.documents(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(col("n_chars"),
+          (col("n_words") < 20).as("f_min_words"),
+          (col("distinct_ratio") <= 0.4).as("f_distinct_ratio"),
+          (col("top_word_frac") >= 0.15).as("f_top_word"),
+          (!col("mean_word_len").between(3.0, 10.0)).as("f_word_len"))
+        .withColumn("n_fails",
+          Seq("f_min_words", "f_distinct_ratio", "f_top_word", "f_word_len")
+            .map(c => col(c).cast("int")).reduce(_ + _))
+      def rule(flag: String, name: String) = m.agg(
+        count(when(col(flag), 1)).as("fail_n"),
+        count(when(col(flag) && col("n_fails") === 1, 1)).as("unique_fail_n"),
+        coalesce(sum(when(col(flag), col("n_chars"))), lit(0L)).as("chars_removed"))
+        .select(lit(name).as("rule"), col("fail_n"), col("unique_fail_n"),
+          col("chars_removed"))
+      rule("f_min_words", "min_words")
+        .unionByName(rule("f_distinct_ratio", "distinct_ratio"))
+        .unionByName(rule("f_top_word", "top_word_frac"))
+        .unionByName(rule("f_word_len", "mean_word_len"))
+        .unionByName(m.agg(
+            count(when(col("n_fails") > 0, 1)).as("fail_n"),
+            count(when(col("n_fails") === 1, 1)).as("unique_fail_n"),
+            coalesce(sum(when(col("n_fails") > 0, col("n_chars"))), lit(0L))
+              .as("chars_removed"))
+          .select(lit("any").as("rule"), col("fail_n"), col("unique_fail_n"),
+            col("chars_removed")))
+    },
+    Some("""WITH wds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |ct AS (SELECT doc_id, w, count(*) AS c FROM wds GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           |  count(*) AS n_distinct, max(c) AS top_count,
+           |  CAST(sum(length(w) * c) AS BIGINT) AS n_word_chars FROM ct GROUP BY 1),
+           |f AS (SELECT a.doc_id, d.n_chars,
+           |  a.n_words < 20 AS f1,
+           |  a.n_distinct::DOUBLE / a.n_words <= 0.4 AS f2,
+           |  a.top_count::DOUBLE / a.n_words >= 0.15 AS f3,
+           |  NOT (a.n_word_chars::DOUBLE / a.n_words BETWEEN 3.0 AND 10.0) AS f4
+           |  FROM agg a JOIN documents d USING (doc_id)),
+           |n AS (SELECT *, CAST(f1 AS INT) + CAST(f2 AS INT) + CAST(f3 AS INT)
+           |        + CAST(f4 AS INT) AS n_fails FROM f)
+           |SELECT 'min_words' AS rule,
+           |  CAST(count(*) FILTER (WHERE f1) AS BIGINT) AS fail_n,
+           |  CAST(count(*) FILTER (WHERE f1 AND n_fails = 1) AS BIGINT) AS unique_fail_n,
+           |  CAST(coalesce(sum(n_chars) FILTER (WHERE f1), 0) AS BIGINT) AS chars_removed FROM n
+           |UNION ALL SELECT 'distinct_ratio', CAST(count(*) FILTER (WHERE f2) AS BIGINT),
+           |  CAST(count(*) FILTER (WHERE f2 AND n_fails = 1) AS BIGINT),
+           |  CAST(coalesce(sum(n_chars) FILTER (WHERE f2), 0) AS BIGINT) FROM n
+           |UNION ALL SELECT 'top_word_frac', CAST(count(*) FILTER (WHERE f3) AS BIGINT),
+           |  CAST(count(*) FILTER (WHERE f3 AND n_fails = 1) AS BIGINT),
+           |  CAST(coalesce(sum(n_chars) FILTER (WHERE f3), 0) AS BIGINT) FROM n
+           |UNION ALL SELECT 'mean_word_len', CAST(count(*) FILTER (WHERE f4) AS BIGINT),
+           |  CAST(count(*) FILTER (WHERE f4 AND n_fails = 1) AS BIGINT),
+           |  CAST(coalesce(sum(n_chars) FILTER (WHERE f4), 0) AS BIGINT) FROM n
+           |UNION ALL SELECT 'any', CAST(count(*) FILTER (WHERE n_fails > 0) AS BIGINT),
+           |  CAST(count(*) FILTER (WHERE n_fails = 1) AS BIGINT),
+           |  CAST(coalesce(sum(n_chars) FILTER (WHERE n_fails > 0), 0) AS BIGINT) FROM n""".stripMargin))
+
   /** X53 (beyond reference): tokenizer fertility report — per (lang,
     * source) slice: tokens-per-word (fertility) and chars-per-token under
     * the x2 BPE-ish regex tokenizer. THE table a team reads when choosing
@@ -2850,5 +2921,5 @@ object TextOps {
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54)
 }

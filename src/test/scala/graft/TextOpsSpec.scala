@@ -451,6 +451,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("x54 ablation: rule counts replay from x14, any-row ties to keep") {
+    val out = graft.operators.TextOps.x54.build(SparkSpec.spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 5)
+    val x14 = graft.operators.TextOps.x14.build(SparkSpec.spark, sf).collect()
+    val total = x14.length
+    val kept = x14.count(_.getAs[Boolean]("keep"))
+    // 'any' failures are exactly the non-kept docs
+    assert(out("any")._1 == (total - kept).toLong)
+    // unique kills can never exceed a rule's failures, and they partition
+    // the exactly-one-failure docs
+    val rules = Seq("min_words", "distinct_ratio", "top_word_frac", "mean_word_len")
+    rules.foreach(r => assert(out(r)._2 <= out(r)._1))
+    assert(rules.map(out(_)._2).sum == out("any")._2)
+    // per-rule failure counts replay from the x14 metrics
+    val f1 = x14.count(_.getAs[Long]("n_words") < 20)
+    val f2 = x14.count(_.getAs[Double]("distinct_ratio") <= 0.4)
+    assert(out("min_words")._1 == f1.toLong)
+    assert(out("distinct_ratio")._1 == f2.toLong)
+    // char mass: 'any' removal is bounded by the corpus mass
+    val mass = graft.core.Tables.documents(SparkSpec.spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    assert(out("any")._3 <= mass)
+  }
+
   test("x53 fertility: slice sums replay from x2's per-doc stats exactly") {
     val perDoc = graft.operators.TextOps.x2.build(SparkSpec.spark, sf)
       .selectExpr("doc_id", "n_words", "n_bpe_tokens", "len_chars").collect()
