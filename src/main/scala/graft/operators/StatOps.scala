@@ -2084,9 +2084,87 @@ object StatOps {
             |UNION ALL SELECT 'bh_rejections', CAST(count(*) FILTER (WHERE reject) AS DOUBLE)
             |  FROM (${d25.oracle.get})""".stripMargin))
 
+  /** M21 (beyond reference): dominant-period detection — the
+    * variance-explained periodogram: for each candidate period P (in 6-h
+    * buckets: 2, 3, 4 = daily, 8, 12, 28 = weekly), eta² = 1 − SSW/SST of
+    * the bucket-mean series grouped by phase = bucket mod P; the P
+    * explaining the most variance is the series' dominant cycle. This is
+    * the PERIOD-FINDING step upstream of [[d14]] (which scores one given
+    * period) and of m11/m13's fixed season length — ANOVA-style detection
+    * with no trig, so it carries none of a DFT's libm hazard.
+    *
+    * Determinism: bucket means are 1e6-quantized integers (d14
+    * discipline); group/global means are single IEEE divisions of exact
+    * sums; each squared deviation is rounded to an integer unit before
+    * the unordered SUM (the d22 discipline), so SSW/SST are exact BIGINTs
+    * and eta² is one deterministic division. Shape: one scan to the
+    * calendar-bounded bucket domain, then a 6-period × phase aggregate
+    * over ~120 rows — constant beyond the scan at 100 TB.
+    */
+  val m21: GraftQuery = GraftQuery(
+    "m21_dominant_period",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div $BucketUs").as("bucket"), col("value"))
+        .groupBy("bucket").agg(
+          floor((sum(dec(col("value"))).cast("double") / count(lit(1))) * 1e6 + 0.5)
+            .cast("long").as("x"))
+      val periods = s.range(1).select(explode(
+        array(lit(2), lit(3), lit(4), lit(8), lit(12), lit(28))).as("period"))
+      val bp = g.crossJoin(broadcast(periods))
+        .withColumn("phase", col("bucket") % col("period"))
+      val grp = bp.groupBy("period", "phase")
+        .agg(sum("x").as("sg"), count(lit(1)).as("ng"))
+      val tot = g.agg(sum("x").as("st"), count(lit(1)).as("nt"))
+      val terms = bp.join(grp, Seq("period", "phase")).crossJoin(broadcast(tot))
+        .select(col("period"), col("nt"),
+          floor((col("x").cast("double") - col("sg").cast("double") / col("ng")) *
+            (col("x").cast("double") - col("sg").cast("double") / col("ng")) + 0.5)
+            .cast("long").as("w"),
+          floor((col("x").cast("double") - col("st").cast("double") / col("nt")) *
+            (col("x").cast("double") - col("st").cast("double") / col("nt")) + 0.5)
+            .cast("long").as("t"))
+      val ss = terms.groupBy("period")
+        .agg(first("nt").as("n_buckets"), sum("w").as("ssw"), sum("t").as("sst"))
+        .select(col("period"), col("n_buckets"),
+          when(col("sst") === 0, lit(0.0)).otherwise(
+            lit(1.0) - col("ssw").cast("double") / col("sst").cast("double"))
+            .as("eta2"))
+      ss.withColumn("dominant",
+        col("eta2") === max("eta2").over(Window.partitionBy()))
+    },
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+            |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            |        / count(*) * 1e6 + 0.5) AS BIGINT) AS x FROM e GROUP BY 1),
+            |p AS (SELECT unnest([2, 3, 4, 8, 12, 28]) AS period),
+            |bp AS (SELECT g.bucket, g.x, p.period, g.bucket % p.period AS phase
+            |       FROM g CROSS JOIN p),
+            |grp AS (SELECT period, phase, CAST(sum(x) AS BIGINT) AS sg,
+            |          CAST(count(*) AS BIGINT) AS ng FROM bp GROUP BY 1, 2),
+            |tot AS (SELECT CAST(sum(x) AS BIGINT) AS st,
+            |          CAST(count(*) AS BIGINT) AS nt FROM g),
+            |terms AS (SELECT bp.period, tot.nt,
+            |    CAST(floor((CAST(bp.x AS DOUBLE) - CAST(grp.sg AS DOUBLE) / grp.ng)
+            |      * (CAST(bp.x AS DOUBLE) - CAST(grp.sg AS DOUBLE) / grp.ng) + 0.5) AS BIGINT) AS w,
+            |    CAST(floor((CAST(bp.x AS DOUBLE) - CAST(tot.st AS DOUBLE) / tot.nt)
+            |      * (CAST(bp.x AS DOUBLE) - CAST(tot.st AS DOUBLE) / tot.nt) + 0.5) AS BIGINT) AS t
+            |  FROM bp JOIN grp USING (period, phase) CROSS JOIN tot),
+            |ss AS (SELECT period, any_value(nt) AS n_buckets,
+            |         CAST(sum(w) AS BIGINT) AS ssw, CAST(sum(t) AS BIGINT) AS sst
+            |       FROM terms GROUP BY 1)
+            |SELECT CAST(period AS INT) AS period, n_buckets,
+            |  CASE WHEN sst = 0 THEN 0.0
+            |       ELSE 1.0 - CAST(ssw AS DOUBLE) / CAST(sst AS DOUBLE) END AS eta2,
+            |  (CASE WHEN sst = 0 THEN 0.0
+            |        ELSE 1.0 - CAST(ssw AS DOUBLE) / CAST(sst AS DOUBLE) END)
+            |    = max(CASE WHEN sst = 0 THEN 0.0
+            |              ELSE 1.0 - CAST(ssw AS DOUBLE) / CAST(sst AS DOUBLE) END) OVER ()
+            |    AS dominant
+            |FROM ss""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, a22, a23, m12, m13, m14)
+      d21, d22, d23, d24, d25, d26, d27, d28, a22, a23, m12, m13, m14, m21)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

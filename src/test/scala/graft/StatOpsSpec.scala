@@ -166,6 +166,40 @@ class StatOpsSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("m21 dominant period: eta2 replays from the bucket series, bounds hold") {
+    val out = StatOps.m21.build(spark, sf).collect()
+      .map(r => r.getAs[Int]("period") -> r).toMap
+    assert(out.keySet == Set(2, 3, 4, 8, 12, 28))
+    // local replay from the same 1e6-quantized bucket means
+    val xs = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 21600000000 as bucket", "value")
+      .groupBy("bucket")
+      .agg(floor((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))) * 1e6 + 0.5).cast("long").as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val st = xs.map(_._2).sum; val nt = xs.length
+    val mt = st.toDouble / nt
+    Seq(2, 3, 4, 8, 12, 28).foreach { p =>
+      val byPhase = xs.groupBy(_._1 % p)
+      val ssw = xs.map { case (b, x) =>
+        val g = byPhase(b % p).map(_._2)
+        val m = g.sum.toDouble / g.length
+        math.floor((x - m) * (x - m) + 0.5).toLong
+      }.sum
+      val sst = xs.map { case (_, x) =>
+        math.floor((x - mt) * (x - mt) + 0.5).toLong
+      }.sum
+      val eta = if (sst == 0) 0.0 else 1.0 - ssw.toDouble / sst.toDouble
+      assert(out(p).getAs[Double]("eta2") == eta, s"eta2 period $p")
+      assert(out(p).getAs[Long]("n_buckets") == nt.toLong)
+    }
+    // dominance marks the max (ties allowed but at least one row)
+    val maxEta = out.values.map(_.getAs[Double]("eta2")).max
+    out.values.foreach { r =>
+      assert(r.getAs[Boolean]("dominant") == (r.getAs[Double]("eta2") == maxEta))
+    }
+  }
+
   test("d28 report: every number equals its standalone operator's, bitwise") {
     // value is nullable by design: d19's z is null on a degenerate arm
     // (the sf0.001 fixture) — the report must carry that null through
