@@ -2115,7 +2115,10 @@ object StatOps {
         .withColumn("phase", col("bucket") % col("period"))
       val grp = bp.groupBy("period", "phase")
         .agg(sum("x").as("sg"), count(lit(1)).as("ng"))
-      val tot = g.agg(sum("x").as("st"), count(lit(1)).as("nt"))
+      // global sums fold from any one period's phase sums (each bucket
+      // appears exactly once per period) — avoids a second events scan
+      val tot = grp.filter(col("period") === 2)
+        .agg(sum("sg").as("st"), sum("ng").as("nt"))
       val terms = bp.join(grp, Seq("period", "phase")).crossJoin(broadcast(tot))
         .select(col("period"), col("nt"),
           floor((col("x").cast("double") - col("sg").cast("double") / col("ng")) *
