@@ -2165,9 +2165,64 @@ object StatOps {
             |    AS dominant
             |FROM ss""".stripMargin))
 
+  /** D29 (beyond reference): quantile treatment effect — the per-quantile
+    * arm difference QTE(q) = Q_A(q) − Q_B(q) at q ∈ {0.25, 0.5, 0.75},
+    * the DISTRIBUTIONAL view of a treatment that mean tests ([[a22]],
+    * [[d27]]) cannot see: a change that fattens the right tail while
+    * thinning the left can have zero mean effect and large quantile
+    * effects. Quantiles are exact type-1 order statistics (value at rank
+    * ⌈q·n⌉), computed via the [[d3]] ECDF shape — per-value arm counts,
+    * one cumulative window over the VALUE domain (bounded by metric
+    * resolution, never by row count), then the minimal value whose
+    * cumulative count reaches the rank. No per-arm global sort, so the
+    * plan never funnels an arm into one task at 100 TB. Integer ranks
+    * from exact counts; ceil of q·n is the one IEEE op (m19 discipline).
+    */
+  val d29: GraftQuery = GraftQuery(
+    "d29_qte",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("value"), (col("user_id") % 2 === 0).as("isa"))
+      val byV = e.groupBy("value").agg(
+        count(when(col("isa"), 1)).as("na_v"),
+        count(when(!col("isa"), 1)).as("nb_v"))
+      val wv = Window.orderBy("value")
+      val cum = byV.select(col("value"),
+        sum("na_v").over(wv).as("cum_a"), sum("nb_v").over(wv).as("cum_b"),
+        sum("na_v").over(Window.partitionBy()).as("n_a"),
+        sum("nb_v").over(Window.partitionBy()).as("n_b"))
+      val qs = s.range(1).select(explode(
+        array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+      val j = cum.crossJoin(broadcast(qs))
+        .withColumn("rk_a", ceil(col("q") * col("n_a").cast("double")).cast("long"))
+        .withColumn("rk_b", ceil(col("q") * col("n_b").cast("double")).cast("long"))
+      val qa = j.filter(col("cum_a") >= col("rk_a"))
+        .groupBy("q").agg(min("value").as("q_a"))
+      val qb = j.filter(col("cum_b") >= col("rk_b"))
+        .groupBy("q").agg(min("value").as("q_b"))
+      qa.join(qb, "q")
+        .select(col("q"), col("q_a"), col("q_b"), (col("q_a") - col("q_b")).as("qte"))
+    },
+    Some("""WITH e AS (SELECT value, user_id % 2 = 0 AS isa FROM events),
+           |v AS (SELECT value, count(*) FILTER (WHERE isa) AS na_v,
+           |             count(*) FILTER (WHERE NOT isa) AS nb_v FROM e GROUP BY 1),
+           |c AS (SELECT value,
+           |        CAST(sum(na_v) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+           |        CAST(sum(nb_v) OVER (ORDER BY value) AS BIGINT) AS cum_b,
+           |        CAST(sum(na_v) OVER () AS BIGINT) AS n_a,
+           |        CAST(sum(nb_v) OVER () AS BIGINT) AS n_b FROM v),
+           |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q),
+           |j AS (SELECT c.*, q.q,
+           |        CAST(ceil(q.q * CAST(c.n_a AS DOUBLE)) AS BIGINT) AS rk_a,
+           |        CAST(ceil(q.q * CAST(c.n_b AS DOUBLE)) AS BIGINT) AS rk_b
+           |      FROM c CROSS JOIN q),
+           |qa AS (SELECT q, min(value) AS q_a FROM j WHERE cum_a >= rk_a GROUP BY 1),
+           |qb AS (SELECT q, min(value) AS q_b FROM j WHERE cum_b >= rk_b GROUP BY 1)
+           |SELECT q, q_a, q_b, q_a - q_b AS qte FROM qa JOIN qb USING (q)""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, a22, a23, m12, m13, m14, m21)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, a22, a23, m12, m13, m14, m21)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

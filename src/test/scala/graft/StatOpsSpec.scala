@@ -166,6 +166,27 @@ class StatOpsSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("d29 QTE: quantiles match a local exact order statistic per arm") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("value", "user_id % 2 = 0 AS isa").collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    val got = StatOps.d29.build(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    assert(got.keySet == Set(0.25, 0.5, 0.75))
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      val qa = a(math.ceil(q * a.length).toInt - 1)
+      val qb = b(math.ceil(q * b.length).toInt - 1)
+      assert(got(q).getAs[Double]("q_a") == qa, s"q_a at $q")
+      assert(got(q).getAs[Double]("q_b") == qb, s"q_b at $q")
+      assert(got(q).getAs[Double]("qte") == qa - qb)
+    }
+    // quantiles are monotone in q within each arm
+    val g = Seq(0.25, 0.5, 0.75).map(q => got(q).getAs[Double]("q_a"))
+    assert(g.sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("m21 dominant period: eta2 replays from the bucket series, bounds hold") {
     val out = StatOps.m21.build(spark, sf).collect()
       .map(r => r.getAs[Int]("period") -> r).toMap
