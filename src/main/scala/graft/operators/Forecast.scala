@@ -1743,6 +1743,141 @@ object Forecast {
            |  zh / ph AS croston, 0.95 * (zh / ph) AS sba
            |FROM rec WHERE i = n""".stripMargin))
 
+  /** M22 (beyond reference): hierarchical forecast coherence — per
+    * horizon step, the DIRECT global forecast vs the BOTTOM-UP sum of
+    * per-event-type forecasts on the same global grid, plus the
+    * reconciliation ratio. The children are zero-filled onto the COMMON
+    * bucket spine before fitting: on a shared support every linear-in-y
+    * forecaster (here per-series OLS lines) is exactly additive, so
+    * bottom-up ≡ direct up to quantization and the ratio pins to 1 —
+    * the coherence identity this op regression-gates. The identity is
+    * easy to lose silently: fitting each child only on its ACTIVE
+    * buckets (the natural, wrong implementation) treats
+    * conditional-on-active demand as dense and overshoots the total
+    * ~5× on this corpus — the classic bottom-up overforecast bug this
+    * gate exists to catch. A production reconciler (Hyndman et al.'s
+    * trace-minimization family) starts from exactly this spine-aligned
+    * base and redistributes residual incoherence of NONLINEAR members.
+    *
+    * Determinism: integer bucket coordinates rebased to the global
+    * origin (keeps OLS moments inside BIGINT/2^53), exact centi-unit
+    * demand sums, slope/intercept as fixed IEEE ratios of exact integer
+    * moments, each child's horizon value 1e4-quantized BEFORE the
+    * unordered cross-child sum. Shape: one bucket aggregate, a
+    * spine-bounded fill (types × calendar buckets), one moments
+    * aggregate per level, a 12-row horizon domain.
+    */
+  val m22: GraftQuery = GraftQuery(
+    "m22_forecast_reconciliation",
+    (s, d) => {
+      val stepUs = BucketSeconds * 1000000L
+      // bucket series in integer coordinates: t = bucket index rebased to
+      // the global origin (shift keeps every OLS moment inside BIGINT/2^53),
+      // y100 = exact centi-units of the 2-dp DECIMAL bucket sum
+      val ser0 = Tables.events(s, d)
+        .groupBy(col("event_type"), timestampBucket(col("ts"), BucketSeconds).as("b"))
+        .agg(decSum(col("value")).as("demand"))
+        .select(col("event_type"), expr(s"unix_micros(b) div $stepUs").as("tr"),
+          floor(col("demand") * 100 + 0.5).cast("long").as("y100"))
+      // common spine: every type gets every observed bucket, absent = 0
+      val spine = ser0.select("event_type").distinct()
+        .crossJoin(ser0.select("tr").distinct())
+      val filled = spine.join(ser0, Seq("event_type", "tr"), "left")
+        .na.fill(0L, Seq("y100"))
+      val origin = ser0.agg(min("tr").as("t0"), max("tr").as("tmax"))
+      val ser = filled.crossJoin(broadcast(origin))
+        .select(col("event_type"), (col("tr") - col("t0")).as("t"), col("y100"),
+          (col("tmax") - col("t0")).as("tg"), col("t0"))
+      // per-child OLS line over integer moments (shift-safe, BIGINT-exact)
+      def ols(df: DataFrame, keys: Seq[String]) = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sum("t").as("st"), sum("y100").as("sy"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("t") * col("y100")).as("sty"),
+          first("tg").as("tg"), first("t0").as("t0"))
+        .withColumn("den",
+          col("n").cast("double") * col("stt").cast("double") -
+            col("st").cast("double") * col("st").cast("double"))
+        .withColumn("b", when(col("den") === 0, lit(0.0)).otherwise(
+          (col("n").cast("double") * col("sty").cast("double") -
+            col("st").cast("double") * col("sy").cast("double")) / col("den")))
+        .withColumn("a",
+          (col("sy").cast("double") - col("b") * col("st").cast("double")) /
+            col("n").cast("double"))
+      val u = ols(ser, Seq("event_type"))
+      val gSer = ser.groupBy("t", "tg", "t0").agg(sum("y100").as("y100"))
+      val g = ols(gSer.withColumn("event_type", lit("_total")), Seq("event_type"))
+        .select(col("a").as("ga"), col("b").as("gb"),
+          col("tg").as("gtg"), col("t0").as("gt0"))
+      val hs = s.range(1, 13).select(col("id").cast("int").as("h"))
+      // child line evaluated at the global grid tg + h, 1e4-quantized in
+      // centi-units (=> 1e6-scaled units) BEFORE the cross-child sum
+      val qu = u.crossJoin(broadcast(hs))
+        .withColumn("qv",
+          floor((col("a") + col("b") * (col("tg") + col("h")).cast("double"))
+            * 1e4 + 0.5).cast("long"))
+      qu.groupBy("h").agg(sum("qv").as("sq"))
+        .crossJoin(broadcast(g))
+        .select(col("h"),
+          timestamp_micros((col("gt0") + col("gtg") + col("h")) * stepUs)
+            .as("forecast_timestamp"),
+          ((col("ga") + col("gb") * (col("gtg") + col("h")).cast("double")) / 100.0)
+            .as("global_direct"),
+          (col("sq").cast("double") / 1e6).as("bottom_up_sum"),
+          (((col("ga") + col("gb") * (col("gtg") + col("h")).cast("double")) / 100.0) /
+            (col("sq").cast("double") / 1e6)).as("reconcile_ratio"))
+    },
+    Some(s"""WITH ser0 AS (
+            |  SELECT event_type,
+            |         epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // ${300000000L} AS tr,
+            |         CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS y100
+            |  FROM events GROUP BY 1, 2),
+            |sp AS (SELECT et.event_type, tt.tr
+            |       FROM (SELECT DISTINCT event_type FROM ser0) et
+            |       CROSS JOIN (SELECT DISTINCT tr FROM ser0) tt),
+            |fl AS (SELECT sp.event_type, sp.tr, coalesce(ser0.y100, 0) AS y100
+            |       FROM sp LEFT JOIN ser0 USING (event_type, tr)),
+            |o AS (SELECT min(tr) AS t0, max(tr) AS tmax FROM ser0),
+            |ser AS (SELECT event_type, tr - o.t0 AS t, y100,
+            |               o.tmax - o.t0 AS tg, o.t0 AS t0 FROM fl, o),
+            |u0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y100) AS BIGINT) AS sy,
+            |         CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * y100) AS BIGINT) AS sty,
+            |         any_value(tg) AS tg FROM ser GROUP BY 1),
+            |u1 AS (SELECT *, CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+            |         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS den FROM u0),
+            |u AS (SELECT *, CASE WHEN den = 0 THEN CAST(0 AS DOUBLE)
+            |        ELSE (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+            |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) / den END AS b
+            |      FROM u1),
+            |ua AS (SELECT *, (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+            |         / CAST(n AS DOUBLE) AS a FROM u),
+            |gs0 AS (SELECT t, any_value(tg) AS tg, any_value(t0) AS t0,
+            |          CAST(sum(y100) AS BIGINT) AS y100 FROM ser GROUP BY 1),
+            |g0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y100) AS BIGINT) AS sy,
+            |         CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * y100) AS BIGINT) AS sty,
+            |         any_value(tg) AS gtg, any_value(t0) AS gt0 FROM gs0),
+            |g1 AS (SELECT *, CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+            |         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS den FROM g0),
+            |g2 AS (SELECT *, CASE WHEN den = 0 THEN CAST(0 AS DOUBLE)
+            |         ELSE (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+            |           - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) / den END AS gb
+            |       FROM g1),
+            |g AS (SELECT gtg, gt0, gb, (CAST(sy AS DOUBLE) - gb * CAST(st AS DOUBLE))
+            |        / CAST(n AS DOUBLE) AS ga FROM g2),
+            |h AS (SELECT CAST(unnest(generate_series(1, 12)) AS INT) AS h),
+            |qu AS (SELECT h.h, CAST(floor((ua.a + ua.b * CAST(ua.tg + h.h AS DOUBLE))
+            |         * 1e4 + 0.5) AS BIGINT) AS qv
+            |       FROM ua CROSS JOIN h),
+            |sq AS (SELECT h, CAST(sum(qv) AS BIGINT) AS sq FROM qu GROUP BY 1)
+            |SELECT sq.h, make_timestamp((g.gt0 + g.gtg + sq.h) * ${300000000L}) AS forecast_timestamp,
+            |  (g.ga + g.gb * CAST(g.gtg + sq.h AS DOUBLE)) / 100.0 AS global_direct,
+            |  CAST(sq.sq AS DOUBLE) / 1e6 AS bottom_up_sum,
+            |  ((g.ga + g.gb * CAST(g.gtg + sq.h AS DOUBLE)) / 100.0)
+            |    / (CAST(sq.sq AS DOUBLE) / 1e6) AS reconcile_ratio
+            |FROM sq CROSS JOIN g""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20)
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20, m22)
 }

@@ -49,9 +49,19 @@ object Quality {
     * violation-count constraints metric is the number of offending rows
     * (threshold 0); for MinCompleteness metric is the non-null ratio.
     */
-  def checkConstraints(df: DataFrame, cs: Seq[Constraint]): DataFrame = {
+  def checkConstraints(df: DataFrame, cs: Seq[Constraint]): DataFrame =
+    constraintMelt(df.agg(constraintAggs(cs).head, constraintAggs(cs).tail: _*), cs)
+
+  /** The one-scan aggregate terms of the suite (m0..mN columns). Works on
+    * a streaming DataFrame too — every term is a plain conditional
+    * count/ratio except Unique's count_distinct, which streaming
+    * disallows; streaming suites omit Unique or substitute the
+    * [[graft.plans.BottomKSketchAgg]] estimator (see [[StreamingOps]]'
+    * t27).
+    */
+  private[operators] def constraintAggs(cs: Seq[Constraint]): Seq[Column] = {
     require(cs.nonEmpty, "checkConstraints: empty suite")
-    val aggs: Seq[Column] = cs.zipWithIndex.map { case (c, i) =>
+    cs.zipWithIndex.map { case (c, i) =>
       (c match {
         case NotNull(cl) => count(when(col(cl).isNull, 1)).cast("double")
         case Unique(cols) =>
@@ -65,7 +75,13 @@ object Quality {
           count(col(cl)).cast("double") / count(lit(1))
       }).as(s"m$i")
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Melt the 1-row aggregate into the long-format verdict table — shared
+    * by the batch path and the streaming sink recomposition so both emit
+    * the identical verdicts.
+    */
+  private[operators] def constraintMelt(row: DataFrame, cs: Seq[Constraint]): DataFrame = {
     val entries = cs.zipWithIndex.map { case (c, i) =>
       val m = col(s"m$i")
       val (thr, passed) = c match {

@@ -819,7 +819,49 @@ object StreamingOps {
     graft.operators.StatOps.d24.oracle,
     bench = false)
 
+  /** T27 (beyond reference): STREAMING data-quality gate — the
+    * [[Quality]] constraint suite riding the ingest stream, which is
+    * where a lakehouse actually runs it (block the batch BEFORE it lands,
+    * not after a batch rescan). The suite's aggregate terms run as ONE
+    * streaming aggregation (complete mode, single-row state), the
+    * long-format verdicts melt from the materialized sink via the SHARED
+    * [[Quality.constraintMelt]] — so stream == batch bitwise and one
+    * oracle gates both. The streaming suite carries every constraint
+    * class except Unique (streaming forbids count_distinct; the sketch
+    * substitution is the documented seam).
+    */
+  val t27: GraftQuery = GraftQuery(
+    "t27_stream_constraints",
+    (s, d) => {
+      val cs: Seq[Quality.Constraint] = Seq(
+        Quality.NotNull("user_id"),
+        Quality.InRange("value", 0.0, 1e6),
+        Quality.InSet("event_type",
+          Seq("view", "click", "purchase", "signup", "error")),
+        Quality.MinCompleteness("props", 0.99))
+      val aggs = Quality.constraintAggs(cs)
+      val q = eventsStream(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .writeStream.format("memory").queryName("graft_t27")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Quality.constraintMelt(s.table("graft_t27"), cs)
+    },
+    Some("""WITH m AS (SELECT
+           |  CAST(count(*) FILTER (WHERE user_id IS NULL) AS DOUBLE) AS m0,
+           |  CAST(count(*) FILTER (WHERE value < 0.0 OR value > 1e6) AS DOUBLE) AS m1,
+           |  CAST(count(*) FILTER (WHERE event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error')) AS DOUBLE) AS m2,
+           |  CAST(count(props) AS DOUBLE) / count(*) AS m3
+           |  FROM events)
+           |SELECT 'not_null(user_id)' AS check_name, m0 AS metric, 0.0 AS threshold, m0 = 0.0 AS passed FROM m
+           |UNION ALL SELECT 'in_range(value,0.0,1000000.0)', m1, 0.0, m1 = 0.0 FROM m
+           |UNION ALL SELECT 'in_set(event_type)', m2, 0.0, m2 = 0.0 FROM m
+           |UNION ALL SELECT 'completeness(props)', m3, 0.99, m3 >= 0.99 FROM m""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26)
+      t24, t25, t26, t27)
 }

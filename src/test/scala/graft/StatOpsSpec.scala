@@ -166,6 +166,63 @@ class StatOpsSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("m22 reconciliation: bottom-up sum replays from per-user drift lines") {
+    val out = graft.operators.Forecast.m22.build(spark, sf).collect()
+      .map(r => r.getAs[Int]("h") -> r).toMap
+    assert(out.keySet == (1 to 12).toSet)
+    // local replay of the bottom-up side: per-child OLS in the same
+    // integer coordinates (t rebased to the global origin, centi-units)
+    val ser = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        graft.functions.Funcs.timestampBucket(col("ts"), 300L).as("b"))
+      .agg(graft.functions.Funcs.decSum(col("value")).as("demand"))
+      .selectExpr("event_type", "unix_micros(b) div 300000000 AS tr",
+        "CAST(floor(demand * 100 + 0.5) AS LONG) AS y100")
+      .as[(String, Long, Long)].collect()
+    val t0 = ser.map(_._2).min
+    val tg = ser.map(_._2).max - t0
+    // spine-fill: every type on every observed bucket, absent = 0
+    val allTs = ser.map(_._2).distinct
+    val byType = ser.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    def olsLine(pts: Seq[(Long, Long)]): (Double, Double) = {
+      val n = pts.length
+      val st = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val stt = pts.map(p => p._1 * p._1).sum
+      val sty = pts.map(p => p._1 * p._2).sum
+      val den = n.toDouble * stt.toDouble - st.toDouble * st.toDouble
+      val b = if (den == 0) 0.0
+        else (n.toDouble * sty.toDouble - st.toDouble * sy.toDouble) / den
+      ((sy.toDouble - b * st.toDouble) / n.toDouble, b)
+    }
+    val byC = byType.view.mapValues { m =>
+      olsLine(allTs.map(tr => (tr - t0, m.getOrElse(tr, 0L))).toSeq)
+    }.toMap
+    (1 to 12).foreach { h =>
+      val sq = byC.values.map { case (a, b) =>
+        math.floor((a + b * (tg + h).toDouble) * 1e4 + 0.5).toLong
+      }.sum
+      assert(out(h).getAs[Double]("bottom_up_sum") == sq.toDouble / 1e6, s"h=$h")
+      val gd = out(h).getAs[Double]("global_direct")
+      assert(out(h).getAs[Double]("reconcile_ratio") == gd / (sq.toDouble / 1e6))
+    }
+    // the global line replays from the summed child series
+    val gPts = ser.groupBy(_._2).map { case (tr, rows) =>
+      (tr - t0, rows.map(_._3).sum)
+    }.toSeq
+    val (ga, gb) = olsLine(gPts)
+    (1 to 12).foreach { h =>
+      assert(out(h).getAs[Double]("global_direct") ==
+        (ga + gb * (tg + h).toDouble) / 100.0, s"global at h=$h")
+    }
+    // THE COHERENCE IDENTITY: on the common spine, OLS is linear in y, so
+    // bottom-up == direct up to the 1e4 child quantization
+    (1 to 12).foreach { h =>
+      val r = out(h).getAs[Double]("reconcile_ratio")
+      assert(math.abs(r - 1.0) < 1e-4, s"coherence broken at h=$h: $r")
+    }
+  }
+
   test("d29 QTE: quantiles match a local exact order statistic per arm") {
     val rows = Tables.events(spark, sf)
       .selectExpr("value", "user_id % 2 = 0 AS isa").collect()

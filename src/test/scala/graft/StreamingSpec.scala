@@ -274,4 +274,21 @@ class StreamingSpec extends SparkSpec {
     assert(streaming === batch,
       "micro-batched arm sums must recompose to the batch ln-lambda exactly")
   }
+
+  test("t27 streaming constraint suite equals the batch suite bitwise") {
+    import graft.operators.Quality
+    val streaming = graft.operators.StreamingOps.t27.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = Quality.checkConstraints(
+      graft.core.Tables.events(spark, sf), Seq(
+        Quality.NotNull("user_id"),
+        Quality.InRange("value", 0.0, 1e6),
+        Quality.InSet("event_type",
+          Seq("view", "click", "purchase", "signup", "error")),
+        Quality.MinCompleteness("props", 0.99)))
+      .collect().map(_.toSeq).toSet
+    assert(streaming.size == 4)
+    assert(streaming === batch,
+      "streaming constraint metrics must equal the batch single-scan suite")
+  }
 }
