@@ -2220,9 +2220,93 @@ object StatOps {
            |qb AS (SELECT q, min(value) AS q_b FROM j WHERE cum_b >= rk_b GROUP BY 1)
            |SELECT q, q_a, q_b, q_a - q_b AS qte FROM qa JOIN qb USING (q)""".stripMargin))
 
+  /** M23 (beyond reference): EWMA control chart (Roberts 1959) — the
+    * SPC companion to [[m12]]'s CUSUM: per 6-h bucket, the exponentially
+    * weighted mean z_t = λ·x_t + (1−λ)·z_{t−1} (λ = 0.2, z seeded at the
+    * first bucket mean) against the exact time-varying control limits
+    * μ ± 3σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) — wider as the EWMA warms up,
+    * converging to the asymptotic band. CUSUM detects sustained small
+    * shifts fastest; the EWMA chart is what monitoring dashboards
+    * actually plot (a smoothed line inside a band) and detects drifts
+    * CUSUM's reset logic can blur.
+    *
+    * Determinism: bucket means are 1e6-quantized ints; μ, σ² come from
+    * exact integer moment sums; the EWMA recursion AND the (1−λ)^{2t}
+    * warm-up factor are chained IEEE folds in ascending t, replayed by
+    * the oracle as a recursive CTE (the m10 discipline); √ is correctly
+    * rounded. Shape: one scan to the calendar-bounded bucket domain, one
+    * single-group kernel over ~120 rows — bounded by the calendar, not
+    * data.
+    */
+  val m23: GraftQuery = GraftQuery(
+    "m23_ewma_chart",
+    (s, d) => {
+      import s.implicits._
+      val g = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div $BucketUs").as("bucket"), col("value"))
+        .groupBy("bucket").agg(
+          floor((sum(dec(col("value"))).cast("double") / count(lit(1))) * 1e6 + 0.5)
+            .cast("long").as("xq"))
+      g.as[(Long, Long)]
+        .groupByKey(_ => 0)
+        .flatMapGroups { (_: Int, it: Iterator[(Long, Long)]) =>
+          val pts = it.toVector.sortBy(_._1)
+          val n = pts.size
+          var sy = 0L; var syy = 0L
+          pts.foreach { p => sy += p._2; syy += p._2 * p._2 }
+          val mu = sy.toDouble / n / 1e6
+          val sigma =
+            if (n < 2) 0.0
+            else math.sqrt((n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble) /
+              (n.toDouble * (n.toDouble - 1.0))) / 1e6
+          var z = pts.head._2.toDouble / 1e6
+          var p = 1.0
+          pts.iterator.map { case (b, xq) =>
+            val x = xq.toDouble / 1e6
+            z = 0.2 * x + 0.8 * z
+            p = p * 0.8 * 0.8
+            val half = 3.0 * sigma * math.sqrt(0.2 / 1.8 * (1.0 - p))
+            (b, x, z, mu - half, mu + half,
+              z < mu - half || z > mu + half)
+          }
+        }
+        .toDF("bucket", "x_mean", "ewma", "lcl", "ucl", "out_of_control")
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+            |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+            |        / count(*) * 1e6 + 0.5) AS BIGINT) AS xq FROM e GROUP BY 1),
+            |ser AS (SELECT list(xq ORDER BY bucket) AS y, list(bucket ORDER BY bucket) AS bs,
+            |        CAST(count(*) AS INT) AS n,
+            |        CAST(sum(xq) AS BIGINT) AS sy, CAST(sum(xq * xq) AS BIGINT) AS syy FROM g),
+            |mo AS (SELECT y, bs, n,
+            |        CAST(sy AS DOUBLE) / n / 1e6 AS mu,
+            |        CASE WHEN n < 2 THEN CAST(0 AS DOUBLE)
+            |             ELSE sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+            |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1e6
+            |        END AS sigma FROM ser),
+            |rec AS (
+            |  SELECT y, bs, n, mu, sigma, 1 AS i,
+            |         CAST(0.2 AS DOUBLE) * (CAST(y[1] AS DOUBLE) / 1e6)
+            |           + CAST(0.8 AS DOUBLE) * (CAST(y[1] AS DOUBLE) / 1e6) AS z,
+            |         CAST(1.0 AS DOUBLE) * CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE) AS p
+            |  FROM mo
+            |  UNION ALL
+            |  SELECT y, bs, n, mu, sigma, i + 1,
+            |         CAST(0.2 AS DOUBLE) * (CAST(y[i+1] AS DOUBLE) / 1e6)
+            |           + CAST(0.8 AS DOUBLE) * z,
+            |         p * CAST(0.8 AS DOUBLE) * CAST(0.8 AS DOUBLE)
+            |  FROM rec WHERE i < n)
+            |SELECT bs[i] AS bucket, CAST(y[i] AS DOUBLE) / 1e6 AS x_mean, z AS ewma,
+            |  mu - 3.0 * sigma * sqrt(0.2 / 1.8 * (1.0 - p)) AS lcl,
+            |  mu + 3.0 * sigma * sqrt(0.2 / 1.8 * (1.0 - p)) AS ucl,
+            |  (z < mu - 3.0 * sigma * sqrt(0.2 / 1.8 * (1.0 - p))
+            |   OR z > mu + 3.0 * sigma * sqrt(0.2 / 1.8 * (1.0 - p))) AS out_of_control
+            |FROM rec""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, d29, a22, a23, m12, m13, m14, m21)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, a22, a23, m12, m13, m14, m21, m23)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

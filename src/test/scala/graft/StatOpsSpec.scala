@@ -223,6 +223,39 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("m23 EWMA chart: recursion and warm-up limits replay locally") {
+    val out = StatOps.m23.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val xs = Tables.events(spark, sf)
+      .selectExpr("unix_micros(ts) div 21600000000 as bucket", "value")
+      .groupBy("bucket")
+      .agg(floor((sum(col("value").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))) * 1e6 + 0.5).cast("long").as("xq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.size == xs.length && xs.length > 10)
+    val n = xs.length
+    val sy = xs.map(_._2).sum; val syy = xs.map(p => p._2 * p._2).sum
+    val mu = sy.toDouble / n / 1e6
+    val sigma = math.sqrt((n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble) /
+      (n.toDouble * (n.toDouble - 1.0))) / 1e6
+    var z = xs.head._2.toDouble / 1e6
+    var p = 1.0
+    xs.foreach { case (b, xq) =>
+      val x = xq.toDouble / 1e6
+      z = 0.2 * x + 0.8 * z
+      p = p * 0.8 * 0.8
+      val half = 3.0 * sigma * math.sqrt(0.2 / 1.8 * (1.0 - p))
+      val r = out(b)
+      assert(r.getAs[Double]("ewma") == z, s"ewma at bucket $b")
+      assert(r.getAs[Double]("lcl") == mu - half && r.getAs[Double]("ucl") == mu + half)
+      assert(r.getAs[Boolean]("out_of_control") == (z < mu - half || z > mu + half))
+    }
+    // warm-up: the band is strictly widening toward the asymptote
+    val sorted = xs.map(_._1).map(out)
+    val widths = sorted.map(r => r.getAs[Double]("ucl") - r.getAs[Double]("lcl"))
+    assert(widths.sliding(2).forall(w => w.head <= w.last))
+  }
+
   test("d29 QTE: quantiles match a local exact order statistic per arm") {
     val rows = Tables.events(spark, sf)
       .selectExpr("value", "user_id % 2 = 0 AS isa").collect()
