@@ -2304,9 +2304,92 @@ object StatOps {
             |   OR z > mu + 3.0 * sigma * sqrt(0.2 / 1.8 * (1.0 - p))) AS out_of_control
             |FROM rec""".stripMargin))
 
+  /** D30 (beyond reference): Brown-Forsythe equal-variance test — the
+    * robust Levene variant: ANOVA F on the absolute deviations from each
+    * ARM MEDIAN, |x − med_g|. The missing member of the testing family:
+    * [[a22]] compares means, [[d16]] distributions, [[d19]] proportions,
+    * [[d29]] quantiles — this tests the VARIANCES, the precondition a
+    * pooled-variance analysis quietly assumes and the robust (median-
+    * anchored) form survives heavy tails that break classic Levene.
+    *
+    * Determinism: arm medians are exact type-1 order statistics via the
+    * [[d29]] value-domain ECDF (no per-arm sort); deviations are exact
+    * DECIMAL differences (2-dp values, 2-dp medians) accumulated as
+    * DECIMAL sums (a22 discipline); F is a fixed IEEE expression of
+    * those moments. Shape: one value-domain aggregate for the medians +
+    * one conditional-aggregate scan — two passes, both one-shuffle.
+    */
+  val d30: GraftQuery = GraftQuery(
+    "d30_brown_forsythe",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("value"), (col("user_id") % 2 === 0).as("isa"))
+      val byV = e.groupBy("value").agg(
+        count(when(col("isa"), 1)).as("na_v"),
+        count(when(!col("isa"), 1)).as("nb_v"))
+      val wv = Window.orderBy("value")
+      val cum = byV.select(col("value"),
+        sum("na_v").over(wv).as("cum_a"), sum("nb_v").over(wv).as("cum_b"),
+        sum("na_v").over(Window.partitionBy()).as("n_a"),
+        sum("nb_v").over(Window.partitionBy()).as("n_b"))
+      val medA = cum.filter(col("cum_a") >=
+          ceil(lit(0.5) * col("n_a").cast("double")).cast("long"))
+        .agg(min("value").as("med_a"))
+      val medB = cum.filter(col("cum_b") >=
+          ceil(lit(0.5) * col("n_b").cast("double")).cast("long"))
+        .agg(min("value").as("med_b"))
+      val dev = e.crossJoin(broadcast(medA)).crossJoin(broadcast(medB))
+        .withColumn("dv", abs(dec(col("value")) -
+          dec(when(col("isa"), col("med_a")).otherwise(col("med_b")))))
+      val g = dev.agg(
+        count(when(col("isa"), 1)).as("n1"),
+        sum(when(col("isa"), col("dv"))).cast("double").as("s1"),
+        sum(when(col("isa"), col("dv") * col("dv"))).cast("double").as("q1"),
+        count(when(!col("isa"), 1)).as("n2"),
+        sum(when(!col("isa"), col("dv"))).cast("double").as("s2"),
+        sum(when(!col("isa"), col("dv") * col("dv"))).cast("double").as("q2"),
+        first("med_a").as("med_a"), first("med_b").as("med_b"))
+      val nn = (col("n1") + col("n2")).cast("double")
+      val ssb = col("s1") * col("s1") / col("n1") + col("s2") * col("s2") / col("n2") -
+        (col("s1") + col("s2")) * (col("s1") + col("s2")) / nn
+      val ssw = (col("q1") - col("s1") * col("s1") / col("n1")) +
+        (col("q2") - col("s2") * col("s2") / col("n2"))
+      g.select(col("n1"), col("n2"), col("med_a"), col("med_b"),
+        (ssb / (ssw / (nn - 2.0))).as("f_stat"))
+    },
+    Some("""WITH e AS (SELECT value, user_id % 2 = 0 AS isa FROM events),
+           |v AS (SELECT value, count(*) FILTER (WHERE isa) AS na_v,
+           |             count(*) FILTER (WHERE NOT isa) AS nb_v FROM e GROUP BY 1),
+           |c AS (SELECT value,
+           |        CAST(sum(na_v) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+           |        CAST(sum(nb_v) OVER (ORDER BY value) AS BIGINT) AS cum_b,
+           |        CAST(sum(na_v) OVER () AS BIGINT) AS n_a,
+           |        CAST(sum(nb_v) OVER () AS BIGINT) AS n_b FROM v),
+           |ma AS (SELECT min(value) AS med_a FROM c
+           |       WHERE cum_a >= CAST(ceil(0.5 * CAST(n_a AS DOUBLE)) AS BIGINT)),
+           |mb AS (SELECT min(value) AS med_b FROM c
+           |       WHERE cum_b >= CAST(ceil(0.5 * CAST(n_b AS DOUBLE)) AS BIGINT)),
+           |dv AS (SELECT isa, abs(CAST(value AS DECIMAL(18,4))
+           |         - CAST(CASE WHEN isa THEN ma.med_a ELSE mb.med_b END AS DECIMAL(18,4))) AS dv,
+           |         ma.med_a, mb.med_b
+           |       FROM e, ma, mb),
+           |g AS (SELECT
+           |  count(*) FILTER (WHERE isa) AS n1,
+           |  CAST(sum(dv) FILTER (WHERE isa) AS DOUBLE) AS s1,
+           |  CAST(sum(dv * dv) FILTER (WHERE isa) AS DOUBLE) AS q1,
+           |  count(*) FILTER (WHERE NOT isa) AS n2,
+           |  CAST(sum(dv) FILTER (WHERE NOT isa) AS DOUBLE) AS s2,
+           |  CAST(sum(dv * dv) FILTER (WHERE NOT isa) AS DOUBLE) AS q2,
+           |  any_value(med_a) AS med_a, any_value(med_b) AS med_b FROM dv)
+           |SELECT n1, n2, med_a, med_b,
+           |  (s1 * s1 / n1 + s2 * s2 / n2 - (s1 + s2) * (s1 + s2) / CAST(n1 + n2 AS DOUBLE))
+           |    / (((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) / (CAST(n1 + n2 AS DOUBLE) - 2.0))
+           |    AS f_stat
+           |FROM g""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, d29, a22, a23, m12, m13, m14, m21, m23)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, a22, a23, m12, m13, m14, m21, m23)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

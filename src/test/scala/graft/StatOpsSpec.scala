@@ -223,6 +223,32 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("d30 Brown-Forsythe: F replays from exact medians and deviations") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("value", "user_id % 2 = 0 AS isa").collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    val medA = a(math.ceil(0.5 * a.length).toInt - 1)
+    val medB = b(math.ceil(0.5 * b.length).toInt - 1)
+    val r = StatOps.d30.build(spark, sf).head()
+    assert(r.getAs[Double]("med_a") == medA && r.getAs[Double]("med_b") == medB)
+    assert(r.getAs[Long]("n1") == a.length.toLong && r.getAs[Long]("n2") == b.length.toLong)
+    // deviations are 2-dp exact: replay moments in BigDecimal cents
+    def mom(xs: Array[Double], m: Double): (BigDecimal, BigDecimal) = {
+      val ds = xs.map(x => (BigDecimal(x).setScale(4) - BigDecimal(m).setScale(4)).abs)
+      (ds.sum, ds.map(d => d * d).sum)
+    }
+    val (s1, q1) = mom(a, medA); val (s2, q2) = mom(b, medB)
+    val (s1d, q1d, s2d, q2d) = (s1.toDouble, q1.toDouble, s2.toDouble, q2.toDouble)
+    val nn = (a.length + b.length).toDouble
+    val ssb = s1d * s1d / a.length + s2d * s2d / b.length - (s1d + s2d) * (s1d + s2d) / nn
+    val ssw = (q1d - s1d * s1d / a.length) + (q2d - s2d * s2d / b.length)
+    val f = ssb / (ssw / (nn - 2.0))
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-9 * math.max(1.0, math.abs(f)))
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
+
   test("m23 EWMA chart: recursion and warm-up limits replay locally") {
     val out = StatOps.m23.build(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
