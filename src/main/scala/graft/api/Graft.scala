@@ -555,6 +555,13 @@ object Graft {
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9): DataFrame =
     TextOps.containmentPairs(docs, threshold)
 
+  /** Per-document perplexity under an add-1 bigram LM trained on the
+    * corpus — the statistical quality filter (drop the high-perplexity
+    * tail). Docs with < 2 tokens emit nothing.
+    */
+  def bigramPerplexity(docs: DataFrame): DataFrame =
+    TextOps.bigramPerplexity(docs)
+
   /** Corpus-mass length quantiles over a sized corpus (`n_chars`
     * column): per percentile, the length quantile by doc count AND by
     * byte mass — the curve that governs packing/token budgets on

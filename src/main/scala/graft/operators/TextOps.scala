@@ -2804,6 +2804,72 @@ object TextOps {
            |  CAST(count(*) FILTER (WHERE n_fails = 1) AS BIGINT),
            |  CAST(coalesce(sum(n_chars) FILTER (WHERE n_fails > 0), 0) AS BIGINT) FROM n""".stripMargin))
 
+  /** X55 (beyond reference): bigram-LM perplexity — per document, the
+    * perplexity of an add-1-smoothed bigram language model trained on
+    * the corpus itself: p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). THE
+    * production corpus-quality filter (CCNet/LLaMA-style pipelines score
+    * every document with a small LM and drop the high-perplexity tail);
+    * [[x33]]'s heuristic proxy ranks by surface statistics, this is the
+    * real statistical-LM score. Self-trained here — the standard
+    * filtering demo; a production run trains the counts on a trusted
+    * reference corpus and only SCORES this one (swap the count inputs).
+    *
+    * Shape: two vocabulary-bounded count aggregates, then one scan of
+    * the per-doc bigrams hash-joined to the count tables (the x31 BM25
+    * dataflow) and one per-doc aggregate. Determinism: each bigram's
+    * −ln p is 1e9-quantized to a BIGINT before the unordered per-doc sum
+    * (d22 discipline); the final exp is quantized the same way. Docs
+    * with < 2 tokens have no bigrams and emit nothing.
+    */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val toks = expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+    val w = docs.select(col("doc_id"), toks.as("w"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_w"))
+    val vSize = uni.agg(count(lit(1)).as("v"))
+    val bga = w.select(col("doc_id"), explode(when(size(col("w")) >= 2,
+        expr("transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("bigram"))
+    val bc = bga.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val terms = bga.join(bc, "bigram")
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      .join(uni.select(col("t").as("w1"), col("c_w")), "w1")
+      .crossJoin(broadcast(vSize))
+      .withColumn("nq", floor(-log(
+          (col("c_ab").cast("double") + 1.0) /
+            (col("c_w").cast("double") + col("v").cast("double"))) * 1e9 + 0.5)
+        .cast("long"))
+    terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nq").as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("snll").cast("double") / 1e9) / col("n_bigrams")).as("avg_nll"),
+        (floor(exp((col("snll").cast("double") / 1e9) / col("n_bigrams"))
+          * 1e9 + 0.5).cast("double") / 1e9).as("perplexity"))
+  }
+
+  val x55: GraftQuery = GraftQuery(
+    "x55_bigram_perplexity",
+    (s, d) => bigramPerplexity(Tables.documents(s, d)),
+    Some("""WITH toks AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w
+           |  FROM documents),
+           |uni AS (SELECT unnest(w) AS t FROM toks),
+           |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY t),
+           |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+           |bga AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+           |          i -> w[i] || ' ' || w[i + 1])) AS bigram FROM toks),
+           |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bga GROUP BY bigram),
+           |terms AS (SELECT bga.doc_id,
+           |    CAST(floor(-ln((CAST(bc.c_ab AS DOUBLE) + 1.0)
+           |      / (CAST(uc.c_w AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS nq
+           |  FROM bga JOIN bc USING (bigram)
+           |  JOIN uc ON uc.t = str_split(bigram, ' ')[1]
+           |  CROSS JOIN v)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  (CAST(sum(nq) AS DOUBLE) / 1e9) / count(*) AS avg_nll,
+           |  floor(exp((CAST(sum(nq) AS DOUBLE) / 1e9) / count(*)) * 1e9 + 0.5) / 1e9 AS perplexity
+           |FROM terms GROUP BY doc_id""".stripMargin))
+
   /** X53 (beyond reference): tokenizer fertility report — per (lang,
     * source) slice: tokens-per-word (fertility) and chars-per-token under
     * the x2 BPE-ish regex tokenizer. THE table a team reads when choosing
@@ -2921,5 +2987,6 @@ object TextOps {
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
-      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54)
+      x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
+      x55)
 }

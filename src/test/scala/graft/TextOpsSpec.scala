@@ -451,6 +451,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("x55 perplexity: per-doc NLL replays from corpus bigram counts") {
+    val docs = TablesFixture.docs(sf)
+    def tok(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val allToks = docs.map(d => d._1 -> tok(d._3))
+    val uni = allToks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val bc = allToks.flatMap { case (_, w) =>
+      w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.TextOps.x55.build(SparkSpec.spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val expected = allToks.filter(_._2.size >= 2)
+    assert(got.keySet == expected.map(_._1).toSet)
+    expected.foreach { case (id, w) =>
+      val terms = w.zip(w.drop(1)).map { case (a, b) =>
+        val p = (bc(s"$a $b").toDouble + 1.0) / (uni(a).toDouble + v.toDouble)
+        math.floor(-math.log(p) * 1e9 + 0.5).toLong
+      }
+      val avg = (terms.sum.toDouble / 1e9) / terms.size
+      val r = got(id)
+      assert(r.getAs[Long]("n_bigrams") == terms.size.toLong)
+      assert(r.getAs[Double]("avg_nll") == avg, s"nll doc $id")
+      assert(r.getAs[Double]("perplexity") ==
+        math.floor(math.exp(avg) * 1e9 + 0.5) / 1e9)
+      // add-1 smoothed bigram prob is at most (c+1)/(c+V) < 1 => ppl > 1
+      assert(r.getAs[Double]("perplexity") > 1.0)
+    }
+  }
+
   test("x54 ablation: rule counts replay from x14, any-row ties to keep") {
     val out = graft.operators.TextOps.x54.build(SparkSpec.spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
