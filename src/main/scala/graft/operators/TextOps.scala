@@ -2870,6 +2870,64 @@ object TextOps {
            |  floor(exp((CAST(sum(nq) AS DOUBLE) / 1e9) / count(*)) * 1e9 + 0.5) / 1e9 AS perplexity
            |FROM terms GROUP BY doc_id""".stripMargin))
 
+  /** X56 (beyond reference): curriculum training order — the corpus laid
+    * out easy→hard for curriculum/annealed training: each doc is banded
+    * by the quartile of its [[bigramPerplexity]] score (band 1 = most
+    * fluent), then given a deterministic within-(band, shard) position
+    * (the x30 salted-md5 shuffle), so a dataloader reads bands in order
+    * and shards in parallel. Completes the corpus→training-order story:
+    * x55 scores, x28 splits, x30 shuffles, this SEQUENCES.
+    *
+    * Scale notes: quartile thresholds come from an ECDF over the
+    * CENTI-QUANTIZED perplexity domain (bounded by score resolution,
+    * not corpus size — the d29 discipline), and positions are windows
+    * over (band, shard) partitions (the x30 discipline — never one
+    * global sort). All banding arithmetic is integer compares on exact
+    * quantized scores.
+    */
+  val x56: GraftQuery = GraftQuery(
+    "x56_curriculum_order",
+    (s, d) => {
+      val ppl = bigramPerplexity(Tables.documents(s, d))
+        .select(col("doc_id"),
+          floor(col("perplexity") * 100 + 0.5).cast("long").as("p2"))
+      val byV = ppl.groupBy("p2").agg(count(lit(1)).as("nv"))
+      val cum = byV.select(col("p2"),
+        sum("nv").over(Window.orderBy("p2")).as("cum"),
+        sum("nv").over(Window.partitionBy()).as("n"))
+      def thr(q: Double) = cum
+        .filter(col("cum") >= ceil(lit(q) * col("n").cast("double")).cast("long"))
+        .agg(min("p2").as(s"t${(q * 100).toInt}"))
+      val banded = ppl
+        .crossJoin(broadcast(thr(0.25))).crossJoin(broadcast(thr(0.5)))
+        .crossJoin(broadcast(thr(0.75)))
+        .withColumn("band", lit(1) + (col("p2") > col("t25")).cast("int") +
+          (col("p2") > col("t50")).cast("int") + (col("p2") > col("t75")).cast("int"))
+        .withColumn("key", expr(
+          "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cur')), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("shard", col("key") % 8)
+      banded
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("band", "shard").orderBy(col("key"), col("doc_id"))))
+        .select("doc_id", "band", "shard", "pos")
+    },
+    Some(s"""WITH ppl0 AS (${x55.oracle.get}),
+            |ppl AS (SELECT doc_id, CAST(floor(perplexity * 100 + 0.5) AS BIGINT) AS p2 FROM ppl0),
+            |v AS (SELECT p2, count(*) AS nv FROM ppl GROUP BY 1),
+            |c AS (SELECT p2, CAST(sum(nv) OVER (ORDER BY p2) AS BIGINT) AS cum,
+            |             CAST(sum(nv) OVER () AS BIGINT) AS n FROM v),
+            |t1 AS (SELECT min(p2) AS t25 FROM c WHERE cum >= CAST(ceil(0.25 * CAST(n AS DOUBLE)) AS BIGINT)),
+            |t2 AS (SELECT min(p2) AS t50 FROM c WHERE cum >= CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)),
+            |t3 AS (SELECT min(p2) AS t75 FROM c WHERE cum >= CAST(ceil(0.75 * CAST(n AS DOUBLE)) AS BIGINT)),
+            |b AS (SELECT doc_id,
+            |        1 + CAST(p2 > t1.t25 AS INT) + CAST(p2 > t2.t50 AS INT)
+            |          + CAST(p2 > t3.t75 AS INT) AS band,
+            |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 15) AS BIGINT) AS key
+            |      FROM ppl, t1, t2, t3)
+            |SELECT doc_id, band, key % 8 AS shard,
+            |  CAST(row_number() OVER (PARTITION BY band, key % 8 ORDER BY key, doc_id) AS INT) AS pos
+            |FROM b""".stripMargin))
+
   /** X53 (beyond reference): tokenizer fertility report — per (lang,
     * source) slice: tokens-per-word (fertility) and chars-per-token under
     * the x2 BPE-ish regex tokenizer. THE table a team reads when choosing
@@ -2988,5 +3046,5 @@ object TextOps {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55)
+      x55, x56)
 }

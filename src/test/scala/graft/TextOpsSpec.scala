@@ -481,6 +481,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("x56 curriculum: bands partition by exact quartiles, positions dense") {
+    val ppl = graft.operators.TextOps.x55.build(SparkSpec.spark, sf)
+      .selectExpr("doc_id", "CAST(floor(perplexity * 100 + 0.5) AS LONG) AS p2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = graft.operators.TextOps.x56.build(SparkSpec.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("band"), r.getLong(2), r.getAs[Int]("pos")))
+    assert(out.map(_._1).toSet == ppl.keySet)
+    // thresholds replay: type-1 order statistics on the quantized domain
+    val sorted = ppl.values.toSeq.sorted
+    def t(q: Double) = sorted(math.ceil(q * sorted.size).toInt - 1)
+    val (t25, t50, t75) = (t(0.25), t(0.5), t(0.75))
+    out.foreach { case (id, band, _, _) =>
+      val p2 = ppl(id)
+      val want = 1 + (if (p2 > t25) 1 else 0) + (if (p2 > t50) 1 else 0) +
+        (if (p2 > t75) 1 else 0)
+      assert(band == want, s"band doc $id")
+    }
+    // all four bands populated; positions within (band, shard) are 1..k dense
+    assert(out.map(_._2).toSet == Set(1, 2, 3, 4))
+    out.groupBy(r => (r._2, r._3)).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length))
+    }
+  }
+
   test("x54 ablation: rule counts replay from x14, any-row ties to keep") {
     val out = graft.operators.TextOps.x54.build(SparkSpec.spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
