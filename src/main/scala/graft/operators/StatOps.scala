@@ -1939,6 +1939,18 @@ object StatOps {
     * Integer distinct-counts, one ratio, 9-dp quantized; one
     * distinct-aggregate per day — calendar-bounded output.
     */
+  /** chi2 + flag composition over per-day arm counts (day, n_a, n_b) —
+    * shared by the batch check and [[StreamingOps]]' t28 so both emit the
+    * identical verdicts.
+    */
+  private[operators] def srmCompose(g: DataFrame): DataFrame = {
+    val diff = (col("n_a") - col("n_b")).cast("double")
+    val chi2 = floor(diff * diff / (col("n_a") + col("n_b")).cast("double")
+      * 1e9 + 0.5).cast("double") / 1e9
+    g.select(col("day"), col("n_a"), col("n_b"), chi2.as("chi2"))
+      .withColumn("srm", col("chi2") > 3.841458820694124)
+  }
+
   val d26: GraftQuery = GraftQuery(
     "d26_srm_check",
     (s, d) => {
@@ -1948,11 +1960,7 @@ object StatOps {
       val g = e.groupBy("day").agg(
         countDistinct(when(col("isa"), col("user_id"))).as("n_a"),
         countDistinct(when(!col("isa"), col("user_id"))).as("n_b"))
-      val diff = (col("n_a") - col("n_b")).cast("double")
-      val chi2 = floor(diff * diff / (col("n_a") + col("n_b")).cast("double")
-        * 1e9 + 0.5).cast("double") / 1e9
-      g.select(col("day"), col("n_a"), col("n_b"), chi2.as("chi2"))
-        .withColumn("srm", col("chi2") > 3.841458820694124)
+      srmCompose(g)
     },
     Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
            |              user_id % 2 = 0 AS isa, user_id FROM events),

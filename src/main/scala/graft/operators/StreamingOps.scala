@@ -861,7 +861,38 @@ object StreamingOps {
            |UNION ALL SELECT 'completeness(props)', m3, 0.99, m3 >= 0.99 FROM m""".stripMargin),
     bench = false)
 
+  /** T28 (beyond reference): STREAMING sample-ratio-mismatch guardrail —
+    * [[StatOps]]' d26 riding the ingest stream, completing the
+    * experimentation-on-streams trio (t26 always-valid effect monitor,
+    * t27 quality gate, this randomizer-health check). Streaming forbids
+    * count_distinct, so the distinct (day, arm, user) domain is built
+    * with the streaming dropDuplicates operator (the t12 dedup state —
+    * O(distinct user-days), the same cardinality a batch distinct
+    * materializes) and counted with a plain aggregate; chi2/flag
+    * recompose from the sink via the SHARED [[StatOps.srmCompose]], so
+    * stream == batch bitwise and d26's oracle gates both.
+    */
+  val t28: GraftQuery = GraftQuery(
+    "t28_stream_srm",
+    (s, d) => {
+      val q = eventsStream(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("user_id") % 2 === 0).as("isa"), col("user_id"))
+        .dropDuplicates("day", "isa", "user_id")
+        .groupBy("day").agg(
+          count(when(col("isa"), 1)).as("n_a"),
+          count(when(!col("isa"), 1)).as("n_b"))
+        .writeStream.format("memory").queryName("graft_t28")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.StatOps.srmCompose(s.table("graft_t28"))
+    },
+    graft.operators.StatOps.d26.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27)
+      t24, t25, t26, t27, t28)
 }

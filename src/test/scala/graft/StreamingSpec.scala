@@ -291,4 +291,14 @@ class StreamingSpec extends SparkSpec {
     assert(streaming === batch,
       "streaming constraint metrics must equal the batch single-scan suite")
   }
+
+  test("t28 streaming SRM equals batch d26 bitwise") {
+    val streaming = graft.operators.StreamingOps.t28.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.StatOps.d26.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streaming.nonEmpty)
+    assert(streaming === batch,
+      "streamed dedup + count must equal the batch distinct-count SRM")
+  }
 }
