@@ -291,8 +291,9 @@ object Graft {
     * here directly. `seriesDf` needs (user_id: long, bucket_ts: timestamp,
     * demand: double); `model` is "naive" | "drift" | "ar1" | "holt" |
     * "hw" (additive Holt-Winters; series shorter than two seasons emit
-    * no rows) | "theta" (SES-with-drift Theta method)
-    * (anything else fails fast at plan build). `horizon` rows per series;
+    * no rows) | "theta" (SES-with-drift Theta method) | "kalman"
+    * (local-level Kalman filter — flat level, q-per-step widening
+    * intervals) (anything else fails fast at plan build). `horizon` rows per series;
     * lo/hi are
     * central `confidence` intervals from the model's one-step residual
     * variance (see [[Forecast.forecast]]).
@@ -465,6 +466,13 @@ object Graft {
     */
   def zipfFit(docs: DataFrame): DataFrame = TextOps.zipfFit(docs)
 
+  /** Heaps'-law vocabulary-growth fit of a (doc_id, text) corpus: one row
+    * (n_docs, n_points, beta, log_k, r2) — V(N) ≈ K·N^β over power-of-two
+    * document checkpoints. Natural text sits at β ≈ 0.4–0.6; an early
+    * plateau means duplicate/template mass, β → 1 means noise.
+    */
+  def heapsLaw(docs: DataFrame): DataFrame = TextOps.heapsLaw(docs)
+
   /** Precision/recall/F1 operating-point sweep for a scored eval split:
     * `steps` thresholds over [0,1); one row per threshold with exact
     * integer confusion counts.
@@ -595,6 +603,24 @@ object Graft {
     */
   def msprtMonitor(assignments: DataFrame): DataFrame =
     StatOps.msprtMonitor(assignments)
+
+  /** Exact two-sample permutation test of the arm mean difference over any
+    * (id, value, isArmA) table: one row (obs_diff, n_perm, n_extreme,
+    * p_value) with the add-one Monte-Carlo p over 32 seeded label
+    * permutations — distribution-free, unlike the Welch/ANOVA companions.
+    */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+      armCol: String): DataFrame =
+    StatOps.permutationTest(df, idCol, valueCol, armCol)
+
+  /** MMR-diversified top-3 retrieval: greedy λ·relevance − μ·max-similarity
+    * re-selection from each query's top-`cands` candidate pool (both sides
+    * need (vec_id, embedding) columns). The diversification stage of the
+    * retrieve → rerank → diversify stack.
+    */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, cands: Int = 8,
+      lam: Double = 0.7, mu: Double = 0.3): DataFrame =
+    VectorOps.mmrDiversify(corpus, queries, cands, lam, mu)
 
   /** k-anonymity audit: group sizes per quasi-identifier combination
     * with an `at_risk` flag for groups below `k` — the re-identification

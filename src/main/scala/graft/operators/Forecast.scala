@@ -191,8 +191,8 @@ object Forecast {
       confidence: Double = 0.9): DataFrame = {
     // a bad model name must fail plan-building with a clear message, not
     // surface as a MatchError task failure deep inside flatMapGroups
-    require(Set("naive", "drift", "ar1", "holt", "hw", "theta")(model),
-      s"unknown forecast model '$model' (expected one of naive|drift|ar1|holt|hw|theta)")
+    require(Set("naive", "drift", "ar1", "holt", "hw", "theta", "kalman")(model),
+      s"unknown forecast model '$model' (expected one of naive|drift|ar1|holt|hw|theta|kalman)")
     require(horizon >= 1, s"horizon must be >= 1, got $horizon")
     val z = zFor(confidence)
     val s = seriesDf.sparkSession
@@ -324,12 +324,43 @@ object Forecast {
             val bls = (nD * sty - stD * sy) / (nD * sttD - stD * stD)
             (l, bls, pp, acc / (n - 1).toDouble)
           }
+        // Local-level Kalman filter (Harvey 1989; Durbin & Koopman 2012,
+        // "Time Series Analysis by State Space Methods" — public
+        // literature): state y_t = l_t + ε, l_t = l_{t-1} + η with fixed
+        // q = Var(η) = 0.1, r = Var(ε) = 1.0 (a signal-to-noise RATIO —
+        // the innovation variance is estimated from the data as σ² below,
+        // so only q/r matters, not their absolute scale). ONE ascending-t
+        // recursion carries (l, P, Σe²): P_pred = P + q,
+        // K = P_pred/(P_pred + r), l += K·e, P = (1 − K)·P_pred — the
+        // oracle replays it as a recursive CTE recomputing P_pred and K
+        // inline per step, so every intermediate double matches bitwise.
+        // State: (level l_n, posterior variance P_n, σ²)
+        val kal: (Double, Double, Double) =
+          if (model != "kalman") (0.0, 0.0, 0.0)
+          else if (n == 1) (pts.head.demand, 1.0, 0.0)
+          else {
+            var l = pts.head.demand
+            var p = 1.0
+            var acc = 0.0
+            var i = 1
+            while (i < n) {
+              val pp = p + 0.1
+              val kg = pp / (pp + 1.0)
+              val e = pts(i).demand - l
+              acc += e * e
+              l = l + kg * e
+              p = (1.0 - kg) * pp
+              i += 1
+            }
+            (l, p, acc / (n - 1).toDouble)
+          }
         // one-step residual variance of the chosen model's in-sample fit:
         // n-1 residuals, ascending-t fold, σ² = Σe²/(n-1)
         val s2 =
           if (model == "hw") (if (hw == null) 0.0 else hw._4)
           else if (model == "holt") holt._3
           else if (model == "theta") theta._4
+          else if (model == "kalman") kal._3
           else if (n == 1) 0.0
           else {
             var acc = 0.0; var i = 1
@@ -390,6 +421,14 @@ object Forecast {
                 g += c * c; j += 1
               }
               (hw._1 + h * hw._2 + hw._3(n - SeasonLen + h - 1), g)
+            case "kalman" =>
+              // flat level forecast; h-step predictive variance ratio
+              // (P_n + h·q + r)/(P_n + q + r) — the filter's own forecast
+              // variance P_n + h·q + r normalized by its one-step value so
+              // the σ²·varScale convention matches the other models (σ² IS
+              // the measured one-step innovation variance)
+              (kal._1,
+                (kal._2 + h.toDouble * 0.1 + 1.0) / (kal._2 + 0.1 + 1.0))
           }
           val halfw = z * math.sqrt(s2 * varScale)
           ForecastRow(uid, ts, v, v - halfw, v + halfw)
@@ -1878,6 +1917,54 @@ object Forecast {
             |    / (CAST(sq.sq AS DOUBLE) / 1e6) AS reconcile_ratio
             |FROM sq CROSS JOIN g""".stripMargin))
 
+  /** M24 (beyond reference): local-level Kalman filter forecast — the
+    * state-space member of the per-series family (m5 naive → m6 drift →
+    * m7 AR(1) → m10 Holt → m11 HW → m20 Croston → this), and the simplest
+    * model with a principled GROWING-uncertainty flat forecast: the level
+    * is a random walk, so the h-step predictive variance widens by q per
+    * step even though the point forecast is flat (naive's variance
+    * heuristic, derived instead of assumed). Fixed q/r = 0.1/1.0; see the
+    * kernel comment in [[forecast]]. The oracle replays the filter
+    * recursion as a recursive CTE carrying (l, P, Σe²), recomputing
+    * P_pred = P + q and K = P_pred/(P_pred + r) inline exactly as the
+    * Scala fold does — every intermediate double bitwise-identical.
+    *
+    * Scale: the m5–m11 single-shuffle per-series kernel — one groupByKey
+    * on series id, one ascending pass per series, state O(1).
+    */
+  val m24: GraftQuery = GraftQuery(
+    "m24_forecast_kalman",
+    forecastKernel("kalman"),
+    Some(s"""WITH RECURSIVE base AS (
+           |  SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS demand
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (SELECT user_id, list(demand ORDER BY b) AS y, max(b) AS last_b,
+           |        CAST(count(*) AS INT) AS n FROM base GROUP BY 1),
+           |rec AS (
+           |  SELECT user_id, y, n, last_b, 1 AS i, y[1] AS l,
+           |         CAST(1.0 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS s
+           |  FROM ser
+           |  UNION ALL
+           |  SELECT user_id, y, n, last_b, i + 1,
+           |         l + ((p + CAST(0.1 AS DOUBLE)) / ((p + CAST(0.1 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))
+           |             * (y[i+1] - l),
+           |         (CAST(1.0 AS DOUBLE)
+           |            - ((p + CAST(0.1 AS DOUBLE)) / ((p + CAST(0.1 AS DOUBLE)) + CAST(1.0 AS DOUBLE))))
+           |           * (p + CAST(0.1 AS DOUBLE)),
+           |         s + (y[i+1] - l) * (y[i+1] - l)
+           |  FROM rec WHERE i < n),
+           |sg AS (SELECT user_id, last_b, l, p,
+           |       CASE WHEN n > 1 THEN s / CAST(n - 1 AS DOUBLE)
+           |            ELSE CAST(0 AS DOUBLE) END AS s2 FROM rec WHERE i = n),
+           |fc AS (SELECT user_id, last_b + h * INTERVAL '5 minutes' AS forecast_timestamp,
+           |       l AS v,
+           |       $Z90 * sqrt(s2 * ((p + h * CAST(0.1 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           |                         / (p + CAST(0.1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))) AS halfw
+           |       FROM sg CROSS JOIN generate_series(1, 12) t(h))
+           |SELECT user_id, forecast_timestamp, v AS forecast_value,
+           |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20, m22)
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20, m22, m24)
 }

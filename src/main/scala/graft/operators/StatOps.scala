@@ -2395,9 +2395,94 @@ object StatOps {
            |    AS f_stat
            |FROM g""".stripMargin))
 
+  /** Number of label permutations for [[d31]] — fixed so both engines
+    * generate the identical permutation family.
+    */
+  private val PermCount = 32
+
+  /** Public DataFrame-in API (see graft.api.Graft): two-sample permutation
+    * test of the A/B mean difference (Fisher 1935; the exact-inference
+    * companion to d15's ANOVA F and a22's Welch t — those assume a null
+    * DISTRIBUTION, this one builds it from the data). The observed
+    * |mean_A − mean_B| is ranked against [[PermCount]] re-randomized label
+    * assignments; p = (1 + #{|Δ_perm| ≥ |Δ_obs|}) / (P + 1), the standard
+    * add-one Monte-Carlo correction (Phipson & Smyth 2010). Permutation p
+    * relabels row r to arm A iff the first hex digit of md5(id ":" p) is
+    * < '8' — a deterministic uniform coin both engines replay exactly, the
+    * d-family's seeded-md5 discipline (same rule as x10's hash sample).
+    *
+    * Determinism: arm means are exact DECIMAL sums cast to double once,
+    * so each Δ is one IEEE subtraction of two deterministic doubles; the
+    * extreme-count comparison is then exact on both engines.
+    *
+    * Scale: the explode is P× one scan (P fixed at 32, independent of
+    * corpus size) feeding ONE hash aggregate on the P-row permutation
+    * domain — map-side partial aggregation collapses each partition to
+    * ≤ 2P rows before the shuffle, so at 100 TB this is a linear scan
+    * with a 32-row reduce, not a data explosion (the per-row md5 work is
+    * the same budget as x1's fingerprint scan).
+    */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+      armCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(valueCol).as("v"),
+      col(armCol).as("isa"))
+    val obs = e.agg(
+      (sum(when(col("isa"), dec(col("v")))).cast("double") /
+        count(when(col("isa"), 1)) -
+        sum(when(!col("isa"), dec(col("v")))).cast("double") /
+          count(when(!col("isa"), 1))).as("obs_diff"))
+    val pd = e
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(PermCount - 1))).as("p"))
+      .withColumn("pa",
+        substring(md5(concat_ws(":", col("id"), col("p"))), 1, 1) < "8")
+      .groupBy("p").agg(
+        (sum(when(col("pa"), dec(col("v")))).cast("double") /
+          count(when(col("pa"), 1)) -
+          sum(when(!col("pa"), dec(col("v")))).cast("double") /
+            count(when(!col("pa"), 1))).as("pdiff"))
+    pd.crossJoin(broadcast(obs)).agg(
+      first("obs_diff").as("obs_diff"),
+      count(lit(1)).as("n_perm"),
+      sum(when(abs(col("pdiff")) >= abs(col("obs_diff")), 1).otherwise(0))
+        .as("n_extreme"),
+      ((sum(when(abs(col("pdiff")) >= abs(col("obs_diff")), 1).otherwise(0)) +
+        lit(1)).cast("double") /
+        (count(lit(1)) + lit(1)).cast("double")).as("p_value"))
+  }
+
+  /** D31 (beyond reference): permutation test of the events A/B arms. */
+  val d31: GraftQuery = GraftQuery(
+    "d31_permutation_test",
+    (s, d) => permutationTest(
+      Tables.events(s, d).withColumn("isa", col("user_id") % 2 === 0),
+      "event_id", "value", "isa"),
+    Some("""WITH e AS (SELECT event_id AS id, value AS v, user_id % 2 = 0 AS isa FROM events),
+           |obs AS (SELECT
+           |    CAST(sum(CAST(v AS DECIMAL(18,4))) FILTER (WHERE isa) AS DOUBLE)
+           |      / count(*) FILTER (WHERE isa)
+           |  - CAST(sum(CAST(v AS DECIMAL(18,4))) FILTER (WHERE NOT isa) AS DOUBLE)
+           |      / count(*) FILTER (WHERE NOT isa) AS obs_diff FROM e),
+           |pe AS (SELECT p, v,
+           |    substring(md5(CAST(id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 1) < '8' AS pa
+           |  FROM e CROSS JOIN generate_series(0, 31) t(p)),
+           |pd AS (SELECT p,
+           |    CAST(sum(CAST(v AS DECIMAL(18,4))) FILTER (WHERE pa) AS DOUBLE)
+           |      / count(*) FILTER (WHERE pa)
+           |  - CAST(sum(CAST(v AS DECIMAL(18,4))) FILTER (WHERE NOT pa) AS DOUBLE)
+           |      / count(*) FILTER (WHERE NOT pa) AS pdiff
+           |  FROM pe GROUP BY 1)
+           |SELECT any_value(obs.obs_diff) AS obs_diff,
+           |  count(*) AS n_perm,
+           |  CAST(sum(CASE WHEN abs(pdiff) >= abs(obs.obs_diff) THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_extreme,
+           |  (CAST(sum(CASE WHEN abs(pdiff) >= abs(obs.obs_diff) THEN 1 ELSE 0 END) AS BIGINT) + 1)
+           |    / CAST(count(*) + 1 AS DOUBLE) AS p_value
+           |FROM pd, obs""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, a22, a23, m12, m13, m14, m21, m23)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, a22, a23, m12, m13, m14, m21, m23)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

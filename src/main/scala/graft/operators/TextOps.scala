@@ -3042,9 +3042,114 @@ object TextOps {
            |  r.recall_at_threshold, r.rows_per_band = r.chosen_r AS chosen
            |FROM curve c JOIN rec r USING (bands, rows_per_band)""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): Heaps'-law fit of
+    * vocabulary growth — V(N) = K·N^β, V = distinct vocabulary after the
+    * first N tokens (Heaps 1978; β ≈ 0.4–0.6 for natural text). The
+    * distributional companion to [[zipfFit]] on the GROWTH axis: a corpus
+    * whose vocabulary curve flattens early (low β) is template/duplicate
+    * heavy, one that grows linearly (β → 1) is noise/hash heavy — either
+    * tail is a red flag before tokenizer training (vocab-size planning
+    * reads K·N^β directly). Docs are ordered by doc_id; the curve is
+    * sampled at power-of-two doc positions plus the final position, and
+    * log V is OLS-fit on log N over those checkpoints.
+    *
+    * Scale: one tokenize scan + two hash aggregates (per-doc token counts;
+    * per-word first-occurrence doc, the VOCABULARY domain). The cumulative
+    * window runs over the DOCUMENT domain (one slim row per doc), the
+    * x45/x16 precedent — at petabyte doc counts the position column would
+    * come from the x16 two-level sharded prefix sum instead of one global
+    * window; the checkpoint filter and the ~log₂(n)-row fit are free.
+    * Determinism: cumulative counts are integers; each ln is quantized to
+    * 1e-6 immediately (the d2/x45 discipline) and the fit inputs are then
+    * exact BIGINT sums.
+    */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val newPerDoc = toks.groupBy("w").agg(min("doc_id").as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("n_new"))
+    val wD = Window.orderBy("doc_id")
+    val cum = perDoc.join(newPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("doc_id"),
+        row_number().over(wD).as("pos"),
+        sum("n_tok").over(wD).as("cum_tok"),
+        sum("n_new").over(wD).as("cum_vocab"),
+        count(lit(1)).over(Window.partitionBy()).as("npos"))
+    val cp = cum.filter(
+      expr("(pos & (pos - 1)) = 0").or(col("pos") === col("npos")))
+    def qz(c: Column) = floor(c * 1e6 + 0.5).cast("long")
+    val lx = log(col("cum_tok").cast("double"))
+    val ly = log(col("cum_vocab").cast("double"))
+    val g = cp
+      .select(col("npos"), qz(lx).as("qx"), qz(ly).as("qy"),
+        qz(lx * ly).as("qxy"), qz(lx * lx).as("qxx"), qz(ly * ly).as("qyy"))
+      .agg(first("npos").as("n_docs"), count(lit(1)).as("n_points"),
+        sum("qx").as("sx"), sum("qy").as("sy"), sum("qxy").as("sxy"),
+        sum("qxx").as("sxx"), sum("qyy").as("syy"))
+    val n = col("n_points").cast("double")
+    def d(c: String) = col(c).cast("double") / 1e6
+    val covN = n * d("sxy") - d("sx") * d("sy")
+    val varXN = n * d("sxx") - d("sx") * d("sx")
+    val varYN = n * d("syy") - d("sy") * d("sy")
+    g.select(col("n_docs"), col("n_points"),
+      (covN / varXN).as("beta"),
+      ((d("sy") - covN / varXN * d("sx")) / n).as("log_k"),
+      (covN * covN / (varXN * varYN)).as("r2"))
+  }
+
+  /** X57 (beyond reference): Heaps'-law vocabulary-growth audit. */
+  val x57: GraftQuery = GraftQuery(
+    "x57_heaps_law",
+    (s, d) => heapsLaw(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents),
+           |tk AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
+           |pd AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+           |nw AS (SELECT fd AS doc_id, count(*) AS n_new
+           |       FROM (SELECT w, min(doc_id) AS fd FROM tk GROUP BY 1) GROUP BY 1),
+           |c AS (SELECT pd.doc_id,
+           |        row_number() OVER (ORDER BY pd.doc_id) AS pos,
+           |        CAST(sum(pd.n_tok) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_tok,
+           |        CAST(sum(COALESCE(nw.n_new, 0)) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_vocab,
+           |        count(*) OVER () AS npos
+           |      FROM pd LEFT JOIN nw USING (doc_id)),
+           |cp AS (SELECT * FROM c WHERE (pos & (pos - 1)) = 0 OR pos = npos),
+           |q AS (SELECT npos,
+           |    CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qx,
+           |    CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qy,
+           |    CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qxy,
+           |    CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * ln(CAST(cum_tok AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qxx,
+           |    CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qyy
+           |  FROM cp),
+           |g AS (SELECT any_value(npos) AS n_docs, count(*) AS n_points,
+           |        sum(qx) AS sx, sum(qy) AS sy, sum(qxy) AS sxy,
+           |        sum(qxx) AS sxx, sum(qyy) AS syy FROM q)
+           |SELECT n_docs, n_points,
+           |  (CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |  / (CAST(n_points AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)) AS beta,
+           |  ((CAST(sy AS DOUBLE) / 1e6)
+           |     - (CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |       / (CAST(n_points AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+           |       * (CAST(sx AS DOUBLE) / 1e6)) / CAST(n_points AS DOUBLE) AS log_k,
+           |  (CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |  * (CAST(n_points AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |  / ((CAST(n_points AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+           |     * (CAST(n_points AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e6)
+           |        - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))) AS r2
+           |FROM g""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56)
+      x55, x56, x57)
 }

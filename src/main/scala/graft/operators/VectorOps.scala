@@ -1972,7 +1972,104 @@ object VectorOps {
            |  (m.maj_label != v.label AND m.maj_n * 2 > t.k_n) AS flagged
            |FROM maj m JOIN tot t USING (src_id) JOIN v ON v.vec_id = m.src_id""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): Maximal Marginal
+    * Relevance diversification (Carbonell & Goldstein, SIGIR'98) — greedy
+    * re-selection of the final k results from a candidate pool so they are
+    * relevant AND mutually dissimilar: pick argmax rel first, then twice
+    * argmax λ·rel − μ·max_{s∈selected} sim(c, s). The third stage of the
+    * production retrieval stack (candidates → rerank → diversify), sitting
+    * on top of [[rerankTopK]]'s output the way RAG dedupes its context
+    * window. λ and μ are SEPARATE literals (never μ = 1−λ — the engine
+    * discipline: complement arithmetic differs in the last ulp).
+    *
+    * The greedy loop is unrolled to k = 3 dataframe stages, each a
+    * broadcast join on the (|Q| × cands)-row candidate set plus one
+    * per-query argmax window — the corpus is touched only by stage 1's
+    * candidate scan, so at 100 TB the diversification itself is free (it
+    * runs on |Q|·cands rows regardless of corpus size). All scores are
+    * single IEEE mults/subs over bitwise-matched cosines, so the oracle
+    * replays every selection exactly (ties break on candidate id).
+    */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, cands: Int = 8,
+      lam: Double = 0.7, mu: Double = 0.3,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = withNorm(corpus, "c")
+    val q = withNorm(queries, "q")
+    val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+    val cand = c.join(broadcast(q),
+        if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
+      .withColumn("rel", cosine("q_e", "c_e"))
+      .withColumn("rk", row_number().over(w1)).filter(col("rk") <= cands)
+      .select(col("q_id"), col("c_id"), col("c_e"), col("rel"))
+    val s1 = cand
+      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+      .select(col("q_id"), col("c_id").as("s1_id"), col("c_e").as("s1_e"),
+        col("rel").as("s1_score"))
+    val r1 = cand.join(broadcast(s1), Seq("q_id"))
+      .filter(col("c_id") =!= col("s1_id"))
+      .withColumn("m2",
+        lit(lam) * col("rel") - lit(mu) * cosine("c_e", "s1_e"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("m2").desc, col("c_id"))
+    val s2 = r1.withColumn("rk2", row_number().over(w2))
+      .filter(col("rk2") === 1)
+      .select(col("q_id"), col("c_id").as("s2_id"), col("c_e").as("s2_e"),
+        col("m2").as("s2_score"))
+    val r2 = r1.join(broadcast(s2.select("q_id", "s2_id", "s2_e")), Seq("q_id"))
+      .filter(col("c_id") =!= col("s2_id"))
+      .withColumn("m3", lit(lam) * col("rel") -
+        lit(mu) * greatest(cosine("c_e", "s1_e"), cosine("c_e", "s2_e")))
+    val w3 = Window.partitionBy("q_id").orderBy(col("m3").desc, col("c_id"))
+    val s3 = r2.withColumn("rk3", row_number().over(w3))
+      .filter(col("rk3") === 1)
+      .select(col("q_id"), col("c_id").as("s3_id"), col("m3").as("s3_score"))
+    s1.select(col("q_id"), lit(1).as("sel_rank"),
+        col("s1_id").as("neighbor_id"), col("s1_score").as("score"))
+      .unionByName(s2.select(col("q_id"), lit(2).as("sel_rank"),
+        col("s2_id").as("neighbor_id"), col("s2_score").as("score")))
+      .unionByName(s3.select(col("q_id"), lit(3).as("sel_rank"),
+        col("s3_id").as("neighbor_id"), col("s3_score").as("score")))
+  }
+
+  /** V30 (beyond reference): MMR-diversified top-3 from a top-8 candidate
+    * pool, λ = 0.7, μ = 0.3. The oracle unrolls the same three greedy
+    * selections with identical tie-breaks.
+    */
+  val v30: GraftQuery = GraftQuery(
+    "v30_mmr_diversify",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      mmrDiversify(emb, emb.filter(col("vec_id") < 10), cands = 8)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |cand AS (SELECT q_id, c_id, ce, rel FROM (
+           |  SELECT q.vec_id AS q_id, v.vec_id AS c_id, v.e AS ce,
+           |         list_cosine_similarity(q.e, v.e) AS rel
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) <= 8),
+           |s1 AS (SELECT q_id, c_id AS s1_id, ce AS s1_e, rel AS s1_score FROM cand
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) = 1),
+           |r1 AS (SELECT cand.q_id, cand.c_id, cand.ce, cand.rel, s1.s1_id, s1.s1_e,
+           |         CAST(0.7 AS DOUBLE) * cand.rel
+           |           - CAST(0.3 AS DOUBLE) * list_cosine_similarity(cand.ce, s1.s1_e) AS m2
+           |       FROM cand JOIN s1 USING (q_id) WHERE cand.c_id != s1.s1_id),
+           |s2 AS (SELECT q_id, c_id AS s2_id, ce AS s2_e, m2 AS s2_score FROM r1
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY m2 DESC, c_id) = 1),
+           |r2 AS (SELECT r1.q_id, r1.c_id, r1.rel,
+           |         CAST(0.7 AS DOUBLE) * r1.rel - CAST(0.3 AS DOUBLE) *
+           |           greatest(list_cosine_similarity(r1.ce, r1.s1_e),
+           |                    list_cosine_similarity(r1.ce, s2.s2_e)) AS m3
+           |       FROM r1 JOIN s2 USING (q_id) WHERE r1.c_id != s2.s2_id),
+           |s3 AS (SELECT q_id, c_id AS s3_id, m3 AS s3_score FROM r2
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY m3 DESC, c_id) = 1)
+           |SELECT q_id, 1 AS sel_rank, s1_id AS neighbor_id, s1_score AS score FROM s1
+           |UNION ALL
+           |SELECT q_id, 2 AS sel_rank, s2_id AS neighbor_id, s2_score AS score FROM s2
+           |UNION ALL
+           |SELECT q_id, 3 AS sel_rank, s3_id AS neighbor_id, s3_score AS score FROM s3""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30)
 }

@@ -130,7 +130,11 @@ class PlanGuardSpec extends SparkSpec {
     // OOD scoring broadcasts the 16-row k-means centroid set under the
     // assignment join — the v4 contract (the checkpoint pin hides the
     // LIMIT from the structural check, hence the contract entry)
-    "v28_ood_centroid_score")
+    "v28_ood_centroid_score",
+    // MMR candidate generation broadcasts the query side under the v1
+    // non-equi join; the greedy stages then broadcast per-query selection
+    // rows (≤ 1 row per query) — same contract as v1/v15
+    "v30_mmr_diversify")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {

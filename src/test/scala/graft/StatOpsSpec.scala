@@ -1285,4 +1285,69 @@ class StatOpsSpec extends SparkSpec {
     val r2 = r.getAs[Double]("r2")
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
+
+  test("d31 permutation test: 32 permutations, p in ((0,1]], extreme count consistent") {
+    val r = StatOps.d31.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n_perm") == 32L)
+    val ne = r.getAs[Long]("n_extreme")
+    assert(ne >= 0L && ne <= 32L)
+    val p = r.getAs[Double]("p_value")
+    // add-one correction pins the support to {1/33 .. 33/33}
+    assert(math.abs(p - (ne + 1.0) / 33.0) < 1e-15)
+    assert(p > 0.0 && p <= 1.0)
+    assert(!r.getAs[Double]("obs_diff").isNaN)
+  }
+
+  test("d31 permutation test: a null effect is not rejected at alpha=0.05") {
+    // arm assignment BY THE SAME md5 coin family as the permutations means
+    // the observed split is itself a random relabeling — the test must not
+    // find it extreme (p should be comfortably above 0.05)
+    val e = Tables.events(spark, sf)
+      .withColumn("isa", substring(md5(concat_ws(":", col("event_id"), lit("seed"))), 1, 1) < "8")
+    val r = StatOps.permutationTest(e, "event_id", "value", "isa").collect().head
+    assert(r.getAs[Double]("p_value") > 0.05)
+  }
+
+  test("x57 Heaps fit: final checkpoint vocab equals the true vocabulary, beta in (0,1)") {
+    val r = TextOps.x57.build(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+    val nDocsWithTokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("doc_id").distinct().count()
+    assert(r.getAs[Long]("n_docs") == nDocsWithTokens)
+    // power-of-two checkpoints + the final doc: n_points ≈ log2(n_docs) + 2
+    val expectedPts =
+      (0 to 62).count(i => (1L << i) <= nDocsWithTokens) + 1
+    assert(math.abs(r.getAs[Long]("n_points") - expectedPts) <= 1)
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 1.0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("m24 Kalman: flat level forecast, intervals widen with horizon, " +
+    "constant series collapses to the constant") {
+    val out = graft.operators.Forecast.m24.build(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      assert(rs.length == 12)
+      val byT = rs.sortBy(_.getAs[java.sql.Timestamp]("forecast_timestamp").getTime)
+      // flat level: one point forecast across the horizon
+      assert(byT.map(_.getAs[Double]("forecast_value")).distinct.length == 1)
+      // monotone widening intervals (q adds variance every step)
+      val widths = byT.map(r => r.getAs[Double]("hi") - r.getAs[Double]("lo"))
+      widths.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-12) }
+    }
+    import SparkSpec.spark.implicits._
+    val const = (1 to 20).map(i =>
+      (1L, new java.sql.Timestamp(i * 300000L), 5.0))
+      .toDF("user_id", "bucket_ts", "demand")
+    val fc = graft.api.Graft.forecast(const, "kalman").collect()
+    assert(fc.length == 12)
+    fc.foreach { r =>
+      assert(math.abs(r.getAs[Double]("forecast_value") - 5.0) < 1e-9)
+      // zero innovation variance -> degenerate (exact) intervals
+      assert(math.abs(r.getAs[Double]("hi") - r.getAs[Double]("lo")) < 1e-9)
+    }
+  }
 }

@@ -438,4 +438,28 @@ class VectorOpsSpec extends SparkSpec {
       assert(t >= 0.0)
     }
   }
+
+  test("v30 MMR: 3 distinct selections per query; first pick is the exact top-1; " +
+    "diversification never re-ranks by relevance alone") {
+    val out = VectorOps.v30.build(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(out.size == 10)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val top1 = VectorOps.bruteForceTopK(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    out.foreach { case (q, rows) =>
+      assert(rows.length == 3)
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 3)
+      val byRank = rows.sortBy(_.getAs[Int]("sel_rank"))
+      // greedy stage 1 IS the relevance argmax
+      assert(byRank.head.getAs[Long]("neighbor_id") == top1(q))
+      // MMR scores are penalized relevance: with rel ≤ rel₁ and
+      // sim ≥ −1, stage 2/3 scores are bounded by λ·rel₁ + μ
+      val s1 = byRank.head.getAs[Double]("score")
+      byRank.tail.foreach(r =>
+        assert(r.getAs[Double]("score") <= 0.7 * s1 + 0.3 + 1e-12))
+    }
+  }
 }
