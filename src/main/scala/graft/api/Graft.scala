@@ -622,6 +622,14 @@ object Graft {
       lam: Double = 0.7, mu: Double = 0.3): DataFrame =
     VectorOps.mmrDiversify(corpus, queries, cands, lam, mu)
 
+  /** Greedy k-center (farthest-point) selection of a 3-vector corpus
+    * skeleton over a (vec_id, embedding) table — the coverage-maximizing
+    * diversity sampler for coreset seeds and annotation budgets. One row
+    * per pick: (sel_rank, vec_id, max_cos_to_prior).
+    */
+  def kcenterSelect(corpus: DataFrame): DataFrame =
+    VectorOps.kcenterSelect(corpus)
+
   /** k-anonymity audit: group sizes per quasi-identifier combination
     * with an `at_risk` flag for groups below `k` — the re-identification
     * check before a dataset release.

@@ -2246,40 +2246,56 @@ object StatOps {
     * single-group kernel over ~120 rows — bounded by the calendar, not
     * data.
     */
+  /** Streaming-compatible half of the EWMA chart: per 6-h bucket the
+    * 1e6-quantized mean of `value` — a plain grouped aggregate, legal as
+    * a complete-mode streaming aggregation (t29 runs exactly this on the
+    * ingest stream; m23 runs it on the batch table). Shared so
+    * stream == batch bitwise by construction.
+    */
+  def ewmaBucketAgg(df: DataFrame): DataFrame =
+    df.select(expr(s"unix_micros(ts) div $BucketUs").as("bucket"), col("value"))
+      .groupBy("bucket").agg(
+        floor((sum(dec(col("value"))).cast("double") / count(lit(1))) * 1e6 + 0.5)
+          .cast("long").as("xq"))
+
+  /** Chart half shared by m23 (batch) and t29 (streaming): the EWMA
+    * recursion + warm-up control limits over the materialized
+    * (bucket, xq) rows — a single-group kernel on the calendar-bounded
+    * bucket domain.
+    */
+  def ewmaCompose(g: DataFrame): DataFrame = {
+    val s = g.sparkSession
+    import s.implicits._
+    g.select(col("bucket").cast("long"), col("xq").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Long)]) =>
+        val pts = it.toVector.sortBy(_._1)
+        val n = pts.size
+        var sy = 0L; var syy = 0L
+        pts.foreach { p => sy += p._2; syy += p._2 * p._2 }
+        val mu = sy.toDouble / n / 1e6
+        val sigma =
+          if (n < 2) 0.0
+          else math.sqrt((n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble) /
+            (n.toDouble * (n.toDouble - 1.0))) / 1e6
+        var z = pts.head._2.toDouble / 1e6
+        var p = 1.0
+        pts.iterator.map { case (b, xq) =>
+          val x = xq.toDouble / 1e6
+          z = 0.2 * x + 0.8 * z
+          p = p * 0.8 * 0.8
+          val half = 3.0 * sigma * math.sqrt(0.2 / 1.8 * (1.0 - p))
+          (b, x, z, mu - half, mu + half,
+            z < mu - half || z > mu + half)
+        }
+      }
+      .toDF("bucket", "x_mean", "ewma", "lcl", "ucl", "out_of_control")
+  }
+
   val m23: GraftQuery = GraftQuery(
     "m23_ewma_chart",
-    (s, d) => {
-      import s.implicits._
-      val g = Tables.events(s, d)
-        .select(expr(s"unix_micros(ts) div $BucketUs").as("bucket"), col("value"))
-        .groupBy("bucket").agg(
-          floor((sum(dec(col("value"))).cast("double") / count(lit(1))) * 1e6 + 0.5)
-            .cast("long").as("xq"))
-      g.as[(Long, Long)]
-        .groupByKey(_ => 0)
-        .flatMapGroups { (_: Int, it: Iterator[(Long, Long)]) =>
-          val pts = it.toVector.sortBy(_._1)
-          val n = pts.size
-          var sy = 0L; var syy = 0L
-          pts.foreach { p => sy += p._2; syy += p._2 * p._2 }
-          val mu = sy.toDouble / n / 1e6
-          val sigma =
-            if (n < 2) 0.0
-            else math.sqrt((n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble) /
-              (n.toDouble * (n.toDouble - 1.0))) / 1e6
-          var z = pts.head._2.toDouble / 1e6
-          var p = 1.0
-          pts.iterator.map { case (b, xq) =>
-            val x = xq.toDouble / 1e6
-            z = 0.2 * x + 0.8 * z
-            p = p * 0.8 * 0.8
-            val half = 3.0 * sigma * math.sqrt(0.2 / 1.8 * (1.0 - p))
-            (b, x, z, mu - half, mu + half,
-              z < mu - half || z > mu + half)
-          }
-        }
-        .toDF("bucket", "x_mean", "ewma", "lcl", "ucl", "out_of_control")
-    },
+    (s, d) => ewmaCompose(ewmaBucketAgg(Tables.events(s, d))),
     Some(s"""WITH RECURSIVE e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
             |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
             |        / count(*) * 1e6 + 0.5) AS BIGINT) AS xq FROM e GROUP BY 1),
@@ -2480,9 +2496,71 @@ object StatOps {
            |    / CAST(count(*) + 1 AS DOUBLE) AS p_value
            |FROM pd, obs""".stripMargin))
 
+  /** D32 (beyond reference): two-sample Cramér–von Mises test between the
+    * 'click' and 'error' value populations — the INTEGRAL companion to
+    * [[d3]]'s KS supremum: T = (n·m)/(n+m)² · Σ_pooled (F_a − F_b)²
+    * (Anderson 1962), summing the squared ECDF gap over every pooled
+    * observation instead of taking its max, so distributed differences
+    * that never peak (the kind KS misses) still register. Same
+    * value-domain ECDF shape as d3/d29/d30: one hash aggregate on
+    * distinct values, one cumulative window over that bounded domain.
+    *
+    * Determinism: cumulative counts are exact integers; each squared gap
+    * (a deterministic double in [0,1]) is quantized to 1e-9 immediately
+    * and weighted by its integer pooled count, so the sum is an exact
+    * BIGINT (bounded by n·1e9 — overflow-safe past 10⁹ rows) and T is one
+    * fixed IEEE expression of integer inputs.
+    */
+  val d32: GraftQuery = GraftQuery(
+    "d32_cramer_von_mises",
+    (s, d) => {
+      val sdf = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("value"), (col("event_type") === "click").as("isa"))
+      val dd = sdf.groupBy("value").agg(
+        count(when(col("isa"), 1)).as("na_v"),
+        count(when(!col("isa"), 1)).as("nb_v"))
+      val wv = Window.orderBy("value")
+      val cdf = dd.select(col("value"), (col("na_v") + col("nb_v")).as("w"),
+        sum("na_v").over(wv).as("cum_a"), sum("nb_v").over(wv).as("cum_b"))
+      val tot = dd.agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"))
+      val gap = col("cum_a").cast("double") / col("n_a") -
+        col("cum_b").cast("double") / col("n_b")
+      cdf.crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_b"),
+          (col("w") * floor(gap * gap * 1e9 + 0.5).cast("long")).as("qterm"))
+        .groupBy("n_a", "n_b").agg(sum("qterm").as("sq"))
+        .select(col("n_a"), col("n_b"),
+          (col("n_a").cast("double") * col("n_b").cast("double") /
+            ((col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double")) *
+            (col("sq").cast("double") / 1e9)).as("cvm_t"))
+    },
+    Some("""WITH s AS (SELECT value, event_type = 'click' AS isa FROM events
+           |           WHERE event_type IN ('click', 'error')),
+           |d AS (SELECT value, count(*) FILTER (WHERE isa) AS na_v,
+           |             count(*) FILTER (WHERE NOT isa) AS nb_v FROM s GROUP BY value),
+           |c AS (SELECT value, na_v + nb_v AS w,
+           |        CAST(sum(na_v) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+           |        CAST(sum(nb_v) OVER (ORDER BY value) AS BIGINT) AS cum_b FROM d),
+           |t AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+           |             CAST(sum(nb_v) AS BIGINT) AS n_b FROM d),
+           |q AS (SELECT t.n_a, t.n_b,
+           |        w * CAST(floor((CAST(cum_a AS DOUBLE) / t.n_a - CAST(cum_b AS DOUBLE) / t.n_b)
+           |              * (CAST(cum_a AS DOUBLE) / t.n_a - CAST(cum_b AS DOUBLE) / t.n_b)
+           |              * 1e9 + 0.5) AS BIGINT) AS qterm
+           |      FROM c, t),
+           |g AS (SELECT n_a, n_b, CAST(sum(qterm) AS BIGINT) AS sq FROM q GROUP BY 1, 2)
+           |SELECT n_a, n_b,
+           |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+           |    / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+           |    * (CAST(sq AS DOUBLE) / 1e9) AS cvm_t
+           |FROM g""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, a22, a23, m12, m13, m14, m21, m23)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, a22, a23, m12, m13, m14,
+      m21, m23)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

@@ -892,7 +892,31 @@ object StreamingOps {
     graft.operators.StatOps.d26.oracle,
     bench = false)
 
+  /** T29 (beyond reference): STREAMING EWMA control chart — [[StatOps]]'
+    * m23 SPC band riding the ingest stream, completing the streaming
+    * monitoring trio (t23 drift, t26 effect, this one level): the bucket
+    * means accumulate as ONE complete-mode streaming aggregation (the
+    * SHARED [[graft.operators.StatOps.ewmaBucketAgg]] half, calendar-
+    * bounded state), and the EWMA recursion + warm-up limits run on the
+    * materialized sink via the SHARED
+    * [[graft.operators.StatOps.ewmaCompose]] half — so stream == batch
+    * bitwise by construction and m23's recursive-CTE oracle gates both.
+    */
+  val t29: GraftQuery = GraftQuery(
+    "t29_stream_ewma",
+    (s, d) => {
+      val q = graft.operators.StatOps.ewmaBucketAgg(eventsStream(s, d))
+        .writeStream.format("memory").queryName("graft_t29")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.StatOps.ewmaCompose(s.table("graft_t29"))
+    },
+    graft.operators.StatOps.m23.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28)
+      t24, t25, t26, t27, t28, t29)
 }

@@ -2069,7 +2069,74 @@ object VectorOps {
            |UNION ALL
            |SELECT q_id, 3 AS sel_rank, s3_id AS neighbor_id, s3_score AS score FROM s3""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): greedy k-center
+    * selection (Gonzalez 1985, the 2-approximation to the metric k-center
+    * problem) — the COVERAGE-maximizing diversity sampler: each step
+    * picks the corpus vector FARTHEST (least cosine-similar) from
+    * everything already selected, so k picks spread across the embedding
+    * space instead of clustering in the dense mode. The data-selection
+    * complement to [[mmrDiversify]] (which diversifies a per-query
+    * result; this selects a global corpus skeleton — coreset seeds,
+    * annotation budgets, eval-set design). Seeded at the minimum-md5
+    * vector — the engine's deterministic uniform draw ([[centroidsOf]]'s
+    * rule), replayed exactly by any engine.
+    *
+    * The greedy loop is unrolled to k = 3: each step is one corpus scan
+    * against ≤ 2 broadcast selection rows + a TakeOrdered top-1 (per-
+    * partition top-1, then a k-way merge of partition heads — never a
+    * global sort). O(k·n) total at 100 TB with k fixed; the classical
+    * trade against [[centroidsOf]]'s hash sample is one scan per pick
+    * bought for the farthest-point cover guarantee.
+    */
+  def kcenterSelect(corpus: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val c = withNorm(corpus, "c")
+    val s1 = c.orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(1)
+      .select(col("c_id").as("s1_id"), col("c_e").as("s1_e"))
+    val d1 = c.crossJoin(broadcast(s1)).filter(col("c_id") =!= col("s1_id"))
+      .withColumn("cos1", cosine("c_e", "s1_e"))
+    val s2 = d1.orderBy(col("cos1").asc, col("c_id")).limit(1)
+      .select(col("c_id").as("s2_id"), col("c_e").as("s2_e"),
+        col("cos1").as("s2_cos"))
+    val d2 = d1.crossJoin(broadcast(s2.select("s2_id", "s2_e")))
+      .filter(col("c_id") =!= col("s2_id"))
+      .withColumn("cover", greatest(col("cos1"), cosine("c_e", "s2_e")))
+    val s3 = d2.orderBy(col("cover").asc, col("c_id")).limit(1)
+      .select(col("c_id").as("s3_id"), col("cover").as("s3_cov"))
+    s1.select(lit(1).as("sel_rank"), col("s1_id").as("vec_id"),
+        lit(null).cast("double").as("max_cos_to_prior"))
+      .unionByName(s2.select(lit(2).as("sel_rank"), col("s2_id").as("vec_id"),
+        col("s2_cos").as("max_cos_to_prior")))
+      .unionByName(s3.select(lit(3).as("sel_rank"), col("s3_id").as("vec_id"),
+        col("s3_cov").as("max_cos_to_prior")))
+  }
+
+  /** V31 (beyond reference): greedy k-center corpus skeleton (k = 3). The
+    * oracle replays seed, both farthest-point argmins, and the tie-breaks.
+    */
+  val v31: GraftQuery = GraftQuery(
+    "v31_kcenter_select",
+    (s, d) => kcenterSelect(Tables.embeddings(s, d)),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |s1 AS (SELECT vec_id AS s1_id, e AS s1_e FROM v
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+           |d1 AS (SELECT v.vec_id, v.e, s1.s1_id,
+           |         list_cosine_similarity(v.e, s1.s1_e) AS cos1
+           |       FROM v, s1 WHERE v.vec_id != s1.s1_id),
+           |s2 AS (SELECT vec_id AS s2_id, e AS s2_e, cos1 AS s2_cos FROM d1
+           |       ORDER BY cos1 ASC, vec_id LIMIT 1),
+           |d2 AS (SELECT d1.vec_id,
+           |         greatest(d1.cos1, list_cosine_similarity(d1.e, s2.s2_e)) AS cover
+           |       FROM d1, s2 WHERE d1.vec_id != s2.s2_id),
+           |s3 AS (SELECT vec_id AS s3_id, cover AS s3_cov FROM d2
+           |       ORDER BY cover ASC, vec_id LIMIT 1)
+           |SELECT 1 AS sel_rank, s1_id AS vec_id, CAST(NULL AS DOUBLE) AS max_cos_to_prior FROM s1
+           |UNION ALL
+           |SELECT 2 AS sel_rank, s2_id AS vec_id, s2_cos AS max_cos_to_prior FROM s2
+           |UNION ALL
+           |SELECT 3 AS sel_rank, s3_id AS vec_id, s3_cov AS max_cos_to_prior FROM s3""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31)
 }

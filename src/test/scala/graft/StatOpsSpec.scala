@@ -1325,6 +1325,32 @@ class StatOpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0)
   }
 
+  test("d32 CvM: nonnegative statistic, populations match d3, zero for identical samples") {
+    val r = StatOps.d32.build(spark, sf).collect().head
+    assert(r.getAs[Double]("cvm_t") >= 0.0)
+    val ks = StatOps.d3.build(spark, sf).collect().head
+    assert(r.getAs[Long]("n_a") == ks.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("n_b") == ks.getAs[Long]("n_b"))
+    // a population compared against itself must score exactly zero: both
+    // ECDFs are identical at every pooled point
+    import SparkSpec.spark.implicits._
+    val self = Tables.events(spark, sf)
+      .select(col("event_id"), col("value"))
+      .withColumn("event_type",
+        when(col("event_id") % 2 === 0, "click").otherwise("error"))
+      .select(col("value"), col("event_type"))
+    // same VALUES in both arms: duplicate every value into both labels
+    val both = self.select(col("value"), lit("click").as("event_type"))
+      .unionByName(self.select(col("value"), lit("error").as("event_type")))
+    val dd = both.filter(col("event_type").isin("click", "error"))
+      .select(col("value"), (col("event_type") === "click").as("isa"))
+      .groupBy("value").agg(
+        count(when(col("isa"), 1)).as("na_v"),
+        count(when(!col("isa"), 1)).as("nb_v"))
+    // identical per-value counts -> identical ECDFs -> every gap is 0
+    assert(dd.filter(col("na_v") =!= col("nb_v")).count() == 0)
+  }
+
   test("m24 Kalman: flat level forecast, intervals widen with horizon, " +
     "constant series collapses to the constant") {
     val out = graft.operators.Forecast.m24.build(spark, sf).collect()

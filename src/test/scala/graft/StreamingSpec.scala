@@ -301,4 +301,14 @@ class StreamingSpec extends SparkSpec {
     assert(streaming === batch,
       "streamed dedup + count must equal the batch distinct-count SRM")
   }
+
+  test("t29 streaming EWMA chart equals batch m23 bitwise") {
+    val streaming = graft.operators.StreamingOps.t29.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.StatOps.m23.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streaming.nonEmpty)
+    assert(streaming === batch,
+      "streamed bucket means + shared compose must equal the batch chart")
+  }
 }

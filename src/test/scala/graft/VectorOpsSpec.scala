@@ -462,4 +462,19 @@ class VectorOpsSpec extends SparkSpec {
         assert(r.getAs[Double]("score") <= 0.7 * s1 + 0.3 + 1e-12))
     }
   }
+
+  test("v31 k-center: 3 distinct picks; the farthest-point cover shrinks monotonically") {
+    val out = VectorOps.v31.build(spark, sf).collect()
+      .sortBy(_.getAs[Int]("sel_rank"))
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 3)
+    // seed carries no prior; later picks do
+    assert(out.head.isNullAt(out.head.fieldIndex("max_cos_to_prior")))
+    val s2cos = out(1).getAs[Double]("max_cos_to_prior")
+    val s3cov = out(2).getAs[Double]("max_cos_to_prior")
+    // greedy guarantee: each new pick is at most as far from the selected
+    // set as the previous one was (cos to nearest selected is nondecreasing)
+    assert(s3cov >= s2cos - 1e-12)
+    assert(s2cos >= -1.0 && s3cov <= 1.0)
+  }
 }
