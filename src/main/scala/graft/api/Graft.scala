@@ -473,6 +473,13 @@ object Graft {
     */
   def heapsLaw(docs: DataFrame): DataFrame = TextOps.heapsLaw(docs)
 
+  /** Per-document 8-gram novelty in ingestion (doc_id) order: one row per
+    * doc with (n_grams, n_novel, novelty) — the fraction of the doc's
+    * distinct 8-grams no earlier doc contains. The "is another crawl dump
+    * worth ingesting" curve.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = TextOps.ngramNovelty(docs)
+
   /** Precision/recall/F1 operating-point sweep for a scored eval split:
     * `steps` thresholds over [0,1); one row per threshold with exact
     * integer confusion counts.

@@ -467,11 +467,17 @@ object TextOps {
     * stats (1 row) broadcast. Everything else is keyed by doc_id —
     * AQE-splittable, no all-pairs, no global sort.
     */
-  val x31: GraftQuery = GraftQuery(
-    "x31_bm25_score",
-    (s, d) => {
+  /** Public DataFrame-in API (see [[graft.serve.QueryService.docSearch]]):
+    * Okapi BM25 scoring of every document against the fixed three-term
+    * query ("dup"/"join"/"batch" — a rare/mid/common df spread). The term
+    * list is the production parameterization seam (a real search endpoint
+    * binds it per request); it is FIXED here so the per-term score sum is
+    * a fixed-order IEEE fold both engines replay (a dynamic term set
+    * would need a quantized sum — the x45 discipline — instead).
+    */
+  def bm25Score(docsIn: DataFrame): DataFrame = {
       val terms = Seq("dup", "join", "batch") // rare / mid / common: df spread
-      val docs = Tables.documents(s, d)
+      val docs = docsIn
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .withColumn("dl", size(col("ws")).cast("long"))
       val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
@@ -498,7 +504,11 @@ object TextOps {
           coalesce(col("s_dup"), lit(0.0)) + coalesce(col("s_join"), lit(0.0)) +
             coalesce(col("s_batch"), lit(0.0)))
         .select("doc_id", "bm25")
-    },
+  }
+
+  val x31: GraftQuery = GraftQuery(
+    "x31_bm25_score",
+    (s, d) => bm25Score(Tables.documents(s, d)),
     Some("""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
            |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
            |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d3),
@@ -3147,9 +3157,60 @@ object TextOps {
            |        - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))) AS r2
            |FROM g""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): per-document n-gram
+    * NOVELTY — the fraction of each doc's distinct 8-grams that no
+    * earlier document (by doc_id, the ingestion order) contains. The
+    * corpus-growth companion to [[spanDedup]]: span dedup REMOVES
+    * repeated blocks, this MEASURES how much genuinely new text each doc
+    * contributes (the "how much of the crawl is new" curve that decides
+    * whether another dump is worth ingesting; cf. the dedup analyses in
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"). Docs with < 8 words carry novelty 1.0 by convention
+    * (nothing they contain was ever seen before).
+    *
+    * Scale: the [[grams8]] typed scan (distinct grams per doc), one hash
+    * aggregate on the GRAM domain for first-occurrence doc, one join back
+    * on gram, one doc-domain aggregate — the x15/x26 shape; everything is
+    * integer counts plus one final IEEE division per doc.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val g = grams8(docs)
+    val firsts = g.groupBy("g").agg(min("doc_id").as("fd"))
+    val per = g.join(firsts, "g")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        when(col("n_grams") === 0, lit(1.0))
+          .otherwise(col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
+  /** X58 (beyond reference): corpus novelty audit in ingestion order. */
+  val x58: GraftQuery = GraftQuery(
+    "x58_ngram_novelty",
+    (s, d) => ngramNovelty(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+           |  THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w) - 7)])
+           |  ELSE [] END) AS g FROM t),
+           |f AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1),
+           |p AS (SELECT g.doc_id, count(*) AS n_grams,
+           |        CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           |      FROM g JOIN f USING (g) GROUP BY 1)
+           |SELECT t.doc_id,
+           |  coalesce(p.n_grams, 0) AS n_grams,
+           |  coalesce(p.n_novel, 0) AS n_novel,
+           |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+           |       ELSE CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+           |  END AS novelty
+           |FROM t LEFT JOIN p USING (doc_id)""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57)
+      x55, x56, x57, x58)
 }

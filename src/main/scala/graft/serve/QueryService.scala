@@ -113,7 +113,30 @@ object QueryService {
         |WHERE timestamp_at_stop BETWEEN TIMESTAMP '2024-01-02 06:00:00'
         |  AND TIMESTAMP '2024-01-02 12:00:00'""".stripMargin))
 
-  val all: Seq[graft.api.GraftQuery] = Seq(serveRidesWindow)
+  /** Search endpoint: top-k documents by Okapi BM25 against the engine's
+    * fixed demo query terms (see [[graft.operators.TextOps.bm25Score]] —
+    * the term list is the per-request parameterization seam). Serving
+    * shape at scale: the scoring is one scan + broadcast df/stats joins,
+    * and the top-k is a TakeOrdered (per-partition heads, no global
+    * sort); a production deployment fronts this with the x31 scores
+    * materialized as an inverted index, same dataflow.
+    */
+  def docSearch(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    graft.operators.TextOps.bm25Score(graft.core.Tables.documents(s, d))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
+  /** The search endpoint as a driver-checked query: the x31 scoring SQL
+    * wrapped with the identical deterministic top-10 (score-desc, doc-id
+    * tie-break).
+    */
+  val serveDocSearch: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_doc_search",
+    (s, d) => docSearch(s, d),
+    graft.operators.TextOps.x31.oracle.map(x31Sql =>
+      s"""SELECT doc_id, bm25 FROM ($x31Sql)
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
+
+  val all: Seq[graft.api.GraftQuery] = Seq(serveRidesWindow, serveDocSearch)
 }
 
 /** Thin CLI over [[QueryService]]: `runMain graft.serve.ServeCli <sfDir>

@@ -62,4 +62,18 @@ class ServeSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(servedRows.toSeq === live.toSeq)
   }
+
+  test("doc search serves the exact BM25 top-10, score-descending") {
+    val hits = QueryService.docSearch(spark, sf).collect()
+    assert(hits.length == 10)
+    val scores = hits.map(_.getAs[Double]("bm25"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(scores.forall(_ > 0.0))
+    // the served page IS the head of the full x31 ranking
+    val full = graft.operators.TextOps.x31.build(spark, sf).collect()
+      .sortBy(r => (-r.getAs[Double]("bm25"), r.getAs[Long]("doc_id")))
+      .take(10).map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    assert(hits.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+      .toSeq === full.toSeq)
+  }
 }

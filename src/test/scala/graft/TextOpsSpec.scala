@@ -581,6 +581,31 @@ class TextOpsSpec extends SparkSpec {
       assert(ps.sliding(2).forall(p => p.head <= p.last))
     }
   }
+
+  test("x58 novelty: first doc fully novel, fractions in [0,1], " +
+    "novel grams partition the gram vocabulary") {
+    val out = graft.operators.TextOps.x58.build(SparkSpec.spark, sf).collect()
+    val docs = graft.core.Tables.documents(SparkSpec.spark, sf)
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+    }
+    // the earliest doc with >= 8 words introduces every one of its grams
+    val withGrams = out.filter(_.getAs[Long]("n_grams") > 0)
+    assert(withGrams.nonEmpty)
+    val first = withGrams.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") == 1.0)
+    // every distinct gram is novel in exactly one doc (its first)
+    import org.apache.spark.sql.functions._
+    val distinctGrams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .selectExpr("explode(transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))) AS g")
+      .select("g").distinct().count()
+    assert(out.map(_.getAs[Long]("n_novel")).sum == distinctGrams)
+  }
 }
 
 /** Tiny shared fixture: the documents table as local tuples. */
