@@ -338,5 +338,93 @@ object MultiModal {
            |JOIN nf na ON na.doc_id = p.a_id
            |JOIN nf nb ON nb.doc_id = p.b_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5, mm6)
+  /** Energy gate for [[mm7]]'s frame classifier — sits at the corpus
+    * median frame energy so the gate discriminates (an extreme value
+    * would mark everything (in)active and the segmentation would be
+    * vacuous). Fixed, engine-independent integer.
+    */
+  private val EnergyGate = 625000L
+
+  /** MM7 (beyond reference): energy-gated segment extraction — the
+    * voice-activity-detection dataflow of a speech curation pipeline:
+    * the payload is framed (64 bytes/frame, full frames only), each
+    * frame scores an integer energy Σ code², frames above [[EnergyGate]]
+    * are active, and per payload the op reports frame counts plus the
+    * LONGEST ACTIVE RUN — the "is there a usable contiguous speech
+    * segment" audit that decides whether a clip enters the training set
+    * (cf. WebRTC VAD's energy gate; the real spectral decode is the
+    * stub seam, as in [[decodeStub]]). Frame energies come from ONE
+    * linear typed pass over the payload (the [[decode]] batch-kernel
+    * discipline — a per-frame SQL `substring` probe would re-scan the
+    * string per character and go quadratic in payload length); segment
+    * runs then come from the gaps-and-islands idiom (frame_idx −
+    * row_number over active frames), NOT a per-doc sequential fold — two
+    * doc-partitioned windows on the ACTIVE-frame subset plus one
+    * doc-domain aggregate, all exact BIGINTs until the final ratio.
+    */
+  val mm7: GraftQuery = GraftQuery(
+    "mm7_energy_segments",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      // chars == bytes on this ASCII corpus (pinned by mm1), matching the
+      // oracle's length(text)-based framing
+      val fr = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val nf = t.length / 64
+          (0 until nf).iterator.map { fi =>
+            var e = 0L
+            var j = 0
+            while (j < 64) {
+              val c = t.charAt(fi * 64 + j).toLong
+              e += c * c
+              j += 1
+            }
+            (id, fi, e > EnergyGate)
+          }
+        }.toDF("doc_id", "fi", "active")
+      val act = fr.filter(col("active"))
+        .withColumn("grp", col("fi") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("fi")))
+      val longest = act.groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max("run").as("longest_run"))
+      val per = fr.groupBy("doc_id").agg(count(lit(1)).as("n_frames"),
+        sum(when(col("active"), 1).otherwise(0)).as("n_active"))
+      docs.select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .join(longest, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_frames", "n_active", "longest_run"))
+        .select(col("doc_id"), col("n_frames"), col("n_active"),
+          col("longest_run"),
+          when(col("n_frames") === 0, lit(0.0))
+            .otherwise(col("n_active").cast("double") /
+              col("n_frames").cast("double")).as("active_ratio"))
+    },
+    Some(s"""WITH d0 AS (SELECT doc_id, text, length(text) // 64 AS nf FROM documents),
+           |fr0 AS (SELECT doc_id, text, unnest(range(0, nf)) AS fi FROM d0 WHERE nf > 0),
+           |fr AS (SELECT doc_id, fi,
+           |        list_sum(list_transform(range(0, 64),
+           |          j -> CAST(ord(substr(text, CAST(fi * 64 + j + 1 AS INT), 1)) AS BIGINT)
+           |             * CAST(ord(substr(text, CAST(fi * 64 + j + 1 AS INT), 1)) AS BIGINT)))::BIGINT
+           |          AS energy
+           |       FROM fr0),
+           |fa AS (SELECT doc_id, fi, energy > $EnergyGate AS active FROM fr),
+           |act AS (SELECT doc_id, fi,
+           |          fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+           |        FROM fa WHERE active),
+           |runs AS (SELECT doc_id, grp, count(*) AS run FROM act GROUP BY 1, 2),
+           |lng AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_run FROM runs GROUP BY 1),
+           |per AS (SELECT doc_id, count(*) AS n_frames,
+           |         CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+           |       FROM fa GROUP BY 1)
+           |SELECT d0.doc_id, coalesce(per.n_frames, 0) AS n_frames,
+           |  coalesce(per.n_active, 0) AS n_active,
+           |  coalesce(lng.longest_run, 0) AS longest_run,
+           |  CASE WHEN coalesce(per.n_frames, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE CAST(per.n_active AS DOUBLE) / CAST(per.n_frames AS DOUBLE)
+           |  END AS active_ratio
+           |FROM d0 LEFT JOIN per USING (doc_id) LEFT JOIN lng USING (doc_id)""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5, mm6, mm7)
 }

@@ -89,4 +89,39 @@ class MultiModalSpec extends SparkSpec {
     assert(a === b)
     assert(a >= 0L, "60-bit signature stays a positive BIGINT")
   }
+
+  test("mm7 energy segments: counts nest, runs match a local replay, gate discriminates") {
+    val out = MultiModal.mm7.build(SparkSpec.spark, sf).collect()
+    val docs = graft.core.Tables.documents(SparkSpec.spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    var anyActive = false; var anyInactive = false
+    out.foreach { r =>
+      val (nf, na, lr) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("longest_run"))
+      assert(lr <= na && na <= nf)
+      assert(nf == docs(r.getAs[Long]("doc_id")).length / 64)
+      if (na > 0) anyActive = true
+      if (na < nf) anyInactive = true
+      // local replay: energies -> gate -> longest run
+      val text = docs(r.getAs[Long]("doc_id"))
+      val acts = (0 until text.length / 64).map { fi =>
+        val e = (0 until 64).map { j =>
+          val c = text.charAt(fi * 64 + j).toLong; c * c
+        }.sum
+        e > 625000L
+      }
+      val localLongest =
+        if (acts.isEmpty) 0
+        else {
+          var best = 0; var cur = 0
+          acts.foreach { a => if (a) { cur += 1; best = math.max(best, cur) } else cur = 0 }
+          best
+        }
+      assert(lr == localLongest)
+      assert(na == acts.count(identity))
+    }
+    assert(anyActive && anyInactive, "the energy gate must split the corpus")
+  }
 }
