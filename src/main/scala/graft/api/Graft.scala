@@ -637,6 +637,14 @@ object Graft {
   def kcenterSelect(corpus: DataFrame): DataFrame =
     VectorOps.kcenterSelect(corpus)
 
+  /** In-engine logistic-regression training over a (y: 0/1, f1, f2)
+    * feature table: internal z-score standardization, 10 exact full-batch
+    * gradient steps (quantized σ and gradient terms, so the whole
+    * trajectory is deterministic and cross-engine replayable), one row
+    * (n, w0, w1, w2, accuracy) out.
+    */
+  def trainLogReg(feats: DataFrame): DataFrame = Forecast.trainLogReg(feats)
+
   /** k-anonymity audit: group sizes per quasi-identifier combination
     * with an `at_risk` flag for groups below `k` — the re-identification
     * check before a dataset release.

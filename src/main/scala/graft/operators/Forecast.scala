@@ -1965,6 +1965,171 @@ object Forecast {
            |SELECT user_id, forecast_timestamp, v AS forecast_value,
            |       v - halfw AS lo, v + halfw AS hi FROM fc""".stripMargin))
 
+  /** Gradient-descent iterations for [[m25]] — fixed so both engines run
+    * the identical optimization trajectory.
+    */
+  private val LogRegIters = 10
+
+  /** Public DataFrame-in API (see graft.api.Graft): distributed
+    * full-batch logistic-regression TRAINING inside the engine — the
+    * ML.TRAIN counterpart to the m5-m24 forecast table functions. Fits
+    * σ(w0 + w1·f1 + w2·f2) to a binary label by [[LogRegIters]] steps of
+    * exact full-batch gradient descent (η = 1): per step ONE aggregate
+    * over the feature table computes the gradient, the weight update
+    * happens on the driver (a bounded 3-number collect per step — the
+    * centroid-collect precedent, never data-sized), and the next step's
+    * plan embeds the new weights as literals. Input columns: (y: double
+    * 0/1, f1: double, f2: double). Returns one row
+    * (n, w0, w1, w2, accuracy).
+    *
+    * Cross-engine determinism: σ is quantized to 1e-6 the instant it is
+    * computed (exp is the one libm call — the x45 ulp-straddle residual
+    * risk), every per-row gradient term is then quantized to an exact
+    * BIGINT, so the gradient SUM is order-independent and the whole
+    * 10-step trajectory is bitwise-replayable — the oracle runs it as a
+    * recursive CTE whose state row carries (w0, w1, w2) plus the
+    * feature lists, exactly the m10 discipline.
+    *
+    * Scale: one slim feature materialization (persisted — at 100 TB this
+    * is the feature-table write every trainer does), then 10 × (scan +
+    * 4-value reduce). No shuffle grows with iterations; the driver holds
+    * 3 doubles.
+    */
+  def trainLogReg(feats0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val raw = feats0.select(col("y").cast("double").as("y"),
+      col("f1").cast("double").as("f1"), col("f2").cast("double").as("f2"))
+    // Internal z-score standardization — what every GD trainer does, and
+    // what makes η = 1 converge instead of oscillating on the dominant
+    // feature. Moments come from 1e-6-quantized features accumulated as
+    // exact DECIMALs (per-row long products fit; the SUM would overflow a
+    // BIGINT at 10⁸ rows, hence decimal accumulation — DuckDB's HUGEINT
+    // sum is the same exact integer), so μ and σ are bitwise-identical
+    // cross-engine.
+    def qf(c: org.apache.spark.sql.Column) =
+      floor(c * 1e6 + 0.5).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 0))).cast("double")
+    val mo = raw.agg(count(lit(1)).as("nn"),
+      dsum(qf(col("f1"))).as("s1"), dsum(qf(col("f1")) * qf(col("f1"))).as("q1"),
+      dsum(qf(col("f2"))).as("s2"), dsum(qf(col("f2")) * qf(col("f2"))).as("q2"))
+    val nD = col("nn").cast("double")
+    def mu(s: String) = (col(s) / 1e6) / nD
+    def sd(q: String, s: String) =
+      sqrt((col(q) / 1e12) / nD - mu(s) * mu(s))
+    val feats = raw.crossJoin(broadcast(mo)).select(col("y"),
+      ((col("f1") - mu("s1")) / sd("q1", "s1")).as("f1"),
+      ((col("f2") - mu("s2")) / sd("q2", "s2")).as("f2"))
+      .persist()
+    try {
+      def z(w: (Double, Double, Double)) =
+        lit(w._1) + lit(w._2) * col("f1") + lit(w._3) * col("f2")
+      def qsigL(w: (Double, Double, Double)) =
+        floor((lit(1.0) / (lit(1.0) + exp(-z(w)))) * 1e6 + 0.5).cast("long")
+      def sq(w: (Double, Double, Double)) = qsigL(w).cast("double") / 1e6
+      def qt(w: (Double, Double, Double), x: org.apache.spark.sql.Column) =
+        floor((col("y") - sq(w)) * x * 1e6 + 0.5).cast("long")
+      var w = (0.0, 0.0, 0.0)
+      var n = 0L
+      var i = 0
+      while (i < LogRegIters) {
+        val g = feats.agg(
+          sum(qt(w, lit(1.0))).as("g0"), sum(qt(w, col("f1"))).as("g1"),
+          sum(qt(w, col("f2"))).as("g2"), count(lit(1)).as("n")).head()
+        n = g.getAs[Long]("n")
+        val nD = n.toDouble
+        w = (w._1 + (g.getAs[Long]("g0").toDouble / 1e6) / nD,
+          w._2 + (g.getAs[Long]("g1").toDouble / 1e6) / nD,
+          w._3 + (g.getAs[Long]("g2").toDouble / 1e6) / nD)
+        i += 1
+      }
+      feats.agg(
+        count(lit(1)).as("n"),
+        (sum(when((qsigL(w) > 500000L) === (col("y") === 1.0), 1).otherwise(0))
+          .cast("double") / count(lit(1)).cast("double")).as("accuracy"))
+        .select(col("n"), lit(w._1).as("w0"), lit(w._2).as("w1"),
+          lit(w._3).as("w2"), col("accuracy"))
+    } finally feats.unpersist()
+  }
+
+  /** Shared feature/label shape for [[m25]]: predict lang == 'en' from
+    * two document-shape features (token count / 100, chars per token —
+    * the identical str_split semantics both engines expose).
+    */
+  private def logRegFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, d).select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      (size(split(col("text"), " ")).cast("double") / 100.0).as("f1"),
+      (col("n_chars").cast("double") /
+        size(split(col("text"), " ")).cast("double")).as("f2"))
+  }
+
+  /** M25 (beyond reference): in-engine logistic-regression training — see
+    * [[trainLogReg]]. The oracle replays all 10 gradient steps as a
+    * recursive CTE carrying the weights and the (order-aligned) feature
+    * lists; every quantized σ, gradient term, and weight double is
+    * bitwise-identical cross-engine, as is the final accuracy. (On this
+    * synthetic corpus the shape features carry almost no lang signal, so
+    * the converged model lands at the majority-class base rate — the
+    * op's contract is the exact distributed training trajectory, not
+    * this demo model's lift.)
+    */
+  val m25: GraftQuery = GraftQuery(
+    "m25_train_logreg",
+    (s, d) => trainLogReg(logRegFeatures(s, d)),
+    Some(s"""WITH RECURSIVE f0 AS (
+           |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+           |                      ELSE CAST(0.0 AS DOUBLE) END AS y,
+           |         CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS f1,
+           |         CAST(n_chars AS DOUBLE)
+           |           / CAST(len(str_split(text, ' ')) AS DOUBLE) AS f2
+           |  FROM documents),
+           |fq AS (SELECT doc_id, y, f1, f2,
+           |         CAST(floor(f1 * 1e6 + 0.5) AS BIGINT) AS qf1,
+           |         CAST(floor(f2 * 1e6 + 0.5) AS BIGINT) AS qf2 FROM f0),
+           |mo AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+           |         CAST(sum(qf1) AS DOUBLE) AS s1, CAST(sum(qf1 * qf1) AS DOUBLE) AS q1,
+           |         CAST(sum(qf2) AS DOUBLE) AS s2, CAST(sum(qf2 * qf2) AS DOUBLE) AS q2
+           |       FROM fq),
+           |f AS (SELECT doc_id, y,
+           |        (f1 - (s1 / 1e6) / nd)
+           |          / sqrt((q1 / 1e12) / nd - ((s1 / 1e6) / nd) * ((s1 / 1e6) / nd)) AS f1,
+           |        (f2 - (s2 / 1e6) / nd)
+           |          / sqrt((q2 / 1e12) / nd - ((s2 / 1e6) / nd) * ((s2 / 1e6) / nd)) AS f2
+           |      FROM fq, mo),
+           |ser AS (SELECT list(y ORDER BY doc_id) AS ys,
+           |               list(f1 ORDER BY doc_id) AS f1s,
+           |               list(f2 ORDER BY doc_id) AS f2s,
+           |               CAST(count(*) AS BIGINT) AS n FROM f),
+           |rec AS (
+           |  SELECT ys, f1s, f2s, n, 0 AS i, CAST(0.0 AS DOUBLE) AS w0,
+           |         CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2
+           |  FROM ser
+           |  UNION ALL
+           |  SELECT ys, f1s, f2s, n, i + 1,
+           |    w0 + (CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)), k ->
+           |      CAST(floor((ys[k] - CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * f1s[k] + w2 * f2s[k]))))
+           |        * 1e6 + 0.5) AS BIGINT) / 1e6) * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) / 1e6)
+           |      / CAST(n AS DOUBLE),
+           |    w1 + (CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)), k ->
+           |      CAST(floor((ys[k] - CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * f1s[k] + w2 * f2s[k]))))
+           |        * 1e6 + 0.5) AS BIGINT) / 1e6) * f1s[k] * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) / 1e6)
+           |      / CAST(n AS DOUBLE),
+           |    w2 + (CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)), k ->
+           |      CAST(floor((ys[k] - CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * f1s[k] + w2 * f2s[k]))))
+           |        * 1e6 + 0.5) AS BIGINT) / 1e6) * f2s[k] * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) / 1e6)
+           |      / CAST(n AS DOUBLE)
+           |  FROM rec WHERE i < $LogRegIters)
+           |SELECT n, w0, w1, w2,
+           |  CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)), k ->
+           |    CASE WHEN (CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * f1s[k] + w2 * f2s[k]))))
+           |        * 1e6 + 0.5) AS BIGINT) > 500000) = (ys[k] = 1.0)
+           |      THEN 1 ELSE 0 END)) AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+           |FROM rec WHERE i = $LogRegIters""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20, m22, m24)
+    Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20, m22,
+      m24, m25)
 }

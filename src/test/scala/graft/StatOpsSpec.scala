@@ -1351,6 +1351,56 @@ class StatOpsSpec extends SparkSpec {
     assert(dd.filter(col("na_v") =!= col("nb_v")).count() == 0)
   }
 
+  test("m25 logreg training: the distributed GD trajectory equals an exact local replay") {
+    val out = graft.operators.Forecast.m25.build(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y",
+        "CAST(size(split(text, ' ')) AS DOUBLE) / 100.0 AS f1",
+        "CAST(n_chars AS DOUBLE) / CAST(size(split(text, ' ')) AS DOUBLE) AS f2")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val n = docs.length
+    assert(out.getAs[Long]("n") == n)
+    // local replay: quantized moments -> z-score -> 10 quantized GD steps
+    def moments(xs: Array[Double]) = {
+      val q = xs.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      val s = q.map(BigInt(_)).sum
+      val qq = q.map(v => BigInt(v) * BigInt(v)).sum
+      val nD = n.toDouble
+      val mu = (s.toDouble / 1e6) / nD
+      val sd = math.sqrt((qq.toDouble / 1e12) / nD - mu * mu)
+      (mu, sd)
+    }
+    val (mu1, sd1) = moments(docs.map(_._2))
+    val (mu2, sd2) = moments(docs.map(_._3))
+    val fs = docs.map { case (y, f1, f2) =>
+      (y, (f1 - mu1) / sd1, (f2 - mu2) / sd2)
+    }
+    var (w0, w1, w2) = (0.0, 0.0, 0.0)
+    for (_ <- 1 to 10) {
+      var g0 = 0L; var g1 = 0L; var g2 = 0L
+      fs.foreach { case (y, f1, f2) =>
+        val sig = 1.0 / (1.0 + math.exp(-(w0 + w1 * f1 + w2 * f2)))
+        val sq = math.floor(sig * 1e6 + 0.5) / 1e6
+        g0 += math.floor((y - sq) * 1.0 * 1e6 + 0.5).toLong
+        g1 += math.floor((y - sq) * f1 * 1e6 + 0.5).toLong
+        g2 += math.floor((y - sq) * f2 * 1e6 + 0.5).toLong
+      }
+      val nD = n.toDouble
+      w0 += (g0.toDouble / 1e6) / nD
+      w1 += (g1.toDouble / 1e6) / nD
+      w2 += (g2.toDouble / 1e6) / nD
+    }
+    assert(out.getAs[Double]("w0") == w0)
+    assert(out.getAs[Double]("w1") == w1)
+    assert(out.getAs[Double]("w2") == w2)
+    val acc = fs.count { case (y, f1, f2) =>
+      val sig = 1.0 / (1.0 + math.exp(-(w0 + w1 * f1 + w2 * f2)))
+      (math.floor(sig * 1e6 + 0.5).toLong > 500000L) == (y == 1.0)
+    }.toDouble / n
+    assert(out.getAs[Double]("accuracy") == acc)
+  }
+
   test("m24 Kalman: flat level forecast, intervals widen with horizon, " +
     "constant series collapses to the constant") {
     val out = graft.operators.Forecast.m24.build(spark, sf).collect()
