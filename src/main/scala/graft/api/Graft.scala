@@ -480,6 +480,13 @@ object Graft {
     */
   def ngramNovelty(docs: DataFrame): DataFrame = TextOps.ngramNovelty(docs)
 
+  /** RAKE keyphrase extraction: corpus top-`topK` stopword-free phrases
+    * (≤ 4 words) ranked by summed word degree/frequency scores — the
+    * collocation-aware keyword surface over a (doc_id, text) corpus.
+    */
+  def rakeKeyphrases(docs: DataFrame, topK: Int = 20): DataFrame =
+    TextOps.rakeKeyphrases(docs, topK)
+
   /** Precision/recall/F1 operating-point sweep for a scored eval split:
     * `steps` thresholds over [0,1); one row per threshold with exact
     * integer confusion counts.

@@ -3208,9 +3208,100 @@ object TextOps {
            |  END AS novelty
            |FROM t LEFT JOIN p USING (doc_id)""".stripMargin))
 
+  /** Stopword delimiter set for [[rakeKeyphrases]] — the fixed function-
+    * word list that breaks candidate phrases (a production deployment
+    * binds a per-language list; fixed here so both engines extract the
+    * identical phrase set).
+    */
+  private val RakeStops = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "this", "that", "be", "are", "was", "or")
+
+  /** Public DataFrame-in API (see graft.api.Graft): RAKE keyphrase
+    * extraction (Rose et al. 2010, "Automatic keyword extraction from
+    * individual documents") — corpus-level top-20 keyphrases: candidate
+    * phrases are maximal stopword-free word runs (capped at 4 words, the
+    * RAKE convention), each word scores degree/frequency over the
+    * candidate set (degree = Σ lengths of phrases containing it — words
+    * that live in longer collocations outrank isolated frequent words),
+    * and a phrase scores the sum of its word scores. The collocation-
+    * aware companion to [[tfidfTopTerms]] (x9 ranks single terms) and
+    * [[pmiCollocations]] (x51 ranks word PAIRS; RAKE ranks variable-
+    * length phrases).
+    *
+    * Shape: one tokenize scan with positions, phrase grouping via the
+    * gaps-and-islands idiom (pos − row_number over content words, doc-
+    * partitioned — never a global window), word stats on the VOCABULARY
+    * domain, phrase assembly from an ordered collect per (doc, island)
+    * group, and a TakeOrdered top-20. Determinism: freq/deg are exact
+    * integers; each word score deg/freq is ONE IEEE division quantized
+    * to 1e-6 immediately, so phrase scores are exact integer sums — the
+    * x45 discipline.
+    */
+  def rakeKeyphrases(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val content = w.filter(!col("w").isin(RakeStops: _*))
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    val phrases = content
+      .groupBy("doc_id", "grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"), col("grp"),
+        expr("transform(ws, s -> s.w)").as("pw"),
+        size(col("ws")).as("plen"))
+      .filter(col("plen") <= 4)
+    val pw = phrases.select(col("doc_id"), col("grp"), col("plen"),
+      explode(col("pw")).as("w"))
+    val stats = pw.groupBy("w").agg(
+      count(lit(1)).as("freq"),
+      sum(col("plen").cast("long")).as("deg"))
+    val scored = pw.join(stats, "w")
+      .withColumn("qsw",
+        floor((col("deg").cast("double") / col("freq").cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy("doc_id", "grp").agg(sum("qsw").as("qscore"))
+    val withText = phrases.join(scored, Seq("doc_id", "grp"))
+      .select(array_join(col("pw"), " ").as("phrase"), col("qscore"))
+    withText.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("qscore").as("qs"))
+      .select(col("phrase"), col("n_occurrences"),
+        (col("qs").cast("double") / 1e6).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(topK)
+  }
+
+  /** X59 (beyond reference): corpus keyphrase extraction. */
+  val x59: GraftQuery = GraftQuery(
+    "x59_rake_keyphrases",
+    (s, d) => rakeKeyphrases(Tables.documents(s, d)),
+    Some(s"""WITH w0 AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+           |         generate_subscripts(str_split(text, ' '), 1) - 1 AS pos
+           |       FROM documents),
+           |w1 AS (SELECT doc_id, pos, w FROM w0 WHERE length(w) > 0),
+           |cw AS (SELECT doc_id, pos, w,
+           |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |       FROM w1 WHERE w NOT IN (${RakeStops.map(t => s"'$t'").mkString(", ")})),
+           |ph AS (SELECT doc_id, grp, list(w ORDER BY pos) AS pw,
+           |         CAST(count(*) AS INT) AS plen
+           |       FROM cw GROUP BY 1, 2 HAVING count(*) <= 4),
+           |pw AS (SELECT doc_id, grp, plen, unnest(pw) AS w FROM ph),
+           |st AS (SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+           |       FROM pw GROUP BY 1),
+           |sc AS (SELECT doc_id, grp,
+           |         CAST(sum(CAST(floor((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+           |           AS BIGINT)) AS BIGINT) AS qscore
+           |       FROM pw JOIN st USING (w) GROUP BY 1, 2),
+           |pt AS (SELECT array_to_string(ph.pw, ' ') AS phrase, sc.qscore
+           |       FROM ph JOIN sc USING (doc_id, grp))
+           |SELECT phrase, count(*) AS n_occurrences,
+           |  CAST(max(qscore) AS DOUBLE) / 1e6 AS score
+           |FROM pt GROUP BY phrase
+           |ORDER BY score DESC, phrase LIMIT 20""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58)
+      x55, x56, x57, x58, x59)
 }

@@ -606,6 +606,24 @@ class TextOpsSpec extends SparkSpec {
       .select("g").distinct().count()
     assert(out.map(_.getAs[Long]("n_novel")).sum == distinctGrams)
   }
+
+  test("x59 RAKE: 20 phrases, stopword-free, <= 4 words, scores ordered and >= length") {
+    val stops = Set(
+      "the", "of", "and", "a", "to", "in", "is", "it", "for", "on",
+      "with", "as", "at", "by", "this", "that", "be", "are", "was", "or")
+    val out = graft.operators.TextOps.x59.build(SparkSpec.spark, sf).collect()
+    assert(out.length == 20)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    out.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.nonEmpty && words.length <= 4)
+      assert(words.forall(w => !stops(w)))
+      // every word score deg/freq >= 1, so a phrase scores at least its length
+      assert(r.getAs[Double]("score") >= words.length - 1e-6)
+      assert(r.getAs[Long]("n_occurrences") >= 1L)
+    }
+  }
 }
 
 /** Tiny shared fixture: the documents table as local tuples. */
