@@ -414,6 +414,15 @@ object Graft {
   def mrlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
       dims: Seq[Int]): DataFrame = VectorOps.mrlRecall(corpus, queries, k, dims)
 
+  /** Johnson–Lindenstrauss sign-projection recall: exact top-`k` cosine
+    * in a deterministic `p`-dim Rademacher projection, scored against the
+    * full-dimension ground truth — one row (p_dim, recall). The
+    * projection-tier answer to [[mrlRecall]] for models without
+    * Matryoshka training.
+    */
+  def jlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      p: Int): DataFrame = VectorOps.jlRecall(corpus, queries, k, p)
+
   /** Per-dimension means and upper-triangle covariance of the embedding
     * column — whitening/PCA input: one row per (i, j), i <= j, with
     * (i, j, mean_i, cov).
@@ -507,6 +516,13 @@ object Graft {
     */
   def giniConcentration(events: DataFrame): DataFrame =
     Relational.giniConcentration(events)
+
+  /** Pareto/ABC segmentation of per-user activity from the count
+    * histogram (no global user sort): ≤3 rows (abc_class, n_users,
+    * n_events, share) — A carries the first 80% of event mass, B the
+    * next 15%, C the tail.
+    */
+  def paretoAbc(events: DataFrame): DataFrame = Relational.paretoAbc(events)
 
   /** Directed label modularity of the embeddings kNN graph: one row
     * (m, intra, modularity) — do nearest neighbors share labels?
@@ -626,6 +642,26 @@ object Graft {
   def permutationTest(df: DataFrame, idCol: String, valueCol: String,
       armCol: String): DataFrame =
     StatOps.permutationTest(df, idCol, valueCol, armCol)
+
+  /** Mann-Kendall nonparametric trend test over an events (ts, value)
+    * stream, bucketed to 6 h: one row (n, s_stat, var_s, z) with the
+    * tie-corrected variance and continuity-corrected z. Fires on any
+    * monotone drift, no distributional assumptions.
+    */
+  def mannKendall(events: DataFrame): DataFrame = StatOps.mannKendall(events)
+
+  /** Theil–Sen robust trend slope over an events (ts, value) stream,
+    * bucketed to 6 h: one row (n_pairs, sen_slope) — the median pairwise
+    * slope, in value-units per bucket. Pair with [[mannKendall]]:
+    * direction/significance there, robust magnitude here.
+    */
+  def theilSen(events: DataFrame): DataFrame = StatOps.theilSen(events)
+
+  /** RiskMetrics EWMA volatility (λ = 0.94) of the 6-h bucket-mean
+    * series: per bucket (ret, var_ewma, vol). The second-moment monitor
+    * complementing the m23 EWMA level chart (StatOps.ewmaCompose).
+    */
+  def riskmetricsVol(events: DataFrame): DataFrame = StatOps.riskmetricsVol(events)
 
   /** MMR-diversified top-3 retrieval: greedy λ·relevance − μ·max-similarity
     * re-selection from each query's top-`cands` candidate pool (both sides

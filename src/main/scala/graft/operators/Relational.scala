@@ -2253,11 +2253,63 @@ object Relational {
         .select(lit("last").as("touch"), col("event_type"), col("n_users")))
   }
 
+  /** W28 (beyond reference): Pareto/ABC user segmentation — the "which
+    * users carry 80% of the traffic" rollup behind tiered rate limits
+    * and cache-warming lists. Like [[w17]]'s Gini, it runs on the COUNT
+    * HISTOGRAM, not on ranked users: users group by their event count,
+    * counts sort descending (domain bounded by the busiest user, not by
+    * user cardinality), and a count-bucket classifies by the cumulative
+    * event share STRICTLY BEFORE it (A while < 0.8, B while < 0.95, else
+    * C) — so all users with equal activity land in the same class and no
+    * global user sort exists anywhere. Output: 3 rows (abc_class,
+    * n_users, n_events, share).
+    */
+  val w28 = q(
+    "w28_pareto_abc",
+    """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |h AS (SELECT n, count(*) AS m FROM u GROUP BY 1),
+      |t AS (SELECT CAST(sum(n * m) AS BIGINT) AS e_total FROM h),
+      |c AS (SELECT n, m, CAST(coalesce(sum(n * m) OVER (ORDER BY n DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ce_prev
+      |      FROM h),
+      |k AS (SELECT CASE WHEN CAST(ce_prev AS DOUBLE) / CAST(e_total AS DOUBLE) < 0.8 THEN 'A'
+      |                  WHEN CAST(ce_prev AS DOUBLE) / CAST(e_total AS DOUBLE) < 0.95 THEN 'B'
+      |                  ELSE 'C' END AS abc_class,
+      |             m, n * m AS ev, e_total FROM c, t)
+      |SELECT abc_class, CAST(sum(m) AS BIGINT) AS n_users,
+      |  CAST(sum(ev) AS BIGINT) AS n_events,
+      |  CAST(sum(ev) AS DOUBLE) / CAST(max(e_total) AS DOUBLE) AS share
+      |FROM k GROUP BY 1""".stripMargin) { (s, d) =>
+    paretoAbc(Tables.events(s, d))
+  }
+
+  /** Public DataFrame-in API (see graft.api.Graft): histogram-based ABC
+    * classification of per-user activity. `events` needs (user_id);
+    * returns ≤3 rows (abc_class, n_users, n_events, share).
+    */
+  def paretoAbc(events: DataFrame): DataFrame = {
+    val h = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("m"))
+    val total = h.agg(sum(col("n") * col("m")).as("e_total"))
+    val wPrev = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("ce_prev", coalesce(sum(col("n") * col("m")).over(wPrev), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("ce_prev").cast("double") / col("e_total").cast("double") < 0.8, "A")
+          .when(col("ce_prev").cast("double") / col("e_total").cast("double") < 0.95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(sum("m").as("n_users"), sum(col("n") * col("m")).as("n_events"),
+        (sum(col("n") * col("m")).cast("double") /
+          max("e_total").cast("double")).as("share"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, o1, o2, o3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -2557,10 +2557,179 @@ object StatOps {
            |    * (CAST(sq AS DOUBLE) / 1e9) AS cvm_t
            |FROM g""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): Mann-Kendall trend
+    * test over the 6-h bucket series (Mann 1945; Kendall 1975) — the
+    * NONPARAMETRIC "is this metric drifting" answer: S = Σ_{i<j}
+    * sgn(x_j − x_i) over bucket pairs, tie-corrected variance
+    * (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18, continuity-corrected z. No
+    * model, no normality assumption — the monitoring complement to m12's
+    * CUSUM (which needs a reference mean) and m23's EWMA band (which
+    * needs σ): MK fires on any monotone drift, robust to spikes.
+    *
+    * Scale: the pair "join" runs on the CALENDAR-bounded bucket domain
+    * (the [[ewmaBucketAgg]] aggregate — ~120 rows whatever the fact
+    * volume), so the O(n²) pair sum is O(calendar²), constant in data
+    * size; everything upstream is one scan + one hash aggregate.
+    * Determinism: bucket means are 1e6-quantized ints, sgn/S/tie sums
+    * are exact integers, and var/z are fixed IEEE expressions of them.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val g = ewmaBucketAgg(events)
+    val sgn = when(col("b.xq") > col("a.xq"), 1L)
+      .when(col("b.xq") < col("a.xq"), -1L).otherwise(0L)
+    val s = g.as("a").join(g.as("b"), col("a.bucket") < col("b.bucket"))
+      .agg(coalesce(sum(sgn), lit(0L)).as("s_stat"))
+    val nn = g.agg(count(lit(1)).as("n"))
+    val ties = g.groupBy("xq").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") * (col("c") - 1) * (lit(2) * col("c") + 5)),
+        lit(0L)).as("tsum"))
+    val v = nn.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+          .cast("double") / 18.0)
+    v.select(col("n"), col("s_stat"), col("var_s"),
+      when(col("s_stat") > 0,
+        (col("s_stat").cast("double") - 1.0) / sqrt(col("var_s")))
+        .when(col("s_stat") < 0,
+          (col("s_stat").cast("double") + 1.0) / sqrt(col("var_s")))
+        .otherwise(0.0).as("z"))
+  }
+
+  /** D33 (beyond reference): Mann-Kendall monotone-trend audit. */
+  val d33: GraftQuery = GraftQuery(
+    "d33_mann_kendall",
+    (s, d) => mannKendall(Tables.events(s, d)),
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+           |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |        / count(*) * 1e6 + 0.5) AS BIGINT) AS xq FROM e GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+           |s AS (SELECT coalesce(CAST(sum(CASE WHEN b.xq > a.xq THEN 1
+           |               WHEN b.xq < a.xq THEN -1 ELSE 0 END) AS BIGINT), 0) AS s_stat
+           |      FROM g a JOIN g b ON a.bucket < b.bucket),
+           |t AS (SELECT coalesce(CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT), 0) AS tsum
+           |      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM g GROUP BY xq)
+           |      WHERE c > 1),
+           |v AS (SELECT nn.n, s.s_stat,
+           |        CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tsum AS DOUBLE) / 18.0 AS var_s
+           |      FROM nn, s, t)
+           |SELECT n, s_stat, var_s,
+           |  CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+           |       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+           |       ELSE CAST(0.0 AS DOUBLE) END AS z
+           |FROM v""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): Theil–Sen slope
+    * estimator over the 6-h bucket series — the robust MAGNITUDE
+    * companion to [[mannKendall]]'s direction test: the median of all
+    * pairwise slopes (x_j − x_i)/(j − i), which survives up to ~29%
+    * arbitrarily-corrupted points where OLS (m7's AR fit, m3's
+    * regression) is dragged by a single outlier. Returns one row
+    * (n_pairs, sen_slope) with the slope in value-units per 6-h bucket.
+    *
+    * Scale: pairs live on the CALENDAR-bounded bucket domain (~120 rows
+    * whatever the fact volume), so the O(n²) pair set and the exact
+    * median (row_number over sorted slopes — a few thousand rows, one
+    * partition by construction) are O(calendar²), constant in data size.
+    * Determinism: slopes are IEEE quotients of exact integers; the
+    * median picks value(s) at fixed sorted positions (ties carry equal
+    * values, so tie order is immaterial), and the even-n midpoint is the
+    * same sum/count average in both engines.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val g = ewmaBucketAgg(events)
+    val pairs = g.as("a").join(g.as("b"), col("a.bucket") < col("b.bucket"))
+      .select((((col("b.xq") - col("a.xq")).cast("double") / 1e6) /
+        (col("b.bucket") - col("a.bucket")).cast("double")).as("slope"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.orderBy("slope")))
+      .withColumn("np", count(lit(1)).over(
+        Window.orderBy("slope").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked
+      .filter(col("rn") === expr("(np + 1) div 2") || col("rn") === expr("np div 2 + 1"))
+      .agg(max("np").as("n_pairs"), avg("slope").as("sen_slope"))
+  }
+
+  /** D34 (beyond reference): Theil–Sen robust trend slope. */
+  val d34: GraftQuery = GraftQuery(
+    "d34_theil_sen",
+    (s, d) => theilSen(Tables.events(s, d)),
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+           |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |        / count(*) * 1e6 + 0.5) AS BIGINT) AS xq FROM e GROUP BY 1),
+           |p AS (SELECT (CAST(b.xq - a.xq AS DOUBLE) / 1e6)
+           |          / CAST(b.bucket - a.bucket AS DOUBLE) AS slope
+           |      FROM g a JOIN g b ON a.bucket < b.bucket),
+           |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+           |             count(*) OVER () AS np FROM p)
+           |SELECT max(np) AS n_pairs, avg(slope) AS sen_slope
+           |FROM r WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): RiskMetrics EWMA
+    * volatility (J.P. Morgan 1996, λ = 0.94) over the 6-h bucket-mean
+    * series: per-bucket return r_t = x_t − x_{t-1}, conditional variance
+    * v_t = λ·v_{t-1} + (1−λ)·r_t² seeded with v_2 = r_2². The GARCH-lite
+    * member of the monitoring family — m23's EWMA chart tracks the
+    * LEVEL, this tracks the second moment, so regime changes show as a
+    * vol ramp even when the mean is flat.
+    *
+    * Scale: everything after the one hash aggregate runs on the
+    * calendar-bounded bucket domain inside a single-group kernel (same
+    * shape as [[ewmaCompose]]). Determinism: returns are exact integer
+    * differences scaled once; the recursion is a fixed IEEE expression
+    * (λ·v + (1−λ)·(r·r), parenthesized identically in the oracle).
+    */
+  def riskmetricsVol(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    ewmaBucketAgg(events)
+      .select(col("bucket").cast("long"), col("xq").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Long)]) =>
+        val pts = it.toVector.sortBy(_._1)
+        if (pts.size < 2) Iterator.empty
+        else {
+          var v = 0.0
+          pts.iterator.zip(pts.iterator.drop(1)).zipWithIndex.map {
+            case (((_, x0), (b1, x1)), i) =>
+              val r = (x1 - x0).toDouble / 1e6
+              v = if (i == 0) r * r else 0.94 * v + 0.06 * (r * r)
+              (b1, r, v, math.sqrt(v))
+          }
+        }
+      }
+      .toDF("bucket", "ret", "var_ewma", "vol")
+  }
+
+  /** M26 (beyond reference): EWMA conditional-volatility track. */
+  val m26: GraftQuery = GraftQuery(
+    "m26_riskmetrics_vol",
+    (s, d) => riskmetricsVol(Tables.events(s, d)),
+    Some(s"""WITH RECURSIVE e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+           |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |        / count(*) * 1e6 + 0.5) AS BIGINT) AS xq FROM e GROUP BY 1),
+           |ser AS (SELECT list(xq ORDER BY bucket) AS y, list(bucket ORDER BY bucket) AS bs,
+           |        CAST(count(*) AS INT) AS n FROM g),
+           |rec AS (
+           |  SELECT y, bs, n, 2 AS i,
+           |         CAST(y[2] - y[1] AS DOUBLE) / 1e6 AS ret,
+           |         (CAST(y[2] - y[1] AS DOUBLE) / 1e6)
+           |           * (CAST(y[2] - y[1] AS DOUBLE) / 1e6) AS v
+           |  FROM ser WHERE n >= 2
+           |  UNION ALL
+           |  SELECT y, bs, n, i + 1,
+           |         CAST(y[i+1] - y[i] AS DOUBLE) / 1e6,
+           |         CAST(0.94 AS DOUBLE) * v + CAST(0.06 AS DOUBLE)
+           |           * ((CAST(y[i+1] - y[i] AS DOUBLE) / 1e6)
+           |              * (CAST(y[i+1] - y[i] AS DOUBLE) / 1e6))
+           |  FROM rec WHERE i < n)
+           |SELECT bs[i] AS bucket, ret, v AS var_ewma, sqrt(v) AS vol FROM rec""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, a22, a23, m12, m13, m14,
-      m21, m23)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, a22, a23, m12, m13,
+      m14, m21, m23, m26)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

@@ -2136,7 +2136,94 @@ object VectorOps {
            |UNION ALL
            |SELECT 3 AS sel_rank, s3_id AS vec_id, s3_cov AS max_cos_to_prior FROM s3""".stripMargin))
 
+  /** Integer JL projection: y_j = Σ_i s(i,j)·q_i over the 1e6-quantized
+    * embedding q_i = floor(e_i·1e6 + 0.5), with the Rademacher sign
+    * s(i,j) = ±1 drawn from the parity of a fixed LCG mix of (i, j) —
+    * Achlioptas (2003)'s database-friendly projection with a seedless,
+    * engine-portable sign matrix. All arithmetic is exact BIGINT
+    * (|y_j| ≤ 64·~1e6 ≪ 2⁶³), so projections are bitwise identical in
+    * any engine and addition order is immaterial.
+    */
+  private def jlProject(df: DataFrame, p: Int, prefix: String): DataFrame =
+    df.select(col("vec_id").as(s"${prefix}_id"),
+      expr(s"""transform(sequence(1, $p), j ->
+        aggregate(sequence(1, size(embedding)), 0L, (a, i) ->
+          a + IF(((i * 73856093L + j * 19349663L + i * j * 83492791L)
+                   % 2147483647L) % 2L = 0L,
+                 CAST(floor(element_at(embedding, i) * 1e6 + 0.5) AS LONG),
+                 -CAST(floor(element_at(embedding, i) * 1e6 + 0.5) AS LONG))))""")
+        .as(s"${prefix}_y"))
+
+  /** Public DataFrame-in API (see graft.api.Graft): Johnson–Lindenstrauss
+    * sign-projection recall — project the corpus from d dims to `p` dims
+    * with a deterministic Rademacher matrix, run exact top-`k` cosine in
+    * the PROJECTED space, and score recall against the full-dimension
+    * ground truth. The cheap-scan tier that [[mrlRecall]] measures for
+    * Matryoshka-trained models, available for ANY embedding: a p/d
+    * fraction of the float math per candidate with distance distortion
+    * bounded by the JL lemma. Returns one row (p_dim, recall).
+    *
+    * Scale: projection is a codegen'd per-row map (corpus scanned once);
+    * the projected scan is the v1 dataflow (query side broadcast, no
+    * corpus shuffle); cosine ranks are IEEE quotients of exact integer
+    * dot/norms, so candidate sets are bitwise-stable cross-engine.
+    */
+  def jlRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      p: Int): DataFrame = {
+    val nq = queries.count()
+    val full = bruteForceTopK(corpus, queries, k).select("q_id", "neighbor_id")
+    val norm = (c: String) =>
+      expr(s"aggregate($c, 0L, (a, t) -> a + t * t)")
+    val cy = jlProject(corpus, p, "c").withColumn("c_n", norm("c_y"))
+    val qy = jlProject(queries, p, "q").withColumn("q_n", norm("q_y"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val proj = cy.join(broadcast(qy), col("c_id") =!= col("q_id"))
+      .withColumn("dot", expr(s"""aggregate(sequence(1, $p), 0L,
+        (a, j) -> a + element_at(c_y, j) * element_at(q_y, j))"""))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("c_n").cast("double")) * sqrt(col("q_n").cast("double"))))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"))
+    proj.join(full, Seq("q_id", "neighbor_id"))
+      .agg((count(lit(1)).cast("double") / lit(k.toDouble * nq)).as("recall"))
+      .select(lit(p).as("p_dim"), col("recall"))
+  }
+
+  /** V32 (beyond reference): JL 32-dim sign-projection recall audit. */
+  val v32: GraftQuery = GraftQuery(
+    "v32_jl_projection_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      jlRecall(emb, emb.filter(col("vec_id") < 10), 10, 32)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |gt AS (SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id
+           |       FROM q JOIN v ON v.vec_id != q.vec_id
+           |       QUALIFY row_number() OVER (PARTITION BY q.vec_id
+           |         ORDER BY list_cosine_similarity(q.e, v.e) DESC, v.vec_id) <= 10),
+           |py AS (SELECT vec_id, list_transform(range(1, 33), j ->
+           |         CAST(list_sum(list_transform(range(1, CAST(len(e) AS BIGINT) + 1), i ->
+           |           CASE WHEN ((i * 73856093 + j * 19349663 + i * j * 83492791)
+           |                      % 2147483647) % 2 = 0
+           |                THEN CAST(floor(e[CAST(i AS INT)] * 1e6 + 0.5) AS BIGINT)
+           |                ELSE -CAST(floor(e[CAST(i AS INT)] * 1e6 + 0.5) AS BIGINT)
+           |           END)) AS BIGINT)) AS y FROM v),
+           |pn AS (SELECT vec_id, y,
+           |         CAST(list_sum(list_transform(y, t -> t * t)) AS BIGINT) AS n2 FROM py),
+           |tk AS (SELECT b.vec_id AS q_id, a.vec_id AS neighbor_id
+           |       FROM pn a JOIN pn b ON a.vec_id != b.vec_id AND b.vec_id < 10
+           |       QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY
+           |         CAST(list_sum(list_transform(range(1, 33), j ->
+           |           a.y[CAST(j AS INT)] * b.y[CAST(j AS INT)])) AS DOUBLE)
+           |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC,
+           |         a.vec_id) <= 10)
+           |SELECT 32 AS p_dim,
+           |  CAST((SELECT count(*) FROM tk JOIN gt
+           |        ON tk.q_id = gt.q_id AND tk.neighbor_id = gt.neighbor_id) AS DOUBLE)
+           |    / 100.0 AS recall""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32)
 }

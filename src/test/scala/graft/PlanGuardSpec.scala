@@ -134,7 +134,11 @@ class PlanGuardSpec extends SparkSpec {
     // MMR candidate generation broadcasts the query side under the v1
     // non-equi join; the greedy stages then broadcast per-query selection
     // rows (≤ 1 row per query) — same contract as v1/v15
-    "v30_mmr_diversify")
+    "v30_mmr_diversify",
+    // JL recall: ground-truth arm is v1-shape; the projected arm
+    // broadcasts the PROJECTED query side (32 longs per query vector)
+    // under the same non-equi join — same contract as v1/v21
+    "v32_jl_projection_recall")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {

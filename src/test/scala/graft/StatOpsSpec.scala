@@ -696,6 +696,32 @@ class StatOpsSpec extends SparkSpec {
     assert(gini >= 0.0 && gini < 1.0)
   }
 
+  test("w28 Pareto ABC: classes partition users and events, shares sum to 1, " +
+    "and matches a ranked-user replay at class boundaries") {
+    val rows = graft.operators.Relational.w28.build(spark, sf).collect()
+    val w17r = graft.operators.Relational.w17.build(spark, sf).collect().head
+    assert(rows.map(_.getAs[String]("abc_class")).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("n_users")).sum == w17r.getAs[Long]("n_users"))
+    assert(rows.map(_.getAs[Long]("n_events")).sum == w17r.getAs[Long]("n_events"))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    // replay: classify each count-bucket by desc-cumulative prior share
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .select("count").as[Long].collect()
+    val hist = counts.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(-_._1)
+    val eTotal = counts.sum.toDouble
+    var ce = 0L
+    val expect = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    hist.foreach { case (n, m) =>
+      val cls = if (ce / eTotal < 0.8) "A" else if (ce / eTotal < 0.95) "B" else "C"
+      expect(cls) += m * n
+      ce += m * n
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") == expect(r.getAs[String]("abc_class")))
+    }
+  }
+
   test("v23 kNN label modularity: single bounded row, intra within m") {
     val r = VectorOps.v23.build(spark, sf).collect().head
     val (m, intra) = (r.getAs[Long]("m"), r.getAs[Long]("intra"))
@@ -1349,6 +1375,54 @@ class StatOpsSpec extends SparkSpec {
         count(when(!col("isa"), 1)).as("nb_v"))
     // identical per-value counts -> identical ECDFs -> every gap is 0
     assert(dd.filter(col("na_v") =!= col("nb_v")).count() == 0)
+  }
+
+  test("d33 Mann-Kendall: S bounded by pair count, variance positive, " +
+    "a strictly increasing series maxes S") {
+    val r = StatOps.d33.build(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    val s = r.getAs[Long]("s_stat")
+    val maxPairs = n * (n - 1) / 2
+    assert(math.abs(s) <= maxPairs)
+    assert(r.getAs[Double]("var_s") > 0.0)
+    assert(!r.getAs[Double]("z").isNaN)
+    // synthetic strictly increasing series: S = n(n-1)/2, z > 0
+    import SparkSpec.spark.implicits._
+    val inc = (1 to 30).map(i =>
+      (new java.sql.Timestamp(i * 21600000L), i.toDouble)) // one 6-h bucket apart
+      .toDF("ts", "value")
+    val ri = StatOps.mannKendall(inc).collect().head
+    assert(ri.getAs[Long]("s_stat") == ri.getAs[Long]("n") * (ri.getAs[Long]("n") - 1) / 2)
+    assert(ri.getAs[Double]("z") > 0.0)
+  }
+
+  test("d34 Theil-Sen: pair count is n(n-1)/2 of d33's bucket count, and a " +
+    "linear series recovers its exact slope") {
+    val r = StatOps.d34.build(spark, sf).collect().head
+    val n = StatOps.d33.build(spark, sf).collect().head.getAs[Long]("n")
+    assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    // synthetic exact line value = 3*i: every pairwise slope is 3 per bucket
+    import SparkSpec.spark.implicits._
+    val lin = (1 to 25).map(i =>
+      (new java.sql.Timestamp(i * 21600000L), 3.0 * i)).toDF("ts", "value")
+    val rl = StatOps.theilSen(lin).collect().head
+    assert(rl.getAs[Long]("n_pairs") == 25L * 24 / 2)
+    assert(math.abs(rl.getAs[Double]("sen_slope") - 3.0) < 1e-9)
+  }
+
+  test("m26 RiskMetrics vol: one row per bucket after the first, var is the " +
+    "lambda-recursion of squared returns, vol = sqrt(var)") {
+    val rows = StatOps.m26.build(spark, sf)
+      .orderBy("bucket").collect()
+    val nBuckets = StatOps.d33.build(spark, sf).collect().head.getAs[Long]("n")
+    assert(rows.length == nBuckets - 1)
+    var v = 0.0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val ret = r.getAs[Double]("ret")
+      v = if (i == 0) ret * ret else 0.94 * v + 0.06 * (ret * ret)
+      assert(r.getAs[Double]("var_ewma") == v)
+      assert(r.getAs[Double]("vol") == math.sqrt(v))
+    }
   }
 
   test("m25 logreg training: the distributed GD trajectory equals an exact local replay") {
