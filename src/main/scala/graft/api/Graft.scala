@@ -663,6 +663,21 @@ object Graft {
     */
   def riskmetricsVol(events: DataFrame): DataFrame = StatOps.riskmetricsVol(events)
 
+  /** Page–Hinkley online drift detector over an events (ts, value)
+    * stream, bucketed to 6 h: per bucket (x_mean, ph, ph_min, alarm).
+    * One-pass, O(1) state — the streaming-legal member of the drift
+    * family; alarm fires when the PH statistic rises > λ above its
+    * running minimum.
+    */
+  def pageHinkley(events: DataFrame): DataFrame = StatOps.pageHinkley(events)
+
+  /** Spearman rank correlation between per-bucket mean value and event
+    * volume: one row (n, rho) — the nonparametric "does intensity move
+    * with volume" association.
+    */
+  def spearmanBuckets(events: DataFrame): DataFrame =
+    StatOps.spearmanBuckets(events)
+
   /** MMR-diversified top-3 retrieval: greedy λ·relevance − μ·max-similarity
     * re-selection from each query's top-`cands` candidate pool (both sides
     * need (vec_id, embedding) columns). The diversification stage of the
@@ -796,6 +811,18 @@ object Graft {
   def checkConstraints(df: DataFrame,
       cs: Seq[graft.operators.Quality.Constraint]): DataFrame =
     graft.operators.Quality.checkConstraints(df, cs)
+
+  /** Write-audit-publish: stage `df` as an unpublished snapshot
+    * candidate of `table`, audit the staged files with the constraint
+    * suite, and publish (O(1) metadata rename) only when every check
+    * passes. A failed audit discards the candidate — readers never see
+    * it. Returns (checksFailed, published, versionAfter).
+    */
+  def writeAuditPublish(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame,
+      cs: Seq[graft.operators.Quality.Constraint])
+      : graft.operators.Quality.WapResult =
+    graft.operators.Quality.writeAuditPublish(spark, table, df, cs)
 
   /** Pairwise KMV set-overlap estimate (est + exact Jaccard eval) of
     * `idCol` sets across `setCol` groups; O(k) sketch state per group.

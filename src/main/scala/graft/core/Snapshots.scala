@@ -128,6 +128,46 @@ object Snapshots {
       .drop("_net", "_dup")
   }
 
+  /** WAP stage: write `df` as an UNPUBLISHED candidate under the table
+    * root. The data files land on storage, but no reader resolves them —
+    * [[versions]] lists only `v*` directories, so [[latest]]/[[read]]
+    * cannot see a staged candidate. Returns the staging path. (Iceberg's
+    * `write.wap.enabled` branch write / Delta's un-committed files at
+    * this seam.)
+    */
+  def stage(s: SparkSession, table: String, df: DataFrame): String = {
+    root(table).mkdirs()
+    val p = java.nio.file.Files
+      .createTempDirectory(root(table).toPath, "stage-").toFile
+    df.write.mode(SaveMode.Overwrite).parquet(p.toString)
+    p.toString
+  }
+
+  /** WAP publish: promote a staged candidate to the next version. A
+    * metadata-only atomic rename — zero data rewrite, which is the whole
+    * point of write-audit-publish at 100 TB: the audit scans the staged
+    * files once and the commit itself is O(1).
+    */
+  def publishStaged(table: String, staged: String): Int = {
+    val v = versions(table).lastOption.getOrElse(0) + 1
+    val ok = new java.io.File(staged).renameTo(new java.io.File(root(table), s"v$v"))
+    require(ok, s"publishStaged: atomic rename failed for $staged")
+    v
+  }
+
+  /** WAP reject: drop a staged candidate that failed its audit. The
+    * published table never saw it.
+    */
+  def discardStaged(staged: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete(): Unit
+    }
+    val f = new java.io.File(staged)
+    require(f.getName.startsWith("stage-"), s"not a staging dir: $staged")
+    if (f.exists()) rec(f)
+  }
+
   /** Drop the whole table (all snapshots) — test/setup hygiene. */
   def reset(table: String): Unit = {
     def rec(f: java.io.File): Unit = {

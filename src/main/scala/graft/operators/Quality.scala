@@ -118,5 +118,95 @@ object Quality {
            |UNION ALL SELECT 'in_set(o_orderstatus)', m3, 0.0, m3 = 0.0 FROM m
            |UNION ALL SELECT 'completeness(o_orderdate)', m4, 0.99, m4 >= 0.99 FROM m""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(s34)
+  /** Outcome of one [[writeAuditPublish]] attempt. */
+  final case class WapResult(checksFailed: Int, published: Boolean, versionAfter: Int)
+
+  /** Public DataFrame-in API (see graft.api.Graft): write-audit-publish
+    * (the Netflix WAP pattern; Iceberg `write.wap.enabled`): stage `df`
+    * as an unpublished candidate, audit the STAGED FILES with the
+    * constraint suite (one scan, [[checkConstraints]]), then publish —
+    * an O(1) metadata rename — only if every check passed; a failed
+    * audit discards the candidate and the table's visible state is
+    * untouched. Auditing what was staged (not the input plan) is the
+    * contract: it validates exactly the bytes a reader would see.
+    *
+    * The only driver-side materialization is the verdict table — one row
+    * per constraint, bounded by the suite, never by the data.
+    */
+  def writeAuditPublish(s: org.apache.spark.sql.SparkSession, table: String,
+      df: DataFrame, cs: Seq[Constraint]): WapResult = {
+    import graft.core.Snapshots
+    val staged = Snapshots.stage(s, table, df)
+    val verdicts = checkConstraints(s.read.parquet(staged), cs).collect()
+    val failed = verdicts.count(r => !r.getAs[Boolean]("passed"))
+    if (failed == 0) WapResult(0, published = true, Snapshots.publishStaged(table, staged))
+    else {
+      Snapshots.discardStaged(staged)
+      WapResult(failed, published = false,
+        Snapshots.versions(table).lastOption.getOrElse(0))
+    }
+  }
+
+  /** S35 (beyond reference): WAP gate in action — a clean batch publishes
+    * (v1), a corrupted batch (negated prices violating the range check)
+    * is staged, audited, and REJECTED, leaving the published table
+    * bit-identical to v1. Output: one row per batch with the audit and
+    * visibility outcome; the oracle replays both audits relationally and
+    * asserts the rejected batch never changed what is visible.
+    */
+  val s35: GraftQuery = GraftQuery(
+    "s35_write_audit_publish",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_wap"
+      Snapshots.reset(t)
+      val orders = Tables.orders(s, d)
+      val suite = Seq(NotNull("o_custkey"), Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 1e7))
+      val b1 = orders.filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b2 = orders.filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 8 === 1, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      def summary(batch: Int, r: WapResult): DataFrame =
+        Snapshots.latest(s, t).agg(count(lit(1)).as("rows_visible"))
+          .select(lit(batch).as("batch"), lit(r.checksFailed).as("checks_failed"),
+            lit(r.published).as("published"),
+            lit(r.versionAfter).as("version_after"), col("rows_visible"))
+      val r1 = writeAuditPublish(s, t, b1, suite)
+      val s1 = summary(1, r1)
+      val r2 = writeAuditPublish(s, t, b2, suite)
+      s1.unionByName(summary(2, r2))
+    },
+    Some("""WITH b1 AS (SELECT o_orderkey, o_custkey, o_totalprice
+           |            FROM orders WHERE o_orderkey % 4 = 0),
+           |b2 AS (SELECT o_orderkey, o_custkey,
+           |         CASE WHEN o_orderkey % 8 = 1 THEN -o_totalprice
+           |              ELSE o_totalprice END AS o_totalprice
+           |       FROM orders WHERE o_orderkey % 4 = 1),
+           |a1 AS (SELECT
+           |    (CASE WHEN count(*) FILTER (WHERE o_custkey IS NULL) > 0 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN count(*) - count(DISTINCT o_orderkey) > 0 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN count(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 1e7) > 0
+           |          THEN 1 ELSE 0 END) AS cf,
+           |    CAST(count(*) AS BIGINT) AS nr FROM b1),
+           |a2 AS (SELECT
+           |    (CASE WHEN count(*) FILTER (WHERE o_custkey IS NULL) > 0 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN count(*) - count(DISTINCT o_orderkey) > 0 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN count(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 1e7) > 0
+           |          THEN 1 ELSE 0 END) AS cf,
+           |    CAST(count(*) AS BIGINT) AS nr FROM b2)
+           |SELECT 1 AS batch, a1.cf AS checks_failed, a1.cf = 0 AS published,
+           |  CASE WHEN a1.cf = 0 THEN 1 ELSE 0 END AS version_after,
+           |  CASE WHEN a1.cf = 0 THEN a1.nr ELSE NULL END AS rows_visible
+           |FROM a1
+           |UNION ALL
+           |SELECT 2, a2.cf, a2.cf = 0,
+           |  CASE WHEN a1.cf = 0 THEN 1 ELSE 0 END
+           |    + CASE WHEN a2.cf = 0 THEN 1 ELSE 0 END,
+           |  CASE WHEN a2.cf = 0 THEN a2.nr ELSE a1.nr END
+           |FROM a1, a2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(s34, s35)
 }

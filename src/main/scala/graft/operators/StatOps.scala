@@ -2726,10 +2726,136 @@ object StatOps {
            |  FROM rec WHERE i < n)
            |SELECT bs[i] AS bucket, ret, v AS var_ewma, sqrt(v) AS vol FROM rec""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): Page–Hinkley
+    * sequential drift detector (Page 1954; Hinkley 1971) over the 6-h
+    * bucket-mean series: U_t = Σ_{s≤t} (x_s − m̄_s − δ) with m̄_s the
+    * running mean through s, alarm when U_t − min_{s≤t} U_s > λ. The
+    * ONLINE member of the drift family — d2/d3/d4 compare two frozen
+    * windows, [[mannKendall]] scores a whole series post-hoc; PH flags
+    * WHERE the change lands, one pass, O(1) state — so the same kernel
+    * is streaming-legal. δ = 0.005, λ = 0.05 (value-scale units).
+    *
+    * Scale: one hash aggregate to the calendar-bounded bucket domain,
+    * then a single-group fold (same shape as [[ewmaCompose]]).
+    * Determinism: x_s and the running-sum integers are exact; m̄, U,
+    * and the min-track are fixed IEEE expressions replayed
+    * parenthesis-for-parenthesis by the oracle's recursive CTE.
+    */
+  def pageHinkley(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    ewmaBucketAgg(events)
+      .select(col("bucket").cast("long"), col("xq").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Long)]) =>
+        val pts = it.toVector.sortBy(_._1)
+        var cum = 0L
+        var u = 0.0
+        var umin = 0.0
+        pts.iterator.zipWithIndex.map { case ((b, xqv), i0) =>
+          val i = i0 + 1
+          cum += xqv
+          val x = xqv.toDouble / 1e6
+          val m = cum.toDouble / 1e6 / i
+          u = u + ((x - m) - 0.005)
+          umin = math.min(umin, u)
+          (b, x, u, umin, (u - umin) > 0.05)
+        }
+      }
+      .toDF("bucket", "x_mean", "ph", "ph_min", "alarm")
+  }
+
+  /** D35 (beyond reference): Page–Hinkley online drift track. */
+  val d35: GraftQuery = GraftQuery(
+    "d35_page_hinkley",
+    (s, d) => pageHinkley(Tables.events(s, d)),
+    Some(s"""WITH RECURSIVE e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+           |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |        / count(*) * 1e6 + 0.5) AS BIGINT) AS xq FROM e GROUP BY 1),
+           |ser AS (SELECT list(xq ORDER BY bucket) AS y, list(bucket ORDER BY bucket) AS bs,
+           |        CAST(count(*) AS INT) AS n FROM g),
+           |rec AS (
+           |  SELECT y, bs, n, 1 AS i, y[1] AS cum,
+           |         ((CAST(y[1] AS DOUBLE) / 1e6
+           |           - CAST(y[1] AS DOUBLE) / 1e6 / 1) - 0.005) AS u,
+           |         least(CAST(0 AS DOUBLE),
+           |           ((CAST(y[1] AS DOUBLE) / 1e6
+           |             - CAST(y[1] AS DOUBLE) / 1e6 / 1) - 0.005)) AS umin
+           |  FROM ser WHERE n >= 1
+           |  UNION ALL
+           |  SELECT y, bs, n, i + 1, cum + y[i+1],
+           |         u + ((CAST(y[i+1] AS DOUBLE) / 1e6
+           |               - CAST(cum + y[i+1] AS DOUBLE) / 1e6 / (i + 1)) - 0.005),
+           |         least(umin,
+           |           u + ((CAST(y[i+1] AS DOUBLE) / 1e6
+           |                 - CAST(cum + y[i+1] AS DOUBLE) / 1e6 / (i + 1)) - 0.005))
+           |  FROM rec WHERE i < n)
+           |SELECT bs[i] AS bucket, CAST(y[i] AS DOUBLE) / 1e6 AS x_mean,
+           |  u AS ph, umin AS ph_min, (u - umin) > 0.05 AS alarm FROM rec""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): Spearman rank
+    * correlation between the per-bucket MEAN VALUE and the per-bucket
+    * EVENT COUNT — "does intensity move with volume", answered
+    * nonparametrically (monotone association, outlier-proof where a
+    * Pearson on raw values is not). Average ranks handle ties; carrying
+    * DOUBLED ranks (2·rank_min + ties − 1, always an integer) keeps
+    * every sum in exact BIGINT arithmetic — the doubling cancels in the
+    * correlation quotient, whose one double division is the only IEEE
+    * step. Returns one row (n, rho).
+    *
+    * Scale: the ranks are windows over the calendar-bounded bucket
+    * domain (~120 rows), after one hash aggregate over the fact table.
+    */
+  def spearmanBuckets(events: DataFrame): DataFrame = {
+    val g = events
+      .select(expr(s"unix_micros(ts) div $BucketUs").as("bucket"), col("value"))
+      .groupBy("bucket").agg(
+        floor((sum(dec(col("value"))).cast("double") / count(lit(1))) * 1e6 + 0.5)
+          .cast("long").as("xq"),
+        count(lit(1)).as("cnt"))
+    val r2 = (c: String) =>
+      (lit(2) * rank().over(Window.orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast("long")
+    g.select(r2("xq").as("ra"), r2("cnt").as("rb"))
+      .agg(count(lit(1)).as("n"), sum("ra").as("sa"), sum("rb").as("sb"),
+        sum(col("ra") * col("rb")).as("sab"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"))
+      .select(col("n"),
+        ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
+            sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+          .as("rho"))
+  }
+
+  /** D36 (beyond reference): Spearman value-vs-volume association. */
+  val d36: GraftQuery = GraftQuery(
+    "d36_spearman_value_volume",
+    (s, d) => spearmanBuckets(Tables.events(s, d)),
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // $BucketUs AS bucket, value FROM events),
+           |g AS (SELECT bucket, CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |        / count(*) * 1e6 + 0.5) AS BIGINT) AS xq,
+           |        CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+           |r AS (SELECT
+           |        CAST(2 * rank() OVER (ORDER BY xq)
+           |          + count(*) OVER (PARTITION BY xq) - 1 AS BIGINT) AS ra,
+           |        CAST(2 * rank() OVER (ORDER BY cnt)
+           |          + count(*) OVER (PARTITION BY cnt) - 1 AS BIGINT) AS rb
+           |      FROM g),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ra) AS BIGINT) AS sa,
+           |        CAST(sum(rb) AS BIGINT) AS sb, CAST(sum(ra * rb) AS BIGINT) AS sab,
+           |        CAST(sum(ra * ra) AS BIGINT) AS saa, CAST(sum(rb * rb) AS BIGINT) AS sbb
+           |      FROM r)
+           |SELECT n, CAST(n * sab - sa * sb AS DOUBLE)
+           |  / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+           |     * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS rho
+           |FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, a22, a23, m12, m13,
-      m14, m21, m23, m26)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, a22, a23,
+      m12, m13, m14, m21, m23, m26)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

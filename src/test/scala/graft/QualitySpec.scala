@@ -43,4 +43,30 @@ class QualitySpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
   }
+
+  test("s35 WAP: clean batch publishes v1 byte-for-byte; failed audit " +
+    "discards the candidate, leaves no staging dir, and v1 is untouched") {
+    import SparkSpec.spark.implicits._
+    import graft.core.Snapshots
+    val t = "wap_spec"
+    Snapshots.reset(t)
+    val suite = Seq(NotNull("name"), InRange("price", 0.0, 10.0))
+    val clean = Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("id", "name", "price")
+    val r1 = Quality.writeAuditPublish(spark, t, clean, suite)
+    assert(r1 == Quality.WapResult(0, published = true, 1))
+    assert(Snapshots.versions(t) == Seq(1))
+    assert(Snapshots.latest(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L))
+    val dirty = Seq((3L, "c", -1.0)).toDF("id", "name", "price")
+    val r2 = Quality.writeAuditPublish(spark, t, dirty, suite)
+    assert(r2 == Quality.WapResult(1, published = false, 1))
+    assert(Snapshots.versions(t) == Seq(1))
+    // rejected candidate fully cleaned up: only v1 remains on disk
+    val left = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-scratch/snapshots/$t")
+      .listFiles().map(_.getName).toSeq
+    assert(left == Seq("v1"), s"unexpected residue: $left")
+    // visible data unchanged by the rejected write
+    assert(Snapshots.latest(spark, t).count() == 2)
+  }
 }

@@ -1425,6 +1425,51 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("d35 Page-Hinkley: one row per bucket, ph_min is the running min, " +
+    "a step change raises an alarm while a flat series stays quiet") {
+    val rows = StatOps.d35.build(spark, sf).orderBy("bucket").collect()
+    val n = StatOps.d33.build(spark, sf).collect().head.getAs[Long]("n")
+    assert(rows.length == n)
+    var mn = 0.0
+    rows.foreach { r =>
+      mn = math.min(mn, r.getAs[Double]("ph"))
+      assert(r.getAs[Double]("ph_min") == mn)
+      assert(r.getAs[Boolean]("alarm") ==
+        (r.getAs[Double]("ph") - mn > 0.05))
+    }
+    import SparkSpec.spark.implicits._
+    def series(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (new java.sql.Timestamp((i + 1) * 21600000L), v)
+    }.toDF("ts", "value")
+    val step = series(Seq.fill(20)(1.0) ++ Seq.fill(20)(2.0))
+    assert(StatOps.pageHinkley(step).filter(col("alarm")).count() > 0)
+    val flat = series(Seq.fill(40)(1.0))
+    assert(StatOps.pageHinkley(flat).filter(col("alarm")).count() == 0)
+  }
+
+  test("d36 Spearman: rho in [-1,1]; a monotone pair gives rho = 1 and an " +
+    "antitone pair gives rho = -1") {
+    val r = StatOps.d36.build(spark, sf).collect().head
+    val rho = r.getAs[Double]("rho")
+    assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12)
+    import SparkSpec.spark.implicits._
+    // value mean rises with bucket while count rises too -> rho = 1; to
+    // vary counts, emit i events of value i in bucket i (mean=i, cnt=i)
+    val mono = (1 to 12).flatMap(i => Seq.fill(i)(i)).zipWithIndex.map {
+      case (v, k) =>
+        (new java.sql.Timestamp(v * 21600000L + k), v.toDouble)
+    }.toDF("ts", "value")
+    // k offsets are micro-jitters far below the 6-h bucket width
+    val rm = StatOps.spearmanBuckets(mono).collect().head
+    assert(math.abs(rm.getAs[Double]("rho") - 1.0) < 1e-12)
+    val anti = (1 to 12).flatMap(i => Seq.fill(13 - i)(i)).zipWithIndex.map {
+      case (v, k) =>
+        (new java.sql.Timestamp(v * 21600000L + k), v.toDouble)
+    }.toDF("ts", "value")
+    val ra = StatOps.spearmanBuckets(anti).collect().head
+    assert(math.abs(ra.getAs[Double]("rho") + 1.0) < 1e-12)
+  }
+
   test("m25 logreg training: the distributed GD trajectory equals an exact local replay") {
     val out = graft.operators.Forecast.m25.build(spark, sf).collect().head
     val docs = Tables.documents(spark, sf)
