@@ -703,6 +703,14 @@ object Graft {
     */
   def trainLogReg(feats: DataFrame): DataFrame = Forecast.trainLogReg(feats)
 
+  /** Model-based quality filtering: train the [[trainLogReg]] classifier
+    * on (y, f1, f2), score every row with the frozen weights, and return
+    * the corpus score histogram (decile, n_docs) — the artifact a
+    * curation run thresholds on.
+    */
+  def logRegScoreDeciles(feats: DataFrame): DataFrame =
+    Forecast.logRegScoreDeciles(feats)
+
   /** k-anonymity audit: group sizes per quasi-identifier combination
     * with an `at_risk` flag for groups below `k` — the re-identification
     * check before a dataset release.

@@ -1995,7 +1995,21 @@ object Forecast {
     * 4-value reduce). No shuffle grows with iterations; the driver holds
     * 3 doubles.
     */
-  def trainLogReg(feats0: DataFrame): DataFrame = {
+  /** 1e-6-quantized sigmoid of the linear score under weights `w`, as an
+    * exact BIGINT in [0, 1e6] — the shared determinism seam of the
+    * training loop, the accuracy readout, and [[logRegScoreDeciles]].
+    */
+  private def qsigL(w: (Double, Double, Double)): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val z = lit(w._1) + lit(w._2) * col("f1") + lit(w._3) * col("f2")
+    floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1e6 + 0.5).cast("long")
+  }
+
+  /** Z-score standardization from 1e-6-quantized decimal-exact moments —
+    * the front half of [[trainLogReg]], shared with the scoring path so
+    * train-time and serve-time features are identical by construction.
+    */
+  private def logRegStandardize(feats0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
     val raw = feats0.select(col("y").cast("double").as("y"),
@@ -2018,39 +2032,72 @@ object Forecast {
     def mu(s: String) = (col(s) / 1e6) / nD
     def sd(q: String, s: String) =
       sqrt((col(q) / 1e12) / nD - mu(s) * mu(s))
-    val feats = raw.crossJoin(broadcast(mo)).select(col("y"),
+    raw.crossJoin(broadcast(mo)).select(col("y"),
       ((col("f1") - mu("s1")) / sd("q1", "s1")).as("f1"),
       ((col("f2") - mu("s2")) / sd("q2", "s2")).as("f2"))
-      .persist()
+  }
+
+  /** The [[LogRegIters]]-step GD loop over an (already standardized,
+    * ideally persisted) feature table — returns the final weights.
+    */
+  private def logRegGD(feats: DataFrame): (Double, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    def sq(w: (Double, Double, Double)) = qsigL(w).cast("double") / 1e6
+    def qt(w: (Double, Double, Double), x: org.apache.spark.sql.Column) =
+      floor((col("y") - sq(w)) * x * 1e6 + 0.5).cast("long")
+    var w = (0.0, 0.0, 0.0)
+    var i = 0
+    while (i < LogRegIters) {
+      val g = feats.agg(
+        sum(qt(w, lit(1.0))).as("g0"), sum(qt(w, col("f1"))).as("g1"),
+        sum(qt(w, col("f2"))).as("g2"), count(lit(1)).as("n")).head()
+      val nD = g.getAs[Long]("n").toDouble
+      w = (w._1 + (g.getAs[Long]("g0").toDouble / 1e6) / nD,
+        w._2 + (g.getAs[Long]("g1").toDouble / 1e6) / nD,
+        w._3 + (g.getAs[Long]("g2").toDouble / 1e6) / nD)
+      i += 1
+    }
+    w
+  }
+
+  def trainLogReg(feats0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val feats = logRegStandardize(feats0).persist()
     try {
-      def z(w: (Double, Double, Double)) =
-        lit(w._1) + lit(w._2) * col("f1") + lit(w._3) * col("f2")
-      def qsigL(w: (Double, Double, Double)) =
-        floor((lit(1.0) / (lit(1.0) + exp(-z(w)))) * 1e6 + 0.5).cast("long")
-      def sq(w: (Double, Double, Double)) = qsigL(w).cast("double") / 1e6
-      def qt(w: (Double, Double, Double), x: org.apache.spark.sql.Column) =
-        floor((col("y") - sq(w)) * x * 1e6 + 0.5).cast("long")
-      var w = (0.0, 0.0, 0.0)
-      var n = 0L
-      var i = 0
-      while (i < LogRegIters) {
-        val g = feats.agg(
-          sum(qt(w, lit(1.0))).as("g0"), sum(qt(w, col("f1"))).as("g1"),
-          sum(qt(w, col("f2"))).as("g2"), count(lit(1)).as("n")).head()
-        n = g.getAs[Long]("n")
-        val nD = n.toDouble
-        w = (w._1 + (g.getAs[Long]("g0").toDouble / 1e6) / nD,
-          w._2 + (g.getAs[Long]("g1").toDouble / 1e6) / nD,
-          w._3 + (g.getAs[Long]("g2").toDouble / 1e6) / nD)
-        i += 1
-      }
+      val w = logRegGD(feats)
       feats.agg(
         count(lit(1)).as("n"),
         (sum(when((qsigL(w) > 500000L) === (col("y") === 1.0), 1).otherwise(0))
           .cast("double") / count(lit(1)).cast("double")).as("accuracy"))
         .select(col("n"), lit(w._1).as("w0"), lit(w._2).as("w1"),
           lit(w._3).as("w2"), col("accuracy"))
-    } finally feats.unpersist()
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Public DataFrame-in API (see graft.api.Graft): model-based quality
+    * filtering — the FineWeb-Edu/phi-style pipeline stage: TRAIN the
+    * [[trainLogReg]] classifier on the labeled feature table, then SCORE
+    * every row with the frozen weights and report the corpus score
+    * histogram (decile = ⌊σ_q/10⁵⌋ of the 1e-6-quantized sigmoid,
+    * clamped to 9). A curation run keeps the top deciles; the histogram
+    * is the artifact that picks the threshold. Returns (decile, n_docs).
+    *
+    * Scale: training is [[LogRegIters]] scan+reduce passes, scoring is
+    * ONE more codegen'd scan with the weights as literals — nothing
+    * data-sized ever reaches the driver. Determinism: the trajectory is
+    * m25's, and each score quantizes before bucketing, so the histogram
+    * is exact cross-engine.
+    */
+  def logRegScoreDeciles(feats0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val feats = logRegStandardize(feats0).persist()
+    try {
+      val w = logRegGD(feats)
+      feats
+        .groupBy(least(lit(9L),
+          floor(qsigL(w).cast("double") / 100000.0).cast("long")).as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
+    } finally { feats.unpersist(); () }
   }
 
   /** Shared feature/label shape for [[m25]]: predict lang == 'en' from
@@ -2129,7 +2176,67 @@ object Forecast {
            |      THEN 1 ELSE 0 END)) AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
            |FROM rec WHERE i = $LogRegIters""".stripMargin))
 
+  /** X60 (beyond reference): model-based quality filter — see
+    * [[logRegScoreDeciles]]. The oracle replays m25's full training
+    * trajectory, then scores every document with the frozen weights and
+    * buckets the quantized sigmoid into deciles.
+    */
+  val x60: GraftQuery = GraftQuery(
+    "x60_model_quality_filter",
+    (s, d) => logRegScoreDeciles(logRegFeatures(s, d)),
+    Some(s"""WITH RECURSIVE f0 AS (
+           |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+           |                      ELSE CAST(0.0 AS DOUBLE) END AS y,
+           |         CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS f1,
+           |         CAST(n_chars AS DOUBLE)
+           |           / CAST(len(str_split(text, ' ')) AS DOUBLE) AS f2
+           |  FROM documents),
+           |fq AS (SELECT doc_id, y, f1, f2,
+           |         CAST(floor(f1 * 1e6 + 0.5) AS BIGINT) AS qf1,
+           |         CAST(floor(f2 * 1e6 + 0.5) AS BIGINT) AS qf2 FROM f0),
+           |mo AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+           |         CAST(sum(qf1) AS DOUBLE) AS s1, CAST(sum(qf1 * qf1) AS DOUBLE) AS q1,
+           |         CAST(sum(qf2) AS DOUBLE) AS s2, CAST(sum(qf2 * qf2) AS DOUBLE) AS q2
+           |       FROM fq),
+           |f AS (SELECT doc_id, y,
+           |        (f1 - (s1 / 1e6) / nd)
+           |          / sqrt((q1 / 1e12) / nd - ((s1 / 1e6) / nd) * ((s1 / 1e6) / nd)) AS f1,
+           |        (f2 - (s2 / 1e6) / nd)
+           |          / sqrt((q2 / 1e12) / nd - ((s2 / 1e6) / nd) * ((s2 / 1e6) / nd)) AS f2
+           |      FROM fq, mo),
+           |ser AS (SELECT list(y ORDER BY doc_id) AS ys,
+           |               list(f1 ORDER BY doc_id) AS f1s,
+           |               list(f2 ORDER BY doc_id) AS f2s,
+           |               CAST(count(*) AS BIGINT) AS n FROM f),
+           |rec AS (
+           |  SELECT ys, f1s, f2s, n, 0 AS i, CAST(0.0 AS DOUBLE) AS w0,
+           |         CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2
+           |  FROM ser
+           |  UNION ALL
+           |  SELECT ys, f1s, f2s, n, i + 1,
+           |    w0 + (CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)), k ->
+           |      CAST(floor((ys[k] - CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * f1s[k] + w2 * f2s[k]))))
+           |        * 1e6 + 0.5) AS BIGINT) / 1e6) * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) / 1e6)
+           |      / CAST(n AS DOUBLE),
+           |    w1 + (CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)), k ->
+           |      CAST(floor((ys[k] - CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * f1s[k] + w2 * f2s[k]))))
+           |        * 1e6 + 0.5) AS BIGINT) / 1e6) * f1s[k] * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) / 1e6)
+           |      / CAST(n AS DOUBLE),
+           |    w2 + (CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)), k ->
+           |      CAST(floor((ys[k] - CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * f1s[k] + w2 * f2s[k]))))
+           |        * 1e6 + 0.5) AS BIGINT) / 1e6) * f2s[k] * 1e6 + 0.5) AS BIGINT))) AS DOUBLE) / 1e6)
+           |      / CAST(n AS DOUBLE)
+           |  FROM rec WHERE i < $LogRegIters),
+           |fin AS (SELECT * FROM rec WHERE i = $LogRegIters),
+           |ks AS (SELECT unnest(range(1, CAST(n AS INT) + 1)) AS k,
+           |              w0, w1, w2, f1s, f2s FROM fin),
+           |sc AS (SELECT least(9, CAST(floor((1.0 / (1.0 + exp(-(w0
+           |         + w1 * f1s[CAST(k AS INT)] + w2 * f2s[CAST(k AS INT)]))))
+           |         * 1e6 + 0.5) AS BIGINT) // 100000) AS decile FROM ks)
+           |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM sc GROUP BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(m3, m3b, m4, m4b, m5, m6, m7, m8, m9, m10, m11, m15, m16, m17, m18, m19, m20, m22,
-      m24, m25)
+      m24, m25, x60)
 }

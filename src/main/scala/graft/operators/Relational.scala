@@ -2253,6 +2253,47 @@ object Relational {
         .select(lit("last").as("touch"), col("event_type"), col("n_users")))
   }
 
+  /** J14 (beyond reference): interval-overlap join WITH an equi-key —
+    * "which shipments of the same part were in transit simultaneously".
+    * Each lineitem carries a 7-day transit window [shipdate, shipdate+7d];
+    * even-supplier windows join odd-supplier windows of the SAME part
+    * that overlap (a.s ≤ b.e ∧ b.s ≤ a.e), rolled up per return flag
+    * with the total inclusive overlap days.
+    *
+    * The scale shape is the point of the op: the equi-key (l_partkey)
+    * carries the shuffle, so this plans as a hash/sort-merge join with
+    * the overlap predicate evaluated inside the matched key group —
+    * never a cartesian (j13 handles the keyLESS case by time-bucketing;
+    * a skewed hot part would take j12's salting). Overlap lengths are
+    * exact integer day counts on midnight-aligned timestamps.
+    */
+  val j14 = q(
+    "j14_interval_overlap_join",
+    """WITH a AS (SELECT l_partkey, l_returnflag, l_shipdate AS s,
+      |            l_shipdate + INTERVAL 7 DAY AS e
+      |          FROM lineitem WHERE l_suppkey % 2 = 0),
+      |b AS (SELECT l_partkey, l_shipdate AS s, l_shipdate + INTERVAL 7 DAY AS e
+      |      FROM lineitem WHERE l_suppkey % 2 = 1)
+      |SELECT a.l_returnflag, count(*) AS n_pairs,
+      |  CAST(sum(date_diff('day', CAST(greatest(a.s, b.s) AS DATE),
+      |    CAST(least(a.e, b.e) AS DATE)) + 1) AS BIGINT) AS overlap_days
+      |FROM a JOIN b ON a.l_partkey = b.l_partkey AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_suppkey") % 2 === 0)
+      .select(col("l_partkey"), col("l_returnflag"), col("l_shipdate").as("a_s"),
+        (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("a_e"))
+    val b = li.filter(col("l_suppkey") % 2 === 1)
+      .select(col("l_partkey").as("b_partkey"), col("l_shipdate").as("b_s"),
+        (col("l_shipdate") + expr("INTERVAL 7 DAYS")).as("b_e"))
+    a.join(b, col("l_partkey") === col("b_partkey") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(datediff(least(col("a_e"), col("b_e")).cast("date"),
+          greatest(col("a_s"), col("b_s")).cast("date")) + 1).as("overlap_days"))
+  }
+
   /** W28 (beyond reference): Pareto/ABC user segmentation — the "which
     * users carry 80% of the traffic" rollup behind tiered rate limits
     * and cache-warming lists. Like [[w17]]'s Gini, it runs on the COUNT
@@ -2308,7 +2349,7 @@ object Relational {
   val all: Seq[GraftQuery] = Seq(
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
-    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13,
+    j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13, j14,
     a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)

@@ -2741,11 +2741,17 @@ object StatOps {
     * and the min-track are fixed IEEE expressions replayed
     * parenthesis-for-parenthesis by the oracle's recursive CTE.
     */
-  def pageHinkley(events: DataFrame): DataFrame = {
-    val s = events.sparkSession
+  def pageHinkley(events: DataFrame): DataFrame =
+    pageHinkleyCompose(ewmaBucketAgg(events))
+
+  /** The PH fold over materialized (bucket, xq) rows — shared by the
+    * batch path above and the streaming chart (t30), so stream == batch
+    * bitwise by construction (the t29/m23 sharing pattern).
+    */
+  def pageHinkleyCompose(g: DataFrame): DataFrame = {
+    val s = g.sparkSession
     import s.implicits._
-    ewmaBucketAgg(events)
-      .select(col("bucket").cast("long"), col("xq").cast("long"))
+    g.select(col("bucket").cast("long"), col("xq").cast("long"))
       .as[(Long, Long)]
       .groupByKey(_ => 0)
       .flatMapGroups { (_: Int, it: Iterator[(Long, Long)]) =>

@@ -916,7 +916,28 @@ object StreamingOps {
     graft.operators.StatOps.m23.oracle,
     bench = false)
 
+  /** T30 (beyond reference): Page–Hinkley drift detection ON THE INGEST
+    * STREAM — d35's one-pass O(1)-state detector is streaming-legal by
+    * construction, so the chart a monitoring job would alert from is the
+    * complete-mode bucket aggregate composed with the identical
+    * [[graft.operators.StatOps.pageHinkleyCompose]] fold; the oracle is
+    * d35's, proving stream == batch bitwise (the t29/m23 pattern).
+    */
+  val t30: GraftQuery = GraftQuery(
+    "t30_stream_page_hinkley",
+    (s, d) => {
+      val q = graft.operators.StatOps.ewmaBucketAgg(eventsStream(s, d))
+        .writeStream.format("memory").queryName("graft_t30")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.StatOps.pageHinkleyCompose(s.table("graft_t30"))
+    },
+    graft.operators.StatOps.d35.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29)
+      t24, t25, t26, t27, t28, t29, t30)
 }

@@ -1470,6 +1470,44 @@ class StatOpsSpec extends SparkSpec {
     assert(math.abs(ra.getAs[Double]("rho") + 1.0) < 1e-12)
   }
 
+  test("x60 score deciles: partition the corpus, stay in 0..9, deterministic") {
+    val rows = graft.operators.Forecast.x60.build(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("decile"); d >= 0 && d <= 9
+    })
+    assert(rows.map(_.getAs[Long]("decile")).distinct.length == rows.length)
+    val again = graft.operators.Forecast.x60.build(spark, sf).collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Long]("n_docs")).toMap
+    rows.foreach(r =>
+      assert(again(r.getAs[Long]("decile")) == r.getAs[Long]("n_docs")))
+  }
+
+  test("j14 interval overlap join matches an exact local pair replay") {
+    val got = graft.operators.Relational.j14.build(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("overlap_days"))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_shipdate", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate.toEpochDay,
+        r.getString(3)))
+    val (ev, od) = li.partition(_._2 % 2 == 0)
+    val byPart = od.groupBy(_._1)
+    val expect = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    ev.foreach { case (pk, _, d1, rf) =>
+      byPart.getOrElse(pk, Array.empty).foreach { case (_, _, d2, _) =>
+        if (math.abs(d1 - d2) <= 7) {
+          val ol = math.min(d1 + 7, d2 + 7) - math.max(d1, d2) + 1
+          val (n, o) = expect(rf); expect(rf) = (n + 1, o + ol)
+        }
+      }
+    }
+    assert(got == expect.toMap)
+  }
+
   test("m25 logreg training: the distributed GD trajectory equals an exact local replay") {
     val out = graft.operators.Forecast.m25.build(spark, sf).collect().head
     val docs = Tables.documents(spark, sf)

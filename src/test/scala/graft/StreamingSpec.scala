@@ -311,4 +311,14 @@ class StreamingSpec extends SparkSpec {
     assert(streaming === batch,
       "streamed bucket means + shared compose must equal the batch chart")
   }
+
+  test("t30 streaming Page-Hinkley equals batch d35 bitwise") {
+    val streaming = graft.operators.StreamingOps.t30.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.StatOps.d35.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streaming.nonEmpty)
+    assert(streaming === batch,
+      "streamed bucket means + shared PH fold must equal the batch track")
+  }
 }
