@@ -141,6 +141,13 @@ object Graft {
   def contaminationCheck(train: DataFrame, benchmark: DataFrame): DataFrame =
     TextOps.contaminationCheck(train, benchmark)
 
+  /** Benchmark decontamination audit: drop train docs sharing an 8-gram
+    * with `benchmark`, report per-source (n_kept, n_removed, tokens_kept,
+    * tokens_removed) — the removal half of [[contaminationCheck]].
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame): DataFrame =
+    TextOps.decontaminate(train, benchmark)
+
   /** Approximate Jaccard similarity join between two corpora (both need
     * (doc_id, text)): (a_id, b_id, jaccard) for cross pairs at 3-shingle
     * Jaccard >= `threshold`. LSH-banded candidates, exact-verified — the
@@ -441,6 +448,14 @@ object Graft {
     */
   def phashNearDups(media: DataFrame, hammingMax: Int = 2): DataFrame =
     graft.operators.MultiModal.phashNearDups(media, hammingMax)
+
+  /** Aspect-ratio bucket resize planning (NaViT/SDXL bucketing): assign
+    * each image (width, height) to the nearest-aspect fixed-area target
+    * bucket and plan per-bucket batches — one row per bucket
+    * (bucket_w, bucket_h, n_images, n_batches, sum_ar_gap).
+    */
+  def aspectBucketPlan(media: DataFrame, batch: Int = 32): DataFrame =
+    graft.operators.MultiModal.aspectBucketPlan(media, batch)
 
   /** 1-bit binary quantization + Hamming candidate search with exact
     * cosine rerank: `corpus`/`queries` need (vec_id, embedding); top-`c`

@@ -426,5 +426,83 @@ object MultiModal {
            |  END AS active_ratio
            |FROM d0 LEFT JOIN per USING (doc_id) LEFT JOIN lng USING (doc_id)""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5, mm6, mm7)
+  /** The aspect-bucket target set: 7 resolutions of (near-)equal area
+    * ~512², from 2.2:1 landscape to 1:2.2 portrait — the SDXL/NaViT
+    * bucket ladder shape. Stored with the 1e6-quantized aspect ratio the
+    * assignment argmin runs on.
+    */
+  val AspectBuckets: Seq[(Int, Int)] = Seq(
+    (704, 320), (640, 384), (576, 448), (512, 512),
+    (448, 576), (384, 640), (320, 704))
+
+  /** Public DataFrame-in API (see graft.api.Graft): aspect-ratio bucket
+    * planning — the RESIZE step of a multimodal training pipeline
+    * (NaViT/SDXL aspect bucketing): every image is assigned to the
+    * fixed-area target bucket with the nearest aspect ratio, so a batch
+    * resizes without destructive squashing and batches form per bucket.
+    * `media` needs (width, height) metadata columns. Returns one row per
+    * bucket: (bucket_w, bucket_h, n_images, n_batches@`batch`,
+    * sum_ar_gap) — n_batches is the ceil-div batch plan, sum_ar_gap the
+    * total 1e6-quantized |aspect − bucket aspect| mismatch (the
+    * distortion budget the ladder choice controls).
+    *
+    * Determinism: the image aspect quantizes to an exact integer before
+    * the argmin, bucket aspects are integer constants, and ties break
+    * toward the wider bucket (stable seq order) — so assignment is exact
+    * in any engine. Scale: per-row argmin over a 7-literal array + one
+    * 7-group hash aggregate; nothing sorts, nothing is data-sized on the
+    * driver.
+    */
+  def aspectBucketPlan(media: DataFrame, batch: Int = 32): DataFrame = {
+    val barsSql = AspectBuckets.map { case (bw, bh) =>
+      s"named_struct('bw', $bw, 'bh', $bh, 'bar', ${math.round(bw * 1e6 / bh)}L)"
+    }.mkString("array(", ", ", ")")
+    media
+      .withColumn("ar_q", expr("CAST(floor(width * 1e6 / height + 0.5) AS LONG)"))
+      .withColumn("pick", expr(
+        s"""aggregate($barsSql, named_struct('bw', 0, 'bh', 0, 'gap', 9223372036854775807L),
+           |  (best, b) -> IF(abs(b.bar - ar_q) < best.gap,
+           |    named_struct('bw', b.bw, 'bh', b.bh, 'gap', abs(b.bar - ar_q)), best))"""
+          .stripMargin))
+      .groupBy(col("pick.bw").as("bucket_w"), col("pick.bh").as("bucket_h"))
+      .agg(count(lit(1)).as("n_images"),
+        expr(s"CAST((count(1) + ${batch - 1}) div $batch AS LONG)").as("n_batches"),
+        sum(col("pick.gap")).as("sum_ar_gap"))
+  }
+
+  /** MM8 (beyond reference): the aspect-bucket plan over the corpus, with
+    * width/height synthesized deterministically from document metadata —
+    * the DIMENSION-METADATA stub (a real corpus ships width/height columns
+    * next to the payload, exactly like mm1's typed-metadata contract; the
+    * planner itself is real).
+    */
+  val mm8: GraftQuery = GraftQuery(
+    "mm8_aspect_bucket_plan",
+    (s, d) => aspectBucketPlan(Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(320) + pmod(col("n_chars") * 7 + col("doc_id") * 13, lit(1024)))
+          .as("width"),
+        (lit(240) + pmod(col("n_chars") * 3 + col("doc_id") * 5, lit(768)))
+          .as("height"))),
+    Some(s"""WITH m AS (SELECT doc_id,
+           |    320 + (n_chars * 7 + doc_id * 13) % 1024 AS width,
+           |    240 + (n_chars * 3 + doc_id * 5) % 768 AS height
+           |  FROM documents),
+           |qm AS (SELECT doc_id,
+           |    CAST(floor(width * 1e6 / height + 0.5) AS BIGINT) AS ar_q FROM m),
+           |b(bw, bh, bar, idx) AS (VALUES ${AspectBuckets.zipWithIndex.map {
+             case ((bw, bh), i) =>
+               s"($bw, $bh, ${math.round(bw * 1e6 / bh)}, $i)" }.mkString(", ")}),
+           |pk AS (SELECT doc_id, bw, bh, gap FROM (
+           |    SELECT qm.doc_id, b.bw, b.bh, abs(b.bar - qm.ar_q) AS gap,
+           |      row_number() OVER (PARTITION BY qm.doc_id
+           |        ORDER BY abs(b.bar - qm.ar_q), b.idx) AS rn
+           |    FROM qm, b) WHERE rn = 1)
+           |SELECT bw AS bucket_w, bh AS bucket_h,
+           |  CAST(count(*) AS BIGINT) AS n_images,
+           |  (count(*) + 31) // 32 AS n_batches,
+           |  CAST(sum(gap) AS BIGINT) AS sum_ar_gap
+           |FROM pk GROUP BY 1, 2""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
 }

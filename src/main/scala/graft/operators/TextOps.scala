@@ -3299,9 +3299,63 @@ object TextOps {
            |FROM pt GROUP BY phrase
            |ORDER BY score DESC, phrase LIMIT 20""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): benchmark
+    * decontamination — the REMOVAL half of [[contaminationCheck]]'s
+    * detection: drop every training document sharing an 8-gram with the
+    * benchmark and report what the cut cost, per source slice
+    * (n_kept, n_removed, tokens_kept, tokens_removed). This is the audit
+    * a training run records before it can claim clean eval numbers.
+    *
+    * Scale: the benchmark gram set is broadcast (benchmarks are small by
+    * construction — x15's contract); one gram-scan of train + one
+    * per-source aggregate. Integer counts only.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame): DataFrame = {
+    val verdict = contaminationCheck(train, benchmark)
+      .select(col("doc_id"), col("contaminated"))
+    train
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(verdict, "doc_id")
+      .groupBy("source")
+      .agg(
+        sum(when(col("contaminated"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("contaminated"), 0L).otherwise(col("n_tok"))).as("tokens_kept"),
+        sum(when(col("contaminated"), col("n_tok")).otherwise(0L)).as("tokens_removed"))
+  }
+
+  /** X61 (beyond reference): decontamination audit — src0 is the held-out
+    * benchmark (x15's split), everything else is train.
+    */
+  val x61: GraftQuery = GraftQuery(
+    "x61_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminate(
+        train = docs.filter(col("source") =!= "src0"),
+        benchmark = docs.filter(col("source") === "src0"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 8
+           |  THEN list_distinct([array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w) - 7)])
+           |  ELSE [] END) AS g FROM t),
+           |b AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+           |h AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN b USING (g)
+           |      WHERE source != 'src0' GROUP BY 1),
+           |v AS (SELECT t.doc_id, t.source, CAST(len(w) AS BIGINT) AS n_tok,
+           |        coalesce(h.n_hits, 0) > 0 AS contaminated
+           |      FROM t LEFT JOIN h ON t.doc_id = h.doc_id WHERE t.source != 'src0')
+           |SELECT source,
+           |  CAST(sum(CASE WHEN contaminated THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |  CAST(sum(CASE WHEN contaminated THEN 0 ELSE n_tok END) AS BIGINT) AS tokens_kept,
+           |  CAST(sum(CASE WHEN contaminated THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed
+           |FROM v GROUP BY 1""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59)
+      x55, x56, x57, x58, x59, x61)
 }

@@ -124,4 +124,33 @@ class MultiModalSpec extends SparkSpec {
     }
     assert(anyActive && anyInactive, "the energy gate must split the corpus")
   }
+
+  test("mm8 aspect buckets: partition the corpus, batch plan is ceil-div, " +
+    "exact-ratio images land in their own bucket") {
+    val rows = MultiModal.mm8.build(spark, sf).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum == nDocs)
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_images"), r.getAs[Long]("n_batches"))
+      assert(b == (n + 31) / 32)
+      assert(MultiModal.AspectBuckets.contains(
+        (r.getAs[Int]("bucket_w"), r.getAs[Int]("bucket_h"))))
+    }
+    // handcrafted dims hit their exact buckets; a mild 4:3 lands on 576x448
+    import SparkSpec.spark.implicits._
+    val media = Seq((1L, 704, 320), (2L, 512, 512), (3L, 320, 704),
+      (4L, 800, 600)).toDF("doc_id", "width", "height")
+    val got = MultiModal.aspectBucketPlan(media, batch = 2).collect()
+      .map(r => (r.getAs[Int]("bucket_w"), r.getAs[Int]("bucket_h")) ->
+        r.getAs[Long]("n_images")).toMap
+    assert(got((704, 320)) == 1L)
+    assert(got((512, 512)) == 1L)
+    assert(got((320, 704)) == 1L)
+    assert(got((576, 448)) == 1L)
+    // exact-aspect assignments contribute zero gap
+    val gaps = MultiModal.aspectBucketPlan(media, batch = 2).collect()
+      .map(r => (r.getAs[Int]("bucket_w"), r.getAs[Int]("bucket_h")) ->
+        r.getAs[Long]("sum_ar_gap")).toMap
+    assert(gaps((704, 320)) == 0L && gaps((512, 512)) == 0L && gaps((320, 704)) == 0L)
+  }
 }

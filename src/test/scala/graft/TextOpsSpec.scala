@@ -161,6 +161,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got(201L) === ((0L, false)), "disjoint doc must be clean")
   }
 
+  test("x61 decontamination removes exactly the planted copy and conserves " +
+    "docs and tokens within each source") {
+    val rng = new scala.util.Random(13)
+    val mk = () => Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val benchText = mk()
+    val cleanText = "zq " * 39 + "zq"
+    val rows = Seq(
+      (0L, benchText, "src0"), (1L, mk(), "src0"),
+      (200L, benchText, "web"), (201L, cleanText, "web"),
+      (300L, mk(), "books"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.x61.build(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("tokens_kept"),
+        r.getAs[Long]("tokens_removed"))).toMap
+    assert(got("web") == ((1L, 1L, 40L, 40L)))
+    // books doc is random over the same vocab — it may or may not share an
+    // 8-gram by chance; only conservation is guaranteed
+    val b = got("books")
+    assert(b._1 + b._2 == 1L && b._3 + b._4 == 40L)
+    assert(!got.contains("src0"), "the benchmark itself is never audited")
+  }
+
   test("x16 packing is gapless per source and pack spans match the budget") {
     val rows = TextOps.x16.build(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3),
