@@ -457,6 +457,14 @@ object Graft {
   def aspectBucketPlan(media: DataFrame, batch: Int = 32): DataFrame =
     graft.operators.MultiModal.aspectBucketPlan(media, batch)
 
+  /** A/V sync-offset estimation: split each payload into two tracks,
+    * frame-energy both, and estimate the inter-track offset as the
+    * integer cross-correlation argmax over ±4 frame lags — one row per
+    * payload (doc_id, n_frames, best_lag, best_score).
+    */
+  def avSyncLag(docs: DataFrame): DataFrame =
+    graft.operators.MultiModal.avSyncLag(docs)
+
   /** 1-bit binary quantization + Hamming candidate search with exact
     * cosine rerank: `corpus`/`queries` need (vec_id, embedding); top-`c`
     * Hamming candidates per query, reranked to `k` by exact cosine.

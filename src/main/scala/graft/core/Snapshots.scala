@@ -128,6 +128,36 @@ object Snapshots {
       .drop("_net", "_dup")
   }
 
+  /** Tag a snapshot with a stable name (Iceberg tag / Delta named commit
+    * at this seam): a reader can pin "the audited state" instead of a
+    * version number that moves. Metadata-only — one tiny ref file.
+    */
+  def tag(table: String, name: String, v: Int): Unit = {
+    require(versions(table).contains(v), s"tag $name: no snapshot v$v")
+    require(name.matches("[A-Za-z0-9_.-]+"), s"bad tag name: $name")
+    val dir = new java.io.File(root(table), "tags")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+      v.toString.getBytes("UTF-8")): Unit
+  }
+
+  /** All tags of a table, name -> version. */
+  def tags(table: String): Map[String, Int] = {
+    val dir = new java.io.File(root(table), "tags")
+    val fs = dir.listFiles()
+    if (fs == null) Map.empty
+    else fs.map(f => f.getName ->
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt)
+      .toMap
+  }
+
+  /** Time-travel read at a named tag. */
+  def readTag(s: SparkSession, table: String, name: String): DataFrame = {
+    val v = tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown tag: $name"))
+    read(s, table, v)
+  }
+
   /** WAP stage: write `df` as an UNPUBLISHED candidate under the table
     * root. The data files land on storage, but no reader resolves them —
     * [[versions]] lists only `v*` directories, so [[latest]]/[[read]]

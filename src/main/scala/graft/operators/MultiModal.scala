@@ -504,5 +504,94 @@ object MultiModal {
            |  CAST(sum(gap) AS BIGINT) AS sum_ar_gap
            |FROM pk GROUP BY 1, 2""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8)
+  /** mm9 framing: 16-byte frames, lags swept over ±4 frames. */
+  private val SyncFrame = 16
+  private val SyncMaxLag = 4
+
+  /** Public DataFrame-in API (see graft.api.Graft): A/V sync-offset
+    * estimation — the "is the audio N frames ahead of the video" check a
+    * video-ingest pipeline runs before cutting training clips. Each
+    * payload splits into two equal-length tracks (the AUDIO/VIDEO stub
+    * seam — a real pipeline feeds two genuine streams); each track maps
+    * to 16-byte frame energies (Σ byte², exact integers), and the
+    * estimated offset is the argmax of the integer cross-correlation
+    * over lags −L..L with L = min(4, (frames−1)/2), evaluated on the
+    * FIXED window i ∈ [L, frames−L) so every lag sums the same number of
+    * terms — unnormalized sliding correlation is biased toward small
+    * |lag| (more overlap), and the fixed window removes that bias while
+    * keeping every score an exact BIGINT (ties → smaller lag). Returns
+    * one row per payload with ≥1 frame pair:
+    * (doc_id, n_frames, best_lag, best_score).
+    *
+    * Scale: a per-payload typed kernel (mm2's batching discipline) doing
+    * O(lags · frames) integer multiplies — no shuffle at all until a
+    * consumer aggregates; scores are exact BIGINTs, so the argmax and
+    * its tie-break are bitwise-identical cross-engine.
+    */
+  def avSyncLag(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val half = t.length / 2
+        val nf = half / SyncFrame
+        if (nf < 1) Iterator.empty
+        else {
+          def energies(off: Int): Array[Long] =
+            Array.tabulate(nf) { fi =>
+              var e = 0L
+              var j = 0
+              while (j < SyncFrame) {
+                val c = t.charAt(off + fi * SyncFrame + j).toLong
+                e += c * c
+                j += 1
+              }
+              e
+            }
+          val ea = energies(0)
+          val ev = energies(half)
+          val eff = math.min(SyncMaxLag, (nf - 1) / 2)
+          var bestLag = -eff - 1
+          var bestScore = Long.MinValue
+          var lag = -eff
+          while (lag <= eff) {
+            var score = 0L
+            var i = eff
+            while (i < nf - eff) { score += ea(i) * ev(i + lag); i += 1 }
+            if (score > bestScore) { bestScore = score; bestLag = lag }
+            lag += 1
+          }
+          Iterator.single((id, nf, bestLag, bestScore))
+        }
+      }
+      .toDF("doc_id", "n_frames", "best_lag", "best_score")
+  }
+
+  /** MM9 (beyond reference): sync-lag estimate over the corpus payloads. */
+  val mm9: GraftQuery = GraftQuery(
+    "mm9_av_sync_lag",
+    (s, d) => avSyncLag(Tables.documents(s, d)),
+    Some(s"""WITH d0 AS (SELECT doc_id, text, length(text) // 2 AS half FROM documents),
+           |d1 AS (SELECT doc_id, text, half, half // $SyncFrame AS nf
+           |       FROM d0 WHERE half // $SyncFrame >= 1),
+           |tr AS (SELECT doc_id, nf,
+           |  list_transform(range(0, nf), fi -> CAST(list_sum(list_transform(range(0, $SyncFrame),
+           |    j -> CAST(ord(substr(text, CAST(fi * $SyncFrame + j + 1 AS INT), 1)) AS BIGINT)
+           |       * CAST(ord(substr(text, CAST(fi * $SyncFrame + j + 1 AS INT), 1)) AS BIGINT))) AS BIGINT)) AS ea,
+           |  list_transform(range(0, nf), fi -> CAST(list_sum(list_transform(range(0, $SyncFrame),
+           |    j -> CAST(ord(substr(text, CAST(half + fi * $SyncFrame + j + 1 AS INT), 1)) AS BIGINT)
+           |       * CAST(ord(substr(text, CAST(half + fi * $SyncFrame + j + 1 AS INT), 1)) AS BIGINT))) AS BIGINT)) AS ev
+           |  FROM d1),
+           |te AS (SELECT doc_id, nf, ea, ev,
+           |         least($SyncMaxLag, (nf - 1) // 2) AS eff FROM tr),
+           |sc AS (SELECT doc_id, nf, CAST(lag AS INT) AS lag,
+           |    CAST(coalesce(list_sum(list_transform(
+           |      range(eff, nf - eff),
+           |      i -> ea[CAST(i + 1 AS INT)] * ev[CAST(i + lag + 1 AS INT)])), 0) AS BIGINT) AS score
+           |  FROM te, LATERAL (SELECT unnest(range(-eff, eff + 1)) AS lag) l)
+           |SELECT doc_id, CAST(nf AS INT) AS n_frames, lag AS best_lag, score AS best_score
+           |FROM sc
+           |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lag) = 1""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(mm1, mm2, mm3, mm4, mm5, mm6, mm7, mm8, mm9)
 }

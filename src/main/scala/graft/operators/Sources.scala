@@ -982,7 +982,43 @@ object Sources {
            |FROM v2 GROUP BY 1""".stripMargin),
     bench = false)
 
+  /** S36 (beyond reference): snapshot TAGS — Iceberg's named refs on the
+    * [[graft.core.Snapshots]] seam: v1 is tagged `audited` before v2
+    * rewrites the table, and a reader pinned to the tag still sees the
+    * audited state while `latest` serves the new one. The tag is one
+    * metadata ref file — pinning costs nothing at any scale, which is
+    * why reproducible-training-run manifests pin tags, not copies.
+    * Output joins the per-status counts of the tagged read vs latest;
+    * equality of n_tagged with v1 (and its divergence from n_latest) is
+    * what the oracle asserts.
+    */
+  val s36: GraftQuery = GraftQuery(
+    "s36_snapshot_tag",
+    (s, d) => {
+      import graft.core.Snapshots
+      val t = "orders_tag"
+      Snapshots.reset(t)
+      Snapshots.write(s, t, Tables.orders(s, d))
+      Snapshots.tag(t, "audited", 1)
+      Snapshots.write(s, t,
+        Snapshots.latest(s, t).filter(col("o_orderstatus") =!= "F")
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+      require(Snapshots.tags(t) == Map("audited" -> 1), "tag listing broken")
+      val tagged = Snapshots.readTag(s, t, "audited").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_tagged"), decSum(col("o_totalprice")).as("total_tagged"))
+      val latest = Snapshots.latest(s, t).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_latest"), decSum(col("o_totalprice")).as("total_latest"))
+      tagged.join(latest, Seq("o_orderstatus"), "left")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_tagged,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_tagged,
+           |  CASE WHEN o_orderstatus <> 'F' THEN count(*) END AS n_latest,
+           |  CASE WHEN o_orderstatus <> 'F' THEN
+           |    CAST(SUM(CAST(o_totalprice + 1.0 AS DECIMAL(18,2))) AS DOUBLE)
+           |  END AS total_latest
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-      s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33)
+      s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s36)
 }

@@ -153,4 +153,32 @@ class MultiModalSpec extends SparkSpec {
         r.getAs[Long]("sum_ar_gap")).toMap
     assert(gaps((704, 320)) == 0L && gaps((512, 512)) == 0L && gaps((320, 704)) == 0L)
   }
+
+  test("mm9 A/V sync recovers a planted frame offset and prefers lag 0 on " +
+    "identical tracks") {
+    import SparkSpec.spark.implicits._
+    // 8 frames of 16 chars: a double energy spike at frames 3-4 (an
+    // APERIODIC pattern — a periodic beat would make two lags tie)
+    val lo = "!" * 16; val hi = "z" * 16
+    val trackA = lo * 3 + hi * 2 + lo * 3
+    // identical halves: fixed-window correlation peaks at lag 0
+    val aligned = trackA + trackA
+    // video spike delayed by exactly 2 frames
+    val trackV = lo * 5 + hi * 2 + lo * 1
+    val shifted = trackA + trackV
+    val docs = Seq((1L, aligned), (2L, shifted)).toDF("doc_id", "text")
+    val got = MultiModal.avSyncLag(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L)._1 == 8 && got(1L)._2 == 0)
+    assert(got(2L)._1 == 8 && got(2L)._2 == 2,
+      s"planted 2-frame delay must be recovered, got ${got(2L)}")
+    // corpus run: every row within the lag sweep, scores nonnegative
+    val rows = MultiModal.mm9.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getInt(2)) <= 4)
+      assert(r.getLong(3) >= 0L)
+      assert(r.getInt(1) >= 1)
+    }
+  }
 }

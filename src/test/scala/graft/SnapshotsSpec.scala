@@ -124,4 +124,28 @@ class SnapshotsSpec extends SparkSpec {
       graft.core.Tables.events(spark, sf).select("user_id").distinct()
         .as[Long].collect().toSet)
   }
+
+  test("s36 tags: pin a version by name, reject unknown targets, and lose " +
+    "the tag's target to vacuum exactly like any time travel") {
+    import SparkSpec.spark.implicits._
+    val t = "tags_spec"
+    Snapshots.reset(t)
+    Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Snapshots.write(spark, t, Seq((1L, "a2")).toDF("id", "s"))
+    intercept[IllegalArgumentException](Snapshots.tag(t, "nope", 9))
+    intercept[IllegalArgumentException](Snapshots.tag(t, "bad name!", 1))
+    Snapshots.tag(t, "audited", 1)
+    assert(Snapshots.tags(t) == Map("audited" -> 1))
+    assert(Snapshots.readTag(spark, t, "audited").count() == 2)
+    assert(Snapshots.latest(spark, t).count() == 1)
+    // retagging moves the pin
+    Snapshots.tag(t, "audited", 2)
+    assert(Snapshots.readTag(spark, t, "audited").count() == 1)
+    intercept[IllegalArgumentException](Snapshots.readTag(spark, t, "missing"))
+    // vacuum drops v1; a tag still pointing there fails on read like any
+    // expired time travel (the documented retention contract)
+    Snapshots.tag(t, "old", 1)
+    assert(Snapshots.vacuum(t, keep = 1) == Seq(1))
+    intercept[Exception](Snapshots.readTag(spark, t, "old").collect())
+  }
 }
