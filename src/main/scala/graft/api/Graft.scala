@@ -148,6 +148,32 @@ object Graft {
   def decontaminate(train: DataFrame, benchmark: DataFrame): DataFrame =
     TextOps.decontaminate(train, benchmark)
 
+  /** Hybrid retrieval: reciprocal-rank fusion (k=60) of a BM25 lexical
+    * arm and an exact-cosine vector arm — top-`k` fused rows
+    * (doc_id, lex_rank, vec_rank, rrf, fused_rank).
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, qVec: Long = 0L,
+      cand: Int = 20, k: Int = 10): DataFrame =
+    TextOps.hybridRrf(docs, emb, qVec, cand, k)
+
+  /** Per-document readability: Flesch reading ease + Flesch-Kincaid
+    * grade from structural word/sentence/syllable counts.
+    */
+  def readability(docs: DataFrame): DataFrame = TextOps.readability(docs)
+
+  /** Code-vs-prose partition flags per document (symbol density +
+    * programming-keyword hits) — the pre-filter before language-specific
+    * pipelines.
+    */
+  def codeProse(docs: DataFrame): DataFrame = TextOps.codeProse(docs)
+
+  /** DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    * log-weights of every raw-pool document against the `targetSrc`
+    * target distribution — (doc_id, n_tok, logw_q, logw, target_like).
+    */
+  def dsirWeights(docs: DataFrame, targetSrc: String = "src0"): DataFrame =
+    TextOps.dsirWeights(docs, targetSrc)
+
   /** Approximate Jaccard similarity join between two corpora (both need
     * (doc_id, text)): (a_id, b_id, jaccard) for cross pairs at 3-shingle
     * Jaccard >= `threshold`. LSH-banded candidates, exact-verified — the
@@ -398,6 +424,26 @@ object Graft {
     */
   def aucRank(df: DataFrame, scoreCol: String, posCol: String): DataFrame =
     StatOps.aucRank(df, scoreCol, posCol)
+
+  /** Bradley-Terry preference strengths from implicit consecutive-event
+    * comparisons: per event_type (n_matches, n_wins, s1, s2) — the
+    * aggregation under preference/RLHF-reward data pipelines.
+    */
+  def bradleyTerry(events: DataFrame): DataFrame = StatOps.bradleyTerry(events)
+
+  /** EXACT median of `events.value` by histogram-refinement selection —
+    * no global sort; log_8192(n) bounded-histogram passes plus a narrowed
+    * TakeOrdered. One row (n, v_lo, v_hi, median).
+    */
+  def exactMedian(events: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    Relational.exactMedian(events, spark)
+
+  /** EXACT mode of `value` per event_type (ties to the smallest value)
+    * via two hash aggregations + an argmax struct fold — no sort, no
+    * window. (event_type, n, mode_count, mode_value).
+    */
+  def exactMode(events: DataFrame): DataFrame = Relational.exactMode(events)
 
   /** Edit-distance-1 record linkage over (`idCol`, `strCol`) via the
     * SymSpell deletion neighborhood: (a_id, b_id, dist) pairs, no

@@ -858,6 +858,127 @@ object Relational {
         (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05).as("ok"))
   }
 
+  /** A24 (beyond reference): EXACT median without a global sort — the
+    * histogram-refinement selection algorithm (the distributed form of
+    * quickselect; Blum et al.'s selection by partitioning, realized as
+    * Münz/Cormode-style iterative range narrowing). Each round scans only
+    * `value`, builds an 8192-bin equi-width histogram of the current
+    * candidate range (one hash aggregate; the collect is 8192 bounded
+    * rows, same contract class as v28's centroid collect), and narrows the
+    * range to the bins containing ranks k1=(n+1)/2 and k2=(n+2)/2. Range
+    * population shrinks ~8192x per round, so log_8192(n) rounds (<= 4 even
+    * at 10^15 rows) reach a small final range; an all-equal-heavy range
+    * short-circuits via min==max. The final rank extraction is a
+    * TakeOrdered over the narrowed remainder only — no full-data shuffle
+    * or sort ever happens, which is the difference between this and
+    * `ORDER BY value` at 100 TB. a6/a15 give approximate quantiles in one
+    * pass; this gives the exact statistic in a bounded number of passes.
+    *
+    * Determinism: bin edges are fixed-shape IEEE expressions of the
+    * collected min/max; the result is two exact order statistics, so the
+    * oracle (row_number selection) matches bitwise; median = (lo+hi)/2 in
+    * the same expression shape both sides.
+    */
+  def exactMedian(events: DataFrame, spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.{Column, Row}
+    val B = 8192
+    val vals = events.select(col("value").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n = vals.count()
+    val (k1, k2) = ((n + 1) / 2, (n + 2) / 2)
+    // invariant: `current` holds exactly the contiguous rank range
+    // (below, below + count(current)], and k1..k2 lie inside it. Narrowing
+    // filters reuse the SAME bin expression the histogram grouped by, so
+    // set membership matches the cumulative-count bookkeeping exactly —
+    // no floating-point bin-edge reconstruction anywhere.
+    var current = vals
+    var below = 0L
+    var rounds = 0
+    var continue = n > 0
+    var finalCount = n
+    while (continue) {
+      val Row(cnt: Long, cLo: Double, cHi: Double) =
+        current.agg(count(lit(1)), min("v"), max("v")).head()
+      finalCount = cnt
+      val width = (cHi - cLo) / B
+      if (cnt <= 100000 || cLo == cHi || width <= 0 || rounds >= 6) {
+        continue = false
+      } else {
+        val binExpr: Column =
+          least(lit(B - 1), floor((col("v") - lit(cLo)) / lit(width)).cast("int"))
+        val hist = current.groupBy(binExpr.as("bin"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val cum = (0 until B).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+        def binOf(k: Long): Int = cum.indexWhere(_ >= k - below) - 1
+        val (b1, b2) = (binOf(k1), binOf(k2))
+        below += cum(b1)
+        current = current.filter(binExpr >= b1 && binExpr <= b2)
+        rounds += 1
+      }
+    }
+    val (vk1, vk2) =
+      if (n == 0) (Double.NaN, Double.NaN)
+      else {
+        val Row(vmin: Double, vmax: Double) = current.agg(min("v"), max("v")).head()
+        if (vmin == vmax) (vmin, vmin)
+        else {
+          val top = current.orderBy("v").limit((k2 - below).toInt)
+            .collect().map(_.getDouble(0))
+          (top((k1 - below).toInt - 1), top((k2 - below).toInt - 1))
+        }
+      }
+    spark.range(1).filter(lit(n) > 0)
+      .select(lit(n).as("n"), lit(vk1).as("v_lo"), lit(vk2).as("v_hi"),
+        ((lit(vk1) + lit(vk2)) / lit(2.0)).as("median"))
+  }
+
+  val a24 = q(
+    "a24_exact_median",
+    """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+      |x AS (SELECT s.n, r.v FROM r, s WHERE rn IN ((n + 1) // 2, (n + 2) // 2))
+      |SELECT max(n) AS n, min(v) AS v_lo, max(v) AS v_hi,
+      |  (min(v) + max(v)) / 2.0 AS median FROM x""".stripMargin) { (s, d) =>
+    exactMedian(Tables.events(s, d), s)
+  }
+
+  /** A25 (beyond reference): EXACT per-group mode — the most frequent
+    * `value` per event_type, tie-broken to the smallest value. The
+    * at-scale shape is two hash aggregations: (type, value) counts (map-
+    * side combinable; state bounded by the distinct-pair domain, not row
+    * count), then an argmax fold per type via max(struct(cnt, -value)) —
+    * struct ordering gives "highest count, then smallest value" with no
+    * window and no sort anywhere. The naive `row_number OVER (PARTITION
+    * BY type ORDER BY cnt DESC)` plan the oracle runs would sort every
+    * group; at 100 TB the argmax fold is the difference.
+    *
+    * Determinism: counts are integers; the tie-break negation is exact
+    * for every IEEE double, so both engines pick the identical row.
+    */
+  def exactMode(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type").agg(
+        sum("cnt").as("n"),
+        max(struct(col("cnt"), (-col("value")).as("nv"))).as("m"))
+      .select(col("event_type"), col("n"), col("m.cnt").as("mode_count"),
+        (-col("m.nv")).as("mode_value"))
+
+  val a25 = q(
+    "a25_exact_mode",
+    """WITH c AS (SELECT event_type, value, count(*) AS cnt FROM events
+      |  WHERE value IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT event_type, value, cnt,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY cnt DESC, value ASC) AS rk,
+      |        sum(cnt) OVER (PARTITION BY event_type) AS n FROM c)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(cnt AS BIGINT) AS mode_count,
+      |  value AS mode_value FROM r WHERE rk = 1""".stripMargin) { (s, d) =>
+    exactMode(Tables.events(s, d))
+  }
+
   /** J12 (beyond reference): salted skew join — a third of the fact rows
     * are collapsed onto ONE foreign key (the classic hot-key disaster: that
     * key's partition takes the whole join's wall-clock). The salt spreads
@@ -2350,7 +2471,7 @@ object Relational {
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13, j14,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, set1,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a24, a25, set1,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -2858,10 +2858,101 @@ object StatOps {
            |     * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS rho
            |FROM t""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): Bradley-Terry
+    * preference-strength estimation from implicit pairwise comparisons —
+    * the aggregation under every preference-data / RLHF-reward pipeline
+    * (Bradley & Terry 1952). Comparisons are synthesized the way implicit-
+    * feedback systems do it: per user, consecutive events (by ts,
+    * event_id) whose types differ form one match between the two
+    * `event_type`s; the larger `value` wins, ties going to the
+    * lexicographically smaller type. Per type the estimator reports the
+    * smoothed win-rate initialization s1 = (2W+1)/(N+1) and one damped MM
+    * refinement s2 = (W+0.5) / Σ_o n_to/(s1_t + s1_o) (Hunter 2004's MM
+    * step from s1).
+    *
+    * Determinism: the MM denominator's cross-opponent sum is quantized
+    * per term to integer micro-units before summing (the codebase-wide
+    * decSum discipline for order-free float folds); everything else is
+    * integer counts and fixed-shape IEEE expressions. Scale: the pairing
+    * is a per-user lag window (splittable by the user-key domain); all
+    * downstream state is per-(type, opponent) — bounded by the type
+    * vocabulary squared, not by row count.
+    */
+  def bradleyTerry(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val matches = events
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+      .withColumn("pt", lag("event_type", 1).over(w))
+      .withColumn("pv", lag("value", 1).over(w))
+      .filter(col("pt").isNotNull && col("pt") =!= col("event_type"))
+      .select(
+        when(col("pt") < col("event_type"), col("pt")).otherwise(col("event_type")).as("a"),
+        when(col("pt") < col("event_type"), col("event_type")).otherwise(col("pt")).as("b"),
+        when(col("pt") < col("event_type"), col("pv")).otherwise(col("value")).as("av"),
+        when(col("pt") < col("event_type"), col("value")).otherwise(col("pv")).as("bv"))
+      .withColumn("a_win", when(col("av") >= col("bv"), 1L).otherwise(0L))
+    val pairAgg = matches.groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), sum("a_win").as("w"))
+    // directed per-(type, opponent) view: each undirected pair feeds both sides
+    val directed = pairAgg.select(explode(array(
+        struct(col("a").as("t"), col("b").as("o"), col("n"), col("w").as("w_to")),
+        struct(col("b").as("t"), col("a").as("o"), col("n"),
+          (col("n") - col("w")).as("w_to")))).as("r"))
+      .select(col("r.t"), col("r.o"), col("r.n").as("n_to"), col("r.w_to"))
+    val perType = directed.groupBy("t")
+      .agg(sum("n_to").as("n_matches"), sum("w_to").as("n_wins"))
+      .withColumn("s1",
+        (lit(2.0) * col("n_wins").cast("double") + lit(1.0))
+          / (col("n_matches").cast("double") + lit(1.0)))
+    val s1t = perType.select(col("t"), col("s1"))
+    val denom = directed
+      .join(broadcast(s1t), Seq("t"))
+      .join(broadcast(s1t.select(col("t").as("o"), col("s1").as("s1_o"))), Seq("o"))
+      .withColumn("q", floor(
+        col("n_to").cast("double") / (col("s1") + col("s1_o")) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .groupBy("t").agg(sum("q").as("den"))
+    perType.join(denom, Seq("t"))
+      .select(col("t").as("event_type"), col("n_matches"), col("n_wins"), col("s1"),
+        ((col("n_wins").cast("double") + lit(0.5)) * lit(1e6)
+          / col("den").cast("double")).as("s2"))
+  }
+
+  /** D37 (beyond reference): Bradley-Terry strengths over the event-type
+    * preference graph.
+    */
+  val d37: GraftQuery = GraftQuery(
+    "d37_bradley_terry",
+    (s, d) => bradleyTerry(Tables.events(s, d)),
+    Some("""WITH o AS (SELECT user_id, event_type, value,
+           |        lag(event_type) OVER w AS pt, lag(value) OVER w AS pv
+           |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |m AS (SELECT CASE WHEN pt < event_type THEN pt ELSE event_type END AS a,
+           |             CASE WHEN pt < event_type THEN event_type ELSE pt END AS b,
+           |             CASE WHEN pt < event_type THEN pv ELSE value END AS av,
+           |             CASE WHEN pt < event_type THEN value ELSE pv END AS bv
+           |      FROM o WHERE pt IS NOT NULL AND pt <> event_type),
+           |p AS (SELECT a, b, count(*) AS n,
+           |        sum(CASE WHEN av >= bv THEN 1 ELSE 0 END) AS w FROM m GROUP BY 1, 2),
+           |d AS (SELECT a AS t, b AS o, n AS n_to, w AS w_to FROM p
+           |      UNION ALL
+           |      SELECT b, a, n, n - w FROM p),
+           |ty AS (SELECT t, CAST(sum(n_to) AS BIGINT) AS n_matches,
+           |         CAST(sum(w_to) AS BIGINT) AS n_wins FROM d GROUP BY 1),
+           |s1 AS (SELECT t, n_matches, n_wins,
+           |         (2.0 * CAST(n_wins AS DOUBLE) + 1.0)
+           |           / (CAST(n_matches AS DOUBLE) + 1.0) AS s1 FROM ty),
+           |dn AS (SELECT d.t, CAST(sum(CAST(floor(CAST(n_to AS DOUBLE)
+           |           / (x.s1 + y.s1) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS den
+           |       FROM d JOIN s1 x ON d.t = x.t JOIN s1 y ON d.o = y.t GROUP BY 1)
+           |SELECT s1.t AS event_type, n_matches, n_wins, s1,
+           |  (CAST(n_wins AS DOUBLE) + 0.5) * 1e6 / CAST(den AS DOUBLE) AS s2
+           |FROM s1 JOIN dn ON s1.t = dn.t""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, a22, a23,
-      m12, m13, m14, m21, m23, m26)
+      d21, d22, d23, d24, d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, a22,
+      a23, m12, m13, m14, m21, m23, m26)
 }
 
 /** Binned calibration rows for the d23 PAVA kernel. */

@@ -3325,6 +3325,93 @@ object TextOps {
         sum(when(col("contaminated"), col("n_tok")).otherwise(0L)).as("tokens_removed"))
   }
 
+  /** Public DataFrame-in API (see graft.api.Graft): hybrid retrieval by
+    * reciprocal-rank fusion (Cormack et al. 2009, k = 60): the LEXICAL
+    * arm ranks documents by [[bm25Score]], the VECTOR arm by exact
+    * cosine against one query embedding, and each candidate's fused
+    * score is Σ 1/(60 + rank) over the arms it appears in — the fusion
+    * every production RAG stack runs because BM25 and embeddings fail
+    * on disjoint query classes. Returns the top-`k` fused rows
+    * (doc_id, lex_rank, vec_rank, rrf, fused_rank).
+    *
+    * Scale: each arm is its own already-scale-shaped operator (x31's
+    * one-scan scoring; v1's broadcast-query scan); the fusion joins two
+    * ≤`cand`-row rank lists — constant work however big the corpus.
+    * Determinism: ranks are integers with doc-id tie-breaks, and the RRF
+    * sum is a fixed two-term IEEE expression of them.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, qVec: Long = 0L,
+      cand: Int = 20, k: Int = 10): DataFrame = {
+    // top-`cand` by TakeOrderedAndProject (distributed partial top-k per
+    // partition, merged on the driver), THEN a rank window over the tiny
+    // survivor set — a bare global row_number window here would sort the
+    // whole scored corpus on one partition.
+    val lex = bm25Score(docs)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(cand)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val vtop = VectorOps
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === qVec), cand)
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .select(col("neighbor_id").as("doc_id"), col("vec_rank"))
+    lex.join(vtop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= k)
+  }
+
+  /** X62 (beyond reference): hybrid BM25+vector retrieval, fused top-10
+    * (lexical arm = x31's fixed query; vector arm = doc 0's embedding —
+    * the aligned doc/vec id space).
+    */
+  val x62: GraftQuery = GraftQuery(
+    "x62_hybrid_rrf",
+    (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
+    Some("""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+           |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
+           |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d3),
+           |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM (
+           |    SELECT doc_id, dl, unnest(ws) AS w FROM d3)
+           |  WHERE w IN ('dup', 'join', 'batch') GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.w,
+           |  (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+           |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           |  * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+           |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
+           |  AS sc
+           |  FROM tf CROSS JOIN stats JOIN dfreq ON tf.w = dfreq.w),
+           |bm AS (SELECT doc_id,
+           |  coalesce(max(CASE WHEN w = 'dup' THEN sc END), CAST(0 AS DOUBLE))
+           |  + coalesce(max(CASE WHEN w = 'join' THEN sc END), CAST(0 AS DOUBLE))
+           |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
+           |FROM sc GROUP BY doc_id),
+           |lex AS (SELECT doc_id, lex_rank FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+           |    FROM bm) WHERE lex_rank <= 20),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id = 0),
+           |vt0 AS (SELECT v.vec_id AS doc_id,
+           |          list_cosine_similarity(q.e, v.e) AS cos
+           |        FROM q, v WHERE v.vec_id != q.vec_id),
+           |vt AS (SELECT doc_id, vec_rank FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+           |    FROM vt0) WHERE vec_rank <= 20),
+           |f AS (SELECT coalesce(lex.doc_id, vt.doc_id) AS doc_id, lex_rank, vec_rank,
+           |        coalesce(1.0 / (60.0 + lex_rank), 0.0)
+           |          + coalesce(1.0 / (60.0 + vec_rank), 0.0) AS rrf
+           |      FROM lex FULL OUTER JOIN vt ON lex.doc_id = vt.doc_id)
+           |SELECT doc_id, lex_rank, vec_rank, rrf,
+           |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+           |FROM f QUALIFY fused_rank <= 10""".stripMargin))
+
   /** X61 (beyond reference): decontamination audit — src0 is the held-out
     * benchmark (x15's split), everything else is train.
     */
@@ -3353,9 +3440,186 @@ object TextOps {
            |  CAST(sum(CASE WHEN contaminated THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed
            |FROM v GROUP BY 1""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): classic readability
+    * scoring — Flesch reading ease and Flesch-Kincaid grade per document
+    * (Kincaid et al. 1975), the length-and-syllable heuristics corpus
+    * pipelines use as cheap fluency signals next to the Gopher rules
+    * (x14). Counts are purely structural: words = non-empty
+    * space-separated tokens, sentences = runs of terminal punctuation
+    * (min 1), syllables = vowel-group runs per word (min 1 per word —
+    * the standard approximation).
+    *
+    * Determinism: the three counts are integers; each score is a fixed
+    * left-associated IEEE expression of the two ratios, so Spark and
+    * DuckDB produce bitwise-equal doubles with no quantization step.
+    * Scale: one narrow projection per document, no shuffle at all.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", filter(split(col("text"), " "), w => w =!= ""))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sentences",
+        greatest(lit(1L), expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)")))
+      .withColumn("n_syllables", expr(
+        "aggregate(ws, 0L, (acc, w) -> acc + greatest(1L, CAST(regexp_count(w, '[aeiouyAEIOUY]+') AS BIGINT)))"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
+          .as("flesch"),
+        (lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          - lit(15.59)).as("fk_grade"))
+
+  /** X63 (beyond reference): per-document readability report. */
+  val x63: GraftQuery = GraftQuery(
+    "x63_readability",
+    (s, d) => readability(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT doc_id, text,
+           |         list_filter(str_split(text, ' '), w -> w <> '') AS ws FROM documents),
+           |w AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           |        GREATEST(CAST(1 AS BIGINT),
+           |          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+           |        CAST(list_sum(list_transform(ws,
+           |          x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))) AS BIGINT)
+           |          AS n_syllables
+           |      FROM t WHERE len(ws) > 0)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  CAST(206.835 AS DOUBLE)
+           |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch,
+           |  CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |    + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           |    - CAST(15.59 AS DOUBLE) AS fk_grade
+           |FROM w""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): code-vs-prose
+    * detection — the corpus-partitioning filter every mixed-crawl
+    * pipeline runs before language-specific processing (code goes to a
+    * code pipeline, prose to the text one). Signals are structural, not
+    * model-based (x60 covers that): density of code punctuation
+    * `{}();=<>` and whitespace-token programming-keyword hits (token
+    * equality, not a `\b` regex — backslash escapes inside SQL string
+    * literals differ between engines, a silent cross-engine trap); a doc
+    * is flagged `is_code` when symbol density >= 1% of characters or it
+    * has >= 3 keyword hits.
+    *
+    * Determinism: integer counts; the one double (`sym_ratio`) is a
+    * single division. Scale: stateless per-doc projection, no shuffle.
+    */
+  def codeProse(docs: DataFrame): DataFrame = {
+    val kw = "'def','class','return','import','function','const','var','if','else','for','while'"
+    docs
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        expr("CAST(regexp_count(text, '[{}();=<>]') AS BIGINT)").as("n_sym"),
+        expr(s"CAST(size(filter(split(text, ' '), w -> w IN ($kw))) AS BIGINT)")
+          .as("kw_hits"),
+        col("n_chars"))
+      .withColumn("sym_ratio",
+        col("n_sym").cast("double") / col("n_chars").cast("double"))
+      .withColumn("is_code",
+        col("sym_ratio") >= lit(0.01) || col("kw_hits") >= lit(3L))
+      .drop("n_chars")
+  }
+
+  /** X64 (beyond reference): per-document code/prose partition flags. */
+  val x64: GraftQuery = GraftQuery(
+    "x64_code_prose",
+    (s, d) => codeProse(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT) AS n_sym,
+           |  CAST(len(list_filter(str_split(text, ' '), w -> w IN
+           |    ('def','class','return','import','function','const','var','if','else','for','while')))
+           |    AS BIGINT) AS kw_hits,
+           |  n_chars FROM documents WHERE n_chars > 0)
+           |SELECT doc_id, n_sym, kw_hits,
+           |  CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE) AS sym_ratio,
+           |  (CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)) >= CAST(0.01 AS DOUBLE)
+           |    OR kw_hits >= 3 AS is_code
+           |FROM t""".stripMargin))
+
+  /** Feature-hash dimensionality for the DSIR bucket distributions ([[x65]]).
+    * 64 buckets keeps the smoothed log-ratio table a trivially broadcastable
+    * constant; production DSIR uses 10k-dim hashed bigrams, which changes
+    * only this constant — the dataflow is identical.
+    */
+  private val DsirBuckets = 64
+
+  /** Public DataFrame-in API (see graft.api.Graft): DSIR — Data Selection
+    * with Importance Resampling (Xie et al., NeurIPS 2023) — the standard
+    * pretraining-data selection method: estimate hashed-unigram bucket
+    * distributions for a small TARGET corpus (here `source = targetSrc`)
+    * and for the big RAW pool (the whole corpus), then score every raw
+    * document by its importance log-weight Σ_w [log p_tgt(b(w)) −
+    * log p_raw(b(w))] under add-1 smoothing. Output per raw doc:
+    * (doc_id, n_tok, logw_q, logw, target_like) where `target_like` is the
+    * sign test logw > 0 (more target-like than the raw average) — the
+    * deterministic stand-in for DSIR's Gumbel resampling draw.
+    *
+    * Scale: one explode scan builds the (bucket) count table — 64 rows,
+    * broadcast back — and one more scores every doc; no vocabulary is
+    * collected and nothing grows with corpus size except the two scans.
+    * This is exactly why Xie et al. hash: the featurizer needs no
+    * corpus-wide state.
+    *
+    * Determinism: bucket ids are md5-derived integers (identical in both
+    * engines); each bucket's log-ratio is quantized to integer micro-units
+    * immediately after the one transcendental (the codebase-wide decSum
+    * discipline), so the per-doc fold is an order-free integer sum.
+    */
+  def dsirWeights(docs: DataFrame, targetSrc: String = "src0",
+      buckets: Int = DsirBuckets): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), (col("source") === targetSrc).as("is_target"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", expr(
+        s"CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % $buckets"))
+    val counts = words.groupBy("b").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    val totals = counts.agg(sum("n_raw").as("tot_raw"), sum("n_tgt").as("tot_tgt"))
+    val lr = counts.crossJoin(broadcast(totals)).select(col("b"),
+      floor((log((col("n_tgt").cast("double") + lit(1.0))
+          / (col("tot_tgt").cast("double") + lit(buckets.toDouble)))
+        - log((col("n_raw").cast("double") + lit(1.0))
+          / (col("tot_raw").cast("double") + lit(buckets.toDouble))))
+        * lit(1e6) + lit(0.5)).cast("long").as("lr_q"))
+    words.filter(!col("is_target"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tok"), sum("lr_q").as("logw_q"))
+      .select(col("doc_id"), col("n_tok"), col("logw_q"),
+        (col("logw_q").cast("double") / lit(1e6)).as("logw"),
+        (col("logw_q") > 0L).as("target_like"))
+  }
+
+  /** X65 (beyond reference): DSIR importance log-weights of the raw pool
+    * against the src0 target distribution.
+    */
+  val x65: GraftQuery = GraftQuery(
+    "x65_dsir_weights",
+    (s, d) => dsirWeights(Tables.documents(s, d)),
+    Some(s"""WITH w AS (SELECT doc_id, source = 'src0' AS is_target,
+           |        unnest(str_split(text, ' ')) AS w FROM documents),
+           |bk AS (SELECT doc_id, is_target,
+           |        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $DsirBuckets AS b FROM w),
+           |c AS (SELECT b, count(*) AS n_raw,
+           |        sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt FROM bk GROUP BY 1),
+           |t AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM c),
+           |lr AS (SELECT b, CAST(floor(
+           |        (ln((CAST(n_tgt AS DOUBLE) + 1.0) / (CAST(tot_tgt AS DOUBLE) + $DsirBuckets.0))
+           |         - ln((CAST(n_raw AS DOUBLE) + 1.0) / (CAST(tot_raw AS DOUBLE) + $DsirBuckets.0)))
+           |        * 1e6 + 0.5) AS BIGINT) AS lr_q
+           |      FROM c CROSS JOIN t)
+           |SELECT doc_id, count(*) AS n_tok, CAST(sum(lr_q) AS BIGINT) AS logw_q,
+           |  CAST(sum(lr_q) AS DOUBLE) / 1e6 AS logw, sum(lr_q) > 0 AS target_like
+           |FROM bk JOIN lr USING (b) WHERE NOT is_target
+           |GROUP BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59, x61)
+      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65)
 }

@@ -1447,6 +1447,68 @@ class StatOpsSpec extends SparkSpec {
     assert(StatOps.pageHinkley(flat).filter(col("alarm")).count() == 0)
   }
 
+  test("d37 Bradley-Terry: hand-worked 3-type tournament gives exact counts, " +
+    "s1, and quantized MM refinement") {
+    import SparkSpec.spark.implicits._
+    // user 1's sequence: A(1) B(2) A(3) C(0) -> matches A-B (B wins),
+    // A-B (A wins, 3>=2), A-C (A wins)
+    val events = Seq(
+      (1L, 1L, 1L, "A", 1.0), (2L, 2L, 1L, "B", 2.0),
+      (3L, 3L, 1L, "A", 3.0), (4L, 4L, 1L, "C", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StatOps.bradleyTerry(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("A").getAs[Long]("n_matches") == 3L && got("A").getAs[Long]("n_wins") == 2L)
+    assert(got("B").getAs[Long]("n_matches") == 2L && got("B").getAs[Long]("n_wins") == 1L)
+    assert(got("C").getAs[Long]("n_matches") == 1L && got("C").getAs[Long]("n_wins") == 0L)
+    val s1A = (2.0 * 2 + 1.0) / (3 + 1.0)     // 1.25
+    val s1B = (2.0 * 1 + 1.0) / (2 + 1.0)     // 1.0
+    val s1C = (2.0 * 0 + 1.0) / (1 + 1.0)     // 0.5
+    assert(got("A").getAs[Double]("s1") == s1A)
+    assert(got("B").getAs[Double]("s1") == s1B)
+    assert(got("C").getAs[Double]("s1") == s1C)
+    def q(n: Long, sa: Double, sb: Double) = math.floor(n / (sa + sb) * 1e6 + 0.5).toLong
+    val denA = q(2, s1A, s1B) + q(1, s1A, s1C)
+    assert(got("A").getAs[Double]("s2") == (2 + 0.5) * 1e6 / denA.toDouble)
+    assert(got("C").getAs[Double]("s2") == (0 + 0.5) * 1e6 / q(1, s1C, s1A).toDouble)
+  }
+
+  test("a24 exact median: odd/even/duplicate-heavy small sets and a 200k-row " +
+    "set that exercises a histogram refinement round") {
+    import SparkSpec.spark.implicits._
+    def med(vals: Seq[Double]): (Long, Double, Double, Double) = {
+      val df = vals.toDF("value")
+      val r = graft.operators.Relational.exactMedian(df, SparkSpec.spark).collect().head
+      (r.getAs[Long]("n"), r.getAs[Double]("v_lo"), r.getAs[Double]("v_hi"),
+        r.getAs[Double]("median"))
+    }
+    assert(med((1 to 101).map(_.toDouble)) == ((101L, 51.0, 51.0, 51.0)))
+    assert(med(Seq(4.0, 1.0, 3.0, 2.0)) == ((4L, 2.0, 3.0, 2.5)))
+    assert(med(Seq(7.0, 7.0, 8.0, 7.0, 7.0)) == ((5L, 7.0, 7.0, 7.0)))
+    // 200001 distinct values forces one histogram-narrowing round
+    val big = (0 until 200001).map(_.toDouble)
+    assert(med(big) == ((200001L, 100000.0, 100000.0, 100000.0)))
+  }
+
+  test("a25 exact mode: per-group argmax with smallest-value tie-break") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(
+      ("A", 1.0), ("A", 1.0), ("A", 2.0),
+      ("B", 5.0), ("B", 5.0), ("B", 4.0), ("B", 4.0),
+      ("C", 7.0))
+      .toDF("event_type", "value")
+    val got = graft.operators.Relational.exactMode(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("A").getAs[Long]("n") == 3L &&
+      got("A").getAs[Long]("mode_count") == 2L &&
+      got("A").getAs[Double]("mode_value") == 1.0)
+    // B ties 4.0 and 5.0 at count 2 -> smallest value wins
+    assert(got("B").getAs[Long]("mode_count") == 2L &&
+      got("B").getAs[Double]("mode_value") == 4.0)
+    assert(got("C").getAs[Long]("n") == 1L &&
+      got("C").getAs[Double]("mode_value") == 7.0)
+  }
+
   test("d36 Spearman: rho in [-1,1]; a monotone pair gives rho = 1 and an " +
     "antitone pair gives rho = -1") {
     val r = StatOps.d36.build(spark, sf).collect().head

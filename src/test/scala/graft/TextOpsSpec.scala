@@ -634,6 +634,87 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_novel")).sum == distinctGrams)
   }
 
+  test("x63 readability: hand-counted doc gives exact Flesch and FK grade") {
+    val df = Seq((1L, "the cat sat. it ran! ok?"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.readability(df).collect()
+    assert(out.length == 1) // empty doc dropped
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 6L)     // 6 space tokens
+    assert(r.getAs[Long]("n_sentences") == 3L) // . ! ?
+    assert(r.getAs[Long]("n_syllables") == 6L) // one vowel group per word
+    val flesch = 206.835 - 1.015 * (6.0 / 3.0) - 84.6 * (6.0 / 6.0)
+    val grade = 0.39 * (6.0 / 3.0) + 11.8 * (6.0 / 6.0) - 15.59
+    assert(r.getAs[Double]("flesch") == flesch)
+    assert(r.getAs[Double]("fk_grade") == grade)
+  }
+
+  test("x64 code/prose: braces-dense doc flagged, plain prose not, ratio exact") {
+    val code = "def f(x) { return (x = x + 1); } class G { var y; }"
+    val prose = "a plain sentence about nothing much at all here now"
+    val df = Seq((1L, code), (2L, prose))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val got = TextOps.codeProse(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("is_code"))
+    assert(!got(2L).getAs[Boolean]("is_code"))
+    assert(got(2L).getAs[Long]("n_sym") == 0L)
+    val c = got(1L)
+    assert(c.getAs[Double]("sym_ratio") ==
+      c.getAs[Long]("n_sym").toDouble / code.length.toDouble)
+    assert(c.getAs[Long]("kw_hits") >= 3L) // def, return, class, var
+  }
+
+  test("x62 hybrid RRF: top-10 fused, rrf recomputes from ranks, order strict") {
+    val out = graft.operators.TextOps.x62.build(SparkSpec.spark, sf).collect()
+    assert(out.length == 10)
+    val fusedRanks = out.map(_.getAs[Int]("fused_rank")).sorted
+    assert(fusedRanks.sameElements(1 to 10))
+    out.foreach { r =>
+      val lex = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+      val vec = Option(r.getAs[Integer]("vec_rank")).map(_.toInt)
+      assert(lex.nonEmpty || vec.nonEmpty) // full-outer row must have an arm
+      val expect = lex.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-12)
+      lex.foreach(x => assert(x >= 1 && x <= 20))
+      vec.foreach(x => assert(x >= 1 && x <= 20))
+    }
+    // fused_rank ordering must follow (rrf desc, doc_id asc)
+    val byRank = out.sortBy(_.getAs[Int]("fused_rank"))
+      .map(r => (r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    byRank.sliding(2).foreach { case Array((s1, d1), (s2, d2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2))
+    }
+  }
+
+  test("x65 DSIR: target-like raw doc outscores an off-target one; quantized " +
+    "log-weights match a hand replay of the smoothed bucket ratios") {
+    import SparkSpec.spark.implicits._
+    // target (src0): "aaa aaa"; raw pool adds one aaa-doc and one zzz-doc
+    val df = Seq(
+      (1L, "aaa aaa", "src0"), (2L, "aaa aaa", "src1"), (3L, "zzz zzz", "src1"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.dsirWeights(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(2L, 3L)) // only raw docs are scored
+    // bucket counts: aaa -> n_raw=4, n_tgt=2; zzz -> n_raw=2, n_tgt=0
+    // (valid iff the two words land in different buckets, asserted via
+    // the strict score ordering below). tot_raw=6, tot_tgt=2, B=64.
+    def lrq(nTgt: Long, nRaw: Long) = math.floor(
+      (math.log((nTgt + 1.0) / (2 + 64.0)) - math.log((nRaw + 1.0) / (6 + 64.0)))
+        * 1e6 + 0.5).toLong
+    assert(got(2L).getAs[Long]("logw_q") == 2 * lrq(2, 4))
+    assert(got(3L).getAs[Long]("logw_q") == 2 * lrq(0, 2))
+    assert(got(2L).getAs[Double]("logw") > got(3L).getAs[Double]("logw"))
+    // with a 2-token target, add-1 smoothing over 64 buckets pulls every
+    // ratio below the raw average — target_like is the replayed sign, not
+    // a hardcoded boolean (here both negative; ordering above still holds)
+    assert(got(2L).getAs[Boolean]("target_like") == (2 * lrq(2, 4) > 0))
+    assert(got(3L).getAs[Boolean]("target_like") == (2 * lrq(0, 2) > 0))
+    assert(got(2L).getAs[Long]("n_tok") == 2L)
+  }
+
   test("x59 RAKE: 20 phrases, stopword-free, <= 4 words, scores ordered and >= length") {
     val stops = Set(
       "the", "of", "and", "a", "to", "in", "is", "it", "for", "on",
