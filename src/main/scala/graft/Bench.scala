@@ -111,6 +111,21 @@ object Bench {
     entries.toMap
   }
 
+  /** Cold-measurement floors for queries whose r1–r5 artifact minima were
+    * recorded with shared state warm across queries (the sim family ran
+    * after sim_bus_rides had already cached the ride table; round 6's
+    * per-attempt `spark.catalog.clearCache()` made every later measurement
+    * a full cold pipeline). Mining takes the historical MINIMUM, so those
+    * stale warm lows are sticky and guard (b) would flag every honest cold
+    * time as a >4x "regression" and burn retries forever. Applied as a
+    * max() AFTER the seed ∪ mined merge: the floor is round 7's first
+    * honest cold number; a future genuinely-faster cold run only leaves
+    * the guard marginally conservative, never wrong.
+    */
+  private val coldFloorSf01: Map[String, Double] = Map(
+    "sim_bus_rides" -> 0.9, "sim_ride_features" -> 1.75,
+    "sim_demand_rollup" -> 1.3)
+
   /** Priors mined from every historical sf0.1 BENCH_r*.json artifact in the
     * repo root: for each known bench-query name, the MINIMUM recorded time
     * across rounds. The minimum is the right statistic because every inflated
@@ -181,9 +196,14 @@ object Bench {
     val priors: Map[String, Double] =
       if (sfDir.contains("sf0.1")) {
         val mined = derivedPriorsSf01(benchNames)
-        val merged = (warmPriorSeedSf01.keySet ++ mined.keySet).map { n =>
+        val merged0 = (warmPriorSeedSf01.keySet ++ mined.keySet).map { n =>
           n -> (warmPriorSeedSf01.get(n).toList ++ mined.get(n).toList).min
         }.toMap
+        // Cold floors trump stale warm-cache artifact minima (see
+        // coldFloorSf01) so guard (b) measures against honest cold runs.
+        val merged = merged0 ++ coldFloorSf01.map { case (n, f) =>
+          n -> math.max(merged0.getOrElse(n, f), f)
+        }
         val uncovered = headline.diff(merged.keySet)
         if (uncovered.nonEmpty)
           System.err.println(s"[bench] headline names with NO prior " +

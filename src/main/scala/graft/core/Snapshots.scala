@@ -135,6 +135,10 @@ object Snapshots {
   def tag(table: String, name: String, v: Int): Unit = {
     require(versions(table).contains(v), s"tag $name: no snapshot v$v")
     require(name.matches("[A-Za-z0-9_.-]+"), s"bad tag name: $name")
+    // "." / ".." pass the character class but resolve to the tags dir /
+    // table root — reject dots-only names here so the caller gets the
+    // validation error, not an opaque IOException from Files.write.
+    require(!name.forall(_ == '.'), s"bad tag name: $name")
     val dir = new java.io.File(root(table), "tags")
     dir.mkdirs()
     java.nio.file.Files.write(new java.io.File(dir, name).toPath,

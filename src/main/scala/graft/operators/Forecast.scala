@@ -2012,8 +2012,11 @@ object Forecast {
   private def logRegStandardize(feats0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
-    val raw = feats0.select(col("y").cast("double").as("y"),
-      col("f1").cast("double").as("f1"), col("f2").cast("double").as("f2"))
+    // Pass-through columns (e.g. a doc_id for [[logRegScoreById]]) ride
+    // along untouched; m25/x60 pass bare (y, f1, f2) and are unaffected.
+    val others = feats0.columns.filterNot(Set("y", "f1", "f2")).toSeq.map(col)
+    val raw = feats0.select(others ++ Seq(col("y").cast("double").as("y"),
+      col("f1").cast("double").as("f1"), col("f2").cast("double").as("f2")): _*)
     // Internal z-score standardization — what every GD trainer does, and
     // what makes η = 1 converge instead of oscillating on the dominant
     // feature. Moments come from 1e-6-quantized features accumulated as
@@ -2028,13 +2031,24 @@ object Forecast {
     val mo = raw.agg(count(lit(1)).as("nn"),
       dsum(qf(col("f1"))).as("s1"), dsum(qf(col("f1")) * qf(col("f1"))).as("q1"),
       dsum(qf(col("f2"))).as("s2"), dsum(qf(col("f2")) * qf(col("f2"))).as("q2"))
-    val nD = col("nn").cast("double")
-    def mu(s: String) = (col(s) / 1e6) / nD
+      .head()
+    require(mo.getAs[Long]("nn") > 0, "logReg: empty feature table")
+    val nD = mo.getAs[Long]("nn").toDouble
+    def mu(s: String) = (mo.getAs[Double](s) / 1e6) / nD
     def sd(q: String, s: String) =
-      sqrt((col(q) / 1e12) / nD - mu(s) * mu(s))
-    raw.crossJoin(broadcast(mo)).select(col("y"),
-      ((col("f1") - mu("s1")) / sd("q1", "s1")).as("f1"),
-      ((col("f2") - mu("s2")) / sd("q2", "s2")).as("f2"))
+      math.sqrt((mo.getAs[Double](q) / 1e12) / nD - mu(s) * mu(s))
+    val (sd1, sd2) = (sd("q1", "s1"), sd("q2", "s2"))
+    // A constant feature (sd == 0, or NaN from catastrophic cancellation)
+    // would standardize to Infinity/NaN and GD would silently train
+    // garbage weights — fail at plan build, like the forecast model's
+    // require, not at readout.
+    require(sd1 > 0 && sd2 > 0,
+      s"logReg: feature standard deviations must be positive (sd1=$sd1, " +
+        s"sd2=$sd2, n=${nD.toLong}) — a constant feature column cannot be " +
+        "z-scored; drop or replace it")
+    raw.select(others ++ Seq(col("y"),
+      ((col("f1") - lit(mu("s1"))) / lit(sd1)).as("f1"),
+      ((col("f2") - lit(mu("s2"))) / lit(sd2)).as("f2")): _*)
   }
 
   /** The [[LogRegIters]]-step GD loop over an (already standardized,
@@ -2097,6 +2111,25 @@ object Forecast {
         .groupBy(least(lit(9L),
           floor(qsigL(w).cast("double") / 100000.0).cast("long")).as("decile"))
         .agg(count(lit(1)).as("n_docs"))
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Per-row frozen-weight scores for an id-keyed feature table: train the
+    * [[trainLogReg]] trajectory on (y, f1, f2), then emit each row's
+    * 1e-6-quantized sigmoid score next to its id — the building block the
+    * Pretrain capstone filters on (x60 reports the corpus histogram of the
+    * same scores; this keys them). Determinism: qsig is the exact integer
+    * quantization of the m25 trajectory's scoring expression, so a
+    * threshold compare on it is cross-engine exact.
+    */
+  def logRegScoreById(feats0: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val feats = logRegStandardize(feats0).persist()
+    try {
+      val w = logRegGD(feats)
+      // materialize before unpersist: the caller's frame must not silently
+      // recompute the 10-pass GD input once the cache is dropped
+      feats.select(col(idCol), qsigL(w).as("qsig")).localCheckpoint()
     } finally { feats.unpersist(); () }
   }
 

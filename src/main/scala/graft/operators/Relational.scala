@@ -923,7 +923,18 @@ object Relational {
         val Row(vmin: Double, vmax: Double) = current.agg(min("v"), max("v")).head()
         if (vmin == vmax) (vmin, vmin)
         else {
-          val top = current.orderBy("v").limit((k2 - below).toInt)
+          // The refinement loop can exit degenerately (rounds >= 6, or a
+          // zero-width bin range with cLo != cHi, e.g. adjacent doubles)
+          // without narrowing the candidate set; a silent collect would
+          // then break the bounded-collect contract — and (k2 - below)
+          // past Int.MaxValue would wrap to a negative limit. Fail fast.
+          val need = k2 - below
+          require(need > 0 && need <= 16777216L,
+            s"exactMedian: refinement failed to narrow the candidate set to a bounded " +
+              s"collect ($need candidate rows after $rounds rounds, n=$n, " +
+              s"range=[$vmin,$vmax]) — the value domain is too adversarial for " +
+              s"histogram refinement; pre-bucket it or raise B")
+          val top = current.orderBy("v").limit(need.toInt)
             .collect().map(_.getDouble(0))
           (top((k1 - below).toInt - 1), top((k2 - below).toInt - 1))
         }

@@ -296,6 +296,10 @@ object StatOps {
     * side is a single-row reduce; nothing is ever collected or sorted
     * globally. Integer counts throughout; the one double is a ratio of
     * integers computed by the identical expression on both engines.
+    * Oracle determinism: integer sum() is CAST to BIGINT — DuckDB's sum
+    * promotes to HUGEINT, which the driver canonicalizes as float64
+    * ('60175.0' vs Spark's '60175'); see SCALE.md "hashed-output
+    * determinism".
     */
   /** Public DataFrame-in API (see graft.api.Graft): join-key skew summary
     * for `keyCol` — one row (n_keys, total_n, max_n, hot_key, skew_ratio);
@@ -317,7 +321,7 @@ object StatOps {
     "d5_join_key_skew",
     (s, d) => keySkewReport(Tables.lineitem(s, d), "l_partkey"),
     Some("""WITH k AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
-           |s AS (SELECT count(*) AS n_keys, sum(n) AS total_n, max(n) AS max_n FROM k)
+           |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total_n, max(n) AS max_n FROM k)
            |SELECT s.n_keys, s.total_n, s.max_n,
            |  (SELECT min(l_partkey) FROM k WHERE n = s.max_n) AS hot_key,
            |  CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total_n AS DOUBLE) AS skew_ratio
@@ -391,7 +395,10 @@ object StatOps {
     * IEEE division. The ordered window runs over the DISTINCT quantized
     * score domain — bounded by score range x 1e6 buckets, not by row count —
     * so it stays single-partition-safe at 100 TB (an unbounded-range score
-    * would first be quantile-bucketed via a15's sketch).
+    * would first be quantile-bucketed via a15's sketch). Oracle
+    * determinism: the emitted n_pos/n_neg sums are CAST to BIGINT (DuckDB
+    * HUGEINT promotion diverges under the driver's canonicalization; see
+    * SCALE.md "hashed-output determinism").
     */
   def aucRank(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
     val b = df
@@ -429,7 +436,7 @@ object StatOps {
            |t AS (SELECT q, np, nn,
            |        coalesce(sum(nn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
            |      FROM b)
-           |SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+           |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
            |       CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE) /
            |         CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
            |FROM t""".stripMargin))
@@ -2507,9 +2514,11 @@ object StatOps {
     *
     * Determinism: cumulative counts are exact integers; each squared gap
     * (a deterministic double in [0,1]) is quantized to 1e-9 immediately
-    * and weighted by its integer pooled count, so the sum is an exact
-    * BIGINT (bounded by n·1e9 — overflow-safe past 10⁹ rows) and T is one
-    * fixed IEEE expression of integer inputs.
+    * and weighted by its integer pooled count, so the sum is exact. The
+    * accumulator is DECIMAL(38,0) on BOTH engines (bound is n·1e9: a
+    * BIGINT sum would wrap silently past ~9.2e9 pooled rows on the Spark
+    * side while DuckDB promotes to HUGEINT — the decSum discipline); T is
+    * one fixed IEEE expression of integer-derived inputs.
     */
   val d32: GraftQuery = GraftQuery(
     "d32_cramer_von_mises",
@@ -2529,7 +2538,8 @@ object StatOps {
       cdf.crossJoin(broadcast(tot))
         .select(col("n_a"), col("n_b"),
           (col("w") * floor(gap * gap * 1e9 + 0.5).cast("long")).as("qterm"))
-        .groupBy("n_a", "n_b").agg(sum("qterm").as("sq"))
+        .groupBy("n_a", "n_b")
+        .agg(sum(col("qterm").cast(DecimalType(38, 0))).as("sq"))
         .select(col("n_a"), col("n_b"),
           (col("n_a").cast("double") * col("n_b").cast("double") /
             ((col("n_a") + col("n_b")).cast("double") *
@@ -2550,7 +2560,7 @@ object StatOps {
            |              * (CAST(cum_a AS DOUBLE) / t.n_a - CAST(cum_b AS DOUBLE) / t.n_b)
            |              * 1e9 + 0.5) AS BIGINT) AS qterm
            |      FROM c, t),
-           |g AS (SELECT n_a, n_b, CAST(sum(qterm) AS BIGINT) AS sq FROM q GROUP BY 1, 2)
+           |g AS (SELECT n_a, n_b, CAST(sum(qterm) AS DECIMAL(38,0)) AS sq FROM q GROUP BY 1, 2)
            |SELECT n_a, n_b,
            |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
            |    / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
@@ -2648,6 +2658,11 @@ object StatOps {
     ranked
       .filter(col("rn") === expr("(np + 1) div 2") || col("rn") === expr("np div 2 + 1"))
       .agg(max("np").as("n_pairs"), avg("slope").as("sen_slope"))
+      // A series with < 2 buckets yields an empty pair set, and the global
+      // agg would then emit one all-NULL row that NPEs callers reading
+      // n_pairs — return an explicit EMPTY result for the degenerate case
+      // instead (documented contract: 0 rows when no slope is estimable).
+      .filter(col("n_pairs").isNotNull)
   }
 
   /** D34 (beyond reference): Theil–Sen robust trend slope. */

@@ -28,7 +28,7 @@ object TextOps {
   /** Distinct 3-word shingle set per doc (the near-dup unit — single words
     * are too common in natural text for set similarity to discriminate).
     */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[operators] def shingleSets(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"),
@@ -2128,7 +2128,9 @@ object TextOps {
     * (order-free), and the final entropy is derived from integers by the
     * same IEEE expression in both engines. 3-dp resolution is ample for a
     * filter threshold and keeps the boundary-crossing risk of the ulp
-    * difference negligible.
+    * difference negligible. Oracle determinism: the emitted n_tokens sum
+    * is CAST to BIGINT (DuckDB HUGEINT promotion diverges under the
+    * driver's canonicalization; see SCALE.md "hashed-output determinism").
     */
   /** Public DataFrame-in API (see graft.api.Graft): per-document unigram
     * Shannon entropy in nats at milli-nat resolution. `docs` needs
@@ -2154,7 +2156,7 @@ object TextOps {
     (s, d) => wordEntropy(Tables.documents(s, d)),
     Some("""WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
            |f AS (SELECT doc_id, word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1, 2),
-           |t AS (SELECT doc_id, sum(c) AS n_tokens,
+           |t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
            |        sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)) AS clnc_milli
            |      FROM f GROUP BY 1)
            |SELECT doc_id, n_tokens,

@@ -134,6 +134,10 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.write(spark, t, Seq((1L, "a2")).toDF("id", "s"))
     intercept[IllegalArgumentException](Snapshots.tag(t, "nope", 9))
     intercept[IllegalArgumentException](Snapshots.tag(t, "bad name!", 1))
+    // dots-only names pass the character class but resolve to the tags
+    // dir / table root — must be a validation error, not an IOException
+    intercept[IllegalArgumentException](Snapshots.tag(t, ".", 1))
+    intercept[IllegalArgumentException](Snapshots.tag(t, "..", 1))
     Snapshots.tag(t, "audited", 1)
     assert(Snapshots.tags(t) == Map("audited" -> 1))
     assert(Snapshots.readTag(spark, t, "audited").count() == 2)

@@ -1408,6 +1408,10 @@ class StatOpsSpec extends SparkSpec {
     val rl = StatOps.theilSen(lin).collect().head
     assert(rl.getAs[Long]("n_pairs") == 25L * 24 / 2)
     assert(math.abs(rl.getAs[Double]("sen_slope") - 3.0) < 1e-9)
+    // degenerate series (< 2 buckets): explicit EMPTY result, not an
+    // all-NULL row that NPEs a getAs[Long]("n_pairs") caller
+    val one = Seq((new java.sql.Timestamp(21600000L), 1.0)).toDF("ts", "value")
+    assert(StatOps.theilSen(one).collect().isEmpty)
   }
 
   test("m26 RiskMetrics vol: one row per bucket after the first, var is the " +
@@ -1568,6 +1572,16 @@ class StatOpsSpec extends SparkSpec {
       }
     }
     assert(got == expect.toMap)
+  }
+
+  test("logreg standardization: a constant feature fails fast at plan build, " +
+    "not as silent Infinity/NaN weights") {
+    import SparkSpec.spark.implicits._
+    val const = (1 to 20).map(i => (i % 2, 5.0, i.toDouble))
+      .toDF("y", "f1", "f2")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Forecast.trainLogReg(const).collect())
+    assert(e.getMessage.contains("standard deviations must be positive"))
   }
 
   test("m25 logreg training: the distributed GD trajectory equals an exact local replay") {

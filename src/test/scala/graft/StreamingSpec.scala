@@ -186,6 +186,83 @@ class StreamingSpec extends SparkSpec {
       s"tombstoned state must stay one batch wide: $boundedSizes")
   }
 
+  test("state bound under replay: re-delivering the SAME input twice leaves " +
+    "state at the domain size (keys / dedup horizon), never at row count") {
+    import graft.streaming.EventIn
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.head.numRowsTotal
+
+    // 1) complete-mode key-domain aggregate (the t5 / t25–t30 shape):
+    //    state = one row per KEY; an at-least-once source replaying the
+    //    whole batch must not add a single state row.
+    val inAgg = MemoryStream[EventIn]
+    val qAgg = inAgg.toDF()
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy("user_id").agg(max("value").as("last_value"))
+      .writeStream.format("memory").queryName("st_replay_complete")
+      .outputMode("complete").start()
+    val batch = (0 until 40).map(i => EventIn((i % 5).toLong, i.toLong, i.toDouble))
+    inAgg.addData(batch); qAgg.processAllAvailable()
+    val aggFirst = stateRows(qAgg)
+    inAgg.addData(batch); qAgg.processAllAvailable() // exact replay
+    val aggSecond = stateRows(qAgg)
+    qAgg.stop()
+    assert(aggFirst == 5L, s"state must equal the key domain: $aggFirst")
+    assert(aggSecond == aggFirst,
+      s"replaying identical rows grew complete-mode state: $aggFirst -> $aggSecond")
+
+    // 2) unwatermarked dedup (the t12 shape): state = DISTINCT key set —
+    //    the replay must neither grow state nor re-emit rows.
+    val inDed = MemoryStream[EventIn]
+    val qDed = inDed.toDF()
+      .select("user_id", "event_id")
+      .dropDuplicates("user_id", "event_id")
+      .writeStream.format("memory").queryName("st_replay_dedup")
+      .outputMode("append").start()
+    inDed.addData(batch); qDed.processAllAvailable()
+    val dedFirst = stateRows(qDed)
+    val outFirst = spark.table("st_replay_dedup").count()
+    inDed.addData(batch); qDed.processAllAvailable()
+    val dedSecond = stateRows(qDed)
+    val outSecond = spark.table("st_replay_dedup").count()
+    qDed.stop()
+    assert(dedFirst == 40L && dedSecond == 40L,
+      s"dedup state must stay at the distinct-key count under replay: $dedFirst -> $dedSecond")
+    assert(outFirst == 40L && outSecond == 40L,
+      s"replay re-emitted deduped rows: $outFirst -> $outSecond")
+
+    // 3) watermarked dedup (the t20 shape): state is EVICTED once the
+    //    watermark passes a key's event time — after a batch far in the
+    //    future, the horizon holds only the new keys, and replaying the
+    //    original (now-late) rows cannot resurrect evicted state.
+    val inWm = MemoryStream[EventIn]
+    val qWm = inWm.toDF()
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream.format("memory").queryName("st_replay_wmdedup")
+      .outputMode("append").start()
+    val early = (0 until 20).map(i => EventIn(i.toLong, i.toLong, 1.0))
+    inWm.addData(early); qWm.processAllAvailable()
+    val wmFirst = stateRows(qWm)
+    // one batch 1h later: watermark advances to 3600s - 10min, far past
+    // every early key's event time -> early state evicted
+    val late = (100 until 105).map(i => EventIn(i.toLong, 3600L + i, 1.0))
+    inWm.addData(late); qWm.processAllAvailable()
+    inWm.addData(early); qWm.processAllAvailable() // late replay of batch 1
+    val wmFinal = stateRows(qWm)
+    qWm.stop()
+    // 19 or 20: the ts=0 key sits exactly on the first batch's watermark
+    // boundary and Spark may evict it within the same trigger — either way
+    // state is the key domain, not the row count
+    assert(wmFirst >= 19L && wmFirst <= 20L,
+      s"watermarked dedup first-batch state: $wmFirst")
+    assert(wmFinal == 5L,
+      s"state must hold only the live horizon's keys after eviction + late replay: $wmFinal")
+  }
+
   test("file-source streaming query t5 equals its batch equivalent") {
     val streamed = graft.operators.StreamingOps.t5.build(spark, sf)
       .orderBy("user_id").collect()

@@ -29,10 +29,26 @@ def canon(v):
     return repr(v)
 
 
-def frame_key(df):
+def frame_key(rel):
+    """Canonical (cols, rows) for a DuckDB relation.
+
+    Values are read per COLUMN from rel.df() so each keeps its own dtype —
+    the old `iterrows()` path homogenized mixed-dtype rows to a common
+    dtype, which masked the exact divergence the driver's canonicalization
+    sees. Round-7 forensics: d5/d6/x41 failed ONLY the driver hash, and
+    they were exactly the 3 of 326 queries whose oracle emitted a HUGEINT
+    column (uncast integer sum) — rel.df() maps HUGEINT to float64, so the
+    driver hashed '60175.0' against Spark's int64 '60175'. DECIMAL(3,2)
+    columns (t26/x65) pass, confirming the float64-coercion model. Rule:
+    oracle SQL must CAST integer sums to BIGINT so no final column is
+    HUGEINT — flagged loudly below even when values happen to compare.
+    """
+    hug = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
+    df = rel.df()
     cols = sorted(df.columns)
-    rows = sorted(tuple(canon(r[c]) for c in cols) for _, r in df.iterrows())
-    return cols, rows
+    rows = sorted(tuple(canon(df[c].iloc[i]) for c in cols)
+                  for i in range(len(df)))
+    return cols, rows, hug
 
 
 def main():
@@ -44,11 +60,13 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            mine = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
-            ref = con.sql(sql).df()
-            mc, mr = frame_key(mine)
-            rc, rr = frame_key(ref)
-            if mc != rc:
+            mc, mr, _ = frame_key(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'"))
+            rc, rr, hug = frame_key(con.sql(sql))
+            if hug:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {hug} — "
+                      f"CAST the sum to BIGINT (driver hash will diverge)")
+                n_fail += 1
+            elif mc != rc:
                 print(f"FAIL {name}: columns {mc} vs {rc}")
                 n_fail += 1
             elif len(mr) != len(rr):
