@@ -20,6 +20,7 @@ object SparkEntry {
       operators.StatOps.all ++
       operators.Forecast.all ++
       operators.TextOps.all ++
+      operators.Pretrain.all ++
       operators.VectorOps.all ++
       operators.MultiModal.all ++
       sim.BusSim.all ++

@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{Forecast, GapFill, GraphOps, Relational, StatOps, TextOps, VectorOps}
+import graft.operators.{Forecast, GapFill, GraphOps, Pretrain, Relational, StatOps, TextOps, VectorOps}
 import org.apache.spark.sql.DataFrame
 
 /** Public library facade: DataFrame-in / DataFrame-out entry points for the
@@ -199,6 +199,19 @@ object Graft {
   def curationReport(docs: DataFrame, threshold: Double = 0.9): DataFrame =
     TextOps.curationReport(docs, threshold)
 
+  /** The capstone composition: the COMPLETE pretraining-corpus curation
+    * ladder in one call — x14 quality rules -> x55 perplexity-quartile
+    * filter -> x60 model-score filter -> x1/x11/x49 dedup ladder
+    * (exact / near-dup components / containment) -> x15/x61
+    * decontamination vs the src0 benchmark -> x28 leakage-safe train
+    * split -> x20 token budget -> x16 packing / x30 sharding / x56
+    * curriculum layout. Returns the conservation-checked per-stage funnel
+    * (stage_idx, stage, n_units, n_docs, n_tokens); stages 10-12 conserve
+    * docs and tokens by contract (they only lay the corpus out).
+    */
+  def pretrainCorpus(docs: DataFrame): DataFrame =
+    Pretrain.pretrainCorpus(docs)
+
   /** DSIR-style importance weights: score each `raw` doc by the mean
     * hashed-unigram probability ratio p_target/p_raw (add-1 smoothed,
     * 64 md5 buckets): (doc_id, dsir_ratio, n_tok). Higher = more
@@ -244,6 +257,16 @@ object Graft {
   def annRecallEval(corpus: DataFrame, queries: DataFrame, k: Int = 3,
       probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
     VectorOps.recallEval(corpus, queries, k, probes, excludeSelf)
+
+  /** Position-aware retrieval metrics of the IVF index vs the exact
+    * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per
+    * query — graded-gain nDCG@k plus MRR, the order-sensitive complement
+    * of [[annRecallEval]]'s set recall. Integer rank arithmetic with
+    * per-position quantized log2 weights (cross-engine exact).
+    */
+  def annRankingEval(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    VectorOps.rankingEval(corpus, queries, k, probes, excludeSelf)
 
   /** Per-vector simplified silhouette of the IVF cell assignment:
     * (vec_id, cluster, a_dist, b_dist, sil) — the cluster-separability

@@ -720,6 +720,112 @@ object VectorOps {
            |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
            |GROUP BY bf.q_id""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): position-aware
+    * retrieval-quality metrics — nDCG@k and MRR of the IVF probe search
+    * against the exact brute-force ranking, completing the eval suite
+    * next to [[recallEval]]'s set-overlap recall (recall is position-
+    * blind; nDCG pays more for putting the truly-nearest neighbors FIRST,
+    * MRR is the "how far down is the first good hit" serving metric).
+    *
+    * Relevance is GRADED from the exact ranking (exact rank 1 gets gain
+    * k, rank k gets 1 — the standard linear-gain form), so a method that
+    * returns the right set in the wrong order scores below one that
+    * orders it correctly. Determinism (the SCALE.md rule): ranks are
+    * integers; each DCG position weight is the INTEGER
+    * floor(1e9 / log2(rank+1) + 0.5) — log2 is libm, so it is quantized
+    * per term before the order-free integer sum (the x41 discipline) —
+    * and dcg_num/idcg_num are emitted next to the one-division doubles.
+    *
+    * Scale: both arms are the library's own searches; the measurement
+    * joins two k-row-per-query rank lists and reduces per query —
+    * constant work per query whatever the corpus size.
+    */
+  def rankingEval(corpus: DataFrame, queries: DataFrame, k: Int,
+      probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val bf = bruteForceTopK(corpus, queries, k, excludeSelf)
+      .withColumn("erank", row_number().over(rw).cast("long"))
+      .select("q_id", "neighbor_id", "erank")
+    val iv = ivfTopK(corpus, queries, k, probes, excludeSelf)
+      .withColumn("arank", row_number().over(rw).cast("long"))
+      .select("q_id", "neighbor_id", "arank")
+    val posWeight = floor(lit(1e9) / log2(col("arank") + 1) + 0.5).cast("long")
+    val per = iv.join(bf, Seq("q_id", "neighbor_id"), "left")
+      .withColumn("gain",
+        when(col("erank").isNotNull, (lit(k.toLong) - col("erank") + 1) * posWeight)
+          .otherwise(lit(0L)))
+      .groupBy("q_id").agg(
+        sum("gain").as("dcg_num"),
+        min(when(col("erank").isNotNull, col("arank"))).as("first_hit_rank"))
+    // the ideal ranking's integer mass — same per-position quantization,
+    // driver-side over the k-row literal domain
+    val idcg = (1 to k).map(i =>
+      (k - i + 1).toLong *
+        math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong).sum
+    bf.select("q_id").distinct()
+      .join(per, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+        coalesce(col("dcg_num"), lit(0L)).as("dcg_num"),
+        lit(idcg).as("idcg_num"),
+        (coalesce(col("dcg_num"), lit(0L)).cast("double") / lit(idcg.toDouble))
+          .as("ndcg"),
+        coalesce(lit(1.0) / col("first_hit_rank").cast("double"), lit(0.0))
+          .as("mrr"))
+  }
+
+  /** V33 (beyond reference): nDCG@3 + MRR of the IVF search vs the exact
+    * baseline — see [[rankingEval]]. The oracle replays both searches,
+    * the graded-gain join, and the quantized position weights.
+    */
+  val v33: GraftQuery = GraftQuery(
+    "v33_ndcg_mrr_eval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      rankingEval(emb, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |bf AS (SELECT q_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS erank FROM (
+           |  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+           |         list_cosine_similarity(q.e, v.e) AS cos
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |  QUALIFY erank <= 3),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |ivf AS (SELECT q_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS arank FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |  QUALIFY arank <= 3),
+           |j AS (SELECT ivf.q_id, ivf.arank, bf.erank
+           |      FROM ivf LEFT JOIN bf USING (q_id, neighbor_id)),
+           |per AS (SELECT q_id,
+           |  CAST(sum(CASE WHEN erank IS NOT NULL
+           |    THEN (3 - erank + 1) * CAST(floor(1e9 / log2(arank + 1) + 0.5) AS BIGINT)
+           |    ELSE 0 END) AS BIGINT) AS dcg_num,
+           |  min(CASE WHEN erank IS NOT NULL THEN arank END) AS first_hit_rank
+           |  FROM j GROUP BY q_id),
+           |iw AS (SELECT CAST(sum((3 - i + 1) * CAST(floor(1e9 / log2(i + 1) + 0.5) AS BIGINT)) AS BIGINT) AS idcg
+           |       FROM range(1, 4) t(i)),
+           |qs AS (SELECT DISTINCT q_id FROM bf)
+           |SELECT qs.q_id,
+           |  CAST(coalesce(first_hit_rank, 0) AS BIGINT) AS first_hit_rank,
+           |  CAST(coalesce(dcg_num, 0) AS BIGINT) AS dcg_num,
+           |  iw.idcg AS idcg_num,
+           |  CAST(coalesce(dcg_num, 0) AS DOUBLE) / CAST(iw.idcg AS DOUBLE) AS ndcg,
+           |  coalesce(1.0 / CAST(first_hit_rank AS DOUBLE), 0.0) AS mrr
+           |FROM qs LEFT JOIN per USING (q_id) CROSS JOIN iw""".stripMargin))
+
   /** Public DataFrame-in API (see graft.api.Graft): per-vector simplified
     * silhouette over the IVF assignment — the clustering-quality half of
     * the index-eval loop (v10 measures RECALL of the probe search; this
@@ -2225,5 +2331,5 @@ object VectorOps {
 
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33)
 }

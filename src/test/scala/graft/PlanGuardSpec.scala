@@ -141,7 +141,10 @@ class PlanGuardSpec extends SparkSpec {
     // JL recall: ground-truth arm is v1-shape; the projected arm
     // broadcasts the PROJECTED query side (32 longs per query vector)
     // under the same non-equi join — same contract as v1/v21
-    "v32_jl_projection_recall")
+    "v32_jl_projection_recall",
+    // nDCG/MRR eval: both arms are v1/v2-shape searches over the same
+    // broadcast 10-vector query side — same contract as v10
+    "v33_ndcg_mrr_eval")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {

@@ -58,6 +58,48 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.map(_.getDouble(3)).sum / r.length >= 0.9)
   }
 
+  test("v33 rankingEval: nDCG/MRR equal an exact local replay of the planted " +
+    "rankings, and a perfectly-ordered query scores exactly 1.0 on both") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, rows) =>
+          q -> rows.sortBy(t => (-t._3, t._2)).map(_._2).toSeq
+        }
+    val exact = ranked(VectorOps.bruteForceTopK(emb, qs, 3))
+    val approx = ranked(VectorOps.ivfTopK(emb, qs, 3))
+    def w(rank: Int): Long =
+      math.floor(1e9 / (math.log(rank + 1.0) / math.log(2.0)) + 0.5).toLong
+    val idcg = (1 to 3).map(i => (3 - i + 1).toLong * w(i)).sum
+    val got = VectorOps.rankingEval(emb, qs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.size == 10, "one row per query")
+    exact.foreach { case (q, ex) =>
+      val ap = approx.getOrElse(q, Seq.empty)
+      val erankOf = ex.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+      val dcg = ap.zipWithIndex.collect {
+        case (n, i) if erankOf.contains(n) => (3L - erankOf(n) + 1) * w(i + 1)
+      }.sum
+      val firstHit = ap.zipWithIndex.collectFirst {
+        case (n, i) if erankOf.contains(n) => (i + 1).toLong
+      }.getOrElse(0L)
+      val (gFh, gDcg, gIdcg, gNdcg, gMrr) = got(q)
+      assert(gFh == firstHit && gDcg == dcg && gIdcg == idcg,
+        s"query $q integer metrics: got ($gFh,$gDcg,$gIdcg) want ($firstHit,$dcg,$idcg)")
+      assert(gNdcg == dcg.toDouble / idcg && (firstHit == 0L && gMrr == 0.0 ||
+        gMrr == 1.0 / firstHit), s"query $q ratio metrics")
+      // position-awareness: identical ordering => both metrics exactly 1.0
+      if (ap == ex) assert(gNdcg == 1.0 && gMrr == 1.0, s"perfect query $q must score 1.0")
+    }
+    // the tight-cluster fixture keeps the index near-exact on average
+    assert(got.values.map(_._4).sum / got.size >= 0.9, "avg nDCG degraded")
+    assert(exact.exists { case (q, ex) => approx.get(q).contains(ex) },
+      "fixture regression: no query has a perfectly-ordered IVF result")
+  }
+
   test("v4 k-means IVF recall@3 vs v1 brute force is >= 0.9 on clustered data") {
     val dir = clusteredDir()
     val truth = VectorOps.v1.build(spark, dir).collect()
