@@ -132,6 +132,13 @@ object Graft {
   def tokenBudgetSelect(docs: DataFrame, numer: Int = 1, denom: Int = 2): DataFrame =
     TextOps.tokenBudgetSelect(docs, numer, denom)
 
+  /** Apply the mixture plan: deterministic salted-md5 Bernoulli sampling
+    * at the per-tier rates the plan computed — per-tier report
+    * (tier, n_docs, n_kept, tokens_in, tokens_kept, rate_ppm). Same
+    * corpus + salt always reproduces the same sampled corpus.
+    */
+  def mixtureApply(docs: DataFrame): DataFrame = TextOps.mixtureApply(docs)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 

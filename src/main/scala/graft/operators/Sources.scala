@@ -1018,7 +1018,71 @@ object Sources {
            |  END AS total_latest
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** S37 (beyond reference): ORC sink + source roundtrip — Spark's
+    * second first-class columnar format, jar-free in any distribution
+    * (spark.read/write.orc). A lakehouse engine must interoperate with
+    * Hive-era ORC lakes, and the roundtrip must preserve every type
+    * exactly: the query writes a lineitem projection to ORC, reads it
+    * back, and aggregates — the oracle computes the identical aggregate
+    * from the original parquet, so any type/value drift through the ORC
+    * writer/reader fails the value hash. The money sum uses the decSum
+    * DECIMAL discipline (double sums are shuffle-order-dependent; ORC
+    * roundtrips the doubles bitwise, the DECIMAL accumulation makes the
+    * AGGREGATE exact). Scale: columnar + predicate pushdown like
+    * parquet — SourcesFormatSpec pins that a filter reaches the ORC scan
+    * as PushedFilters.
+    */
+  val s37: GraftQuery = GraftQuery(
+    "s37_orc_roundtrip",
+    (s, d) => {
+      val path = scratch(s, "s37_lineitem_orc")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_linestatus")
+        .write.mode(SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          decSum(col("l_extendedprice")).as("revenue"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           |FROM lineitem WHERE l_quantity > 10
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** S38 (beyond reference): JSON-lines SINK + re-load roundtrip — the
+    * export format half of s2's NDJSON load (feeds downstream tools that
+    * speak only JSONL, e.g. annotation and eval harnesses). Doubles
+    * survive exactly because Spark writes shortest-repr decimal strings
+    * and the reader parses them back to the identical IEEE value
+    * (round-trip property); the read declares the schema explicitly —
+    * NEVER inference at scale (one pass saved, and no sampled-type
+    * drift). The oracle replays the aggregate from parquet, so a
+    * serialization drift in either direction fails the hash.
+    */
+  val s38: GraftQuery = GraftQuery(
+    "s38_json_sink_roundtrip",
+    (s, d) => {
+      val path = scratch(s, "s38_orders_json")
+      val proj = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      proj.write.mode(SaveMode.Overwrite).json(path)
+      s.read.schema(proj.schema).json(path)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          decSum(col("o_totalprice")).as("total"),
+          max("o_orderkey").as("max_key"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |  max(o_orderkey) AS max_key
+           |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(s1, s2, s3, s4, s5, s8, s14, s15, s16, s17, s18, s19, s20, s21, s22,
-      s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s36)
+      s23, s24, s25, s26, s27, s28, s29, s30, s31, s32, s33, s36, s37, s38)
 }

@@ -1345,6 +1345,76 @@ object TextOps {
            |  target_frac * t_star AS sampled_tokens
            |FROM bt CROSS JOIN a""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): APPLY the [[x19]]
+    * mixture plan — x19 computes the per-tier sampling rates that hit the
+    * 0.4/0.3/0.2/0.1 token mix without oversampling any tier; this op
+    * executes them as a deterministic salted-md5 Bernoulli draw per doc
+    * (the x30 reproducible-shuffle family: same corpus + salt => the
+    * same sampled corpus, so a training run is replayable) and reports
+    * per tier (n_docs, n_kept, tokens_in, tokens_kept, rate_ppm). The
+    * binding tier (smallest tokens/target) has rate_ppm = 1e6 and keeps
+    * everything, by construction.
+    *
+    * Determinism: the rate is quantized to integer PPM before the
+    * compare (floor(rate·1e6 + 0.5) — rate is the same integer-derived
+    * IEEE expression in both engines), and the draw is an exact md5
+    * residue, so the kept SET is bit-identical cross-engine. Scale: one
+    * scan + a 4-row broadcast rate table + one hash aggregate — the
+    * sampling itself is a pure map.
+    */
+  def mixtureApply(docs: DataFrame): DataFrame = {
+    val tierCol = expr("CAST(substr(source, 4) AS INT) div 5").as("tier")
+    val t = docs.select(col("doc_id"), tierCol,
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val frac = TierFrac.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (f, i)) =>
+        when(col("tier") === i, lit(f)).otherwise(acc) }
+    val byTier = t.groupBy("tier")
+      .agg(sum("n_tok").as("n_tokens")).withColumn("target_frac", frac)
+    val achievable = byTier
+      .agg(min(col("n_tokens").cast("double") / col("target_frac")).as("t_star"))
+    val rates = byTier.crossJoin(broadcast(achievable))
+      .select(col("tier"),
+        floor(col("target_frac") * col("t_star") / col("n_tokens") * 1e6 + 0.5)
+          .cast("long").as("rate_ppm"))
+    val draw = expr(
+      "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':mix')), 1, 15), 16, 10) AS BIGINT) % 1000000")
+    t.join(broadcast(rates), "tier")
+      .withColumn("keep", draw < col("rate_ppm"))
+      .groupBy("tier").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tok").as("tokens_in"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_kept"),
+        max("rate_ppm").as("rate_ppm"))
+  }
+
+  /** X67 (beyond reference): mixture-plan application — see
+    * [[mixtureApply]]. The oracle replays the rate table and the md5
+    * Bernoulli draw exactly.
+    */
+  val x67: GraftQuery = GraftQuery(
+    "x67_mixture_apply",
+    (s, d) => mixtureApply(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT doc_id, CAST(substr(source, 4) AS INT) // 5 AS tier,
+           |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+           |bt AS (SELECT tier, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(CASE tier WHEN 0 THEN 0.4 WHEN 1 THEN 0.3 WHEN 2 THEN 0.2 ELSE 0.1 END AS DOUBLE) AS target_frac
+           |  FROM t GROUP BY tier),
+           |a AS (SELECT min(n_tokens::DOUBLE / target_frac) AS t_star FROM bt),
+           |r AS (SELECT tier,
+           |  CAST(floor(target_frac * t_star / n_tokens * 1e6 + 0.5) AS BIGINT) AS rate_ppm
+           |  FROM bt CROSS JOIN a),
+           |k AS (SELECT t.tier, t.n_tok, r.rate_ppm,
+           |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT) % 1000000 < r.rate_ppm AS keep
+           |  FROM t JOIN r USING (tier))
+           |SELECT tier, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(n_tok) AS BIGINT) AS tokens_in,
+           |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+           |  max(rate_ppm) AS rate_ppm
+           |FROM k GROUP BY tier""".stripMargin))
+
   /** Quality-ordered selection buckets for [[x20]] — a pure function of the
     * quality score, so bucket order IS selection order and ties stay inside
     * one bucket.
@@ -3623,5 +3693,5 @@ object TextOps {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65)
+      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67)
 }

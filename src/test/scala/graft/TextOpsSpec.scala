@@ -188,6 +188,51 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains("src0"), "the benchmark itself is never audited")
   }
 
+  test("x67 mixture apply: kept sets equal an exact local md5 replay and the " +
+    "binding tier keeps everything at rate 1e6 ppm") {
+    // 2 tiers (src0..4 -> tier 0 @ 0.4, src5..9 -> tier 1 @ 0.3): tier 1
+    // has far fewer tokens per target, so it binds (rate 1.0) and tier 0
+    // downsamples
+    val docs = (0 until 80).map { i =>
+      val src = if (i < 40) s"src${i % 5}" else s"src${5 + i % 5}"
+      val nTok = if (i < 40) 40 else 10 // tier0: 1600 tokens, tier1: 400
+      (i.toLong, (0 until nTok).map(j => s"t${i}x$j").mkString(" "), "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val got = TextOps.mixtureApply(docs).collect()
+      .map(r => r.getAs[Int]("tier") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_in"),
+        r.getAs[Long]("tokens_kept"), r.getAs[Long]("rate_ppm"))).toMap
+    // local replay: t_star = min(tokens/frac) = min(1600/0.4, 400/0.3) =
+    // 400/0.3; tier rates then follow, and each doc's draw is the md5
+    // residue the query computes
+    val tokens = Map(0 -> 1600.0, 1 -> 400.0)
+    val frac = Map(0 -> 0.4, 1 -> 0.3)
+    val tStar = (tokens(0) / frac(0)) min (tokens(1) / frac(1))
+    def ratePpm(t: Int): Long =
+      math.floor(frac(t) * tStar / tokens(t) * 1e6 + 0.5).toLong
+    def draw(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:mix".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    (0 to 1).foreach { t =>
+      val ids = (0 until 80).filter(i => (if (i < 40) 0 else 1) == t).map(_.toLong)
+      val keptIds = ids.filter(id => draw(id) < ratePpm(t))
+      val perDoc = if (t == 0) 40L else 10L
+      val (nDocs, nKept, tokIn, tokKept, rp) = got(t)
+      assert(rp == ratePpm(t), s"tier $t rate: $rp vs ${ratePpm(t)}")
+      assert(nDocs == ids.size.toLong && tokIn == ids.size * perDoc)
+      assert(nKept == keptIds.size.toLong, s"tier $t kept ${nKept} vs local ${keptIds.size}")
+      assert(tokKept == keptIds.size * perDoc)
+    }
+    assert(got(1)._5 == 1000000L && got(1)._2 == got(1)._1,
+      "binding tier must keep everything")
+    // determinism: a second run reproduces the identical report
+    assert(TextOps.mixtureApply(docs).collect().map(_.toSeq).toSet ==
+      TextOps.mixtureApply(docs).collect().map(_.toSeq).toSet)
+  }
+
   test("x16 packing is gapless per source and pack spans match the budget") {
     val rows = TextOps.x16.build(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3),
