@@ -475,6 +475,16 @@ object Graft {
     */
   def exactMode(events: DataFrame): DataFrame = Relational.exactMode(events)
 
+  /** Exact lower WEIGHTED median of `valueCol` (centi-quantized) weighted
+    * by integer `weightCol`: one row (total_weight, wmedian_cents) — the
+    * volume-weighted order statistic ([[exactMedian]] is one-row-one-vote).
+    * Hash aggregate onto the quantized-value domain + one bounded window;
+    * no global sort.
+    */
+  def exactWeightedMedian(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame =
+    Relational.exactWeightedMedian(df, valueCol, weightCol)
+
   /** Edit-distance-1 record linkage over (`idCol`, `strCol`) via the
     * SymSpell deletion neighborhood: (a_id, b_id, dist) pairs, no
     * all-pairs step.

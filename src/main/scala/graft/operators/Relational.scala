@@ -977,6 +977,50 @@ object Relational {
       .select(col("event_type"), col("n"), col("m.cnt").as("mode_count"),
         (-col("m.nv")).as("mode_value"))
 
+  /** A26 (beyond reference): EXACT weighted median — the weighted order
+    * statistic none of a6/a15/a24 provide: "the price point below which
+    * half the QUANTITY ships" (SLA/budget accounting weighs each value
+    * by its volume, never one-row-one-vote). Values are quantized to
+    * cents (floor(x·100 + 0.5) — identical IEEE expression in both
+    * engines), weights are exact integers, and the lower weighted median
+    * is the smallest cent value whose cumulative weight reaches half the
+    * total: 2·cumw ≥ tw in pure BIGINT arithmetic.
+    *
+    * Scale (the d29/a8 discipline): one hash aggregate onto the
+    * QUANTIZED-VALUE domain (bounded by price resolution, not row
+    * count — map-side combinable), then the ordered window runs over
+    * that bounded domain. No global row sort at any size. Output is one
+    * all-integer row (total_weight, wmedian_cents).
+    */
+  /** Public DataFrame-in API (see graft.api.Graft): exact lower weighted
+    * median of `valueCol` (centi-quantized) weighted by integer
+    * `weightCol` — one row (total_weight, wmedian_cents).
+    */
+  def exactWeightedMedian(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame = {
+    val byQ = df
+      .select(floor(col(valueCol).cast("double") * 100 + 0.5).cast("long").as("qv"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("qv").agg(sum("w").as("wq"))
+    val cum = byQ.select(col("qv"),
+      sum("wq").over(Window.orderBy("qv")).as("cumw"),
+      sum("wq").over(Window.partitionBy()).as("tw"))
+    cum.filter(col("cumw") * 2 >= col("tw"))
+      .agg(max("tw").as("total_weight"), min("qv").as("wmedian_cents"))
+  }
+
+  val a26 = q(
+    "a26_exact_weighted_median",
+    """WITH v AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS qv,
+      |  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      |g AS (SELECT qv, CAST(sum(w) AS BIGINT) AS wq FROM v GROUP BY qv),
+      |c AS (SELECT qv, CAST(sum(wq) OVER (ORDER BY qv) AS BIGINT) AS cumw,
+      |        CAST(sum(wq) OVER () AS BIGINT) AS tw FROM g)
+      |SELECT max(tw) AS total_weight, min(qv) AS wmedian_cents
+      |FROM c WHERE cumw * 2 >= tw""".stripMargin) { (s, d) =>
+    exactWeightedMedian(Tables.lineitem(s, d), "l_extendedprice", "l_quantity")
+  }
+
   val a25 = q(
     "a25_exact_mode",
     """WITH c AS (SELECT event_type, value, count(*) AS cnt FROM events
@@ -2482,7 +2526,7 @@ object Relational {
     d1,
     p1, p2, p3, p4, p5, p6, p7, p8,
     j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j11, j12, j13, j14,
-    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a24, a25, set1,
+    a1, a2, a3, a4, a5, a6, a7, a7b, a8, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20, a21, a24, a25, a26, set1,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28, o1, o2, o3,
     f2, f3, f6n, f10, f12, f14, f15, f16, f20, f21, u3, u3b)
 }

@@ -1513,6 +1513,34 @@ class StatOpsSpec extends SparkSpec {
       got("C").getAs[Double]("mode_value") == 7.0)
   }
 
+  test("a26 weighted median: weights shift the statistic away from the " +
+    "unweighted median, boundary halves resolve to the LOWER median, and " +
+    "the registry query matches a local lineitem replay") {
+    import SparkSpec.spark.implicits._
+    def wm(rows: Seq[(Double, Long)]): (Long, Long) = {
+      val r = graft.operators.Relational
+        .exactWeightedMedian(rows.toDF("v", "w"), "v", "w").collect().head
+      (r.getAs[Long]("total_weight"), r.getAs[Long]("wmedian_cents"))
+    }
+    // heavy weight on 3.00 drags the median there (unweighted would be 2.00)
+    assert(wm(Seq((1.0, 1L), (2.0, 1L), (3.0, 10L))) == (12L, 300L))
+    // exact half boundary: 2*cumw(1.00) == tw -> lower median
+    assert(wm(Seq((1.0, 1L), (2.0, 1L))) == (2L, 100L))
+    // all weight on one value
+    assert(wm(Seq((5.0, 7L))) == (7L, 500L))
+    // registry query vs an exact local replay on lineitem
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_quantity").collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong, r.getDouble(1).toLong))
+    val tw = li.map(_._2).sum
+    val expect = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1).scanLeft((0L, 0L)) { case ((_, c), (qv, w)) => (qv, c + w) }
+      .drop(1).find { case (_, c) => c * 2 >= tw }.get._1
+    val got = graft.operators.Relational.a26.build(spark, sf).collect().head
+    assert(got.getAs[Long]("total_weight") == tw)
+    assert(got.getAs[Long]("wmedian_cents") == expect)
+  }
+
   test("d36 Spearman: rho in [-1,1]; a monotone pair gives rho = 1 and an " +
     "antitone pair gives rho = -1") {
     val r = StatOps.d36.build(spark, sf).collect().head
