@@ -64,7 +64,7 @@ object Bench {
   /** Stable representative subset across rounds — one or two per operator
     * family, biased toward the heavy queries worth tracking round-over-round.
     */
-  private val headline: Set[String] = Set(
+  val headline: Set[String] = Set(
     "j1_composite_2key_join", "j9_lateral_explode60", "a3_sum_by_parsed_ts",
     "a6_percentile_quantiles", "a8_bucket5_agg", "w1_rownumber_dedup",
     "w2_sessionize", "o1_global_orderby", "m2_gap_fill_linear",
@@ -231,6 +231,13 @@ object Bench {
         case None    => failed = true
       }
       attempt(); if (!failed) attempt()
+      // Best-of-3 for SHORT headline queries: at best-of-2 a sub-1.5 s
+      // measurement sits entirely inside one scheduler hiccup (r7/r8
+      // adjudicated 4x swings on unchanged w1/w2 plans). One extra sample
+      // is cheap exactly when the query is cheap and collapses that
+      // round-over-round variance; long queries keep best-of-2 (a throttle
+      // that long shows in the calib stamps instead).
+      if (!failed && headline(q.name) && times.min < 1.5) attempt()
       def disagree = times.size >= 2 && times.max / times.min > 3.0
       def overPrior = priors.get(q.name).exists(p => times.min > 4.0 * p)
       while (!failed && times.size < 4 && (disagree || overPrior)) attempt()

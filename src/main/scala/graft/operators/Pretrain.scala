@@ -52,6 +52,20 @@ import org.apache.spark.sql.functions._
   * by score resolution, never corpus size. Each survivor set is cached
   * once and feeds exactly two consumers (its funnel row and the next
   * stage) — the x37 discipline.
+  *
+  * Resource contract: the funnel is MATERIALIZED inside the call (the
+  * returned 13-row frame is a localCheckpoint), the input cache is
+  * unpersisted before returning, and the intermediate stage checkpoints
+  * become unreferenced at return so the ContextCleaner reclaims their
+  * blocks — repeated facade calls do not accumulate session-lifetime
+  * cached state.
+  *
+  * Fail-fast contract: stage 3 standardizes logistic features eagerly
+  * (see logRegStandardize), so the call THROWS at plan-build — not
+  * silently degrades — if the stage-2 survivor set is empty or a logreg
+  * feature is constant across it (e.g. every surviving doc has the same
+  * token count). Callers curating exotic corpora should catch
+  * IllegalArgumentException and fall back to the heuristic-only ladder.
   */
 object Pretrain {
 
@@ -175,7 +189,7 @@ object Pretrain {
           % 8).as("shard"))
     val curUnits = banded.agg(countDistinct(col("band") * 8 + col("shard")).as("u"))
 
-    stageRow(docs, 0, "input")
+    val funnel = stageRow(docs, 0, "input")
       .unionByName(stageRow(d1, 1, "quality_rules"))
       .unionByName(stageRow(d2, 2, "perplexity_filter"))
       .unionByName(stageRow(d3, 3, "model_filter"))
@@ -188,6 +202,12 @@ object Pretrain {
       .unionByName(stageRow(d9, 10, "packed", Some(packUnits)))
       .unionByName(stageRow(d9, 11, "sharded", Some(shardUnits)))
       .unionByName(stageRow(d9, 12, "curriculum", Some(curUnits)))
+      // materialize the 13-row funnel NOW so every upstream cache /
+      // checkpoint can be released before returning (resource contract
+      // in the scaladoc) — the caller gets a self-contained frame
+      .localCheckpoint()
+    docs.unpersist()
+    funnel
   }
 
   /** X66: the capstone — see [[pretrainCorpus]]. The oracle replays all

@@ -1007,6 +1007,10 @@ object Relational {
       sum("wq").over(Window.partitionBy()).as("tw"))
     cum.filter(col("cumw") * 2 >= col("tw"))
       .agg(max("tw").as("total_weight"), min("qv").as("wmedian_cents"))
+      // empty / all-NULL-weight input: the global agg yields one all-NULL
+      // row — drop it so the degenerate case returns 0 rows (the theilSen
+      // contract) instead of NPE-ing a typed getAs downstream
+      .filter(col("total_weight").isNotNull)
   }
 
   val a26 = q(

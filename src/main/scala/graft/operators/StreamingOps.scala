@@ -937,7 +937,144 @@ object StreamingOps {
     graft.operators.StatOps.d35.oracle,
     bench = false)
 
+  /** T7+T8 capstone (reference pyspark-job.py:157-168, 210-218, 80-81):
+    * ONE source stream fans out to TWO genuinely concurrent
+    * StreamingQuery instances — the stateless alert branch (t3 shape,
+    * parquet append sink) and the stateful per-type rollup branch
+    * (t5/t6 shape, complete mode, foreachBatch epoch overwrite) — and
+    * the driver waits with the reference's `awaitAnyTermination` +
+    * `resetTerminated` loop until BOTH terminate, exactly how the
+    * reference job supervises its query pair. The T8 graceful-shutdown
+    * confs are REQUIRED (fail-fast assert), not just applied, so the
+    * oracle row only exists if the session carries them.
+    *
+    * Result frame: union-by-branch, one schema (branch, k, n, cents),
+    * all integers/strings per the SCALE.md determinism rule — alert rows
+    * carry (event_id, user_id, centi-value), state rows carry
+    * (event_type, count, centi-sum via exact DECIMAL accumulation).
+    *
+    * Scale: the alert branch is a pure append map (no state); the rollup
+    * state is bounded by |event_type| (the t5 replay-twice gate's
+    * contract); two queries share one source listing, each with its own
+    * checkpoint — the reference topology for a 1000-executor ingest.
+    */
+  val t31: GraftQuery = GraftQuery(
+    "t31_streaming_capstone",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val alertPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t31_alerts_$id"
+      val statePath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t31_state_$id"
+      val src = eventsStream(s, d)
+      // T8: the graceful-shutdown/schema confs must be live on this session
+      require(s.conf.get("spark.streaming.stopGracefullyOnShutdown") == "true" &&
+        s.conf.get("spark.sql.streaming.schemaInference") == "true",
+        "T8 streaming confs missing — KafkaIO.applyStreamingConfs not applied")
+      s.streams.resetTerminated()
+      val qAlert = src
+        .filter(col("event_type") === "error" && col("value") > 150)
+        .select(lit("alert").as("branch"),
+          col("event_id").cast("string").as("k"),
+          col("user_id").cast("long").as("n"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .writeStream.format("parquet").option("path", alertPath)
+        .option("checkpointLocation", checkpoint())
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      val qState = src
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(lit("state").as("branch"), col("event_type").as("k"),
+              col("n"), col("cents"))
+            .write.mode("overwrite").parquet(statePath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      // T7: supervise the PAIR the way the reference does — block on ANY
+      // termination, clear it, repeat until no query of ours is active
+      while (qAlert.isActive || qState.isActive) {
+        s.streams.awaitAnyTermination()
+        s.streams.resetTerminated()
+      }
+      s.read.parquet(alertPath).unionByName(s.read.parquet(statePath))
+    },
+    Some("""SELECT 'alert' AS branch, CAST(event_id AS VARCHAR) AS k,
+           |  CAST(user_id AS BIGINT) AS n,
+           |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |FROM events WHERE event_type = 'error' AND value > 150
+           |UNION ALL
+           |SELECT 'state', event_type, count(*),
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+           |FROM events GROUP BY event_type""".stripMargin),
+    bench = false)
+
+  /** The t32 per-micro-batch core, extracted so StreamingSpec can drive
+    * the replay-twice state gate on it directly: dedupe the batch
+    * in-batch (md5 keep-min — the x1 rule), anti-join against the
+    * durable seen-hash table, append survivors to the corpus and their
+    * hashes to the seen table. `fresh` is pinned with localCheckpoint
+    * BEFORE the seen append so the lazy anti-join can never read its own
+    * write.
+    */
+  def incrementalDedupBatch(batch: DataFrame, seenPath: String,
+      corpusPath: String): Unit = {
+    val cand = batch.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    val seen = batch.sparkSession.read.parquet(seenPath)
+    val fresh = cand.join(seen, Seq("h"), "left_anti").localCheckpoint()
+    fresh.select("doc_id", "h").write.mode("append").parquet(corpusPath)
+    fresh.select("h").write.mode("append").parquet(seenPath)
+  }
+
+  /** T-series mirror of the x21 incremental-dedup pipeline (beyond
+    * reference): CONTINUOUS corpus refresh — the LLM-ingest op a real
+    * crawl needs. A static seen-hash table holds the already-ingested
+    * corpus (simulated as every third doc_id, so the anti-join genuinely
+    * fires on this data); the doc stream is "tonight's crawl"; each
+    * micro-batch dedupes in-batch then against seen, appends the new
+    * docs, and grows the seen set by exactly the distinct-new hashes —
+    * so replaying the whole stream a second time ingests ZERO docs
+    * (StreamingSpec's replay-twice gate pins this).
+    *
+    * Scale: seen-set membership is a hash anti-join on a durable table —
+    * state lives in storage partitioned by hash, NOT in executor memory;
+    * per batch the work is |batch| hashing + one shuffle on h. At 100 TB
+    * the seen table is itself huge but the join is key-partitioned and
+    * the batch side is always micro-batch-sized.
+    */
+  val t32: GraftQuery = GraftQuery(
+    "t32_stream_incremental_dedup",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val seenPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t32_seen_$id"
+      val corpusPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t32_new_$id"
+      s.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").parquet(seenPath)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          incrementalDedupBatch(batch, seenPath, corpusPath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(corpusPath)
+    },
+    Some("""WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+           |cand AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+           |SELECT cand.h, cand.doc_id FROM cand
+           |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = cand.h)""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32)
 }

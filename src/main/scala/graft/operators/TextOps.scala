@@ -1305,6 +1305,17 @@ object TextOps {
     */
   private val TierFrac = Seq(0.4, 0.3, 0.2, 0.1)
 
+  /** Per-tier target fraction as a CASE column. Tiers outside
+    * [0, TierFrac.length) fall back to TierFrac.last — the same contract
+    * as the oracle's `ELSE 0.1`, so a corpus with sources beyond
+    * src0..src19 samples at the lowest-priority rate instead of silently
+    * dropping the tier (a NULL target_frac would make `keep = draw < NULL`
+    * discard every doc in it).
+    */
+  private def tierFracCol: Column = TierFrac.zipWithIndex.init
+    .foldLeft(lit(TierFrac.last)) { case (acc, (f, i)) =>
+      when(col("tier") === i, lit(f)).otherwise(acc) }
+
   /** X19 (beyond reference): dataset-mixture planning — given target mix
     * fractions per source tier, derive the deterministic per-tier sampling
     * rate that realizes the mixture while keeping as much data as possible:
@@ -1319,9 +1330,7 @@ object TextOps {
     "x19_mixture_plan",
     (s, d) => {
       val tierCol = expr("CAST(substr(source, 4) AS INT) div 5").as("tier")
-      val frac = TierFrac.zipWithIndex
-        .foldLeft(lit(null).cast("double")) { case (acc, (f, i)) =>
-          when(col("tier") === i, lit(f)).otherwise(acc) }
+      val frac = tierFracCol
       val byTier = Tables.documents(s, d)
         .select(tierCol, size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy("tier")
@@ -1366,9 +1375,7 @@ object TextOps {
     val tierCol = expr("CAST(substr(source, 4) AS INT) div 5").as("tier")
     val t = docs.select(col("doc_id"), tierCol,
       size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val frac = TierFrac.zipWithIndex
-      .foldLeft(lit(null).cast("double")) { case (acc, (f, i)) =>
-        when(col("tier") === i, lit(f)).otherwise(acc) }
+    val frac = tierFracCol
     val byTier = t.groupBy("tier")
       .agg(sum("n_tok").as("n_tokens")).withColumn("target_frac", frac)
     val achievable = byTier

@@ -726,15 +726,18 @@ object VectorOps {
     * next to [[recallEval]]'s set-overlap recall (recall is position-
     * blind; nDCG pays more for putting the truly-nearest neighbors FIRST,
     * MRR is the "how far down is the first good hit" serving metric).
+    * The per-position DCG weights floor(1e9/log2(r+1)+0.5) are computed
+    * ONCE driver-side as k integer literals and applied by rank (the
+    * oracle mirrors the same literal table), so no libm call ever runs
+    * distributed — the x41 determinism discipline for any k.
     *
     * Relevance is GRADED from the exact ranking (exact rank 1 gets gain
     * k, rank k gets 1 — the standard linear-gain form), so a method that
     * returns the right set in the wrong order scores below one that
     * orders it correctly. Determinism (the SCALE.md rule): ranks are
-    * integers; each DCG position weight is the INTEGER
-    * floor(1e9 / log2(rank+1) + 0.5) — log2 is libm, so it is quantized
-    * per term before the order-free integer sum (the x41 discipline) —
-    * and dcg_num/idcg_num are emitted next to the one-division doubles.
+    * integers; each DCG position weight is a driver-side INTEGER literal
+    * (see above), summed order-free (the x41 discipline), and
+    * dcg_num/idcg_num are emitted next to the one-division doubles.
     *
     * Scale: both arms are the library's own searches; the measurement
     * joins two k-row-per-query rank lists and reduces per query —
@@ -749,7 +752,15 @@ object VectorOps {
     val iv = ivfTopK(corpus, queries, k, probes, excludeSelf)
       .withColumn("arank", row_number().over(rw).cast("long"))
       .select("q_id", "neighbor_id", "arank")
-    val posWeight = floor(lit(1e9) / log2(col("arank") + 1) + 0.5).cast("long")
+    // per-position integer weights computed ONCE driver-side (k literals)
+    // and applied as a CASE chain — no distributed libm log2 call, so a
+    // 1-ulp libm disagreement between engines can never flip the
+    // quantized integer for ANY k through the public API (the oracle
+    // mirrors the same literal table)
+    val weightOf: Map[Int, Long] = (1 to k).map(r =>
+      r -> math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong).toMap
+    val posWeight = (1 to k).foldLeft(lit(0L)) { (acc, r) =>
+      when(col("arank") === r, lit(weightOf(r))).otherwise(acc) }
     val per = iv.join(bf, Seq("q_id", "neighbor_id"), "left")
       .withColumn("gain",
         when(col("erank").isNotNull, (lit(k.toLong) - col("erank") + 1) * posWeight)
@@ -759,9 +770,7 @@ object VectorOps {
         min(when(col("erank").isNotNull, col("arank"))).as("first_hit_rank"))
     // the ideal ranking's integer mass — same per-position quantization,
     // driver-side over the k-row literal domain
-    val idcg = (1 to k).map(i =>
-      (k - i + 1).toLong *
-        math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong).sum
+    val idcg = (1 to k).map(i => (k - i + 1).toLong * weightOf(i)).sum
     bf.select("q_id").distinct()
       .join(per, Seq("q_id"), "left")
       .select(col("q_id"),
@@ -811,12 +820,12 @@ object VectorOps {
            |      FROM ivf LEFT JOIN bf USING (q_id, neighbor_id)),
            |per AS (SELECT q_id,
            |  CAST(sum(CASE WHEN erank IS NOT NULL
-           |    THEN (3 - erank + 1) * CAST(floor(1e9 / log2(arank + 1) + 0.5) AS BIGINT)
+           |    THEN (3 - erank + 1) * CAST(CASE arank WHEN 1 THEN 1000000000
+           |      WHEN 2 THEN 630929754 WHEN 3 THEN 500000000 ELSE 0 END AS BIGINT)
            |    ELSE 0 END) AS BIGINT) AS dcg_num,
            |  min(CASE WHEN erank IS NOT NULL THEN arank END) AS first_hit_rank
            |  FROM j GROUP BY q_id),
-           |iw AS (SELECT CAST(sum((3 - i + 1) * CAST(floor(1e9 / log2(i + 1) + 0.5) AS BIGINT)) AS BIGINT) AS idcg
-           |       FROM range(1, 4) t(i)),
+           |iw AS (SELECT CAST(4761859508 AS BIGINT) AS idcg),
            |qs AS (SELECT DISTINCT q_id FROM bf)
            |SELECT qs.q_id,
            |  CAST(coalesce(first_hit_rank, 0) AS BIGINT) AS first_hit_rank,

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
+  /** Shared with [[ScaleBench]]: shape-preserving f-x replica of `base`. */
+  def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
     val done = new java.io.File(s"$out/_DONE")
     if (done.exists()) return
     new java.io.File(out).mkdirs()

@@ -398,4 +398,58 @@ class StreamingSpec extends SparkSpec {
     assert(streaming === batch,
       "streamed bucket means + shared PH fold must equal the batch track")
   }
+
+  test("t31 capstone: both branches land, union matches the batch replay, " +
+    "and the pair ran as two distinct checkpointed queries") {
+    val before = spark.streams.active.length
+    val got = graft.operators.StreamingOps.t31.build(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(spark.streams.active.length == before,
+      "capstone must supervise its own pair to termination (T7)")
+    val ev = graft.core.Tables.events(spark, sf)
+    val alerts = ev.filter($"event_type" === "error" && $"value" > 150)
+      .select(lit("alert").as("branch"), $"event_id".cast("string").as("k"),
+        $"user_id".cast("long").as("n"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val state = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum($"value".cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+      .select(lit("state").as("branch"), $"event_type".as("k"), $"n", $"cents")
+    val want = alerts.unionByName(state).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got.exists(_.head == "alert") && got.exists(_.head == "state"),
+      "capstone union must carry BOTH branches")
+    assert(got === want, "two concurrent streaming branches must equal the batch replay")
+  }
+
+  test("t32 incremental dedup replay-twice gate: re-running the whole stream " +
+    "over the grown seen table ingests ZERO docs, and seen grows by distinct-new only") {
+    val id = java.util.UUID.randomUUID()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val seenPath = s"$tmp/graft-scratch/t32spec_seen_$id"
+    val corpusPath = s"$tmp/graft-scratch/t32spec_new_$id"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter($"doc_id" % 3 === 0)
+      .select(md5($"text").as("h")).distinct()
+      .write.mode("overwrite").parquet(seenPath)
+    val seen0 = spark.read.parquet(seenPath).count()
+
+    // first delivery: the whole crawl in two micro-batches (split by id
+    // parity) — cross-batch dups must also be caught via the seen append
+    graft.operators.StreamingOps.incrementalDedupBatch(
+      docs.filter($"doc_id" % 2 === 0), seenPath, corpusPath)
+    graft.operators.StreamingOps.incrementalDedupBatch(
+      docs.filter($"doc_id" % 2 =!= 0), seenPath, corpusPath)
+    val ingested1 = spark.read.parquet(corpusPath).count()
+    val seen1 = spark.read.parquet(seenPath).select("h").distinct().count()
+    assert(ingested1 > 0, "first delivery must ingest the genuinely-new docs")
+    assert(seen1 == seen0 + ingested1,
+      s"seen must grow by exactly the distinct-new hashes: $seen0 + $ingested1 != $seen1")
+
+    // replay: the at-least-once source re-delivers EVERYTHING
+    graft.operators.StreamingOps.incrementalDedupBatch(docs, seenPath, corpusPath)
+    val ingested2 = spark.read.parquet(corpusPath).count()
+    val seen2 = spark.read.parquet(seenPath).select("h").distinct().count()
+    assert(ingested2 == ingested1, s"replay ingested ${ingested2 - ingested1} dup docs")
+    assert(seen2 == seen1, "replay must not grow the seen set")
+  }
 }
