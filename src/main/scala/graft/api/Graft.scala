@@ -139,6 +139,13 @@ object Graft {
     */
   def mixtureApply(docs: DataFrame): DataFrame = TextOps.mixtureApply(docs)
 
+  /** Temperature-flattened per-source sampling weights (p ∝ n^0.5, the
+    * multilingual mixture exponent): per source (n_tokens, wq, rate_ppm,
+    * prop_ppm) — rate vs proportional share shows the low-resource boost.
+    */
+  def temperatureMixture(docs: DataFrame): DataFrame =
+    TextOps.temperatureMixture(docs)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 

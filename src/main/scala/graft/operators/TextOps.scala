@@ -1422,6 +1422,62 @@ object TextOps {
            |  max(rate_ppm) AS rate_ppm
            |FROM k GROUP BY tier""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): temperature-flattened
+    * per-source sampling weights — the multilingual/multi-source mixture
+    * move (p_i ∝ n_i^α with α = 0.5; XLM-R / mBERT-style exponent
+    * smoothing, public literature) that UP-weights low-resource sources
+    * relative to proportional sampling so the big crawl cannot drown the
+    * small high-value corpora. Complements [[x19]]: x19 hits explicit
+    * per-tier targets; this derives the targets themselves from corpus
+    * sizes with one temperature knob.
+    *
+    * Determinism (the x41/SCALE.md discipline, applied to pow): α = 0.5
+    * is chosen because n^0.5 = sqrt, and IEEE-754 REQUIRES sqrt to be
+    * correctly rounded — unlike log/exp/pow, which are libm and drift by
+    * ulps across engines. The weight is milli-quantized immediately
+    * (wq = floor(sqrt(n)·1000 + 0.5), an exact BIGINT), sums run over
+    * integers, and each rate is ONE division of integer-derived doubles.
+    * Emits per source: (n_tokens, wq, rate_ppm, prop_ppm) — rate vs the
+    * proportional share makes the flattening visible (below-average
+    * sources get rate_ppm > prop_ppm).
+    *
+    * Scale: one scan to per-source token counts (map-side combinable),
+    * then constant-size arithmetic over the source vocabulary — at
+    * 100 TB the only work is the scan.
+    */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val bySource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val w = bySource.withColumn("wq",
+      floor(sqrt(col("n_tokens").cast("double")) * 1000 + 0.5).cast("long"))
+    val tot = w.agg(sum("wq").as("tot_wq"), sum("n_tokens").as("tot_tokens"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("wq"),
+        floor(col("wq").cast("double") * 1e6 / col("tot_wq").cast("double") + 0.5)
+          .cast("long").as("rate_ppm"),
+        floor(col("n_tokens").cast("double") * 1e6 / col("tot_tokens").cast("double") + 0.5)
+          .cast("long").as("prop_ppm"))
+  }
+
+  /** X68 (beyond reference): temperature-flattened mixture weights — see
+    * [[temperatureMixture]]. The oracle replays the sqrt-quantize-divide
+    * ladder exactly.
+    */
+  val x68: GraftQuery = GraftQuery(
+    "x68_temperature_mixture",
+    (s, d) => temperatureMixture(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+           |bs AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+           |w AS (SELECT source, n_tokens,
+           |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS wq FROM bs),
+           |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS tot_wq,
+           |               CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM w)
+           |SELECT source, n_tokens, wq,
+           |  CAST(floor(CAST(wq AS DOUBLE) * 1e6 / CAST(tot_wq AS DOUBLE) + 0.5) AS BIGINT) AS rate_ppm,
+           |  CAST(floor(CAST(n_tokens AS DOUBLE) * 1e6 / CAST(tot_tokens AS DOUBLE) + 0.5) AS BIGINT) AS prop_ppm
+           |FROM w CROSS JOIN tot""".stripMargin))
+
   /** Quality-ordered selection buckets for [[x20]] — a pure function of the
     * quality score, so bucket order IS selection order and ties stay inside
     * one bucket.
@@ -3700,5 +3756,5 @@ object TextOps {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67)
+      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68)
 }

@@ -25,13 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** Shared with [[ScaleBench]]: shape-preserving f-x replica of `base`. */
+  /** Shared with [[ScaleBench]]: shape-preserving f-x replica of `base`.
+    * Each table lands as ONE file named `t.parquet` — the exact testdata
+    * layout — because the streaming sources select their table with
+    * `pathGlobFilter` on the LEAF file name; a directory-style write
+    * (part-*.parquet leaves) silently matches zero files and a streaming
+    * query at the replica would measure an empty stream (the r9
+    * ScaleBench first run recorded t11 at 0.15 s for exactly this
+    * reason).
+    */
   def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
     val done = new java.io.File(s"$out/_DONE")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
     def reps(df: DataFrame): DataFrame =
       df.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
+    // write-parallel, then land the single named file (repartition keeps
+    // the replicate computation parallel; coalesce(1) would serialize it)
+    def writeSingle(df: DataFrame, name: String): Unit = {
+      val tmp = s"$out/_tmp_$name"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      val dst = java.nio.file.Paths.get(s"$out/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)); ()
+    }
 
     // events: raw read preserves the source ts layout (nanos-long under the
     // conf below, or native timestamp), and the schema-adaptive
@@ -39,39 +61,34 @@ object ScaleProbe {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.core.Tables.load(s, base, "events")
     val evSpan = ev.agg(max("user_id")).head().getLong(0) + 1
-    reps(ev)
+    writeSingle(reps(ev)
       .withColumn("user_id", col("user_id") + col("rep") * evSpan)
-      .drop("rep")
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+      .drop("rep"), "events")
 
     val li = graft.core.Tables.lineitem(s, base)
     val liSpan = li.agg(max("l_orderkey")).head().getLong(0) + 1
-    reps(li)
+    writeSingle(reps(li)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * liSpan)
-      .drop("rep")
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      .drop("rep"), "lineitem")
 
     val docs = graft.core.Tables.documents(s, base)
     val dSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
-    reps(docs)
+    writeSingle(reps(docs)
       .withColumn("doc_id", col("doc_id") + col("rep") * dSpan)
       .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
         concat_ws(" ", expr("transform(split(text, ' '), w -> concat('z', CAST(rep AS STRING), w))"))))
-      .drop("rep")
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      .drop("rep"), "documents")
 
     val emb = graft.core.Tables.embeddings(s, base)
     val eSpan = emb.agg(max("vec_id")).head().getLong(0) + 1
-    reps(emb)
+    writeSingle(reps(emb)
       .withColumn("vec_id", col("vec_id") + col("rep") * eSpan)
-      .drop("rep")
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      .drop("rep"), "embeddings")
 
     // dims and remaining facts pass through unchanged (the sim's 25-line
     // network and j-family dims are intentionally fixed-size)
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders"))
-      graft.core.Tables.load(s, base, t)
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      writeSingle(graft.core.Tables.load(s, base, t), t)
     done.createNewFile(); ()
   }
 

@@ -233,6 +233,38 @@ class TextOpsSpec extends SparkSpec {
       TextOps.mixtureApply(docs).collect().map(_.toSeq).toSet)
   }
 
+  test("x68 temperature mixture: exact local sqrt-quantize replay, " +
+    "flattening boosts small sources and dampens large ones, rates sum to ~1e6") {
+    // three sources with strongly skewed token mass: 10/40/160 docs of 10
+    // tokens each -> proportional shares 1/21, 4/21, 16/21
+    val docs = (0 until 210).map { i =>
+      val src = if (i < 10) "tiny" else if (i < 50) "mid" else "big"
+      (i.toLong, (0 until 10).map(j => s"u${i}w$j").mkString(" "), "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val got = TextOps.temperatureMixture(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("wq"),
+          r.getAs[Long]("rate_ppm"), r.getAs[Long]("prop_ppm"))).toMap
+    // exact local replay of the quantize ladder
+    val n = Map("tiny" -> 100L, "mid" -> 400L, "big" -> 1600L)
+    val wq = n.map { case (s, v) => s -> math.floor(math.sqrt(v.toDouble) * 1000 + 0.5).toLong }
+    val totW = wq.values.sum; val totN = n.values.sum
+    n.keys.foreach { s =>
+      val (nt, w, rate, prop) = got(s)
+      assert(nt == n(s) && w == wq(s))
+      assert(rate == math.floor(w.toDouble * 1e6 / totW + 0.5).toLong)
+      assert(prop == math.floor(nt.toDouble * 1e6 / totN + 0.5).toLong)
+    }
+    // flattening: the small source is boosted above its proportional
+    // share, the big one dampened below it
+    assert(got("tiny")._3 > got("tiny")._4, s"tiny must be boosted: ${got("tiny")}")
+    assert(got("big")._3 < got("big")._4, s"big must be dampened: ${got("big")}")
+    val rateSum = got.values.map(_._3).sum
+    assert(math.abs(rateSum - 1000000L) <= got.size.toLong,
+      s"rates must sum to ~1e6 (rounding only): $rateSum")
+  }
+
   test("x16 packing is gapless per source and pack spans match the budget") {
     val rows = TextOps.x16.build(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3),
