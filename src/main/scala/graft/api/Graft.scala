@@ -146,6 +146,31 @@ object Graft {
   def temperatureMixture(docs: DataFrame): DataFrame =
     TextOps.temperatureMixture(docs)
 
+  /** Bloom-filter benchmark decontamination — the constant-space variant of
+    * [[contaminationCheck]] for large benchmark sets: the benchmark ships as
+    * occupied bit positions (≤ 8 MiB however big it gets); per train doc
+    * (doc_id, n_shingles, n_hits, flagged). md5-derived positions, so the
+    * filter (and any false positives) replay identically everywhere.
+    */
+  def bloomDecontam(train: DataFrame, benchmark: DataFrame): DataFrame =
+    TextOps.bloomDecontam(train, benchmark)
+
+  /** Data-constrained epoch allocation by exact waterfilling: per source
+    * (n_tokens, w, cap, saturated, alloc_tokens, epochs_milli) given mixture
+    * `weights` (source, w ≥ 1), a repeat ceiling, and a token budget as the
+    * exact rational numer/denom × corpus tokens.
+    */
+  def epochWaterfill(docs: DataFrame, weights: DataFrame, maxEpochs: Int = 2,
+      budgetNumer: Int = 7, budgetDenom: Int = 4): DataFrame =
+    TextOps.epochWaterfill(docs, weights, maxEpochs, budgetNumer, budgetDenom)
+
+  /** C4-style term-blocklist gate: per doc (n_tok, n_blocked,
+    * n_distinct_blocked, keep = zero hits). Token-equality matches only.
+    */
+  def blocklistFilter(docs: DataFrame,
+      blocklist: Seq[String] = Seq("slow", "spill", "oom")): DataFrame =
+    TextOps.blocklistFilter(docs, blocklist)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 

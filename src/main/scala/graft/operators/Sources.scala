@@ -516,9 +516,19 @@ object Sources {
       val v = "s25_events_v"
       Tables.events(s, d).createOrReplaceTempView(v)
       s.sql(s"CACHE TABLE $v")
-      s.sql(s"""SELECT event_type, count(*) AS n,
+      val df = s.sql(s"""SELECT event_type, count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
                 FROM $v GROUP BY event_type""")
+      // Pin the cached-read plan NOW (the InMemoryTableScan is the thing
+      // this op demonstrates — BucketingSpec asserts it), then drop the
+      // CacheManager entry: a live entry substitutes InMemoryRelation into
+      // EVERY later same-session plan that scans events, silently changing
+      // other queries' plan shapes (found via the round-9 plan-fingerprint
+      // gate). The pinned plan still executes — the relation rebuilds its
+      // column buffers on demand.
+      df.queryExecution.executedPlan
+      s.sql(s"UNCACHE TABLE $v")
+      df
     },
     Some("""SELECT event_type, count(*) AS n,
            |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -3752,9 +3752,247 @@ object TextOps {
            |FROM bk JOIN lr USING (b) WHERE NOT is_target
            |GROUP BY doc_id""".stripMargin))
 
+  /** Bloom-filter geometry for [[bloomDecontam]]: m bits, k hash probes.
+    * FPP per shingle ≈ (k·|bench| / m)^k — at 4k benchmark shingles that is
+    * ~6e-8; the filter is ~128 KiB of bit-state however big the corpus.
+    */
+  private val BloomM = 1 << 20
+  private val BloomK = 3
+
+  /** 4-word shingles as space-joined strings (the decontamination unit for
+    * [[bloomDecontam]]; 3-grams over-fire on natural text, 8-grams are the
+    * verbatim-copy unit [[contaminationCheck]] already covers).
+    */
+  private def grams4(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 3), i -> concat_ws(' ', " +
+          "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))"))
+        .as("sh"))
+      .distinct()
+
+  /** The [[BloomK]] bit positions of the `sh` shingle column — md5-derived,
+    * so both engines (and any future re-run) compute the identical filter.
+    */
+  private def bloomPositions: Column =
+    expr(s"transform(sequence(0, ${BloomK - 1}), k -> " +
+      s"CAST(conv(substr(md5(concat(sh, ':bloom', k)), 1, 15), 16, 10) AS BIGINT) % $BloomM)")
+
+  /** Public DataFrame-in API (see graft.api.Graft): Bloom-filter benchmark
+    * decontamination — the CONSTANT-SPACE variant of [[contaminationCheck]].
+    * x15/x61 broadcast the raw benchmark gram set, which is the right plan
+    * while benchmarks are small; when the held-out set is itself large
+    * (multi-benchmark suites, private eval corpora), the broadcast grows
+    * with it. Here the benchmark is folded into a Bloom filter — [[BloomK]]
+    * md5-derived bit positions per 4-gram over an m = [[BloomM]]-bit space —
+    * and only the OCCUPIED POSITIONS table ships to the candidate scan:
+    * ≤ m rows (≤ 8 MiB of longs) no matter how big the benchmark gets.
+    * A candidate shingle is flagged iff all k of its positions are occupied
+    * (the classic no-false-negative / bounded-false-positive contract);
+    * a doc is flagged iff any shingle fires. Emits per candidate doc
+    * (doc_id, n_shingles, n_hits, flagged) — integers and booleans only.
+    *
+    * Determinism: the filter is not a JVM sketch object but pure md5
+    * integer arithmetic, so DuckDB replays the exact same bit positions —
+    * false positives (if any) are IDENTICAL cross-engine by construction.
+    *
+    * Scale: benchmark side reduces to ≤ m distinct positions (bounded
+    * broadcast); candidate side is one gram scan + hash-keyed aggregates.
+    * No all-pairs, no growth in shipped state with either corpus.
+    */
+  def bloomDecontam(train: DataFrame, benchmark: DataFrame): DataFrame = {
+    val positions = grams4(benchmark.withColumn("source", lit("bench")))
+      .select(explode(bloomPositions).as("p"))
+      .distinct()
+    val cand = grams4(train)
+    val perDoc = cand.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = cand
+      .select(col("doc_id"), col("sh"), explode(bloomPositions).as("p"))
+      .join(broadcast(positions), "p")
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("k_hits"))
+      .filter(col("k_hits") === BloomK)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("flagged", col("n_hits") > 0)
+  }
+
+  /** X69 (beyond reference): Bloom-filter decontamination of the non-src0
+    * corpus against the src0 benchmark slice — see [[bloomDecontam]].
+    * The oracle replays the md5 bit positions and the all-k membership
+    * test exactly.
+    */
+  val x69: GraftQuery = GraftQuery(
+    "x69_bloom_decontam",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      bloomDecontam(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, source,
+           |         list_aggregate(ws[i:i+3], 'string_agg', ' ') AS sh
+           |       FROM w, unnest(range(1, len(ws) - 2)) AS t(i) WHERE len(ws) >= 4),
+           |pos AS (SELECT DISTINCT
+           |         CAST('0x' || substr(md5(sh || ':bloom' || k), 1, 15) AS BIGINT) % $BloomM AS p
+           |        FROM (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+           |             unnest([0, 1, 2]) AS t(k)),
+           |cand AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+           |cp AS (SELECT doc_id, sh,
+           |         CAST('0x' || substr(md5(sh || ':bloom' || k), 1, 15) AS BIGINT) % $BloomM AS p
+           |       FROM cand, unnest([0, 1, 2]) AS t(k)),
+           |hit AS (SELECT doc_id, sh FROM cp JOIN pos USING (p)
+           |        GROUP BY doc_id, sh HAVING count(*) = $BloomK),
+           |nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM hit GROUP BY 1),
+           |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cand GROUP BY 1)
+           |SELECT ns.doc_id, n_shingles,
+           |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           |  coalesce(n_hits, 0) > 0 AS flagged
+           |FROM ns LEFT JOIN nh USING (doc_id)""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): data-constrained epoch
+    * allocation by exact waterfilling — given per-source token counts, a
+    * desired mixture weight per source, a repeat ceiling (`maxEpochs`
+    * epochs per source, the diminishing-returns cap from the
+    * data-constrained-scaling literature), and a total token budget
+    * (`budgetNumer/budgetDenom` × corpus tokens), decide how many tokens
+    * each source contributes. Sources whose capacity runs out first (small
+    * cap relative to their weight) SATURATE at `maxEpochs`; the residual
+    * budget is split across the rest proportionally to weight — the
+    * classic waterfilling solution, computed in closed form: sort sources
+    * by cap/weight, exclusive prefix sums, and the saturation test as an
+    * exact BIGINT cross-multiplication ((B − C_{k−1})·w_k ≥ cap_k·W_rem)
+    * — no float thresholds anywhere, so both engines pick the identical
+    * cut. Emits per source (n_tokens, w, cap, saturated, alloc_tokens,
+    * epochs_milli).
+    *
+    * `weights` carries (source, w: BIGINT ≥ 1). Unsaturated allocations
+    * are floored and clamped to cap, so Σ alloc ≤ budget always holds
+    * (rounding slack < #sources tokens).
+    *
+    * Scale: one corpus scan to per-source token counts (map-side
+    * combinable); everything after operates on the #sources-row table, so
+    * the single-partition window is vocabulary-bounded, not data-bounded.
+    * At 100 TB the only heavy work is the scan.
+    */
+  def epochWaterfill(docs: DataFrame, weights: DataFrame, maxEpochs: Int = 2,
+      budgetNumer: Int = 7, budgetDenom: Int = 4): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+      .join(weights, "source")
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val tot = perSource.agg(sum("n_tokens").as("tot_tokens"), sum("w").as("tot_w"))
+    val b = perSource.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"tot_tokens * $budgetNumer DIV $budgetDenom"))
+      .withColumn("rq", expr("cap * 1000000 DIV w"))
+    val ord = Window.orderBy(col("rq"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = b
+      .withColumn("cum_cap_excl", coalesce(sum("cap").over(ord), lit(0L)))
+      .withColumn("w_rem_excl", col("tot_w") - coalesce(sum("w").over(ord), lit(0L)))
+      .withColumn("saturated",
+        (col("budget") - col("cum_cap_excl")) * col("w") >= col("cap") * col("w_rem_excl"))
+    val cut = flagged.groupBy().agg(
+      sum(when(col("saturated"), col("cap")).otherwise(0L)).as("sat_cap"),
+      sum(when(col("saturated"), 0L).otherwise(col("w"))).as("unsat_w"))
+    flagged.crossJoin(broadcast(cut))
+      .withColumn("alloc_tokens", when(col("saturated"), col("cap"))
+        .otherwise(least(col("cap"),
+          expr("greatest(budget - sat_cap, 0) * w DIV greatest(unsat_w, 1)"))))
+      .withColumn("epochs_milli", expr("alloc_tokens * 1000 DIV n_tokens"))
+      .select("source", "n_tokens", "w", "cap", "saturated", "alloc_tokens",
+        "epochs_milli")
+  }
+
+  /** X70 (beyond reference): epoch waterfilling over the tiered corpus
+    * (x19/x67's tier convention as weights 4/3/2/1, 2-epoch ceiling,
+    * budget = 7/4 × corpus tokens, so high-weight tiers saturate and the
+    * rest waterfill) — see [[epochWaterfill]]. The oracle replays the
+    * sort / prefix-sum / cross-multiplication ladder exactly.
+    */
+  val x70: GraftQuery = GraftQuery(
+    "x70_epoch_waterfill",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("w",
+          coalesce(lit(4L) - expr("CAST(substr(source, 4) AS INT) DIV 5").cast("long"),
+            lit(1L)))
+      epochWaterfill(docs, weights)
+    },
+    Some("""WITH t AS (SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+           |           FROM documents GROUP BY 1),
+           |s AS (SELECT source, n_tokens,
+           |        CAST(coalesce(4 - TRY_CAST(substr(source, 4) AS INT) // 5, 1) AS BIGINT) AS w,
+           |        n_tokens * 2 AS cap FROM t),
+           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+           |               CAST(sum(w) AS BIGINT) AS tot_w FROM s),
+           |b AS (SELECT s.*, tot_tokens * 7 // 4 AS budget, tot_w,
+           |        cap * 1000000 // w AS rq FROM s CROSS JOIN tot),
+           |r AS (SELECT *,
+           |        CAST(coalesce(sum(cap) OVER (ORDER BY rq, source
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_cap_excl,
+           |        tot_w - CAST(coalesce(sum(w) OVER (ORDER BY rq, source
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_rem_excl
+           |      FROM b),
+           |f AS (SELECT *, (budget - cum_cap_excl) * w >= cap * w_rem_excl AS saturated FROM r),
+           |c AS (SELECT CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) AS BIGINT) AS sat_cap,
+           |             CAST(sum(CASE WHEN saturated THEN 0 ELSE w END) AS BIGINT) AS unsat_w FROM f),
+           |a AS (SELECT *, CAST(CASE WHEN saturated THEN cap
+           |        ELSE least(cap, greatest(budget - sat_cap, 0) * w // greatest(unsat_w, 1)) END
+           |        AS BIGINT) AS alloc_tokens
+           |      FROM f CROSS JOIN c)
+           |SELECT source, n_tokens, w, cap, saturated, alloc_tokens,
+           |  alloc_tokens * 1000 // n_tokens AS epochs_milli
+           |FROM a""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): term-blocklist filter —
+    * the C4-style hard gate (Raffel et al. 2020 drop any page containing a
+    * term from a published blocklist) next to x14's statistical rules and
+    * x41's heuristic score: a doc survives only if it contains ZERO
+    * blocklist tokens. Emits per doc (doc_id, n_tok, n_blocked,
+    * n_distinct_blocked, keep) — counts are exact token-equality matches
+    * (no regex, per the cross-engine-escape discipline x64 documents).
+    *
+    * Scale: stateless per-doc projection inside whole-stage codegen, the
+    * blocklist is a literal in the plan — one scan, zero shuffles until
+    * the caller aggregates.
+    */
+  def blocklistFilter(docs: DataFrame,
+      blocklist: Seq[String] = Seq("slow", "spill", "oom")): DataFrame = {
+    require(blocklist.nonEmpty && blocklist.forall(t => !t.contains("'")),
+      "blocklist must be non-empty, terms must not contain quotes")
+    val lst = blocklist.map(t => s"'$t'").mkString(", ")
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        expr(s"size(filter(w, t -> t IN ($lst)))").cast("long").as("n_blocked"),
+        expr(s"size(array_intersect(array_distinct(w), array($lst)))")
+          .cast("long").as("n_distinct_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+  }
+
+  /** X71 (beyond reference): C4-style blocklist gate over the corpus —
+    * see [[blocklistFilter]]. The oracle replays the token-equality
+    * counts exactly.
+    */
+  val x71: GraftQuery = GraftQuery(
+    "x71_blocklist_filter",
+    (s, d) => blocklistFilter(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+           |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+           |  CAST(len(list_filter(ws, x -> x IN ('slow', 'spill', 'oom'))) AS BIGINT) AS n_blocked,
+           |  CAST(len(list_intersect(list_distinct(ws), ['slow', 'spill', 'oom'])) AS BIGINT) AS n_distinct_blocked,
+           |  len(list_filter(ws, x -> x IN ('slow', 'spill', 'oom'))) = 0 AS keep
+           |FROM t""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68)
+      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71)
 }

@@ -37,7 +37,17 @@ object PlanFingerprint {
     * initial plan is printed either way and is the deterministic artifact.
     */
   def fingerprint(df: DataFrame): Map[String, Int] = {
-    val txt = df.queryExecution.explainString(
+    // The shape must be a pure function of the query code, not of session
+    // history (the round-9 full-suite order dependence):
+    //  1. clearCache() — a live CacheManager entry substitutes
+    //     InMemoryRelation into every later plan that scans the cached
+    //     relation, changing Scan/PushedScan counts;
+    //  2. re-plan via select("*") — memoized datasets (BusSim.rides) pin
+    //     their lazy QueryExecution at FIRST access, so explaining `df`
+    //     directly would report whatever the session looked like when some
+    //     earlier suite touched it, not the shape of the code today.
+    df.sparkSession.catalog.clearCache()
+    val txt = df.select("*").queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     val names = txt.linesIterator.flatMap {
       l => nodeHeader.findFirstMatchIn(l.trim).map(_.group(1))

@@ -809,6 +809,99 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_occurrences") >= 1L)
     }
   }
+
+  test("x69 bloom decontam: no false negatives vs the exact 4-gram check, " +
+    "clean docs unflagged, positions table bounded") {
+    // planted fixture: bench docs, exact-copy contamination, clean docs
+    val bench = Seq(
+      (0L, "wa wb wc wd we wf wg wh"),
+      (1L, "m1 m2 m3 m4 m5 m6")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "xx wa wb wc wd yy zz qq"), // shares bench 4-gram wa..wd
+      (11L, "m3 m4 m5 m6 tail1 tail2"), // shares bench 4-gram m3..m6
+      (12L, "c1 c2 c3 c4 c5 c6 c7"), // clean
+      (13L, "wa wb xx wc wd we yy zz") // 4-gram-broken rearrangement: clean
+    ).toDF("doc_id", "text")
+    val got = TextOps.bloomDecontam(train, bench).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_hits"), r.getAs[Boolean]("flagged")))
+      .toMap
+    // bloom guarantee: every truly-contaminated doc IS flagged
+    assert(got(10L)._2 && got(11L)._2, s"false negative: $got")
+    // at this filter load (handful of shingles in a 2^20-bit space) the
+    // FP probability is ~1e-16 — clean docs must come back unflagged
+    assert(!got(12L)._2 && !got(13L)._2, s"false positive: $got")
+    assert(got(10L)._1 == 1L && got(11L)._1 == 1L)
+    // determinism: a second run reproduces the identical result set
+    assert(TextOps.bloomDecontam(train, bench).collect().map(_.toSeq).toSet ==
+      TextOps.bloomDecontam(train, bench).collect().map(_.toSeq).toSet &&
+      TextOps.bloomDecontam(train, bench).count() == 4L)
+  }
+
+  test("x70 epoch waterfill: saturation order follows cap/weight, budget " +
+    "conserved, allocations within cap, epochs at most the ceiling") {
+    // skewed fixture: tiny high-weight source saturates, big one waterfills
+    val docs = (0 until 140).map { i =>
+      val src = if (i < 10) "tiny" else if (i < 40) "mid" else "big"
+      (i.toLong, (0 until 10).map(j => s"u${i}w$j").mkString(" "), "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val weights = Seq(("tiny", 4L), ("mid", 2L), ("big", 1L)).toDF("source", "w")
+    val got = TextOps.epochWaterfill(docs, weights).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cap"),
+          r.getAs[Boolean]("saturated"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Long]("epochs_milli"))).toMap
+    // n = 100/300/1000 tokens; total 1400, budget = 2450, caps 200/600/2000
+    // ratios cap/w = 50/300/2000: tiny and mid saturate (checked by hand:
+    // (2450-0)*4 >= 200*7; (2450-200)*2 >= 600*3), big waterfills
+    assert(got("tiny")._3 && got("mid")._3 && !got("big")._3, s"$got")
+    assert(got("tiny")._4 == 200L && got("mid")._4 == 600L)
+    // big gets min(cap, (2450-800)*1/1) = 1650
+    assert(got("big")._4 == 1650L, s"$got")
+    got.values.foreach { case (n, cap, _, alloc, em) =>
+      assert(alloc <= cap && em <= 2000L && alloc * 1000 / n == em)
+    }
+    val totalAlloc = got.values.map(_._4).sum
+    assert(totalAlloc <= 2450L && totalAlloc >= 2450L - got.size,
+      s"budget conservation violated: $totalAlloc")
+  }
+
+  test("x70 epoch waterfill: budget above total capacity saturates everyone") {
+    val docs = (0 until 30).map { i =>
+      (i.toLong, "t1 t2 t3 t4 t5", "en", if (i < 10) "a" else "b")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val weights = Seq(("a", 3L), ("b", 1L)).toDF("source", "w")
+    // budget = 5x total tokens >> 2x cap -> every source at its cap
+    val got = TextOps.epochWaterfill(docs, weights, maxEpochs = 2,
+      budgetNumer = 5, budgetDenom = 1).collect()
+    assert(got.forall(_.getAs[Boolean]("saturated")))
+    got.foreach(r => assert(
+      r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap") &&
+        r.getAs[Long]("epochs_milli") == 2000L))
+  }
+
+  test("x71 blocklist filter: exact counts on a hand-built doc, zero-hit " +
+    "docs keep, any-hit docs drop") {
+    val docs = Seq(
+      (0L, "clean words only here"),
+      (1L, "slow query slow scan"), // 'slow' twice
+      (2L, "spill to disk then oom") // two distinct blocklist terms
+    ).toDF("doc_id", "text")
+    val got = TextOps.blocklistFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tok"), r.getAs[Long]("n_blocked"),
+        r.getAs[Long]("n_distinct_blocked"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(0L) == ((4L, 0L, 0L, true)))
+    assert(got(1L) == ((4L, 2L, 1L, false)))
+    assert(got(2L) == ((5L, 2L, 2L, false)))
+    // custom blocklist is honored
+    val custom = TextOps.blocklistFilter(docs, Seq("clean")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!custom(0L) && custom(1L) && custom(2L))
+    // quote injection is rejected, empty list is rejected
+    intercept[IllegalArgumentException](TextOps.blocklistFilter(docs, Seq("a'b")))
+    intercept[IllegalArgumentException](TextOps.blocklistFilter(docs, Nil))
+  }
 }
 
 /** Tiny shared fixture: the documents table as local tuples. */
