@@ -171,6 +171,14 @@ object Graft {
       blocklist: Seq[String] = Seq("slow", "spill", "oom")): DataFrame =
     TextOps.blocklistFilter(docs, blocklist)
 
+  /** Cross-source duplicate overlap matrix (src_a ≤ src_b, n_clusters,
+    * n_doc_pairs) over exact canonical-fingerprint clusters — run this
+    * BEFORE trusting per-source mixture weights: overlapping crawls are
+    * not distinct pools.
+    */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame =
+    TextOps.sourceOverlapMatrix(docs)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 

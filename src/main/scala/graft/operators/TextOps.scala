@@ -3803,7 +3803,7 @@ object TextOps {
     * No all-pairs, no growth in shipped state with either corpus.
     */
   def bloomDecontam(train: DataFrame, benchmark: DataFrame): DataFrame = {
-    val positions = grams4(benchmark.withColumn("source", lit("bench")))
+    val positions = grams4(benchmark)
       .select(explode(bloomPositions).as("p"))
       .distinct()
     val cand = grams4(train)
@@ -3869,9 +3869,18 @@ object TextOps {
     * cut. Emits per source (n_tokens, w, cap, saturated, alloc_tokens,
     * epochs_milli).
     *
-    * `weights` carries (source, w: BIGINT ≥ 1). Unsaturated allocations
-    * are floored and clamped to cap, so Σ alloc ≤ budget always holds
-    * (rounding slack < #sources tokens).
+    * `weights` carries (source, w: BIGINT ≥ 1) and must cover every
+    * source in `docs` — both are validated FAIL-FAST at plan build (the
+    * logRegStandardize discipline; the op is eager: the per-source
+    * aggregate is localCheckpoint-pinned so the corpus is scanned exactly
+    * once and the checks ride the #sources-row result). A w < 1 row would
+    * corrupt the cap/weight sort key (integer division by zero → NULL in
+    * Spark, an error in DuckDB); a missing source would silently drop its
+    * tokens through the inner join — the x67-class silent-drop bug this
+    * guard exists to prevent.
+    *
+    * Unsaturated allocations are floored and clamped to cap, so
+    * Σ alloc ≤ budget always holds (rounding slack < #sources tokens).
     *
     * Scale: one corpus scan to per-source token counts (map-side
     * combinable); everything after operates on the #sources-row table, so
@@ -3880,9 +3889,21 @@ object TextOps {
     */
   def epochWaterfill(docs: DataFrame, weights: DataFrame, maxEpochs: Int = 2,
       budgetNumer: Int = 7, budgetDenom: Int = 4): DataFrame = {
-    val perSource = docs
+    require(maxEpochs >= 1 && budgetNumer >= 1 && budgetDenom >= 1,
+      "maxEpochs and the budget rational must be positive")
+    require(weights.filter(col("w") < 1 || col("w").isNull).isEmpty,
+      "every weight must be a positive integer (w >= 1)")
+    // ONE corpus scan, pinned — the coverage check and all later stages
+    // ride the #sources-row result, never the corpus again
+    val perTok = docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+      .localCheckpoint()
+    val uncovered = perTok.join(weights, Seq("source"), "left_anti")
+    require(uncovered.isEmpty,
+      "weights must cover every source; missing: " +
+        uncovered.limit(5).collect().map(_.getString(0)).mkString(", "))
+    val perSource = perTok
       .join(weights, "source")
       .withColumn("cap", col("n_tokens") * maxEpochs)
     val tot = perSource.agg(sum("n_tokens").as("tot_tokens"), sum("w").as("tot_w"))
@@ -3990,9 +4011,75 @@ object TextOps {
            |  len(list_filter(ws, x -> x IN ('slow', 'spill', 'oom'))) = 0 AS keep
            |FROM t""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): cross-source duplicate
+    * overlap matrix — the mixing diagnostic a multi-crawl corpus needs
+    * BEFORE weighting sources (x19/x67/x68/x70 all assume sources are
+    * distinct pools; two crawls of the same sites are not). Documents
+    * cluster by the exact canonical fingerprint ([[incrementalDedup]]'s
+    * key: md5 of the sorted distinct word set — order/repetition-proof but
+    * exact and joinable); for every cluster with ≥ 2 docs, each source
+    * pair present in it contributes one row. Emits
+    * (src_a ≤ src_b, n_clusters, n_doc_pairs): the upper-triangle overlap
+    * matrix, diagonal = within-source duplication (clusters where the
+    * source holds ≥ 2 docs, pairs = n·(n−1)/2), off-diagonal =
+    * cross-source duplication (pairs = n_a·n_b). All integers.
+    *
+    * Scale: one corpus scan to (fingerprint, source) counts (md5-keyed
+    * shuffle, uniform; the hash agg absorbs heavy clusters map-side), one
+    * fingerprint-keyed re-agg collecting the per-cluster SOURCE list —
+    * at most #sources entries per cluster whatever the corpus size — and
+    * the pair expansion is an in-codegen array lambda over that bounded
+    * list (≤ #sources² per cluster). No self-join, no broadcast of a
+    * data-growing side, no window: three keyed exchanges total (the x27
+    * degree-orientation argument applied to source space).
+    */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    val canon = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))))
+    docs.select(canon.as("h"), col("source"))
+      .groupBy("h", "source").agg(count(lit(1)).cast("long").as("n"))
+      .groupBy("h")
+      .agg(collect_list(struct(col("source"), col("n"))).as("ss"),
+        sum("n").as("cluster_docs"))
+      .filter(col("cluster_docs") >= 2)
+      .select(explode(expr(
+        """concat(
+          |  filter(transform(ss, e -> named_struct(
+          |      'src_a', e.source, 'src_b', e.source,
+          |      'dp', e.n * (e.n - 1) DIV 2)), p -> p.dp > 0),
+          |  flatten(transform(ss, a ->
+          |    filter(transform(ss, b -> named_struct(
+          |        'src_a', a.source, 'src_b', b.source,
+          |        'dp', a.n * b.n)), p -> p.src_a < p.src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("p.dp")).as("n_doc_pairs"))
+  }
+
+  /** X72 (beyond reference): source-overlap duplicate matrix — see
+    * [[sourceOverlapMatrix]]. The oracle replays the canonical
+    * fingerprint, the cluster filter, and the pair arithmetic exactly.
+    */
+  val x72: GraftQuery = GraftQuery(
+    "x72_source_overlap_matrix",
+    (s, d) => sourceOverlapMatrix(Tables.documents(s, d)),
+    Some("""WITH t AS (SELECT source,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS h
+           |  FROM documents),
+           |cs AS (SELECT h, source, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+           |d AS (SELECT *, CAST(sum(n) OVER (PARTITION BY h) AS BIGINT) AS cluster_docs FROM cs)
+           |SELECT a.source AS src_a, b.source AS src_b,
+           |  CAST(count(*) AS BIGINT) AS n_clusters,
+           |  CAST(sum(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+           |                ELSE a.n * b.n END) AS BIGINT) AS n_doc_pairs
+           |FROM d a JOIN d b USING (h)
+           |WHERE a.cluster_docs >= 2
+           |  AND (a.source < b.source OR (a.source = b.source AND a.n >= 2))
+           |GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71)
+      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72)
 }

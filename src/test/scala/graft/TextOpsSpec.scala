@@ -866,6 +866,17 @@ class TextOpsSpec extends SparkSpec {
       s"budget conservation violated: $totalAlloc")
   }
 
+  test("x70 epoch waterfill: fails fast on w < 1 and on uncovered sources") {
+    val docs = Seq((0L, "t1 t2 t3", "en", "a"), (1L, "t4 t5 t6", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    intercept[IllegalArgumentException](
+      TextOps.epochWaterfill(docs, Seq(("a", 0L), ("b", 1L)).toDF("source", "w")))
+    val ex = intercept[IllegalArgumentException](
+      TextOps.epochWaterfill(docs, Seq(("a", 2L)).toDF("source", "w")))
+    assert(ex.getMessage.contains("b"), s"missing source must be named: $ex")
+  }
+
   test("x70 epoch waterfill: budget above total capacity saturates everyone") {
     val docs = (0 until 30).map { i =>
       (i.toLong, "t1 t2 t3 t4 t5", "en", if (i < 10) "a" else "b")
@@ -879,6 +890,27 @@ class TextOpsSpec extends SparkSpec {
     got.foreach(r => assert(
       r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap") &&
         r.getAs[Long]("epochs_milli") == 2000L))
+  }
+
+  test("x72 source overlap matrix: hand-built clusters produce the exact " +
+    "pair counts, singletons and clean sources never appear") {
+    // cluster K1: 2 docs in A + 1 in B (word-order shuffle, same set);
+    // cluster K2: 2 docs in C (within-source only);
+    // singleton in D (must not appear anywhere)
+    val docs = Seq(
+      (0L, "k1a k1b k1c", "A"), (1L, "k1c k1a k1b k1a", "A"), (2L, "k1b k1c k1a", "B"),
+      (3L, "k2a k2b", "C"), (4L, "k2b k2a", "C"),
+      (5L, "solo words here", "D")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text").cast("long"))
+    val got = TextOps.sourceOverlapMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_doc_pairs"))).toMap
+    // A-A: one cluster with 2 A-docs -> 1 pair; A-B: 2*1 = 2 pairs;
+    // C-C: one cluster with 2 docs -> 1 pair; nothing else
+    assert(got == Map(
+      ("A", "A") -> ((1L, 1L)), ("A", "B") -> ((1L, 2L)),
+      ("C", "C") -> ((1L, 1L))), s"got $got")
   }
 
   test("x71 blocklist filter: exact counts on a hand-built doc, zero-hit " +
