@@ -3793,6 +3793,9 @@ object TextOps {
     * (the classic no-false-negative / bounded-false-positive contract);
     * a doc is flagged iff any shingle fires. Emits per candidate doc
     * (doc_id, n_shingles, n_hits, flagged) — integers and booleans only.
+    * Train docs under 4 words have no 4-gram and are OMITTED from the
+    * result (they cannot be flagged by an n-gram check; callers wanting
+    * them back left-join on doc_id).
     *
     * Determinism: the filter is not a JVM sketch object but pure md5
     * integer arithmetic, so DuckDB replays the exact same bit positions —
@@ -3907,9 +3910,14 @@ object TextOps {
       .join(weights, "source")
       .withColumn("cap", col("n_tokens") * maxEpochs)
     val tot = perSource.agg(sum("n_tokens").as("tot_tokens"), sum("w").as("tot_w"))
+    // milli-quantized cap/weight sort key: ×1000 (not ×1e6) keeps the
+    // BIGINT product safe to ~9e15 tokens per source (~37 PB of text) —
+    // ×1e6 would overflow a single ≥9e12-token source, squarely inside
+    // the 100 TB envelope. Milli-precision ties break on source name,
+    // deterministically in both engines.
     val b = perSource.crossJoin(broadcast(tot))
       .withColumn("budget", expr(s"tot_tokens * $budgetNumer DIV $budgetDenom"))
-      .withColumn("rq", expr("cap * 1000000 DIV w"))
+      .withColumn("rq", expr("cap * 1000 DIV w"))
     val ord = Window.orderBy(col("rq"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val flagged = b
@@ -3953,7 +3961,7 @@ object TextOps {
            |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
            |               CAST(sum(w) AS BIGINT) AS tot_w FROM s),
            |b AS (SELECT s.*, tot_tokens * 7 // 4 AS budget, tot_w,
-           |        cap * 1000000 // w AS rq FROM s CROSS JOIN tot),
+           |        cap * 1000 // w AS rq FROM s CROSS JOIN tot),
            |r AS (SELECT *,
            |        CAST(coalesce(sum(cap) OVER (ORDER BY rq, source
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_cap_excl,
@@ -4022,7 +4030,10 @@ object TextOps {
     * (src_a ≤ src_b, n_clusters, n_doc_pairs): the upper-triangle overlap
     * matrix, diagonal = within-source duplication (clusters where the
     * source holds ≥ 2 docs, pairs = n·(n−1)/2), off-diagonal =
-    * cross-source duplication (pairs = n_a·n_b). All integers.
+    * cross-source duplication (pairs = n_a·n_b). All integers; the pair
+    * products are exact in BIGINT up to ~3e9 docs of one source in ONE
+    * cluster — beyond that is not a mixing question but a degenerate
+    * corpus the dedup ops upstream would have collapsed first.
     *
     * Scale: one corpus scan to (fingerprint, source) counts (md5-keyed
     * shuffle, uniform; the hash agg absorbs heavy clusters map-side), one

@@ -37,6 +37,26 @@ class GraftTourSpec extends SparkSpec {
     })
   }
 
+  test("tour 4: mixing audit — overlap matrix, temperature weights, " +
+    "epoch waterfill; hygiene — blocklist + bloom decontam") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val overlap = Graft.sourceOverlapMatrix(docs)
+    assert(overlap.columns.toSeq ==
+      Seq("src_a", "src_b", "n_clusters", "n_doc_pairs"))
+    val mix = Graft.temperatureMixture(docs)
+    val epochs = Graft.epochWaterfill(docs,
+      mix.select(col("source"), col("wq").as("w")))
+    val rows = epochs.collect()
+    assert(rows.length == docs.select("source").distinct().count())
+    assert(rows.forall(r =>
+      r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap")))
+    val kept = Graft.blocklistFilter(docs).filter(col("keep"))
+    assert(kept.count() < docs.count(), "the default blocklist must bite here")
+    val flags = Graft.bloomDecontam(docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"))
+    assert(flags.filter(col("flagged")).count() > 0)
+  }
+
   test("tour 3: gap-fill a metric series, then forecast it with intervals") {
     val series = graft.core.Tables.events(spark, sf)
       .groupBy(col("user_id"),
