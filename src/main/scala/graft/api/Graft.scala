@@ -179,6 +179,12 @@ object Graft {
   def sourceOverlapMatrix(docs: DataFrame): DataFrame =
     TextOps.sourceOverlapMatrix(docs)
 
+  /** Per-doc 8-gram novelty (doc_id, n_grams, n_unique_grams,
+    * novelty_ppm): the memorization-risk / dedup-QA score — how much of
+    * each doc appears nowhere else. Docs under 8 words are omitted.
+    */
+  def docNovelty(docs: DataFrame): DataFrame = TextOps.docNovelty(docs)
+
   /** Overlapping 64-token passages with md5 digests per chunk. */
   def chunkPassages(docs: DataFrame): DataFrame = TextOps.chunkPassages(docs)
 

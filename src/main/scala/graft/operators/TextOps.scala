@@ -4088,9 +4088,50 @@ object TextOps {
            |  AND (a.source < b.source OR (a.source = b.source AND a.n >= 2))
            |GROUP BY 1, 2""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): per-document novelty —
+    * the fraction of a doc's distinct 8-grams that appear in NO other
+    * document, the per-doc memorization-risk / dedup-QA metric (a doc
+    * whose grams all recur elsewhere contributes nothing new and trains
+    * memorization; x18 scores the GRAMS, this scores the DOCS). Emits
+    * (doc_id, n_grams, n_unique_grams, novelty_ppm) — novelty quantized
+    * to integer ppm of the doc's distinct-gram count, so the hash compare
+    * stays exact. Docs under 8 words have no 8-gram and are omitted (the
+    * [[grams8]] contract).
+    *
+    * Scale: the x18/x26 shape — one gram scan, one gram-keyed aggregate
+    * (map-side partials absorb boilerplate heavy hitters), one doc-keyed
+    * re-aggregate. Never all-pairs; never a gram-partitioned window.
+    */
+  def docNovelty(docs: DataFrame): DataFrame = {
+    val g = grams8(docs)
+    val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
+    g.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique_grams"))
+      .withColumn("novelty_ppm", expr("n_unique_grams * 1000000 DIV n_grams"))
+  }
+
+  /** X73 (beyond reference): per-doc 8-gram novelty — see [[docNovelty]].
+    * The oracle replays the gram frequencies and the ppm fold exactly.
+    */
+  val x73: GraftQuery = GraftQuery(
+    "x73_doc_novelty",
+    (s, d) => docNovelty(Tables.documents(s, d)),
+    Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT DISTINCT doc_id,
+           |        array_to_string(ws[i:i+7], ' ') AS g
+           |      FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+           |f AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_grams,
+           |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+           |    // CAST(count(*) AS BIGINT) AS novelty_ppm
+           |FROM g JOIN f USING (g) GROUP BY doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72)
+      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73)
 }

@@ -913,6 +913,26 @@ class TextOpsSpec extends SparkSpec {
       ("C", "C") -> ((1L, 1L))), s"got $got")
   }
 
+  test("x73 doc novelty: exact gram accounting on planted unique/shared/" +
+    "copied docs, short docs omitted") {
+    // doc 0: 9 words -> 2 grams, fully unique; doc 1 copies doc 0 exactly
+    // (both docs' grams hit df=2 -> novelty 0); doc 2 disjoint 8 words ->
+    // 1 unique gram; doc 3 too short to gram
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8"),
+      (3L, "short doc here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.docNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_unique_grams"), r.getAs[Long]("novelty_ppm"))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), s"short doc must be omitted: $got")
+    assert(got(0L) == ((2L, 0L, 0L)) && got(1L) == ((2L, 0L, 0L)),
+      s"exact copies share every gram -> zero novelty: $got")
+    assert(got(2L) == ((1L, 1L, 1000000L)), s"disjoint doc is fully novel: $got")
+  }
+
   test("x71 blocklist filter: exact counts on a hand-built doc, zero-hit " +
     "docs keep, any-hit docs drop") {
     val docs = Seq(
