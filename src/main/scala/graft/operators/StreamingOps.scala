@@ -1074,7 +1074,34 @@ object StreamingOps {
            |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = cand.h)""".stripMargin),
     bench = false)
 
+  /** T33 (beyond reference): the C4 blocklist gate ON THE INGEST STREAM —
+    * x71's hard filter is a stateless per-doc projection, so it is
+    * streaming-legal verbatim: the SAME [[TextOps.blocklistFilter]]
+    * kernel runs over the document stream in append mode (no state, no
+    * watermark — the shape every ingest-time hygiene gate should have),
+    * and x71's oracle gates the sink, proving stream == batch bitwise
+    * for the whole stateless-quality-gate class (the d35/m23 shared-
+    * kernel pattern, applied to projections).
+    */
+  val t33: GraftQuery = GraftQuery(
+    "t33_stream_blocklist",
+    (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val q = TextOps.blocklistFilter(docsStream)
+        .writeStream.format("memory").queryName("graft_t33")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t33")
+    },
+    TextOps.x71.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33)
 }
