@@ -19,6 +19,43 @@ import org.apache.spark.sql.DataFrame
   */
 object Graft {
 
+  /** Contract column -> type, used by [[withContract]] to coerce mapped
+    * columns so a caller's INT ids / VARCHAR timestamps land in the types
+    * the operators (and their documented contracts) expect.
+    */
+  private val contractTypes = Map(
+    "doc_id" -> "bigint", "text" -> "string", "source" -> "string",
+    "lang" -> "string", "n_chars" -> "bigint",
+    "vec_id" -> "bigint", "embedding" -> "array<float>",
+    "u" -> "bigint", "v" -> "bigint",
+    "user_id" -> "bigint", "bucket_ts" -> "timestamp", "demand" -> "double")
+
+  /** Bring-your-own-schema adapter: project `df` onto a Graft column
+    * contract. Each `(contractName, source)` pair renames the caller's
+    * column — `source` may be a plain column name or any SQL expression
+    * (`"meta.page_id"`, `"CAST(crawl_ts AS TIMESTAMP)"`, `"'en'"` for a
+    * constant) — and known contract columns are cast to their documented
+    * types (doc_id/vec_id/user_id → bigint, embedding → array<float>,
+    * bucket_ts → timestamp, …). The result carries EXACTLY the mapped
+    * columns, so downstream operators never trip on leftover name
+    * collisions.
+    *
+    * {{{
+    * val docs = Graft.withContract(crawl,
+    *   "doc_id" -> "page_id", "text" -> "body", "source" -> "site")
+    * Graft.curate(docs)
+    * }}}
+    */
+  def withContract(df: DataFrame, mapping: (String, String)*): DataFrame = {
+    require(mapping.nonEmpty, "withContract needs at least one mapping")
+    require(mapping.map(_._1).distinct.size == mapping.size,
+      s"duplicate contract names in mapping: ${mapping.map(_._1)}")
+    df.select(mapping.map { case (to, from) =>
+      val c = org.apache.spark.sql.functions.expr(from)
+      contractTypes.get(to).fold(c)(t => c.cast(t)).as(to)
+    }: _*)
+  }
+
   // ---- corpus deduplication -----------------------------------------------
 
   /** Exact duplicate groups by content hash: (h, n, keeper). */
@@ -36,10 +73,27 @@ object Graft {
   def dupComponents(docs: DataFrame, threshold: Double = 0.9): DataFrame =
     TextOps.dupComponents(docs, threshold)
 
-  /** Exact duplicate-set pairs via full-signature MinHash banding:
-    * (a_id, b_id) for identical word sets, a_id < b_id.
+  /** Duplicate word-set groups (threshold-1.0 dedup): (doc_id, group_id =
+    * min member id, n_members), one row per doc sharing its distinct word
+    * set with at least one other. Group output is the scale-safe default —
+    * the pair form is quadratic in group size.
     */
   def minHashDupSets(docs: DataFrame): DataFrame = TextOps.minHashDupSets(docs)
+
+  /** Pair expansion of [[minHashDupSets]]: (a_id, b_id), a_id < b_id.
+    * Output is Θ(g²) per g-doc group by semantics — the small-group path
+    * (graph edges, triangle counts); prefer the group form for curation.
+    */
+  def dupSetPairs(docs: DataFrame): DataFrame = TextOps.dupSetPairs(docs)
+
+  /** Per-domain frequency cap: keep at most `cap` docs per `domainCol`
+    * value, elected by a deterministic salted-hash order (a fair
+    * reproducible sample, not crawl order): (doc_id, domainCol, n_docs,
+    * keep). Window-free — a bottom-cap sketch aggregate + one equi-join,
+    * so a mega-domain costs what a sum costs.
+    */
+  def domainCap(docs: DataFrame, domainCol: String = "source",
+      cap: Int = 1000): DataFrame = TextOps.domainCap(docs, domainCol, cap)
 
   /** Incremental dedup verdicts for a `batch` of new docs against an
     * existing `corpus` (reduced to canonical fingerprints, never rescanned):

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the missing closure step of every
@@ -41,39 +40,51 @@ object GraphOps {
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
 
+  // one round = per-node neighborhood minimum (m) re-pointing a slice of
+  // the neighborhood at m; large-star re-points strictly larger neighbors,
+  // small-star re-points smaller neighbors and the node itself. Both emit
+  // canonical (min, max) pairs by construction (m <= u < v in large-star;
+  // m <= v' for v' emitted in small-star).
+  //
+  // The neighborhood minimum is a groupBy(min) + join-back, NEVER
+  // `min().over(Window.partitionBy("u"))`: a node-partitioned window has
+  // no map-side partials and AQE cannot split it, so a mega duplicate
+  // component (boilerplate pages — routine in web corpora) would funnel
+  // every edge of the component through ONE WindowExec task per round,
+  // ~2·log n times — the curse of the last reducer. The hash aggregate
+  // keeps the min partial on the map side (the mins table is one 16-byte
+  // row per node regardless of degree), and the join-back on u is a plain
+  // shuffle join AQE's skew-split can divide. PlanGuardSpec pins this
+  // shape; exposed private[graft] for that gate.
+
+  private[graft] def largeStar(cur: DataFrame): DataFrame = {
+    val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+    // no trailing distinct: rows are two longs, so deduplicating here
+    // costs a full extra shuffle per round just to shrink smallStar's
+    // input; smallStar's own distinct restores set semantics
+    // (which the sig-based fixpoint check depends on)
+    sym.join(mins, "u")
+      .withColumn("m", least(col("nmin"), col("u")))
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("m").as("u"), col("v"))
+  }
+
+  private[graft] def smallStar(cur: DataFrame): DataFrame = {
+    // neighbors below u, plus u itself, all re-pointed at the minimum
+    val down = cur.select(col("v").as("u"), col("u").as("v")) // v < u rows
+    val mins = down.groupBy("u").agg(min(col("v")).as("nmin"))
+    down.join(mins, "u")
+      .select(col("nmin").as("m"), col("v"), col("u"))
+      .select(col("m").as("u"),
+        explode(array(col("v"), col("u"))).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")).distinct()
+  }
+
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-
     var e = canonicalEdges(edges)
-
-    // one round = per-node neighborhood minimum (m) re-pointing a slice of
-    // the neighborhood at m; large-star re-points strictly larger
-    // neighbors, small-star re-points smaller neighbors and the node
-    // itself. Both emit canonical (min, max) pairs by construction
-    // (m <= u < v in large-star; m <= v' for v' emitted in small-star).
-    def largeStar(cur: DataFrame): DataFrame = {
-      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val m = least(min(col("v")).over(Window.partitionBy("u")), col("u"))
-      // no trailing distinct: rows are two longs, so deduplicating here
-      // costs a full extra shuffle per round just to shrink smallStar's
-      // window input; smallStar's own distinct restores set semantics
-      // (which the sig-based fixpoint check depends on)
-      sym.withColumn("m", m)
-        .filter(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("m").as("u"), col("v"))
-    }
-
-    def smallStar(cur: DataFrame): DataFrame = {
-      // neighbors below u, plus u itself, all re-pointed at the minimum
-      val down = cur.select(col("v").as("u"), col("u").as("v")) // v < u rows
-      val m = min(col("v")).over(Window.partitionBy("u"))
-      down.withColumn("m", m)
-        .select(col("m").as("u"),
-          explode(array(col("v"), col("u"))).as("v"))
-        .filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"),
-          greatest(col("u"), col("v")).as("v")).distinct()
-    }
 
     // edge-set signature: cheap fixpoint detector (count + order-free hash;
     // the hash is bucketed into [0, 1e9) so the sum stays overflow-safe

@@ -1021,9 +1021,19 @@ object StreamingOps {
     */
   def incrementalDedupBatch(batch: DataFrame, seenPath: String,
       corpusPath: String): Unit = {
+    val s = batch.sparkSession
     val cand = batch.select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
-    val seen = batch.sparkSession.read.parquet(seenPath)
+    // cold-start bootstrap (library use): a first batch arriving before any
+    // seen store exists means NOTHING is seen — materialize the empty table
+    // once (correct schema, via the Hadoop FS abstraction so object stores
+    // work too) so this batch's anti-join and every later batch read the
+    // same durable seam instead of special-casing the first micro-batch.
+    val seenHadoopPath = new org.apache.hadoop.fs.Path(seenPath)
+    val fs = seenHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(seenHadoopPath))
+      cand.select("h").limit(0).write.mode("overwrite").parquet(seenPath)
+    val seen = s.read.parquet(seenPath)
     val fresh = cand.join(seen, Seq("h"), "left_anti").localCheckpoint()
     fresh.select("doc_id", "h").write.mode("append").parquet(corpusPath)
     fresh.select("h").write.mode("append").parquet(seenPath)

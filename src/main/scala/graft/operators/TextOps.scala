@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Distinct word set per doc (`docs` needs doc_id + text columns). */
-  private def wordSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("sh"))
-
   /** Distinct 3-word shingle set per doc (the near-dup unit — single words
     * are too common in natural text for set similarity to discriminate).
     */
@@ -170,21 +165,83 @@ object TextOps {
 
   /** Duplicate clusters: transitive closure of [[nearDupPairs]] —
     * (doc_id, component, n_members); singletons are their own component.
+    *
+    * Identical texts are collapsed to ONE representative (min doc_id per
+    * content md5) BEFORE the LSH stage: a g-doc boilerplate cluster —
+    * routine in web corpora, and the classic quadratic trap — would
+    * otherwise enter one LSH bucket and emit g(g−1)/2 all-confirming
+    * candidate pairs. Identical texts have identical shingle sets, so a
+    * member's jaccard to ANY third doc equals its representative's: the
+    * component partition is bit-identical, only its discovery cost
+    * changes (the collapse is one md5 groupBy; membership re-expands by
+    * hash join at the end). Component labels are unchanged too: the
+    * minimum doc of a component is always its own group's representative.
     */
-  def dupComponents(docs: DataFrame, threshold: Double): DataFrame =
-    GraphOps.components(docs, "doc_id",
-      nearDupPairs(docs, threshold).select(col("a_id").as("u"), col("b_id").as("v")))
-      .select(col("id").as("doc_id"), col("component"), col("n_members"))
+  def dupComponents(docs: DataFrame, threshold: Double): DataFrame = {
+    // docs under 3 words have NO shingles, so the LSH path can never pair
+    // them — even with identical text. They get a per-doc key so the
+    // collapse cannot link what the pair semantics wouldn't.
+    val keyed = docs.select(col("doc_id"),
+      when(size(split(col("text"), " ")) >= 3, md5(col("text")))
+        .otherwise(concat(lit("solo_"), col("doc_id"))).as("h"))
+    val reps = keyed.groupBy("h").agg(min("doc_id").as("rep_id"))
+    // materialize the collapsed corpus ONCE: the LSH stage reads it three
+    // times (banding + the two verify-side set attachments), each of which
+    // would otherwise recompute the collapse join over the full corpus —
+    // localCheckpoint here plays the role a staging write plays in a
+    // cluster pipeline (and the closure below checkpoints per round anyway)
+    val repDocs = docs.join(
+      reps.select(col("rep_id").as("doc_id")), "doc_id").localCheckpoint()
+    val comps = GraphOps.components(repDocs, "doc_id",
+      nearDupPairs(repDocs, threshold)
+        .select(col("a_id").as("u"), col("b_id").as("v")))
+    val labeled = keyed.join(reps, "h")
+      .join(comps.select(col("id").as("rep_id"), col("component")), "rep_id")
+      .select(col("doc_id"), col("component"))
+      .localCheckpoint() // two consumers: the size agg and the final join
+    labeled.join(
+      labeled.groupBy("component").agg(count(lit(1)).as("n_members")),
+      "component")
+      .select(col("doc_id"), col("component"), col("n_members"))
+  }
 
-  /** Exact duplicate-set pairs: MinHash full-signature banding (threshold
-    * 1.0 — identical word sets collide, near-identical ones almost never
-    * do), verified exactly: (a_id, b_id), a_id < b_id.
+  /** Duplicate word-set groups: (doc_id, group_id = min member id,
+    * n_members), one row per doc whose distinct word set is shared with at
+    * least one other doc. At threshold 1.0, MinHash-LSH degenerates to an
+    * exact fingerprint — identical sets collide with probability 1 and a
+    * full-signature band is just a 64-hash digest of the set — so the op
+    * groups directly on the canonical-set md5 (16 shuffled bytes per doc,
+    * never signatures or word arrays; same collision contract as x1's
+    * md5(text) groupBy). The GROUP form is deliberately the default
+    * output: the pair form is Θ(Σ g²) rows for g-doc groups — a planted
+    * boilerplate cluster of 1M identical pages would emit 5·10¹¹ pairs —
+    * while this form is one row per member. [[dupSetPairs]] re-expands
+    * pairs for small-group consumers (graph edges, triangle counts).
     */
   def minHashDupSets(docs: DataFrame): DataFrame = {
-    val sets = wordSets(docs)
-    withSets(lshCandidates(sets, numHashes = 64, bands = 1, rows = 64), sets)
-      .filter(size(array_intersect(col("a_sh"), col("b_sh"))) ===
-        size(array_union(col("a_sh"), col("b_sh"))))
+    val canon = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))))
+    val keyed = docs.select(col("doc_id"), canon.as("h"))
+    val groups = keyed.groupBy("h")
+      .agg(min("doc_id").as("group_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    keyed.join(groups, "h").select("doc_id", "group_id", "n_members")
+  }
+
+  /** Pair expansion of [[minHashDupSets]]: (a_id, b_id), a_id < b_id, one
+    * row per unordered pair of docs with identical word sets. Output is
+    * quadratic in group size BY SEMANTICS (a g-doc dup set is a g-clique
+    * with g(g−1)/2 edges); the expansion's join input is the collapsed
+    * 16-byte (group_id, doc_id) rows — the inherent output volume is the
+    * only quadratic cost, never LSH bucket work over shingle arrays. Use
+    * the group form for curation decisions at scale; this is the
+    * small-group path.
+    */
+  def dupSetPairs(docs: DataFrame): DataFrame = {
+    val g = minHashDupSets(docs).select("group_id", "doc_id")
+    g.select(col("group_id"), col("doc_id").as("a_id"))
+      .join(g.select(col("group_id"), col("doc_id").as("b_id")), "group_id")
+      .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
   }
 
@@ -316,22 +373,21 @@ object TextOps {
     (s, d) => exactDupGroups(Tables.documents(s, d)),
     Some("SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)"))
 
-  /** X5: MinHash duplicate-set detection (threshold 1.0): one band of all
-    * 64 rows — identical word sets produce identical signatures, so recall
-    * is exactly 1 and the brute-force oracle is sound; near-identical sets
-    * almost never collide, keeping buckets tight even when the corpus has
-    * heavy cross-document word overlap (this data's word-set jaccard is
-    * typically > 0.5 — 4-row bands would merge thousands of docs into one
-    * bucket and square the join). Sub-threshold near-dup recall is
-    * property-tested in TextOpsSpec, where an oracle can't exist.
+  /** X5: duplicate-set detection at threshold 1.0 (identical word sets).
+    * GROUP output — one row per member doc, labeled by the group minimum —
+    * because the pair form is quadratic in group size (see
+    * [[minHashDupSets]]); the oracle groups by the same canonical-set md5.
+    * Sub-threshold near-dup recall (where real MinHash banding matters) is
+    * x7's job and is property-tested in TextOpsSpec.
     */
   val x5: GraftQuery = GraftQuery(
     "x5_minhash_lsh_dupsets",
     (s, d) => minHashDupSets(Tables.documents(s, d)),
-    Some("""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS w FROM documents)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id
-           |FROM t a JOIN t b ON a.doc_id < b.doc_id
-           |WHERE len(list_intersect(a.w, b.w)) = len(list_distinct(list_concat(a.w, b.w)))""".stripMargin))
+    Some("""WITH t AS (SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS h FROM documents),
+           |g AS (SELECT h, min(doc_id) AS group_id, count(*) AS n_members
+           |  FROM t GROUP BY h HAVING count(*) >= 2)
+           |SELECT t.doc_id, g.group_id, g.n_members FROM t JOIN g USING (h)""".stripMargin))
 
   /** X7: n-gram Jaccard near-dup at 0.9 — LSH candidates (16 bands x 4
     * rows: miss probability < 1e-7 at j >= 0.9) verified with exact Jaccard.
@@ -1809,14 +1865,14 @@ object TextOps {
            |FROM r GROUP BY doc_id""".stripMargin))
 
   /** X27 (beyond reference): per-node triangle counts over the exact-dup
-    * pair graph (x5's edges) — see [[GraphOps.triangleCounts]]. A node in
-    * a k-clique dup set sits in (k-1 choose 2) triangles; triangle density
-    * separates true duplicate clusters from LSH chain noise.
+    * pair graph ([[dupSetPairs]] edges — the small-group pair path). A node
+    * in a k-clique dup set sits in (k-1 choose 2) triangles; triangle
+    * density separates true duplicate clusters from LSH chain noise.
     */
   val x27: GraftQuery = GraftQuery(
     "x27_triangle_count",
     (s, d) => GraphOps.triangleCounts(
-      minHashDupSets(Tables.documents(s, d))
+      dupSetPairs(Tables.documents(s, d))
         .select(col("a_id").as("u"), col("b_id").as("v"))),
     Some("""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS w FROM documents),
            |e AS (SELECT a.doc_id AS u, b.doc_id AS v FROM t a JOIN t b ON a.doc_id < b.doc_id
@@ -3753,8 +3809,9 @@ object TextOps {
            |GROUP BY doc_id""".stripMargin))
 
   /** Bloom-filter geometry for [[bloomDecontam]]: m bits, k hash probes.
-    * FPP per shingle ≈ (k·|bench| / m)^k — at 4k benchmark shingles that is
-    * ~6e-8; the filter is ~128 KiB of bit-state however big the corpus.
+    * FPP per shingle ≈ (k·|bench| / m)^k — (3·4000/2²⁰)³ ≈ 1.5e-6 at 4k
+    * benchmark shingles; the filter is ~128 KiB of bit-state however big
+    * the corpus.
     */
   private val BloomM = 1 << 20
   private val BloomK = 3
@@ -3910,28 +3967,42 @@ object TextOps {
       .join(weights, "source")
       .withColumn("cap", col("n_tokens") * maxEpochs)
     val tot = perSource.agg(sum("n_tokens").as("tot_tokens"), sum("w").as("tot_w"))
-    // milli-quantized cap/weight sort key: ×1000 (not ×1e6) keeps the
-    // BIGINT product safe to ~9e15 tokens per source (~37 PB of text) —
-    // ×1e6 would overflow a single ≥9e12-token source, squarely inside
-    // the 100 TB envelope. Milli-precision ties break on source name,
+    // cap/weight sort key as a pure per-row IEEE double division:
+    // correctly-rounded, so bit-identical in any engine, and
+    // magnitude-proof — an integer-quantized ratio (cap * 1000 DIV w)
+    // collapses to 0 once weights pass ~1000×cap (temperatureMixture's
+    // sqrt-scaled weights get there on real corpora) and the ladder
+    // reorders. The double is used ONLY for ordering; every allocation
+    // quantity stays exact-integer. Sub-ulp ties break on source name,
     // deterministically in both engines.
     val b = perSource.crossJoin(broadcast(tot))
       .withColumn("budget", expr(s"tot_tokens * $budgetNumer DIV $budgetDenom"))
-      .withColumn("rq", expr("cap * 1000 DIV w"))
+      .withColumn("rq", col("cap").cast("double") / col("w").cast("double"))
     val ord = Window.orderBy(col("rq"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the saturation test and the share allocation CROSS-MULTIPLY two
+    // BIGINTs (budget×w, cap×w_rem): with weights like temperatureMixture's
+    // (w ~ sqrt(n_tokens)×1000) the product leaves Long range around 3e10
+    // corpus tokens (~150 GB of text) — far inside the 100 TB envelope —
+    // and non-ANSI Spark would WRAP silently while DuckDB errors. Both
+    // products are therefore computed in DECIMAL(38,0) (Spark) / HUGEINT
+    // (DuckDB): operands are bounded by Long range, so the int128-class
+    // product is always exact. This table is #sources rows — the wide
+    // arithmetic costs nothing.
     val flagged = b
       .withColumn("cum_cap_excl", coalesce(sum("cap").over(ord), lit(0L)))
       .withColumn("w_rem_excl", col("tot_w") - coalesce(sum("w").over(ord), lit(0L)))
       .withColumn("saturated",
-        (col("budget") - col("cum_cap_excl")) * col("w") >= col("cap") * col("w_rem_excl"))
+        expr("CAST(budget - cum_cap_excl AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))" +
+          " >= CAST(cap AS DECIMAL(38,0)) * CAST(w_rem_excl AS DECIMAL(38,0))"))
     val cut = flagged.groupBy().agg(
       sum(when(col("saturated"), col("cap")).otherwise(0L)).as("sat_cap"),
       sum(when(col("saturated"), 0L).otherwise(col("w"))).as("unsat_w"))
     flagged.crossJoin(broadcast(cut))
       .withColumn("alloc_tokens", when(col("saturated"), col("cap"))
         .otherwise(least(col("cap"),
-          expr("greatest(budget - sat_cap, 0) * w DIV greatest(unsat_w, 1)"))))
+          expr("CAST(CAST(greatest(budget - sat_cap, 0) AS DECIMAL(38,0))" +
+            " * CAST(w AS DECIMAL(38,0)) DIV greatest(unsat_w, 1) AS BIGINT)"))))
       .withColumn("epochs_milli", expr("alloc_tokens * 1000 DIV n_tokens"))
       .select("source", "n_tokens", "w", "cap", "saturated", "alloc_tokens",
         "epochs_milli")
@@ -3961,18 +4032,21 @@ object TextOps {
            |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
            |               CAST(sum(w) AS BIGINT) AS tot_w FROM s),
            |b AS (SELECT s.*, tot_tokens * 7 // 4 AS budget, tot_w,
-           |        cap * 1000 // w AS rq FROM s CROSS JOIN tot),
+           |        CAST(cap AS DOUBLE) / CAST(w AS DOUBLE) AS rq FROM s CROSS JOIN tot),
            |r AS (SELECT *,
            |        CAST(coalesce(sum(cap) OVER (ORDER BY rq, source
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_cap_excl,
            |        tot_w - CAST(coalesce(sum(w) OVER (ORDER BY rq, source
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_rem_excl
            |      FROM b),
-           |f AS (SELECT *, (budget - cum_cap_excl) * w >= cap * w_rem_excl AS saturated FROM r),
+           |f AS (SELECT *, CAST(budget - cum_cap_excl AS HUGEINT) * CAST(w AS HUGEINT)
+           |        >= CAST(cap AS HUGEINT) * CAST(w_rem_excl AS HUGEINT) AS saturated FROM r),
            |c AS (SELECT CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) AS BIGINT) AS sat_cap,
            |             CAST(sum(CASE WHEN saturated THEN 0 ELSE w END) AS BIGINT) AS unsat_w FROM f),
            |a AS (SELECT *, CAST(CASE WHEN saturated THEN cap
-           |        ELSE least(cap, greatest(budget - sat_cap, 0) * w // greatest(unsat_w, 1)) END
+           |        ELSE least(CAST(cap AS HUGEINT),
+           |          CAST(greatest(budget - sat_cap, 0) AS HUGEINT) * CAST(w AS HUGEINT)
+           |            // CAST(greatest(unsat_w, 1) AS HUGEINT)) END
            |        AS BIGINT) AS alloc_tokens
            |      FROM f CROSS JOIN c)
            |SELECT source, n_tokens, w, cap, saturated, alloc_tokens,
@@ -3988,19 +4062,21 @@ object TextOps {
     * (no regex, per the cross-engine-escape discipline x64 documents).
     *
     * Scale: stateless per-doc projection inside whole-stage codegen, the
-    * blocklist is a literal in the plan — one scan, zero shuffles until
-    * the caller aggregates.
+    * blocklist is a TYPED literal array in the plan (never interpolated
+    * into SQL text — a term containing a quote or a trailing backslash is
+    * data, not syntax, so no escaping discipline is needed) — one scan,
+    * zero shuffles until the caller aggregates.
     */
   def blocklistFilter(docs: DataFrame,
       blocklist: Seq[String] = Seq("slow", "spill", "oom")): DataFrame = {
-    require(blocklist.nonEmpty && blocklist.forall(t => !t.contains("'")),
-      "blocklist must be non-empty, terms must not contain quotes")
-    val lst = blocklist.map(t => s"'$t'").mkString(", ")
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val terms = array(blocklist.map(lit): _*)
     docs
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
-        expr(s"size(filter(w, t -> t IN ($lst)))").cast("long").as("n_blocked"),
-        expr(s"size(array_intersect(array_distinct(w), array($lst)))")
+        size(filter(col("w"), t => array_contains(terms, t)))
+          .cast("long").as("n_blocked"),
+        size(array_intersect(array_distinct(col("w")), terms))
           .cast("long").as("n_distinct_blocked"))
       .withColumn("keep", col("n_blocked") === 0L)
   }
@@ -4129,9 +4205,65 @@ object TextOps {
            |    // CAST(count(*) AS BIGINT) AS novelty_ppm
            |FROM g JOIN f USING (g) GROUP BY doc_id""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): per-domain frequency
+    * cap — keep at most `cap` docs per `domainCol` value (the
+    * RefinedWeb-style "no domain may dominate the mix" intervention, the
+    * most common corpus step after dedup). Election is a deterministic
+    * salted-hash order over doc ids, so the kept subset is a fair,
+    * reproducible sample of each domain — not "whatever crawled first" —
+    * and identical on any cluster and any engine. Emits one row per doc:
+    * (doc_id, domainCol, n_docs, keep).
+    *
+    * Scale: the obvious formulation — row_number() over
+    * Window.partitionBy(domain) — is the banned skew shape (a mega-domain
+    * funnels through ONE task; no map-side partials, no AQE split).
+    * Instead the per-domain election threshold is the
+    * [[graft.plans.BottomKSketchAgg]] bottom-`cap` aggregate (O(cap)
+    * state, partials merge map-side like a sum, so a domain with 10⁹ docs
+    * costs what a sum costs) and keep = key <= threshold via one
+    * domain-keyed equi-join against the #domains-row threshold table (AQE
+    * broadcasts it when small, skew-splits the probe side when not). One
+    * scan, two keyed exchanges, zero windows. The 60-bit md5 keys are
+    * distinct in practice (a collision at the cutoff — ~n²/2⁶¹ — would
+    * keep one extra doc; both engines hash identically, so they would
+    * also agree on it... the oracle's row_number form is the tie-broken
+    * variant, exact whenever keys are distinct).
+    */
+  def domainCap(docs: DataFrame, domainCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val keyed = docs.select(col("doc_id"), col(domainCol),
+      expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cap')), 1, 15), 16, 10) AS BIGINT)")
+        .as("rk"))
+    val thresh = keyed.groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"),
+        array_max(expr(s"graft_bottom_k(rk, $cap)")).as("cutoff"))
+    keyed.join(thresh, domainCol)
+      .select(col("doc_id"), col(domainCol), col("n_docs"),
+        (col("rk") <= col("cutoff")).as("keep"))
+  }
+
+  /** X74 (beyond reference): domain-frequency cap at 50 docs/source — see
+    * [[domainCap]]. The oracle elects the same salted keys with a
+    * row_number rank (feasible at oracle scale); the engine path stays
+    * window-free.
+    */
+  val x74: GraftQuery = GraftQuery(
+    "x74_domain_cap",
+    (s, d) => domainCap(Tables.documents(s, d), "source", 50),
+    Some("""WITH k AS (SELECT doc_id, source,
+           |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15) AS BIGINT) AS rk
+           |  FROM documents),
+           |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM k GROUP BY 1),
+           |r AS (SELECT doc_id, source, rk,
+           |  row_number() OVER (PARTITION BY source ORDER BY rk) AS rnk FROM k)
+           |SELECT r.doc_id, r.source, n.n_docs, r.rnk <= 50 AS keep
+           |FROM r JOIN n USING (source)""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
-      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73)
+      x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73,
+      x74)
 }

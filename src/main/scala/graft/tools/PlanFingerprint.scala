@@ -35,6 +35,17 @@ object PlanFingerprint {
     * `Scan` = parquet scans; `PushedScan` = scans whose PushedFilters list
     * is non-empty (the pushdown evidence). AQE wrappers are ignored — the
     * initial plan is printed either way and is the deterministic artifact.
+    *
+    * SIDE EFFECT — this inspection is NOT read-only: it clears the
+    * session's entire CacheManager (reason 1 below), so any cache another
+    * query was relying on is gone afterwards. Callers must fingerprint
+    * either before timed work starts or after it ends, never interleaved
+    * with runs that build caches (Bench fingerprints only inside its
+    * slow-query re-run arbitration, where the timed attempt has already
+    * completed). Corollary: an op whose POINT is caching (s25) fingerprints
+    * here as its uncached shape — such ops pin their intended
+    * InMemoryTableScan via their own executedPlan assertion inside build,
+    * not via this tool.
     */
   def fingerprint(df: DataFrame): Map[String, Int] = {
     // The shape must be a pure function of the query code, not of session

@@ -34,7 +34,21 @@ object ScaleProbe {
     * ScaleBench first run recorded t11 at 0.15 s for exactly this
     * reason).
     */
-  def replicate(s: SparkSession, base: String, out: String, factor: Int): Unit = {
+  /** With `skewed = true`, the replica additionally PLANTS adversarial
+    * skew — the shape the uniform replica cannot test (every copy is
+    * disjoint by construction, so no key ever grows with the factor):
+    *   - documents: 20% of every copy's docs (doc_id % 5 == 0, post-offset)
+    *     are replaced with ONE shared boilerplate text — a single
+    *     duplicate cluster holding 20% of the corpus, the classic
+    *     web-crawl mega-cluster;
+    *   - events: 20% of rows (event_id % 5 == 0) land on user_id 0 — one
+    *     hot series key across all copies.
+    * Everything else follows the uniform scheme, so exponents measured on
+    * the skewed replica isolate "does skew break linearity", not "is the
+    * data bigger".
+    */
+  def replicate(s: SparkSession, base: String, out: String, factor: Int,
+      skewed: Boolean = false): Unit = {
     val done = new java.io.File(s"$out/_DONE")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
@@ -61,8 +75,11 @@ object ScaleProbe {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.core.Tables.load(s, base, "events")
     val evSpan = ev.agg(max("user_id")).head().getLong(0) + 1
-    writeSingle(reps(ev)
+    val evRep = reps(ev)
       .withColumn("user_id", col("user_id") + col("rep") * evSpan)
+    writeSingle((if (!skewed) evRep else evRep.withColumn("user_id",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(0L))
+          .otherwise(col("user_id"))))
       .drop("rep"), "events")
 
     val li = graft.core.Tables.lineitem(s, base)
@@ -73,10 +90,15 @@ object ScaleProbe {
 
     val docs = graft.core.Tables.documents(s, base)
     val dSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val uniqText = when(col("rep") === 0, col("text")).otherwise(
+      concat_ws(" ", expr("transform(split(text, ' '), w -> concat('z', CAST(rep AS STRING), w))")))
+    val boiler = (0 until 60).map(i => s"bp$i").mkString(" ")
     writeSingle(reps(docs)
       .withColumn("doc_id", col("doc_id") + col("rep") * dSpan)
-      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
-        concat_ws(" ", expr("transform(split(text, ' '), w -> concat('z', CAST(rep AS STRING), w))"))))
+      .withColumn("text",
+        if (!skewed) uniqText
+        else when(pmod(col("doc_id"), lit(5)) === 0, lit(boiler))
+          .otherwise(uniqText))
       .drop("rep"), "documents")
 
     val emb = graft.core.Tables.embeddings(s, base)

@@ -65,8 +65,11 @@ class GraftApiSpec extends SparkSpec {
     chunks.foreach(r => assert(r.getInt(1) === 0))
   }
 
-  test("minHashDupSets finds exactly the identical-word-set pair") {
-    val pairs = Graft.minHashDupSets(corpus()).collect()
+  test("minHashDupSets groups the identical-word-set docs; dupSetPairs expands the pair") {
+    val groups = Graft.minHashDupSets(corpus()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(groups === Set((1L, 1L, 2L), (2L, 1L, 2L)))
+    val pairs = Graft.dupSetPairs(corpus()).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }

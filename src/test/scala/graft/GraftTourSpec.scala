@@ -74,4 +74,39 @@ class GraftTourSpec extends SparkSpec {
         r.getAs[Double]("forecast_value") <= r.getAs[Double]("hi")
     })
   }
+
+  test("tour 5: bring-your-own schema — withContract adapts a foreign " +
+    "parquet end-to-end through curate and forecast") {
+    import SparkSpec.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-byod").toString
+
+    // a crawl table that looks nothing like the registry contract:
+    // int page ids, 'body' text, per-site metadata
+    spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("CAST(doc_id AS INT) AS page_id", "text AS body",
+        "source AS site")
+      .write.mode("overwrite").parquet(s"$dir/crawl.parquet")
+    val crawl = spark.read.parquet(s"$dir/crawl.parquet")
+    val docs = Graft.withContract(crawl,
+      "doc_id" -> "page_id", "text" -> "body", "source" -> "site")
+    assert(docs.schema("doc_id").dataType.typeName == "long",
+      "contract cast must widen the INT id")
+    val curated = Graft.curate(docs)
+    assert(curated.count() > 0, "curation emptied the foreign corpus")
+    assert(curated.columns.toSeq ==
+      Seq("doc_id", "component", "n_dups", "split", "n_tok"))
+
+    // a metrics table with string timestamps and foreign names
+    val series = graft.core.Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        window(col("ts"), "5 minutes")("start").as("w_ts"))
+      .agg(sum("value").as("total"))
+      .selectExpr("CAST(user_id AS INT) AS sensor", "CAST(w_ts AS STRING) AS at",
+        "total")
+    val contracted = Graft.withContract(series,
+      "user_id" -> "sensor", "bucket_ts" -> "at", "demand" -> "total")
+    val fc = Graft.forecast(contracted, model = "drift", horizon = 6)
+    val perKey = fc.groupBy("user_id").count().collect()
+    assert(perKey.nonEmpty && perKey.forall(_.getLong(1) == 6L))
+  }
 }

@@ -62,6 +62,40 @@ class PlanGuardSpec extends SparkSpec {
       s"x26 lost its partial-aggregated election:\n$plan")
   }
 
+  test("GraphOps rounds: neighborhood minima are hash aggs, never node-partitioned windows") {
+    // same skew argument as x9/x26, applied to the connected-components
+    // closure: a window partitioned by node has no map-side partials and
+    // AQE cannot split it, so a mega duplicate component (one boilerplate
+    // cluster = 20% of a web corpus) funnels every edge of the component
+    // through ONE task per round, ~2*log(n) times. The round must keep the
+    // neighborhood minimum in HashAggregate (partial+final) and join it
+    // back (AQE-skew-splittable).
+    import SparkSpec.spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    for ((name, round) <- Seq(
+        "largeStar" -> graft.operators.GraphOps.largeStar(edges),
+        "smallStar" -> graft.operators.GraphOps.smallStar(edges))) {
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("windowspecdefinition"),
+        s"GraphOps.$name windows by node — skew-unsplittable at scale:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"GraphOps.$name lost its partial-aggregated neighborhood min:\n$plan")
+    }
+  }
+
+  test("x74_domain_cap: election threshold is a sketch aggregate, never a " +
+    "domain-partitioned window") {
+    // the row_number()-per-domain formulation would funnel a mega-domain
+    // through one task; the plan must keep the bottom-cap election in a
+    // (partial+final) aggregate and apply it with an equi-join.
+    val plan = SparkEntry.queries("x74_domain_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"x74 windows by domain — skew-unsplittable at scale:\n$plan")
+    assert(plan.contains("graft_bottom_k"),
+      s"x74 lost its bottom-cap sketch election:\n$plan")
+  }
+
   test("x27_triangle_count: every join is a hash/sort-merge equi-join") {
     // the wedge and closing joins must stay equi-joins on computed keys;
     // a nested-loop form would re-introduce the all-pairs shape the

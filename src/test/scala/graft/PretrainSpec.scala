@@ -47,6 +47,18 @@ class PretrainSpec extends SparkSpec {
     assert(f(12)._2 >= 1 && f(12)._2 <= 32)
   }
 
+  test("pretrainCorpus releases every cache before returning (r8 advice pin)") {
+    // the funnel localCheckpoints its 13-row result and unpersists the
+    // shared docs cache — a leaked entry would silently rewrite later
+    // queries' plans (InMemoryRelation substitution, see PlanFingerprint)
+    // and pin corpus-sized blocks in executor memory for the session's
+    // lifetime at 100 TB.
+    spark.catalog.clearCache()
+    Pretrain.x66.build(spark, sf).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pretrainCorpus left a cached plan registered after returning")
+  }
+
   test("x66 staged fixture: exact deltas where the stage is deterministic, " +
     "tie-engineered quartile keeps all, no-op stages hold the corpus fixed") {
     // 24 quality-conformant docs with GLOBALLY UNIQUE words: every bigram

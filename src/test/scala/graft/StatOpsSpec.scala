@@ -1539,6 +1539,15 @@ class StatOpsSpec extends SparkSpec {
     val got = graft.operators.Relational.a26.build(spark, sf).collect().head
     assert(got.getAs[Long]("total_weight") == tw)
     assert(got.getAs[Long]("wmedian_cents") == expect)
+    // degenerate inputs return ZERO rows (the theilSen contract), never an
+    // all-NULL row that would NPE a typed getAs downstream (r8 advice fix)
+    assert(graft.operators.Relational
+      .exactWeightedMedian(Seq.empty[(Double, Long)].toDF("v", "w"), "v", "w")
+      .count() == 0L)
+    assert(graft.operators.Relational
+      .exactWeightedMedian(Seq((2.0, null.asInstanceOf[java.lang.Long]))
+        .toDF("v", "w"), "v", "w")
+      .count() == 0L)
   }
 
   test("d36 Spearman: rho in [-1,1]; a monotone pair gives rho = 1 and an " +

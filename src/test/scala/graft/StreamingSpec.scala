@@ -452,4 +452,23 @@ class StreamingSpec extends SparkSpec {
     assert(ingested2 == ingested1, s"replay ingested ${ingested2 - ingested1} dup docs")
     assert(seen2 == seen1, "replay must not grow the seen set")
   }
+
+  test("t32 cold start: the first batch against a nonexistent seen store " +
+    "bootstraps an empty table and ingests every distinct doc") {
+    val id = java.util.UUID.randomUUID()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val seenPath = s"$tmp/graft-scratch/t32cold_seen_$id" // never created
+    val corpusPath = s"$tmp/graft-scratch/t32cold_new_$id"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val distinctHashes = docs.select(md5($"text")).distinct().count()
+    graft.operators.StreamingOps.incrementalDedupBatch(docs, seenPath, corpusPath)
+    assert(spark.read.parquet(corpusPath).count() == distinctHashes,
+      "cold start must ingest exactly the distinct-hash corpus")
+    assert(spark.read.parquet(seenPath).count() == distinctHashes,
+      "cold start must leave seen == the ingested hashes")
+    // and the now-warm store behaves identically to the bootstrapped one
+    graft.operators.StreamingOps.incrementalDedupBatch(docs, seenPath, corpusPath)
+    assert(spark.read.parquet(corpusPath).count() == distinctHashes,
+      "replay against the bootstrapped store must ingest zero docs")
+  }
 }

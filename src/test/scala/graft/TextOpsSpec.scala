@@ -892,6 +892,99 @@ class TextOpsSpec extends SparkSpec {
         r.getAs[Long]("epochs_milli") == 2000L))
   }
 
+  test("dupComponents collapses a planted 1k-identical cluster before LSH " +
+    "(one component, exact membership) and never links shingle-less docs") {
+    // the mega boilerplate cluster: 1000 identical 60-word docs + one
+    // near-dup of the boilerplate + unrelated docs. The exact-collapse
+    // must hand LSH ONE representative (the candidate stage stays
+    // O(corpus)), yet the component must contain all 1001 docs.
+    val boiler = (0 until 60).map(i => s"bp$i").mkString(" ")
+    val near = ("zz" +: (1 until 60).map(i => s"bp$i")).mkString(" ")
+    val docs = spark.range(0, 1000)
+      .select($"id".as("doc_id"), lit(boiler).as("text"))
+      .union(Seq(
+        (5000L, near),
+        (6000L, (0 until 60).map(i => s"other$i").mkString(" ")),
+        // identical SHORT docs: no shingles -> LSH can never pair them,
+        // so the collapse must not link them either
+        (7000L, "two words"), (7001L, "two words")).toDF("doc_id", "text"))
+    val got = TextOps.dupComponents(docs, 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === 1004)
+    (0L until 1000L).foreach(id => assert(got(id) === ((0L, 1001L)), s"doc $id"))
+    assert(got(5000L) === ((0L, 1001L)), "the near-dup joins the collapsed cluster")
+    assert(got(6000L) === ((6000L, 1L)))
+    assert(got(7000L) === ((7000L, 1L)) && got(7001L) === ((7001L, 1L)),
+      "shingle-less identical docs must stay singletons (pair semantics)")
+  }
+
+  test("x74 domain cap: exactly cap docs kept per overfull domain, " +
+    "under-cap domains keep everything, election is deterministic") {
+    // one mega-domain (280 docs) and one small (20): the cap must bite the
+    // mega-domain at exactly 25 and pass the small one through whole
+    val docs = (0 until 300).map { i =>
+      (i.toLong, "t", if (i < 280) "mega" else "tiny")
+    }.toDF("doc_id", "text", "source")
+    def run() = TextOps.domainCap(docs, "source", 25).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    val got = run()
+    assert(got.size === 300)
+    assert(got.values.count { case (s, _, k) => s == "mega" && k } === 25)
+    assert(got.values.count { case (s, _, k) => s == "tiny" && k } === 20)
+    assert(got.values.forall { case (s, n, _) =>
+      (s == "mega" && n == 280L) || (s == "tiny" && n == 20L) })
+    // same input -> bit-identical kept set (salted-hash election, no RNG)
+    assert(run() === got)
+    intercept[IllegalArgumentException](TextOps.domainCap(docs, "source", 0))
+  }
+
+  test("x19 mixture plan: a source beyond the named tiers samples at the " +
+    "lowest-priority rate, never NULL (r8 advice pin)") {
+    // src25 -> tier 5, outside TierFrac's [0,4): target_frac must fall
+    // back to the last tier's 0.1 (the oracle's ELSE branch), because a
+    // NULL target_frac would turn downstream `keep = draw < NULL` into
+    // silently dropping the whole tier.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tier").toString
+    (0 until 20).map { i =>
+      (i.toLong, (0 until 8).map(j => s"t${i}x$j").mkString(" "), "en",
+        if (i < 10) "src0" else "src25")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.x19.build(spark, dir).collect()
+      .map(r => r.getAs[Int]("tier") ->
+        (r.getAs[Double]("target_frac"), r.getAs[Double]("rate"))).toMap
+    assert(got.keySet === Set(0, 5))
+    assert(got(5)._1 === 0.1 && !got(5)._2.isNaN && got(5)._2 > 0.0,
+      s"out-of-range tier must sample at TierFrac.last: $got")
+    assert(got(0)._1 === 0.4)
+  }
+
+  test("x70 epoch waterfill: int128 cross-multiplication — 1e18-scaled " +
+    "weights produce exactly the small-weight allocation") {
+    // waterfilling is scale-invariant in the weights: multiplying every w
+    // by λ multiplies both sides of the saturation test and both the
+    // numerator and denominator of the share by λ. With λ = 1e18 the
+    // cross-products (budget×w ≈ 2.45e3 × 4e18) are ~400x past Long.Max —
+    // a raw-BIGINT formulation wraps silently (and an integer-quantized
+    // rq sort key collapses to 0 and reorders the ladder); the
+    // DECIMAL(38,0) products and the double ratio key must reproduce the
+    // small-weight result row-for-row.
+    val docs = (0 until 140).map { i =>
+      val src = if (i < 10) "tiny" else if (i < 40) "mid" else "big"
+      (i.toLong, (0 until 10).map(j => s"u${i}w$j").mkString(" "), "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val cols = Seq("source", "n_tokens", "cap", "saturated", "alloc_tokens",
+      "epochs_milli")
+    def run(lambda: Long) = TextOps.epochWaterfill(docs,
+        Seq(("tiny", 4L * lambda), ("mid", 2L * lambda), ("big", 1L * lambda))
+          .toDF("source", "w"))
+      .selectExpr(cols: _*).collect().map(_.toSeq).toSet
+    assert(run(1000000000000000000L) === run(1L))
+  }
+
   test("x72 source overlap matrix: hand-built clusters produce the exact " +
     "pair counts, singletons and clean sources never appear") {
     // cluster K1: 2 docs in A + 1 in B (word-order shuffle, same set);
@@ -950,9 +1043,35 @@ class TextOpsSpec extends SparkSpec {
     val custom = TextOps.blocklistFilter(docs, Seq("clean")).collect()
       .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
     assert(!custom(0L) && custom(1L) && custom(2L))
-    // quote injection is rejected, empty list is rejected
-    intercept[IllegalArgumentException](TextOps.blocklistFilter(docs, Seq("a'b")))
+    // terms are typed plan literals, not interpolated SQL: quotes and
+    // trailing backslashes are matched as data, never parsed as syntax
+    val tricky = Seq((9L, "weird a'b and c\\ tokens")).toDF("doc_id", "text")
+    val tr = TextOps.blocklistFilter(tricky, Seq("a'b", "c\\")).head()
+    assert(tr.getAs[Long]("n_blocked") === 2L &&
+      tr.getAs[Long]("n_distinct_blocked") === 2L && !tr.getAs[Boolean]("keep"))
+    // empty list is rejected
     intercept[IllegalArgumentException](TextOps.blocklistFilter(docs, Nil))
+  }
+
+  test("x5 group form: a planted 1k-identical-doc cluster emits O(n) rows, " +
+    "not O(n^2) pairs") {
+    // the r9 verdict's mega-cluster scenario: one boilerplate page
+    // duplicated 1000x. The group form must emit one row per member (1000
+    // rows, one group), never the 499,500-row pair expansion.
+    val planted = spark.range(0, 1000)
+      .select($"id".as("doc_id"),
+        lit("identical boilerplate page body repeated across the crawl").as("text"))
+      .union(Seq((5000L, "a unique document unlike any other here")).toDF("doc_id", "text"))
+    val got = TextOps.minHashDupSets(planted)
+    assert(got.count() === 1000L)
+    val g = got.agg(countDistinct($"group_id"), min($"group_id"),
+      max($"n_members")).head()
+    assert(g.getLong(0) === 1L && g.getLong(1) === 0L && g.getLong(2) === 1000L)
+    // the pair path stays available for small groups and is exact
+    val pairs = TextOps.dupSetPairs(
+      Seq((1L, "x y z"), (2L, "z y x"), (3L, "other words")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
   }
 }
 

@@ -98,6 +98,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.values.map(_._4).sum / got.size >= 0.9, "avg nDCG degraded")
     assert(exact.exists { case (q, ex) => approx.get(q).contains(ex) },
       "fixture regression: no query has a perfectly-ordered IVF result")
+    // r8 advice pin: the driver-side integer DCG weight table must cover
+    // every rank up to k — at k=10 the ideal DCG is the exact local sum
+    // and every nDCG stays a valid ratio (a short table would NULL or
+    // truncate the deep ranks)
+    val idcg10 = (1 to 10).map(i => (10 - i + 1).toLong * w(i)).sum
+    val got10 = VectorOps.rankingEval(emb, qs, 10).collect()
+    assert(got10.length == 10, "one row per query at k=10")
+    got10.foreach { r =>
+      assert(r.getLong(3) == idcg10,
+        s"k=10 idcg mismatch: ${r.getLong(3)} vs $idcg10")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
   }
 
   test("v4 k-means IVF recall@3 vs v1 brute force is >= 0.9 on clustered data") {
