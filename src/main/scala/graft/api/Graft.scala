@@ -102,6 +102,16 @@ object Graft {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     TextOps.incrementalDedup(corpus, batch)
 
+  /** Incremental NEAR-dup verdicts at `threshold` 3-shingle Jaccard — the
+    * crawl-snapshot gate ([[incrementalDedup]] lifted to similarity):
+    * (doc_id, n_corpus_neardups, n_earlier_batch_neardups, keep). The
+    * corpus side is exact-collapsed and LSH-banded, never joined
+    * all-pairs.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.9): DataFrame =
+    TextOps.incrementalNearDup(corpus, batch, threshold)
+
   /** Connected components over an arbitrary undirected edge list
     * (u: long, v: long), labeled by minimum member id; `universe` supplies
     * the full node set (isolated nodes become singletons).

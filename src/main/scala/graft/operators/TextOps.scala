@@ -4260,10 +4260,100 @@ object TextOps {
            |SELECT r.doc_id, r.source, n.n_docs, r.rnk <= 50 AS keep
            |FROM r JOIN n USING (source)""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): incremental NEAR-dup
+    * verdicts for a new `batch` against an existing `corpus` at
+    * `threshold` 3-shingle Jaccard — [[incrementalDedup]] (x21) lifted
+    * from exact-hash equality to near-duplicate similarity, which is the
+    * real crawl-snapshot scenario: tonight's crawl is mostly REWRITES of
+    * pages the corpus already holds, not byte-identical copies. One row
+    * per batch doc: (doc_id, n_corpus_neardups, n_earlier_batch_neardups,
+    * keep), keep = no corpus near-dup AND no smaller-id batch near-dup
+    * (the greedy first-wins rule; deliberately pairwise — closure-grade
+    * clustering of the survivors is x11's job).
+    *
+    * Scale: the corpus never meets the batch all-pairs. Corpus docs
+    * exact-collapse to distinct-text representatives first (a boilerplate
+    * mega-cluster is ONE index row; its member count returns as the
+    * near-dup count WEIGHT — identical texts have identical shingle sets,
+    * so the weighted count equals the raw one), the representatives' LSH
+    * band keys form the index side of one (band, bucket)-keyed join — at
+    * deployment scale that banded index is computed once and persisted,
+    * and each micro-batch joins its own bands against it (the t32
+    * seen-table pattern, one level up) — and exact verification touches
+    * candidate pairs only. In-batch pairs reuse the x7 candidate
+    * machinery over the micro-batch alone.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val (bands, rows) = bandingFor(threshold)
+    val creps = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("weight"))
+    // the index side: banding and verify both read it — materialize once
+    // (a cluster deployment persists it instead; see scaladoc)
+    val cSets = shingleSets(
+        creps.select("doc_id").join(corpus.select("doc_id", "text"), "doc_id"))
+      .localCheckpoint()
+    val bSets = shingleSets(batch).localCheckpoint()
+    val cBands = lshBands(cSets, numHashes = 64, bands = bands, rows = rows)
+      .select(col("band"), col("bh"), col("doc_id").as("c_id"))
+    val bBands = lshBands(bSets, numHashes = 64, bands = bands, rows = rows)
+      .select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    val bcVerified = bBands.join(cBands, Seq("band", "bh"))
+      .select("b_id", "c_id").distinct()
+      .join(bSets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(cSets.select(col("doc_id").as("c_id"), col("sh").as("c_sh")), "c_id")
+      .filter(jaccard(col("b_sh"), col("c_sh")) >= threshold)
+      .join(creps.select(col("doc_id").as("c_id"), col("weight")), "c_id")
+      .groupBy("b_id").agg(sum("weight").as("nc"))
+    val bbVerified =
+      withSets(lshCandidates(bSets, numHashes = 64, bands = bands, rows = rows), bSets)
+        .filter(jaccard(col("a_sh"), col("b_sh")) >= threshold)
+        .groupBy("b_id").agg(count(lit(1)).as("nb"))
+    batch.select("doc_id")
+      .join(bcVerified.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(bbVerified.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nc"), lit(0L)).as("n_corpus_neardups"),
+        coalesce(col("nb"), lit(0L)).as("n_earlier_batch_neardups"),
+        (coalesce(col("nc"), lit(0L)) === 0L &&
+          coalesce(col("nb"), lit(0L)) === 0L).as("keep"))
+  }
+
+  /** X75 (beyond reference): incremental near-dup gate — see
+    * [[incrementalNearDup]] (corpus = every third doc, mirroring t32's
+    * split, so the gate genuinely fires on this data). The oracle
+    * brute-forces batch×corpus and batch×batch jaccard, feasible at
+    * oracle scale; the engine path stays banded.
+    */
+  val x75: GraftQuery = GraftQuery(
+    "x75_incremental_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalNearDup(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0), 0.9)
+    },
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+           |  THEN list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] for i in generate_series(1, len(w) - 2)])
+           |  ELSE [] END AS s FROM t),
+           |c AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+           |b AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+           |bc AS (SELECT b.doc_id, count(*) AS n FROM b JOIN c
+           |  ON len(list_intersect(b.s, c.s))::DOUBLE / len(list_distinct(list_concat(b.s, c.s))) >= 0.9
+           |  GROUP BY 1),
+           |bb AS (SELECT b2.doc_id, count(*) AS n FROM b b1 JOIN b b2 ON b1.doc_id < b2.doc_id
+           |  AND len(list_intersect(b1.s, b2.s))::DOUBLE / len(list_distinct(list_concat(b1.s, b2.s))) >= 0.9
+           |  GROUP BY 1)
+           |SELECT b.doc_id, CAST(coalesce(bc.n, 0) AS BIGINT) AS n_corpus_neardups,
+           |  CAST(coalesce(bb.n, 0) AS BIGINT) AS n_earlier_batch_neardups,
+           |  coalesce(bc.n, 0) = 0 AND coalesce(bb.n, 0) = 0 AS keep
+           |FROM b LEFT JOIN bc USING (doc_id) LEFT JOIN bb USING (doc_id)""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
       x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73,
-      x74)
+      x74, x75)
 }

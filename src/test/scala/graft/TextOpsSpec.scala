@@ -55,17 +55,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("x5 dup-set detection finds identical word sets and nothing else") {
+  test("x5 dup-set detection groups identical word sets and nothing else") {
     withCrafted { dir =>
       def wordSet(t: String): Set[String] = t.split(" ").toSet
       val docs = crafted.select("doc_id", "text").collect()
         .map(r => r.getLong(0) -> wordSet(r.getString(1)))
-      val truth = (for {
+      // ground truth in GROUP form: docs sharing a word set, labeled by
+      // the group minimum, with member counts
+      val truth = docs.groupBy(_._2).values.filter(_.size >= 2).flatMap { g =>
+        val ids = g.map(_._1)
+        ids.map(id => (id, ids.min, ids.size.toLong))
+      }.toSet
+      val got = TextOps.x5.build(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === truth)
+      // and the pair path expands exactly the brute-force pair set
+      val truthPairs = (for {
         (a, sa) <- docs; (b, sb) <- docs if a < b && sa == sb
       } yield (a, b)).toSet
-      val got = TextOps.x5.build(spark, dir).collect()
+      val gotPairs = TextOps.dupSetPairs(
+        spark.read.parquet(s"$dir/documents.parquet")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got === truth)
+      assert(gotPairs === truthPairs)
     }
   }
 
@@ -916,6 +927,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got(6000L) === ((6000L, 1L)))
     assert(got(7000L) === ((7000L, 1L)) && got(7001L) === ((7001L, 1L)),
       "shingle-less identical docs must stay singletons (pair semantics)")
+  }
+
+  test("x75 incremental near-dup: corpus rewrites counted with exact-dup " +
+    "weights, in-batch first-wins, fresh docs keep") {
+    def words(p: Char) = (0 until 60).map(i => s"$p$i")
+    def mutate(ws: Seq[String]) = ws.updated(30, "ZZZ") // ~3 shingles change, j ≈ 0.90+
+    val corpus = Seq(
+      (0L, words('a').mkString(" ")),
+      (1L, words('a').mkString(" ")), // exact dup of 0 -> collapse weight 2
+      (2L, words('b').mkString(" ")),
+      (3L, "two words")               // shingle-less, can never match
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, mutate(words('a')).mkString(" ")), // rewrite of the a-cluster
+      (11L, words('c').mkString(" ")),         // fresh
+      (12L, mutate(words('c')).mkString(" ")), // in-batch near-dup of 11
+      (13L, words('d').mkString(" "))          // fresh
+    ).toDF("doc_id", "text")
+    val got = TextOps.incrementalNearDup(corpus, batch, 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got(10L) === ((2L, 0L, false)),
+      s"rewrite must count BOTH exact copies of its corpus cluster: $got")
+    assert(got(11L) === ((0L, 0L, true)))
+    assert(got(12L) === ((0L, 1L, false)), "later in-batch near-dup must drop")
+    assert(got(13L) === ((0L, 0L, true)))
   }
 
   test("x74 domain cap: exactly cap docs kept per overfull domain, " +
