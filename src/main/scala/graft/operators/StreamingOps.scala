@@ -1111,7 +1111,94 @@ object StreamingOps {
     TextOps.x71.oracle,
     bench = false)
 
+  /** The t34 per-micro-batch core (x74's [[TextOps.domainCap]] semantics,
+    * made incremental), extracted so StreamingSpec can drive multi-batch
+    * quota sequences directly: read the durable per-domain accepted
+    * counts, elect this batch's docs bottom-(cap − used) by the SAME
+    * salted-hash order x74 uses ([[TextOps.CapKeySql]] — election is by
+    * hash, never arrival order, so the result is deterministic given the
+    * batch sequence), append the winners to `outPath` and refresh the
+    * counts table. Counts live in STORAGE keyed by domain — the t32
+    * seen-table pattern — not in executor state; per batch the work is
+    * one bottom-cap sketch aggregation plus two joins, and both state
+    * tables are #domains rows.
+    */
+  def domainCapBatch(batch: DataFrame, domainCol: String, cap: Int,
+      countsPath: String, outPath: String): Unit = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val s = batch.sparkSession
+    graft.plans.GraftExtensions.register(s)
+    val keyed = batch.select(col("doc_id"), col(domainCol),
+      expr(TextOps.CapKeySql).as("rk"))
+    val countsHadoop = new org.apache.hadoop.fs.Path(countsPath)
+    val fs = countsHadoop.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(countsHadoop)) // cold start: nothing accepted yet (t32 rule)
+      keyed.select(col(domainCol), lit(0L).as("used")).limit(0)
+        .write.mode("overwrite").parquet(countsPath)
+    val used = s.read.parquet(countsPath)
+    // per-domain election: the bottom-cap sketch always suffices because
+    // the remaining quota is <= cap; the cutoff is the rem-th smallest key
+    // (or everything when the batch is smaller than the quota)
+    val elected = keyed.groupBy(domainCol)
+      .agg(expr(s"graft_bottom_k(rk, $cap)").as("sk"))
+      .join(used, Seq(domainCol), "left")
+      .withColumn("rem",
+        greatest(lit(cap.toLong) - coalesce(col("used"), lit(0L)), lit(0L)))
+      .select(col(domainCol),
+        when(col("rem") >= size(col("sk")).cast("long"),
+            element_at(col("sk"), size(col("sk"))))
+          .when(col("rem") > 0, element_at(col("sk"), col("rem").cast("int")))
+          .otherwise(lit(Long.MinValue)).as("cutoff"))
+    val kept = keyed.join(elected, domainCol)
+      .filter(col("rk") <= col("cutoff"))
+      .select(col("doc_id"), col(domainCol))
+      .localCheckpoint() // pinned BEFORE the writes below
+    kept.write.mode("append").parquet(outPath)
+    // refreshed counts are derived from the table being overwritten —
+    // pin them first so the lazy plan can never read its own write
+    val newCounts = used.unionByName(
+        kept.groupBy(domainCol).agg(count(lit(1)).as("used")))
+      .groupBy(domainCol).agg(sum("used").as("used"))
+      .localCheckpoint()
+    newCounts.write.mode("overwrite").parquet(countsPath)
+  }
+
+  /** T34 (beyond reference): x74's domain-frequency cap ON THE INGEST
+    * STREAM — the t33 pattern applied to a STATEFUL gate: per-domain
+    * accepted quotas survive across micro-batches in a durable counts
+    * table, and each batch elects by the x74 salted-hash order. With the
+    * whole corpus in one AvailableNow pass the kept set equals x74's
+    * batch answer exactly, which is what the oracle replays; the
+    * multi-batch quota sequence is pinned by StreamingSpec.
+    */
+  val t34: GraftQuery = GraftQuery(
+    "t34_stream_domain_cap",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val countsPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t34_counts_$id"
+      val outPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t34_kept_$id"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          domainCapBatch(batch, "source", 50, countsPath, outPath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    },
+    Some("""WITH k AS (SELECT doc_id, source,
+           |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15) AS BIGINT) AS rk
+           |  FROM documents),
+           |r AS (SELECT doc_id, source,
+           |  row_number() OVER (PARTITION BY source ORDER BY rk) AS rnk FROM k)
+           |SELECT doc_id, source FROM r WHERE rnk <= 50""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
 }

@@ -4229,12 +4229,17 @@ object TextOps {
     * also agree on it... the oracle's row_number form is the tie-broken
     * variant, exact whenever keys are distinct).
     */
+  /** x74's salted election key — shared with the streaming t34 gate so
+    * batch and stream elect identically.
+    */
+  private[operators] val CapKeySql =
+    "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cap')), 1, 15), 16, 10) AS BIGINT)"
+
   def domainCap(docs: DataFrame, domainCol: String, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val keyed = docs.select(col("doc_id"), col(domainCol),
-      expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cap')), 1, 15), 16, 10) AS BIGINT)")
-        .as("rk"))
+      expr(CapKeySql).as("rk"))
     val thresh = keyed.groupBy(domainCol)
       .agg(count(lit(1)).as("n_docs"),
         array_max(expr(s"graft_bottom_k(rk, $cap)")).as("cutoff"))

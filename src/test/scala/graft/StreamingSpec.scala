@@ -453,6 +453,45 @@ class StreamingSpec extends SparkSpec {
     assert(seen2 == seen1, "replay must not grow the seen set")
   }
 
+  test("t34 stream domain cap: quotas survive micro-batches, cold counts " +
+    "bootstrap, and the two-batch election equals a greedy hash replay") {
+    val id = java.util.UUID.randomUUID()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val countsPath = s"$tmp/graft-scratch/t34spec_counts_$id" // never created
+    val outPath = s"$tmp/graft-scratch/t34spec_kept_$id"
+    val docs = (0 until 120).map { i =>
+      (i.toLong, "t", if (i < 100) "mega" else "tiny")
+    }.toDF("doc_id", "text", "source")
+    val cap = 30
+    graft.operators.StreamingOps.domainCapBatch(
+      docs.filter($"doc_id" % 2 === 0), "source", cap, countsPath, outPath)
+    graft.operators.StreamingOps.domainCapBatch(
+      docs.filter($"doc_id" % 2 =!= 0), "source", cap, countsPath, outPath)
+    val kept = spark.read.parquet(outPath).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // greedy replay with the same salted keys: batch 1 takes its
+    // bottom-quota, batch 2 only what the quota has left
+    val rk = docs.selectExpr("doc_id", "source",
+      "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cap')), 1, 15), 16, 10) AS BIGINT) AS rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def elect(ids: Seq[(Long, String, Long)], quota: Map[String, Int]) =
+      ids.groupBy(_._2).flatMap { case (src, g) =>
+        g.sortBy(_._3).take(math.max(quota.getOrElse(src, 0), 0))
+          .map(t => (t._1, src))
+      }.toSet
+    val q0 = Map("mega" -> cap, "tiny" -> cap)
+    val k1 = elect(rk.filter(_._1 % 2 == 0).toSeq, q0)
+    val used1 = k1.groupBy(_._2).view.mapValues(_.size).toMap
+    val k2 = elect(rk.filter(_._1 % 2 != 0).toSeq,
+      q0.map { case (s, c) => s -> (c - used1.getOrElse(s, 0)) })
+    assert(kept === k1 ++ k2)
+    assert(kept.count(_._2 == "mega") === cap, "mega domain must cap")
+    assert(kept.count(_._2 == "tiny") === 20, "under-quota domain keeps all")
+    val counts = spark.read.parquet(countsPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("mega" -> cap.toLong, "tiny" -> 20L))
+  }
+
   test("t32 cold start: the first batch against a nonexistent seen store " +
     "bootstraps an empty table and ingests every distinct doc") {
     val id = java.util.UUID.randomUUID()
