@@ -55,6 +55,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("a planted mega-star (hub owns 20% of 5k nodes) resolves exactly, " +
+    "fast-fixpoint, alongside background blocks") {
+    // the adversarial-skew shape the groupBy-min rounds exist for: one
+    // hub-centered component holding 20% of the universe next to many
+    // small blocks. Correctness companion to ScaleBench's cc_mega_star
+    // timing probe.
+    val n = 5000
+    val edges = (1 until n).map { i =>
+      if (i % 5 == 0) (0L, i.toLong) else ((i / 64) * 64L, i.toLong)
+    }
+    val got = engine(edges)
+    // hub component = {0} ∪ {multiples of 5} ∪ block 0's members (their
+    // block anchor is node 0 itself); every other block labels by its
+    // anchor. Union-find is the ground truth either way.
+    assert(got === unionFind(n, edges))
+    val hubSize = got.values.count(_ == 0L)
+    assert(hubSize > n / 5, s"mega component too small: $hubSize")
+  }
+
   test("disjoint cliques keep distinct minima; universe adds singletons") {
     // cliques {1,2,3}, {10,11}, singleton 20 via the universe
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
