@@ -9,9 +9,12 @@ import org.apache.spark.sql.DataFrame
   * these operators applied to the test tables, which is what keeps this
   * surface oracle-verified.
   *
-  * Column contracts (rename with a `select` before calling):
+  * Column contracts (adapt a foreign schema with [[Graft.withContract]],
+  * or rename with a `select` before calling):
   *   - text corpus: `doc_id: long`, `text: string`
   *   - vectors:     `vec_id: long`, `embedding: array<float>`
+  *   - metric series: `user_id: long`, `bucket_ts: timestamp`,
+  *     `demand: double`
   *
   * Every operator is scale-safe by design (see SCALE.md): no all-pairs
   * joins, candidate generation via LSH banding, closures via alternating-
@@ -85,6 +88,15 @@ object Graft {
     * (graph edges, triangle counts); prefer the group form for curation.
     */
   def dupSetPairs(docs: DataFrame): DataFrame = TextOps.dupSetPairs(docs)
+
+  /** The x7 banding's recall contract as data: P(candidate) over the
+    * centi-jaccard grid for the threshold's derived (bands, rows) —
+    * read this to pick a near-dup threshold instead of trusting a
+    * comment. 51 literal rows.
+    */
+  def lshRecallCurve(spark: org.apache.spark.sql.SparkSession,
+      threshold: Double = 0.9): DataFrame =
+    TextOps.lshRecallCurve(spark, threshold)
 
   /** Per-domain frequency cap: keep at most `cap` docs per `domainCol`
     * value, elected by a deterministic salted-hash order (a fair

@@ -4355,10 +4355,55 @@ object TextOps {
            |  coalesce(bc.n, 0) = 0 AND coalesce(bb.n, 0) = 0 AS keep
            |FROM b LEFT JOIN bc USING (doc_id) LEFT JOIN bb USING (doc_id)""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): the LSH recall curve
+    * for the x7 banding at `threshold` — P(candidate) = 1 − (1 − j^r)^b
+    * over the jaccard grid j ∈ {0.50 … 1.00}, one row per centi-jaccard:
+    * (jaccard_centi, p_candidate, bands, rows_per_band). This is the
+    * banding CONTRACT as data — the table a user reads to decide whether
+    * 16×4 at threshold 0.9 (p ≥ 0.999 at j = 0.9) or a different
+    * threshold fits their corpus, without trusting a comment.
+    *
+    * Determinism: the powers are explicit multiplication chains (j⁴ by
+    * two squarings, y¹⁶ by four), never libm `pow` — IEEE multiplication
+    * is correctly rounded so both engines produce bit-identical doubles,
+    * where `pow` implementations legitimately differ in the last ulp
+    * (the x68 sqrt-vs-pow rule). Scale: 51 literal rows.
+    */
+  def lshRecallCurve(s: SparkSession, threshold: Double = 0.9): DataFrame = {
+    val (bands, rows) = bandingFor(threshold)
+    require(bands == 16 && rows == 4,
+      s"recall curve is derived for the 16x4 banding family (threshold 0.9); got ${bands}x$rows")
+    val j = col("id").cast("double") / 100.0
+    val j4 = (j * j) * (j * j)
+    val y = lit(1.0) - j4
+    val y4 = (y * y) * (y * y)
+    val y16 = (y4 * y4) * (y4 * y4)
+    s.range(50, 101).select(
+      col("id").cast("int").as("jaccard_centi"),
+      (lit(1.0) - y16).as("p_candidate"),
+      lit(bands).as("bands"), lit(rows).as("rows_per_band"))
+  }
+
+  /** X76 (beyond reference): the x7 banding recall contract as a table —
+    * see [[lshRecallCurve]]. The oracle replays the same multiplication
+    * chains over the same integer grid.
+    */
+  val x76: GraftQuery = GraftQuery(
+    "x76_lsh_recall_curve",
+    (s, _) => lshRecallCurve(s),
+    Some("""WITH g AS (SELECT unnest(generate_series(50, 100)) AS jc),
+           |p AS (SELECT jc, CAST(jc AS DOUBLE) / 100.0 AS j FROM g),
+           |q AS (SELECT jc, 1.0 - (j * j) * (j * j) AS y FROM p),
+           |r AS (SELECT jc, (y * y) * (y * y) AS y4 FROM q)
+           |SELECT CAST(jc AS INT) AS jaccard_centi,
+           |  1.0 - (y4 * y4) * (y4 * y4) AS p_candidate,
+           |  16 AS bands, 4 AS rows_per_band
+           |FROM r""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
       x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73,
-      x74, x75)
+      x74, x75, x76)
 }

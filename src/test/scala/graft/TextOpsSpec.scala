@@ -955,6 +955,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(13L) === ((0L, 0L, true)))
   }
 
+  test("x76 lsh recall curve: >= 0.999 at the 0.9 threshold, monotone in " +
+    "jaccard, and matches a local chain replay") {
+    val got = TextOps.lshRecallCurve(spark).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.size === 51)
+    assert(got(90) >= 0.999, s"recall contract broken at j=0.9: ${got(90)}")
+    assert(got(100) === 1.0)
+    (51 to 100).foreach(c => assert(got(c) >= got(c - 1), s"not monotone at $c"))
+    // exact chain replay (same multiplication order)
+    (50 to 100).foreach { c =>
+      val j = c.toDouble / 100.0
+      val j4 = (j * j) * (j * j); val y = 1.0 - j4
+      val y4 = (y * y) * (y * y); val y16 = (y4 * y4) * (y4 * y4)
+      assert(got(c) === 1.0 - y16, s"chain mismatch at $c")
+    }
+  }
+
   test("x74 domain cap: exactly cap docs kept per overfull domain, " +
     "under-cap domains keep everything, election is deterministic") {
     // one mega-domain (280 docs) and one small (20): the cap must bite the
