@@ -116,9 +116,10 @@ object Graft {
 
   /** Incremental NEAR-dup verdicts at `threshold` 3-shingle Jaccard — the
     * crawl-snapshot gate ([[incrementalDedup]] lifted to similarity):
-    * (doc_id, n_corpus_neardups, n_earlier_batch_neardups, keep). The
-    * corpus side is exact-collapsed and LSH-banded, never joined
-    * all-pairs.
+    * (doc_id, n_corpus_neardups, batch_first, keep). BOTH sides are
+    * exact-collapsed and LSH-banded, never joined all-pairs — a
+    * boilerplate cluster in the corpus or in the batch is one row at the
+    * candidate stage.
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.9): DataFrame =

@@ -4271,58 +4271,89 @@ object TextOps {
     * from exact-hash equality to near-duplicate similarity, which is the
     * real crawl-snapshot scenario: tonight's crawl is mostly REWRITES of
     * pages the corpus already holds, not byte-identical copies. One row
-    * per batch doc: (doc_id, n_corpus_neardups, n_earlier_batch_neardups,
-    * keep), keep = no corpus near-dup AND no smaller-id batch near-dup
-    * (the greedy first-wins rule; deliberately pairwise — closure-grade
-    * clustering of the survivors is x11's job).
+    * per batch doc: (doc_id, n_corpus_neardups, batch_first, keep),
+    * keep = no corpus near-dup AND batch_first, where batch_first means
+    * no SMALLER-id batch near-dup exists (the greedy first-wins rule;
+    * deliberately pairwise — closure-grade clustering of the survivors is
+    * x11's job).
     *
-    * Scale: the corpus never meets the batch all-pairs. Corpus docs
-    * exact-collapse to distinct-text representatives first (a boilerplate
-    * mega-cluster is ONE index row; its member count returns as the
-    * near-dup count WEIGHT — identical texts have identical shingle sets,
-    * so the weighted count equals the raw one), the representatives' LSH
+    * Scale: nothing here meets anything all-pairs, on EITHER side.
+    * Both sides exact-collapse to distinct-text representatives first (a
+    * boilerplate mega-cluster — in the corpus or in tonight's crawl — is
+    * ONE row at the LSH stage; corpus member counts return as the
+    * near-dup count WEIGHT, and identical texts have identical shingle
+    * sets so the weighted count equals the raw one). The corpus reps' LSH
     * band keys form the index side of one (band, bucket)-keyed join — at
     * deployment scale that banded index is computed once and persisted,
     * and each micro-batch joins its own bands against it (the t32
     * seen-table pattern, one level up) — and exact verification touches
-    * candidate pairs only. In-batch pairs reuse the x7 candidate
-    * machinery over the micro-batch alone.
+    * candidate REP pairs only. batch_first is group-computable without
+    * member×member work: a non-minimum member always has its own group
+    * minimum as an earlier near-dup, and a minimum member's earliest
+    * cross-group near-dup is exactly the matched group's minimum, so one
+    * min-aggregate over verified rep pairs settles every member. (This is
+    * WHY the output is a boolean, not a pair count — the count is
+    * Θ(members × matched members) by semantics, the dupSetPairs trap.)
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val (bands, rows) = bandingFor(threshold)
-    val creps = corpus.groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("weight"))
-    // the index side: banding and verify both read it — materialize once
-    // (a cluster deployment persists it instead; see scaladoc)
+    // exact-collapse BOTH sides (identical texts ⇒ identical shingle sets
+    // ⇒ identical jaccard to everything): a boilerplate cluster in the
+    // corpus OR in the batch enters the LSH stage as one representative.
+    // Shingle-less docs (<3 words) get solo keys — the pair semantics can
+    // never match them, so the collapse must not either (x11's rule).
+    val canon = when(size(split(col("text"), " ")) >= 3, md5(col("text")))
+      .otherwise(concat(lit("solo_"), col("doc_id")))
+    val cG = corpus.select(col("doc_id"), canon.as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("weight"))
+    val bKeyed = batch.select(col("doc_id"), canon.as("h"))
+    val bG = bKeyed.groupBy("h").agg(min("doc_id").as("rep"))
+    // the index sides: banding and verify both read them — materialize
+    // once (a cluster deployment persists the corpus one instead)
     val cSets = shingleSets(
-        creps.select("doc_id").join(corpus.select("doc_id", "text"), "doc_id"))
+        cG.select("doc_id").join(corpus.select("doc_id", "text"), "doc_id"))
       .localCheckpoint()
-    val bSets = shingleSets(batch).localCheckpoint()
+    val bSets = shingleSets(
+        bG.select(col("rep").as("doc_id"))
+          .join(batch.select("doc_id", "text"), "doc_id"))
+      .localCheckpoint()
     val cBands = lshBands(cSets, numHashes = 64, bands = bands, rows = rows)
       .select(col("band"), col("bh"), col("doc_id").as("c_id"))
     val bBands = lshBands(bSets, numHashes = 64, bands = bands, rows = rows)
       .select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    // per batch GROUP: total corpus docs (exact-dup weights) it rewrites
     val bcVerified = bBands.join(cBands, Seq("band", "bh"))
       .select("b_id", "c_id").distinct()
       .join(bSets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .join(cSets.select(col("doc_id").as("c_id"), col("sh").as("c_sh")), "c_id")
       .filter(jaccard(col("b_sh"), col("c_sh")) >= threshold)
-      .join(creps.select(col("doc_id").as("c_id"), col("weight")), "c_id")
+      .join(cG.select(col("doc_id").as("c_id"), col("weight")), "c_id")
       .groupBy("b_id").agg(sum("weight").as("nc"))
-    val bbVerified =
+    // per batch GROUP: the smallest doc id among near-dup NEIGHBOR groups.
+    // batch_first(b) then needs no member×member work: a non-minimum
+    // member always has its own group's minimum as an earlier near-dup,
+    // and a minimum member's earliest cross-group near-dup is exactly the
+    // matched group's minimum (= its rep id).
+    val bbPairs =
       withSets(lshCandidates(bSets, numHashes = 64, bands = bands, rows = rows), bSets)
         .filter(jaccard(col("a_sh"), col("b_sh")) >= threshold)
-        .groupBy("b_id").agg(count(lit(1)).as("nb"))
-    batch.select("doc_id")
-      .join(bcVerified.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
-      .join(bbVerified.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+    val earliestNbr = bbPairs.select(col("a_id").as("rep"), col("b_id").as("o"))
+      .union(bbPairs.select(col("b_id").as("rep"), col("a_id").as("o")))
+      .groupBy("rep").agg(min("o").as("earliest_other"))
+    bKeyed
+      .join(bG, "h")
+      .join(bcVerified.withColumnRenamed("b_id", "rep"), Seq("rep"), "left")
+      .join(earliestNbr, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("nc"), lit(0L)).as("n_corpus_neardups"),
-        coalesce(col("nb"), lit(0L)).as("n_earlier_batch_neardups"),
-        (coalesce(col("nc"), lit(0L)) === 0L &&
-          coalesce(col("nb"), lit(0L)) === 0L).as("keep"))
+        (col("doc_id") === col("rep") &&
+          (col("earliest_other").isNull ||
+            col("doc_id") < col("earliest_other"))).as("batch_first"),
+        (coalesce(col("nc"), lit(0L)) === 0L && col("doc_id") === col("rep") &&
+          (col("earliest_other").isNull ||
+            col("doc_id") < col("earliest_other"))).as("keep"))
   }
 
   /** X75 (beyond reference): incremental near-dup gate — see
@@ -4347,12 +4378,11 @@ object TextOps {
            |bc AS (SELECT b.doc_id, count(*) AS n FROM b JOIN c
            |  ON len(list_intersect(b.s, c.s))::DOUBLE / len(list_distinct(list_concat(b.s, c.s))) >= 0.9
            |  GROUP BY 1),
-           |bb AS (SELECT b2.doc_id, count(*) AS n FROM b b1 JOIN b b2 ON b1.doc_id < b2.doc_id
-           |  AND len(list_intersect(b1.s, b2.s))::DOUBLE / len(list_distinct(list_concat(b1.s, b2.s))) >= 0.9
-           |  GROUP BY 1)
+           |bb AS (SELECT DISTINCT b2.doc_id FROM b b1 JOIN b b2 ON b1.doc_id < b2.doc_id
+           |  AND len(list_intersect(b1.s, b2.s))::DOUBLE / len(list_distinct(list_concat(b1.s, b2.s))) >= 0.9)
            |SELECT b.doc_id, CAST(coalesce(bc.n, 0) AS BIGINT) AS n_corpus_neardups,
-           |  CAST(coalesce(bb.n, 0) AS BIGINT) AS n_earlier_batch_neardups,
-           |  coalesce(bc.n, 0) = 0 AND coalesce(bb.n, 0) = 0 AS keep
+           |  bb.doc_id IS NULL AS batch_first,
+           |  coalesce(bc.n, 0) = 0 AND bb.doc_id IS NULL AS keep
            |FROM b LEFT JOIN bc USING (doc_id) LEFT JOIN bb USING (doc_id)""".stripMargin))
 
   /** Public DataFrame-in API (see graft.api.Graft): the LSH recall curve

@@ -946,13 +946,28 @@ class TextOpsSpec extends SparkSpec {
       (13L, words('d').mkString(" "))          // fresh
     ).toDF("doc_id", "text")
     val got = TextOps.incrementalNearDup(corpus, batch, 0.9).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
         r.getBoolean(3))).toMap
-    assert(got(10L) === ((2L, 0L, false)),
+    assert(got(10L) === ((2L, true, false)),
       s"rewrite must count BOTH exact copies of its corpus cluster: $got")
-    assert(got(11L) === ((0L, 0L, true)))
-    assert(got(12L) === ((0L, 1L, false)), "later in-batch near-dup must drop")
-    assert(got(13L) === ((0L, 0L, true)))
+    assert(got(11L) === ((0L, true, true)))
+    assert(got(12L) === ((0L, false, false)), "later in-batch near-dup must drop")
+    assert(got(13L) === ((0L, true, true)))
+    // planted mega-cluster in the BATCH: identical docs collapse before
+    // LSH, only the minimum keeps, and identical SHORT docs (no shingles)
+    // are never linked
+    val megaBatch = spark.range(100, 1100)
+      .selectExpr("id AS doc_id",
+        "'identical boilerplate page body repeated tonight' AS text")
+      .union(Seq((2000L, "two words"), (2001L, "two words")).toDF("doc_id", "text"))
+    val mg = TextOps.incrementalNearDup(corpus, megaBatch, 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(mg.size === 1002)
+    assert(mg(100L) === ((true, true)), "cluster minimum keeps")
+    assert((101L until 1100L).forall(id => mg(id) === ((false, false))),
+      "non-minimum cluster members must drop")
+    assert(mg(2000L) === ((true, true)) && mg(2001L) === ((true, true)),
+      "shingle-less identical docs are pairwise unmatched — both keep")
   }
 
   test("x76 lsh recall curve: >= 0.999 at the 0.9 threshold, monotone in " +
