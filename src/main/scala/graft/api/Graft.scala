@@ -114,6 +114,21 @@ object Graft {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     TextOps.incrementalDedup(corpus, batch)
 
+  /** Quality-aware dup-cluster keeper election: within each canonical-
+    * fingerprint cluster the member maximizing `scoreCol` survives (ties:
+    * min doc_id) — the FineWeb keep-best rule instead of keep-min-id:
+    * (doc_id, h, n_members, keeper, keep).
+    */
+  def qualityKeeper(docs: DataFrame, scoreCol: String = "score"): DataFrame =
+    TextOps.qualityKeeper(docs, scoreCol)
+
+  /** WITHIN-document repeated-block removal (nav bars, footers): aligned
+    * `blockWords`-word blocks, first occurrence survives, survivors
+    * re-join in order — (doc_id, n_blocks, n_dropped, clean_text).
+    */
+  def intraDocDedup(docs: DataFrame, blockWords: Int = 8): DataFrame =
+    TextOps.intraDocDedup(docs, blockWords)
+
   /** Incremental NEAR-dup verdicts at `threshold` 3-shingle Jaccard — the
     * crawl-snapshot gate ([[incrementalDedup]] lifted to similarity):
     * (doc_id, n_corpus_neardups, batch_first, keep). BOTH sides are
@@ -186,6 +201,12 @@ object Graft {
     * (doc_id, n_spans, n_removed, clean_md5).
     */
   def spanDedup(docs: DataFrame): DataFrame = TextOps.spanDedup(docs)
+
+  /** PII scrub: per-doc email/phone counts plus the redacted text
+    * ([EMAIL]/[PHONE] placeholders): (doc_id, n_emails, n_phones,
+    * clean_text). Stateless — runs identically on a stream (t35).
+    */
+  def piiRedact(docs: DataFrame): DataFrame = TextOps.piiRedact(docs)
 
   /** SimHash 32-bit fingerprint per doc: (doc_id, simhash). */
   def simhashFingerprints(docs: DataFrame): DataFrame =
@@ -387,6 +408,33 @@ object Graft {
   def annRecallEval(corpus: DataFrame, queries: DataFrame, k: Int = 3,
       probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
     VectorOps.recallEval(corpus, queries, k, probes, excludeSelf)
+
+  /** FILTERED vector search: top-k among corpus rows satisfying `pred`
+    * only, probing the full-corpus IVF cells (the index is never rebuilt
+    * per predicate): (q_id, neighbor_id, cos). Selective predicates thin
+    * cells — raise `probes` to hold recall.
+    */
+  def annFilteredTopK(corpus: DataFrame, queries: DataFrame,
+      pred: org.apache.spark.sql.Column, k: Int = 3, probes: Int = 2,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.filteredIvfTopK(corpus, queries, pred, k, probes, excludeSelf)
+
+  /** Recall@k of [[annFilteredTopK]] against the predicate-filtered exact
+    * baseline: (q_id, k, hits, recall) — measures the probes-vs-recall
+    * trade under filtering.
+    */
+  def annFilteredRecall(corpus: DataFrame, queries: DataFrame,
+      pred: org.apache.spark.sql.Column, k: Int = 3, probes: Int = 2,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.filteredRecallEval(corpus, queries, pred, k, probes, excludeSelf)
+
+  /** Per-cell match density of `pred` over the IVF cells — the planning
+    * signal for filtered search (probed cells thinner than k starve the
+    * query): (cluster, n_vectors, n_matching, match_ppm).
+    */
+  def annFilterSelectivity(corpus: DataFrame,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    VectorOps.filterSelectivityAudit(corpus, pred)
 
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per

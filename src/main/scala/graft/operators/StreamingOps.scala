@@ -1198,7 +1198,35 @@ object StreamingOps {
            |SELECT doc_id, source FROM r WHERE rnk <= 50""".stripMargin),
     bench = false)
 
+  /** T35 (beyond reference): PII scrub on the ingest stream — the t33/t34
+    * pattern applied to x22's redaction: raw text should never land
+    * unscubbed, so the regex map runs per micro-batch at ingest rather
+    * than as a later batch pass. The projection is stateless, so the
+    * streaming result is row-identical to the batch query and the SAME
+    * DuckDB oracle gates both. Append mode, checkpointed, AvailableNow.
+    *
+    * Scale: per-row map — no state store, no watermark, no shuffle; at
+    * production rates the query is bounded by source read throughput.
+    */
+  val t35: GraftQuery = GraftQuery(
+    "t35_stream_pii_scrub",
+    (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val q = TextOps.piiQuery(docsStream)
+        .writeStream.format("memory").queryName("graft_t35")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_t35")
+    },
+    TextOps.x22.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
 }

@@ -1647,22 +1647,50 @@ object TextOps {
     * scan-parallel, shuffle-free at any corpus size; the patterns are
     * RE2/Java-compatible so both engines match identically.
     */
-  val x22: GraftQuery = GraftQuery(
-    "x22_pii_redaction",
-    (s, d) => {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "555-[0-9]{4}"
-      Tables.documents(s, d)
-        .withColumn("raw", when(col("doc_id") % 10 === 0,
+  /** Email pattern shared by [[piiRedact]] and the x22 oracle: character
+    * classes only (no backslash shorthand — `\d`/`\b` escape differently
+    * between a Scala string fed to Java regex and a DuckDB SQL literal fed
+    * to RE2, the x64 cross-engine trap), and no alternation, so Java's
+    * backtracking matcher and RE2's automaton pick identical spans.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "555-[0-9]{4}"
+
+  /** Public DataFrame-in API (see graft.api.Graft): PII detection +
+    * redaction over (doc_id, text) — the scrub pass curation pipelines run
+    * before anything else touches raw text. Emits per doc
+    * (doc_id, n_emails, n_phones, clean_text) where `clean_text` has every
+    * email replaced by `[EMAIL]` then every phone token by `[PHONE]` (fixed
+    * order, so engines agree when patterns could interact). Counts are
+    * independent non-overlapping scans of the ORIGINAL text.
+    *
+    * Scale: stateless per-row regex map inside whole-stage codegen —
+    * scan-parallel, shuffle-free at any corpus size.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailPat, "[EMAIL]"),
+        PhonePat, "[PHONE]").as("clean_text"))
+
+  /** The x22/t35 shared projection: deterministic PII injection (the driver
+    * corpus is synthetic words with none) + [[piiRedact]], with the scrub
+    * output pinned by md5. Stateless, so it runs unchanged on a stream.
+    */
+  private[operators] def piiQuery(docs: DataFrame): DataFrame =
+    piiRedact(
+      docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
           concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
             lit("@example.com or call 555-0142")))
-          .otherwise(col("text")))
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_emails"),
-          size(regexp_extract_all(col("raw"), lit(phone), lit(0))).as("n_phones"),
-          md5(regexp_replace(regexp_replace(col("raw"), email, "[EMAIL]"),
-            phone, "[PHONE]")).as("clean_md5"))
-    },
+          .otherwise(col("text")).as("text")))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  val x22: GraftQuery = GraftQuery(
+    "x22_pii_redaction",
+    (s, d) => piiQuery(Tables.documents(s, d)),
     Some("""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
            |  THEN text || ' contact user' || doc_id || '@example.com or call 555-0142'
            |  ELSE text END AS raw FROM documents)
@@ -4430,10 +4458,123 @@ object TextOps {
            |  16 AS bands, 4 AS rows_per_band
            |FROM r""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): quality-aware keeper
+    * election — which member of a duplicate cluster SURVIVES dedup. Every
+    * other keeper in this engine (x1, x21, x36) elects min doc_id, which is
+    * arbitrary; production curation keeps the BEST member (FineWeb keeps by
+    * quality signal, RefinedWeb by length) because near-identical docs
+    * differ in truncation/boilerplate and the keeper is what trains. Docs
+    * cluster by the canonical fingerprint (md5 of the sorted distinct word
+    * set — the incrementalDedup/sourceOverlapMatrix key, order/repetition-
+    * proof but exact and joinable); within a cluster the keeper maximizes
+    * `scoreCol`, ties broken on min doc_id, both deterministic. Emits per
+    * doc (doc_id, h, n_members, keeper, keep).
+    *
+    * Scale: one corpus scan to (doc, h, score); one md5-keyed groupBy whose
+    * argmax is a lexicographic struct-max — map-side combinable, so a mega
+    * duplicate cluster collapses to partial maxima before the exchange (the
+    * GraphOps groupBy-min discipline, never a node-partitioned window); one
+    * join back on h, where the group side is 1 row/key so AQE skew-split
+    * can shard a hot cluster's member rows freely. No window, no all-pairs.
+    */
+  def qualityKeeper(docs: DataFrame, scoreCol: String = "score"): DataFrame = {
+    val canon = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))))
+    val scored = docs.select(col("doc_id"), canon.as("h"),
+      col(scoreCol).cast("double").as("score"))
+    // lexicographic max over (score, -doc_id): max score, then min doc_id
+    val groups = scored.groupBy("h").agg(
+      count(lit(1)).cast("long").as("n_members"),
+      max(struct(col("score").as("s"), (col("doc_id") * -1).as("negid"))).as("m"))
+      .select(col("h"), col("n_members"), (col("m.negid") * -1).as("keeper"))
+    scored.join(groups, "h")
+      .select(col("doc_id"), col("h"), col("n_members"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("keep"))
+  }
+
+  /** X77 (beyond reference): quality-aware dup-cluster keeper election —
+    * see [[qualityKeeper]]; score = n_chars (the RefinedWeb keep-longest
+    * rule, integer-exact in double). The oracle replays the argmax as
+    * max-score-per-cluster + min-doc_id-among-ties, provably the same
+    * election as the struct-max.
+    */
+  val x77: GraftQuery = GraftQuery(
+    "x77_quality_keeper",
+    (s, d) => qualityKeeper(
+      Tables.documents(s, d).withColumn("score", col("n_chars")), "score"),
+    Some("""WITH k AS (SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS h,
+           |  CAST(n_chars AS DOUBLE) AS score FROM documents),
+           |g AS (SELECT h, CAST(count(*) AS BIGINT) AS n_members, max(score) AS ms
+           |      FROM k GROUP BY h),
+           |kp AS (SELECT k.h, min(k.doc_id) AS keeper
+           |       FROM k JOIN g ON k.h = g.h AND k.score = g.ms GROUP BY k.h)
+           |SELECT k.doc_id, k.h, g.n_members, kp.keeper,
+           |  k.doc_id = kp.keeper AS keep
+           |FROM k JOIN g USING (h) JOIN kp USING (h)""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): WITHIN-document
+    * repeated-block removal — the intra-doc half of sub-document dedup
+    * (x26 is the cross-doc half): web pages repeat their own nav bars,
+    * cookie banners and footers, and Dolma/RefinedWeb strip repeated
+    * paragraphs inside each page before corpus-level dedup ever runs. The
+    * doc is cut into aligned `blockWords`-word blocks (trailing partial
+    * block kept); a block survives iff it is the FIRST occurrence of its
+    * content within the doc; survivors re-join in order. Emits
+    * (doc_id, n_blocks, n_dropped, clean_text).
+    *
+    * Scale: zero shuffles — the whole op is per-doc array lambdas inside
+    * whole-stage codegen. first-occurrence is array_position over the
+    * doc's own block list: O(blocks²) worst case PER DOC, bounded by doc
+    * length (a 10k-token doc at the default 8-word block is ~1.5M cheap
+    * string compares), independent of corpus size — exactly the work an
+    * imperative scrubber would do, with no distributed machinery to skew.
+    */
+  def intraDocDedup(docs: DataFrame, blockWords: Int = 8): DataFrame = {
+    require(blockWords >= 1, "blockWords must be positive")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("blocks", expr(
+        s"""transform(sequence(0, (size(ws) - 1) DIV $blockWords),
+           |  i -> array_join(slice(ws, i * $blockWords + 1, $blockWords), ' '))"""
+          .stripMargin))
+      // Spark's 2-arg filter lambda index is 0-based; array_position is
+      // 1-based first occurrence
+      .withColumn("kept", expr(
+        "filter(blocks, (b, i) -> array_position(blocks, b) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        (size(col("blocks")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  /** X78 (beyond reference): intra-document repeated-block removal — see
+    * [[intraDocDedup]], run at 2-word blocks so the 31-word driver
+    * vocabulary actually produces in-doc repeats to drop (8-word repeats
+    * need planted fixtures; TextOpsSpec has them). DuckDB's lambda index
+    * and list slices are 1-based where Spark's filter index is 0-based —
+    * the oracle adjusts explicitly.
+    */
+  val x78: GraftQuery = GraftQuery(
+    "x78_intradoc_dedup",
+    (s, d) => intraDocDedup(Tables.documents(s, d), blockWords = 2),
+    Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+           |b AS (SELECT doc_id, ws,
+           |  list_transform(range(0, ((len(ws) - 1) // 2) + 1),
+           |    i -> array_to_string(ws[i * 2 + 1 : i * 2 + 2], ' ')) AS blocks
+           |  FROM t),
+           |k AS (SELECT doc_id, blocks,
+           |  list_filter(blocks, (x, i) -> list_position(blocks, x) = i) AS kept
+           |  FROM b)
+           |SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
+           |  CAST(len(blocks) - len(kept) AS BIGINT) AS n_dropped,
+           |  array_to_string(kept, ' ') AS clean_text
+           |FROM k""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
       x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73,
-      x74, x75, x76)
+      x74, x75, x76, x77, x78)
 }

@@ -2338,7 +2338,180 @@ object VectorOps {
            |        ON tk.q_id = gt.q_id AND tk.neighbor_id = gt.neighbor_id) AS DOUBLE)
            |    / 100.0 AS recall""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): FILTERED vector search
+    * — top-k under a metadata predicate (every production vector store's
+    * "search where label = X"). The index geometry is built ONCE on the
+    * FULL corpus (centroids are corpus property, not predicate property —
+    * rebuilding cells per predicate would be an index build per query);
+    * the predicate applies to the posting-list side BEFORE assignment
+    * runs, so at scale it reaches the parquet scan as a pushed filter and
+    * composes with cell pruning: candidates = rows passing the predicate
+    * AND living in a probed cell. Matching rows outside probed cells are
+    * missed by design (that is IVF's approximation); a highly-selective
+    * predicate thins cells, so callers raise `probes` to hold recall —
+    * [[filteredRecallEval]] measures exactly that trade.
+    *
+    * Scale: one filtered corpus scan, K-row centroid broadcast, cell-keyed
+    * join against the (tiny, broadcast) probe list, per-query top-k — the
+    * v2 shape with strictly less data.
+    */
+  def filteredIvfTopK(corpus: DataFrame, queries: DataFrame, pred: Column,
+      k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cents = centroidsOf(corpus) // FULL corpus: the index, not the filter
+    val assigned = assign(withNorm(corpus.filter(pred), "c"), cents)
+
+    val q = withNorm(queries, "q")
+    val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
+    val probed = q.join(broadcast(cents), col("q_id").isNotNull)
+      .withColumn("kcos", cosine("q_e", "k_e"))
+      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= probes)
+      .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
+      .withColumn("cos", cosine("q_e", "c_e"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** V34 (beyond reference): filtered ANN — top-3 among label=1 vectors
+    * only, probing 2 of the full-corpus cells. The oracle replays centroid
+    * selection on the FULL table and assignment on the filtered slice.
+    */
+  val v34: GraftQuery = GraftQuery(
+    "v34_ann_filtered_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      filteredIvfTopK(emb, emb.filter(col("vec_id") < 10),
+        col("label") === 1, k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT f.vec_id, f.e, c.k_id, row_number() OVER (PARTITION BY f.vec_id
+           |    ORDER BY list_cosine_similarity(f.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM (SELECT * FROM v WHERE label = 1) f CROSS JOIN cents c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): recall@k of FILTERED
+    * IVF search against the filtered exact baseline — the probes-vs-recall
+    * trade under a predicate, which is worse than unfiltered recall
+    * whenever matching rows are sparse per cell (fewer than k matches in
+    * the probed cells leaves the query short). Per query:
+    * (q_id, k, hits, recall).
+    */
+  def filteredRecallEval(corpus: DataFrame, queries: DataFrame, pred: Column,
+      k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    val bf = bruteForceTopK(corpus.filter(pred), queries, k, excludeSelf)
+      .select("q_id", "neighbor_id")
+    val ivf = filteredIvfTopK(corpus, queries, pred, k, probes, excludeSelf)
+      .select(col("q_id").as("iq"), col("neighbor_id").as("inb"))
+    bf.join(ivf, bf("q_id") === col("iq") && bf("neighbor_id") === col("inb"),
+        "left")
+      .groupBy("q_id").agg(
+        count(lit(1)).as("k"),
+        sum(when(col("iq").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+      .select("q_id", "k", "hits", "recall")
+  }
+
+  /** V35 (beyond reference): filtered-search recall eval — v34's search vs
+    * the label-filtered brute force, recall@3 per query.
+    */
+  val v35: GraftQuery = GraftQuery(
+    "v35_ann_filtered_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      filteredRecallEval(emb, emb.filter(col("vec_id") < 10),
+        col("label") === 1, k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |f AS (SELECT * FROM v WHERE label = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |bf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, f.vec_id AS neighbor_id,
+           |         list_cosine_similarity(q.e, f.e) AS cos
+           |  FROM q JOIN f ON f.vec_id != q.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT f.vec_id, f.e, c.k_id, row_number() OVER (PARTITION BY f.vec_id
+           |    ORDER BY list_cosine_similarity(f.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM f CROSS JOIN cents c) WHERE rk = 1),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |ivf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3)
+           |SELECT bf.q_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(sum(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+           |FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.neighbor_id = ivf.neighbor_id
+           |GROUP BY bf.q_id""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): per-cell selectivity
+    * audit for filtered search — the planning signal vector stores use to
+    * choose between cell-pruned filtered search ([[filteredIvfTopK]]) and
+    * a plain filtered scan: if the probed cells hold fewer matching rows
+    * than k, pruning starves the query and probes must rise (or the
+    * predicate is selective enough that brute force over the match set is
+    * cheaper anyway). Emits per cell
+    * (cluster, n_vectors, n_matching, match_ppm) — all integers
+    * (ppm = matching·1e6 DIV total, exact in both engines).
+    *
+    * Scale: the v2 assignment (one corpus scan + K-row broadcast) and one
+    * cluster-keyed count — map-side combinable, K output rows.
+    */
+  def filterSelectivityAudit(corpus: DataFrame, pred: Column): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cents = centroidsOf(corpus)
+    val marked = corpus.withColumn("m", when(pred, 1L).otherwise(0L))
+    assign(withNorm(marked, "c"), cents)
+      .join(marked.select(col("vec_id").as("c_id"), col("m")), "c_id")
+      .groupBy("cluster").agg(
+        count(lit(1)).cast("long").as("n_vectors"),
+        sum("m").as("n_matching"))
+      .withColumn("match_ppm",
+        expr("n_matching * 1000000 DIV n_vectors"))
+  }
+
+  /** V36 (beyond reference): filtered-search selectivity audit over the
+    * label=1 predicate — per-cell match density, the pre/post-filter
+    * planner input. The oracle replays assignment and the integer ppm.
+    */
+  val v36: GraftQuery = GraftQuery(
+    "v36_filter_selectivity_audit",
+    (s, d) => filterSelectivityAudit(
+      Tables.embeddings(s, d), col("label") === 1),
+    Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, label, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.label, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1)
+           |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+           |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+           |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS match_ppm
+           |FROM assign GROUP BY cluster""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
 }

@@ -77,7 +77,7 @@ object ScaleBench {
     ScaleProbe.replicate(spark, base, skewOut, factor, skewed = true)
     val skewOps = Seq("x1_exact_dedup_md5", "x5_minhash_lsh_dupsets",
       "x11_dupset_components", "x26_span_dedup", "x36_curate_pipeline",
-      "x75_incremental_neardup")
+      "x75_incremental_neardup", "x77_quality_keeper")
     val skewRows = skewOps.map { name =>
       val t1 = time(spark, name, base)
       val tf = time(spark, name, skewOut)

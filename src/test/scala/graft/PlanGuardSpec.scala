@@ -161,6 +161,9 @@ class PlanGuardSpec extends SparkSpec {
     // int8 serving broadcasts the QUANTIZED query side (codes + one
     // scale per query vector) under the non-equi join — same contract
     "v25_int8_ann_topk",
+    // filtered recall's exact arm is bruteForceTopK over the filtered
+    // corpus with the same broadcast query side — same contract as v10
+    "v35_ann_filtered_recall",
     // OOD scoring broadcasts the 16-row k-means centroid set under the
     // assignment join — the v4 contract (the checkpoint pin hides the
     // LIMIT from the structural check, hence the contract entry)

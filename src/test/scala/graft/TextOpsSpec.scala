@@ -1142,6 +1142,85 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("x77 quality keeper: max score wins, ties break to min doc_id, " +
+    "rewrites cluster by canonical fingerprint") {
+    val docs = Seq(
+      // cluster A: same word set under reorder + repetition; scores differ
+      (10L, "alpha beta gamma", 5.0),
+      (11L, "gamma beta alpha alpha", 9.0), // best score -> keeper
+      (12L, "beta gamma alpha", 7.0),
+      // cluster B: exact tie on score -> min doc_id (20) is keeper
+      (20L, "delta epsilon", 4.0),
+      (21L, "epsilon delta", 4.0),
+      // singleton
+      (30L, "zeta eta theta", 1.0)
+    ).toDF("doc_id", "text", "score")
+    val got = TextOps.qualityKeeper(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_members"),
+        r.getAs[Long]("keeper"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(10L) == ((3L, 11L, false)))
+    assert(got(11L) == ((3L, 11L, true)))
+    assert(got(12L) == ((3L, 11L, false)))
+    assert(got(20L) == ((2L, 20L, true)))
+    assert(got(21L) == ((2L, 20L, false)))
+    assert(got(30L) == ((1L, 30L, true)))
+    // exactly one keeper per cluster, always a member of it
+    val byH = TextOps.qualityKeeper(docs).collect().groupBy(_.getString(1))
+    byH.values.foreach { rs =>
+      assert(rs.count(_.getAs[Boolean]("keep")) === 1)
+      assert(rs.map(_.getAs[Long]("keeper")).distinct.length === 1)
+      assert(rs.map(_.getLong(0)).contains(rs.head.getAs[Long]("keeper")))
+    }
+  }
+
+  test("x78 intra-doc dedup: repeated aligned blocks drop after first " +
+    "occurrence, trailing partial block survives, order preserved") {
+    val nav = "home about products contact login search cart help" // 8 words
+    val body = "real content sentence one two three four five"     // 8 words
+    val docs = Seq(
+      // nav repeated before and after body (the page-boilerplate shape)
+      (1L, s"$nav $body $nav"),
+      // no repeats: unchanged
+      (2L, "every block here is entirely unique today friend"),
+      // 10 words: 2 full blocks + a 2-word tail equal to a PREFIX of
+      // block 1 but not to any whole block -> tail survives
+      (3L, "a b c d a b c d a b")
+    ).toDF("doc_id", "text")
+    val got = TextOps.intraDocDedup(docs, blockWords = 8).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text"))).toMap
+    assert(got(1L) == ((3L, 1L, s"$nav $body")))
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._3 === "every block here is entirely unique today friend")
+    val four = TextOps.intraDocDedup(docs, blockWords = 4).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text"))).toMap
+    assert(four(3L) == ((3L, 1L, "a b c d a b"))) // block2 dup, "a b" tail kept
+    // blockWords=1 degenerates to within-doc word dedup, order-preserving
+    val one = TextOps.intraDocDedup(
+      Seq((9L, "x y x z y x")).toDF("doc_id", "text"), blockWords = 1).head()
+    assert(one.getAs[Long]("n_blocks") === 6L &&
+      one.getAs[Long]("n_dropped") === 3L &&
+      one.getAs[String]("clean_text") === "x y z")
+    intercept[IllegalArgumentException](TextOps.intraDocDedup(docs, 0))
+  }
+
+  test("pii redact: emails and phone tokens counted on raw text and " +
+    "replaced in fixed order in clean_text") {
+    val docs = Seq(
+      (1L, "reach a.user+tag@mail-site.co.uk or b@x.io, call 555-0101 x2"),
+      (2L, "no pii at all in this one"),
+      (3L, "double 555-0199 555-0199 and user@a.bc")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_emails"),
+        r.getAs[Int]("n_phones"), r.getAs[String]("clean_text"))).toMap
+    assert(got(1L) == ((2, 1,
+      "reach [EMAIL] or [EMAIL], call [PHONE] x2")))
+    assert(got(2L) == ((0, 0, "no pii at all in this one")))
+    assert(got(3L) == ((1, 2, "double [PHONE] [PHONE] and [EMAIL]")))
+  }
 }
 
 /** Tiny shared fixture: the documents table as local tuples. */

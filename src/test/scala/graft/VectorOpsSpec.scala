@@ -546,4 +546,60 @@ class VectorOpsSpec extends SparkSpec {
     assert(s3cov >= s2cos - 1e-12)
     assert(s2cos >= -1.0 && s3cov <= 1.0)
   }
+
+  test("v34 filtered IVF: every neighbor satisfies the predicate, and " +
+    "probing ALL cells equals the filtered brute force exactly") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val pred = org.apache.spark.sql.functions.col("label") % 2 === 0
+    val okIds = emb.filter(pred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val got = VectorOps.filteredIvfTopK(emb, qs, pred, k = 3, probes = 2)
+      .collect()
+    assert(got.forall(r => okIds.contains(r.getLong(1))),
+      "a neighbor escaped the predicate")
+    // full probe (= all 16 cells) must reduce to the exact filtered search
+    val full = VectorOps.filteredIvfTopK(emb, qs, pred, k = 3, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = VectorOps.bruteForceTopK(emb.filter(pred), qs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === bf)
+  }
+
+  test("v35 filtered recall: 1.0 at full probe, one row per query, " +
+    "hits <= k under cell pruning") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val pred = org.apache.spark.sql.functions.col("label") % 2 === 0
+    val full = VectorOps.filteredRecallEval(emb, qs, pred, k = 3, probes = 16)
+      .collect()
+    assert(full.length === 10)
+    assert(full.forall(_.getAs[Double]("recall") === 1.0),
+      "full probe must recover the filtered exact baseline")
+    val pruned = VectorOps.filteredRecallEval(emb, qs, pred, k = 3, probes = 2)
+      .collect()
+    assert(pruned.length === 10)
+    assert(pruned.forall { r =>
+      val k = r.getAs[Long]("k"); val h = r.getAs[Long]("hits")
+      h >= 0 && h <= k && r.getAs[Double]("recall") == h.toDouble / k
+    })
+  }
+
+  test("v36 selectivity audit: cell totals partition the corpus, match " +
+    "counts sum to the predicate count, ppm is the exact integer ratio") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val pred = org.apache.spark.sql.functions.col("label") % 2 === 0
+    val rows = VectorOps.filterSelectivityAudit(emb, pred).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === 500L)
+    assert(rows.map(_.getAs[Long]("n_matching")).sum ===
+      emb.filter(pred).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors"); val m = r.getAs[Long]("n_matching")
+      assert(m >= 0 && m <= n)
+      assert(r.getAs[Long]("match_ppm") === m * 1000000L / n)
+    }
+  }
 }
