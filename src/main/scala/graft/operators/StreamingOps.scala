@@ -1226,7 +1226,96 @@ object StreamingOps {
     TextOps.x22.oracle,
     bench = false)
 
+  /** The t36 per-micro-batch core (x77's [[TextOps.qualityKeeper]] made
+    * incremental): keeper election is an ASSOCIATIVE max — per cluster,
+    * max(struct(score, −doc_id)) and the member count are both semigroup
+    * folds — so merging each batch's per-cluster summary into a durable
+    * state table (h, n_members, best_score, best_neg) is exactly
+    * equivalent to electing over the full corpus at once. Unlike t32's
+    * keep-FIRST semantics, the keeper here can be DETHRONED retroactively:
+    * a later, better-scoring member takes the crown, and verdicts are
+    * reads of current state, not immutable per-arrival decisions — which
+    * is why members land in an append table and `keep` is computed at
+    * query time, not ingest time.
+    *
+    * Scale: per batch one map-side-combinable agg to #batch-clusters rows
+    * + one h-keyed merge against the state table (t32 seen-table pattern:
+    * membership state in partitioned storage, never executor memory).
+    * best_neg stores the NEGATED id so the merge stays a plain struct-max.
+    */
+  def keeperElectionBatch(batch: DataFrame, statePath: String,
+      membersPath: String): Unit = {
+    val s = batch.sparkSession
+    val scored = batch.select(col("doc_id"),
+        TextOps.canonFingerprint.as("h"),
+        col("score").cast("double").as("score"))
+      .localCheckpoint()
+    scored.write.mode("append").parquet(membersPath)
+    val bsum = scored.groupBy("h").agg(
+      count(lit(1)).cast("long").as("n_members"),
+      max(struct(col("score").as("s"), (col("doc_id") * -1).as("negid"))).as("m"))
+      .select(col("h"), col("n_members"),
+        col("m.s").as("best_score"), col("m.negid").as("best_neg"))
+    val stateHadoop = new org.apache.hadoop.fs.Path(statePath)
+    val fs = stateHadoop.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stateHadoop)) // cold start: no clusters yet (t32 rule)
+      bsum.limit(0).write.mode("overwrite").parquet(statePath)
+    val state = s.read.parquet(statePath)
+    // pin BEFORE the overwrite so the lazy plan never reads its own write
+    val merged = state.unionByName(bsum)
+      .groupBy("h").agg(
+        sum("n_members").as("n_members"),
+        max(struct(col("best_score").as("s"), col("best_neg").as("negid"))).as("m"))
+      .select(col("h"), col("n_members"),
+        col("m.s").as("best_score"), col("m.negid").as("best_neg"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(statePath)
+  }
+
+  /** Read the per-doc verdicts out of t36's state + members tables —
+    * x77's exact output shape (doc_id, h, n_members, keeper, keep).
+    */
+  def keeperElectionVerdicts(s: SparkSession, statePath: String,
+      membersPath: String): DataFrame = {
+    val st = s.read.parquet(statePath).select(col("h"), col("n_members"),
+      (col("best_neg") * -1).as("keeper"))
+    s.read.parquet(membersPath).join(st, "h")
+      .select(col("doc_id"), col("h"), col("n_members"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("keep"))
+  }
+
+  /** T36 (beyond reference): x77's quality-aware keeper election ON THE
+    * INGEST STREAM — the t32/t34 durable-state pattern for an ASSOCIATIVE
+    * fold: because the election is a semigroup max, the streamed result
+    * over the whole corpus equals the batch answer bit-for-bit, which is
+    * what x77's oracle replays; the dethroning sequence (a better member
+    * arriving in a LATER batch flips the keeper) is pinned by
+    * StreamingSpec.
+    */
+  val t36: GraftQuery = GraftQuery(
+    "t36_stream_keeper_election",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val statePath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t36_state_$id"
+      val membersPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t36_members_$id"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          keeperElectionBatch(batch.withColumn("score", col("n_chars")),
+            statePath, membersPath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      keeperElectionVerdicts(s, statePath, membersPath)
+    },
+    TextOps.x77.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
 }

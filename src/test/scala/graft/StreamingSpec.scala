@@ -510,4 +510,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpusPath).count() == distinctHashes,
       "replay against the bootstrapped store must ingest zero docs")
   }
+
+  test("t36 keeper election: a better member in a LATER batch dethrones " +
+    "the keeper; a worse one does not; counts accumulate") {
+    import SparkSpec.spark.implicits._
+    val id = java.util.UUID.randomUUID()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val statePath = s"$tmp/graft-scratch/t36_state_$id" // never created
+    val membersPath = s"$tmp/graft-scratch/t36_members_$id"
+    def verdicts() = graft.operators.StreamingOps
+      .keeperElectionVerdicts(spark, statePath, membersPath)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("keeper"),
+          r.getAs[Boolean]("keep"))).toMap
+    // batch 1 (cold start): two members of one cluster, 11 is best
+    val b1 = Seq((10L, "alpha beta gamma", 5.0), (11L, "gamma beta alpha", 9.0))
+      .toDF("doc_id", "text", "score")
+    graft.operators.StreamingOps.keeperElectionBatch(b1, statePath, membersPath)
+    assert(verdicts() === Map(10L -> ((2L, 11L, false)), 11L -> ((2L, 11L, true))))
+    // batch 2: a WORSE member arrives — keeper unchanged, count grows
+    val b2 = Seq((12L, "beta gamma alpha alpha", 7.0)).toDF("doc_id", "text", "score")
+    graft.operators.StreamingOps.keeperElectionBatch(b2, statePath, membersPath)
+    assert(verdicts() === Map(10L -> ((3L, 11L, false)),
+      11L -> ((3L, 11L, true)), 12L -> ((3L, 11L, false))))
+    // batch 3: a BETTER member dethrones 11 retroactively
+    val b3 = Seq((13L, "alpha gamma beta", 12.0)).toDF("doc_id", "text", "score")
+    graft.operators.StreamingOps.keeperElectionBatch(b3, statePath, membersPath)
+    val v3 = verdicts()
+    assert(v3(11L) === ((4L, 13L, false)), "old keeper must be dethroned")
+    assert(v3(13L) === ((4L, 13L, true)))
+    // equal-score tie in a later batch: min doc_id wins, so 13 holds
+    val b4 = Seq((14L, "beta alpha gamma", 12.0)).toDF("doc_id", "text", "score")
+    graft.operators.StreamingOps.keeperElectionBatch(b4, statePath, membersPath)
+    assert(verdicts()(14L) === ((5L, 13L, false)))
+  }
 }
