@@ -436,6 +436,21 @@ object Graft {
       pred: org.apache.spark.sql.Column): DataFrame =
     VectorOps.filterSelectivityAudit(corpus, pred)
 
+  /** Persist the IVF index under `path` (centroids + cluster-partitioned
+    * posting lists) — build once, query many with [[annSearchIndex]].
+    */
+  def annBuildIndex(corpus: DataFrame, path: String): Unit =
+    VectorOps.buildIvfIndex(corpus, path)
+
+  /** Search a persisted index without touching the corpus: probed cell ids
+    * become a static partition filter, so only those directories are read.
+    * Bit-identical to [[annIvfTopK]] on the same corpus.
+    */
+  def annSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 3, probes: Int = 2,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.searchIvfIndex(spark, path, queries, k, probes, excludeSelf)
+
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per
     * query — graded-gain nDCG@k plus MRR, the order-sensitive complement

@@ -2511,7 +2511,81 @@ object VectorOps {
            |    // count(*) AS BIGINT) AS match_ppm
            |FROM assign GROUP BY cluster""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): PERSIST the IVF index
+    * — the build-once / query-many shape every production vector store
+    * has, which none of the in-memory ops (v2/v4) demonstrate: `centroids/`
+    * (K rows) plus `postings/` PARTITIONED BY cluster, so the posting
+    * lists are directory-separated on disk and a probe reads only its
+    * cells' files. Index build cost (one corpus scan + one cluster-keyed
+    * write) is paid once; every subsequent [[searchIvfIndex]] call pays
+    * only centroid broadcast + probed-partition reads.
+    */
+  def buildIvfIndex(corpus: DataFrame, path: String): Unit = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cents = centroidsOf(corpus)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assign(withNorm(corpus, "c"), cents)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/postings")
+  }
+
+  /** Search a [[buildIvfIndex]] index without touching the corpus: probe
+    * cells come from the K-row centroid table, and the probed cell ids —
+    * bounded by #queries × probes under the same small-query-side contract
+    * that lets v1 broadcast queries — become a STATIC `IN` partition
+    * filter on the postings scan, so only the probed directories are read
+    * (VectorOpsSpec pins the PartitionFilters). Result is bit-identical to
+    * [[ivfTopK]]: centroids and double-cast posting vectors round-trip
+    * parquet exactly.
+    */
+  def searchIvfIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val cents = s.read.parquet(s"$path/centroids")
+    val q = withNorm(queries, "q")
+    val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
+    val probed = q.join(broadcast(cents), col("q_id").isNotNull)
+      .withColumn("kcos", cosine("q_e", "k_e"))
+      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= probes)
+      .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
+      .localCheckpoint() // pinned: reused for the cell list AND the join
+    // bounded collect (≤ #queries × probes ids): the serving planner's
+    // cell list, applied as a static partition filter = file-level pruning
+    val cellIds = probed.select("cluster").distinct()
+      .collect().map(_.getLong(0))
+    val postingsRaw = s.read.parquet(s"$path/postings")
+    // partition-dir values read back via type inference (INT for small
+    // ids); the IN-list literals must match that dtype EXACTLY — a cast on
+    // the attribute side would defeat partition pruning
+    val cells: Seq[Any] = postingsRaw.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.IntegerType => cellIds.toSeq.map(_.toInt)
+      case _ => cellIds.toSeq
+    }
+    val postings = postingsRaw.filter(col("cluster").isInCollection(cells))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    postings.join(broadcast(probed), Seq("cluster"))
+      .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
+      .withColumn("cos", cosine("q_e", "c_e"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** V37 (beyond reference): build the persisted IVF index, then answer
+    * v2's query from the index alone — same semantics, storage-backed, so
+    * v2's oracle gates it verbatim. The corpus is scanned once at build;
+    * the search touches only centroids + probed posting partitions.
+    */
+  val v37: GraftQuery = GraftQuery(
+    "v37_persisted_ivf_index",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v37_index_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfIndex(emb, path)
+      searchIvfIndex(s, path, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    v2.oracle)
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
 }

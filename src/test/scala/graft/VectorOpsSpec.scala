@@ -587,6 +587,36 @@ class VectorOpsSpec extends SparkSpec {
     })
   }
 
+  test("v37 persisted IVF: index search is bit-identical to in-memory " +
+    "ivfTopK, and the postings scan reads ONLY probed cell directories") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    VectorOps.buildIvfIndex(emb, path)
+    val fromIndex = VectorOps.searchIvfIndex(spark, path, qs, k = 3, probes = 2)
+    val got = fromIndex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = VectorOps.ivfTopK(emb, qs, k = 3, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === inMem, "index round-trip must not change a single bit")
+    // partition pruning evidence: the probed-cell IN list must land in the
+    // postings scan's PartitionFilters (the s26 convention — a filter there
+    // IS what makes Spark skip the other cell directories; Dataset
+    // .inputFiles can't see pruning, it lists the unfiltered FileIndex),
+    // and the list must name strictly fewer cells than the 16 that exist.
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    val inList = "PartitionFilters: \\[[^\\]]*cluster#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan)
+    assert(inList.isDefined,
+      s"postings scan must carry the probed-cell partition filter:\n$plan")
+    val nCells = inList.get.group(1).split(",").length
+    assert(nCells > 0 && nCells < 16,
+      s"probe must prune to a strict cell subset, got $nCells of 16")
+    // all 10 queries sit in one data cluster -> they probe the SAME 2 cells
+    assert(nCells === 2, s"10 co-located queries must probe 2 cells, got $nCells")
+  }
+
   test("v36 selectivity audit: cell totals partition the corpus, match " +
     "counts sum to the predicate count, ppm is the exact integer ratio") {
     val dir = clusteredDir()
