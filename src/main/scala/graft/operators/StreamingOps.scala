@@ -1247,7 +1247,7 @@ object StreamingOps {
       membersPath: String): Unit = {
     val s = batch.sparkSession
     val scored = batch.select(col("doc_id"),
-        TextOps.canonFingerprint.as("h"),
+        TextOps.canonFingerprint().as("h"),
         col("score").cast("double").as("score"))
       .localCheckpoint()
     scored.write.mode("append").parquet(membersPath)
@@ -1315,7 +1315,100 @@ object StreamingOps {
     TextOps.x77.oracle,
     bench = false)
 
+  /** The t37 per-micro-batch core: the FULL ingest-hygiene ladder a crawl
+    * pipeline runs on every arriving batch, in dependency order —
+    * blocklist hard gate (x71) → PII scrub (x22) → canonical-fingerprint
+    * incremental dedup against a durable seen store (t32), where the
+    * dedup key is computed over the SCRUBBED text (redaction first, so
+    * two docs differing only in their PII dedupe together). Survivors
+    * land in `outPath` with their scrub counts; each stage shrinks the
+    * next stage's input, the x36 curation-ladder rule applied at ingest.
+    *
+    * Scale: per batch — one stateless projection pass (blocklist counts +
+    * regex scrub fused in codegen), one batch-keyed keep-min agg + join
+    * (no window), one h-keyed anti-join against storage-backed seen
+    * state. Nothing rescans accepted history except the keyed anti-join.
+    */
+  def ingestHygieneBatch(batch: DataFrame, seenPath: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val kept = TextOps.blocklistFilter(batch).filter(col("keep"))
+      .select("doc_id").join(batch, "doc_id")
+    val cand = TextOps.piiRedact(kept)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("clean_text")).as("clean_md5"),
+        TextOps.canonFingerprint(col("clean_text")).as("h"))
+    // in-batch first occurrence: keep-min per fingerprint (agg + join-back,
+    // never a fingerprint-partitioned window — the x74/x77 discipline)
+    val firsts = cand.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .join(cand, Seq("h", "doc_id"))
+    val seenHadoopPath = new org.apache.hadoop.fs.Path(seenPath)
+    val fs = seenHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(seenHadoopPath)) // cold start (t32 rule)
+      firsts.select("h").limit(0).write.mode("overwrite").parquet(seenPath)
+    val seen = s.read.parquet(seenPath)
+    // pinned BEFORE the seen append so the anti-join never reads its write
+    val fresh = firsts.join(seen, Seq("h"), "left_anti").localCheckpoint()
+    fresh.select("doc_id", "h", "n_emails", "n_phones", "clean_md5")
+      .write.mode("append").parquet(outPath)
+    fresh.select("h").write.mode("append").parquet(seenPath)
+  }
+
+  /** T37 (beyond reference): the streaming ingest-hygiene capstone —
+    * t33's blocklist, t35's PII scrub and t32's incremental dedup chained
+    * in ONE continuous pipeline per micro-batch, the shape a production
+    * crawl ingester actually has (each gate's survivors feed the next).
+    * With the whole corpus in one AvailableNow pass the accepted set
+    * equals the batch ladder exactly, which the oracle replays stage by
+    * stage; PII is injected by the x22 rule so the scrub genuinely fires.
+    */
+  val t37: GraftQuery = GraftQuery(
+    "t37_stream_ingest_pipeline",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val seenPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t37_seen_$id"
+      val outPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t37_out_$id"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // x22's deterministic PII injection (the driver corpus has none)
+          val injected = batch.select(col("doc_id"),
+            when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(" contact user"),
+                col("doc_id").cast("string"),
+                lit("@example.com or call 555-0142")))
+              .otherwise(col("text")).as("text"))
+          ingestHygieneBatch(injected, seenPath, outPath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    },
+    Some("""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+           |  THEN text || ' contact user' || doc_id || '@example.com or call 555-0142'
+           |  ELSE text END AS raw FROM documents),
+           |blk AS (SELECT doc_id, raw FROM inj
+           |  WHERE len(list_filter(str_split(raw, ' '),
+           |    x -> x IN ('slow', 'spill', 'oom'))) = 0),
+           |sc AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+           |  regexp_replace(regexp_replace(raw,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |    '555-[0-9]{4}', '[PHONE]', 'g') AS clean
+           |  FROM blk),
+           |fp AS (SELECT doc_id, n_emails, n_phones, md5(clean) AS clean_md5,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(clean, ' '))), ' ')) AS h
+           |  FROM sc)
+           |SELECT doc_id, h, n_emails, n_phones, clean_md5 FROM fp
+           |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
 }

@@ -4477,15 +4477,17 @@ object TextOps {
     * join back on h, where the group side is 1 row/key so AQE skew-split
     * can shard a hot cluster's member rows freely. No window, no all-pairs.
     */
-  /** The canonical cluster fingerprint shared by x77 and the t36 streaming
-    * election: md5 of the sorted distinct word set (the incrementalDedup
-    * key — order/repetition-proof, exact, joinable).
+  /** The canonical cluster fingerprint shared by x77, the t36 streaming
+    * election and the t37 ingest ladder: md5 of the sorted distinct word
+    * set (the incrementalDedup key — order/repetition-proof, exact,
+    * joinable).
     */
-  private[operators] def canonFingerprint: Column =
-    md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+  private[operators] def canonFingerprint(
+      textCol: Column = col("text")): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(textCol, " ")))))
 
   def qualityKeeper(docs: DataFrame, scoreCol: String = "score"): DataFrame = {
-    val scored = docs.select(col("doc_id"), canonFingerprint.as("h"),
+    val scored = docs.select(col("doc_id"), canonFingerprint().as("h"),
       col(scoreCol).cast("double").as("score"))
     // lexicographic max over (score, -doc_id): max score, then min doc_id
     val groups = scored.groupBy("h").agg(

@@ -544,4 +544,38 @@ class StreamingSpec extends SparkSpec {
     graft.operators.StreamingOps.keeperElectionBatch(b4, statePath, membersPath)
     assert(verdicts()(14L) === ((5L, 13L, false)))
   }
+
+  test("t37 ingest hygiene: blocklisted docs never land, PII is scrubbed " +
+    "before the dedup key, and replays ingest zero") {
+    import SparkSpec.spark.implicits._
+    val id = java.util.UUID.randomUUID()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val seenPath = s"$tmp/graft-scratch/t37_seen_$id" // cold
+    val outPath = s"$tmp/graft-scratch/t37_out_$id"
+    def out() = spark.read.parquet(outPath).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("h"),
+        r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"))).toMap
+    // batch 1: one clean doc, one blocklisted, two docs identical AFTER
+    // the PII scrub (different emails, same surrounding text)
+    val b1 = Seq(
+      (1L, "clean words here"),
+      (2L, "this doc will spill badly"), // blocklisted term
+      (3L, "mail me at a@x.io today"),
+      (4L, "mail me at b@y.org today") // same text once emails redact
+    ).toDF("doc_id", "text")
+    graft.operators.StreamingOps.ingestHygieneBatch(b1, seenPath, outPath)
+    val o1 = out()
+    assert(o1.keySet === Set(1L, 3L), "blocklisted 2 dropped; 4 deduped into 3")
+    assert(o1(3L)._2 === 1 && o1(3L)._3 === 0, "doc 3's email was counted")
+    // batch 2: replay doc 1 (already seen -> zero), a reorder of doc 1's
+    // words (canonical fingerprint catches it), and one genuinely new doc
+    val b2 = Seq(
+      (5L, "clean words here"),
+      (6L, "here words clean"), // word-set rewrite of doc 1
+      (7L, "a genuinely new document")
+    ).toDF("doc_id", "text")
+    graft.operators.StreamingOps.ingestHygieneBatch(b2, seenPath, outPath)
+    assert(out().keySet === Set(1L, 3L, 7L),
+      "replay + rewrite ingest zero; only the new doc lands")
+  }
 }
