@@ -451,6 +451,13 @@ object Graft {
       excludeSelf: Boolean = true): DataFrame =
     VectorOps.searchIvfIndex(spark, path, queries, k, probes, excludeSelf)
 
+  /** Append new vectors to a persisted index against its FROZEN centroids
+    * (stream-safe, order-independent; rebuild offline when
+    * [[graft.operators.VectorOps.ivfIncremental]] flags cell splits).
+    */
+  def annAppendIndex(batch: DataFrame, path: String): Unit =
+    VectorOps.appendToIvfIndex(batch, path)
+
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per
     * query — graded-gain nDCG@k plus MRR, the order-sensitive complement

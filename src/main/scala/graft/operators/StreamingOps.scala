@@ -1408,7 +1408,60 @@ object StreamingOps {
            |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)""".stripMargin),
     bench = false)
 
+  /** T38 (beyond reference): CONTINUOUS vector-index ingestion — the
+    * serving-side twin of t32's corpus refresh: a persisted IVF index is
+    * built once on the base corpus ([[VectorOps.buildIvfIndex]]), tonight's
+    * new vectors stream in and are assigned + appended per micro-batch
+    * against the FROZEN centroids ([[VectorOps.appendToIvfIndex]] — the
+    * index geometry never moves under running queries; v18's needs_split
+    * diagnostic decides offline rebuilds), and queries are then answered
+    * from the index alone with partition-pruned probes. Assignment is
+    * per-row and stateless, so any batch decomposition yields the
+    * identical index; the oracle replays base-centroid assignment of the
+    * full set.
+    */
+  val t38: GraftQuery = GraftQuery(
+    "t38_stream_index_append",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t38_index_$id"
+      val emb = graft.core.Tables.embeddings(s, d)
+      VectorOps.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VectorOps.appendToIvfIndex(
+            batch.filter(col("vec_id") % 10 === 0), path)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      VectorOps.searchIvfIndex(s, path,
+        emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |base AS (SELECT * FROM v WHERE vec_id % 10 != 0),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM base
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
 }

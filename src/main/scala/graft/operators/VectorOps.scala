@@ -2569,6 +2569,21 @@ object VectorOps {
       .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Append a batch of new vectors to a [[buildIvfIndex]] index: assign
+    * against the PERSISTED centroids (the index geometry never moves under
+    * running queries — recentering is an offline rebuild, v18's
+    * needs_split diagnostic says when) and append to the cluster-
+    * partitioned posting lists. Assignment is per-row and stateless, so
+    * this is stream-safe and order-independent: any batch decomposition
+    * of the same vectors yields the identical index (t38 gates this).
+    */
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
+    graft.plans.GraftExtensions.register(batch.sparkSession)
+    val cents = batch.sparkSession.read.parquet(s"$path/centroids")
+    assign(withNorm(batch, "c"), cents)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/postings")
+  }
+
   /** V37 (beyond reference): build the persisted IVF index, then answer
     * v2's query from the index alone — same semantics, storage-backed, so
     * v2's oracle gates it verbatim. The corpus is scanned once at build;

@@ -617,6 +617,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(nCells === 2, s"10 co-located queries must probe 2 cells, got $nCells")
   }
 
+  test("t38 index append: any batch decomposition of the same vectors " +
+    "yields the identical index and identical search results") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val base = emb.filter(vid % 10 =!= 0)
+    val rest = emb.filter(vid % 10 === 0)
+    val qs = emb.filter(vid < 10)
+    def searchAfter(chunks: Seq[org.apache.spark.sql.DataFrame]) = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-app").toString + "/idx"
+      VectorOps.buildIvfIndex(base, path)
+      chunks.foreach(VectorOps.appendToIvfIndex(_, path))
+      VectorOps.searchIvfIndex(spark, path, qs, k = 3, probes = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val oneShot = searchAfter(Seq(rest))
+    val threeChunks = searchAfter(Seq(
+      rest.filter(vid % 3 === 0), rest.filter(vid % 3 === 1),
+      rest.filter(vid % 3 === 2)))
+    assert(oneShot === threeChunks)
+    assert(oneShot.nonEmpty && oneShot.map(_._1).toSeq.distinct.length === 10)
+    // appended vectors are actually servable: rest ids appear as neighbors
+    // somewhere (queries sit in data-cluster 0, whose members include
+    // vec_ids 0,10,20 from the streamed slice)
+    assert(oneShot.exists(t => t._2 % 10 == 0),
+      "streamed vectors must be reachable from the index")
+  }
+
   test("v36 selectivity audit: cell totals partition the corpus, match " +
     "counts sum to the predicate count, ppm is the exact integer ratio") {
     val dir = clusteredDir()
