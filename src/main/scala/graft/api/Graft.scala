@@ -458,6 +458,20 @@ object Graft {
   def annAppendIndex(batch: DataFrame, path: String): Unit =
     VectorOps.appendToIvfIndex(batch, path)
 
+  /** Logical delete (right-to-be-forgotten): tombstoned ids stop being
+    * served at the next query; reclaim space with [[annCompactIndex]].
+    */
+  def annDeleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit =
+    VectorOps.deleteFromIvfIndex(spark, path, ids)
+
+  /** Offline compaction: rewrite posting lists minus tombstones and swap —
+    * search results are identical before and after.
+    */
+  def annCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    VectorOps.compactIvfIndex(spark, path)
+
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per
     * query — graded-gain nDCG@k plus MRR, the order-sensitive complement

@@ -2561,12 +2561,55 @@ object VectorOps {
       case _ => cellIds.toSeq
     }
     val postings = postingsRaw.filter(col("cluster").isInCollection(cells))
+    // logical deletes: rows tombstoned by deleteFromIvfIndex stop being
+    // served immediately via a keyed anti-join (never a scan rewrite on
+    // the serving path); compactIvfIndex reclaims the space offline
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tombFs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val alive =
+      if (tombFs.exists(tombPath))
+        postings.join(s.read.parquet(tombPath.toString), Seq("c_id"), "left_anti")
+      else postings
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    postings.join(broadcast(probed), Seq("cluster"))
+    alive.join(broadcast(probed), Seq("cluster"))
       .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .withColumn("cos", cosine("q_e", "c_e"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** LOGICAL delete from a persisted index — the right-to-be-forgotten
+    * path: the ids land in a tombstone table and [[searchIvfIndex]] stops
+    * serving them at the NEXT query (one keyed anti-join), with zero
+    * interruption and zero posting-file rewrites on the serving path.
+    * Space is reclaimed later by [[compactIvfIndex]].
+    */
+  def deleteFromIvfIndex(s: SparkSession, path: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id").as("c_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** OFFLINE compaction: rewrite the posting lists minus tombstoned rows
+    * into a fresh directory, then atomically swap it in and drop the
+    * tombstones — the production rewrite-and-swap shape (never an
+    * in-place overwrite of a table being read; at scale this is a
+    * distributed job whose cost is one index scan + one partitioned
+    * write, amortized across many logical deletes). Search results are
+    * IDENTICAL before and after (VectorOpsSpec pins it).
+    */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/postings_compacting")
+    s.read.parquet(postings.toString)
+      .join(s.read.parquet(tomb.toString), Seq("c_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cluster").parquet(fresh.toString)
+    require(fs.delete(postings, true) && fs.rename(fresh, postings),
+      s"compaction swap failed under $path")
+    fs.delete(tomb, true)
   }
 
   /** Append a batch of new vectors to a [[buildIvfIndex]] index: assign
@@ -2600,7 +2643,43 @@ object VectorOps {
     },
     v2.oracle)
 
+  /** V38 (beyond reference): right-to-be-forgotten on the persisted index
+    * — tombstone every 7th vector, then serve: the deleted ids vanish from
+    * results at the next query while the posting files stay untouched
+    * (centroids are geometry, not data — a deleted centroid-source vector
+    * still anchors its cell). The oracle replays full-corpus centroids
+    * with the deleted rows absent from assignment.
+    */
+  val v38: GraftQuery = GraftQuery(
+    "v38_index_tombstone_delete",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v38_index_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfIndex(emb, path)
+      deleteFromIvfIndex(s, path, emb.filter(col("vec_id") % 7 === 0))
+      searchIvfIndex(s, path, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT a.vec_id, a.e, c.k_id, row_number() OVER (PARTITION BY a.vec_id
+           |    ORDER BY list_cosine_similarity(a.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM (SELECT * FROM v WHERE vec_id % 7 != 0) a CROSS JOIN cents c)
+           |  WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
-      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37)
+      v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
+      v38)
 }

@@ -646,6 +646,40 @@ class VectorOpsSpec extends SparkSpec {
       "streamed vectors must be reachable from the index")
   }
 
+  test("v38 tombstone delete + compaction: deleted ids vanish at the next " +
+    "query, compaction preserves results exactly and reclaims the rows") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val qs = emb.filter(vid < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del").toString + "/idx"
+    VectorOps.buildIvfIndex(emb, path)
+    val before = VectorOps.searchIvfIndex(spark, path, qs, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // delete the two nearest neighbors of query 0 — they must vanish
+    val victims = before.filter(_._1 == 0L).map(_._2).toSeq.take(2)
+    VectorOps.deleteFromIvfIndex(spark, path,
+      emb.filter(vid.isin(victims: _*)))
+    val after = VectorOps.searchIvfIndex(spark, path, qs, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(victims.forall(v => !after.exists(_._2 == v)),
+      "tombstoned ids must stop being served immediately")
+    assert(after.map(_._1).toSeq.distinct.length === 10,
+      "every query still gets answers (k refills from the cell)")
+    // compaction: identical results, tombstones gone, postings shrunk
+    val rowsBefore = spark.read.parquet(s"$path/postings").count()
+    VectorOps.compactIvfIndex(spark, path)
+    val compacted = VectorOps.searchIvfIndex(spark, path, qs, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(compacted === after, "compaction must not change a single bit")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/postings").count() === rowsBefore - 2)
+    // compacting an index with no tombstones is a no-op
+    VectorOps.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(s"$path/postings").count() === rowsBefore - 2)
+  }
+
   test("v36 selectivity audit: cell totals partition the corpus, match " +
     "counts sum to the predicate count, ppm is the exact integer ratio") {
     val dir = clusteredDir()
