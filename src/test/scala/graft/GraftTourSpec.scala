@@ -109,4 +109,53 @@ class GraftTourSpec extends SparkSpec {
     val perKey = fc.groupBy("user_id").count().collect()
     assert(perKey.nonEmpty && perKey.forall(_.getLong(1) == 6L))
   }
+
+  test("tour 6: ingest hygiene in batch form — scrub, intra-doc dedup, " +
+    "quality-aware keeper election") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scrubbed = Graft.piiRedact(docs)
+    assert(scrubbed.columns.toSeq ==
+      Seq("doc_id", "n_emails", "n_phones", "clean_text"))
+    assert(scrubbed.count() == docs.count())
+    val tidy = Graft.intraDocDedup(docs, blockWords = 2)
+    assert(tidy.filter(col("n_dropped") > 0).count() > 0,
+      "2-word blocks must repeat somewhere in this corpus")
+    assert(tidy.filter(col("n_dropped") < 0).count() == 0)
+    val elected = Graft.qualityKeeper(
+      docs.withColumn("score", col("n_chars")))
+    val perCluster = elected.groupBy("h")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
+    assert(perCluster.filter(col("keepers") =!= 1).count() == 0,
+      "exactly one keeper per cluster")
+  }
+
+  test("tour 7: vector index lifecycle — build, filtered search, append, " +
+    "delete, compact, serve") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vid = col("vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tour-idx").toString
+    val path = s"$dir/idx"
+    Graft.annBuildIndex(emb.filter(vid % 10 =!= 0), path)
+    Graft.annAppendIndex(emb.filter(vid % 10 === 0), path)
+    val qs = emb.filter(vid < 5)
+    val hits = Graft.annSearchIndex(spark, path, qs, k = 3, probes = 2)
+    assert(hits.select("q_id").distinct().count() == 5)
+    Graft.annDeleteFromIndex(spark, path, emb.filter(vid === 1L))
+    // collect BEFORE compaction: the lazy plan reads the tombstone files
+    // compaction is about to reclaim
+    val afterDel = Graft.annSearchIndex(spark, path, qs, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!afterDel.exists(_._2 == 1L), "deleted vector must not be served")
+    Graft.annCompactIndex(spark, path)
+    val afterCompact = Graft.annSearchIndex(spark, path, qs, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterCompact == afterDel)
+    // filtered search + its planner signal on the raw corpus
+    val filtered = Graft.annFilteredTopK(emb, qs, col("label") === 1, k = 3)
+    val okIds = emb.filter(col("label") === 1).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(filtered.collect().forall(r => okIds.contains(r.getLong(1))))
+    val plan = Graft.annFilterSelectivity(emb, col("label") === 1)
+    assert(plan.count() > 0 && plan.columns.contains("match_ppm"))
+  }
 }
