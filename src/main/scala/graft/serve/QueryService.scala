@@ -136,11 +136,58 @@ object QueryService {
       s"""SELECT doc_id, bm25 FROM ($x31Sql)
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
 
-  val all: Seq[graft.api.GraftQuery] = Seq(serveRidesWindow, serveDocSearch)
+  /** Vector-search endpoint: top-k neighbors of the demo query vectors
+    * (vec_id < 5 — the per-request parameterization seam), served from
+    * the PERSISTED IVF index: built once per sf dir under a
+    * _SUCCESS-gated scratch (the s26 seed pattern), so every subsequent
+    * request pays only the centroid broadcast + partition-pruned posting
+    * reads — the build-once/query-many serving shape next to
+    * [[docSearch]]'s text arm (a production deployment fuses the two with
+    * x62's RRF).
+    */
+  def vecSearch(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val sfLeaf = new java.io.File(d).getName
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_vecidx_$sfLeaf"
+    val emb = graft.core.Tables.embeddings(s, d)
+    // gate on BOTH success markers (the s26 rule: a half-built scratch
+    // must re-seed, not get trusted)
+    if (!(new java.io.File(s"$path/centroids/_SUCCESS").exists() &&
+          new java.io.File(s"$path/postings/_SUCCESS").exists()))
+      graft.operators.VectorOps.buildIvfIndex(emb, path)
+    graft.operators.VectorOps.searchIvfIndex(s, path,
+      emb.filter(col("vec_id") < 5), k = k, probes = 2)
+  }
+
+  /** The vector endpoint as a driver-checked query — the v2 IVF replay
+    * (same centroids/assignment/probing), q = the demo query set.
+    */
+  val serveVecSearch: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_vec_search",
+    (s, d) => vecSearch(s, d),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 5),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
+  val all: Seq[graft.api.GraftQuery] =
+    Seq(serveRidesWindow, serveDocSearch, serveVecSearch)
 }
 
 /** Thin CLI over [[QueryService]]: `runMain graft.serve.ServeCli <sfDir>
-  * <bus_lines|bus_state|demand|replay> [arg]` — prints JSON lines, the same
+  * <bus_lines|bus_state|demand|rides|replay|doc_search|vec_search> [arg]`
+  * — prints JSON lines, the same
   * wire format the dashboard polls for.
   */
 object ServeCli {
@@ -156,6 +203,8 @@ object ServeCli {
       case "rides"     => QueryService.ridesWindow(spark, sfDir,
         "2024-01-02 06:00:00", "2024-01-02 12:00:00", 365).limit(20)
       case "replay"    => QueryService.replayFeed(spark, sfDir, "2025-06-01 00:00:00").limit(20)
+      case "doc_search" => QueryService.docSearch(spark, sfDir)
+      case "vec_search" => QueryService.vecSearch(spark, sfDir)
       case other       => sys.error(s"unknown command: $other")
     }
     df.toJSON.collect().foreach(println)
