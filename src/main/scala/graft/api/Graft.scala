@@ -140,6 +140,22 @@ object Graft {
       threshold: Double = 0.9): DataFrame =
     TextOps.incrementalNearDup(corpus, batch, threshold)
 
+  /** Persist the near-dup index (exact-dup reps + shingle sets + LSH band
+    * keys) so [[nearDupIndexIngest]] gates batches without ever
+    * re-scanning or re-signing the corpus.
+    */
+  def buildNearDupIndex(corpus: DataFrame, path: String,
+      threshold: Double = 0.9): Unit =
+    TextOps.buildNearDupIndex(corpus, path, threshold)
+
+  /** Gate a batch against the persisted index AND grow it by the accepted
+    * docs ([[incrementalNearDup]] semantics, build-once/query-many):
+    * (doc_id, n_corpus_neardups, batch_first, keep).
+    */
+  def nearDupIndexIngest(batch: DataFrame, path: String,
+      threshold: Double = 0.9): DataFrame =
+    TextOps.nearDupIndexIngest(batch, path, threshold)
+
   /** Connected components over an arbitrary undirected edge list
     * (u: long, v: long), labeled by minimum member id; `universe` supplies
     * the full node set (isolated nodes become singletons).

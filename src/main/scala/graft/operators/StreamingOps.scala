@@ -1461,7 +1461,44 @@ object StreamingOps {
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin),
     bench = false)
 
+  /** T39 (beyond reference): CONTINUOUS near-dup gating against a
+    * persisted, GROWING LSH index — the similarity-aware upgrade of t32
+    * and the text twin of t38's index ingestion: the corpus signatures are
+    * computed once at [[TextOps.buildNearDupIndex]] time, every micro-batch
+    * joins its own (band, bh) keys against the stored index
+    * ([[TextOps.nearDupIndexIngest]]), and accepted docs' signatures
+    * append so later batches are gated against earlier acceptances too.
+    * With the whole batch in one AvailableNow pass the verdicts equal
+    * x75's, which is what the oracle replays; the cross-batch greedy
+    * growth is pinned by TextOpsSpec.
+    */
+  val t39: GraftQuery = GraftQuery(
+    "t39_stream_neardup_index",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t39_ndidx_$id"
+      val outPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t39_out_$id"
+      val docs = graft.core.Tables.documents(s, d)
+      TextOps.buildNearDupIndex(docs.filter(col("doc_id") % 3 === 0), path)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextOps.nearDupIndexIngest(
+              batch.filter(col("doc_id") % 3 =!= 0), path)
+            .write.mode("append").parquet(outPath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    },
+    TextOps.x75.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
 }

@@ -4323,17 +4323,21 @@ object TextOps {
     * WHY the output is a boolean, not a pair count — the count is
     * Θ(members × matched members) by semantics, the dupSetPairs trap.)
     */
+  /** Exact-collapse key for the near-dup family (identical texts ⇒
+    * identical shingle sets ⇒ identical jaccard to everything): a
+    * boilerplate cluster enters the LSH stage as one representative.
+    * Shingle-less docs (<3 words) get solo keys — the pair semantics can
+    * never match them, so the collapse must not either (x11's rule).
+    */
+  private def nearDupCanon: Column =
+    when(size(split(col("text"), " ")) >= 3, md5(col("text")))
+      .otherwise(concat(lit("solo_"), col("doc_id")))
+
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
       threshold: Double): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val (bands, rows) = bandingFor(threshold)
-    // exact-collapse BOTH sides (identical texts ⇒ identical shingle sets
-    // ⇒ identical jaccard to everything): a boilerplate cluster in the
-    // corpus OR in the batch enters the LSH stage as one representative.
-    // Shingle-less docs (<3 words) get solo keys — the pair semantics can
-    // never match them, so the collapse must not either (x11's rule).
-    val canon = when(size(split(col("text"), " ")) >= 3, md5(col("text")))
-      .otherwise(concat(lit("solo_"), col("doc_id")))
+    val canon = nearDupCanon
     val cG = corpus.select(col("doc_id"), canon.as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("weight"))
     val bKeyed = batch.select(col("doc_id"), canon.as("h"))
@@ -4577,6 +4581,105 @@ object TextOps {
            |  CAST(len(blocks) - len(kept) AS BIGINT) AS n_dropped,
            |  array_to_string(kept, ' ') AS clean_text
            |FROM k""".stripMargin))
+
+  /** Public DataFrame-in API (see graft.api.Graft): PERSIST the near-dup
+    * index — the text twin of the persisted IVF index: the corpus
+    * collapses to exact-dup representatives whose shingle sets land in
+    * `reps/` (rep_id, weight = exact-group size, sh) and whose LSH band
+    * keys land in `bands/` (band, bh, rep_id). Ingest gates
+    * ([[nearDupIndexIngest]]) then join batches against this index
+    * instead of re-scanning and re-signing the corpus on every call —
+    * at 100 TB the signatures are the expensive artifact and they are
+    * computed exactly once per accepted doc.
+    */
+  def buildNearDupIndex(corpus: DataFrame, path: String,
+      threshold: Double = 0.9): Unit = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val (bands, rows) = bandingFor(threshold)
+    val cG = corpus.select(col("doc_id"), nearDupCanon.as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("weight"))
+    val cSets = shingleSets(
+        cG.select("doc_id").join(corpus.select("doc_id", "text"), "doc_id"))
+      .localCheckpoint()
+    cSets.join(cG.select(col("doc_id"), col("weight")), "doc_id")
+      .select(col("doc_id").as("rep_id"), col("weight"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/reps")
+    lshBands(cSets, numHashes = 64, bands = bands, rows = rows)
+      .select(col("band"), col("bh"), col("doc_id").as("rep_id"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Gate one batch against a [[buildNearDupIndex]] index AND grow it by
+    * the accepted docs — [[incrementalNearDup]] in build-once/query-many
+    * form: same verdict columns (doc_id, n_corpus_neardups, batch_first,
+    * keep), but the corpus side is the persisted (band, bh) join + stored
+    * shingle sets, never a corpus rescan, and each accepted doc's
+    * signature/bands append so the NEXT batch is gated against them too
+    * (greedy first-wins across the stream — the t32 rule lifted to
+    * similarity). With the whole batch in one call the verdicts equal
+    * incrementalNearDup's bit-for-bit (TextOpsSpec pins it).
+    *
+    * Scale: per batch — batch-side collapse + signatures (one pass),
+    * a (band, bh)-keyed join against the index (uniform hash keys),
+    * exact verify on candidate pairs only, and two keyed appends sized by
+    * the accepted set. Index state lives in storage, never executor
+    * memory.
+    */
+  def nearDupIndexIngest(batch: DataFrame, path: String,
+      threshold: Double = 0.9): DataFrame = {
+    val s = batch.sparkSession
+    graft.plans.GraftExtensions.register(s)
+    val (bands, rows) = bandingFor(threshold)
+    val bKeyed = batch.select(col("doc_id"), nearDupCanon.as("h"))
+    val bG = bKeyed.groupBy("h").agg(min("doc_id").as("rep"))
+    val bSets = shingleSets(
+        bG.select(col("rep").as("doc_id"))
+          .join(batch.select("doc_id", "text"), "doc_id"))
+      .localCheckpoint()
+    val bBands = lshBands(bSets, numHashes = 64, bands = bands, rows = rows)
+      .select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    val reps = s.read.parquet(s"$path/reps")
+    val idxBands = s.read.parquet(s"$path/bands")
+    val bcVerified = bBands.join(idxBands, Seq("band", "bh"))
+      .select(col("b_id"), col("rep_id")).distinct()
+      .join(bSets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(reps.select(col("rep_id"), col("sh").as("c_sh"), col("weight")),
+        "rep_id")
+      .filter(jaccard(col("b_sh"), col("c_sh")) >= threshold)
+      .groupBy("b_id").agg(sum("weight").as("nc"))
+    val bbPairs =
+      withSets(lshCandidates(bSets, numHashes = 64, bands = bands, rows = rows), bSets)
+        .filter(jaccard(col("a_sh"), col("b_sh")) >= threshold)
+    val earliestNbr = bbPairs.select(col("a_id").as("rep"), col("b_id").as("o"))
+      .union(bbPairs.select(col("b_id").as("rep"), col("a_id").as("o")))
+      .groupBy("rep").agg(min("o").as("earliest_other"))
+    // pin BEFORE the index appends below: the lazy verdict plan reads the
+    // same reps/bands tables the appends are about to grow
+    val verdicts = bKeyed
+      .join(bG, "h")
+      .join(bcVerified.withColumnRenamed("b_id", "rep"), Seq("rep"), "left")
+      .join(earliestNbr, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nc"), lit(0L)).as("n_corpus_neardups"),
+        (col("doc_id") === col("rep") &&
+          (col("earliest_other").isNull ||
+            col("doc_id") < col("earliest_other"))).as("batch_first"),
+        (coalesce(col("nc"), lit(0L)) === 0L && col("doc_id") === col("rep") &&
+          (col("earliest_other").isNull ||
+            col("doc_id") < col("earliest_other"))).as("keep"))
+      .localCheckpoint()
+    // grow the index by the ACCEPTED docs (each is its group's rep and
+    // matched nothing): weight 1, stored signature + band rows
+    val acceptedSets = verdicts.filter(col("keep")).select("doc_id")
+      .join(bSets, "doc_id").localCheckpoint()
+    acceptedSets
+      .select(col("doc_id").as("rep_id"), lit(1L).as("weight"), col("sh"))
+      .write.mode("append").parquet(s"$path/reps")
+    lshBands(acceptedSets, numHashes = 64, bands = bands, rows = rows)
+      .select(col("band"), col("bh"), col("doc_id").as("rep_id"))
+      .write.mode("append").parquet(s"$path/bands")
+    verdicts
+  }
 
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,

@@ -1206,6 +1206,34 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextOps.intraDocDedup(docs, 0))
   }
 
+  test("t39 persisted near-dup index: single-shot ingest equals " +
+    "incrementalNearDup bit-for-bit, and the index GROWS — a later batch " +
+    "is gated against earlier acceptances") {
+    val corpus = crafted.filter($"doc_id" < 20)
+    val batch = crafted.filter($"doc_id" >= 20)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ndidx").toString + "/idx"
+    TextOps.buildNearDupIndex(corpus, path)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getAs[Long]("n_corpus_neardups"),
+        r.getAs[Boolean]("batch_first"), r.getAs[Boolean]("keep"))
+    val viaIndex = TextOps.nearDupIndexIngest(batch, path)
+      .collect().map(key).toMap
+    val direct = TextOps.incrementalNearDup(corpus, batch, 0.9)
+      .collect().map(key).toMap
+    assert(viaIndex === direct,
+      "index-backed gate must reproduce the two-sided op exactly")
+    assert(viaIndex.values.exists(_._3), "some batch doc must be accepted")
+    // growth: re-ingesting an accepted doc's text (new id) now hits the
+    // index — zero corpus rescans, but the earlier acceptance gates it
+    val accepted = TextOps.nearDupIndexIngest(batch, path) // batch replayed
+    val replay = accepted.collect().map(key).toMap
+    assert(replay.values.forall(v => v._1 > 0 || !v._3),
+      "every replayed doc must near-dup its own earlier acceptance " +
+        "(or lose in-batch election) — the stream ingests zero twice")
+    assert(!replay.values.exists(_._3), "zero keeps on full replay")
+  }
+
   test("pii redact: emails and phone tokens counted on raw text and " +
     "replaced in fixed order in clean_text") {
     val docs = Seq(
