@@ -76,7 +76,12 @@ object Bench {
     "x1_exact_dedup_md5", "x5_minhash_lsh_dupsets",
     "x7_ngram_jaccard_neardup", "x11_dupset_components",
     "x15_contamination_check", "v1_ann_bruteforce_topk", "v2_ann_ivf_topk",
-    "v4_ann_kmeans_topk", "mm2_decode_features")
+    "v4_ann_kmeans_topk", "mm2_decode_features",
+    // round-10 flagships: quality-aware keeper election and the persisted
+    // IVF index (build + partition-pruned search). New names have no
+    // r5-era prior — the cold-floor/arbitration logic skips them until a
+    // prior lands in a future artifact.
+    "x77_quality_keeper", "v37_persisted_ivf_index")
 
   /** Warm single-query times measured at sf0.1 on a healthy host (round 5
     * best-of-2 sweep, calib ~244 mops/thread). Used purely as an outlier
