@@ -140,6 +140,13 @@ object Graft {
       threshold: Double = 0.9): DataFrame =
     TextOps.incrementalNearDup(corpus, batch, threshold)
 
+  /** Crawl-delta report between two snapshots keyed by doc_id:
+    * (doc_id, old_h, new_h, status ∈ added|removed|rewritten|unchanged) —
+    * downstream, only added+rewritten need the ingest gates.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    TextOps.corpusDiff(oldDocs, newDocs)
+
   /** Persist the near-dup index (exact-dup reps + shingle sets + LSH band
     * keys) so [[nearDupIndexIngest]] gates batches without ever
     * re-scanning or re-signing the corpus.

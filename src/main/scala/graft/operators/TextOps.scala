@@ -4681,10 +4681,61 @@ object TextOps {
     verdicts
   }
 
+  /** Public DataFrame-in API (see graft.api.Graft): corpus snapshot diff —
+    * the crawl-delta report that makes every incremental op upstream
+    * cheap: given two crawls keyed by doc_id, classify each doc as added
+    * (new id), removed (id gone), rewritten (same id, different text —
+    * raw md5, NOT the canonical dedup key: a reorder IS a rewrite to a
+    * diff even when dedup would collapse it) or unchanged. Downstream,
+    * only added+rewritten need the x21/x75/t37 gates. Emits
+    * (doc_id, old_h, new_h, status).
+    *
+    * Scale: one full-outer hash join on doc_id (unique, uniform) — the
+    * cheapest possible shape; no text ever shuffles, only 16-byte hashes.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_h"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_h"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_h"), col("new_h"),
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "rewritten")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** X79 (beyond reference): crawl-delta report — old = docs without the
+    * %4==1 slice, new = docs without the %4==2 slice with every 5th doc
+    * textually updated, so all four classes genuinely occur. The oracle
+    * replays the full-outer classification.
+    */
+  val x79: GraftQuery = GraftQuery(
+    "x79_corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      corpusDiff(
+        docs.filter(col("doc_id") % 4 =!= 1),
+        docs.filter(col("doc_id") % 4 =!= 2)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+              .otherwise(col("text")).as("text")))
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS old_h FROM documents
+           |           WHERE doc_id % 4 != 1),
+           |n AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+           |        THEN text || ' updated' ELSE text END) AS new_h
+           |      FROM documents WHERE doc_id % 4 != 2)
+           |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_h, new_h,
+           |  CASE WHEN old_h IS NULL THEN 'added'
+           |       WHEN new_h IS NULL THEN 'removed'
+           |       WHEN old_h != new_h THEN 'rewritten'
+           |       ELSE 'unchanged' END AS status
+           |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
       x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73,
-      x74, x75, x76, x77, x78)
+      x74, x75, x76, x77, x78, x79)
 }

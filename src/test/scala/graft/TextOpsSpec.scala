@@ -1234,6 +1234,24 @@ class TextOpsSpec extends SparkSpec {
     assert(!replay.values.exists(_._3), "zero keeps on full replay")
   }
 
+  test("x79 corpus diff: all four statuses classified exactly; a word " +
+    "REORDER is a rewrite (raw hash, not the canonical dedup key)") {
+    val old = Seq((1L, "same text"), (2L, "will change"), (3L, "gets removed"),
+      (4L, "b a")).toDF("doc_id", "text")
+    val neu = Seq((1L, "same text"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.corpusDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "rewritten",
+      3L -> "removed", 4L -> "rewritten", 5L -> "added"))
+    // hash columns carry the evidence: removed has no new_h, added no old_h
+    val rows = TextOps.corpusDiff(old, neu).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("old_h")), Option(r.getAs[String]("new_h")))).toMap
+    assert(rows(3L)._2.isEmpty && rows(5L)._1.isEmpty)
+    assert(rows(1L)._1 === rows(1L)._2)
+  }
+
   test("pii redact: emails and phone tokens counted on raw text and " +
     "replaced in fixed order in clean_text") {
     val docs = Seq(
