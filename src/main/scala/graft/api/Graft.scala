@@ -495,6 +495,19 @@ object Graft {
       path: String): Unit =
     VectorOps.compactIvfIndex(spark, path)
 
+  /** Persist the COMPRESSED (product-quantization) index: 8 small codes
+    * per vector instead of raw floats — the RAM-resident serving tier.
+    */
+  def annBuildPqIndex(corpus: DataFrame, path: String): Unit =
+    VectorOps.buildPqIndex(corpus, path)
+
+  /** ADC search over [[annBuildPqIndex]]'s stored codes — raw embeddings
+    * are never read at serving time: (q_id, neighbor_id, adc).
+    */
+  def annSearchPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int = 3): DataFrame =
+    VectorOps.searchPqIndex(spark, path, queries, k)
+
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per
     * query — graded-gain nDCG@k plus MRR, the order-sensitive complement

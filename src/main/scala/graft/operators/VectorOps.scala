@@ -2678,8 +2678,85 @@ object VectorOps {
            |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
+  /** Persist the PQ index — the COMPRESSED tier of the persisted-index
+    * family (v37 stores raw vectors; this stores M=8 small codes per
+    * vector, the representation that keeps a billion-vector index in
+    * RAM): `codebook/` (PqKs rows, explicitly j-indexed so codeword
+    * identity survives storage) + `codes/` (vec_id, codes: array<int>).
+    * [[searchPqIndex]] then scores ADC against the CODES alone — raw
+    * embeddings are never read again at serving time.
+    */
+  def buildPqIndex(corpus: DataFrame, path: String): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val cbRows: Array[Seq[Double]] = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(PqKs)
+      .select(toD).as[Seq[Double]].collect()
+    s.createDataset(cbRows.toSeq.zipWithIndex.map { case (e, j) => (j, e) })
+      .toDF("j", "e").write.mode("overwrite").parquet(s"$path/codebook")
+    val bc = s.sparkContext.broadcast(cbRows.map(_.toArray))
+    corpus.select(col("vec_id"), toD.as("e")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cbL = bc.value
+        val pqM = cbL(0).length / PqS
+        it.map { case (id, e) => (id, pqEncode(e.toArray, cbL, pqM).toSeq) }
+      }
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** ADC search over a [[buildPqIndex]] index: the codebook (PqKs tiny
+    * rows) and query vectors build per-query lookup tables driver-side,
+    * and the corpus-side scan reads ONLY the stored codes — M table
+    * lookups per (query, vector), no float vectors, no shuffle before
+    * the per-query top-k. Bit-identical to the in-memory v8 path.
+    */
+  def searchPqIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val cb: Array[Array[Double]] = s.read.parquet(s"$path/codebook")
+      .orderBy("j").select(col("j"), col("e")).as[(Int, Seq[Double])]
+      .collect().map(_._2.toArray)
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col("vec_id"), toD).as[(Long, Seq[Double])]
+      .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast((cb, qs))
+    val scored = s.read.parquet(s"$path/codes").as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (cbL, qL) = bc.value
+        val pqM = cbL(0).length / PqS
+        val qtab = qL.map { case (qid, qa) => (qid, pqTable(qa, cbL, pqM)) }
+        it.flatMap { case (cid, codes) =>
+          val ca = codes.toArray
+          qtab.iterator.filter(_._1 != cid).map { case (qid, tab) =>
+            (qid, cid, pqAdc(tab, ca))
+          }
+        }
+      }.toDF("q_id", "neighbor_id", "adc")
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("q_id", "neighbor_id", "adc")
+  }
+
+  /** V39 (beyond reference): the persisted PQ index answering v8's query
+    * from stored codes alone — same semantics, so v8's oracle gates it
+    * verbatim; the serving scan reads 8 ints per vector, never a float.
+    */
+  val v39: GraftQuery = GraftQuery(
+    "v39_persisted_pq_index",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v39_pqidx_$id"
+      val emb = Tables.embeddings(s, d)
+      buildPqIndex(emb, path)
+      searchPqIndex(s, path, emb.filter(col("vec_id") < 10), k = 3)
+    },
+    v8.oracle)
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
       v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
-      v38)
+      v38, v39)
 }

@@ -680,6 +680,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/postings").count() === rowsBefore - 2)
   }
 
+  test("v39 persisted PQ index: code-only serving is bit-identical to the " +
+    "in-memory v8 path, and each stored vector is dim/8 small codes") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqidx").toString + "/idx"
+    VectorOps.buildPqIndex(emb, path)
+    val fromIndex = VectorOps.searchPqIndex(spark, path, qs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = VectorOps.v8.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex === inMem,
+      "stored-code ADC must reproduce the in-memory PQ search exactly")
+    // the compression contract: (vec_id: long, codes: array<int>), 2 codes
+    // per 16 dims here (M = dim/8), one codes row per corpus vector
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() === 500L)
+    assert(codes.schema("codes").dataType.simpleString === "array<int>")
+    import SparkSpec.spark.implicits._
+    assert(codes.selectExpr("size(codes)").as[Int].collect().forall(_ == 2))
+  }
+
   test("v36 selectivity audit: cell totals partition the corpus, match " +
     "counts sum to the predicate count, ppm is the exact integer ratio") {
     val dir = clusteredDir()
