@@ -150,6 +150,11 @@ class GraftTourSpec extends SparkSpec {
     val afterCompact = Graft.annSearchIndex(spark, path, qs, k = 3, probes = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(afterCompact == afterDel)
+    // the compressed tier: PQ codes served without ever re-reading floats
+    val pqPath = s"$dir/pq"
+    Graft.annBuildPqIndex(emb, pqPath)
+    val adc = Graft.annSearchPqIndex(spark, pqPath, qs, k = 3)
+    assert(adc.select("q_id").distinct().count() == 5)
     // filtered search + its planner signal on the raw corpus
     val filtered = Graft.annFilteredTopK(emb, qs, col("label") === 1, k = 3)
     val okIds = emb.filter(col("label") === 1).select("vec_id").collect()
