@@ -147,6 +147,13 @@ object Graft {
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
     TextOps.corpusDiff(oldDocs, newDocs)
 
+  /** [[corpusDiff]] with rewrite DEPTH: `rewritten` splits into
+    * `reordered` (cosmetic — canonical word set unchanged, skips the
+    * dedup gates) vs `edited` (re-enters the ingest ladder).
+    */
+  def corpusDiffDeep(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    TextOps.corpusDiffDeep(oldDocs, newDocs)
+
   /** Persist the near-dup index (exact-dup reps + shingle sets + LSH band
     * keys) so [[nearDupIndexIngest]] gates batches without ever
     * re-scanning or re-signing the corpus.

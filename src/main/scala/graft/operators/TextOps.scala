@@ -4732,10 +4732,71 @@ object TextOps {
            |       ELSE 'unchanged' END AS status
            |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin))
 
+  /** Public DataFrame-in API (see graft.api.Graft): DEEP snapshot diff —
+    * [[corpusDiff]] with rewrite-depth classification: `rewritten` splits
+    * into `reordered` (raw md5 differs but the canonical word-set
+    * fingerprint is unchanged — a cosmetic shuffle/repetition edit that
+    * should NOT re-trigger downstream dedup/quality gates, since every
+    * canonical-keyed op is invariant to it) and `edited` (the word set
+    * itself changed — the doc re-enters the x21/x75/t37 ladder). Same
+    * one-hash-join shape as x79; two 16-byte hashes per side instead of
+    * one.
+    */
+  def corpusDiffDeep(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_h"),
+      canonFingerprint().as("old_c"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_h"),
+      canonFingerprint().as("new_c"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_h"), col("new_h"),
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") === col("new_h"), "unchanged")
+          .when(col("old_c") === col("new_c"), "reordered")
+          .otherwise("edited").as("status"))
+  }
+
+  /** X80 (beyond reference): rewrite-depth crawl delta — x79's split with
+    * every 5th doc textually extended (edited) and every 7th doc's text
+    * word-REVERSED (reordered: same word set, different md5). The oracle
+    * replays both hash ladders.
+    */
+  val x80: GraftQuery = GraftQuery(
+    "x80_corpus_diff_deep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      corpusDiffDeep(
+        docs.filter(col("doc_id") % 4 =!= 1),
+        docs.filter(col("doc_id") % 4 =!= 2)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+              .when(col("doc_id") % 7 === 0,
+                array_join(reverse(split(col("text"), " ")), " "))
+              .otherwise(col("text")).as("text")))
+    },
+    Some("""WITH o AS (SELECT doc_id, md5(text) AS old_h,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS old_c
+           |  FROM documents WHERE doc_id % 4 != 1),
+           |n0 AS (SELECT doc_id, CASE
+           |    WHEN doc_id % 5 = 0 THEN text || ' updated'
+           |    WHEN doc_id % 7 = 0 THEN array_to_string(list_reverse(str_split(text, ' ')), ' ')
+           |    ELSE text END AS text
+           |  FROM documents WHERE doc_id % 4 != 2),
+           |n AS (SELECT doc_id, md5(text) AS new_h,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS new_c
+           |  FROM n0)
+           |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_h, new_h,
+           |  CASE WHEN old_h IS NULL THEN 'added'
+           |       WHEN new_h IS NULL THEN 'removed'
+           |       WHEN old_h = new_h THEN 'unchanged'
+           |       WHEN old_c = new_c THEN 'reordered'
+           |       ELSE 'edited' END AS status
+           |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16, x29, x30, x31,
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
       x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73,
-      x74, x75, x76, x77, x78, x79)
+      x74, x75, x76, x77, x78, x79, x80)
 }

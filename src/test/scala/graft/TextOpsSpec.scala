@@ -1252,6 +1252,18 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1L)._1 === rows(1L)._2)
   }
 
+  test("x80 deep diff: reorder and repetition-only edits classify as " +
+    "reordered; word-set changes as edited") {
+    val old = Seq((1L, "same text"), (2L, "a b c"), (3L, "x y z"),
+      (6L, "p q")).toDF("doc_id", "text")
+    val neu = Seq((1L, "same text"), (2L, "c b a"), (3L, "x y w"),
+      (6L, "p q p q")).toDF("doc_id", "text")
+    val got = TextOps.corpusDiffDeep(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "reordered",
+      3L -> "edited", 6L -> "reordered"))
+  }
+
   test("pii redact: emails and phone tokens counted on raw text and " +
     "replaced in fixed order in clean_text") {
     val docs = Seq(
