@@ -515,6 +515,72 @@ object Graft {
       path: String, queries: DataFrame, k: Int = 3): DataFrame =
     VectorOps.searchPqIndex(spark, path, queries, k)
 
+  /** Append new vectors to a persisted PQ index, encoded against the
+    * FROZEN stored codebook (stream-safe, order-independent; retrain
+    * offline when [[annPqDriftAudit]] raises needs_retrain).
+    */
+  def annAppendPqIndex(batch: DataFrame, path: String): Unit =
+    VectorOps.appendToPqIndex(batch, path)
+
+  /** Logical delete on the PQ tier — same contract as
+    * [[annDeleteFromIndex]]; reclaim space with [[annCompactPqIndex]].
+    */
+  def annDeleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit =
+    VectorOps.deleteFromPqIndex(spark, path, ids)
+
+  /** Offline compaction of the PQ codes (rewrite minus tombstones,
+    * crash-safe swap) — search results are identical before and after.
+    */
+  def annCompactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    VectorOps.compactPqIndex(spark, path)
+
+  /** Codebook-drift report for a persisted PQ index: build-time
+    * reconstruction distortion vs the corpus served now; one row with
+    * needs_retrain = the drop in mean reconstruction cosine exceeding
+    * `margin` — the offline-retrain trigger for the frozen codebook.
+    */
+  def annPqDriftAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, margin: Double = 0.05): DataFrame =
+    VectorOps.pqDriftAudit(spark, path, corpus, margin)
+
+  /** Offline recenter/rebuild of the IVF tier — the consumer of
+    * [[ivfIncremental]]'s needs_split signal: re-derive centroids from
+    * the current alive corpus, re-assign, crash-safe swap; the result is
+    * bit-indistinguishable from a fresh build on the current data.
+    */
+  def annRebuildIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    VectorOps.rebuildIvfIndex(spark, path)
+
+  /** Build BOTH persisted serving tiers (IVF raw + PQ codes) under one
+    * index root — the input to [[annSearchVecIndex]]'s routing.
+    */
+  def annBuildVecIndex(corpus: DataFrame, path: String): Unit =
+    VectorOps.buildVecIndex(corpus, path)
+
+  /** The serving planner: route a query set through the persisted index
+    * by tier — "ivf" (raw probed cells), "pq" (code-only ADC), "rerank"
+    * (codes nominate, raw vectors rerank), or "auto" (best available).
+    */
+  def annSearchVecIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, probes: Int = 2,
+      tier: String = "auto", rerankCandidates: Int = 32,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.searchVecIndex(spark, path, queries, k, probes, tier,
+      rerankCandidates, excludeSelf)
+
+  /** Right-to-be-forgotten across every tier under one index root. */
+  def annDeleteFromVecIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit =
+    VectorOps.deleteFromVecIndex(spark, path, ids)
+
+  /** Offline compaction of every tier under one index root. */
+  def annCompactVecIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    VectorOps.compactVecIndex(spark, path)
+
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per
     * query — graded-gain nDCG@k plus MRR, the order-sensitive complement

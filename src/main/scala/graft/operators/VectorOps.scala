@@ -2607,9 +2607,28 @@ object VectorOps {
     s.read.parquet(postings.toString)
       .join(s.read.parquet(tomb.toString), Seq("c_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cluster").parquet(fresh.toString)
-    require(fs.delete(postings, true) && fs.rename(fresh, postings),
-      s"compaction swap failed under $path")
+    swapAside(fs, fresh, postings)
     fs.delete(tomb, true)
+  }
+
+  /** Crash-safe directory swap: `live` is renamed ASIDE before `fresh`
+    * moves in, so no failure ordering ever leaves the index missing —
+    * a delete-then-rename (the naive swap) destroys the serving copy the
+    * instant the delete lands, and a crashed rename afterwards strands
+    * the index with nothing at `live`. Here a failure between the two
+    * renames leaves the old data intact at `live_old` (recoverable by
+    * hand or by the next compaction, which clears the leftover first);
+    * only after `fresh` is fully in place does the old copy get dropped.
+    */
+  private def swapAside(fs: org.apache.hadoop.fs.FileSystem,
+      fresh: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(live.toString + "_old")
+    if (fs.exists(aside)) fs.delete(aside, true) // leftover of a prior crash
+    require(fs.rename(live, aside), s"swap step 1 (aside) failed for $live")
+    require(fs.rename(fresh, live),
+      s"swap step 2 failed for $live — previous data preserved at $aside")
+    fs.delete(aside, true): Unit
   }
 
   /** Append a batch of new vectors to a [[buildIvfIndex]] index: assign
@@ -2625,6 +2644,53 @@ object VectorOps {
     val cents = batch.sparkSession.read.parquet(s"$path/centroids")
     assign(withNorm(batch, "c"), cents)
       .write.mode("append").partitionBy("cluster").parquet(s"$path/postings")
+  }
+
+  /** OFFLINE recenter/rebuild — the consumer of v18's `needs_split`
+    * diagnostic: when appended data has drifted the occupancy (cells
+    * holding the growth the frozen centroids never saw), re-derive the
+    * centroid sample from the CURRENT alive corpus (postings minus
+    * tombstones — the stored vectors ARE the corpus, no external rescan),
+    * re-assign every vector, and crash-safe-swap both `centroids/` and
+    * `postings/` in. Tombstoned rows are compacted away as a side effect.
+    *
+    * Contract (v43's oracle pins it): after rebuild the index is
+    * BIT-INDISTINGUISHABLE from one freshly built on the current corpus —
+    * same centroid rule, same assignment, same serving results — so
+    * recall can only move toward the fresh-index recall, never below it
+    * (VectorOpsSpec gates non-regression under planted cluster drift).
+    *
+    * Scale: one index scan + K-row broadcast re-assignment + one
+    * partitioned write — the compactIvfIndex cost paid once per drift
+    * event, never on the serving path; postings swap FIRST so a reader
+    * between the two swaps sees matched-or-older geometry, not
+    * new-centroids-over-old-postings.
+    */
+  def rebuildIvfIndex(s: SparkSession, path: String): Unit = {
+    graft.plans.GraftExtensions.register(s)
+    val conf = s.sparkContext.hadoopConfiguration
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val centsPath = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = postingsPath.getFileSystem(conf)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val postings = s.read.parquet(postingsPath.toString)
+    val alive =
+      (if (fs.exists(tomb))
+        postings.join(s.read.parquet(tomb.toString), Seq("c_id"), "left_anti")
+      else postings).select(col("c_id"), col("c_e"))
+    // the build-time centroid rule replayed over the alive corpus: the K
+    // smallest md5(id) — deterministic, so the rebuilt index equals a
+    // fresh build on the same data in any engine
+    val freshCents = new org.apache.hadoop.fs.Path(s"$path/centroids_rebuilding")
+    alive.orderBy(md5(col("c_id").cast("string"))).limit(K)
+      .select(col("c_id").as("k_id"), col("c_e").as("k_e"))
+      .write.mode("overwrite").parquet(freshCents.toString)
+    val freshPost = new org.apache.hadoop.fs.Path(s"$path/postings_rebuilding")
+    assign(alive, s.read.parquet(freshCents.toString))
+      .write.mode("overwrite").partitionBy("cluster").parquet(freshPost.toString)
+    swapAside(fs, freshPost, postingsPath)
+    swapAside(fs, freshCents, centsPath)
+    if (fs.exists(tomb)) fs.delete(tomb, true): Unit
   }
 
   /** V37 (beyond reference): build the persisted IVF index, then answer
@@ -2693,17 +2759,281 @@ object VectorOps {
     val cbRows: Array[Seq[Double]] = corpus
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(PqKs)
       .select(toD).as[Seq[Double]].collect()
+    // input guards: a short corpus would make pqEncode index past the
+    // collected codebook (AIOOBE deep in an executor), and a dim not
+    // divisible by the subspace width would SILENTLY drop trailing dims
+    // from every code — both must fail loudly at the public API edge
+    require(cbRows.length == PqKs,
+      s"buildPqIndex: corpus has only ${cbRows.length} rows — a $PqKs-codeword " +
+        s"codebook needs at least $PqKs vectors")
+    require(cbRows(0).length % PqS == 0,
+      s"buildPqIndex: embedding dim ${cbRows(0).length} is not divisible by " +
+        s"the PQ subspace width $PqS — trailing dims would be dropped from every code")
     s.createDataset(cbRows.toSeq.zipWithIndex.map { case (e, j) => (j, e) })
       .toDF("j", "e").write.mode("overwrite").parquet(s"$path/codebook")
-    val bc = s.sparkContext.broadcast(cbRows.map(_.toArray))
-    corpus.select(col("vec_id"), toD.as("e")).as[(Long, Seq[Double])]
+    encodeAgainst(corpus, cbRows.map(_.toArray))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    // build-time distortion baseline (one aggregate row): the reference
+    // point [[pqDriftAudit]] compares appended data against — frozen at
+    // build, never touched by appends
+    pqReconStats(s, path, corpus)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Encode (vec_id, embedding) rows to (vec_id, codes) against a fixed
+    * codebook — the shared kernel of [[buildPqIndex]] and
+    * [[appendToPqIndex]]. Per-row, stateless, broadcast-only: any batch
+    * decomposition of the same vectors yields identical codes.
+    */
+  private def encodeAgainst(batch: DataFrame,
+      cb: Array[Array[Double]]): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val bc = s.sparkContext.broadcast(cb)
+    batch.select(col("vec_id"), toD.as("e")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val cbL = bc.value
         val pqM = cbL(0).length / PqS
         it.map { case (id, e) => (id, pqEncode(e.toArray, cbL, pqM).toSeq) }
       }
       .toDF("vec_id", "codes")
-      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  private def readPqCodebook(s: SparkSession, path: String): Array[Array[Double]] = {
+    import s.implicits._
+    s.read.parquet(s"$path/codebook")
+      .orderBy("j").select(col("j"), col("e")).as[(Int, Seq[Double])]
+      .collect().map(_._2.toArray)
+  }
+
+  /** Stored codes minus tombstoned rows — every PQ read path (search,
+    * drift audit, compaction) serves only alive vectors, the
+    * [[searchIvfIndex]] keyed-anti-join discipline on the compressed tier.
+    */
+  private def alivePqCodes(s: SparkSession, path: String): DataFrame = {
+    val codes = s.read.parquet(s"$path/codes")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/pq_tombstones")
+    val fs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombPath))
+      codes.join(s.read.parquet(tombPath.toString), Seq("vec_id"), "left_anti")
+    else codes
+  }
+
+  /** Append new vectors to a [[buildPqIndex]] index: encode against the
+    * PERSISTED codebook (codewords are geometry and never move under
+    * running queries — [[pqDriftAudit]] says when the frozen codebook has
+    * drifted far enough from the data to warrant an offline rebuild) and
+    * append the codes. Stream-safe and order-independent exactly like
+    * [[appendToIvfIndex]] (t40 gates it on the ingest stream).
+    */
+  def appendToPqIndex(batch: DataFrame, path: String): Unit =
+    encodeAgainst(batch, readPqCodebook(batch.sparkSession, path))
+      .write.mode("append").parquet(s"$path/codes")
+
+  /** LOGICAL delete from the PQ index — ids land in a tombstone table and
+    * [[searchPqIndex]] stops serving them at the next query via one keyed
+    * anti-join; space is reclaimed offline by [[compactPqIndex]]. Same
+    * right-to-be-forgotten contract as [[deleteFromIvfIndex]].
+    */
+  def deleteFromPqIndex(s: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id"))
+      .write.mode("append").parquet(s"$path/pq_tombstones")
+
+  /** OFFLINE compaction of the PQ codes: rewrite minus tombstones into a
+    * fresh directory, crash-safe [[swapAside]] swap, drop the tombstones.
+    * Search results are IDENTICAL before and after (VectorOpsSpec pins it).
+    */
+  def compactPqIndex(s: SparkSession, path: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/pq_tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
+    s.read.parquet(codes.toString)
+      .join(s.read.parquet(tomb.toString), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(fresh.toString)
+    swapAside(fs, fresh, codes)
+    fs.delete(tomb, true): Unit
+  }
+
+  /** Index-order cosine — bit-identical to DuckDB's
+    * list_cosine_similarity and the fused graft_cosine Expression (the
+    * v9 cross-engine contract): dot and norms accumulate in ascending
+    * dim order, then dot / (sqrt(na) * sqrt(nb)).
+    */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Reconstruction-distortion aggregate of the index's alive codes
+    * against `corpus`'s raw vectors: per vector, cosine between the
+    * vector and its codeword reconstruction (subspace codewords
+    * concatenated), quantized to 1e-9 (the v26 discipline — the mean is
+    * then an exact integer sum in any fold order). One row:
+    * (n, sum_q, min_q). Shape: codebook broadcast, one join of codes to
+    * corpus on vec_id, one aggregate — no shuffle beyond the join.
+    */
+  private def pqReconStats(s: SparkSession, path: String,
+      corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val bc = s.sparkContext.broadcast(readPqCodebook(s, path))
+    alivePqCodes(s, path)
+      .join(corpus.select(col("vec_id"), toD.as("e")), "vec_id")
+      .select(col("codes"), col("e")).as[(Seq[Int], Seq[Double])]
+      .mapPartitions { it =>
+        val cbL = bc.value
+        it.map { case (codes, e) =>
+          val dim = e.length
+          val recon = new Array[Double](dim)
+          var m = 0
+          while (m < codes.length) {
+            System.arraycopy(cbL(codes(m)), m * PqS, recon, m * PqS, PqS)
+            m += 1
+          }
+          math.floor(cosArr(e.toArray, recon) * 1e9 + 0.5).toLong
+        }
+      }
+      .toDF("qc")
+      .agg(count(lit(1)).as("n"), sum("qc").as("sum_q"), min("qc").as("min_q"))
+  }
+
+  /** Codebook-drift diagnostic — the signal that says WHEN to retrain the
+    * frozen PQ codebook: reconstruction distortion of the corpus served
+    * NOW (base + everything [[appendToPqIndex]] added) vs the build-time
+    * baseline persisted in `stats/`. A corpus that drifted away from the
+    * codebook's training distribution encodes worse, the mean
+    * reconstruction cosine falls, and once the drop exceeds `margin` the
+    * report raises needs_retrain — the PQ twin of v18's needs_split.
+    * One row: (build_n, cur_n, build_mean_cos, cur_mean_cos, drift,
+    * needs_retrain). Means and the margin compare are the identical IEEE
+    * expression in both engines (sum/n/1e9 then subtract), so the flag is
+    * cross-engine exact.
+    */
+  def pqDriftAudit(s: SparkSession, path: String, corpus: DataFrame,
+      margin: Double = 0.05): DataFrame = {
+    val build = s.read.parquet(s"$path/stats")
+      .select(col("n").as("build_n"), col("sum_q").as("bs"))
+    val cur = pqReconStats(s, path, corpus)
+      .select(col("n").as("cur_n"), col("sum_q").as("cs"))
+    val bMean = col("bs").cast("double") / col("build_n") / lit(1e9)
+    val cMean = col("cs").cast("double") / col("cur_n") / lit(1e9)
+    build.crossJoin(broadcast(cur)) // 1-row x 1-row
+      .select(col("build_n"), col("cur_n"),
+        bMean.as("build_mean_cos"), cMean.as("cur_mean_cos"),
+        (bMean - cMean).as("drift"),
+        (bMean - cMean > margin).as("needs_retrain"))
+  }
+
+  // ------------------------------------------------------------- facade
+
+  private def tierExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build BOTH persisted tiers under one index root: `postings/` (raw
+    * vectors, cluster-partitioned — the IVF tier) and `codebook/` +
+    * `codes/` (the compressed PQ tier). One root, one lifecycle — the
+    * facade routes per-query ([[searchVecIndex]]), deletes fan out to
+    * both tiers ([[deleteFromVecIndex]]).
+    */
+  def buildVecIndex(corpus: DataFrame, path: String): Unit = {
+    buildIvfIndex(corpus, path)
+    buildPqIndex(corpus, path)
+  }
+
+  /** The SERVING PLANNER over the persisted tiers — one entry point that
+    * picks a route per query budget, the way a production vector store
+    * fronts its index files:
+    *
+    *   - `"ivf"`    — raw-vector probed-cell search ([[searchIvfIndex]]):
+    *                  exact scores inside the probed cells, reads floats.
+    *   - `"pq"`     — code-only ADC scan ([[searchPqIndex]]): cheapest IO
+    *                  (8 ints/vector), approximate scores.
+    *   - `"rerank"` — two-stage (the v15 shape): PQ codes nominate
+    *                  `rerankCandidates` ids per query, raw vectors are
+    *                  fetched BY ID from the postings tier for exact
+    *                  cosine rerank — code-scan IO with exact final
+    *                  scores; the fetch touches |Q| x candidates rows,
+    *                  never the corpus.
+    *   - `"auto"`   — both tiers present -> "rerank" (the best
+    *                  quality/IO point); otherwise whichever tier exists.
+    *
+    * Output: (q_id, neighbor_id, cos) for ivf/rerank; (q_id, neighbor_id,
+    * adc) for pq — native scores per route, each oracle-gated
+    * (serve_vec_search / _pq / _rerank) with a recall eval next to them
+    * (serve_vec_recall).
+    */
+  def searchVecIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int, probes: Int = 2, tier: String = "auto",
+      rerankCandidates: Int = 32, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val hasIvf = tierExists(s, s"$path/postings")
+    val hasPq = tierExists(s, s"$path/codes")
+    val resolved = tier match {
+      case "auto" =>
+        if (hasIvf && hasPq) "rerank"
+        else if (hasIvf) "ivf"
+        else if (hasPq) "pq"
+        else sys.error(s"searchVecIndex: no index tier found under $path")
+      case t @ ("ivf" | "pq" | "rerank") => t
+      case other => sys.error(
+        s"searchVecIndex: unknown tier '$other' (ivf | pq | rerank | auto)")
+    }
+    resolved match {
+      case "ivf" =>
+        require(hasIvf, s"ivf route needs $path/postings")
+        searchIvfIndex(s, path, queries, k, probes, excludeSelf)
+      case "pq" =>
+        require(hasPq, s"pq route needs $path/codes")
+        searchPqIndex(s, path, queries, k)
+      case "rerank" =>
+        require(hasIvf && hasPq, s"rerank route needs both tiers under $path")
+        // stage 1: code-only candidate generation (self already excluded)
+        val cand = searchPqIndex(s, path, queries, rerankCandidates)
+          .select("q_id", "neighbor_id")
+        // stage 2: fetch raw vectors for candidate ids only — a broadcast
+        // id join against the postings tier (IVF tombstones respected),
+        // then exact cosine + per-query rank
+        val postings = s.read.parquet(s"$path/postings")
+        val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        val fs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val alive =
+          if (fs.exists(tombPath))
+            postings.join(s.read.parquet(tombPath.toString), Seq("c_id"), "left_anti")
+          else postings
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+        broadcast(cand)
+          .join(alive, col("neighbor_id") === col("c_id"))
+          .join(broadcast(withNorm(queries, "q")), "q_id")
+          .withColumn("cos", cosine("q_e", "c_e"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+    }
+  }
+
+  /** Right-to-be-forgotten across the whole index root: tombstone `ids`
+    * (a vec_id column) in every tier present. Serving stops at the next
+    * query on all routes; space is reclaimed by [[compactVecIndex]].
+    */
+  def deleteFromVecIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
+    val pinned = ids.select(col("vec_id")).localCheckpoint()
+    if (tierExists(s, s"$path/postings")) deleteFromIvfIndex(s, path, pinned)
+    if (tierExists(s, s"$path/codes")) deleteFromPqIndex(s, path, pinned)
+  }
+
+  /** Offline compaction of every tier present (each a crash-safe
+    * rewrite-and-swap); results on every route are identical before and
+    * after.
+    */
+  def compactVecIndex(s: SparkSession, path: String): Unit = {
+    if (tierExists(s, s"$path/postings")) compactIvfIndex(s, path)
+    if (tierExists(s, s"$path/codes")) compactPqIndex(s, path)
   }
 
   /** ADC search over a [[buildPqIndex]] index: the codebook (PqKs tiny
@@ -2716,14 +3046,12 @@ object VectorOps {
       k: Int): DataFrame = {
     import s.implicits._
     val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    val cb: Array[Array[Double]] = s.read.parquet(s"$path/codebook")
-      .orderBy("j").select(col("j"), col("e")).as[(Int, Seq[Double])]
-      .collect().map(_._2.toArray)
+    val cb: Array[Array[Double]] = readPqCodebook(s, path)
     val qs: Array[(Long, Array[Double])] = queries
       .select(col("vec_id"), toD).as[(Long, Seq[Double])]
       .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
     val bc = s.sparkContext.broadcast((cb, qs))
-    val scored = s.read.parquet(s"$path/codes").as[(Long, Seq[Int])]
+    val scored = alivePqCodes(s, path).as[(Long, Seq[Int])]
       .mapPartitions { it =>
         val (cbL, qL) = bc.value
         val pqM = cbL(0).length / PqS
@@ -2755,8 +3083,163 @@ object VectorOps {
     },
     v8.oracle)
 
+  /** V40 (beyond reference): PQ index APPEND — build on two-thirds of the
+    * corpus, stream the rest in as two append batches encoded against the
+    * FROZEN persisted codebook, then serve. Because encoding is per-row
+    * and stateless, any batch decomposition yields the identical index;
+    * the oracle replays the subset-trained codebook over the full corpus.
+    */
+  val v40: GraftQuery = GraftQuery(
+    "v40_pq_index_append",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v40_pqidx_$id"
+      val emb = Tables.embeddings(s, d)
+      buildPqIndex(emb.filter(col("vec_id") % 3 =!= 0), path)
+      appendToPqIndex(emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0), path)
+      appendToPqIndex(emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0), path)
+      searchPqIndex(s, path, emb.filter(col("vec_id") < 10), k = 3)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v WHERE vec_id % 3 != 0
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
+  /** V41 (beyond reference): right-to-be-forgotten on the PQ tier —
+    * tombstone every 7th vector, COMPACT (rewrite-and-swap minus
+    * tombstones, crash-safe), then serve: deleted codes are gone from
+    * storage, results identical to serving through the tombstone
+    * anti-join (VectorOpsSpec pins pre == post). The codebook, like v38's
+    * centroids, is geometry — deleting a codebook-source vector does not
+    * move its codeword.
+    */
+  val v41: GraftQuery = GraftQuery(
+    "v41_pq_tombstone_compact",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v41_pqidx_$id"
+      val emb = Tables.embeddings(s, d)
+      buildPqIndex(emb, path)
+      deleteFromPqIndex(s, path, emb.filter(col("vec_id") % 7 === 0))
+      compactPqIndex(s, path)
+      searchPqIndex(s, path, emb.filter(col("vec_id") < 10), k = 3)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |alive AS (SELECT * FROM v WHERE vec_id % 7 != 0),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT a.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY a.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (a.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (a.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a2, b) -> a2 + b) ASC, cb.j) AS rk
+           |  FROM alive a CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
+  /** V42 (beyond reference): the codebook-drift audit over a grown index
+    * — build on "yesterday's" corpus (vec_id % 10 != 0), append "today's"
+    * batch against the frozen codebook, then [[pqDriftAudit]]: build-time
+    * baseline distortion vs the corpus served now. Here the append draws
+    * from the same distribution, so the report shows ~zero drift and
+    * needs_retrain = false — the oracle replays codebook, codes,
+    * reconstruction cosines (1e-9 quantized) and both means exactly;
+    * VectorOpsSpec plants a genuinely shifted batch to pin the flag
+    * firing true.
+    */
+  val v42: GraftQuery = GraftQuery(
+    "v42_pq_drift_audit",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v42_pqidx_$id"
+      val emb = Tables.embeddings(s, d)
+      buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      appendToPqIndex(emb.filter(col("vec_id") % 10 === 0), path)
+      pqDriftAudit(s, path, emb)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v WHERE vec_id % 10 != 0
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |recon AS (SELECT c.vec_id,
+           |  flatten(list(list_transform(generate_series(1, 8),
+           |    i -> cb.e[c.m * 8 + i]) ORDER BY c.m)) AS r
+           |  FROM codes c JOIN cb ON cb.j = c.code GROUP BY c.vec_id),
+           |qc AS (SELECT v.vec_id,
+           |  CAST(floor(list_cosine_similarity(v.e, r.r) * 1e9 + 0.5) AS BIGINT) AS qc
+           |  FROM v JOIN recon r ON r.vec_id = v.vec_id),
+           |b AS (SELECT count(*) AS build_n, sum(qc) AS bs FROM qc WHERE vec_id % 10 != 0),
+           |c AS (SELECT count(*) AS cur_n, sum(qc) AS cs FROM qc)
+           |SELECT CAST(b.build_n AS BIGINT) AS build_n, CAST(c.cur_n AS BIGINT) AS cur_n,
+           |  CAST(b.bs AS DOUBLE) / b.build_n / 1e9 AS build_mean_cos,
+           |  CAST(c.cs AS DOUBLE) / c.cur_n / 1e9 AS cur_mean_cos,
+           |  CAST(b.bs AS DOUBLE) / b.build_n / 1e9
+           |    - CAST(c.cs AS DOUBLE) / c.cur_n / 1e9 AS drift,
+           |  (CAST(b.bs AS DOUBLE) / b.build_n / 1e9
+           |    - CAST(c.cs AS DOUBLE) / c.cur_n / 1e9) > 0.05 AS needs_retrain
+           |FROM b CROSS JOIN c""".stripMargin))
+
+  /** V43 (beyond reference): the offline RECENTER consuming v18's signal
+    * — build on "yesterday's" corpus, append "today's" batch against the
+    * frozen geometry (occupancy drifts; v18 reports it), then
+    * [[rebuildIvfIndex]]: the index must come out BIT-INDISTINGUISHABLE
+    * from a fresh build on the current corpus, which is why v2's oracle
+    * (fresh-index search over the full table) gates it verbatim.
+    */
+  val v43: GraftQuery = GraftQuery(
+    "v43_ivf_rebuild",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v43_index_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), path)
+      rebuildIvfIndex(s, path)
+      searchIvfIndex(s, path, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    v2.oracle)
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
       v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
-      v38, v39)
+      v38, v39, v40, v41, v42, v43)
 }

@@ -163,4 +163,39 @@ class GraftTourSpec extends SparkSpec {
     val plan = Graft.annFilterSelectivity(emb, col("label") === 1)
     assert(plan.count() > 0 && plan.columns.contains("match_ppm"))
   }
+
+  test("tour 8: two-tier serving — one root, routed search, full-lifecycle " +
+    "parity on both tiers, drift-triggered rebuild") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vid = col("vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tour-srv").toString
+    val path = s"$dir/idx"
+    // one root, both tiers; the facade routes per query budget
+    Graft.annBuildVecIndex(emb.filter(vid % 10 =!= 0), path)
+    val qs = emb.filter(vid < 5)
+    for (tier <- Seq("ivf", "pq", "rerank", "auto")) {
+      val hits = Graft.annSearchVecIndex(spark, path, qs, k = 3, tier = tier)
+      assert(hits.select("q_id").distinct().count() == 5, s"tier $tier")
+    }
+    // the PQ tier has the same append lifecycle as the raw tier — encode
+    // against the frozen codebook, then ask the drift audit whether that
+    // codebook still fits the corpus being served
+    Graft.annAppendIndex(emb.filter(vid % 10 === 0), path)
+    Graft.annAppendPqIndex(emb.filter(vid % 10 === 0), path)
+    val drift = Graft.annPqDriftAudit(spark, path, emb).collect()(0)
+    assert(drift.getAs[Long]("cur_n") > drift.getAs[Long]("build_n"))
+    // unified delete + compaction hit every tier; routes agree afterwards
+    Graft.annDeleteFromVecIndex(spark, path, emb.filter(vid === 1L))
+    Graft.annCompactVecIndex(spark, path)
+    for (tier <- Seq("ivf", "pq", "rerank")) {
+      val got = Graft.annSearchVecIndex(spark, path, qs, k = 3, tier = tier)
+        .collect().map(_.getLong(1)).toSet
+      assert(!got.contains(1L), s"tier $tier still serves the deleted id")
+    }
+    // offline recenter when the occupancy diagnostic says so — after it,
+    // the raw tier is indistinguishable from a fresh build
+    Graft.annRebuildIndex(spark, path)
+    assert(Graft.annSearchVecIndex(spark, path, qs, k = 3, tier = "ivf")
+      .select("q_id").distinct().count() == 5)
+  }
 }

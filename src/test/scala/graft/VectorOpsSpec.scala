@@ -703,6 +703,228 @@ class VectorOpsSpec extends SparkSpec {
     assert(codes.selectExpr("size(codes)").as[Int].collect().forall(_ == 2))
   }
 
+  test("v40 PQ append: order-independent, encoded against the frozen " +
+    "codebook, appended vectors servable") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val base = emb.filter(vid % 3 =!= 0)
+    val rest = emb.filter(vid % 3 === 0)
+    val qs = emb.filter(vid < 10)
+    def searchAfter(chunks: Seq[org.apache.spark.sql.DataFrame]): Set[(Long, Long, Double)] = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-pq-app").toString + "/idx"
+      VectorOps.buildPqIndex(base, path)
+      chunks.foreach(VectorOps.appendToPqIndex(_, path))
+      VectorOps.searchPqIndex(spark, path, qs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val oneShot = searchAfter(Seq(rest))
+    val threeChunks = searchAfter(Seq(
+      rest.filter(vid % 9 === 0), rest.filter(vid % 9 === 3),
+      rest.filter(vid % 9 === 6)))
+    assert(oneShot === threeChunks,
+      "batch decomposition must not change the index")
+    assert(oneShot.map(_._1).toSeq.distinct.length === 10)
+    assert(oneShot.exists(t => t._2 % 3 == 0),
+      "appended vectors must be reachable from the index")
+  }
+
+  test("v41 PQ tombstone delete + compaction: deleted ids vanish, " +
+    "compaction preserves results bit-exactly and leaves no swap debris") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val qs = emb.filter(vid < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-del").toString + "/idx"
+    VectorOps.buildPqIndex(emb, path)
+    val before = VectorOps.searchPqIndex(spark, path, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val victims = before.filter(_._1 == 0L).map(_._2).toSeq.take(2)
+    VectorOps.deleteFromPqIndex(spark, path, emb.filter(vid.isin(victims: _*)))
+    val after = VectorOps.searchPqIndex(spark, path, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(victims.forall(v => !after.exists(_._2 == v)),
+      "tombstoned ids must stop being served immediately")
+    assert(after.map(_._1).toSeq.distinct.length === 10)
+    val rowsBefore = spark.read.parquet(s"$path/codes").count()
+    VectorOps.compactPqIndex(spark, path)
+    val compacted = VectorOps.searchPqIndex(spark, path, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(compacted === after, "compaction must not change a single bit")
+    assert(!new java.io.File(s"$path/pq_tombstones").exists())
+    assert(!new java.io.File(s"$path/codes_old").exists(),
+      "swap-aside must clean up after itself")
+    assert(!new java.io.File(s"$path/codes_compacting").exists())
+    assert(spark.read.parquet(s"$path/codes").count() === rowsBefore - 2)
+    // compacting with no tombstones is a no-op
+    VectorOps.compactPqIndex(spark, path)
+    assert(spark.read.parquet(s"$path/codes").count() === rowsBefore - 2)
+  }
+
+  test("buildPqIndex input guards: short corpus and indivisible dim fail " +
+    "loudly at the API edge instead of crashing in an executor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-guard").toString
+    val tiny = (0 until 5)
+      .map(i => (i.toLong, Seq.fill(16)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val short = intercept[IllegalArgumentException] {
+      VectorOps.buildPqIndex(tiny, s"$dir/short")
+    }
+    assert(short.getMessage.contains("needs at least"))
+    val odd = (0 until 20)
+      .map(i => (i.toLong, Seq.fill(12)(i.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val dim = intercept[IllegalArgumentException] {
+      VectorOps.buildPqIndex(odd, s"$dir/odd")
+    }
+    assert(dim.getMessage.contains("not divisible"))
+  }
+
+  test("v42 drift audit: zero drift on the build corpus, small drift on a " +
+    "same-distribution append, needs_retrain fires on a shifted batch") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-drift").toString + "/idx"
+    VectorOps.buildPqIndex(emb, path)
+    // no appends: current corpus == build corpus, drift is exactly 0.0
+    val same = VectorOps.pqDriftAudit(spark, path, emb).collect()(0)
+    assert(same.getAs[Long]("build_n") === 500L)
+    assert(same.getAs[Long]("cur_n") === 500L)
+    assert(same.getAs[Double]("drift") === 0.0)
+    assert(!same.getAs[Boolean]("needs_retrain"))
+    // shifted batch: the NEGATED base vectors are anti-correlated with
+    // every frozen codeword, reconstruction cosine collapses, flag fires
+    val shifted = emb.select(
+      (org.apache.spark.sql.functions.col("vec_id") + 1000L).as("vec_id"),
+      org.apache.spark.sql.functions
+        .expr("transform(embedding, x -> -x)").as("embedding"))
+    VectorOps.appendToPqIndex(shifted, path)
+    val drifted = VectorOps.pqDriftAudit(spark, path,
+      emb.select("vec_id", "embedding").unionByName(shifted)).collect()(0)
+    assert(drifted.getAs[Long]("cur_n") === 1000L)
+    assert(drifted.getAs[Double]("build_mean_cos") >
+      drifted.getAs[Double]("cur_mean_cos"))
+    assert(drifted.getAs[Double]("drift") > 0.05)
+    assert(drifted.getAs[Boolean]("needs_retrain"),
+      "a distribution shift this large must trigger the retrain signal")
+  }
+
+  test("searchVecIndex facade: auto routes to rerank when both tiers " +
+    "exist, explicit tiers serve their native searches, recall floors " +
+    "hold on clustered data, unified delete hits every route") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val qs = emb.filter(vid < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-facade").toString + "/idx"
+    VectorOps.buildVecIndex(emb, path)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // explicit tiers == the underlying native searches, bit for bit
+    assert(VectorOps.searchVecIndex(spark, path, qs, 3, tier = "ivf")
+      .collect().toSeq ===
+      VectorOps.searchIvfIndex(spark, path, qs, 3, 2).collect().toSeq)
+    assert(VectorOps.searchVecIndex(spark, path, qs, 3, tier = "pq")
+      .collect().toSeq ===
+      VectorOps.searchPqIndex(spark, path, qs, 3).collect().toSeq)
+    // auto = rerank when both tiers exist
+    val auto = ids(VectorOps.searchVecIndex(spark, path, qs, 3))
+    val rr = ids(VectorOps.searchVecIndex(spark, path, qs, 3, tier = "rerank"))
+    assert(auto === rr, "auto must resolve to the rerank route here")
+    // recall floors per route vs the exact baseline (clustered fixture)
+    val truth = ids(VectorOps.bruteForceTopK(emb, qs, 3))
+    def recall(got: Set[(Long, Long)]) =
+      truth.count(got.contains).toDouble / truth.size
+    val ivfR = recall(ids(VectorOps.searchVecIndex(spark, path, qs, 3, tier = "ivf")))
+    val pqR = recall(ids(VectorOps.searchVecIndex(spark, path, qs, 3, tier = "pq")))
+    val rrR = recall(rr)
+    assert(ivfR >= 0.9, s"ivf route recall too low: $ivfR")
+    assert(rrR >= 0.9, s"rerank route recall too low: $rrR")
+    // raw ADC ranks measure squared-L2 over UNNORMALIZED subvectors, so
+    // their agreement with the cosine truth is structurally weak — the
+    // exact reason the rerank tier exists. The floor only pins "better
+    // than nothing"; the real gate is rerank recovering full recall from
+    // the same candidate codes.
+    assert(pqR > 0.1, s"pq route recall collapsed: $pqR")
+    assert(rrR >= pqR, "exact rerank must not lose recall vs raw ADC ranks")
+    // unified delete: victims vanish from EVERY route at the next query
+    val victims = rr.filter(_._1 == 0L).map(_._2).toSeq.take(2)
+    VectorOps.deleteFromVecIndex(spark, path, emb.filter(vid.isin(victims: _*)))
+    for (t <- Seq("ivf", "pq", "rerank")) {
+      val got = ids(VectorOps.searchVecIndex(spark, path, qs, 3, tier = t))
+      assert(victims.forall(v => !got.exists(_._2 == v)),
+        s"tier $t still serves a deleted id")
+    }
+    // unified compaction: every route identical before/after, stores shrunk
+    val preCompact = Seq("ivf", "pq", "rerank")
+      .map(t => t -> ids(VectorOps.searchVecIndex(spark, path, qs, 3, tier = t)))
+    VectorOps.compactVecIndex(spark, path)
+    preCompact.foreach { case (t, want) =>
+      assert(ids(VectorOps.searchVecIndex(spark, path, qs, 3, tier = t)) === want,
+        s"tier $t changed across compaction")
+    }
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(s"$path/pq_tombstones").exists())
+    // unknown tier fails loudly
+    val bad = intercept[RuntimeException] {
+      VectorOps.searchVecIndex(spark, path, qs, 3, tier = "hnsw")
+    }
+    assert(bad.getMessage.contains("unknown tier"))
+  }
+
+  test("v43 rebuild under planted cluster drift: the diagnostic fires, " +
+    "recall does not regress, and the rebuilt index equals a fresh build") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    // planted drift: the index only ever saw clusters 0-9; clusters 10-19
+    // arrive later through appends against the frozen geometry
+    val base = emb.filter(vid < 250)
+    val drifted = emb.filter(vid >= 250)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-reb").toString + "/idx"
+    VectorOps.buildIvfIndex(base, path)
+    VectorOps.appendToIvfIndex(drifted, path)
+    // v18's signal: half the corpus crowded into cells sampled from the
+    // other half must overflow somewhere
+    val diag = VectorOps.ivfIncremental(base, drifted).collect()
+    assert(diag.exists(_.getAs[Boolean]("needs_split")),
+      "planted drift must raise the needs_split diagnostic")
+    // queries from the drifted clusters, truth over the full corpus
+    val qs = emb.filter(vid >= 250 && vid < 260)
+    val truth = VectorOps.bruteForceTopK(emb, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallNow(): Double = {
+      val got = VectorOps.searchIvfIndex(spark, path, qs, 3, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val before = recallNow()
+    VectorOps.rebuildIvfIndex(spark, path)
+    val after = recallNow()
+    assert(after >= before,
+      s"rebuild must not regress recall: before=$before after=$after")
+    assert(after >= 0.9, s"post-rebuild recall too low: $after")
+    // the rebuild contract: bit-indistinguishable from a fresh build on
+    // the current corpus
+    val freshPath = java.nio.file.Files
+      .createTempDirectory("graft-ivf-fresh").toString + "/idx"
+    VectorOps.buildIvfIndex(emb, freshPath)
+    val rebuilt = VectorOps.searchIvfIndex(spark, path, qs, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fresh = VectorOps.searchIvfIndex(spark, freshPath, qs, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rebuilt === fresh)
+    assert(!new java.io.File(s"$path/postings_rebuilding").exists())
+    assert(!new java.io.File(s"$path/centroids_rebuilding").exists())
+    assert(!new java.io.File(s"$path/postings_old").exists())
+    assert(!new java.io.File(s"$path/centroids_old").exists())
+  }
+
   test("v36 selectivity audit: cell totals partition the corpus, match " +
     "counts sum to the predicate count, ppm is the exact integer ratio") {
     val dir = clusteredDir()
