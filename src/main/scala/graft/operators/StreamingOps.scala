@@ -1228,15 +1228,23 @@ object StreamingOps {
 
   /** The t36 per-micro-batch core (x77's [[TextOps.qualityKeeper]] made
     * incremental): keeper election is an ASSOCIATIVE max — per cluster,
-    * max(struct(score, −doc_id)) and the member count are both semigroup
-    * folds — so merging each batch's per-cluster summary into a durable
-    * state table (h, n_members, best_score, best_neg) is exactly
-    * equivalent to electing over the full corpus at once. Unlike t32's
-    * keep-FIRST semantics, the keeper here can be DETHRONED retroactively:
-    * a later, better-scoring member takes the crown, and verdicts are
-    * reads of current state, not immutable per-arrival decisions — which
-    * is why members land in an append table and `keep` is computed at
-    * query time, not ingest time.
+    * max(struct(score, −doc_id)) is a semigroup fold — so merging each
+    * batch's per-cluster summary into a durable state table
+    * (h, best_score, best_neg) is exactly equivalent to electing over the
+    * full corpus at once. Unlike t32's keep-FIRST semantics, the keeper
+    * here can be DETHRONED retroactively: a later, better-scoring member
+    * takes the crown, and verdicts are reads of current state, not
+    * immutable per-arrival decisions — which is why members land in an
+    * append table and `keep` is computed at query time, not ingest time.
+    *
+    * AT-LEAST-ONCE SAFE: foreachBatch may redeliver a micro-batch after a
+    * failure, so nothing here may be additive-per-delivery. The state
+    * merge is a pure struct-max — re-merging the same batch summary is a
+    * no-op — and the members table tolerates duplicate appends because
+    * [[keeperElectionVerdicts]] collapses it by doc_id before counting
+    * (n_members is DERIVED from distinct members at read time, never
+    * summed per batch — a per-batch count sum would inflate on every
+    * redelivery).
     *
     * Scale: per batch one map-side-combinable agg to #batch-clusters rows
     * + one h-keyed merge against the state table (t32 seen-table pattern:
@@ -1252,10 +1260,8 @@ object StreamingOps {
       .localCheckpoint()
     scored.write.mode("append").parquet(membersPath)
     val bsum = scored.groupBy("h").agg(
-      count(lit(1)).cast("long").as("n_members"),
       max(struct(col("score").as("s"), (col("doc_id") * -1).as("negid"))).as("m"))
-      .select(col("h"), col("n_members"),
-        col("m.s").as("best_score"), col("m.negid").as("best_neg"))
+      .select(col("h"), col("m.s").as("best_score"), col("m.negid").as("best_neg"))
     val stateHadoop = new org.apache.hadoop.fs.Path(statePath)
     val fs = stateHadoop.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(stateHadoop)) // cold start: no clusters yet (t32 rule)
@@ -1264,22 +1270,28 @@ object StreamingOps {
     // pin BEFORE the overwrite so the lazy plan never reads its own write
     val merged = state.unionByName(bsum)
       .groupBy("h").agg(
-        sum("n_members").as("n_members"),
         max(struct(col("best_score").as("s"), col("best_neg").as("negid"))).as("m"))
-      .select(col("h"), col("n_members"),
-        col("m.s").as("best_score"), col("m.negid").as("best_neg"))
+      .select(col("h"), col("m.s").as("best_score"), col("m.negid").as("best_neg"))
       .localCheckpoint()
     merged.write.mode("overwrite").parquet(statePath)
   }
 
   /** Read the per-doc verdicts out of t36's state + members tables —
     * x77's exact output shape (doc_id, h, n_members, keeper, keep).
+    * Members are collapsed by doc_id first (deterministic: max struct, so
+    * a redelivered append never double-counts) and n_members is counted
+    * from the collapsed set — see the at-least-once note on
+    * [[keeperElectionBatch]].
     */
   def keeperElectionVerdicts(s: SparkSession, statePath: String,
       membersPath: String): DataFrame = {
-    val st = s.read.parquet(statePath).select(col("h"), col("n_members"),
+    val members = s.read.parquet(membersPath)
+      .groupBy("doc_id").agg(max(struct(col("score"), col("h"))).as("m"))
+      .select(col("doc_id"), col("m.h").as("h"))
+    val counts = members.groupBy("h").agg(count(lit(1)).as("n_members"))
+    val st = s.read.parquet(statePath).select(col("h"),
       (col("best_neg") * -1).as("keeper"))
-    s.read.parquet(membersPath).join(st, "h")
+    members.join(counts, "h").join(st, "h")
       .select(col("doc_id"), col("h"), col("n_members"), col("keeper"),
         (col("doc_id") === col("keeper")).as("keep"))
   }
@@ -1498,7 +1510,65 @@ object StreamingOps {
     TextOps.x75.oracle,
     bench = false)
 
+  /** T40 (beyond reference): CONTINUOUS ingestion into the COMPRESSED
+    * index tier — t38's streaming append applied to the PQ index: codes
+    * are encoded per micro-batch against the FROZEN persisted codebook
+    * ([[VectorOps.appendToPqIndex]]; [[VectorOps.pqDriftAudit]] decides
+    * offline retrains), and queries are then answered from the stored
+    * codes alone. Encoding is per-row and stateless, so any batch
+    * decomposition yields the identical index — which is why the oracle
+    * can replay the subset-trained codebook over the full corpus (v40's
+    * SQL with the t38 base split).
+    */
+  val t40: GraftQuery = GraftQuery(
+    "t40_stream_pq_append",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t40_pqidx_$id"
+      val emb = graft.core.Tables.embeddings(s, d)
+      VectorOps.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VectorOps.appendToPqIndex(
+            batch.filter(col("vec_id") % 10 === 0), path)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      VectorOps.searchPqIndex(s, path,
+        emb.filter(col("vec_id") < 10), k = 3)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v WHERE vec_id % 10 != 0
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 }

@@ -542,7 +542,15 @@ class StreamingSpec extends SparkSpec {
     // equal-score tie in a later batch: min doc_id wins, so 13 holds
     val b4 = Seq((14L, "beta alpha gamma", 12.0)).toDF("doc_id", "text", "score")
     graft.operators.StreamingOps.keeperElectionBatch(b4, statePath, membersPath)
-    assert(verdicts()(14L) === ((5L, 13L, false)))
+    val v4 = verdicts()
+    assert(v4(14L) === ((5L, 13L, false)))
+    // at-least-once REDELIVERY: foreachBatch re-runs a batch after a
+    // failure — verdicts must be bit-identical (no count inflation, no
+    // duplicate member rows): the state merge is an idempotent struct-max
+    // and n_members derives from the doc_id-collapsed members table
+    graft.operators.StreamingOps.keeperElectionBatch(b2, statePath, membersPath)
+    graft.operators.StreamingOps.keeperElectionBatch(b4, statePath, membersPath)
+    assert(verdicts() === v4, "redelivered batches must not change verdicts")
   }
 
   test("t37 ingest hygiene: blocklisted docs never land, PII is scrubbed " +
