@@ -81,7 +81,11 @@ object Bench {
     // IVF index (build + partition-pruned search). New names have no
     // r5-era prior — the cold-floor/arbitration logic skips them until a
     // prior lands in a future artifact.
-    "x77_quality_keeper", "v37_persisted_ivf_index")
+    "x77_quality_keeper", "v37_persisted_ivf_index",
+    // round-11 flagships: the three serving routes through the vector-
+    // index facade — one golden plan fingerprint per tier (ivf raw /
+    // pq codes / two-stage rerank), per VERDICT r10 #2.
+    "serve_vec_search", "serve_vec_search_pq", "serve_vec_search_rerank")
 
   /** Warm single-query times measured at sf0.1 on a healthy host (round 5
     * best-of-2 sweep, calib ~244 mops/thread). Used purely as an outlier
@@ -293,12 +297,47 @@ object Bench {
       }
       (q.name, sec, !failed)
     }
+    // Warm-poll latency of the serving endpoints (VERDICT r10 #4): the
+    // reference dashboard polls every 3 s (index.html:140), so the number
+    // that matters operationally is the WARM path — the materialized ride
+    // snapshot / persisted vector index, with no sim or index-build
+    // lineage re-executing per poll (ServeSpec pins that invariant; this
+    // measures it). N sequential polls with NO cache clearing — warm
+    // serving is the thing under test — reported as p50/p95 entries in
+    // the round artifact.
+    val pollEntries: Seq[(String, Double)] = {
+      def percentiles(name: String,
+          mk: () => org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+        try {
+          mk().write.format("noop").mode("overwrite").save() // seed + warm
+          val n = 20
+          val times = (1 to n).map { _ =>
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          Seq(s"${name}_p50" -> times(n / 2 - 1), s"${name}_p95" -> times(n - 2))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] poll $name FAILED: ${e.getMessage}"); Nil
+        }
+      val entries =
+        percentiles("serve_poll_rides", () => graft.serve.QueryService
+          .ridesWindow(spark, sfDir, "2024-01-02 06:00:00",
+            "2024-01-02 12:00:00", 365)) ++
+        percentiles("serve_poll_vec", () => graft.serve.QueryService
+          .vecSearch(spark, sfDir))
+      entries.foreach { case (k, v) =>
+        System.err.println(f"[bench] $k $v%.3fs")
+      }
+      entries
+    }
     val okResults = results.filter(_._3)
     val fullMap = okResults.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     System.err.println(s"[bench] full per-query timings: $fullMap")
-    val qs = okResults.filter(r => headline(r._1))
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = (okResults.filter(r => headline(r._1))
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" } ++
+      pollEntries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" })
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = okResults.map(_._2).sum

@@ -136,30 +136,79 @@ object QueryService {
       s"""SELECT doc_id, bm25 FROM ($x31Sql)
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** The serving index root for `d`: BOTH persisted tiers (IVF raw +
+    * PQ codes), built once per dataset under a _SUCCESS-gated scratch
+    * (the s26 seed pattern) so every request pays only the route's own
+    * serving cost. Scratch identity = a fingerprint of the dataset, not
+    * the directory's leaf name: two datasets sharing a leaf (or a
+    * regenerated corpus at the same path) must NOT be served from each
+    * other's index — the fingerprint folds the absolute path with the
+    * source file's size and mtime, so a rewrite at the same path re-keys
+    * (and re-builds) too.
+    */
+  private def vecIndexRoot(s: SparkSession, d: String): String = {
+    val src = new java.io.File(d, "embeddings.parquet")
+    val ident = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_vecidx_$ident"
+    // gate on EVERY tier's success markers (the s26 rule: a half-built
+    // scratch must re-seed, not get trusted)
+    val complete = Seq("centroids", "postings", "codebook", "codes", "stats")
+      .forall(t => new java.io.File(s"$path/$t/_SUCCESS").exists())
+    if (!complete)
+      graft.operators.VectorOps.buildVecIndex(
+        graft.core.Tables.embeddings(s, d), path)
+    path
+  }
+
   /** Vector-search endpoint: top-k neighbors of the demo query vectors
     * (vec_id < 5 — the per-request parameterization seam), served from
-    * the PERSISTED IVF index: built once per sf dir under a
-    * _SUCCESS-gated scratch (the s26 seed pattern), so every subsequent
-    * request pays only the centroid broadcast + partition-pruned posting
-    * reads — the build-once/query-many serving shape next to
+    * the persisted index through the [[graft.operators.VectorOps
+    * .searchVecIndex]] facade — `tier` picks the route per query budget
+    * (ivf = raw probed cells, pq = code-only ADC, rerank = codes nominate
+    * + raw rerank). The build-once/query-many serving shape next to
     * [[docSearch]]'s text arm (a production deployment fuses the two with
     * x62's RRF).
     */
-  def vecSearch(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val sfLeaf = new java.io.File(d).getName
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_vecidx_$sfLeaf"
+  def vecSearch(s: SparkSession, d: String, k: Int = 3,
+      tier: String = "ivf"): DataFrame =
+    graft.operators.VectorOps.searchVecIndex(s, vecIndexRoot(s, d),
+      graft.core.Tables.embeddings(s, d).filter(col("vec_id") < 5),
+      k = k, probes = 2, tier = tier)
+
+  /** Recall@3 of every serving route against the exact baseline — the
+    * v24 eval loop run over the PERSISTED index's three routes, one row
+    * per tier. The per-request quality monitor a serving deployment
+    * publishes next to its latency numbers.
+    */
+  def vecRecall(s: SparkSession, d: String): DataFrame = {
+    val path = vecIndexRoot(s, d)
     val emb = graft.core.Tables.embeddings(s, d)
-    // gate on BOTH success markers (the s26 rule: a half-built scratch
-    // must re-seed, not get trusted)
-    if (!(new java.io.File(s"$path/centroids/_SUCCESS").exists() &&
-          new java.io.File(s"$path/postings/_SUCCESS").exists()))
-      graft.operators.VectorOps.buildIvfIndex(emb, path)
-    graft.operators.VectorOps.searchIvfIndex(s, path,
-      emb.filter(col("vec_id") < 5), k = k, probes = 2)
+    val qs = emb.filter(col("vec_id") < 5)
+    val bf = graft.operators.VectorOps.bruteForceTopK(emb, qs, 3)
+      .select("q_id", "neighbor_id")
+    def recallOf(tier: String): DataFrame = {
+      val r = graft.operators.VectorOps
+        .searchVecIndex(s, path, qs, k = 3, probes = 2, tier = tier)
+        .select(col("q_id").as("iq"), col("neighbor_id").as("inb"))
+      bf.join(r, bf("q_id") === col("iq") && bf("neighbor_id") === col("inb"),
+          "left")
+        .agg(count(lit(1)).as("truth_pairs"),
+          sum(when(col("iq").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(lit(tier).as("tier"), col("truth_pairs"), col("hits"),
+          (col("hits").cast("double") / col("truth_pairs").cast("double"))
+            .as("recall"))
+    }
+    recallOf("ivf").unionByName(recallOf("pq")).unionByName(recallOf("rerank"))
   }
 
   /** The vector endpoint as a driver-checked query — the v2 IVF replay
-    * (same centroids/assignment/probing), q = the demo query set.
+    * (same centroids/assignment/probing), q = the demo query set, routed
+    * through the facade's "ivf" tier.
     */
   val serveVecSearch: graft.api.GraftQuery = graft.api.GraftQuery(
     "serve_vec_search",
@@ -181,8 +230,156 @@ object QueryService {
            |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
 
+  /** The PQ route of the same endpoint: code-only ADC serving — the
+    * budget tier a RAM-bound deployment answers from (8 ints per vector,
+    * no floats read). The oracle replays codebook, codes and ADC exactly
+    * (v8's SQL at the demo query set).
+    */
+  val serveVecSearchPq: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_vec_search_pq",
+    (s, d) => vecSearch(s, d, tier = "pq"),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 5),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
+  /** The two-stage route ("auto" when both tiers exist): PQ codes
+    * nominate 32 candidates per query, raw vectors are fetched BY ID from
+    * the postings tier for the exact cosine rerank — code-scan IO with
+    * exact final scores. The oracle replays both stages with identical
+    * tie-breaks.
+    */
+  val serveVecSearchRerank: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_vec_search_rerank",
+    (s, d) => vecSearch(s, d, tier = "rerank"),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 5),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |cand AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |    list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 32)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT cand.q_id, cand.neighbor_id,
+           |    list_cosine_similarity(q.e, cv.e) AS cos
+           |  FROM cand JOIN v cv ON cv.vec_id = cand.neighbor_id
+           |            JOIN q ON q.vec_id = cand.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
+  /** The v24-style recall eval over the three serving routes — one row
+    * per tier vs the exact baseline, the quality number published next to
+    * each route's latency. The oracle replays all three searches AND the
+    * brute-force truth, so the recall values are cross-engine exact.
+    */
+  val serveVecRecall: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_vec_recall",
+    (s, d) => vecRecall(s, d),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |q AS (SELECT * FROM v WHERE vec_id < 5),
+           |bf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+           |         list_cosine_similarity(q.e, v.e) AS cos
+           |  FROM q JOIN v ON v.vec_id != q.vec_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |ivf AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, e
+           |       FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT v.vec_id, m.m, cb.j, row_number() OVER (PARTITION BY v.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (v.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM v CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |qd AS (SELECT q.vec_id AS q_id, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (q.e[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM q CROSS JOIN m CROSS JOIN cb),
+           |adcs AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id),
+           |pq AS (SELECT q_id, neighbor_id FROM adcs
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3),
+           |cand AS (SELECT q_id, neighbor_id FROM adcs
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 32),
+           |rr AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT cand.q_id, cand.neighbor_id,
+           |    list_cosine_similarity(q.e, cv.e) AS cos
+           |  FROM cand JOIN v cv ON cv.vec_id = cand.neighbor_id
+           |            JOIN q ON q.vec_id = cand.q_id)
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3)
+           |SELECT 'ivf' AS tier, CAST(count(*) AS BIGINT) AS truth_pairs,
+           |  CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM bf LEFT JOIN ivf i ON i.q_id = bf.q_id AND i.neighbor_id = bf.neighbor_id
+           |UNION ALL
+           |SELECT 'pq', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(sum(CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE)
+           |FROM bf LEFT JOIN pq p ON p.q_id = bf.q_id AND p.neighbor_id = bf.neighbor_id
+           |UNION ALL
+           |SELECT 'rerank', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(sum(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE)
+           |FROM bf LEFT JOIN rr r ON r.q_id = bf.q_id AND r.neighbor_id = bf.neighbor_id""".stripMargin))
+
   val all: Seq[graft.api.GraftQuery] =
-    Seq(serveRidesWindow, serveDocSearch, serveVecSearch)
+    Seq(serveRidesWindow, serveDocSearch, serveVecSearch, serveVecSearchPq,
+      serveVecSearchRerank, serveVecRecall)
 }
 
 /** Thin CLI over [[QueryService]]: `runMain graft.serve.ServeCli <sfDir>
@@ -204,7 +401,9 @@ object ServeCli {
         "2024-01-02 06:00:00", "2024-01-02 12:00:00", 365).limit(20)
       case "replay"    => QueryService.replayFeed(spark, sfDir, "2025-06-01 00:00:00").limit(20)
       case "doc_search" => QueryService.docSearch(spark, sfDir)
-      case "vec_search" => QueryService.vecSearch(spark, sfDir)
+      case "vec_search" => QueryService.vecSearch(spark, sfDir,
+        tier = if (args.length > 2) args(2) else "ivf")
+      case "vec_recall" => QueryService.vecRecall(spark, sfDir)
       case other       => sys.error(s"unknown command: $other")
     }
     df.toJSON.collect().foreach(println)

@@ -181,7 +181,10 @@ class PlanGuardSpec extends SparkSpec {
     "v32_jl_projection_recall",
     // nDCG/MRR eval: both arms are v1/v2-shape searches over the same
     // broadcast 10-vector query side — same contract as v10
-    "v33_ndcg_mrr_eval")
+    "v33_ndcg_mrr_eval",
+    // serving recall monitor: the exact-truth arm is bruteForceTopK over
+    // the demo query set (vec_id < 5) — same contract as v10/v33
+    "serve_vec_recall")
 
   for (q <- SparkEntry.registry if !skipped(q.name)) {
     test(s"${q.name}: no cartesian product, no external eval, bounded broadcasts") {
