@@ -2133,6 +2133,48 @@ object TextOps {
       .select("stage", "n_docs", "n_tokens")
   }
 
+  /** [[curationReport]] with per-stage COST columns (VERDICT r10 #8):
+    * each stage materializes inside a [[graft.core.StageCosts]] job
+    * group, so the report says not only what each stage removed but what
+    * it COST — (stage, n_docs, n_tokens, wall_ms, shuffle_bytes), the
+    * table a 100-TB operator reads to find the dominating stage. Counts
+    * are bit-identical to [[curationReport]] (x81 gates that against
+    * x37's oracle); the two cost columns are measurements and stay out of
+    * the oracle compare (TextOpsSpec asserts they are populated: every
+    * wall_ms >= 1, shuffle bytes > 0 on the shuffling stages).
+    */
+  def curationReportCosts(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val s = docs.sparkSession
+    val rec = new graft.core.StageCosts(s)
+    def stat(df: DataFrame, stage: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .withColumn("stage", lit(stage))
+    val input = rec.staged("input")(docs)
+    val clean = rec.staged("quality_pass") {
+      qualityRules(input).filter(col("keep")).select("doc_id")
+        .join(input, "doc_id")
+    }
+    val surv = rec.staged("exact_deduped") {
+      clean.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+        .join(clean, "doc_id")
+    }
+    val kept = rec.staged("kept") {
+      dupComponents(surv, threshold)
+        .filter(col("doc_id") === col("component"))
+        .select("doc_id").join(surv, "doc_id")
+    }
+    stat(input, "input")
+      .unionByName(stat(clean, "quality_pass"))
+      .unionByName(stat(surv, "exact_deduped"))
+      .unionByName(stat(kept, "kept"))
+      .join(broadcast(rec.table()), "stage")
+      .select("stage", "n_docs", "n_tokens", "wall_ms", "shuffle_bytes")
+  }
+
   /** X37 (beyond reference): curation funnel report — see
     * [[curationReport]]. The oracle replays the full chain and UNION ALLs
     * the four stage aggregates.
@@ -2172,6 +2214,20 @@ object TextOps {
            |  COALESCE(CAST(sum(len(str_split(text, ' '))) AS BIGINT), 0) FROM surv
            |UNION ALL SELECT 'kept', count(*),
            |  COALESCE(CAST(sum(len(str_split(text, ' '))) AS BIGINT), 0) FROM kept""".stripMargin))
+
+  /** X81 (beyond reference): the COSTED funnel's count columns gated
+    * against x37's oracle — proving the cost instrumentation changes
+    * nothing about the pipeline's results; the wall_ms / shuffle_bytes
+    * columns themselves are non-deterministic measurements and are
+    * asserted populated in TextOpsSpec instead.
+    */
+  val x81: GraftQuery = GraftQuery(
+    "x81_curation_costs",
+    (s, d) => curationReportCosts(Tables.documents(s, d), 0.9)
+      .select("stage", "n_docs", "n_tokens"),
+    x37.oracle,
+    bench = false)
+
 
   /** DSIR-style hashed importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public literature):
@@ -4798,5 +4854,5 @@ object TextOps {
       x32, x33, x34, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x35, x36,
       x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54,
       x55, x56, x57, x58, x59, x61, x62, x63, x64, x65, x67, x68, x69, x70, x71, x72, x73,
-      x74, x75, x76, x77, x78, x79, x80)
+      x74, x75, x76, x77, x78, x79, x80, x81)
 }

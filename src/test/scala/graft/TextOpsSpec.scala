@@ -387,6 +387,30 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("kept") === ((30L, 30L * 60)))           // near dup gone
   }
 
+  test("x81 costed report: counts bit-equal the uncosted report, every " +
+    "stage has a wall time, shuffling stages report shuffle bytes") {
+    val rows = TextOps.curationReportCosts(curateCorpus, 0.9).collect()
+    assert(rows.length === 4)
+    val counts = rows
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    val want = TextOps.curationReport(curateCorpus, 0.9).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(counts === want,
+      "cost instrumentation must not change the funnel counts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wall_ms") >= 1L,
+        s"stage ${r.getString(0)} has no wall time")
+      assert(r.getAs[Long]("shuffle_bytes") >= 0L)
+    }
+    // the dedup stages shuffle by construction (groupBy md5 / the LSH
+    // band exchange) — their attributed shuffle traffic must be visible
+    val shuffly = rows.filter(r =>
+      Set("exact_deduped", "kept").contains(r.getString(0)))
+    assert(shuffly.forall(_.getAs[Long]("shuffle_bytes") > 0L),
+      "dedup stages must report attributed shuffle bytes")
+  }
+
   test("dsirWeights ranks target-domain docs above off-domain docs") {
     val rng = new scala.util.Random(41)
     val vocabA = (0 until 50).map(i => f"alpha$i%02d")
