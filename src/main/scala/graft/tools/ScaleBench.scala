@@ -77,7 +77,12 @@ object ScaleBench {
     ScaleProbe.replicate(spark, base, skewOut, factor, skewed = true)
     val skewOps = Seq("x1_exact_dedup_md5", "x5_minhash_lsh_dupsets",
       "x11_dupset_components", "x26_span_dedup", "x36_curate_pipeline",
-      "x75_incremental_neardup", "x77_quality_keeper")
+      "x75_incremental_neardup", "x77_quality_keeper",
+      // r10 verdict #7: the relational path under a planted hot key —
+      // j1's self-join sees 20% of lineitem on one order key (AQE
+      // skew-split territory), s17's bucketed join absorbs a hot bucket
+      // with no exchange to split
+      "j1_composite_2key_join", "s17_bucketed_colocated_join")
     val skewRows = skewOps.map { name =>
       val t1 = time(spark, name, base)
       val tf = time(spark, name, skewOut)

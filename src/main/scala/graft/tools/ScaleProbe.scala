@@ -84,8 +84,15 @@ object ScaleProbe {
 
     val li = graft.core.Tables.lineitem(s, base)
     val liSpan = li.agg(max("l_orderkey")).head().getLong(0) + 1
-    writeSingle(reps(li)
+    val liRep = reps(li)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * liSpan)
+    // skewed: 20% of ALL lineitem rows across copies land on ONE order
+    // key — the hot join key the uniform replica can never produce
+    // (copies are disjoint), stressing j1's groupBy+self-join path
+    writeSingle((if (!skewed) liRep else liRep.withColumn("l_orderkey",
+        when(pmod(col("l_partkey") + col("l_linenumber"), lit(5)) === 0,
+          lit(0L).cast(li.schema("l_orderkey").dataType))
+          .otherwise(col("l_orderkey"))))
       .drop("rep"), "lineitem")
 
     val docs = graft.core.Tables.documents(s, base)
@@ -107,9 +114,25 @@ object ScaleProbe {
       .withColumn("vec_id", col("vec_id") + col("rep") * eSpan)
       .drop("rep"), "embeddings")
 
+    // skewed: orders grows with the factor AND 20% of it lands on ONE
+    // customer key — the hot bucket s17's pre-bucketed join must absorb
+    // (no exchange exists there for AQE to split, so the gate proves the
+    // bucketed path degrades no worse than linearly under a hot key)
+    if (skewed) {
+      val ord = graft.core.Tables.load(s, base, "orders")
+      val oSpan = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+      writeSingle(reps(ord)
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * oSpan)
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+            lit(1L).cast(ord.schema("o_custkey").dataType))
+            .otherwise(col("o_custkey")))
+        .drop("rep"), "orders")
+    } else writeSingle(graft.core.Tables.load(s, base, "orders"), "orders")
+
     // dims and remaining facts pass through unchanged (the sim's 25-line
     // network and j-family dims are intentionally fixed-size)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       writeSingle(graft.core.Tables.load(s, base, t), t)
     done.createNewFile(); ()
   }
