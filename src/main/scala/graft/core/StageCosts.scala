@@ -56,14 +56,20 @@ final class StageCosts(s: SparkSession) {
 
   /** Run `f` attributed to `stage` and MATERIALIZE its result (local
     * checkpoint — the same eager pin the funnel stages already use), so
-    * every job the stage triggers lands inside the group.
+    * every job the stage triggers lands inside the group. Calling the
+    * same stage name twice ACCUMULATES (a stage may materialize several
+    * frames — e.g. a score table plus its filtered survivors).
     */
   def staged(stage: String)(f: => DataFrame): DataFrame = {
     sc.setJobGroup(s"$prefix$stage", stage, interruptOnCancel = false)
     val t0 = System.nanoTime()
     try f.localCheckpoint()
     finally {
-      wallMs.put(stage, math.max(1L, (System.nanoTime() - t0) / 1000000L)): Unit
+      val el = math.max(1L, (System.nanoTime() - t0) / 1000000L)
+      wallMs.updateWith(stage) {
+        case Some(prev) => Some(prev + el)
+        case None       => Some(el)
+      }: Unit
       sc.clearJobGroup()
     }
   }

@@ -97,24 +97,50 @@ object Pretrain {
       .agg(min(vCol).as("thr"))
   }
 
-  def pretrainCorpus(docs0: DataFrame): DataFrame = {
+  def pretrainCorpus(docs0: DataFrame): DataFrame =
+    pretrainCorpusStaged(docs0, (_, f) => f().localCheckpoint())
+
+  /** [[pretrainCorpus]] with per-stage COST columns — the x81 recorder
+    * applied to the 13-stage capstone: every stage materializes inside a
+    * [[graft.core.StageCosts]] job group, and the funnel gains
+    * (wall_ms, shuffle_bytes) per stage so the dominating stage is a
+    * table lookup, not a UI dig. Counts are bit-identical to
+    * [[pretrainCorpus]] (x82 gates them against x66's oracle); stages
+    * that materialize several frames (perplexity scores + survivors)
+    * accumulate. The `input` row carries zero cost by construction (the
+    * raw scan is paid inside stage 1's first consumer).
+    */
+  def pretrainCorpusCosts(docs0: DataFrame): DataFrame = {
+    val rec = new graft.core.StageCosts(docs0.sparkSession)
+    val funnel = pretrainCorpusStaged(docs0, (n, f) => rec.staged(n)(f()))
+    funnel.join(broadcast(rec.table()), Seq("stage"), "left")
+      .na.fill(0L, Seq("wall_ms", "shuffle_bytes"))
+      .select("stage_idx", "stage", "n_units", "n_docs", "n_tokens",
+        "wall_ms", "shuffle_bytes")
+      .localCheckpoint()
+  }
+
+  private def pretrainCorpusStaged(docs0: DataFrame,
+      staged: (String, () => DataFrame) => DataFrame): DataFrame = {
     val cols = docs0.columns.toSeq.map(col)
     val docs = docs0.cache()
 
     // 1: x14 heuristic quality rules
-    val d1 = TextOps.qualityRules(docs).filter(col("keep")).select("doc_id")
-      .join(docs, "doc_id").select(cols: _*).localCheckpoint()
+    val d1 = staged("quality_rules", () =>
+      TextOps.qualityRules(docs).filter(col("keep")).select("doc_id")
+        .join(docs, "doc_id").select(cols: _*))
 
     // 2: x55 perplexity, centi-quantized; keep the three most-fluent
     // quartiles (docs with no bigrams are unassessable -> dropped)
-    val ppl = TextOps.bigramPerplexity(d1)
-      .select(col("doc_id"),
-        floor(col("perplexity") * 100 + 0.5).cast("long").as("p2"))
-      .localCheckpoint() // reused by stage 12; also truncates lineage
-    val d2 = d1.join(ppl, "doc_id")
-      .crossJoin(broadcast(ecdfThreshold(ppl, "p2", 0.75)))
-      .filter(col("p2") <= col("thr"))
-      .select(cols: _*).localCheckpoint()
+    val ppl = staged("perplexity_filter", () => // reused by stage 12
+      TextOps.bigramPerplexity(d1)
+        .select(col("doc_id"),
+          floor(col("perplexity") * 100 + 0.5).cast("long").as("p2")))
+    val d2 = staged("perplexity_filter", () => // accumulates with ppl
+      d1.join(ppl, "doc_id")
+        .crossJoin(broadcast(ecdfThreshold(ppl, "p2", 0.75)))
+        .filter(col("p2") <= col("thr"))
+        .select(cols: _*))
 
     // 3: m25-trajectory model scores on the survivors; keep >= median qsig
     val scores = Forecast.logRegScoreById(d2.select(col("doc_id"),
@@ -122,19 +148,22 @@ object Pretrain {
       (size(split(col("text"), " ")).cast("double") / 100.0).as("f1"),
       (col("n_chars").cast("double") /
         size(split(col("text"), " ")).cast("double")).as("f2")))
-    val d3 = d2.join(scores, "doc_id")
-      .crossJoin(broadcast(ecdfThreshold(scores, "qsig", 0.5)))
-      .filter(col("qsig") >= col("thr"))
-      .select(cols: _*).localCheckpoint()
+    val d3 = staged("model_filter", () =>
+      d2.join(scores, "doc_id")
+        .crossJoin(broadcast(ecdfThreshold(scores, "qsig", 0.5)))
+        .filter(col("qsig") >= col("thr"))
+        .select(cols: _*))
 
     // 4: x1 exact dedup (md5 keep-min)
-    val d4 = d3.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
-      .select("doc_id").join(d3, "doc_id").select(cols: _*).localCheckpoint()
+    val d4 = staged("exact_dedup", () =>
+      d3.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id").join(d3, "doc_id").select(cols: _*))
 
     // 5: x11 near-dup components, keep the representative
-    val d5 = TextOps.dupComponents(d4, 0.9)
-      .filter(col("doc_id") === col("component")).select("doc_id")
-      .join(d4, "doc_id").select(cols: _*).localCheckpoint()
+    val d5 = staged("neardup_prune", () =>
+      TextOps.dupComponents(d4, 0.9)
+        .filter(col("doc_id") === col("component")).select("doc_id")
+        .join(d4, "doc_id").select(cols: _*))
 
     // 6: x49 containment pairs; drop the contained side of each pair
     val sizes = TextOps.shingleSets(d5)
@@ -146,38 +175,45 @@ object Pretrain {
         .when(col("nb") < col("na"), col("b_id"))
         .otherwise(greatest(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
-    val d6 = d5.join(victims, Seq("doc_id"), "left_anti").localCheckpoint()
+    val d6 = staged("containment_prune", () =>
+      d5.join(victims, Seq("doc_id"), "left_anti"))
 
     // 7: x15/x61 decontamination — src0 is the benchmark; drop it and
     // every train doc sharing an 8-gram with it
     val train = d6.filter(col("source") =!= "src0")
-    val d7 = TextOps.contaminationCheck(train, docs.filter(col("source") === "src0"))
-      .filter(!col("contaminated")).select("doc_id")
-      .join(train, "doc_id").select(cols: _*).localCheckpoint()
+    val d7 = staged("decontaminate", () =>
+      TextOps.contaminationCheck(train, docs.filter(col("source") === "src0"))
+        .filter(!col("contaminated")).select("doc_id")
+        .join(train, "doc_id").select(cols: _*))
 
     // 8: x28 leakage-safe split, keep the train bucket
-    val d8 = TextOps.leakageSafeSplit(d7, 0.9)
-      .filter(col("split") === "train").select("doc_id")
-      .join(d7, "doc_id").select(cols: _*).localCheckpoint()
+    val d8 = staged("train_split", () =>
+      TextOps.leakageSafeSplit(d7, 0.9)
+        .filter(col("split") === "train").select("doc_id")
+        .join(d7, "doc_id").select(cols: _*))
 
     // 9: x20 token budget — top half of tokens by quality
-    val d9 = TextOps.tokenBudgetSelect(d8).filter(col("selected")).select("doc_id")
-      .join(d8, "doc_id").select(cols: _*).localCheckpoint()
+    val d9 = staged("token_budget", () =>
+      TextOps.tokenBudgetSelect(d8).filter(col("selected")).select("doc_id")
+        .join(d8, "doc_id").select(cols: _*))
 
     // 10: x16 packing layout — units = total context windows
-    val packUnits = TextOps.sequencePack(d9, "source", 256)
-      .groupBy("source").agg((max("last_pack") + 1).as("np"))
-      .agg(coalesce(sum("np"), lit(0L)).as("u"))
+    val packUnits = staged("packed", () =>
+      TextOps.sequencePack(d9, "source", 256)
+        .groupBy("source").agg((max("last_pack") + 1).as("np"))
+        .agg(coalesce(sum("np"), lit(0L)).as("u")))
 
     // 11: x30 salted shuffle — units = shards in use
-    val shardUnits = d9.select((expr(
-        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':42')), 1, 15), 16, 10) AS BIGINT)")
-        % 32).as("shard"))
-      .agg(countDistinct(col("shard")).as("u"))
+    val shardUnits = staged("sharded", () =>
+      d9.select((expr(
+          "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':42')), 1, 15), 16, 10) AS BIGINT)")
+          % 32).as("shard"))
+        .agg(countDistinct(col("shard")).as("u")))
 
     // 12: x56 curriculum bands over the FINAL corpus's perplexity
     // quartiles — units = (band, shard) dataloader groups
-    val p9 = d9.select("doc_id").join(ppl, "doc_id").localCheckpoint()
+    val p9 = staged("curriculum", () =>
+      d9.select("doc_id").join(ppl, "doc_id"))
     val banded = p9
       .crossJoin(broadcast(ecdfThreshold(p9, "p2", 0.25).withColumnRenamed("thr", "t25")))
       .crossJoin(broadcast(ecdfThreshold(p9, "p2", 0.5).withColumnRenamed("thr", "t50")))
@@ -187,7 +223,8 @@ object Pretrain {
           (col("p2") > col("t75")).cast("int")).as("band"),
         (expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cur')), 1, 15), 16, 10) AS BIGINT)")
           % 8).as("shard"))
-    val curUnits = banded.agg(countDistinct(col("band") * 8 + col("shard")).as("u"))
+    val curUnits = staged("curriculum", () => // accumulates with p9
+      banded.agg(countDistinct(col("band") * 8 + col("shard")).as("u")))
 
     val funnel = stageRow(docs, 0, "input")
       .unionByName(stageRow(d1, 1, "quality_rules"))
@@ -406,5 +443,17 @@ object Pretrain {
       |UNION ALL SELECT 12, 'curriculum', (SELECT u FROM cu), count(*),
       |  COALESCE(CAST(sum(len(str_split(text, ' '))) AS BIGINT), 0) FROM d9""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(x66)
+  /** X82 (beyond reference): the COSTED capstone's count columns gated
+    * against x66's oracle — the cost instrumentation must change nothing
+    * about the 13-stage funnel; wall_ms / shuffle_bytes are measurements
+    * and are asserted populated in PretrainSpec instead.
+    */
+  val x82: GraftQuery = GraftQuery(
+    "x82_pretrain_costs",
+    (s, d) => pretrainCorpusCosts(Tables.documents(s, d))
+      .select("stage_idx", "stage", "n_units", "n_docs", "n_tokens"),
+    x66.oracle,
+    bench = false)
+
+  val all: Seq[GraftQuery] = Seq(x66, x82)
 }

@@ -47,6 +47,29 @@ class PretrainSpec extends SparkSpec {
     assert(f(12)._2 >= 1 && f(12)._2 <= 32)
   }
 
+  test("x82 costed capstone: counts bit-equal the uncosted funnel, every " +
+    "materializing stage has a wall time, the dedup stage shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val costed = Pretrain.pretrainCorpusCosts(docs).collect()
+    assert(costed.length == 13)
+    val counts = costed.map(r => r.getAs[Int]("stage_idx") ->
+      (r.getAs[Long]("n_units"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toMap
+    val want = funnelOf(Pretrain.pretrainCorpus(docs).collect())
+      .map { case (i, (_, u, d, t)) => i -> ((u, d, t)) }
+    assert(counts === want,
+      "cost instrumentation must not change the funnel counts")
+    val byStage = costed.map(r => r.getAs[String]("stage") ->
+      (r.getAs[Long]("wall_ms"), r.getAs[Long]("shuffle_bytes"))).toMap
+    // input carries zero cost by construction; every other stage
+    // materialized inside its own job group
+    stageNames.filterNot(_ == "input").foreach { n =>
+      assert(byStage(n)._1 >= 1L, s"stage $n has no wall time")
+    }
+    assert(byStage("exact_dedup")._2 > 0L,
+      "the md5 groupBy stage must report attributed shuffle bytes")
+  }
+
   test("pretrainCorpus releases every cache before returning (r8 advice pin)") {
     // the funnel localCheckpoints its 13-row result and unpersists the
     // shared docs cache — a leaked entry would silently rewrite later
