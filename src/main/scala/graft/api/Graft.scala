@@ -576,6 +576,28 @@ object Graft {
       path: String, ids: DataFrame): Unit =
     VectorOps.deleteFromVecIndex(spark, path, ids)
 
+  /** Persist the residual IVF-PQ composition (FAISS IndexIVFPQ shape):
+    * cell pruning AND code compression in one self-contained index root
+    * — a probed query reads only its cells' directories, stored as M
+    * small ints per vector. Own root; do not mix with
+    * [[annBuildVecIndex]] roots (the codes layouts differ).
+    */
+  def annBuildIvfPqIndex(corpus: DataFrame, path: String): Unit =
+    VectorOps.buildIvfPqIndex(corpus, path)
+
+  /** Append to a residual IVF-PQ index against its frozen two-level
+    * geometry (stream-safe, order-independent).
+    */
+  def annAppendIvfPqIndex(batch: DataFrame, path: String): Unit =
+    VectorOps.appendToIvfPqIndex(batch, path)
+
+  /** ADC search over a residual IVF-PQ index: probed-cell partition
+    * pruning + per-cell residual lookup tables; (q_id, neighbor_id, adc).
+    */
+  def annSearchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, probes: Int = 2): DataFrame =
+    VectorOps.searchIvfPqIndex(spark, path, queries, k, probes)
+
   /** Offline compaction of every tier under one index root. */
   def annCompactVecIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =

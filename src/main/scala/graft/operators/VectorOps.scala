@@ -3238,8 +3238,266 @@ object VectorOps {
     },
     v2.oracle)
 
+  // ------------------------------------------------- residual IVF-PQ tier
+
+  /** Persist the FULL IVF-PQ composition — the storage shape production
+    * vector stores ship (FAISS IndexIVFPQ): `centroids/` (cell geometry),
+    * `codebook/` (PqKs RESIDUAL codewords — quantizing x − centroid
+    * instead of x concentrates the codebook on within-cell variation,
+    * which is why real indexes encode residuals), `codes/` (vec_id,
+    * codes) PARTITIONED BY cluster. Pruning and compression COMPOSE at
+    * serving time: a query reads only its probed cells' directories, and
+    * those directories hold M small ints per vector — at 100 TB the scan
+    * is ~probes/K of the corpus as codes, never a float.
+    *
+    * Use its OWN index root: its `codes/` layout (cluster-partitioned)
+    * differs from [[buildPqIndex]]'s flat codes, so a residual index must
+    * not share a root with a [[buildVecIndex]] two-tier root.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, path: String): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val cents = centroidsOf(corpus)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // residuals, pinned once: reused by the codebook sample AND the encode
+    val residuals = assign(withNorm(corpus, "c"), cents)
+      .join(cents.select(col("k_id").as("cluster"), col("k_e")), "cluster")
+      .select(col("c_id"), col("cluster"),
+        expr("zip_with(c_e, k_e, (x, y) -> x - y)").as("r"))
+      .localCheckpoint()
+    val cbRows: Array[Seq[Double]] = residuals
+      .orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(PqKs)
+      .select(col("r")).as[Seq[Double]].collect()
+    require(cbRows.length == PqKs,
+      s"buildIvfPqIndex: corpus has only ${cbRows.length} rows — a $PqKs-codeword " +
+        s"codebook needs at least $PqKs vectors")
+    require(cbRows(0).length % PqS == 0,
+      s"buildIvfPqIndex: embedding dim ${cbRows(0).length} is not divisible " +
+        s"by the PQ subspace width $PqS")
+    s.createDataset(cbRows.toSeq.zipWithIndex.map { case (e, j) => (j, e) })
+      .toDF("j", "e").write.mode("overwrite").parquet(s"$path/codebook")
+    val bc = s.sparkContext.broadcast(cbRows.map(_.toArray))
+    residuals.select(col("c_id"), col("cluster"), col("r"))
+      .as[(Long, Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cbL = bc.value
+        val pqM = cbL(0).length / PqS
+        it.map { case (id, cl, r) =>
+          (id, cl, pqEncode(r.toArray, cbL, pqM).toSeq)
+        }
+      }
+      .toDF("vec_id", "cluster", "codes")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** Append to a [[buildIvfPqIndex]] index: assign against the persisted
+    * centroids and residual-encode against the persisted codebook — both
+    * frozen geometry, so the append is per-row, stateless and
+    * order-independent like [[appendToIvfIndex]]/[[appendToPqIndex]].
+    */
+  def appendToIvfPqIndex(batch: DataFrame, path: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val cents = s.read.parquet(s"$path/centroids")
+    val cb = readPqCodebook(s, path)
+    val bc = s.sparkContext.broadcast(cb)
+    assign(withNorm(batch, "c"), cents)
+      .join(cents.select(col("k_id").as("cluster"), col("k_e")), "cluster")
+      .select(col("c_id"), col("cluster"),
+        expr("zip_with(c_e, k_e, (x, y) -> x - y)").as("r"))
+      .as[(Long, Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cbL = bc.value
+        val pqM = cbL(0).length / PqS
+        it.map { case (id, cl, r) =>
+          (id, cl, pqEncode(r.toArray, cbL, pqM).toSeq)
+        }
+      }
+      .toDF("vec_id", "cluster", "codes")
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** ADC search over a [[buildIvfPqIndex]] index — both scale levers at
+    * once: per query, rank cells by centroid cosine (the v2 probe rule),
+    * build ONE residual lookup table per probed cell from q − centroid,
+    * turn the probed cell ids into a STATIC `IN` partition filter (the
+    * [[searchIvfIndex]] file-pruning discipline), and score the pruned
+    * code scan with M table lookups per (query, vector). The driver-side
+    * state is K centroids + PqKs codewords + |Q| × probes tables — all
+    * tiny and broadcast.
+    */
+  def searchIvfPqIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int, probes: Int = 2): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val centRows: Array[(Long, Array[Double])] = s.read
+      .parquet(s"$path/centroids")
+      .select(col("k_id"), col("k_e")).as[(Long, Seq[Double])]
+      .collect().map { case (i, e) => (i, e.toArray) }
+    val cb = readPqCodebook(s, path)
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col("vec_id"), toD).as[(Long, Seq[Double])]
+      .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
+    val pqM = cb(0).length / PqS
+    // per (query, probed cell): the residual ADC table
+    val qcell: Seq[(Long, Long, Array[Array[Double]])] = qs.toSeq.flatMap {
+      case (qid, qa) =>
+        centRows.map { case (kid, ke) => (kid, ke, cosArr(qa, ke)) }
+          .sortBy { case (kid, _, c) => (-c, kid) }.take(probes)
+          .map { case (kid, ke, _) =>
+            val res = Array.tabulate(qa.length)(i => qa(i) - ke(i))
+            (qid, kid, pqTable(res, cb, pqM))
+          }
+    }
+    val cellIds = qcell.map(_._2).distinct
+    val codesRaw = s.read.parquet(s"$path/codes")
+    // partition-dir dtype contract — see searchIvfIndex
+    val cells: Seq[Any] = codesRaw.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.IntegerType => cellIds.map(_.toInt)
+      case _ => cellIds
+    }
+    val byCell: Map[Long, Seq[(Long, Array[Array[Double]])]] =
+      qcell.groupBy(_._2).map { case (cell, rows) =>
+        cell -> rows.map(r => (r._1, r._3))
+      }
+    val bc = s.sparkContext.broadcast(byCell)
+    val scored = codesRaw.filter(col("cluster").isInCollection(cells))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (cid, cell, codes) =>
+          val ca = codes.toArray
+          m.getOrElse(cell, Nil).iterator.filter(_._1 != cid)
+            .map { case (qid, tab) => (qid, cid, pqAdc(tab, ca)) }
+        }
+      }.toDF("q_id", "neighbor_id", "adc")
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("q_id", "neighbor_id", "adc")
+  }
+
+  /** V44 (beyond reference): the persisted residual IVF-PQ index — build,
+    * then serve v-style queries from probed-cell code directories alone.
+    * The oracle replays cell assignment, residual computation, the
+    * residual codebook, per-cell query tables and the ADC ranking
+    * bit-for-bit.
+    */
+  val v44: GraftQuery = GraftQuery(
+    "v44_ivfpq_persisted",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v44_ivfpq_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfPqIndex(emb, path)
+      searchIvfPqIndex(s, path, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |res AS (SELECT a.vec_id, a.cluster,
+           |  list_transform(generate_series(1, len(a.e)), i -> a.e[i] - c.ke[i]) AS r
+           |  FROM assign a JOIN cents c ON c.k_id = a.cluster),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, r AS e
+           |       FROM res ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, cluster, m, j AS code FROM (
+           |  SELECT r.vec_id, r.cluster, m.m, cb.j, row_number() OVER (PARTITION BY r.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM res r CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, qe, cluster FROM (
+           |  SELECT q.vec_id, q.e AS qe, c.k_id AS cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |qres AS (SELECT p.q_id, p.cluster,
+           |  list_transform(generate_series(1, len(p.qe)), i -> p.qe[i] - c.ke[i]) AS qr
+           |  FROM probes p JOIN cents c ON c.k_id = p.cluster),
+           |qd AS (SELECT qr.q_id, qr.cluster, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM qres qr CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.cluster = c.cluster AND qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
+  /** V45 (beyond reference): appends on the residual tier — build on
+    * two-thirds, append the rest in two batches against the frozen
+    * centroids AND frozen residual codebook, then serve. The oracle
+    * replays the subset-trained geometry over the full corpus.
+    */
+  val v45: GraftQuery = GraftQuery(
+    "v45_ivfpq_append",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v45_ivfpq_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfPqIndex(emb.filter(col("vec_id") % 3 =!= 0), path)
+      appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0), path)
+      appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0), path)
+      searchIvfPqIndex(s, path, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |base AS (SELECT * FROM v WHERE vec_id % 3 != 0),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM base
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |res AS (SELECT a.vec_id, a.cluster,
+           |  list_transform(generate_series(1, len(a.e)), i -> a.e[i] - c.ke[i]) AS r
+           |  FROM assign a JOIN cents c ON c.k_id = a.cluster),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, r AS e
+           |       FROM res WHERE vec_id % 3 != 0
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, cluster, m, j AS code FROM (
+           |  SELECT r.vec_id, r.cluster, m.m, cb.j, row_number() OVER (PARTITION BY r.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM res r CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, qe, cluster FROM (
+           |  SELECT q.vec_id, q.e AS qe, c.k_id AS cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |qres AS (SELECT p.q_id, p.cluster,
+           |  list_transform(generate_series(1, len(p.qe)), i -> p.qe[i] - c.ke[i]) AS qr
+           |  FROM probes p JOIN cents c ON c.k_id = p.cluster),
+           |qd AS (SELECT qr.q_id, qr.cluster, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM qres qr CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.cluster = c.cluster AND qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
       v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
-      v38, v39, v40, v41, v42, v43)
+      v38, v39, v40, v41, v42, v43, v44, v45)
 }

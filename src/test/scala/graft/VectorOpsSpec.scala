@@ -925,6 +925,74 @@ class VectorOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/centroids_old").exists())
   }
 
+  test("v44/v45 residual IVF-PQ: probed-cell partition pruning, neighbors " +
+    "stay within probed cells, appends are order-independent") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val qs = emb.filter(vid < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq").toString + "/idx"
+    VectorOps.buildIvfPqIndex(emb, path)
+    val got = VectorOps.searchIvfPqIndex(spark, path, qs, k = 3, probes = 2)
+    // the code scan must be partition-pruned to the probed cells (the
+    // v37/s26 convention: PartitionFilters, not inputFiles)
+    val plan = got.queryExecution.executedPlan.toString
+    val inList = "PartitionFilters: \\[[^\\]]*cluster#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan)
+    assert(inList.isDefined,
+      s"codes scan must carry the probed-cell partition filter:\n$plan")
+    val nCells = inList.get.group(1).split(",").length
+    assert(nCells > 0 && nCells < 16,
+      s"probe must prune to a strict cell subset, got $nCells of 16")
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.length === 10, "every query answered")
+    rows.groupBy(_._1).values.foreach { perQ =>
+      val adcs = perQ.map(_._3)
+      assert(adcs.sorted.sameElements(adcs), "ADC must rank ascending")
+    }
+    // neighbors only come from the query's probed cells: recompute the
+    // cell map from the stored index the same way the search does
+    val codesCells = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("cluster").longValue()).toMap
+    import SparkSpec.spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("k_id", "k_e").as[(Long, Seq[Double])].collect()
+    val toD = org.apache.spark.sql.functions
+      .expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val qVecs = qs.select(vid, toD).as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probedOf = qVecs.map { case (qid, qe) =>
+      qid -> cents.map { case (kid, ke) => (kid, cos(qe, ke)) }
+        .sortBy { case (kid, c) => (-c, kid) }.take(2).map(_._1).toSet
+    }.toMap
+    rows.foreach { case (q, n, _) =>
+      assert(probedOf(q).contains(codesCells(n)),
+        s"neighbor $n of query $q served from an unprobed cell")
+    }
+    // appends against the frozen two-level geometry are order-independent
+    val base = emb.filter(vid % 3 =!= 0)
+    val rest = emb.filter(vid % 3 === 0)
+    def searchAfter(chunks: Seq[org.apache.spark.sql.DataFrame]): Set[(Long, Long, Double)] = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-app").toString + "/idx"
+      VectorOps.buildIvfPqIndex(base, p)
+      chunks.foreach(VectorOps.appendToIvfPqIndex(_, p))
+      VectorOps.searchIvfPqIndex(spark, p, qs, k = 3, probes = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val oneShot = searchAfter(Seq(rest))
+    val twoChunks = searchAfter(Seq(
+      rest.filter(vid % 2 === 0), rest.filter(vid % 2 =!= 0)))
+    assert(oneShot === twoChunks,
+      "batch decomposition must not change the residual index")
+  }
+
   test("v36 selectivity audit: cell totals partition the corpus, match " +
     "counts sum to the predicate count, ppm is the exact integer ratio") {
     val dir = clusteredDir()
