@@ -1568,7 +1568,40 @@ object StreamingOps {
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin),
     bench = false)
 
+  /** T41 (beyond reference): the codebook-drift audit over a
+    * STREAM-GROWN index — t40's ingestion followed by
+    * [[VectorOps.pqDriftAudit]]: the monitoring read a serving deployment
+    * runs after every ingest window to decide whether the frozen
+    * codebook still fits what it now serves. Because appends are
+    * batch-decomposition-invariant, the audit over the streamed index
+    * equals the batch-built audit bit-for-bit — v42's oracle gates it
+    * verbatim.
+    */
+  val t41: GraftQuery = GraftQuery(
+    "t41_stream_drift_audit",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t41_pqidx_$id"
+      val emb = graft.core.Tables.embeddings(s, d)
+      VectorOps.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VectorOps.appendToPqIndex(
+            batch.filter(col("vec_id") % 10 === 0), path)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      VectorOps.pqDriftAudit(s, path, emb)
+    },
+    VectorOps.v42.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
 }

@@ -3319,6 +3319,34 @@ object VectorOps {
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
   }
 
+  /** LOGICAL delete from a residual IVF-PQ index — same tombstone
+    * contract as the other tiers; space reclaimed by
+    * [[compactIvfPqIndex]].
+    */
+  def deleteFromIvfPqIndex(s: SparkSession, path: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** OFFLINE compaction of the residual tier: rewrite the
+    * cluster-partitioned codes minus tombstones, crash-safe
+    * [[swapAside]] swap, drop the tombstones. Results identical before
+    * and after (VectorOpsSpec pins it).
+    */
+  def compactIvfPqIndex(s: SparkSession, path: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
+    s.read.parquet(codes.toString)
+      .join(s.read.parquet(tomb.toString), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cluster").parquet(fresh.toString)
+    swapAside(fs, fresh, codes)
+    fs.delete(tomb, true): Unit
+  }
+
   /** ADC search over a [[buildIvfPqIndex]] index — both scale levers at
     * once: per query, rank cells by centroid cosine (the v2 probe rule),
     * build ONE residual lookup table per probed cell from q − centroid,
@@ -3364,7 +3392,16 @@ object VectorOps {
         cell -> rows.map(r => (r._1, r._3))
       }
     val bc = s.sparkContext.broadcast(byCell)
-    val scored = codesRaw.filter(col("cluster").isInCollection(cells))
+    val pruned = codesRaw.filter(col("cluster").isInCollection(cells))
+    // logical deletes (deleteFromIvfPqIndex): keyed anti-join on the
+    // serving path, reclaimed offline by compactIvfPqIndex
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tombFs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val alive =
+      if (tombFs.exists(tombPath))
+        pruned.join(s.read.parquet(tombPath.toString), Seq("vec_id"), "left_anti")
+      else pruned
+    val scored = alive
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         col("codes"))
       .as[(Long, Long, Seq[Int])]
@@ -3496,8 +3533,66 @@ object VectorOps {
            |SELECT q_id, neighbor_id, adc FROM scored
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
 
+  /** V46 (beyond reference): right-to-be-forgotten on the residual tier
+    * — tombstone every 7th vector, compact (crash-safe swap of the
+    * cluster-partitioned codes), serve. The oracle replays the
+    * full-corpus geometry with the deleted rows absent from the codes.
+    */
+  val v46: GraftQuery = GraftQuery(
+    "v46_ivfpq_tombstone_compact",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v46_ivfpq_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfPqIndex(emb, path)
+      deleteFromIvfPqIndex(s, path, emb.filter(col("vec_id") % 7 === 0))
+      compactIvfPqIndex(s, path)
+      searchIvfPqIndex(s, path, emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |res AS (SELECT a.vec_id, a.cluster,
+           |  list_transform(generate_series(1, len(a.e)), i -> a.e[i] - c.ke[i]) AS r
+           |  FROM assign a JOIN cents c ON c.k_id = a.cluster),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, r AS e
+           |       FROM res ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, cluster, m, j AS code FROM (
+           |  SELECT r.vec_id, r.cluster, m.m, cb.j, row_number() OVER (PARTITION BY r.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM res r CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |alive AS (SELECT * FROM codes WHERE vec_id % 7 != 0),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, qe, cluster FROM (
+           |  SELECT q.vec_id, q.e AS qe, c.k_id AS cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |qres AS (SELECT p.q_id, p.cluster,
+           |  list_transform(generate_series(1, len(p.qe)), i -> p.qe[i] - c.ke[i]) AS qr
+           |  FROM probes p JOIN cents c ON c.k_id = p.cluster),
+           |qd AS (SELECT qr.q_id, qr.cluster, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM qres qr CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM alive c JOIN qd ON qd.cluster = c.cluster AND qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
       v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
-      v38, v39, v40, v41, v42, v43, v44, v45)
+      v38, v39, v40, v41, v42, v43, v44, v45, v46)
 }

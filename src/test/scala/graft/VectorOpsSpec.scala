@@ -991,6 +991,21 @@ class VectorOpsSpec extends SparkSpec {
       rest.filter(vid % 2 === 0), rest.filter(vid % 2 =!= 0)))
     assert(oneShot === twoChunks,
       "batch decomposition must not change the residual index")
+    // v46: tombstone delete serves immediately; compaction is bit-exact
+    // and leaves no swap debris
+    val before = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val victims = before.filter(_._1 == 0L).map(_._2).toSeq.take(2)
+    VectorOps.deleteFromIvfPqIndex(spark, path, emb.filter(vid.isin(victims: _*)))
+    val afterDel = VectorOps.searchIvfPqIndex(spark, path, qs, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(victims.forall(v => !afterDel.exists(_._2 == v)))
+    VectorOps.compactIvfPqIndex(spark, path)
+    val afterCompact = VectorOps.searchIvfPqIndex(spark, path, qs, 3, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterCompact === afterDel, "compaction must not change a bit")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(s"$path/codes_old").exists())
   }
 
   test("v36 selectivity audit: cell totals partition the corpus, match " +
