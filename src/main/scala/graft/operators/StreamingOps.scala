@@ -1601,7 +1601,81 @@ object StreamingOps {
     VectorOps.v42.oracle,
     bench = false)
 
+  /** T42 (beyond reference): CONTINUOUS ingestion into the residual
+    * IVF-PQ tier — the t38/t40 pattern on the fused index: per
+    * micro-batch, assign against the frozen centroids AND residual-encode
+    * against the frozen codebook, then serve from probed-cell code
+    * directories. Oracle = v45's subset-trained-geometry replay at the
+    * t38 base split.
+    */
+  val t42: GraftQuery = GraftQuery(
+    "t42_stream_ivfpq_append",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t42_ivfpq_$id"
+      val emb = graft.core.Tables.embeddings(s, d)
+      VectorOps.buildIvfPqIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VectorOps.appendToIvfPqIndex(
+            batch.filter(col("vec_id") % 10 === 0), path)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      VectorOps.searchIvfPqIndex(s, path,
+        emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |base AS (SELECT * FROM v WHERE vec_id % 10 != 0),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM base
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |res AS (SELECT a.vec_id, a.cluster,
+           |  list_transform(generate_series(1, len(a.e)), i -> a.e[i] - c.ke[i]) AS r
+           |  FROM assign a JOIN cents c ON c.k_id = a.cluster),
+           |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, r AS e
+           |       FROM res WHERE vec_id % 10 != 0
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           |m AS (SELECT unnest(generate_series(0, 7)) AS m),
+           |codes AS (SELECT vec_id, cluster, m, j AS code FROM (
+           |  SELECT r.vec_id, r.cluster, m.m, cb.j, row_number() OVER (PARTITION BY r.vec_id, m.m
+           |    ORDER BY list_reduce(list_transform(generate_series(1, 8),
+           |      i -> (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (r.r[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |      (a, b) -> a + b) ASC, cb.j) AS rk
+           |  FROM res r CROSS JOIN m CROSS JOIN cb) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, qe, cluster FROM (
+           |  SELECT q.vec_id, q.e AS qe, c.k_id AS cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |qres AS (SELECT p.q_id, p.cluster,
+           |  list_transform(generate_series(1, len(p.qe)), i -> p.qe[i] - c.ke[i]) AS qr
+           |  FROM probes p JOIN cents c ON c.k_id = p.cluster),
+           |qd AS (SELECT qr.q_id, qr.cluster, m.m, cb.j,
+           |  list_reduce(list_transform(generate_series(1, 8),
+           |    i -> (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i]) * (qr.qr[m.m * 8 + i] - cb.e[m.m * 8 + i])),
+           |    (a, b) -> a + b) AS dd
+           |  FROM qres qr CROSS JOIN m CROSS JOIN cb),
+           |scored AS (SELECT qd.q_id, c.vec_id AS neighbor_id,
+           |  list_reduce(list(qd.dd ORDER BY qd.m), (a, b) -> a + b) AS adc
+           |  FROM codes c JOIN qd ON qd.cluster = c.cluster AND qd.m = c.m AND qd.j = c.code
+           |  WHERE c.vec_id != qd.q_id
+           |  GROUP BY qd.q_id, c.vec_id)
+           |SELECT q_id, neighbor_id, adc FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
-      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
+      t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
+      t42)
 }

@@ -2975,20 +2975,28 @@ object VectorOps {
     graft.plans.GraftExtensions.register(s)
     val hasIvf = tierExists(s, s"$path/postings")
     val hasPq = tierExists(s, s"$path/codes")
+    // a residual (IVF-PQ) root is self-describing: its codes carry the
+    // cluster partition column, which the flat PQ tier's codes never do
+    def residualLayout: Boolean = hasPq && !hasIvf &&
+      s.read.parquet(s"$path/codes").schema.fieldNames.contains("cluster")
     val resolved = tier match {
       case "auto" =>
         if (hasIvf && hasPq) "rerank"
         else if (hasIvf) "ivf"
+        else if (residualLayout) "ivfpq"
         else if (hasPq) "pq"
         else sys.error(s"searchVecIndex: no index tier found under $path")
-      case t @ ("ivf" | "pq" | "rerank") => t
+      case t @ ("ivf" | "pq" | "rerank" | "ivfpq") => t
       case other => sys.error(
-        s"searchVecIndex: unknown tier '$other' (ivf | pq | rerank | auto)")
+        s"searchVecIndex: unknown tier '$other' (ivf | pq | rerank | ivfpq | auto)")
     }
     resolved match {
       case "ivf" =>
         require(hasIvf, s"ivf route needs $path/postings")
         searchIvfIndex(s, path, queries, k, probes, excludeSelf)
+      case "ivfpq" =>
+        require(hasPq, s"ivfpq route needs $path/codes")
+        searchIvfPqIndex(s, path, queries, k, probes)
       case "pq" =>
         require(hasPq, s"pq route needs $path/codes")
         searchPqIndex(s, path, queries, k)

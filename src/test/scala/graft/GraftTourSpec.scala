@@ -197,5 +197,12 @@ class GraftTourSpec extends SparkSpec {
     Graft.annRebuildIndex(spark, path)
     assert(Graft.annSearchVecIndex(spark, path, qs, k = 3, tier = "ivf")
       .select("q_id").distinct().count() == 5)
+    // the fused residual tier lives in its own root (cluster-partitioned
+    // codes) — the facade's auto detection routes it without being told
+    val rPath = s"$dir/ivfpq"
+    Graft.annBuildIvfPqIndex(emb, rPath)
+    val fused = Graft.annSearchVecIndex(spark, rPath, qs, k = 3)
+    assert(fused.select("q_id").distinct().count() == 5)
+    assert(fused.columns.contains("adc"), "residual route scores by ADC")
   }
 }
