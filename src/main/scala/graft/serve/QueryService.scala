@@ -3,6 +3,7 @@ package graft.serve
 import graft.core.Tables
 import graft.sim.BusSim
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The webapp query surface (reference webapp/buses-dashboard: bq_service.py,
@@ -377,9 +378,101 @@ object QueryService {
            |    / CAST(count(*) AS DOUBLE)
            |FROM bf LEFT JOIN rr r ON r.q_id = bf.q_id AND r.neighbor_id = bf.neighbor_id""".stripMargin))
 
+  /** Hybrid search endpoint — the fusion the text and vector arms exist
+    * for (x62's RRF shape, served): the lexical arm is the BM25 top-`cand`
+    * (TakeOrdered page, never a global sort), the vector arm is the
+    * PERSISTED index's "ivf" route for the demo query vector (doc/vec id
+    * spaces are aligned), and reciprocal-rank fusion (1/(60+rank), the
+    * Cormack et al. constant) merges them. Integer ranks → the RRF
+    * arithmetic is cross-engine exact.
+    */
+  def hybridSearch(s: SparkSession, d: String, k: Int = 10,
+      cand: Int = 20): DataFrame = {
+    val path = vecIndexRoot(s, d)
+    val lex = graft.operators.TextOps
+      .bm25Score(graft.core.Tables.documents(s, d))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(cand)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = graft.core.Tables.embeddings(s, d)
+    val vtop = graft.operators.VectorOps
+      .searchVecIndex(s, path, emb.filter(col("vec_id") === 0L),
+        k = cand, probes = 2, tier = "ivf")
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .select(col("neighbor_id").as("doc_id"), col("vec_rank"))
+    lex.join(vtop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= k)
+  }
+
+  /** The hybrid endpoint as a driver-checked query: x62's lexical arm and
+    * RRF arithmetic, with the vector arm replayed as the probed-cell IVF
+    * search the persisted index serves.
+    */
+  val serveHybridSearch: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_hybrid_search",
+    (s, d) => hybridSearch(s, d),
+    Some("""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+           |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
+           |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d3),
+           |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM (
+           |    SELECT doc_id, dl, unnest(ws) AS w FROM d3)
+           |  WHERE w IN ('dup', 'join', 'batch') GROUP BY 1, 2, 3),
+           |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.w,
+           |  (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+           |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           |  * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+           |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
+           |  AS sc
+           |  FROM tf CROSS JOIN stats JOIN dfreq ON tf.w = dfreq.w),
+           |bm AS (SELECT doc_id,
+           |  coalesce(max(CASE WHEN w = 'dup' THEN sc END), CAST(0 AS DOUBLE))
+           |  + coalesce(max(CASE WHEN w = 'join' THEN sc END), CAST(0 AS DOUBLE))
+           |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
+           |FROM sc GROUP BY doc_id),
+           |lex AS (SELECT doc_id, lex_rank FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+           |    FROM bm) WHERE lex_rank <= 20),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id = 0),
+           |probes AS (SELECT vec_id AS q_id, qe, cluster FROM (
+           |  SELECT q.vec_id, q.e AS qe, c.k_id AS cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2),
+           |vt0 AS (SELECT p.q_id, a.vec_id AS doc_id,
+           |          list_cosine_similarity(p.qe, a.e) AS cos
+           |        FROM probes p JOIN assign a USING (cluster)
+           |        WHERE a.vec_id != p.q_id),
+           |vt AS (SELECT doc_id, vec_rank FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+           |    FROM vt0) WHERE vec_rank <= 20),
+           |f AS (SELECT coalesce(lex.doc_id, vt.doc_id) AS doc_id, lex_rank, vec_rank,
+           |        coalesce(1.0 / (60.0 + lex_rank), 0.0)
+           |          + coalesce(1.0 / (60.0 + vec_rank), 0.0) AS rrf
+           |      FROM lex FULL OUTER JOIN vt ON lex.doc_id = vt.doc_id)
+           |SELECT doc_id, lex_rank, vec_rank, rrf,
+           |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+           |FROM f QUALIFY fused_rank <= 10""".stripMargin))
+
   val all: Seq[graft.api.GraftQuery] =
     Seq(serveRidesWindow, serveDocSearch, serveVecSearch, serveVecSearchPq,
-      serveVecSearchRerank, serveVecRecall)
+      serveVecSearchRerank, serveVecRecall, serveHybridSearch)
 }
 
 /** Thin CLI over [[QueryService]]: `runMain graft.serve.ServeCli <sfDir>
@@ -404,6 +497,7 @@ object ServeCli {
       case "vec_search" => QueryService.vecSearch(spark, sfDir,
         tier = if (args.length > 2) args(2) else "ivf")
       case "vec_recall" => QueryService.vecRecall(spark, sfDir)
+      case "hybrid_search" => QueryService.hybridSearch(spark, sfDir)
       case other       => sys.error(s"unknown command: $other")
     }
     df.toJSON.collect().foreach(println)
