@@ -1674,8 +1674,49 @@ object StreamingOps {
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin),
     bench = false)
 
+  /** T43 (beyond reference): embedding-distribution drift monitored ON
+    * THE INGEST STREAM — v27's PSI report made incremental: each
+    * micro-batch appends its per-row (key, is_ref, sig) signatures
+    * ([[VectorOps.embeddingSignatures]] — a stateless map, no shuffle per
+    * batch), and the report is a READ of the accumulated store: dedupe
+    * redeliveries by key (the t36 at-least-once discipline — signature
+    * rows are deterministic per vector, so a re-appended batch collapses
+    * away), then the 64-cell PSI. Equal to the batch v27 bit-for-bit, so
+    * its oracle gates the stream verbatim.
+    *
+    * Scale: the state table holds one small row per INGESTED vector and
+    * only the 64-cell aggregate ever reduces; a production deployment
+    * compacts the store to per-cell counts once batches are final.
+    */
+  val t43: GraftQuery = GraftQuery(
+    "t43_stream_embedding_drift",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val statePath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t43_sigs_$id"
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VectorOps.embeddingSignatures(
+              batch.withColumn("is_ref", expr("vec_id % 2 = 0")),
+              "vec_id", "is_ref")
+            .write.mode("append").parquet(statePath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sigs = s.read.parquet(statePath)
+        .groupBy("key").agg(max(struct(col("is_ref"), col("sig"))).as("m"))
+        .select(col("m.is_ref").as("is_ref"), col("m.sig").as("sig"))
+      VectorOps.embeddingDriftFromSigs(sigs)
+    },
+    VectorOps.v27.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
       t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-      t42)
+      t42, t43)
 }

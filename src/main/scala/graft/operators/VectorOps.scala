@@ -1881,17 +1881,32 @@ object VectorOps {
     * itself — `df` needs (embedding, `isRefCol`: boolean); one row per
     * signature cell (2^bits total) with smoothed psi_term.
     */
-  def embeddingDrift(df: DataFrame, isRefCol: String, bits: Int = 6): DataFrame = {
-    require(bits >= 1 && bits <= 16, "embeddingDrift: bits in [1, 16]")
+  def embeddingDrift(df: DataFrame, isRefCol: String, bits: Int = 6): DataFrame =
+    embeddingDriftFromSigs(
+      embeddingSignatures(
+        df.withColumn("__drift_key", monotonically_increasing_id()),
+        "__drift_key", isRefCol, bits),
+      bits)
+
+  /** The per-row half of [[embeddingDrift]], KEYED: (key, is_ref, sig) —
+    * the map-side signature pass factored out so an INCREMENTAL
+    * accumulator (t43: drift monitored on the ingest stream) can append
+    * rows per micro-batch and dedupe redeliveries by key at read time,
+    * the t36 at-least-once discipline. The hyperplanes are md5-derived
+    * uniforms (the HashDraw contract, salt "v27"), built once per
+    * partition.
+    */
+  def embeddingSignatures(df: DataFrame, keyCol: String, isRefCol: String,
+      bits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 16, "embeddingSignatures: bits in [1, 16]")
     val s = df.sparkSession
     import s.implicits._
-    val cells = 1 << bits
-    val sigs = df
-      .select(col(isRefCol), col("embedding")).as[(Boolean, Seq[Float])]
+    df.select(col(keyCol).cast("long"), col(isRefCol), col("embedding"))
+      .as[(Long, Boolean, Seq[Float])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         var hp: Array[Array[Double]] = null // built once per partition
-        it.map { case (isRef, e) =>
+        it.map { case (key, isRef, e) =>
           if (hp == null) hp = Array.tabulate(bits, e.size) { (h, i) =>
             graft.functions.HashDraw.draw(md, s"v27:$h:$i").toDouble /
               (1L << 59).toDouble - 1.0
@@ -1906,10 +1921,19 @@ object VectorOps {
             if (dot > 0) sig |= 1 << h
             h += 1
           }
-          (isRef, sig)
+          (key, isRef, sig)
         }
       }
-      .toDF("is_ref", "sig")
+      .toDF("key", "is_ref", "sig")
+  }
+
+  /** The reduce half of [[embeddingDrift]]: (is_ref, sig) rows → the
+    * 2^bits-cell PSI report (sig, ref_n, cur_n, psi_term).
+    */
+  def embeddingDriftFromSigs(sigs0: DataFrame, bits: Int = 6): DataFrame = {
+    val s = sigs0.sparkSession
+    val cells = 1 << bits
+    val sigs = sigs0.select(col("is_ref"), col("sig"))
     val agg = sigs.groupBy("sig").agg(
       count(when(col("is_ref"), 1)).as("ref_n"),
       count(when(!col("is_ref"), 1)).as("cur_n"))
