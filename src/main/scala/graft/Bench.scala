@@ -325,7 +325,11 @@ object Bench {
           .ridesWindow(spark, sfDir, "2024-01-02 06:00:00",
             "2024-01-02 12:00:00", 365)) ++
         percentiles("serve_poll_vec", () => graft.serve.QueryService
-          .vecSearch(spark, sfDir))
+          .vecSearch(spark, sfDir)) ++
+        percentiles("serve_poll_docs", () => graft.serve.QueryService
+          .docSearch(spark, sfDir)) ++
+        percentiles("serve_poll_hybrid", () => graft.serve.QueryService
+          .hybridSearch(spark, sfDir))
       entries.foreach { case (k, v) =>
         System.err.println(f"[bench] $k $v%.3fs")
       }
