@@ -117,13 +117,37 @@ object QueryService {
   /** Search endpoint: top-k documents by Okapi BM25 against the engine's
     * fixed demo query terms (see [[graft.operators.TextOps.bm25Score]] —
     * the term list is the per-request parameterization seam). Serving
-    * shape at scale: the scoring is one scan + broadcast df/stats joins,
-    * and the top-k is a TakeOrdered (per-partition heads, no global
-    * sort); a production deployment fronts this with the x31 scores
-    * materialized as an inverted index, same dataflow.
+    * shape at scale: scoring (one scan + broadcast df/stats joins) is
+    * MATERIALIZED once per dataset ([[bm25Root]]); every request is then
+    * a TakeOrdered page over the stored scores (per-partition heads, no
+    * global sort) — the build-once/query-many shape shared with
+    * [[vecSearch]].
     */
+  /** The materialized BM25 score snapshot for `d` — the inverted-index
+    * stand-in the [[docSearch]] scaladoc promises: scoring is one corpus
+    * scan paid ONCE per dataset fingerprint (same identity rule as
+    * [[vecIndexRoot]]), and every poll afterwards is a TakeOrdered page
+    * over the tiny stored (doc_id, bm25) table. Values round-trip parquet
+    * exactly (doubles), so the snapshot serves bit-identical results to
+    * live scoring and the same oracles gate both.
+    */
+  private def bm25Root(s: SparkSession, d: String): String = {
+    val src = new java.io.File(d, "documents.parquet")
+    val ident = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_bm25_$ident"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.operators.TextOps.bm25Score(graft.core.Tables.documents(s, d))
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
   def docSearch(s: SparkSession, d: String, k: Int = 10): DataFrame =
-    graft.operators.TextOps.bm25Score(graft.core.Tables.documents(s, d))
+    s.read.parquet(bm25Root(s, d))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
 
   /** The search endpoint as a driver-checked query: the x31 scoring SQL
@@ -389,8 +413,7 @@ object QueryService {
   def hybridSearch(s: SparkSession, d: String, k: Int = 10,
       cand: Int = 20): DataFrame = {
     val path = vecIndexRoot(s, d)
-    val lex = graft.operators.TextOps
-      .bm25Score(graft.core.Tables.documents(s, d))
+    val lex = s.read.parquet(bm25Root(s, d))
       .orderBy(col("bm25").desc, col("doc_id")).limit(cand)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
