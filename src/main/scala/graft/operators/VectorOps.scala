@@ -2686,9 +2686,13 @@ object VectorOps {
     *
     * Scale: one index scan + K-row broadcast re-assignment + one
     * partitioned write — the compactIvfIndex cost paid once per drift
-    * event, never on the serving path; postings swap FIRST so a reader
-    * between the two swaps sees matched-or-older geometry, not
-    * new-centroids-over-old-postings.
+    * event, never on the serving path. The rebuild is an OFFLINE job:
+    * the two directory swaps are individually crash-safe (swapAside),
+    * but a query racing BETWEEN them would see mixed geometry (old
+    * centroids probing new cell directories — empty probe results, never
+    * wrong ones, since cluster ids are centroid ids and stale ids match
+    * no partition). Production serializes rebuilds behind the scheduler
+    * that triggers them, exactly like compaction.
     */
   def rebuildIvfIndex(s: SparkSession, path: String): Unit = {
     graft.plans.GraftExtensions.register(s)
