@@ -74,6 +74,13 @@ final class StageCosts(s: SparkSession) {
     }
   }
 
+  /** Detach the listener WITHOUT reading results — the failure path:
+    * callers must invoke this (or [[table]]) on every exit, or the
+    * listener stays registered on the shared session for its lifetime,
+    * accumulating bus work run after run.
+    */
+  def abort(): Unit = sc.removeSparkListener(listener)
+
   /** The (stage, wall_ms, shuffle_bytes) table. The listener bus is
     * asynchronous, so drain first: poll until the attributed byte counts
     * are stable (two identical sightings 50 ms apart) or 3 s pass —

@@ -112,7 +112,12 @@ object Pretrain {
     */
   def pretrainCorpusCosts(docs0: DataFrame): DataFrame = {
     val rec = new graft.core.StageCosts(docs0.sparkSession)
-    val funnel = pretrainCorpusStaged(docs0, (n, f) => rec.staged(n)(f()))
+    // detach the listener on the failure path too (fail-fast contract:
+    // stage 3 throws on degenerate inputs) — a leaked listener would
+    // accumulate bus work on the shared session across retries
+    val funnel =
+      try pretrainCorpusStaged(docs0, (n, f) => rec.staged(n)(f()))
+      catch { case t: Throwable => rec.abort(); throw t }
     funnel.join(broadcast(rec.table()), Seq("stage"), "left")
       .na.fill(0L, Seq("wall_ms", "shuffle_bytes"))
       .select("stage_idx", "stage", "n_units", "n_docs", "n_tokens",

@@ -2152,27 +2152,33 @@ object TextOps {
         coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
           .as("n_tokens"))
         .withColumn("stage", lit(stage))
-    val input = rec.staged("input")(docs)
-    val clean = rec.staged("quality_pass") {
-      qualityRules(input).filter(col("keep")).select("doc_id")
-        .join(input, "doc_id")
-    }
-    val surv = rec.staged("exact_deduped") {
-      clean.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id")
-        .join(clean, "doc_id")
-    }
-    val kept = rec.staged("kept") {
-      dupComponents(surv, threshold)
-        .filter(col("doc_id") === col("component"))
-        .select("doc_id").join(surv, "doc_id")
-    }
-    stat(input, "input")
-      .unionByName(stat(clean, "quality_pass"))
-      .unionByName(stat(surv, "exact_deduped"))
-      .unionByName(stat(kept, "kept"))
-      .join(broadcast(rec.table()), "stage")
-      .select("stage", "n_docs", "n_tokens", "wall_ms", "shuffle_bytes")
+    // the raw input is NOT materialized for a cost row (a localCheckpoint
+    // of the whole corpus just to clock stage 0 would double the storage
+    // footprint at scale) — `input` carries zero cost by construction,
+    // the x82 convention; the listener detaches on every exit path
+    try {
+      val clean = rec.staged("quality_pass") {
+        qualityRules(docs).filter(col("keep")).select("doc_id")
+          .join(docs, "doc_id")
+      }
+      val surv = rec.staged("exact_deduped") {
+        clean.groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+          .join(clean, "doc_id")
+      }
+      val kept = rec.staged("kept") {
+        dupComponents(surv, threshold)
+          .filter(col("doc_id") === col("component"))
+          .select("doc_id").join(surv, "doc_id")
+      }
+      stat(docs, "input")
+        .unionByName(stat(clean, "quality_pass"))
+        .unionByName(stat(surv, "exact_deduped"))
+        .unionByName(stat(kept, "kept"))
+        .join(broadcast(rec.table()), Seq("stage"), "left")
+        .na.fill(0L, Seq("wall_ms", "shuffle_bytes"))
+        .select("stage", "n_docs", "n_tokens", "wall_ms", "shuffle_bytes")
+    } catch { case t: Throwable => rec.abort(); throw t }
   }
 
   /** X37 (beyond reference): curation funnel report — see

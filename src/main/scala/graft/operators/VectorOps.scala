@@ -2576,6 +2576,7 @@ object VectorOps {
     // cell list, applied as a static partition filter = file-level pruning
     val cellIds = probed.select("cluster").distinct()
       .collect().map(_.getLong(0))
+    recoverAside(s, s"$path/postings")
     val postingsRaw = s.read.parquet(s"$path/postings")
     // partition-dir values read back via type inference (INT for small
     // ids); the IN-list literals must match that dtype EXACTLY — a cast on
@@ -2598,6 +2599,12 @@ object VectorOps {
     alive.join(broadcast(probed), Seq("cluster"))
       .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .withColumn("cos", cosine("q_e", "c_e"))
+      // a neighbor counts once: an at-least-once APPEND redelivery (t38)
+      // can leave physically duplicated posting rows until the next
+      // compaction; rows are deterministic per c_id, so collapsing the
+      // SCORED pairs (small: ids + one double, candidates only — never
+      // the raw vectors) restores exactly-once serving semantics
+      .dropDuplicates("q_id", "c_id")
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
   }
@@ -2623,6 +2630,7 @@ object VectorOps {
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
+    recoverAside(s, s"$path/postings")
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tomb.getFileSystem(conf)
     if (!fs.exists(tomb)) return
@@ -2630,19 +2638,20 @@ object VectorOps {
     val fresh = new org.apache.hadoop.fs.Path(s"$path/postings_compacting")
     s.read.parquet(postings.toString)
       .join(s.read.parquet(tomb.toString), Seq("c_id"), "left_anti")
+      .dropDuplicates("c_id") // reclaim rows a redelivered append doubled
       .write.mode("overwrite").partitionBy("cluster").parquet(fresh.toString)
     swapAside(fs, fresh, postings)
     fs.delete(tomb, true)
   }
 
   /** Crash-safe directory swap: `live` is renamed ASIDE before `fresh`
-    * moves in, so no failure ordering ever leaves the index missing —
+    * moves in, so no failure ordering ever leaves the DATA missing —
     * a delete-then-rename (the naive swap) destroys the serving copy the
-    * instant the delete lands, and a crashed rename afterwards strands
-    * the index with nothing at `live`. Here a failure between the two
-    * renames leaves the old data intact at `live_old` (recoverable by
-    * hand or by the next compaction, which clears the leftover first);
-    * only after `fresh` is fully in place does the old copy get dropped.
+    * instant the delete lands. A failure between the two renames leaves
+    * the old data intact at `live_old`; [[recoverAside]] (called by every
+    * reader and maintenance entry point) renames it back, so the index
+    * self-heals at the next touch. Only after `fresh` is fully in place
+    * does the old copy get dropped.
     */
   private def swapAside(fs: org.apache.hadoop.fs.FileSystem,
       fresh: org.apache.hadoop.fs.Path,
@@ -2655,6 +2664,21 @@ object VectorOps {
     fs.delete(aside, true): Unit
   }
 
+  /** Self-heal after a crash BETWEEN [[swapAside]]'s two renames: if the
+    * live directory is missing but its `_old` aside copy exists, restore
+    * it. Idempotent, one exists() probe on the healthy path — cheap
+    * enough for every reader to call.
+    */
+  private def recoverAside(s: SparkSession, live: String): Unit = {
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(live + "_old")
+    if (!fs.exists(livePath) && fs.exists(aside)) {
+      require(fs.rename(aside, livePath), s"aside recovery failed for $live")
+      (): Unit
+    }
+  }
+
   /** Append a batch of new vectors to a [[buildIvfIndex]] index: assign
     * against the PERSISTED centroids (the index geometry never moves under
     * running queries — recentering is an offline rebuild, v18's
@@ -2662,6 +2686,8 @@ object VectorOps {
     * partitioned posting lists. Assignment is per-row and stateless, so
     * this is stream-safe and order-independent: any batch decomposition
     * of the same vectors yields the identical index (t38 gates this).
+    * A REDELIVERED batch duplicates deterministic rows — serving
+    * collapses them (see [[searchIvfIndex]]), compaction reclaims them.
     */
   def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
     graft.plans.GraftExtensions.register(batch.sparkSession)
@@ -2692,10 +2718,16 @@ object VectorOps {
     * centroids probing new cell directories — empty probe results, never
     * wrong ones, since cluster ids are centroid ids and stale ids match
     * no partition). Production serializes rebuilds behind the scheduler
-    * that triggers them, exactly like compaction.
+    * that triggers them, exactly like compaction. A CRASH between the two
+    * swaps leaves mixed geometry durably — and the standard retry of the
+    * failed job repairs it completely, because the rebuild derives
+    * everything from the alive postings, which every mixed state
+    * preserves in full.
     */
   def rebuildIvfIndex(s: SparkSession, path: String): Unit = {
     graft.plans.GraftExtensions.register(s)
+    recoverAside(s, s"$path/postings")
+    recoverAside(s, s"$path/centroids")
     val conf = s.sparkContext.hadoopConfiguration
     val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
     val centsPath = new org.apache.hadoop.fs.Path(s"$path/centroids")
@@ -2840,7 +2872,8 @@ object VectorOps {
     * [[searchIvfIndex]] keyed-anti-join discipline on the compressed tier.
     */
   private def alivePqCodes(s: SparkSession, path: String): DataFrame = {
-    val codes = s.read.parquet(s"$path/codes")
+    recoverAside(s, s"$path/codes")
+    val codes = s.read.parquet(s"$path/codes").select("vec_id", "codes")
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/pq_tombstones")
     val fs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(tombPath))
@@ -2853,7 +2886,10 @@ object VectorOps {
     * running queries — [[pqDriftAudit]] says when the frozen codebook has
     * drifted far enough from the data to warrant an offline rebuild) and
     * append the codes. Stream-safe and order-independent exactly like
-    * [[appendToIvfIndex]] (t40 gates it on the ingest stream).
+    * [[appendToIvfIndex]] (t40 gates it on the ingest stream); a
+    * REDELIVERED batch (foreachBatch at-least-once) merely duplicates
+    * deterministic rows, which serving collapses (see [[searchPqIndex]])
+    * and compaction physically reclaims.
     */
   def appendToPqIndex(batch: DataFrame, path: String): Unit =
     encodeAgainst(batch, readPqCodebook(batch.sparkSession, path))
@@ -2874,6 +2910,7 @@ object VectorOps {
     */
   def compactPqIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
+    recoverAside(s, s"$path/codes")
     val tomb = new org.apache.hadoop.fs.Path(s"$path/pq_tombstones")
     val fs = tomb.getFileSystem(conf)
     if (!fs.exists(tomb)) return
@@ -2881,6 +2918,7 @@ object VectorOps {
     val fresh = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
     s.read.parquet(codes.toString)
       .join(s.read.parquet(tomb.toString), Seq("vec_id"), "left_anti")
+      .dropDuplicates("vec_id") // reclaim rows a redelivered append doubled
       .write.mode("overwrite").parquet(fresh.toString)
     swapAside(fs, fresh, codes)
     fs.delete(tomb, true): Unit
@@ -3023,15 +3061,18 @@ object VectorOps {
         require(hasIvf, s"ivf route needs $path/postings")
         searchIvfIndex(s, path, queries, k, probes, excludeSelf)
       case "ivfpq" =>
-        require(hasPq, s"ivfpq route needs $path/codes")
-        searchIvfPqIndex(s, path, queries, k, probes)
+        require(hasPq && s.read.parquet(s"$path/codes")
+            .schema.fieldNames.contains("cluster"),
+          s"ivfpq route needs cluster-partitioned codes under $path " +
+            "(a buildIvfPqIndex root, not a flat PQ tier)")
+        searchIvfPqIndex(s, path, queries, k, probes, excludeSelf)
       case "pq" =>
         require(hasPq, s"pq route needs $path/codes")
-        searchPqIndex(s, path, queries, k)
+        searchPqIndex(s, path, queries, k, excludeSelf)
       case "rerank" =>
         require(hasIvf && hasPq, s"rerank route needs both tiers under $path")
-        // stage 1: code-only candidate generation (self already excluded)
-        val cand = searchPqIndex(s, path, queries, rerankCandidates)
+        // stage 1: code-only candidate generation
+        val cand = searchPqIndex(s, path, queries, rerankCandidates, excludeSelf)
           .select("q_id", "neighbor_id")
         // stage 2: fetch raw vectors for candidate ids only — a broadcast
         // id join against the postings tier (IVF tombstones respected),
@@ -3048,6 +3089,9 @@ object VectorOps {
           .join(alive, col("neighbor_id") === col("c_id"))
           .join(broadcast(withNorm(queries, "q")), "q_id")
           .withColumn("cos", cosine("q_e", "c_e"))
+          // duplicated posting rows from a redelivered append would
+          // multiply through the id join — collapse scored pairs
+          .dropDuplicates("q_id", "c_id")
           .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
           .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
     }
@@ -3079,26 +3123,29 @@ object VectorOps {
     * the per-query top-k. Bit-identical to the in-memory v8 path.
     */
   def searchPqIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     val cb: Array[Array[Double]] = readPqCodebook(s, path)
     val qs: Array[(Long, Array[Double])] = queries
       .select(col("vec_id"), toD).as[(Long, Seq[Double])]
       .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
-    val bc = s.sparkContext.broadcast((cb, qs))
+    val bc = s.sparkContext.broadcast((cb, qs, excludeSelf))
     val scored = alivePqCodes(s, path).as[(Long, Seq[Int])]
       .mapPartitions { it =>
-        val (cbL, qL) = bc.value
+        val (cbL, qL, exclSelf) = bc.value
         val pqM = cbL(0).length / PqS
         val qtab = qL.map { case (qid, qa) => (qid, pqTable(qa, cbL, pqM)) }
         it.flatMap { case (cid, codes) =>
           val ca = codes.toArray
-          qtab.iterator.filter(_._1 != cid).map { case (qid, tab) =>
+          qtab.iterator.filter(t => !exclSelf || t._1 != cid).map { case (qid, tab) =>
             (qid, cid, pqAdc(tab, ca))
           }
         }
       }.toDF("q_id", "neighbor_id", "adc")
+      // exactly-once serving over at-least-once appends (see
+      // searchIvfIndex): scored pairs are deterministic, collapse them
+      .dropDuplicates("q_id", "neighbor_id")
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("q_id", "neighbor_id", "adc")
@@ -3313,8 +3360,22 @@ object VectorOps {
         s"by the PQ subspace width $PqS")
     s.createDataset(cbRows.toSeq.zipWithIndex.map { case (e, j) => (j, e) })
       .toDF("j", "e").write.mode("overwrite").parquet(s"$path/codebook")
-    val bc = s.sparkContext.broadcast(cbRows.map(_.toArray))
-    residuals.select(col("c_id"), col("cluster"), col("r"))
+    encodeResiduals(residuals, cbRows.map(_.toArray))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
+  }
+
+  /** The shared residual-encode kernel of [[buildIvfPqIndex]] and
+    * [[appendToIvfPqIndex]] (the [[encodeAgainst]] twin for the fused
+    * tier): (c_id, cluster, r) rows → (vec_id, cluster, codes). Factored
+    * so the order-independence contract (v45/t42) cannot drift between
+    * the two call sites.
+    */
+  private def encodeResiduals(res: DataFrame,
+      cb: Array[Array[Double]]): DataFrame = {
+    val s = res.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cb)
+    res.select(col("c_id"), col("cluster"), col("r"))
       .as[(Long, Long, Seq[Double])]
       .mapPartitions { it =>
         val cbL = bc.value
@@ -3324,7 +3385,6 @@ object VectorOps {
         }
       }
       .toDF("vec_id", "cluster", "codes")
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
   }
 
   /** Append to a [[buildIvfPqIndex]] index: assign against the persisted
@@ -3334,24 +3394,13 @@ object VectorOps {
     */
   def appendToIvfPqIndex(batch: DataFrame, path: String): Unit = {
     val s = batch.sparkSession
-    import s.implicits._
     graft.plans.GraftExtensions.register(s)
     val cents = s.read.parquet(s"$path/centroids")
-    val cb = readPqCodebook(s, path)
-    val bc = s.sparkContext.broadcast(cb)
-    assign(withNorm(batch, "c"), cents)
+    val residuals = assign(withNorm(batch, "c"), cents)
       .join(cents.select(col("k_id").as("cluster"), col("k_e")), "cluster")
       .select(col("c_id"), col("cluster"),
         expr("zip_with(c_e, k_e, (x, y) -> x - y)").as("r"))
-      .as[(Long, Long, Seq[Double])]
-      .mapPartitions { it =>
-        val cbL = bc.value
-        val pqM = cbL(0).length / PqS
-        it.map { case (id, cl, r) =>
-          (id, cl, pqEncode(r.toArray, cbL, pqM).toSeq)
-        }
-      }
-      .toDF("vec_id", "cluster", "codes")
+    encodeResiduals(residuals, readPqCodebook(s, path))
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
   }
 
@@ -3371,6 +3420,7 @@ object VectorOps {
     */
   def compactIvfPqIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
+    recoverAside(s, s"$path/codes")
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tomb.getFileSystem(conf)
     if (!fs.exists(tomb)) return
@@ -3378,6 +3428,7 @@ object VectorOps {
     val fresh = new org.apache.hadoop.fs.Path(s"$path/codes_compacting")
     s.read.parquet(codes.toString)
       .join(s.read.parquet(tomb.toString), Seq("vec_id"), "left_anti")
+      .dropDuplicates("vec_id") // reclaim rows a redelivered append doubled
       .write.mode("overwrite").partitionBy("cluster").parquet(fresh.toString)
     swapAside(fs, fresh, codes)
     fs.delete(tomb, true): Unit
@@ -3393,9 +3444,11 @@ object VectorOps {
     * tiny and broadcast.
     */
   def searchIvfPqIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int, probes: Int = 2): DataFrame = {
+      k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
+    recoverAside(s, s"$path/codes")
+    recoverAside(s, s"$path/centroids")
     val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     val centRows: Array[(Long, Array[Double])] = s.read
       .parquet(s"$path/centroids")
@@ -3427,7 +3480,7 @@ object VectorOps {
       qcell.groupBy(_._2).map { case (cell, rows) =>
         cell -> rows.map(r => (r._1, r._3))
       }
-    val bc = s.sparkContext.broadcast(byCell)
+    val bc = s.sparkContext.broadcast((byCell, excludeSelf))
     val pruned = codesRaw.filter(col("cluster").isInCollection(cells))
     // logical deletes (deleteFromIvfPqIndex): keyed anti-join on the
     // serving path, reclaimed offline by compactIvfPqIndex
@@ -3442,13 +3495,16 @@ object VectorOps {
         col("codes"))
       .as[(Long, Long, Seq[Int])]
       .mapPartitions { it =>
-        val m = bc.value
+        val (m, exclSelf) = bc.value
         it.flatMap { case (cid, cell, codes) =>
           val ca = codes.toArray
-          m.getOrElse(cell, Nil).iterator.filter(_._1 != cid)
+          m.getOrElse(cell, Nil).iterator.filter(t => !exclSelf || t._1 != cid)
             .map { case (qid, tab) => (qid, cid, pqAdc(tab, ca)) }
         }
       }.toDF("q_id", "neighbor_id", "adc")
+      // exactly-once serving over at-least-once appends (see
+      // searchIvfIndex): scored pairs are deterministic, collapse them
+      .dropDuplicates("q_id", "neighbor_id")
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("q_id", "neighbor_id", "adc")

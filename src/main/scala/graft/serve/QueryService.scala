@@ -131,14 +131,25 @@ object QueryService {
     * exactly (doubles), so the snapshot serves bit-identical results to
     * live scoring and the same oracles gate both.
     */
-  private def bm25Root(s: SparkSession, d: String): String = {
-    val src = new java.io.File(d, "documents.parquet")
-    val ident = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+  /** Scratch snapshots outlive the JVM (shared tmpdir), so their identity
+    * must change whenever their CONTENT would: the fingerprint folds the
+    * dataset (absolute path + source file size + mtime — a regenerated
+    * corpus at the same path re-keys) with a CODE-VERSION salt. Bump the
+    * salt with any change to the scoring/index-build semantics, or a
+    * snapshot built by the old code keeps serving under the new oracle.
+    */
+  private val ServeScratchSalt = "r11a"
+
+  private def scratchIdent(src: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(
+        s"$ServeScratchSalt:${src.getAbsolutePath}:${src.length}:${src.lastModified}"
           .getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-    }
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def bm25Root(s: SparkSession, d: String): String = {
+    val ident = scratchIdent(new java.io.File(d, "documents.parquet"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_bm25_$ident"
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       graft.operators.TextOps.bm25Score(graft.core.Tables.documents(s, d))
@@ -172,13 +183,7 @@ object QueryService {
     * (and re-builds) too.
     */
   private def vecIndexRoot(s: SparkSession, d: String): String = {
-    val src = new java.io.File(d, "embeddings.parquet")
-    val ident = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
-          .getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-    }
+    val ident = scratchIdent(new java.io.File(d, "embeddings.parquet"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_vecidx_$ident"
     // gate on EVERY tier's success markers (the s26 rule: a half-built
     // scratch must re-seed, not get trusted)

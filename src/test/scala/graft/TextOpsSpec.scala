@@ -399,8 +399,13 @@ class TextOpsSpec extends SparkSpec {
     assert(counts === want,
       "cost instrumentation must not change the funnel counts")
     rows.foreach { r =>
-      assert(r.getAs[Long]("wall_ms") >= 1L,
-        s"stage ${r.getString(0)} has no wall time")
+      if (r.getString(0) == "input")
+        // input carries zero cost by construction (never materialized
+        // just for a clock — the x82 convention)
+        assert(r.getAs[Long]("wall_ms") === 0L)
+      else
+        assert(r.getAs[Long]("wall_ms") >= 1L,
+          s"stage ${r.getString(0)} has no wall time")
       assert(r.getAs[Long]("shuffle_bytes") >= 0L)
     }
     // the dedup stages shuffle by construction (groupBy md5 / the LSH

@@ -728,6 +728,12 @@ class VectorOpsSpec extends SparkSpec {
     assert(oneShot.map(_._1).toSeq.distinct.length === 10)
     assert(oneShot.exists(t => t._2 % 3 == 0),
       "appended vectors must be reachable from the index")
+    // at-least-once REDELIVERY of an append batch (foreachBatch retry):
+    // the duplicated deterministic rows must not change serving results —
+    // no duplicated neighbor, no displaced real one
+    val redelivered = searchAfter(Seq(rest, rest))
+    assert(redelivered === oneShot,
+      "a redelivered append batch must not change search results")
   }
 
   test("v41 PQ tombstone delete + compaction: deleted ids vanish, " +
