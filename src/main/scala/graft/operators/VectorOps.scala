@@ -2564,18 +2564,33 @@ object VectorOps {
   def searchIvfIndex(s: SparkSession, path: String, queries: DataFrame,
       k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.register(s)
-    val cents = s.read.parquet(s"$path/centroids")
-    val q = withNorm(queries, "q")
-    val qw = Window.partitionBy("q_id").orderBy(col("kcos").desc, col("k_id"))
-    val probed = q.join(broadcast(cents), col("q_id").isNotNull)
-      .withColumn("kcos", cosine("q_e", "k_e"))
-      .withColumn("rk", row_number().over(qw)).filter(col("rk") <= probes)
-      .select(col("q_id"), col("q_e"), col("k_id").as("cluster"))
-      .localCheckpoint() // pinned: reused for the cell list AND the join
-    // bounded collect (≤ #queries × probes ids): the serving planner's
-    // cell list, applied as a static partition filter = file-level pruning
-    val cellIds = probed.select("cluster").distinct()
-      .collect().map(_.getLong(0))
+    import s.implicits._
+    recoverAside(s, s"$path/centroids")
+    // probe planning is DRIVER-SIDE (the searchIvfPqIndex discipline):
+    // both inputs are tiny by contract — K centroids and the broadcastable
+    // query set — so ranking cells in Scala (cosArr == graft_cosine ==
+    // list_cosine_similarity, ties to smallest k_id: the exact v2 rule)
+    // replaces a join + window + checkpoint + collect chain with two
+    // small collects, cutting per-request serving jobs. The probed rows
+    // re-enter the plan as a broadcast local relation.
+    val cents: Array[(Long, Array[Double])] = s.read
+      .parquet(s"$path/centroids")
+      .select(col("k_id"), col("k_e")).as[(Long, Seq[Double])]
+      .collect().map { case (i, e) => (i, e.toArray) }
+    val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val qsArr: Array[(Long, Array[Double])] = queries
+      .select(col("vec_id"), toD).as[(Long, Seq[Double])]
+      .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
+    val probedRows: Seq[(Long, Seq[Double], Long)] = qsArr.toSeq.flatMap {
+      case (qid, qa) =>
+        cents.map { case (kid, ke) => (kid, cosArr(qa, ke)) }
+          .sortBy { case (kid, c) => (-c, kid) }.take(probes)
+          .map { case (kid, _) => (qid, qa.toSeq, kid) }
+    }
+    val probed = s.createDataset(probedRows).toDF("q_id", "q_e", "cluster")
+    // the probed cell ids (bounded by #queries × probes) become a static
+    // partition filter on the postings scan = file-level pruning
+    val cellIds = probedRows.map(_._3).distinct.toArray
     recoverAside(s, s"$path/postings")
     val postingsRaw = s.read.parquet(s"$path/postings")
     // partition-dir values read back via type inference (INT for small
