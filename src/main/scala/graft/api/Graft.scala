@@ -598,10 +598,92 @@ object Graft {
       path: String, queries: DataFrame, k: Int, probes: Int = 2): DataFrame =
     VectorOps.searchIvfPqIndex(spark, path, queries, k, probes)
 
+  /** Logical delete from a residual IVF-PQ root: the serving-path
+    * tombstone file THAT tier anti-joins ([[annDeleteFromVecIndex]]
+    * dispatches here automatically when the root is residual).
+    */
+  def annDeleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit =
+    VectorOps.deleteFromIvfPqIndex(spark, path, ids)
+
+  /** Offline compaction of a residual IVF-PQ root — rewrites the codes
+    * minus tombstones while KEEPING the cluster partitioning serving
+    * prunes on ([[annCompactVecIndex]] dispatches here automatically).
+    */
+  def annCompactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    VectorOps.compactIvfPqIndex(spark, path)
+
   /** Offline compaction of every tier under one index root. */
   def annCompactVecIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     VectorOps.compactVecIndex(spark, path)
+
+  /** Create a VERSIONED index: version 1 built under `roots/`, published
+    * by an atomic manifest pointer. Readers resolve the pointer once per
+    * request, so rebuilds can never serve empty or mixed-geometry results
+    * — the structural close of the in-place rebuild's race window.
+    * `tiers`: "ivf" (raw probed cells), "both" (IVF + flat PQ), "ivfpq"
+    * (residual).
+    */
+  def annInitVersionedVecIndex(corpus: DataFrame, root: String,
+      tiers: String = "ivf"): String =
+    VectorOps.initVersionedVecIndex(corpus, root, tiers)
+
+  /** Rebuild into version N+1 from the current version's alive rows and
+    * atomically flip the pointer; concurrent reads stay fully-old, the
+    * next resolution is fully-new. Returns the new version directory.
+    */
+  def annRebuildVersionedVecIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): String =
+    VectorOps.rebuildVersionedVecIndex(spark, root)
+
+  /** Serve through the version pointer (resolved once per request), then
+    * route tiers exactly like [[annSearchVecIndex]].
+    */
+  def annSearchVersionedVecIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, probes: Int = 2,
+      tier: String = "auto", rerankCandidates: Int = 32,
+      excludeSelf: Boolean = true): DataFrame =
+    VectorOps.searchVersionedVecIndex(spark, root, queries, k, probes,
+      tier, rerankCandidates, excludeSelf)
+
+  /** Append to / delete from / compact the CURRENT version (same frozen-
+    * geometry contracts as the unversioned entry points).
+    */
+  def annAppendVersionedVecIndex(batch: DataFrame, root: String): Unit =
+    VectorOps.appendToVersionedVecIndex(batch, root)
+
+  def annDeleteFromVersionedVecIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, ids: DataFrame): Unit =
+    VectorOps.deleteFromVersionedVecIndex(spark, root, ids)
+
+  def annCompactVersionedVecIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit =
+    VectorOps.compactVersionedVecIndex(spark, root)
+
+  /** Reclaim versions older than the newest `keepLast` (the grace window
+    * for readers pinned to a predecessor). Returns removed versions.
+    */
+  def annVacuumVecIndexVersions(spark: org.apache.spark.sql.SparkSession,
+      root: String, keepLast: Int = 2): Seq[Long] =
+    VectorOps.vacuumVecIndexVersions(spark, root, keepLast)
+
+  /** Drift-to-action decision table over a persisted index root: one row
+    * per (tier, metric) — v18's 2x occupancy rule on the stored IVF tier,
+    * v42's codebook-drift audit on the PQ tier — with integer-exact
+    * value/threshold and a keep/retrain verdict.
+    */
+  def annRebuildAdvisor(spark: org.apache.spark.sql.SparkSession,
+      path: String, margin: Double = 0.05): DataFrame =
+    VectorOps.rebuildAdvisor(spark, path, margin)
+
+  /** Advisor-gated versioned rebuild: publishes a successor version only
+    * when a tier's verdict is retrain; Some(newVersionDir) when it acted.
+    */
+  def annRebuildVersionedIfAdvised(spark: org.apache.spark.sql.SparkSession,
+      root: String, margin: Double = 0.05): Option[String] =
+    VectorOps.rebuildVersionedIfAdvised(spark, root, margin)
 
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per

@@ -2729,10 +2729,15 @@ object VectorOps {
     * partitioned write — the compactIvfIndex cost paid once per drift
     * event, never on the serving path. The rebuild is an OFFLINE job:
     * the two directory swaps are individually crash-safe (swapAside),
-    * but a query racing BETWEEN them would see mixed geometry (old
-    * centroids probing new cell directories — empty probe results, never
-    * wrong ones, since cluster ids are centroid ids and stale ids match
-    * no partition). Production serializes rebuilds behind the scheduler
+    * but a query racing BETWEEN them sees mixed geometry: old centroids
+    * probing the NEW cell directories. Because the md5 centroid re-sample
+    * over a mostly-unchanged corpus typically re-selects the same vector
+    * ids, stale centroid ids usually DO name live partitions — the probe
+    * reads possibly-reshaped cells and serves valid exact-cosine scores
+    * over whatever it scanned (recall may shift; results are never
+    * fabricated, but not "empty" either). The versioned-root layout
+    * ([[initVersionedVecIndex]]) closes this window structurally.
+    * Production serializes rebuilds behind the scheduler
     * that triggers them, exactly like compaction. A CRASH between the two
     * swaps leaves mixed geometry durably — and the standard retry of the
     * failed job repairs it completely, because the rebuild derives
@@ -3054,6 +3059,14 @@ object VectorOps {
       k: Int, probes: Int = 2, tier: String = "auto",
       rerankCandidates: Int = 32, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.register(s)
+    // self-heal BEFORE tier detection: a crash between swapAside's two
+    // renames leaves a tier at `<dir>_old` — without recovery here, tier
+    // probes would see it as absent and "auto" would silently reroute
+    // (e.g. rerank -> pq, ADC scores instead of exact cosine) instead of
+    // serving the intact data
+    recoverAside(s, s"$path/postings")
+    recoverAside(s, s"$path/codes")
+    recoverAside(s, s"$path/centroids")
     val hasIvf = tierExists(s, s"$path/postings")
     val hasPq = tierExists(s, s"$path/codes")
     // a residual (IVF-PQ) root is self-describing: its codes carry the
@@ -3112,23 +3125,50 @@ object VectorOps {
     }
   }
 
+  /** The layout probe shared by every facade maintenance entry point —
+    * the SAME rule [[searchVecIndex]] routes on, so maintenance and
+    * serving can never disagree about what a root is: a residual
+    * ([[buildIvfPqIndex]]) root has cluster-partitioned `codes/` and no
+    * raw-vector `postings/` tier.
+    */
+  private def isResidualRoot(s: SparkSession, path: String): Boolean =
+    !tierExists(s, s"$path/postings") && tierExists(s, s"$path/codes") &&
+      s.read.parquet(s"$path/codes").schema.fieldNames.contains("cluster")
+
   /** Right-to-be-forgotten across the whole index root: tombstone `ids`
     * (a vec_id column) in every tier present. Serving stops at the next
     * query on all routes; space is reclaimed by [[compactVecIndex]].
+    * A residual IVF-PQ root dispatches to [[deleteFromIvfPqIndex]]
+    * (its serving path anti-joins `tombstones/`, not the flat tier's
+    * `pq_tombstones/` — writing the wrong file would silently keep
+    * serving deleted ids on the very route "auto" picks for such roots).
     */
   def deleteFromVecIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
+    recoverAside(s, s"$path/postings")
+    recoverAside(s, s"$path/codes")
     val pinned = ids.select(col("vec_id")).localCheckpoint()
-    if (tierExists(s, s"$path/postings")) deleteFromIvfIndex(s, path, pinned)
-    if (tierExists(s, s"$path/codes")) deleteFromPqIndex(s, path, pinned)
+    if (isResidualRoot(s, path)) deleteFromIvfPqIndex(s, path, pinned)
+    else {
+      if (tierExists(s, s"$path/postings")) deleteFromIvfIndex(s, path, pinned)
+      if (tierExists(s, s"$path/codes")) deleteFromPqIndex(s, path, pinned)
+    }
   }
 
   /** Offline compaction of every tier present (each a crash-safe
     * rewrite-and-swap); results on every route are identical before and
-    * after.
+    * after. A residual root dispatches to [[compactIvfPqIndex]], whose
+    * rewrite keeps `partitionBy("cluster")` — the flat-tier compactor
+    * would silently flatten the partition-pruned layout serving depends
+    * on.
     */
   def compactVecIndex(s: SparkSession, path: String): Unit = {
-    if (tierExists(s, s"$path/postings")) compactIvfIndex(s, path)
-    if (tierExists(s, s"$path/codes")) compactPqIndex(s, path)
+    recoverAside(s, s"$path/postings")
+    recoverAside(s, s"$path/codes")
+    if (isResidualRoot(s, path)) compactIvfPqIndex(s, path)
+    else {
+      if (tierExists(s, s"$path/postings")) compactIvfIndex(s, path)
+      if (tierExists(s, s"$path/codes")) compactPqIndex(s, path)
+    }
   }
 
   /** ADC search over a [[buildPqIndex]] index: the codebook (PqKs tiny
@@ -3698,8 +3738,384 @@ object VectorOps {
            |SELECT q_id, neighbor_id, adc FROM scored
            |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, neighbor_id) <= 3""".stripMargin))
 
+  // ---------------------------------------------------- versioned roots
+
+  /** Versioned index layout — the structural close of the rebuild race
+    * [[rebuildIvfIndex]] documents (and handles only by offline policy):
+    *
+    * {{{
+    *   $root/manifest/v00000001     <- pointer files, one per published
+    *   $root/manifest/v00000002        version; readers take the max
+    *   $root/roots/v00000001/...    <- each a complete, IMMUTABLE-geometry
+    *   $root/roots/v00000002/...       index root (centroids/postings/...)
+    * }}}
+    *
+    * The pointer flip is one file CREATE in `manifest/` (write to a dotted
+    * temp name, rename within the directory — atomic on HDFS and POSIX;
+    * object stores give single-object put atomicity for the same shape).
+    * A reader resolves the pointer ONCE per request and pins that
+    * version's directory for its whole plan, so a rebuild publishing
+    * v{N+1} mid-query cannot reshape or vanish the files the plan reads:
+    * concurrent searches return fully-old or fully-new results, never
+    * empty and never mixed-geometry. [[swapAside]] survives only INSIDE a
+    * version directory (append-path compaction); whole-geometry changes
+    * go through a new version. Old versions are reclaimed AFTER a grace
+    * window by [[vacuumVecIndexVersions]] — the s32 retention discipline:
+    * in-flight readers pinned to the previous version stay valid until
+    * the vacuum horizon passes them.
+    *
+    * Scale: the manifest is O(versions) tiny files and one list call per
+    * request; version roots share nothing, so a rebuild is the same
+    * one-scan job as [[rebuildIvfIndex]] writing to a fresh directory —
+    * no serving-path cost moves at 100 TB.
+    */
+  private def versionName(n: Long): String = f"v$n%08d"
+
+  /** Highest published version under `$root/manifest`, if any. */
+  def currentVecIndexVersion(s: SparkSession, root: String): Option[Long] = {
+    val man = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    val fs = man.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(man)) None
+    else {
+      val vs = fs.listStatus(man).map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{8}") => n.drop(1).toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** The pinned directory of the current version — resolve ONCE per
+    * request; every read of the returned path is immune to later flips.
+    */
+  def resolveVecIndexRoot(s: SparkSession, root: String): String = {
+    val v = currentVecIndexVersion(s, root).getOrElse(
+      sys.error(s"resolveVecIndexRoot: no published version under $root"))
+    s"$root/roots/${versionName(v)}"
+  }
+
+  /** Atomic publish: manifest file creation via same-directory rename.
+    * Crash-retry safe — if a retried publisher finds the final name
+    * already present, the version is live and the retry is a no-op.
+    */
+  private def publishVecIndexVersion(s: SparkSession, root: String,
+      n: Long): Unit = {
+    val man = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    val fs = man.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(man)
+    val tmp = new org.apache.hadoop.fs.Path(man,
+      s".tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(s"roots/${versionName(n)}\n".getBytes("UTF-8"))
+    out.close()
+    val fin = new org.apache.hadoop.fs.Path(man, versionName(n))
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      require(fs.exists(fin), s"publish of ${versionName(n)} under $root failed")
+    }
+  }
+
+  private def buildTiers(corpus: DataFrame, dir: String, tiers: String): Unit =
+    tiers match {
+      case "ivf"   => buildIvfIndex(corpus, dir)
+      case "both"  => buildVecIndex(corpus, dir)
+      case "ivfpq" => buildIvfPqIndex(corpus, dir)
+      case other => sys.error(
+        s"initVersionedVecIndex: unknown tiers '$other' (ivf | both | ivfpq)")
+    }
+
+  /** Create a versioned index at `root`: build version 1 under
+    * `roots/v00000001`, then publish the pointer. A crash before publish
+    * leaves only unpublished debris (readers see "no version"); the retry
+    * rebuilds over it — mode=overwrite all the way down.
+    */
+  def initVersionedVecIndex(corpus: DataFrame, root: String,
+      tiers: String = "ivf"): String = {
+    val s = corpus.sparkSession
+    require(currentVecIndexVersion(s, root).isEmpty,
+      s"initVersionedVecIndex: $root already has a published version — " +
+        "use rebuildVersionedVecIndex to publish a successor")
+    val target = s"$root/roots/${versionName(1L)}"
+    buildTiers(corpus, target, tiers)
+    publishVecIndexVersion(s, root, 1L)
+    target
+  }
+
+  /** The alive raw corpus of one version directory, reconstructed from
+    * its postings tier: postings minus BOTH tombstone files (the facade
+    * writes the IVF one; a direct flat-PQ delete writes the other),
+    * redelivered-append duplicates collapsed. Double arrays pass
+    * [[withNorm]]'s cast unchanged, so builds on this reconstruction are
+    * bit-identical to builds on the original corpus.
+    */
+  private def aliveRawCorpus(s: SparkSession, dir: String): DataFrame = {
+    recoverAside(s, s"$dir/postings")
+    val conf = s.sparkContext.hadoopConfiguration
+    var df = s.read.parquet(s"$dir/postings").select("c_id", "c_e")
+    val ivfTomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (ivfTomb.getFileSystem(conf).exists(ivfTomb))
+      df = df.join(s.read.parquet(ivfTomb.toString).select("c_id"),
+        Seq("c_id"), "left_anti")
+    val pqTomb = new org.apache.hadoop.fs.Path(s"$dir/pq_tombstones")
+    if (pqTomb.getFileSystem(conf).exists(pqTomb))
+      df = df.join(s.read.parquet(pqTomb.toString)
+          .select(col("vec_id").as("c_id")), Seq("c_id"), "left_anti")
+    df.dropDuplicates("c_id")
+      .select(col("c_id").as("vec_id"), col("c_e").as("embedding"))
+  }
+
+  /** Rebuild into version N+1 and flip the pointer — the versioned
+    * successor of [[rebuildIvfIndex]]: derive the alive corpus from the
+    * CURRENT version's raw postings (tombstones applied, duplicates
+    * collapsed), run the ordinary fresh-build path into `roots/v{N+1}`,
+    * publish. The current version is never touched, so a search running
+    * concurrently serves fully-old results; the publish is atomic, so the
+    * next request serves fully-new. Tombstoned rows are gone from the new
+    * version by construction. Requires a raw-vector tier (a residual-only
+    * root stores no vectors to re-derive geometry from). Returns the new
+    * version directory.
+    */
+  def rebuildVersionedVecIndex(s: SparkSession, root: String): String = {
+    graft.plans.GraftExtensions.register(s)
+    val cur = currentVecIndexVersion(s, root).getOrElse(
+      sys.error(s"rebuildVersionedVecIndex: no published version under $root"))
+    val curDir = s"$root/roots/${versionName(cur)}"
+    require(tierExists(s, s"$curDir/postings"),
+      s"rebuildVersionedVecIndex: $curDir has no raw postings tier to rebuild from")
+    val nextDir = s"$root/roots/${versionName(cur + 1)}"
+    val alive = aliveRawCorpus(s, curDir)
+    val tiers = if (tierExists(s, s"$curDir/codes")) "both" else "ivf"
+    buildTiers(alive, nextDir, tiers)
+    publishVecIndexVersion(s, root, cur + 1)
+    nextDir
+  }
+
+  /** Serve through the versioned pointer: resolve once, then route via
+    * the [[searchVecIndex]] facade against the pinned version directory.
+    */
+  def searchVersionedVecIndex(s: SparkSession, root: String,
+      queries: DataFrame, k: Int, probes: Int = 2, tier: String = "auto",
+      rerankCandidates: Int = 32, excludeSelf: Boolean = true): DataFrame =
+    searchVecIndex(s, resolveVecIndexRoot(s, root), queries, k, probes,
+      tier, rerankCandidates, excludeSelf)
+
+  /** Append to the CURRENT version's tiers (per-row, frozen geometry —
+    * the same stream-safe contract as the unversioned appends).
+    */
+  def appendToVersionedVecIndex(batch: DataFrame, root: String): Unit = {
+    val s = batch.sparkSession
+    val dir = resolveVecIndexRoot(s, root)
+    val hasIvf = tierExists(s, s"$dir/postings")
+    if (hasIvf) appendToIvfIndex(batch, dir)
+    if (tierExists(s, s"$dir/codes")) {
+      if (!hasIvf && isResidualRoot(s, dir)) appendToIvfPqIndex(batch, dir)
+      else appendToPqIndex(batch, dir)
+    }
+  }
+
+  /** Tombstone in the current version (layout-dispatched like
+    * [[deleteFromVecIndex]]); a later [[rebuildVersionedVecIndex]] drops
+    * the rows physically in the successor version.
+    */
+  def deleteFromVersionedVecIndex(s: SparkSession, root: String,
+      ids: DataFrame): Unit =
+    deleteFromVecIndex(s, resolveVecIndexRoot(s, root), ids)
+
+  /** Compact the current version in place ([[swapAside]] stays INSIDE the
+    * version directory — the one place it remains).
+    */
+  def compactVersionedVecIndex(s: SparkSession, root: String): Unit =
+    compactVecIndex(s, resolveVecIndexRoot(s, root))
+
+  /** Reclaim versions older than the newest `keepLast` (grace window for
+    * in-flight readers pinned to a predecessor — keepLast >= 2 keeps the
+    * immediate fallback alive). Root directory goes first, manifest file
+    * second, so a crash between the two leaves a pointer to a vanished
+    * NON-current version: harmless (resolution always takes the max) and
+    * cleaned by the vacuum retry. Unpublished build debris (a crashed
+    * rebuild's roots/v{N+1}) is left for the rebuild retry to overwrite.
+    * Returns the removed version numbers.
+    */
+  def vacuumVecIndexVersions(s: SparkSession, root: String,
+      keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, "vacuumVecIndexVersions: keepLast must be >= 1")
+    val man = new org.apache.hadoop.fs.Path(s"$root/manifest")
+    val fs = man.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(man)) return Nil
+    val versions = fs.listStatus(man).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{8}") => n.drop(1).toLong }
+      .sorted.toSeq
+    val victims = versions.dropRight(keepLast)
+    victims.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/roots/${versionName(v)}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(man, versionName(v)), false)
+    }
+    victims
+  }
+
+  /** Drift-to-ACTION policy over a persisted index root — the decision
+    * layer the measuring diagnostics (v18 occupancy, v42 codebook drift)
+    * feed: one deterministic row per (tier, metric) with integer-exact
+    * value/threshold and a keep/retrain verdict.
+    *
+    *   - `ivf` row: the v18 2x-rule applied to the STORED index — a cell
+    *     holding more than twice the mean alive occupancy means the
+    *     frozen geometry has drifted (value = max_cell_n x cells,
+    *     threshold = 2 x total; pure longs, cross-engine exact).
+    *   - `pq` row (when a codebook tier exists): [[pqDriftAudit]]'s
+    *     reconstruction-quality drop vs build time, quantized to 1e-9
+    *     (value = round(drift x 1e9), threshold = margin x 1e9).
+    *
+    * Consumed by [[rebuildVersionedIfAdvised]] — advisor says retrain,
+    * the versioned rebuild publishes the successor. Scale: occupancy is
+    * one cluster-keyed count over the postings (map-side combinable, K
+    * rows out); the pq row re-scans codes once (the v42 cost), both
+    * off the serving path.
+    */
+  def rebuildAdvisor(s: SparkSession, path: String,
+      margin: Double = 0.05): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    recoverAside(s, s"$path/postings")
+    recoverAside(s, s"$path/centroids")
+    val conf = s.sparkContext.hadoopConfiguration
+    var posts = s.read.parquet(s"$path/postings").select("c_id", "cluster")
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (tomb.getFileSystem(conf).exists(tomb))
+      posts = posts.join(s.read.parquet(tomb.toString).select("c_id"),
+        Seq("c_id"), "left_anti")
+    posts = posts.dropDuplicates("c_id")
+    val cents = s.read.parquet(s"$path/centroids")
+      .select(col("k_id").as("cluster"))
+    val occ = cents
+      .join(posts.groupBy("cluster").agg(count(lit(1)).as("n")),
+        Seq("cluster"), "left")
+      .na.fill(0L, Seq("n"))
+    val ivfRow = occ
+      .agg((max("n") * count(lit(1))).as("value"), (sum("n") * 2).as("threshold"))
+      .select(lit("ivf").as("tier"), lit("max_cell_load_x_cells").as("metric"),
+        col("value").cast("long").as("value"),
+        col("threshold").cast("long").as("threshold"),
+        when(col("value") > col("threshold"), "retrain").otherwise("keep")
+          .as("verdict"))
+    if (!tierExists(s, s"$path/codebook")) ivfRow
+    else {
+      val pqRow = pqDriftAudit(s, path, aliveRawCorpus(s, path), margin)
+        .select(lit("pq").as("tier"), lit("codebook_drift_x1e9").as("metric"),
+          floor(col("drift") * 1e9 + 0.5).cast("long").as("value"),
+          lit(math.round(margin * 1e9)).as("threshold"),
+          when(col("needs_retrain"), "retrain").otherwise("keep").as("verdict"))
+      ivfRow.unionByName(pqRow)
+    }
+  }
+
+  /** Advisor-gated versioned rebuild: publish a successor version only
+    * when some tier's verdict is `retrain`; returns the new version
+    * directory when it acted. The measured diagnostics now DECIDE.
+    */
+  def rebuildVersionedIfAdvised(s: SparkSession, root: String,
+      margin: Double = 0.05): Option[String] = {
+    val cur = resolveVecIndexRoot(s, root)
+    val verdicts = rebuildAdvisor(s, cur, margin)
+      .select("verdict").collect().map(_.getString(0))
+    if (verdicts.contains("retrain")) Some(rebuildVersionedVecIndex(s, root))
+    else None
+  }
+
+  /** V49 (beyond reference): the advisor's decision table as an
+    * oracle-gated query — the frozen subset geometry with the full corpus
+    * appended, judged by the 2x occupancy rule in exact integer
+    * arithmetic.
+    */
+  val v49: GraftQuery = GraftQuery(
+    "v49_rebuild_advisor",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v49_advidx_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 0), path)
+      appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), path)
+      rebuildAdvisor(s, path)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |base AS (SELECT * FROM v WHERE vec_id % 10 != 0),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM base
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, k_id AS cluster FROM (
+           |  SELECT v.vec_id, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |occ AS (SELECT c.k_id AS cluster, count(a.vec_id) AS n
+           |        FROM cents c LEFT JOIN assign a ON a.cluster = c.k_id
+           |        GROUP BY 1),
+           |agg AS (SELECT max(n) * count(*) AS value, 2 * sum(n) AS threshold
+           |        FROM occ)
+           |SELECT 'ivf' AS tier, 'max_cell_load_x_cells' AS metric,
+           |  CAST(value AS BIGINT) AS value, CAST(threshold AS BIGINT) AS threshold,
+           |  CASE WHEN value > threshold THEN 'retrain' ELSE 'keep' END AS verdict
+           |FROM agg""".stripMargin))
+
+  /** V47 (beyond reference): the versioned-root race gate — a search
+    * RESOLVED against the current version, then EXECUTED after a rebuild
+    * has published the successor, serves the fully-OLD geometry (centroids
+    * trained on the pre-append corpus, the whole corpus assigned under
+    * them) — never empty, never mixed. The oracle replays exactly that
+    * old geometry.
+    */
+  val v47: GraftQuery = GraftQuery(
+    "v47_versioned_pinned_read",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v47_vroot_$id"
+      val emb = Tables.embeddings(s, d)
+      initVersionedVecIndex(emb.filter(col("vec_id") % 10 =!= 0), root)
+      appendToVersionedVecIndex(emb.filter(col("vec_id") % 10 === 0), root)
+      // the concurrent reader: pointer resolved NOW (v1)...
+      val pinned = searchVersionedVecIndex(s, root,
+        emb.filter(col("vec_id") < 10), k = 3, probes = 2, tier = "ivf")
+      // ...rebuild publishes v2 before the read executes
+      rebuildVersionedVecIndex(s, root)
+      pinned
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |base AS (SELECT * FROM v WHERE vec_id % 10 != 0),
+           |cents AS (SELECT vec_id AS k_id, e AS ke FROM base
+           |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+           |assign AS (SELECT vec_id, e, k_id AS cluster FROM (
+           |  SELECT v.vec_id, v.e, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+           |q AS (SELECT * FROM v WHERE vec_id < 10),
+           |probes AS (SELECT vec_id AS q_id, e AS qe, k_id AS cluster FROM (
+           |  SELECT q.vec_id, q.e, c.k_id, row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.e, c.ke) DESC, c.k_id) AS rk
+           |  FROM q CROSS JOIN cents c) WHERE rk <= 2)
+           |SELECT q_id, neighbor_id, cos FROM (
+           |  SELECT p.q_id, a.vec_id AS neighbor_id, list_cosine_similarity(p.qe, a.e) AS cos
+           |  FROM probes p JOIN assign a USING (cluster) WHERE a.vec_id != p.q_id)
+           |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin))
+
+  /** V48 (beyond reference): flip + vacuum — after the rebuild publishes
+    * v2 and the grace window passes (vacuum keepLast=1 drops v1), a fresh
+    * resolution serves the fully-NEW geometry, bit-indistinguishable from
+    * an index freshly built on the current corpus (v43's contract carried
+    * onto the versioned layout). v2's oracle gates it verbatim.
+    */
+  val v48: GraftQuery = GraftQuery(
+    "v48_versioned_flip_vacuum",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v48_vroot_$id"
+      val emb = Tables.embeddings(s, d)
+      initVersionedVecIndex(emb.filter(col("vec_id") % 10 =!= 0), root)
+      appendToVersionedVecIndex(emb.filter(col("vec_id") % 10 === 0), root)
+      rebuildVersionedVecIndex(s, root)
+      val removed = vacuumVecIndexVersions(s, root, keepLast = 1)
+      require(removed == Seq(1L), s"vacuum must reclaim exactly v1, got $removed")
+      searchVersionedVecIndex(s, root,
+        emb.filter(col("vec_id") < 10), k = 3, probes = 2, tier = "ivf")
+    },
+    v2.oracle)
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
       v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
-      v38, v39, v40, v41, v42, v43, v44, v45, v46)
+      v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49)
 }

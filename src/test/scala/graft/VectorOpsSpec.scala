@@ -882,6 +882,73 @@ class VectorOpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown tier"))
   }
 
+  test("facade delete + compact on a residual IVF-PQ root dispatch to the " +
+    "residual tier: deletes serve on the auto route, compaction keeps the " +
+    "cluster-partitioned layout") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val qs = emb.filter(vid < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-facade-ivfpq").toString + "/idx"
+    VectorOps.buildIvfPqIndex(emb, path)
+    def serve(): Set[(Long, Long, Double)] =
+      VectorOps.searchVecIndex(spark, path, qs, 3, tier = "auto").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = serve()
+    assert(before.nonEmpty)
+    // unified delete must write the tombstone file the ivfpq route
+    // anti-joins — the route "auto" itself picks for this root
+    val victims = before.filter(_._1 == 0L).map(_._2).toSeq.take(2)
+    VectorOps.deleteFromVecIndex(spark, path, emb.filter(vid.isin(victims: _*)))
+    assert(new java.io.File(s"$path/tombstones").exists(),
+      "residual root must tombstone into tombstones/, not pq_tombstones/")
+    assert(!new java.io.File(s"$path/pq_tombstones").exists())
+    val afterDel = serve()
+    assert(victims.forall(v => !afterDel.exists(_._2 == v)),
+      "facade delete must stop serving victims on the auto (ivfpq) route")
+    // unified compaction must keep the cluster-partitioned codes layout
+    VectorOps.compactVecIndex(spark, path)
+    val clusterDirs = new java.io.File(s"$path/codes")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(clusterDirs.nonEmpty,
+      "compaction must preserve the partition-pruned codes layout")
+    assert(serve() === afterDel, "compaction must not change served results")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    // the pruned serving plan survives compaction too
+    val plan = VectorOps.searchVecIndex(spark, path, qs, 3, tier = "auto")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster#\\d+ IN \\(".r
+      .findFirstIn(plan).isDefined,
+      s"post-compaction scan lost the probed-cell partition filter:\n$plan")
+  }
+
+  test("searchVecIndex self-heals aside tiers before routing: a crash " +
+    "mid-swap must not silently reroute auto to a weaker tier") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val qs = emb.filter(vid < 10)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-facade-heal").toString + "/idx"
+    VectorOps.buildVecIndex(emb, root)
+    val want = VectorOps.searchVecIndex(spark, root, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // simulate the crash window between swapAside's two renames: the live
+    // postings tier sits at postings_old
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/postings"),
+      new org.apache.hadoop.fs.Path(s"$root/postings_old")))
+    val healed = VectorOps.searchVecIndex(spark, root, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(healed === want,
+      "auto after a mid-swap crash must serve the exact rerank results, " +
+        "not silently fall back to ADC scores")
+    assert(new java.io.File(s"$root/postings").exists())
+    assert(!new java.io.File(s"$root/postings_old").exists())
+  }
+
   test("v43 rebuild under planted cluster drift: the diagnostic fires, " +
     "recall does not regress, and the rebuilt index equals a fresh build") {
     val dir = clusteredDir()
@@ -1012,6 +1079,102 @@ class VectorOpsSpec extends SparkSpec {
     assert(afterCompact === afterDel, "compaction must not change a bit")
     assert(!new java.io.File(s"$path/tombstones").exists())
     assert(!new java.io.File(s"$path/codes_old").exists())
+  }
+
+  test("versioned roots: pinned reads serve fully-old results across a " +
+    "rebuild flip, fresh resolutions serve fully-new, crash debris is " +
+    "invisible, vacuum honors the grace window") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vroot").toString + "/vidx"
+    val qs = emb.filter(vid >= 250 && vid < 260)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // v1 geometry only ever saw clusters 0-9; the rest arrive by append
+    VectorOps.initVersionedVecIndex(emb.filter(vid < 250), root)
+    assert(VectorOps.currentVecIndexVersion(spark, root) === Some(1L))
+    VectorOps.appendToVersionedVecIndex(emb.filter(vid >= 250), root)
+    val oldResults = ids(VectorOps.searchVersionedVecIndex(spark, root, qs, 3))
+    assert(oldResults.nonEmpty)
+    // unpublished debris from a "crashed rebuild" must be invisible
+    val debris = new java.io.File(s"$root/roots/v00000002/centroids")
+    debris.mkdirs()
+    assert(VectorOps.currentVecIndexVersion(spark, root) === Some(1L))
+    assert(ids(VectorOps.searchVersionedVecIndex(spark, root, qs, 3)) === oldResults)
+    // the concurrent reader: resolved BEFORE the flip, executed after —
+    // must serve the fully-old geometry, never empty/mixed
+    val pinned = VectorOps.searchVersionedVecIndex(spark, root, qs, 3)
+    val nextDir = VectorOps.rebuildVersionedVecIndex(spark, root)
+    assert(nextDir.endsWith("v00000002"))
+    assert(VectorOps.currentVecIndexVersion(spark, root) === Some(2L))
+    assert(ids(pinned) === oldResults,
+      "a read pinned before the flip must serve the old version untouched")
+    // a fresh resolution = fully-new geometry = a fresh build, bit for bit
+    val freshPath = java.nio.file.Files
+      .createTempDirectory("graft-vroot-fresh").toString + "/idx"
+    VectorOps.buildIvfIndex(emb, freshPath)
+    val newResults = ids(VectorOps.searchVersionedVecIndex(spark, root, qs, 3))
+    assert(newResults === ids(VectorOps.searchIvfIndex(spark, freshPath, qs, 3, 2)))
+    // tombstones flow into the successor version physically
+    val victims = newResults.filter(_._1 == 250L).map(_._2).toSeq.take(2)
+    VectorOps.deleteFromVersionedVecIndex(spark, root,
+      emb.filter(vid.isin(victims: _*)))
+    VectorOps.rebuildVersionedVecIndex(spark, root) // v3
+    val v3Dir = s"$root/roots/v00000003"
+    assert(!new java.io.File(s"$v3Dir/tombstones").exists(),
+      "the successor version must not carry tombstones — rows are dropped physically")
+    val afterDel = ids(VectorOps.searchVersionedVecIndex(spark, root, qs, 3))
+    assert(victims.forall(v => !afterDel.exists(_._2 == v)))
+    // vacuum: grace window keeps the newest keepLast versions only
+    assert(VectorOps.vacuumVecIndexVersions(spark, root, keepLast = 3) === Nil)
+    assert(VectorOps.vacuumVecIndexVersions(spark, root, keepLast = 2) === Seq(1L))
+    assert(!new java.io.File(s"$root/roots/v00000001").exists())
+    assert(new java.io.File(s"$root/roots/v00000002").exists())
+    assert(ids(VectorOps.searchVersionedVecIndex(spark, root, qs, 3)) === afterDel,
+      "vacuum must never touch the serving version")
+    // init refuses to stomp a published root
+    val dup = intercept[IllegalArgumentException] {
+      VectorOps.initVersionedVecIndex(emb, root)
+    }
+    assert(dup.getMessage.contains("already has a published version"))
+  }
+
+  test("rebuildAdvisor: planted cluster drift flips the ivf verdict to " +
+    "retrain, the advisor-gated versioned rebuild acts on it, and the " +
+    "post-rebuild recall gate passes") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-advisor").toString + "/vidx"
+    // v1 geometry trained on clusters 0-9 only; 10-19 arrive by append —
+    // the v43 fixture, where the 2x occupancy rule must fire
+    VectorOps.initVersionedVecIndex(emb.filter(vid < 250), root)
+    VectorOps.appendToVersionedVecIndex(emb.filter(vid >= 250), root)
+    val table = VectorOps.rebuildAdvisor(
+      spark, VectorOps.resolveVecIndexRoot(spark, root)).collect()
+    val ivfRow = table.find(_.getString(0) == "ivf").get
+    assert(ivfRow.getAs[String]("verdict") === "retrain",
+      s"planted drift must flip the ivf verdict: $ivfRow")
+    assert(ivfRow.getAs[Long]("value") > ivfRow.getAs[Long]("threshold"))
+    // the advisor DECIDES: the versioned rebuild publishes v2
+    val qs = emb.filter(vid >= 250 && vid < 260)
+    val truth = VectorOps.bruteForceTopK(emb, qs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallNow(): Double = {
+      val got = VectorOps.searchVersionedVecIndex(spark, root, qs, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val before = recallNow()
+    val acted = VectorOps.rebuildVersionedIfAdvised(spark, root)
+    assert(acted.exists(_.endsWith("v00000002")),
+      s"retrain verdict must trigger the versioned rebuild, got $acted")
+    val after = recallNow()
+    assert(after >= before && after >= 0.9,
+      s"post-rebuild recall gate: before=$before after=$after")
   }
 
   test("v36 selectivity audit: cell totals partition the corpus, match " +
