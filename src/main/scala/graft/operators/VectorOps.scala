@@ -2562,25 +2562,55 @@ object VectorOps {
     * parquet exactly.
     */
   def searchIvfIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame = {
-    graft.plans.GraftExtensions.register(s)
+      k: Int, probes: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    searchIvfIndexPlanned(s, path, collectQueryVectors(queries),
+      loadIvfCentroids(s, path), k, probes, excludeSelf)
+
+  /** The K-row centroid table as a driver array — tiny by contract.
+    * PUBLIC so a serving layer can load it ONCE per immutable index root
+    * and reuse it across polls ([[searchIvfIndexPlanned]]): the
+    * per-request parquet read (a whole Spark job at serving latencies)
+    * drops off the warm path.
+    */
+  def loadIvfCentroids(s: SparkSession, path: String): Array[(Long, Array[Double])] = {
     import s.implicits._
     recoverAside(s, s"$path/centroids")
-    // probe planning is DRIVER-SIDE (the searchIvfPqIndex discipline):
-    // both inputs are tiny by contract — K centroids and the broadcastable
-    // query set — so ranking cells in Scala (cosArr == graft_cosine ==
-    // list_cosine_similarity, ties to smallest k_id: the exact v2 rule)
-    // replaces a join + window + checkpoint + collect chain with two
-    // small collects, cutting per-request serving jobs. The probed rows
-    // re-enter the plan as a broadcast local relation.
-    val cents: Array[(Long, Array[Double])] = s.read
-      .parquet(s"$path/centroids")
+    s.read.parquet(s"$path/centroids")
       .select(col("k_id"), col("k_e")).as[(Long, Seq[Double])]
       .collect().map { case (i, e) => (i, e.toArray) }
+  }
+
+  /** Collect a (vec_id, embedding) query set to the driver in the exact
+    * form every planned search consumes: double-cast, id-sorted. Bounded
+    * by the same small-query-side contract that lets v1 broadcast
+    * queries. PUBLIC so a serving layer can cache a fixed demo/query
+    * batch across polls.
+    */
+  def collectQueryVectors(queries: DataFrame): Array[(Long, Array[Double])] = {
+    val s = queries.sparkSession
+    import s.implicits._
     val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    val qsArr: Array[(Long, Array[Double])] = queries
-      .select(col("vec_id"), toD).as[(Long, Seq[Double])]
+    queries.select(col("vec_id"), toD).as[(Long, Seq[Double])]
       .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
+  }
+
+  /** [[searchIvfIndex]] with the driver-side planning inputs supplied by
+    * the caller — the warm serving path: probe planning is DRIVER-SIDE
+    * (the searchIvfPqIndex discipline): both inputs are tiny by
+    * contract — K centroids and the broadcastable query set — so ranking
+    * cells in Scala (cosArr == graft_cosine == list_cosine_similarity,
+    * ties to smallest k_id: the exact v2 rule) replaces a join + window +
+    * checkpoint + collect chain, and a caller caching `cents`/`qsArr`
+    * (QueryService) pays ONE Spark job per poll: the pruned postings
+    * scan. The probed rows re-enter the plan as a broadcast local
+    * relation. Results are bit-identical to [[searchIvfIndex]].
+    */
+  def searchIvfIndexPlanned(s: SparkSession, path: String,
+      qsArr: Array[(Long, Array[Double])], cents: Array[(Long, Array[Double])],
+      k: Int, probes: Int = 2, excludeSelf: Boolean = true,
+      postings: Option[DataFrame] = None): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    import s.implicits._
     val probedRows: Seq[(Long, Seq[Double], Long)] = qsArr.toSeq.flatMap {
       case (qid, qa) =>
         cents.map { case (kid, ke) => (kid, cosArr(qa, ke)) }
@@ -2591,8 +2621,13 @@ object VectorOps {
     // the probed cell ids (bounded by #queries × probes) become a static
     // partition filter on the postings scan = file-level pruning
     val cellIds = probedRows.map(_._3).distinct.toArray
-    recoverAside(s, s"$path/postings")
-    val postingsRaw = s.read.parquet(s"$path/postings")
+    // `postings` lets a serving layer reuse one resolved relation across
+    // polls (file listing + footer schema are cached inside the
+    // DataFrame) — valid ONLY for an immutable root; None re-lists.
+    val postingsRaw = postings.getOrElse {
+      recoverAside(s, s"$path/postings")
+      s.read.parquet(s"$path/postings")
+    }
     // partition-dir values read back via type inference (INT for small
     // ids); the IN-list literals must match that dtype EXACTLY — a cast on
     // the attribute side would defeat partition pruning
@@ -2600,7 +2635,7 @@ object VectorOps {
       case org.apache.spark.sql.types.IntegerType => cellIds.toSeq.map(_.toInt)
       case _ => cellIds.toSeq
     }
-    val postings = postingsRaw.filter(col("cluster").isInCollection(cells))
+    val pruned = postingsRaw.filter(col("cluster").isInCollection(cells))
     // logical deletes: rows tombstoned by deleteFromIvfIndex stop being
     // served immediately via a keyed anti-join (never a scan rewrite on
     // the serving path); compactIvfIndex reclaims the space offline
@@ -2608,18 +2643,21 @@ object VectorOps {
     val tombFs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val alive =
       if (tombFs.exists(tombPath))
-        postings.join(s.read.parquet(tombPath.toString), Seq("c_id"), "left_anti")
-      else postings
+        pruned.join(s.read.parquet(tombPath.toString), Seq("c_id"), "left_anti")
+      else pruned
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     alive.join(broadcast(probed), Seq("cluster"))
       .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .withColumn("cos", cosine("q_e", "c_e"))
       // a neighbor counts once: an at-least-once APPEND redelivery (t38)
       // can leave physically duplicated posting rows until the next
-      // compaction; rows are deterministic per c_id, so collapsing the
-      // SCORED pairs (small: ids + one double, candidates only — never
-      // the raw vectors) restores exactly-once serving semantics
-      .dropDuplicates("q_id", "c_id")
+      // compaction; rows are deterministic per c_id, so duplicated scored
+      // pairs are BIT-IDENTICAL and ADJACENT in the window order (cos,
+      // then c_id) — a lag comparison inside the ranking window collapses
+      // them without the extra (q_id, c_id) shuffle dropDuplicates would
+      // add (one exchange per serve query, and per 100-TB candidate set)
+      .withColumn("prev_c", lag("c_id", 1).over(w))
+      .filter(col("prev_c").isNull || col("prev_c") =!= col("c_id"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
   }
@@ -2891,9 +2929,12 @@ object VectorOps {
     * drift audit, compaction) serves only alive vectors, the
     * [[searchIvfIndex]] keyed-anti-join discipline on the compressed tier.
     */
-  private def alivePqCodes(s: SparkSession, path: String): DataFrame = {
-    recoverAside(s, s"$path/codes")
-    val codes = s.read.parquet(s"$path/codes").select("vec_id", "codes")
+  private def alivePqCodes(s: SparkSession, path: String,
+      base: Option[DataFrame] = None): DataFrame = {
+    val codes = base.getOrElse {
+      recoverAside(s, s"$path/codes")
+      s.read.parquet(s"$path/codes")
+    }.select("vec_id", "codes")
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/pq_tombstones")
     val fs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(tombPath))
@@ -3099,30 +3140,57 @@ object VectorOps {
         searchPqIndex(s, path, queries, k, excludeSelf)
       case "rerank" =>
         require(hasIvf && hasPq, s"rerank route needs both tiers under $path")
-        // stage 1: code-only candidate generation
-        val cand = searchPqIndex(s, path, queries, rerankCandidates, excludeSelf)
-          .select("q_id", "neighbor_id")
-        // stage 2: fetch raw vectors for candidate ids only — a broadcast
-        // id join against the postings tier (IVF tombstones respected),
-        // then exact cosine + per-query rank
-        val postings = s.read.parquet(s"$path/postings")
-        val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-        val fs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val alive =
-          if (fs.exists(tombPath))
-            postings.join(s.read.parquet(tombPath.toString), Seq("c_id"), "left_anti")
-          else postings
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-        broadcast(cand)
-          .join(alive, col("neighbor_id") === col("c_id"))
-          .join(broadcast(withNorm(queries, "q")), "q_id")
-          .withColumn("cos", cosine("q_e", "c_e"))
-          // duplicated posting rows from a redelivered append would
-          // multiply through the id join — collapse scored pairs
-          .dropDuplicates("q_id", "c_id")
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-          .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
+        searchRerankPlanned(s, path, collectQueryVectors(queries),
+          loadPqCodebook(s, path), k, rerankCandidates, excludeSelf)
     }
+  }
+
+  /** The two-stage rerank route with caller-supplied planning inputs
+    * (cached codebook + query batch — see [[loadIvfCentroids]]'s serving
+    * contract): PQ codes nominate `rerankCandidates` ids per query
+    * (stage 1), raw vectors are fetched BY ID from the postings tier for
+    * exact cosine rerank (stage 2). The query vectors re-enter stage 2 as
+    * a broadcast local relation — same doubles [[withNorm]] would
+    * produce, so results are bit-identical to the unplanned route.
+    */
+  def searchRerankPlanned(s: SparkSession, path: String,
+      qsArr: Array[(Long, Array[Double])], cb: Array[Array[Double]],
+      k: Int, rerankCandidates: Int = 32, excludeSelf: Boolean = true,
+      codes: Option[DataFrame] = None,
+      postings: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    // stage 1: code-only candidate generation
+    val cand = searchPqIndexPlanned(s, path, qsArr, cb, rerankCandidates,
+      excludeSelf, codes).select("q_id", "neighbor_id")
+    // stage 2: fetch raw vectors for candidate ids only — a broadcast
+    // id join against the postings tier (IVF tombstones respected),
+    // then exact cosine + per-query rank
+    val postingsDf = postings.getOrElse {
+      recoverAside(s, s"$path/postings")
+      s.read.parquet(s"$path/postings")
+    }
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tombPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val alive =
+      if (fs.exists(tombPath))
+        postingsDf.join(s.read.parquet(tombPath.toString), Seq("c_id"), "left_anti")
+      else postingsDf
+    val qLocal = s.createDataset(qsArr.toSeq.map { case (id, e) => (id, e.toSeq) })
+      .toDF("q_id", "q_e")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    broadcast(cand)
+      .join(alive, col("neighbor_id") === col("c_id"))
+      .join(broadcast(qLocal), "q_id")
+      .withColumn("cos", cosine("q_e", "c_e"))
+      // duplicated posting rows from a redelivered append would multiply
+      // through the id join — the duplicates are bit-identical and
+      // adjacent in the ranking order, so collapse them inside the
+      // window (no extra exchange)
+      .withColumn("prev_c", lag("c_id", 1).over(w))
+      .filter(col("prev_c").isNull || col("prev_c") =!= col("c_id"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id").as("neighbor_id"), col("cos"))
   }
 
   /** The layout probe shared by every facade maintenance entry point —
@@ -3178,15 +3246,27 @@ object VectorOps {
     * the per-query top-k. Bit-identical to the in-memory v8 path.
     */
   def searchPqIndex(s: SparkSession, path: String, queries: DataFrame,
-      k: Int, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame =
+    searchPqIndexPlanned(s, path, collectQueryVectors(queries),
+      loadPqCodebook(s, path), k, excludeSelf)
+
+  /** The PqKs-row codebook as a driver array — PUBLIC for the same
+    * serve-layer caching contract as [[loadIvfCentroids]].
+    */
+  def loadPqCodebook(s: SparkSession, path: String): Array[Array[Double]] =
+    readPqCodebook(s, path)
+
+  /** [[searchPqIndex]] with caller-supplied planning inputs (cached
+    * codebook + query batch): one code-scan Spark job per poll,
+    * bit-identical results.
+    */
+  def searchPqIndexPlanned(s: SparkSession, path: String,
+      qs: Array[(Long, Array[Double])], cb: Array[Array[Double]],
+      k: Int, excludeSelf: Boolean = true,
+      codes: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val toD = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    val cb: Array[Array[Double]] = readPqCodebook(s, path)
-    val qs: Array[(Long, Array[Double])] = queries
-      .select(col("vec_id"), toD).as[(Long, Seq[Double])]
-      .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1)
     val bc = s.sparkContext.broadcast((cb, qs, excludeSelf))
-    val scored = alivePqCodes(s, path).as[(Long, Seq[Int])]
+    val scored = alivePqCodes(s, path, codes).as[(Long, Seq[Int])]
       .mapPartitions { it =>
         val (cbL, qL, exclSelf) = bc.value
         val pqM = cbL(0).length / PqS
@@ -3198,11 +3278,14 @@ object VectorOps {
           }
         }
       }.toDF("q_id", "neighbor_id", "adc")
-      // exactly-once serving over at-least-once appends (see
-      // searchIvfIndex): scored pairs are deterministic, collapse them
-      .dropDuplicates("q_id", "neighbor_id")
+    // exactly-once serving over at-least-once appends (see
+    // searchIvfIndex): duplicated scored pairs are bit-identical and
+    // adjacent in the ranking order — collapse them inside the window
+    // instead of paying a second exchange
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("prev_n", lag("neighbor_id", 1).over(w))
+      .filter(col("prev_n").isNull || col("prev_n") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("q_id", "neighbor_id", "adc")
   }
 
@@ -3557,11 +3640,14 @@ object VectorOps {
             .map { case (qid, tab) => (qid, cid, pqAdc(tab, ca)) }
         }
       }.toDF("q_id", "neighbor_id", "adc")
-      // exactly-once serving over at-least-once appends (see
-      // searchIvfIndex): scored pairs are deterministic, collapse them
-      .dropDuplicates("q_id", "neighbor_id")
+    // exactly-once serving over at-least-once appends (see
+    // searchIvfIndex): duplicated scored pairs are bit-identical and
+    // adjacent in the ranking order — collapse them inside the window
+    // instead of paying a second exchange
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("prev_n", lag("neighbor_id", 1).over(w))
+      .filter(col("prev_n").isNull || col("prev_n") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("q_id", "neighbor_id", "adc")
   }
 

@@ -158,7 +158,7 @@ object QueryService {
   }
 
   def docSearch(s: SparkSession, d: String, k: Int = 10): DataFrame =
-    s.read.parquet(bm25Root(s, d))
+    relationOf(s, bm25Root(s, d))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
 
   /** The search endpoint as a driver-checked query: the x31 scoring SQL
@@ -182,7 +182,7 @@ object QueryService {
     * source file's size and mtime, so a rewrite at the same path re-keys
     * (and re-builds) too.
     */
-  private def vecIndexRoot(s: SparkSession, d: String): String = {
+  private[graft] def vecIndexRoot(s: SparkSession, d: String): String = {
     val ident = scratchIdent(new java.io.File(d, "embeddings.parquet"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_vecidx_$ident"
     // gate on EVERY tier's success markers (the s26 rule: a half-built
@@ -195,20 +195,80 @@ object QueryService {
     path
   }
 
+  /** WARM-PATH driver caches (VERDICT r11 task 2): the serving index
+    * root is immutable once built — its identity is a content
+    * fingerprint ([[scratchIdent]]), so a changed corpus re-keys the
+    * root and these caches miss by construction. Caching the tiny
+    * planning inputs (K centroids, PqKs codebook rows, the fixed demo
+    * query batch, the BM25 top page) turns each poll from 3-4 Spark
+    * jobs into ONE — the route's own data scan — while serving
+    * bit-identical results (the planned searches consume the exact
+    * arrays the unplanned ones collect per request; the same oracles
+    * gate both).
+    */
+  private val servedCents =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]]
+  private val servedCodebooks =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private val servedQueryVecs =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Double])]]
+  private val servedLexPages =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, Double)]]
+  // resolved base relations (file listing + footer schema live inside the
+  // DataFrame) — safe to reuse per poll ONLY because serving roots are
+  // immutable once fingerprint-built; tombstone checks stay per-request
+  private val servedRelations = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def relationOf(s: SparkSession, dir: String): DataFrame =
+    servedRelations.getOrElseUpdate((s, dir), s.read.parquet(dir))
+
+  private def centsOf(s: SparkSession, path: String) =
+    servedCents.getOrElseUpdate(path,
+      graft.operators.VectorOps.loadIvfCentroids(s, path))
+
+  private def codebookOf(s: SparkSession, path: String) =
+    servedCodebooks.getOrElseUpdate(path,
+      graft.operators.VectorOps.loadPqCodebook(s, path))
+
+  private def demoQueriesOf(s: SparkSession, d: String, path: String,
+      maxId: Long) =
+    servedQueryVecs.getOrElseUpdate(s"$path#lt$maxId",
+      graft.operators.VectorOps.collectQueryVectors(
+        graft.core.Tables.embeddings(s, d).filter(col("vec_id") < maxId)))
+
   /** Vector-search endpoint: top-k neighbors of the demo query vectors
     * (vec_id < 5 — the per-request parameterization seam), served from
-    * the persisted index through the [[graft.operators.VectorOps
-    * .searchVecIndex]] facade — `tier` picks the route per query budget
-    * (ivf = raw probed cells, pq = code-only ADC, rerank = codes nominate
-    * + raw rerank). The build-once/query-many serving shape next to
-    * [[docSearch]]'s text arm (a production deployment fuses the two with
-    * x62's RRF).
+    * the persisted index through the planned variants of the
+    * [[graft.operators.VectorOps.searchVecIndex]] routes — `tier` picks
+    * the route per query budget (ivf = raw probed cells, pq = code-only
+    * ADC, rerank = codes nominate + raw rerank), the driver caches above
+    * supply the planning inputs. The build-once/query-many serving shape
+    * next to [[docSearch]]'s text arm (a production deployment fuses the
+    * two with x62's RRF).
     */
   def vecSearch(s: SparkSession, d: String, k: Int = 3,
-      tier: String = "ivf"): DataFrame =
-    graft.operators.VectorOps.searchVecIndex(s, vecIndexRoot(s, d),
-      graft.core.Tables.embeddings(s, d).filter(col("vec_id") < 5),
-      k = k, probes = 2, tier = tier)
+      tier: String = "ivf"): DataFrame = {
+    val path = vecIndexRoot(s, d)
+    val qs = demoQueriesOf(s, d, path, 5L)
+    val V = graft.operators.VectorOps
+    tier match {
+      case "ivf" =>
+        V.searchIvfIndexPlanned(s, path, qs, centsOf(s, path), k, probes = 2,
+          postings = Some(relationOf(s, s"$path/postings")))
+      case "pq" =>
+        V.searchPqIndexPlanned(s, path, qs, codebookOf(s, path), k,
+          codes = Some(relationOf(s, s"$path/codes")))
+      case "rerank" =>
+        V.searchRerankPlanned(s, path, qs, codebookOf(s, path), k,
+          codes = Some(relationOf(s, s"$path/codes")),
+          postings = Some(relationOf(s, s"$path/postings")))
+      case other =>
+        V.searchVecIndex(s, path,
+          graft.core.Tables.embeddings(s, d).filter(col("vec_id") < 5),
+          k = k, probes = 2, tier = other)
+    }
+  }
 
   /** Recall@3 of every serving route against the exact baseline — the
     * v24 eval loop run over the PERSISTED index's three routes, one row
@@ -417,16 +477,25 @@ object QueryService {
     */
   def hybridSearch(s: SparkSession, d: String, k: Int = 10,
       cand: Int = 20): DataFrame = {
+    import s.implicits._
     val path = vecIndexRoot(s, d)
-    val lex = s.read.parquet(bm25Root(s, d))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(cand)
-      .withColumn("lex_rank",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
-      .select(col("doc_id"), col("lex_rank"))
-    val emb = graft.core.Tables.embeddings(s, d)
+    // the lexical top page is a driver-cached TakeOrdered over the
+    // immutable BM25 snapshot: sorted (bm25 desc, doc_id) driver-side —
+    // the identical total order the window rank would assign — and
+    // re-entered as a local relation, so a warm poll runs no lex scan
+    val lexPage = servedLexPages.getOrElseUpdate((bm25Root(s, d), cand),
+      s.read.parquet(bm25Root(s, d))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(cand)
+        .select("doc_id", "bm25").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy { case (id, bm) => (-bm, id) })
+    val lex = s.createDataset(lexPage.zipWithIndex
+        .map { case ((id, _), i) => (id, i + 1) })
+      .toDF("doc_id", "lex_rank")
     val vtop = graft.operators.VectorOps
-      .searchVecIndex(s, path, emb.filter(col("vec_id") === 0L),
-        k = cand, probes = 2, tier = "ivf")
+      .searchIvfIndexPlanned(s, path, demoQueriesOf(s, d, path, 1L),
+        centsOf(s, path), k = cand, probes = 2,
+        postings = Some(relationOf(s, s"$path/postings")))
       .withColumn("vec_rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
       .select(col("neighbor_id").as("doc_id"), col("vec_rank"))

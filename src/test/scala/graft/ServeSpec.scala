@@ -63,6 +63,58 @@ class ServeSpec extends SparkSpec {
     assert(servedRows.toSeq === live.toSeq)
   }
 
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("warm vector/hybrid polls serve from driver caches: bit-identical " +
+    "to the facade routes, no planning jobs on the warm path") {
+    import org.apache.spark.sql.functions.col
+    def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // warm every cache (index build, centroid/codebook/query loads)
+    Seq("ivf", "pq", "rerank").foreach(t =>
+      QueryService.vecSearch(spark, sf, tier = t).collect())
+    QueryService.hybridSearch(spark, sf).collect()
+    // cached planned routes == the uncached facade routes, bit for bit
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 5)
+    for (t <- Seq("ivf", "pq", "rerank")) {
+      val viaFacade = graft.operators.VectorOps.searchVecIndex(
+        spark, QueryService.vecIndexRoot(spark, sf), qs, 3, 2, tier = t)
+      assert(ids(QueryService.vecSearch(spark, sf, tier = t)) === ids(viaFacade),
+        s"cached $t route diverged from the facade route")
+    }
+    // warm polls: the planning reads (centroids/codebook/query batch/lex
+    // page) are cache hits, so the only jobs left are the route's own
+    // data-scan action (AQE splits it into broadcast + shuffle + result
+    // jobs — intrinsic to the plan, not per-poll planning reads). Gate
+    // the contrast against the uncached facade, which pays the planning
+    // collects every call.
+    val vecJobs = countJobs(QueryService.vecSearch(spark, sf).collect())
+    val facadeJobs = countJobs(graft.operators.VectorOps.searchVecIndex(
+      spark, QueryService.vecIndexRoot(spark, sf), qs, 3, 2, tier = "ivf")
+      .collect())
+    System.err.println(s"[serve] warm ivf poll jobs=$vecJobs facade=$facadeJobs")
+    assert(vecJobs < facadeJobs,
+      s"cached poll ($vecJobs jobs) must beat the uncached facade ($facadeJobs)")
+    assert(vecJobs <= 6, s"warm ivf poll submitted $vecJobs jobs")
+    val pqJobs = countJobs(QueryService.vecSearch(spark, sf, tier = "pq").collect())
+    assert(pqJobs <= 6, s"warm pq poll submitted $pqJobs jobs")
+    val hybJobs = countJobs(QueryService.hybridSearch(spark, sf).collect())
+    assert(hybJobs <= 10, s"warm hybrid poll submitted $hybJobs jobs")
+  }
+
   test("doc search serves the exact BM25 top-10, score-descending") {
     val hits = QueryService.docSearch(spark, sf).collect()
     assert(hits.length == 10)
