@@ -1715,8 +1715,93 @@ object StreamingOps {
     VectorOps.v27.oracle,
     bench = false)
 
+  /** T44 (beyond reference): checkpoint RECOVERY for the ingest-hygiene
+    * ladder — the reference job's only durability story is
+    * `checkpointLocation` (pyspark-job.py:166,213); this gate PROVES the
+    * restart semantics end to end: the t37 pipeline processes landed
+    * file A, the query STOPS (a new query instance must then resume from
+    * the checkpoint alone — the crash stand-in), file B lands, and a
+    * FRESH query on the SAME checkpoint processes exactly the unseen
+    * file. Reprocessing A would double the append-sink rows; losing B
+    * would drop them — the oracle's exact row set catches both. The
+    * oracle replays the two-batch ladder A-then-B: in-batch keep-min per
+    * fingerprint, then B's survivors anti-joined against A's accepted
+    * fingerprints — the incremental semantics the durable seen store +
+    * checkpoint restart must reproduce together.
+    */
+  val t44: GraftQuery = GraftQuery(
+    "t44_stream_checkpoint_recovery",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t44_$id"
+      val stage = s"$base/stage"
+      val seenPath = s"$base/seen"
+      val outPath = s"$base/out"
+      val cp = s"$base/ckpt"
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // land a half-corpus as ONE parquet file in the watched directory
+      def land(half: DataFrame, name: String): Unit = {
+        val tmp = s"$base/tmp_$name"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(stage))
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(s"$stage/$name.parquet")))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+      }
+      def runPass(): Unit = {
+        val q = s.readStream.schema(docs.schema).parquet(stage)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // x22's deterministic PII injection (t37's rule)
+            val injected = batch.select(col("doc_id"),
+              when(col("doc_id") % 10 === 0,
+                concat(col("text"), lit(" contact user"),
+                  col("doc_id").cast("string"),
+                  lit("@example.com or call 555-0142")))
+                .otherwise(col("text")).as("text"))
+            ingestHygieneBatch(injected, seenPath, outPath)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      land(docs.filter(col("doc_id") % 2 === 0), "a")
+      runPass() // processes A, then stops — the crash stand-in
+      land(docs.filter(col("doc_id") % 2 === 1), "b")
+      runPass() // NEW query instance, SAME checkpoint: resumes at file B
+      s.read.parquet(outPath)
+    },
+    Some("""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+           |  THEN text || ' contact user' || doc_id || '@example.com or call 555-0142'
+           |  ELSE text END AS raw FROM documents),
+           |blk AS (SELECT doc_id, raw FROM inj
+           |  WHERE len(list_filter(str_split(raw, ' '),
+           |    x -> x IN ('slow', 'spill', 'oom'))) = 0),
+           |sc AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+           |  regexp_replace(regexp_replace(raw,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |    '555-[0-9]{4}', '[PHONE]', 'g') AS clean
+           |  FROM blk),
+           |fp AS (SELECT doc_id, n_emails, n_phones, md5(clean) AS clean_md5,
+           |  md5(array_to_string(list_sort(list_distinct(str_split(clean, ' '))), ' ')) AS h
+           |  FROM sc),
+           |fa AS (SELECT * FROM fp WHERE doc_id % 2 = 0
+           |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)),
+           |fb AS (SELECT * FROM fp WHERE doc_id % 2 = 1
+           |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)),
+           |fb2 AS (SELECT fb.* FROM fb ANTI JOIN fa USING (h))
+           |SELECT doc_id, h, n_emails, n_phones, clean_md5 FROM fa
+           |UNION ALL
+           |SELECT doc_id, h, n_emails, n_phones, clean_md5 FROM fb2""".stripMargin),
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
       t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-      t42, t43)
+      t42, t43, t44)
 }
