@@ -82,7 +82,13 @@ object ScaleBench {
       // j1's self-join sees 20% of lineitem on one order key (AQE
       // skew-split territory), s17's bucketed join absorbs a hot bucket
       // with no exchange to split
-      "j1_composite_2key_join", "s17_bucketed_colocated_join")
+      "j1_composite_2key_join", "s17_bucketed_colocated_join",
+      // r11 verdict #7: the serve facade under a planted hot IVF cell
+      // (50% of all vectors share query 0's direction — see
+      // ScaleProbe.replicate): probe-pruned serving must scan the hot
+      // cell in parallel, not collapse to a single-task read; the pq
+      // route gates the code-only scan's linearity on the same corpus
+      "serve_vec_search", "serve_vec_search_pq")
     val skewRows = skewOps.map { name =>
       val t1 = time(spark, name, base)
       val tf = time(spark, name, skewOut)

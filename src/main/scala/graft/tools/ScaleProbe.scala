@@ -49,7 +49,10 @@ object ScaleProbe {
     */
   def replicate(s: SparkSession, base: String, out: String, factor: Int,
       skewed: Boolean = false): Unit = {
-    val done = new java.io.File(s"$out/_DONE")
+    // marker versioned with the replica RECIPE: a content change (e.g.
+    // the r12 hot-cell embedding plant) must invalidate a cached replica
+    // left in the shared tmpdir by an earlier build of this tool
+    val done = new java.io.File(s"$out/_DONE_r12a")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
     def reps(df: DataFrame): DataFrame =
@@ -110,7 +113,21 @@ object ScaleProbe {
 
     val emb = graft.core.Tables.embeddings(s, base)
     val eSpan = emb.agg(max("vec_id")).head().getLong(0) + 1
+    // skewed: HALF of all replicated vectors collapse onto query 0's
+    // exact direction — they assign to ONE IVF cell (ties to the smallest
+    // centroid id), so the hot cell holds ~50% of the corpus and the
+    // demo query (vec_id 0) provably probes it. Rep-0 rows stay
+    // untouched: the serving query set and its oracle inputs are
+    // unchanged, only the corpus shape is adversarial.
+    val hotVec: Seq[Float] =
+      if (skewed) emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      else Nil
     writeSingle(reps(emb)
+      .withColumn("embedding",
+        if (!skewed) col("embedding")
+        else when(col("rep") > 0 && pmod(col("vec_id"), lit(2)) === 0,
+          array(hotVec.map(v => lit(v)): _*)).otherwise(col("embedding")))
       .withColumn("vec_id", col("vec_id") + col("rep") * eSpan)
       .drop("rep"), "embeddings")
 
