@@ -2608,7 +2608,8 @@ object VectorOps {
   def searchIvfIndexPlanned(s: SparkSession, path: String,
       qsArr: Array[(Long, Array[Double])], cents: Array[(Long, Array[Double])],
       k: Int, probes: Int = 2, excludeSelf: Boolean = true,
-      postings: Option[DataFrame] = None): DataFrame = {
+      postings: Option[DataFrame] = None,
+      compactForServe: Boolean = false): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     import s.implicits._
     val probedRows: Seq[(Long, Seq[Double], Long)] = qsArr.toSeq.flatMap {
@@ -2646,9 +2647,20 @@ object VectorOps {
         pruned.join(s.read.parquet(tombPath.toString), Seq("c_id"), "left_anti")
       else pruned
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    alive.join(broadcast(probed), Seq("cluster"))
+    val scoredRows = alive.join(broadcast(probed), Seq("cluster"))
       .filter(if (excludeSelf) col("c_id") =!= col("q_id") else lit(true))
       .withColumn("cos", cosine("q_e", "c_e"))
+    // compactForServe: a SERVING caller's per-poll work is bounded by
+    // contract (probes x cell size candidates), so coalesce(1) collapses
+    // the WHOLE narrow chain — pruned scan, broadcast join, scoring,
+    // ranking window (SinglePartition satisfies its clustering
+    // requirement) — into one task and zero exchanges: the lowest-latency
+    // posture for a poll, at the deliberate price of a serial scan.
+    // SCALEBENCH's skewed serve rows measure exactly this posture under
+    // a planted 50%-hot cell and gate it staying flat. NEVER the
+    // default: at pipeline scale the parallel scan + shuffle is the
+    // right plan.
+    (if (compactForServe) scoredRows.coalesce(1) else scoredRows)
       // a neighbor counts once: an at-least-once APPEND redelivery (t38)
       // can leave physically duplicated posting rows until the next
       // compaction; rows are deterministic per c_id, so duplicated scored
@@ -3157,12 +3169,13 @@ object VectorOps {
       qsArr: Array[(Long, Array[Double])], cb: Array[Array[Double]],
       k: Int, rerankCandidates: Int = 32, excludeSelf: Boolean = true,
       codes: Option[DataFrame] = None,
-      postings: Option[DataFrame] = None): DataFrame = {
+      postings: Option[DataFrame] = None,
+      compactForServe: Boolean = false): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
     // stage 1: code-only candidate generation
     val cand = searchPqIndexPlanned(s, path, qsArr, cb, rerankCandidates,
-      excludeSelf, codes).select("q_id", "neighbor_id")
+      excludeSelf, codes, compactForServe).select("q_id", "neighbor_id")
     // stage 2: fetch raw vectors for candidate ids only — a broadcast
     // id join against the postings tier (IVF tombstones respected),
     // then exact cosine + per-query rank
@@ -3179,10 +3192,12 @@ object VectorOps {
     val qLocal = s.createDataset(qsArr.toSeq.map { case (id, e) => (id, e.toSeq) })
       .toDF("q_id", "q_e")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    broadcast(cand)
+    val fetched = broadcast(cand)
       .join(alive, col("neighbor_id") === col("c_id"))
       .join(broadcast(qLocal), "q_id")
       .withColumn("cos", cosine("q_e", "c_e"))
+    // the serving posture: see searchIvfIndexPlanned's compactForServe
+    (if (compactForServe) fetched.coalesce(1) else fetched)
       // duplicated posting rows from a redelivered append would multiply
       // through the id join — the duplicates are bit-identical and
       // adjacent in the ranking order, so collapse them inside the
@@ -3263,10 +3278,11 @@ object VectorOps {
   def searchPqIndexPlanned(s: SparkSession, path: String,
       qs: Array[(Long, Array[Double])], cb: Array[Array[Double]],
       k: Int, excludeSelf: Boolean = true,
-      codes: Option[DataFrame] = None): DataFrame = {
+      codes: Option[DataFrame] = None,
+      compactForServe: Boolean = false): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast((cb, qs, excludeSelf))
-    val scored = alivePqCodes(s, path, codes).as[(Long, Seq[Int])]
+    val scored0 = alivePqCodes(s, path, codes).as[(Long, Seq[Int])]
       .mapPartitions { it =>
         val (cbL, qL, exclSelf) = bc.value
         val pqM = cbL(0).length / PqS
@@ -3278,6 +3294,8 @@ object VectorOps {
           }
         }
       }.toDF("q_id", "neighbor_id", "adc")
+    // the serving posture: see searchIvfIndexPlanned's compactForServe
+    val scored = if (compactForServe) scored0.coalesce(1) else scored0
     // exactly-once serving over at-least-once appends (see
     // searchIvfIndex): duplicated scored pairs are bit-identical and
     // adjacent in the ranking order — collapse them inside the window
