@@ -108,11 +108,12 @@ class ServeSpec extends SparkSpec {
     System.err.println(s"[serve] warm ivf poll jobs=$vecJobs facade=$facadeJobs")
     assert(vecJobs < facadeJobs,
       s"cached poll ($vecJobs jobs) must beat the uncached facade ($facadeJobs)")
-    assert(vecJobs <= 6, s"warm ivf poll submitted $vecJobs jobs")
+    assert(vecJobs <= 2, s"warm ivf poll submitted $vecJobs jobs " +
+      "(compact posture = one narrow action)")
     val pqJobs = countJobs(QueryService.vecSearch(spark, sf, tier = "pq").collect())
-    assert(pqJobs <= 6, s"warm pq poll submitted $pqJobs jobs")
+    assert(pqJobs <= 2, s"warm pq poll submitted $pqJobs jobs")
     val hybJobs = countJobs(QueryService.hybridSearch(spark, sf).collect())
-    assert(hybJobs <= 10, s"warm hybrid poll submitted $hybJobs jobs")
+    assert(hybJobs <= 4, s"warm hybrid poll submitted $hybJobs jobs")
   }
 
   test("doc search serves the exact BM25 top-10, score-descending") {
