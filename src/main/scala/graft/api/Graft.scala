@@ -638,6 +638,15 @@ object Graft {
       root: String): String =
     VectorOps.rebuildVersionedVecIndex(spark, root)
 
+  /** Retrain version N+1 from an EXTERNAL source-of-truth corpus (the
+    * FAISS posture, and the only rebuild a lossy residual root can
+    * have); current-version tombstones are honored so deleted ids never
+    * resurrect. Same atomic pointer flip.
+    */
+  def annRebuildVersionedVecIndexFrom(spark: org.apache.spark.sql.SparkSession,
+      root: String, corpus: DataFrame): String =
+    VectorOps.rebuildVersionedVecIndexFrom(spark, root, corpus)
+
   /** Serve through the version pointer (resolved once per request), then
     * route tiers exactly like [[annSearchVecIndex]].
     */

@@ -3983,10 +3983,49 @@ object VectorOps {
       sys.error(s"rebuildVersionedVecIndex: no published version under $root"))
     val curDir = s"$root/roots/${versionName(cur)}"
     require(tierExists(s, s"$curDir/postings"),
-      s"rebuildVersionedVecIndex: $curDir has no raw postings tier to rebuild from")
+      s"rebuildVersionedVecIndex: $curDir has no raw postings tier to rebuild " +
+        "from — a residual (codes-only) root is lossy; retrain it from the " +
+        "source-of-truth corpus with rebuildVersionedVecIndexFrom")
     val nextDir = s"$root/roots/${versionName(cur + 1)}"
     val alive = aliveRawCorpus(s, curDir)
     val tiers = if (tierExists(s, s"$curDir/codes")) "both" else "ivf"
+    buildTiers(alive, nextDir, tiers)
+    publishVecIndexVersion(s, root, cur + 1)
+    nextDir
+  }
+
+  /** Rebuild version N+1 from an EXTERNAL source-of-truth corpus — the
+    * production retrain path (FAISS-style: geometry retrains from data,
+    * not from the index), and the ONLY rebuild a residual (codes-only)
+    * root can have, since its stored codes are lossy. The current
+    * version's tombstones are honored (a deleted id absent from serving
+    * must not resurrect through the retrain); the tier layout is
+    * preserved. Same atomicity story as [[rebuildVersionedVecIndex]]:
+    * build under roots/v{N+1}, one-file publish, concurrent readers stay
+    * fully-old.
+    */
+  def rebuildVersionedVecIndexFrom(s: SparkSession, root: String,
+      corpus: DataFrame): String = {
+    graft.plans.GraftExtensions.register(s)
+    val cur = currentVecIndexVersion(s, root).getOrElse(
+      sys.error(s"rebuildVersionedVecIndexFrom: no published version under $root"))
+    val curDir = s"$root/roots/${versionName(cur)}"
+    val conf = s.sparkContext.hadoopConfiguration
+    var alive = corpus
+    for (tomb <- Seq("tombstones", "pq_tombstones")) {
+      val p = new org.apache.hadoop.fs.Path(s"$curDir/$tomb")
+      if (p.getFileSystem(conf).exists(p)) {
+        val ids = s.read.parquet(p.toString)
+        val key = if (ids.schema.fieldNames.contains("c_id"))
+          ids.select(col("c_id").as("vec_id")) else ids.select("vec_id")
+        alive = alive.join(key, Seq("vec_id"), "left_anti")
+      }
+    }
+    val tiers =
+      if (isResidualRoot(s, curDir)) "ivfpq"
+      else if (tierExists(s, s"$curDir/codes")) "both"
+      else "ivf"
+    val nextDir = s"$root/roots/${versionName(cur + 1)}"
     buildTiers(alive, nextDir, tiers)
     publishVecIndexVersion(s, root, cur + 1)
     nextDir
@@ -4078,13 +4117,23 @@ object VectorOps {
       margin: Double = 0.05): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     recoverAside(s, s"$path/postings")
+    recoverAside(s, s"$path/codes")
     recoverAside(s, s"$path/centroids")
     val conf = s.sparkContext.hadoopConfiguration
-    var posts = s.read.parquet(s"$path/postings").select("c_id", "cluster")
+    // a residual root has no raw postings — its cluster-partitioned codes
+    // carry the same occupancy signal (one row per alive vector per cell)
+    val residual = isResidualRoot(s, path)
+    var posts =
+      if (residual) s.read.parquet(s"$path/codes")
+        .select(col("vec_id").as("c_id"), col("cluster"))
+      else s.read.parquet(s"$path/postings").select("c_id", "cluster")
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (tomb.getFileSystem(conf).exists(tomb))
-      posts = posts.join(s.read.parquet(tomb.toString).select("c_id"),
-        Seq("c_id"), "left_anti")
+    if (tomb.getFileSystem(conf).exists(tomb)) {
+      val ids = s.read.parquet(tomb.toString)
+      val key = if (ids.schema.fieldNames.contains("c_id")) ids.select("c_id")
+        else ids.select(col("vec_id").as("c_id"))
+      posts = posts.join(key, Seq("c_id"), "left_anti")
+    }
     posts = posts.dropDuplicates("c_id")
     val cents = s.read.parquet(s"$path/centroids")
       .select(col("k_id").as("cluster"))
@@ -4099,7 +4148,10 @@ object VectorOps {
         col("threshold").cast("long").as("threshold"),
         when(col("value") > col("threshold"), "retrain").otherwise("keep")
           .as("verdict"))
-    if (!tierExists(s, s"$path/codebook")) ivfRow
+    // the drift row needs the raw tier to reconstruct against — a
+    // residual root's drift audit runs against the source corpus
+    // directly (pqDriftAudit with an external corpus), not here
+    if (residual || !tierExists(s, s"$path/codebook")) ivfRow
     else {
       val pqRow = pqDriftAudit(s, path, aliveRawCorpus(s, path), margin)
         .select(lit("pq").as("tier"), lit("codebook_drift_x1e9").as("metric"),
@@ -4218,8 +4270,30 @@ object VectorOps {
     },
     v2.oracle)
 
+  /** V50 (beyond reference): the versioned RESIDUAL root's retrain path —
+    * codes are lossy, so the rebuild retrains from the source-of-truth
+    * corpus ([[rebuildVersionedVecIndexFrom]], the FAISS posture) behind
+    * the same atomic pointer flip. After init-on-subset, append, and
+    * retrain-from-source, serving equals a fresh residual build on the
+    * full corpus — v44's oracle verbatim.
+    */
+  val v50: GraftQuery = GraftQuery(
+    "v50_versioned_ivfpq_retrain",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v50_vroot_$id"
+      val emb = Tables.embeddings(s, d)
+      initVersionedVecIndex(emb.filter(col("vec_id") % 10 =!= 0), root,
+        tiers = "ivfpq")
+      appendToVersionedVecIndex(emb.filter(col("vec_id") % 10 === 0), root)
+      rebuildVersionedVecIndexFrom(s, root, emb)
+      searchVersionedVecIndex(s, root,
+        emb.filter(col("vec_id") < 10), k = 3, probes = 2)
+    },
+    v44.oracle)
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
       v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
-      v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49)
+      v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49, v50)
 }

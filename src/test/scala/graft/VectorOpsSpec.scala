@@ -1177,6 +1177,46 @@ class VectorOpsSpec extends SparkSpec {
       s"post-rebuild recall gate: before=$before after=$after")
   }
 
+  test("versioned residual root: retrain-from-source honors tombstones " +
+    "(no resurrection), serves the auto route, and the advisor reads " +
+    "occupancy from the cluster-partitioned codes") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vroot-ivfpq").toString + "/vidx"
+    VectorOps.initVersionedVecIndex(emb, root, tiers = "ivfpq")
+    val qs = emb.filter(vid < 10)
+    def serve(): Set[(Long, Long)] =
+      VectorOps.searchVersionedVecIndex(spark, root, qs, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = serve()
+    assert(before.nonEmpty)
+    // lossy root: the in-place rebuild path must refuse loudly
+    val noRaw = intercept[IllegalArgumentException] {
+      VectorOps.rebuildVersionedVecIndex(spark, root)
+    }
+    assert(noRaw.getMessage.contains("rebuildVersionedVecIndexFrom"))
+    // advisor on a residual root: occupancy row from the codes layout
+    val adv = VectorOps.rebuildAdvisor(
+      spark, VectorOps.resolveVecIndexRoot(spark, root)).collect()
+    assert(adv.map(_.getString(0)).toSeq === Seq("ivf"),
+      "residual advisor = one occupancy row (drift needs the raw corpus)")
+    assert(adv(0).getAs[Long]("threshold") > 0L)
+    // delete, then RETRAIN FROM SOURCE (which still contains the victims)
+    // — tombstones must carry into the successor version
+    val victims = before.filter(_._1 == 0L).map(_._2).toSeq.take(2)
+    VectorOps.deleteFromVersionedVecIndex(spark, root,
+      emb.filter(vid.isin(victims: _*)))
+    val v2dir = VectorOps.rebuildVersionedVecIndexFrom(spark, root, emb)
+    assert(v2dir.endsWith("v00000002"))
+    val after = serve()
+    assert(victims.forall(v => !after.exists(_._2 == v)),
+      "a deleted id resurrected through the source-corpus retrain")
+    assert(!new java.io.File(s"$v2dir/tombstones").exists(),
+      "the retrained version must drop rows physically, not carry tombstones")
+  }
+
   test("v36 selectivity audit: cell totals partition the corpus, match " +
     "counts sum to the predicate count, ppm is the exact integer ratio") {
     val dir = clusteredDir()
