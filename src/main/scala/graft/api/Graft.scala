@@ -689,10 +689,13 @@ object Graft {
 
   /** Advisor-gated versioned rebuild: publishes a successor version only
     * when a tier's verdict is retrain; Some(newVersionDir) when it acted.
+    * Residual (codes-only) roots retrain from `corpus` (required there —
+    * their codes are lossy).
     */
   def annRebuildVersionedIfAdvised(spark: org.apache.spark.sql.SparkSession,
-      root: String, margin: Double = 0.05): Option[String] =
-    VectorOps.rebuildVersionedIfAdvised(spark, root, margin)
+      root: String, margin: Double = 0.05,
+      corpus: Option[DataFrame] = None): Option[String] =
+    VectorOps.rebuildVersionedIfAdvised(spark, root, margin, corpus)
 
   /** Position-aware retrieval metrics of the IVF index vs the exact
     * baseline: (q_id, first_hit_rank, dcg_num, idcg_num, ndcg, mrr) per

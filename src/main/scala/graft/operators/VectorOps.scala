@@ -2657,9 +2657,10 @@ object VectorOps {
     // requirement) — into one task and zero exchanges: the lowest-latency
     // posture for a poll, at the deliberate price of a serial scan.
     // SCALEBENCH's skewed serve rows measure exactly this posture under
-    // a planted 50%-hot cell and gate it staying flat. NEVER the
-    // default: at pipeline scale the parallel scan + shuffle is the
-    // right plan.
+    // a planted 50%-hot cell and gate it by an ABSOLUTE ceiling (a 30x
+    // hot-cell poll must stay inside the dashboard's 3 s budget — the
+    // exponent rule can't bind on sub-0.3 s polls). NEVER the default:
+    // at pipeline scale the parallel scan + shuffle is the right plan.
     (if (compactForServe) scoredRows.coalesce(1) else scoredRows)
       // a neighbor counts once: an at-least-once APPEND redelivery (t38)
       // can leave physically duplicated posting rows until the next
@@ -2667,7 +2668,11 @@ object VectorOps {
       // pairs are BIT-IDENTICAL and ADJACENT in the window order (cos,
       // then c_id) — a lag comparison inside the ranking window collapses
       // them without the extra (q_id, c_id) shuffle dropDuplicates would
-      // add (one exchange per serve query, and per 100-TB candidate set)
+      // add (one exchange per serve query, and per 100-TB candidate set).
+      // CONTRACT this leans on: vec_id is an immutable key — a vector is
+      // never re-appended with CHANGED values (mutation = delete + new
+      // id), so equal ids always carry equal scores; out-of-contract
+      // mutated duplicates would not be adjacent and would not collapse
       .withColumn("prev_c", lag("c_id", 1).over(w))
       .filter(col("prev_c").isNull || col("prev_c") =!= col("c_id"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -4123,6 +4128,10 @@ object VectorOps {
     // a residual root has no raw postings — its cluster-partitioned codes
     // carry the same occupancy signal (one row per alive vector per cell)
     val residual = isResidualRoot(s, path)
+    require(residual || tierExists(s, s"$path/postings"),
+      s"rebuildAdvisor: $path has neither a raw postings tier nor " +
+        "cluster-partitioned codes — a flat PQ-only root carries no cell " +
+        "geometry to audit; run annPqDriftAudit with the source corpus instead")
     var posts =
       if (residual) s.read.parquet(s"$path/codes")
         .select(col("vec_id").as("c_id"), col("cluster"))
@@ -4165,14 +4174,24 @@ object VectorOps {
   /** Advisor-gated versioned rebuild: publish a successor version only
     * when some tier's verdict is `retrain`; returns the new version
     * directory when it acted. The measured diagnostics now DECIDE.
+    * A residual (codes-only) root is lossy and can only retrain from a
+    * source-of-truth corpus — pass one via `corpus`; omitting it on such
+    * a root fails loudly BEFORE any rebuild starts, naming the fix.
     */
   def rebuildVersionedIfAdvised(s: SparkSession, root: String,
-      margin: Double = 0.05): Option[String] = {
+      margin: Double = 0.05,
+      corpus: Option[DataFrame] = None): Option[String] = {
     val cur = resolveVecIndexRoot(s, root)
     val verdicts = rebuildAdvisor(s, cur, margin)
       .select("verdict").collect().map(_.getString(0))
-    if (verdicts.contains("retrain")) Some(rebuildVersionedVecIndex(s, root))
-    else None
+    if (!verdicts.contains("retrain")) None
+    else if (isResidualRoot(s, cur)) {
+      val src = corpus.getOrElse(sys.error(
+        "rebuildVersionedIfAdvised: retrain verdict on a residual " +
+          s"(codes-only) root $cur — its codes are lossy, so pass the " +
+          "source-of-truth corpus (corpus = Some(df)) to retrain from"))
+      Some(rebuildVersionedVecIndexFrom(s, root, src))
+    } else Some(rebuildVersionedVecIndex(s, root))
   }
 
   /** V49 (beyond reference): the advisor's decision table as an

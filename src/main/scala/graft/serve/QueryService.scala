@@ -216,24 +216,36 @@ object QueryService {
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, Double)]]
   // resolved base relations (file listing + footer schema live inside the
   // DataFrame) — safe to reuse per poll ONLY because serving roots are
-  // immutable once fingerprint-built; tombstone checks stay per-request
+  // immutable once fingerprint-built; tombstone visibility is handled by
+  // the plan-cache bypass in [[vecSearch]]/[[hybridSearch]]
   private val servedRelations = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Backstop bound on every driver cache: a serving JVM touches a
+    * handful of roots, so these maps stay tiny; if an unusual workload
+    * (a test harness minting hundreds of corpora in one JVM) grows one
+    * past the cap, drop it wholesale — a refill costs one poll's
+    * planning reads, a leak costs the JVM.
+    */
+  private def capped[M <: scala.collection.concurrent.TrieMap[_, _]](m: M): M = {
+    if (m.size > 64) m.clear()
+    m
+  }
+
   private def relationOf(s: SparkSession, dir: String): DataFrame =
-    servedRelations.getOrElseUpdate((s, dir), s.read.parquet(dir))
+    capped(servedRelations).getOrElseUpdate((s, dir), s.read.parquet(dir))
 
   private def centsOf(s: SparkSession, path: String) =
-    servedCents.getOrElseUpdate(path,
+    capped(servedCents).getOrElseUpdate(path,
       graft.operators.VectorOps.loadIvfCentroids(s, path))
 
   private def codebookOf(s: SparkSession, path: String) =
-    servedCodebooks.getOrElseUpdate(path,
+    capped(servedCodebooks).getOrElseUpdate(path,
       graft.operators.VectorOps.loadPqCodebook(s, path))
 
   private def demoQueriesOf(s: SparkSession, d: String, path: String,
       maxId: Long) =
-    servedQueryVecs.getOrElseUpdate(s"$path#lt$maxId",
+    capped(servedQueryVecs).getOrElseUpdate(s"$path#lt$maxId",
       graft.operators.VectorOps.collectQueryVectors(
         graft.core.Tables.embeddings(s, d).filter(col("vec_id") < maxId)))
 
@@ -249,15 +261,26 @@ object QueryService {
     */
   // the constructed serving DataFrames themselves — a poll re-EXECUTES
   // the plan (data is never cached), but the driver-side construction
-  // and analysis of an identical request is paid once; keyed by the
-  // fingerprinted root, so a changed corpus re-keys
+  // and analysis of an identical request is paid once; keyed by EVERY
+  // fingerprinted input the plan reads, so a changed corpus re-keys
   private val servedPlans = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, String), DataFrame]
+
+  /** A cached serving plan freezes the tombstone-existence decision the
+    * planned searches make at construction; serving scratch roots never
+    * see deletes, but if one ever does (vecIndexRoot is visible inside
+    * the package), bypass the cache so the delete contract — gone at
+    * the NEXT query — holds. One or two File.exists per poll.
+    */
+  private def tombstoned(path: String): Boolean =
+    new java.io.File(s"$path/tombstones").exists() ||
+      new java.io.File(s"$path/pq_tombstones").exists()
 
   def vecSearch(s: SparkSession, d: String, k: Int = 3,
       tier: String = "ivf"): DataFrame = {
     val path = vecIndexRoot(s, d)
-    servedPlans.getOrElseUpdate((s, s"vec:$path", k, tier),
+    if (tombstoned(path)) vecSearchPlan(s, d, path, k, tier)
+    else capped(servedPlans).getOrElseUpdate((s, s"vec:$path", k, tier),
       vecSearchPlan(s, d, path, k, tier))
   }
 
@@ -494,7 +517,14 @@ object QueryService {
   def hybridSearch(s: SparkSession, d: String, k: Int = 10,
       cand: Int = 20): DataFrame = {
     val path = vecIndexRoot(s, d)
-    servedPlans.getOrElseUpdate((s, s"hybrid:$path:$cand", k, ""),
+    // the key folds BOTH fingerprints the plan reads — the vector root
+    // AND the BM25 snapshot — so a documents-only corpus rewrite
+    // (new bm25Root, same embeddings) re-keys instead of serving the
+    // stale lexical arm
+    val lexRoot = bm25Root(s, d)
+    if (tombstoned(path)) hybridSearchPlan(s, d, path, k, cand)
+    else capped(servedPlans).getOrElseUpdate(
+      (s, s"hybrid:$path:$lexRoot:$cand", k, ""),
       hybridSearchPlan(s, d, path, k, cand))
   }
 

@@ -30,7 +30,11 @@ object PollProbe {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"$name%-18s p50=${times(n / 2 - 1)}%.3fs p95=${times(n - 2)}%.3fs " +
+      // clamp both percentile indices so n=1..3 stay in range (and label
+      // honestly: with 20 samples the upper slot is the 19/20 boundary)
+      val p50 = times(math.max(0, n / 2 - 1))
+      val p95 = times(math.min(n - 1, math.max(0, (n * 95 + 99) / 100 - 1)))
+      println(f"$name%-18s p50=$p50%.3fs p95=$p95%.3fs " +
         f"build_avg=${buildSec / n}%.3fs")
     }
     probe("serve_poll_rides", () => graft.serve.QueryService

@@ -85,9 +85,14 @@ object ScaleBench {
       "j1_composite_2key_join", "s17_bucketed_colocated_join",
       // r11 verdict #7: the serve facade under a planted hot IVF cell
       // (50% of all vectors share query 0's direction — see
-      // ScaleProbe.replicate): probe-pruned serving must scan the hot
-      // cell in parallel, not collapse to a single-task read; the pq
-      // route gates the code-only scan's linearity on the same corpus
+      // ScaleProbe.replicate). The serving layer DELIBERATELY runs the
+      // compact single-task posture (QueryService passes
+      // compactForServe=true), so the exponent row records how that
+      // serial scan grows; because warm polls sit far below the 0.3 s
+      // jitter floor, the exponent rule alone would never gate them —
+      // the serveCeiling check below adds the absolute latency gate
+      // that actually binds (a poll must stay inside the reference
+      // dashboard's 3 s budget even at 30x with the hot cell).
       "serve_vec_search", "serve_vec_search_pq")
     val skewRows = skewOps.map { name =>
       val t1 = time(spark, name, base)
@@ -125,7 +130,14 @@ object ScaleBench {
         f"[scalebench] SKEW cc_mega_star 1x=$t1%.2fs ${factor}x=$tf%.2fs exp=$exp%.2f")
       Row("cc_mega_star", t1, tf, exp, gated = tf >= 2.0 && t1 >= 0.3)
     }
-    val skewViolations = skewRows.filter(r => r.gated && r.exp > 1.15)
+    // serve rows: exponents on sub-0.3 s polls measure jitter, so the
+    // binding gate is ABSOLUTE — the 30x hot-cell poll must stay inside
+    // the dashboard's 3 s budget (index.html:140), single-task posture
+    // and all
+    val serveCeiling = skewRows
+      .filter(r => r.name.startsWith("serve_") && r.tf > 3.0)
+    val skewViolations =
+      skewRows.filter(r => r.gated && r.exp > 1.15) ++ serveCeiling
 
     def sec(rs: Seq[Row]): String = rs.map(r =>
       f""""${r.name}":{"t1":${r.t1}%.3f,"tf":${r.tf}%.3f,"exp":${r.exp}%.2f,"gated":${r.gated}%b}""")

@@ -1185,7 +1185,10 @@ class VectorOpsSpec extends SparkSpec {
     val vid = org.apache.spark.sql.functions.col("vec_id")
     val root = java.nio.file.Files
       .createTempDirectory("graft-vroot-ivfpq").toString + "/vidx"
-    VectorOps.initVersionedVecIndex(emb, root, tiers = "ivfpq")
+    // v1 geometry trained on clusters 0-9 only; 10-19 arrive by append —
+    // the occupancy rule must fire from the codes layout alone
+    VectorOps.initVersionedVecIndex(emb.filter(vid < 250), root, tiers = "ivfpq")
+    VectorOps.appendToVersionedVecIndex(emb.filter(vid >= 250), root)
     val qs = emb.filter(vid < 10)
     def serve(): Set[(Long, Long)] =
       VectorOps.searchVersionedVecIndex(spark, root, qs, 3).collect()
@@ -1202,18 +1205,28 @@ class VectorOpsSpec extends SparkSpec {
       spark, VectorOps.resolveVecIndexRoot(spark, root)).collect()
     assert(adv.map(_.getString(0)).toSeq === Seq("ivf"),
       "residual advisor = one occupancy row (drift needs the raw corpus)")
-    assert(adv(0).getAs[Long]("threshold") > 0L)
+    assert(adv(0).getAs[String]("verdict") === "retrain",
+      s"planted drift must fire through the codes occupancy: ${adv(0)}")
+    // the advisor-gated retrain on a lossy root: refuses without a
+    // source corpus (naming the fix), acts with one
+    val noCorpus = intercept[RuntimeException] {
+      VectorOps.rebuildVersionedIfAdvised(spark, root)
+    }
+    assert(noCorpus.getMessage.contains("corpus"))
+    val acted = VectorOps.rebuildVersionedIfAdvised(spark, root,
+      corpus = Some(emb))
+    assert(acted.exists(_.endsWith("v00000002")))
     // delete, then RETRAIN FROM SOURCE (which still contains the victims)
     // — tombstones must carry into the successor version
-    val victims = before.filter(_._1 == 0L).map(_._2).toSeq.take(2)
+    val victims = serve().filter(_._1 == 0L).map(_._2).toSeq.take(2)
     VectorOps.deleteFromVersionedVecIndex(spark, root,
       emb.filter(vid.isin(victims: _*)))
-    val v2dir = VectorOps.rebuildVersionedVecIndexFrom(spark, root, emb)
-    assert(v2dir.endsWith("v00000002"))
+    val v3dir = VectorOps.rebuildVersionedVecIndexFrom(spark, root, emb)
+    assert(v3dir.endsWith("v00000003"))
     val after = serve()
     assert(victims.forall(v => !after.exists(_._2 == v)),
       "a deleted id resurrected through the source-corpus retrain")
-    assert(!new java.io.File(s"$v2dir/tombstones").exists(),
+    assert(!new java.io.File(s"$v3dir/tombstones").exists(),
       "the retrained version must drop rows physically, not carry tombstones")
   }
 
