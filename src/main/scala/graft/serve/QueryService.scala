@@ -138,7 +138,7 @@ object QueryService {
     * salt with any change to the scoring/index-build semantics, or a
     * snapshot built by the old code keeps serving under the new oracle.
     */
-  private val ServeScratchSalt = "r11a"
+  private val ServeScratchSalt = "r12a"
 
   private def scratchIdent(src: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -172,27 +172,54 @@ object QueryService {
       s"""SELECT doc_id, bm25 FROM ($x31Sql)
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
 
-  /** The serving index root for `d`: BOTH persisted tiers (IVF raw +
-    * PQ codes), built once per dataset under a _SUCCESS-gated scratch
-    * (the s26 seed pattern) so every request pays only the route's own
-    * serving cost. Scratch identity = a fingerprint of the dataset, not
-    * the directory's leaf name: two datasets sharing a leaf (or a
-    * regenerated corpus at the same path) must NOT be served from each
-    * other's index — the fingerprint folds the absolute path with the
-    * source file's size and mtime, so a rewrite at the same path re-keys
-    * (and re-builds) too.
+  /** The serving index for `d` is a VERSIONED root (both tiers, IVF raw
+    * + PQ codes): first touch builds version 1 and publishes the
+    * manifest pointer; every request then resolves the pointer ONCE and
+    * returns the pinned, immutable version directory — so an offline
+    * retrain ([[refreshVecIndex]]) flips under running polls atomically,
+    * and every downstream driver cache re-keys automatically because its
+    * key IS the version directory. Crash-safety comes from
+    * publish-after-build (an unpublished half-build is invisible and
+    * simply rebuilt), replacing the old per-tier _SUCCESS checks.
+    * Scratch identity = a fingerprint of the dataset (absolute path +
+    * size + mtime + code salt), so a regenerated corpus at the same
+    * path re-keys and re-builds.
     */
-  private[graft] def vecIndexRoot(s: SparkSession, d: String): String = {
+  private[graft] def serveRootOf(d: String): String = {
     val ident = scratchIdent(new java.io.File(d, "embeddings.parquet"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_vecidx_$ident"
-    // gate on EVERY tier's success markers (the s26 rule: a half-built
-    // scratch must re-seed, not get trusted)
-    val complete = Seq("centroids", "postings", "codebook", "codes", "stats")
-      .forall(t => new java.io.File(s"$path/$t/_SUCCESS").exists())
-    if (!complete)
-      graft.operators.VectorOps.buildVecIndex(
-        graft.core.Tables.embeddings(s, d), path)
-    path
+    s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_vecidx_$ident"
+  }
+
+  private[graft] def vecIndexRoot(s: SparkSession, d: String): String = {
+    val root = serveRootOf(d)
+    val V = graft.operators.VectorOps
+    // serialize first-build within the JVM (concurrent pollers must not
+    // overwrite each other's in-flight build of the same version dir)
+    root.intern.synchronized {
+      if (V.currentVecIndexVersion(s, root).isEmpty)
+        V.initVersionedVecIndex(
+          graft.core.Tables.embeddings(s, d), root, tiers = "both")
+    }
+    V.resolveVecIndexRoot(s, root)
+  }
+
+  /** Operator maintenance hook: advisor-gated retrain of the serving
+    * index from its source corpus — if the occupancy/drift verdicts say
+    * retrain, a successor version is built and the pointer flips under
+    * running polls (fully-old or fully-new results, never mixed), then
+    * versions past the grace window are vacuumed. Returns the new
+    * version directory when it acted.
+    */
+  def refreshVecIndex(s: SparkSession, d: String,
+      margin: Double = 0.05): Option[String] = {
+    val root = serveRootOf(d)
+    val acted = graft.operators.VectorOps.rebuildVersionedIfAdvised(
+      s, root, margin, corpus = Some(graft.core.Tables.embeddings(s, d)))
+    acted.foreach { _ =>
+      graft.operators.VectorOps.vacuumVecIndexVersions(s, root, keepLast = 2)
+      ()
+    }
+    acted
   }
 
   /** WARM-PATH driver caches (VERDICT r11 task 2): the serving index

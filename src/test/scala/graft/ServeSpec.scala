@@ -116,6 +116,33 @@ class ServeSpec extends SparkSpec {
     assert(hybJobs <= 4, s"warm hybrid poll submitted $hybJobs jobs")
   }
 
+  test("versioned serving index: polls resolve the manifest pointer, a " +
+    "retrain flips under them with identical results, and the caches " +
+    "re-key by version directory") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    def rows(): Set[String] =
+      QueryService.vecSearch(spark, sf).collect().map(_.toString).toSet
+    val before = rows()
+    val v1 = QueryService.vecIndexRoot(spark, sf)
+    assert(v1.matches(".*/roots/v\\d{8}$"),
+      s"serving root must be a pinned version directory: $v1")
+    // an offline retrain from the same corpus publishes a successor;
+    // the deterministic build rule makes its content identical, so the
+    // flip must be invisible in results while the pointer advances
+    val root = QueryService.serveRootOf(sf)
+    val v2 = graft.operators.VectorOps
+      .rebuildVersionedVecIndexFrom(spark, root, emb)
+    assert(QueryService.vecIndexRoot(spark, sf) === v2)
+    assert(v2 !== v1)
+    assert(rows() === before,
+      "a same-corpus retrain flip changed served results")
+    // the advisor-gated refresh is safe to call either way: results stay
+    // identical and the pointer only moves forward
+    QueryService.refreshVecIndex(spark, sf)
+    assert(rows() === before)
+    assert(QueryService.vecIndexRoot(spark, sf) >= v2)
+  }
+
   test("doc search serves the exact BM25 top-10, score-descending") {
     val hits = QueryService.docSearch(spark, sf).collect()
     assert(hits.length == 10)
