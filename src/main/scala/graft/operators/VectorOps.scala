@@ -2701,6 +2701,19 @@ object VectorOps {
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     recoverAside(s, s"$path/postings")
+    // ADVICE r12: the serving lag-collapse (see [[searchIvfIndexPlanned]])
+    // is exactly-once only under the immutable-vec_id contract (equal ids
+    // carry bit-equal payloads). Compaction already scans the postings
+    // offline, so this is where a contract violation SURFACES instead of
+    // silently double-serving a mutated id: duplicated c_ids must agree.
+    val mutated = s.read.parquet(s"$path/postings")
+      .groupBy("c_id")
+      .agg(countDistinct(hash(col("c_e"))).as("nv"))
+      .filter(col("nv") > 1).limit(1).count()
+    require(mutated == 0L,
+      s"compactIvfIndex: $path holds re-appended c_ids with CHANGED " +
+        "payloads — vec_id is an immutable key (mutation = delete + new " +
+        "id); the serving dedup assumes bit-identical duplicates")
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tomb.getFileSystem(conf)
     if (!fs.exists(tomb)) return
@@ -3850,7 +3863,11 @@ object VectorOps {
   // ---------------------------------------------------- versioned roots
 
   /** Versioned index layout — the structural close of the rebuild race
-    * [[rebuildIvfIndex]] documents (and handles only by offline policy):
+    * [[rebuildIvfIndex]] documents (and handles only by offline policy).
+    * The manifest/roots mechanics (atomic pointer publish, numeric
+    * resolution, single-writer claims, grace-window vacuum) live in
+    * [[graft.core.VersionedStore]], shared with the BM25 serving snapshot;
+    * this section binds them to the index tiers:
     *
     * {{{
     *   $root/manifest/v00000001     <- pointer files, one per published
@@ -3859,9 +3876,6 @@ object VectorOps {
     *   $root/roots/v00000002/...       index root (centroids/postings/...)
     * }}}
     *
-    * The pointer flip is one file CREATE in `manifest/` (write to a dotted
-    * temp name, rename within the directory — atomic on HDFS and POSIX;
-    * object stores give single-object put atomicity for the same shape).
     * A reader resolves the pointer ONCE per request and pins that
     * version's directory for its whole plan, so a rebuild publishing
     * v{N+1} mid-query cannot reshape or vanish the files the plan reads:
@@ -3878,48 +3892,53 @@ object VectorOps {
     * one-scan job as [[rebuildIvfIndex]] writing to a fresh directory —
     * no serving-path cost moves at 100 TB.
     */
-  private def versionName(n: Long): String = f"v$n%08d"
+  private def versionName(n: Long): String =
+    graft.core.VersionedStore.versionName(n)
+
+  /** Writers that crash mid-rebuild hold their version lease until this
+    * TTL passes; a successor rebuild then takes the lease over (see
+    * [[graft.core.VersionedStore.claim]]). Generous next to any real
+    * rebuild duration so a SLOW build is never mistaken for a dead one.
+    */
+  val DefaultRebuildLeaseMs: Long = 15L * 60 * 1000
 
   /** Highest published version under `$root/manifest`, if any. */
-  def currentVecIndexVersion(s: SparkSession, root: String): Option[Long] = {
-    val man = new org.apache.hadoop.fs.Path(s"$root/manifest")
-    val fs = man.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(man)) None
-    else {
-      val vs = fs.listStatus(man).map(_.getPath.getName)
-        .collect { case n if n.matches("v\\d{8}") => n.drop(1).toLong }
-      if (vs.isEmpty) None else Some(vs.max)
-    }
-  }
+  def currentVecIndexVersion(s: SparkSession, root: String): Option[Long] =
+    graft.core.VersionedStore.currentVersion(s, root)
 
   /** The pinned directory of the current version — resolve ONCE per
     * request; every read of the returned path is immune to later flips.
     */
   def resolveVecIndexRoot(s: SparkSession, root: String): String = {
-    val v = currentVecIndexVersion(s, root).getOrElse(
-      sys.error(s"resolveVecIndexRoot: no published version under $root"))
-    s"$root/roots/${versionName(v)}"
+    require(currentVecIndexVersion(s, root).isDefined,
+      s"resolveVecIndexRoot: no published version under $root")
+    graft.core.VersionedStore.resolve(s, root)
   }
 
-  /** Atomic publish: manifest file creation via same-directory rename.
-    * Crash-retry safe — if a retried publisher finds the final name
-    * already present, the version is live and the retry is a no-op.
+  // ------------------------------------------------------ mutation epochs
+
+  /** In-JVM mutation counter per index directory, bumped by every entry
+    * point that changes files INSIDE an existing directory (append,
+    * delete, compact). Serving layers that cache resolved relations or
+    * constructed plans fold [[mutationEpochOf]] into their cache keys, so
+    * a same-process mutation through any package-visible entry point
+    * invalidates them — closing the gap where "immutable once built"
+    * roots are in fact appended to or compacted by maintenance code in
+    * the same JVM (cross-process mutations are covered by the versioned
+    * flip re-keying the path itself). Reads cost one TrieMap lookup.
     */
-  private def publishVecIndexVersion(s: SparkSession, root: String,
-      n: Long): Unit = {
-    val man = new org.apache.hadoop.fs.Path(s"$root/manifest")
-    val fs = man.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(man)
-    val tmp = new org.apache.hadoop.fs.Path(man,
-      s".tmp_${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    out.write(s"roots/${versionName(n)}\n".getBytes("UTF-8"))
-    out.close()
-    val fin = new org.apache.hadoop.fs.Path(man, versionName(n))
-    if (!fs.rename(tmp, fin)) {
-      fs.delete(tmp, false)
-      require(fs.exists(fin), s"publish of ${versionName(n)} under $root failed")
+  private val mutationEpochs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def mutationEpochOf(dir: String): Long =
+    mutationEpochs.getOrElse(dir, 0L)
+
+  private def noteMutation(dir: String): Unit = {
+    mutationEpochs.updateWith(dir) {
+      case Some(n) => Some(n + 1)
+      case None    => Some(1L)
     }
+    (): Unit
   }
 
   private def buildTiers(corpus: DataFrame, dir: String, tiers: String): Unit =
@@ -3934,18 +3953,36 @@ object VectorOps {
   /** Create a versioned index at `root`: build version 1 under
     * `roots/v00000001`, then publish the pointer. A crash before publish
     * leaves only unpublished debris (readers see "no version"); the retry
-    * rebuilds over it — mode=overwrite all the way down.
+    * rebuilds over it — mode=overwrite all the way down. First-build is
+    * single-writer like every other version: the claim makes a
+    * cross-process double-init (two pollers cold-starting the same
+    * scratch root) build once — the loser waits for the winner's publish
+    * instead of interleaving writes under the same roots/v1.
     */
   def initVersionedVecIndex(corpus: DataFrame, root: String,
-      tiers: String = "ivf"): String = {
+      tiers: String = "ivf",
+      leaseTtlMs: Long = DefaultRebuildLeaseMs): String = {
     val s = corpus.sparkSession
+    val VS = graft.core.VersionedStore
     require(currentVecIndexVersion(s, root).isEmpty,
       s"initVersionedVecIndex: $root already has a published version — " +
         "use rebuildVersionedVecIndex to publish a successor")
-    val target = s"$root/roots/${versionName(1L)}"
-    buildTiers(corpus, target, tiers)
-    publishVecIndexVersion(s, root, 1L)
-    target
+    if (!VS.claim(s, root, 1L, leaseTtlMs)) {
+      // another writer is building v1 right now: wait for its publish
+      // (bounded by the lease TTL — if it dies, its lease expires and the
+      // NEXT init attempt takes over)
+      val deadline = System.currentTimeMillis() + leaseTtlMs
+      while (currentVecIndexVersion(s, root).isEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      return resolveVecIndexRoot(s, root)
+    }
+    try {
+      val target = VS.versionDir(root, 1L)
+      buildTiers(corpus, target, tiers)
+      VS.publish(s, root, 1L)
+      target
+    } finally VS.release(s, root, 1L)
   }
 
   /** The alive raw corpus of one version directory, reconstructed from
@@ -3981,8 +4018,15 @@ object VectorOps {
     * version by construction. Requires a raw-vector tier (a residual-only
     * root stores no vectors to re-derive geometry from). Returns the new
     * version directory.
+    *
+    * SINGLE-WRITER: the rebuild claims an exclusive lease on v{N+1} before
+    * touching roots/ — a concurrent rebuild (a second maintenance job, or
+    * a retry racing its zombie) fails loudly instead of interleaving tier
+    * overwrites inside the same unpublished directory. A lease left by a
+    * crashed writer expires after `leaseTtlMs` and the retry takes over.
     */
-  def rebuildVersionedVecIndex(s: SparkSession, root: String): String = {
+  def rebuildVersionedVecIndex(s: SparkSession, root: String,
+      leaseTtlMs: Long = DefaultRebuildLeaseMs): String = {
     graft.plans.GraftExtensions.register(s)
     val cur = currentVecIndexVersion(s, root).getOrElse(
       sys.error(s"rebuildVersionedVecIndex: no published version under $root"))
@@ -3991,12 +4035,29 @@ object VectorOps {
       s"rebuildVersionedVecIndex: $curDir has no raw postings tier to rebuild " +
         "from — a residual (codes-only) root is lossy; retrain it from the " +
         "source-of-truth corpus with rebuildVersionedVecIndexFrom")
-    val nextDir = s"$root/roots/${versionName(cur + 1)}"
-    val alive = aliveRawCorpus(s, curDir)
-    val tiers = if (tierExists(s, s"$curDir/codes")) "both" else "ivf"
-    buildTiers(alive, nextDir, tiers)
-    publishVecIndexVersion(s, root, cur + 1)
-    nextDir
+    withVersionClaim(s, root, cur + 1, leaseTtlMs, "rebuildVersionedVecIndex") {
+      val nextDir = graft.core.VersionedStore.versionDir(root, cur + 1)
+      val alive = aliveRawCorpus(s, curDir)
+      val tiers = if (tierExists(s, s"$curDir/codes")) "both" else "ivf"
+      buildTiers(alive, nextDir, tiers)
+      graft.core.VersionedStore.publish(s, root, cur + 1)
+      nextDir
+    }
+  }
+
+  /** Run `body` holding the exclusive build lease on version `n`; the
+    * loser of a claim race gets a loud, named error (its retry after the
+    * winner publishes targets the NEXT version number).
+    */
+  private def withVersionClaim[T](s: SparkSession, root: String, n: Long,
+      ttlMs: Long, who: String)(body: => T): T = {
+    require(graft.core.VersionedStore.claim(s, root, n, ttlMs),
+      s"$who: another writer holds the build lease on ${versionName(n)} " +
+        s"under $root — exactly one rebuild may target a version; retry " +
+        "after it publishes (the next attempt targets the successor) or " +
+        s"after its lease expires (${ttlMs} ms)")
+    try body
+    finally graft.core.VersionedStore.release(s, root, n)
   }
 
   /** Rebuild version N+1 from an EXTERNAL source-of-truth corpus — the
@@ -4007,10 +4068,12 @@ object VectorOps {
     * must not resurrect through the retrain); the tier layout is
     * preserved. Same atomicity story as [[rebuildVersionedVecIndex]]:
     * build under roots/v{N+1}, one-file publish, concurrent readers stay
-    * fully-old.
+    * fully-old — and the same single-writer lease as
+    * [[rebuildVersionedVecIndex]].
     */
   def rebuildVersionedVecIndexFrom(s: SparkSession, root: String,
-      corpus: DataFrame): String = {
+      corpus: DataFrame,
+      leaseTtlMs: Long = DefaultRebuildLeaseMs): String = {
     graft.plans.GraftExtensions.register(s)
     val cur = currentVecIndexVersion(s, root).getOrElse(
       sys.error(s"rebuildVersionedVecIndexFrom: no published version under $root"))
@@ -4030,10 +4093,13 @@ object VectorOps {
       if (isResidualRoot(s, curDir)) "ivfpq"
       else if (tierExists(s, s"$curDir/codes")) "both"
       else "ivf"
-    val nextDir = s"$root/roots/${versionName(cur + 1)}"
-    buildTiers(alive, nextDir, tiers)
-    publishVecIndexVersion(s, root, cur + 1)
-    nextDir
+    withVersionClaim(s, root, cur + 1, leaseTtlMs,
+      "rebuildVersionedVecIndexFrom") {
+      val nextDir = graft.core.VersionedStore.versionDir(root, cur + 1)
+      buildTiers(alive, nextDir, tiers)
+      graft.core.VersionedStore.publish(s, root, cur + 1)
+      nextDir
+    }
   }
 
   /** Serve through the versioned pointer: resolve once, then route via
@@ -4057,6 +4123,7 @@ object VectorOps {
       if (!hasIvf && isResidualRoot(s, dir)) appendToIvfPqIndex(batch, dir)
       else appendToPqIndex(batch, dir)
     }
+    noteMutation(dir)
   }
 
   /** Tombstone in the current version (layout-dispatched like
@@ -4064,40 +4131,33 @@ object VectorOps {
     * the rows physically in the successor version.
     */
   def deleteFromVersionedVecIndex(s: SparkSession, root: String,
-      ids: DataFrame): Unit =
-    deleteFromVecIndex(s, resolveVecIndexRoot(s, root), ids)
+      ids: DataFrame): Unit = {
+    val dir = resolveVecIndexRoot(s, root)
+    deleteFromVecIndex(s, dir, ids)
+    noteMutation(dir)
+  }
 
   /** Compact the current version in place ([[swapAside]] stays INSIDE the
     * version directory — the one place it remains).
     */
-  def compactVersionedVecIndex(s: SparkSession, root: String): Unit =
-    compactVecIndex(s, resolveVecIndexRoot(s, root))
+  def compactVersionedVecIndex(s: SparkSession, root: String): Unit = {
+    val dir = resolveVecIndexRoot(s, root)
+    compactVecIndex(s, dir)
+    noteMutation(dir)
+  }
 
   /** Reclaim versions older than the newest `keepLast` (grace window for
     * in-flight readers pinned to a predecessor — keepLast >= 2 keeps the
-    * immediate fallback alive). Root directory goes first, manifest file
-    * second, so a crash between the two leaves a pointer to a vanished
-    * NON-current version: harmless (resolution always takes the max) and
-    * cleaned by the vacuum retry. Unpublished build debris (a crashed
-    * rebuild's roots/v{N+1}) is left for the rebuild retry to overwrite.
-    * Returns the removed version numbers.
+    * immediate fallback alive), optionally never touching a version
+    * superseded less than `minAgeMs` ago — the time-based grace window a
+    * serving deployment derives from its poll cadence, so a vacuum can
+    * never delete the version an in-flight (slow) pinned read still
+    * holds. Mechanics in [[graft.core.VersionedStore.vacuum]]. Returns
+    * the removed version numbers.
     */
   def vacuumVecIndexVersions(s: SparkSession, root: String,
-      keepLast: Int = 2): Seq[Long] = {
-    require(keepLast >= 1, "vacuumVecIndexVersions: keepLast must be >= 1")
-    val man = new org.apache.hadoop.fs.Path(s"$root/manifest")
-    val fs = man.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(man)) return Nil
-    val versions = fs.listStatus(man).map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{8}") => n.drop(1).toLong }
-      .sorted.toSeq
-    val victims = versions.dropRight(keepLast)
-    victims.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/roots/${versionName(v)}"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(man, versionName(v)), false)
-    }
-    victims
-  }
+      keepLast: Int = 2, minAgeMs: Long = 0L): Seq[Long] =
+    graft.core.VersionedStore.vacuum(s, root, keepLast, minAgeMs)
 
   /** Drift-to-ACTION policy over a persisted index root — the decision
     * layer the measuring diagnostics (v18 occupancy, v42 codebook drift)
@@ -4111,15 +4171,23 @@ object VectorOps {
     *   - `pq` row (when a codebook tier exists): [[pqDriftAudit]]'s
     *     reconstruction-quality drop vs build time, quantized to 1e-9
     *     (value = round(drift x 1e9), threshold = margin x 1e9).
+    *   - `embedding` row (when `sigStore` names a t43-style signature
+    *     accumulator of (key, is_ref, sig) rows): the [[embeddingDrift]]
+    *     PSI over the deduped store — the STREAMED distribution monitor's
+    *     verdict (VERDICT r12 #3), quantized like the pq row
+    *     (value = round(sum(psi_term) x 1e9), threshold = psiMargin x
+    *     1e9; 0.2 is the standard "significant shift" PSI rule).
     *
     * Consumed by [[rebuildVersionedIfAdvised]] — advisor says retrain,
     * the versioned rebuild publishes the successor. Scale: occupancy is
     * one cluster-keyed count over the postings (map-side combinable, K
-    * rows out); the pq row re-scans codes once (the v42 cost), both
+    * rows out); the pq row re-scans codes once (the v42 cost); the
+    * embedding row reduces the signature store to 2^bits cells — all
     * off the serving path.
     */
   def rebuildAdvisor(s: SparkSession, path: String,
-      margin: Double = 0.05): DataFrame = {
+      margin: Double = 0.05, sigStore: Option[String] = None,
+      psiMargin: Double = 0.2): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     recoverAside(s, s"$path/postings")
     recoverAside(s, s"$path/codes")
@@ -4160,14 +4228,32 @@ object VectorOps {
     // the drift row needs the raw tier to reconstruct against — a
     // residual root's drift audit runs against the source corpus
     // directly (pqDriftAudit with an external corpus), not here
-    if (residual || !tierExists(s, s"$path/codebook")) ivfRow
-    else {
-      val pqRow = pqDriftAudit(s, path, aliveRawCorpus(s, path), margin)
-        .select(lit("pq").as("tier"), lit("codebook_drift_x1e9").as("metric"),
-          floor(col("drift") * 1e9 + 0.5).cast("long").as("value"),
-          lit(math.round(margin * 1e9)).as("threshold"),
-          when(col("needs_retrain"), "retrain").otherwise("keep").as("verdict"))
-      ivfRow.unionByName(pqRow)
+    val tiersOut =
+      if (residual || !tierExists(s, s"$path/codebook")) ivfRow
+      else {
+        val pqRow = pqDriftAudit(s, path, aliveRawCorpus(s, path), margin)
+          .select(lit("pq").as("tier"), lit("codebook_drift_x1e9").as("metric"),
+            floor(col("drift") * 1e9 + 0.5).cast("long").as("value"),
+            lit(math.round(margin * 1e9)).as("threshold"),
+            when(col("needs_retrain"), "retrain").otherwise("keep").as("verdict"))
+        ivfRow.unionByName(pqRow)
+      }
+    // the streamed embedding-drift verdict: dedupe the at-least-once
+    // signature store by key (the t43 discipline — rows are deterministic
+    // per vector, so max(struct) collapses redeliveries), then the
+    // 2^bits-cell PSI folds to ONE quantized number judged by psiMargin
+    sigStore.fold(tiersOut) { store =>
+      val sigs = s.read.parquet(store)
+        .groupBy("key").agg(max(struct(col("is_ref"), col("sig"))).as("m"))
+        .select(col("m.is_ref").as("is_ref"), col("m.sig").as("sig"))
+      val psiThreshold = math.round(psiMargin * 1e9)
+      val embRow = embeddingDriftFromSigs(sigs)
+        .agg(floor(sum("psi_term") * 1e9 + 0.5).cast("long").as("value"))
+        .select(lit("embedding").as("tier"), lit("psi_x1e9").as("metric"),
+          col("value"), lit(psiThreshold).as("threshold"),
+          when(col("value") > psiThreshold, "retrain").otherwise("keep")
+            .as("verdict"))
+      tiersOut.unionByName(embRow)
     }
   }
 
@@ -4180,9 +4266,10 @@ object VectorOps {
     */
   def rebuildVersionedIfAdvised(s: SparkSession, root: String,
       margin: Double = 0.05,
-      corpus: Option[DataFrame] = None): Option[String] = {
+      corpus: Option[DataFrame] = None,
+      sigStore: Option[String] = None): Option[String] = {
     val cur = resolveVecIndexRoot(s, root)
-    val verdicts = rebuildAdvisor(s, cur, margin)
+    val verdicts = rebuildAdvisor(s, cur, margin, sigStore)
       .select("verdict").collect().map(_.getString(0))
     if (!verdicts.contains("retrain")) None
     else if (isResidualRoot(s, cur)) {
@@ -4311,8 +4398,92 @@ object VectorOps {
     },
     v44.oracle)
 
+  /** V51 (beyond reference): SINGLE-WRITER rebuild discipline — while a
+    * writer holds the build lease on v2 (here: a simulated in-flight
+    * rebuild that then crashes without releasing), a concurrent
+    * [[rebuildVersionedVecIndex]] must refuse loudly rather than
+    * interleave tier overwrites inside the same unpublished roots/v2; the
+    * crashed lease is then TAKEN OVER once expired, and exactly one v2 is
+    * published. The served result equals a fresh build on the full corpus
+    * (v2's oracle) — single-writer, geometry self-consistent.
+    */
+  val v51: GraftQuery = GraftQuery(
+    "v51_rebuild_lease_takeover",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v51_vroot_$id"
+      val emb = Tables.embeddings(s, d)
+      initVersionedVecIndex(emb.filter(col("vec_id") % 10 =!= 0), root)
+      appendToVersionedVecIndex(emb.filter(col("vec_id") % 10 === 0), root)
+      // writer A claims v2 and "crashes" (never builds, never releases)
+      require(graft.core.VersionedStore.claim(s, root, 2L,
+        ttlMs = 60L * 60 * 1000), "test setup: claim on v2 must succeed")
+      // writer B races A's live lease: must refuse, must not publish
+      val denied =
+        try { rebuildVersionedVecIndex(s, root); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("build lease") }
+      require(denied, "a concurrent rebuild must be refused by a live lease")
+      require(currentVecIndexVersion(s, root) == Some(1L),
+        "a denied rebuild must not publish")
+      // A's lease is now stale (ttl 0): the retry takes it over and is
+      // the ONE writer of v2
+      val nextDir = rebuildVersionedVecIndex(s, root, leaseTtlMs = 0L)
+      require(nextDir.endsWith(versionName(2L)) &&
+        currentVecIndexVersion(s, root) == Some(2L),
+        "takeover must publish exactly v2")
+      searchVersionedVecIndex(s, root,
+        emb.filter(col("vec_id") < 10), k = 3, probes = 2, tier = "ivf")
+    },
+    v2.oracle,
+    bench = false)
+
+  /** V52 (beyond reference): the STREAMED drift monitor now DECIDES —
+    * [[rebuildAdvisor]] with a t43-style signature store adds an
+    * `embedding` row: the v27 PSI over the deduped (key, is_ref, sig)
+    * accumulator, quantized to integer nanos and judged by the standard
+    * 0.2 PSI rule. The oracle replays the occupancy row on the fresh
+    * full-corpus build AND the exact v27 PSI fold.
+    */
+  val v52: GraftQuery = GraftQuery(
+    "v52_advisor_embedding_drift",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v52_advidx_$id"
+      val sigPath = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/v52_sigs_$id"
+      val emb = Tables.embeddings(s, d)
+      buildIvfIndex(emb, path)
+      embeddingSignatures(
+          emb.withColumn("is_ref", expr("vec_id % 2 = 0")), "vec_id", "is_ref")
+        .write.mode("overwrite").parquet(sigPath)
+      rebuildAdvisor(s, path, sigStore = Some(sigPath))
+    },
+    v27.oracle.map(psiSql =>
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS k_id, e AS ke FROM v
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+         |assign AS (SELECT vec_id, k_id AS cluster FROM (
+         |  SELECT v.vec_id, c.k_id, row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY list_cosine_similarity(v.e, c.ke) DESC, c.k_id) AS rk
+         |  FROM v CROSS JOIN cents c) WHERE rk = 1),
+         |occ AS (SELECT c.k_id AS cluster, count(a.vec_id) AS n
+         |        FROM cents c LEFT JOIN assign a ON a.cluster = c.k_id
+         |        GROUP BY 1),
+         |agg AS (SELECT max(n) * count(*) AS value, 2 * sum(n) AS threshold
+         |        FROM occ),
+         |psi AS (SELECT CAST(floor(sum(psi_term) * 1e9 + 0.5) AS BIGINT) AS value
+         |        FROM ($psiSql))
+         |SELECT 'ivf' AS tier, 'max_cell_load_x_cells' AS metric,
+         |  CAST(value AS BIGINT) AS value, CAST(threshold AS BIGINT) AS threshold,
+         |  CASE WHEN value > threshold THEN 'retrain' ELSE 'keep' END AS verdict
+         |FROM agg
+         |UNION ALL
+         |SELECT 'embedding', 'psi_x1e9', value, CAST(200000000 AS BIGINT),
+         |  CASE WHEN value > 200000000 THEN 'retrain' ELSE 'keep' END
+         |FROM psi""".stripMargin))
+
   val all: Seq[GraftQuery] =
     Seq(v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19,
       v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37,
-      v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49, v50)
+      v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49, v50, v51, v52)
 }

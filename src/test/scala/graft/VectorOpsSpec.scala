@@ -1141,6 +1141,52 @@ class VectorOpsSpec extends SparkSpec {
     assert(dup.getMessage.contains("already has a published version"))
   }
 
+  test("versioned rebuild lease: two racing rebuilds publish exactly one " +
+    "v2 with self-consistent geometry; a crashed lease is taken over") {
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val vid = org.apache.spark.sql.functions.col("vec_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease").toString + "/vidx"
+    VectorOps.initVersionedVecIndex(emb.filter(vid < 250), root)
+    VectorOps.appendToVersionedVecIndex(emb.filter(vid >= 250), root)
+    // a REAL race: both writers target v2 concurrently — exactly one may
+    // build; the loser must refuse without touching roots/v00000002
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future(scala.util.Try(VectorOps.rebuildVersionedVecIndex(spark, root))),
+      Future(scala.util.Try(VectorOps.rebuildVersionedVecIndex(spark, root))))
+      .map(Await.result(_, 5.minutes))
+    val (won, lost) = attempts.partition(_.isSuccess)
+    assert(won.size === 1 && lost.size === 1,
+      s"exactly one racing rebuild may publish: $attempts")
+    assert(lost.head.failed.get.getMessage.contains("build lease"))
+    assert(VectorOps.currentVecIndexVersion(spark, root) === Some(2L))
+    // single-writer geometry: the published v2 is bit-equal to a fresh
+    // build on the same corpus (an interleaved double-build would not be)
+    val qs = emb.filter(vid >= 250 && vid < 260)
+    val freshPath = java.nio.file.Files
+      .createTempDirectory("graft-lease-fresh").toString + "/idx"
+    VectorOps.buildIvfIndex(emb, freshPath)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ids(VectorOps.searchVersionedVecIndex(spark, root, qs, 3)) ===
+      ids(VectorOps.searchIvfIndex(spark, freshPath, qs, 3, 2)))
+    // crashed-lease takeover: a zombie claim on v3 blocks a fresh-lease
+    // rebuild but not one whose TTL has passed
+    assert(graft.core.VersionedStore.claim(spark, root, 3L,
+      ttlMs = 60L * 60 * 1000))
+    val denied = intercept[IllegalArgumentException] {
+      VectorOps.rebuildVersionedVecIndex(spark, root)
+    }
+    assert(denied.getMessage.contains("build lease"))
+    val v3 = VectorOps.rebuildVersionedVecIndex(spark, root, leaseTtlMs = 0L)
+    assert(v3.endsWith("v00000003"))
+    assert(VectorOps.currentVecIndexVersion(spark, root) === Some(3L))
+  }
+
   test("rebuildAdvisor: planted cluster drift flips the ivf verdict to " +
     "retrain, the advisor-gated versioned rebuild acts on it, and the " +
     "post-rebuild recall gate passes") {
@@ -1175,6 +1221,59 @@ class VectorOpsSpec extends SparkSpec {
     val after = recallNow()
     assert(after >= before && after >= 0.9,
       s"post-rebuild recall gate: before=$before after=$after")
+  }
+
+  test("advisor embedding row: planted signature drift flips ONLY the " +
+    "embedding verdict, and the advisor-gated rebuild acts on it") {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val dir = clusteredDir()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft-embdrift").toString
+    val root = s"$base/vidx"
+    // fresh full-corpus build: the occupancy rule has nothing to flag
+    VectorOps.initVersionedVecIndex(emb, root)
+    val idxDir = VectorOps.resolveVecIndexRoot(spark, root)
+    val sigs = VectorOps.embeddingSignatures(
+      emb.withColumn("is_ref", expr("vec_id % 2 = 0")), "vec_id", "is_ref")
+    // natural even/odd split: same distribution on both sides -> keep
+    val calm = s"$base/sigs_calm"
+    sigs.write.mode("overwrite").parquet(calm)
+    val calmRows = VectorOps.rebuildAdvisor(spark, idxDir,
+      sigStore = Some(calm)).collect()
+    val calmByTier = calmRows.map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(calmByTier("embedding") === "keep",
+      s"even/odd signatures must not trip the PSI rule: ${calmRows.toSeq}")
+    // planted drift: every CURRENT row collapses onto one signature cell
+    // (the embedding model changed under the stream) — only the embedding
+    // verdict may flip; the stored geometry rows are untouched by design
+    val planted = s"$base/sigs_drift"
+    sigs.withColumn("sig",
+        when(col("is_ref"), col("sig")).otherwise(lit(0)))
+      .write.mode("overwrite").parquet(planted)
+    val driftRows = VectorOps.rebuildAdvisor(spark, idxDir,
+      sigStore = Some(planted)).collect()
+    val driftByTier = driftRows.map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(driftByTier("embedding") === "retrain",
+      s"planted signature collapse must flip the embedding verdict: ${driftRows.toSeq}")
+    assert(driftByTier.filter(_._1 != "embedding") ===
+      calmByTier.filter(_._1 != "embedding"),
+      "only the embedding verdict may move")
+    // the wiring decides: with the drifted store the versioned rebuild acts
+    val acted = VectorOps.rebuildVersionedIfAdvised(spark, root,
+      sigStore = Some(planted))
+    assert(acted.exists(_.endsWith("v00000002")),
+      s"an embedding retrain verdict must trigger the rebuild, got $acted")
+    // and stays faithful to the table: it acts exactly when SOME verdict
+    // says retrain (on this fixture the occupancy row may legitimately
+    // flag the 20-clusters-into-16-cells geometry on its own)
+    val v2rows = VectorOps.rebuildAdvisor(spark,
+      VectorOps.resolveVecIndexRoot(spark, root), sigStore = Some(calm))
+      .collect()
+    val expectAct = v2rows.exists(_.getString(4) == "retrain")
+    val acted2 = VectorOps.rebuildVersionedIfAdvised(spark, root,
+      sigStore = Some(calm))
+    assert(acted2.isDefined === expectAct,
+      s"advisor table ${v2rows.toSeq} vs action $acted2")
   }
 
   test("versioned residual root: retrain-from-source honors tombstones " +
