@@ -138,7 +138,7 @@ object QueryService {
     * salt with any change to the scoring/index-build semantics, or a
     * snapshot built by the old code keeps serving under the new oracle.
     */
-  private val ServeScratchSalt = "r12a"
+  private val ServeScratchSalt = "r13a"
 
   private def scratchIdent(src: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -148,13 +148,75 @@ object QueryService {
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  private def bm25Root(s: SparkSession, d: String): String = {
+  /** The BM25 snapshot is a VERSIONED root (VERDICT r12 #1 — the same
+    * manifest-pointer discipline as [[vecIndexRoot]]): a crashed
+    * materialization leaves only unpublished debris readers never see
+    * (the old bare `_SUCCESS` check trusted half-written snapshots
+    * forever), and a re-materialization under running polls flips
+    * atomically — every pinned page is fully-old or fully-new, never
+    * mixed, mirroring the stable store the reference dashboard polls
+    * (webapp/buses-dashboard/bq_service.py:33-50).
+    */
+  private[graft] def docIndexRootOf(d: String): String = {
     val ident = scratchIdent(new java.io.File(d, "documents.parquet"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_bm25_$ident"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
-      graft.operators.TextOps.bm25Score(graft.core.Tables.documents(s, d))
-        .write.mode("overwrite").parquet(path)
-    path
+    s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_bm25_$ident"
+  }
+
+  private def buildDocSnapshot(docs: DataFrame, dir: String): Unit =
+    graft.operators.TextOps.bm25Score(docs)
+      .write.mode("overwrite").parquet(dir)
+
+  /** First materialization of the versioned BM25 store: score `docs`
+    * into roots/v1 and publish the pointer (single-writer; a racing
+    * initializer waits for the winner's publish).
+    */
+  def initVersionedDocIndex(docs: DataFrame, root: String,
+      leaseTtlMs: Long = graft.operators.VectorOps.DefaultRebuildLeaseMs)
+      : String =
+    graft.core.VersionedStore.init(docs.sparkSession, root, leaseTtlMs)(
+      buildDocSnapshot(docs, _))
+
+  /** Re-materialize the BM25 store from `docs` into version N+1 and flip
+    * the pointer — pinned in-flight pages stay fully-old, the next
+    * resolution is fully-new, and two concurrent re-materializations
+    * cannot interleave (the [[graft.core.VersionedStore.buildNext]]
+    * lease). Returns the new version directory.
+    */
+  def rematerializeDocIndex(s: SparkSession, root: String, docs: DataFrame,
+      leaseTtlMs: Long = graft.operators.VectorOps.DefaultRebuildLeaseMs)
+      : String =
+    graft.core.VersionedStore.buildNext(s, root, leaseTtlMs)(
+      buildDocSnapshot(docs, _))
+
+  /** The pinned current BM25 snapshot directory (resolve once per
+    * request — the [[vecIndexRoot]] contract).
+    */
+  def resolveDocIndexRoot(s: SparkSession, root: String): String =
+    graft.core.VersionedStore.resolve(s, root)
+
+  /** Reclaim superseded BM25 snapshot versions past the grace window. */
+  def vacuumDocIndexVersions(s: SparkSession, root: String,
+      keepLast: Int = 2, minAgeMs: Long = 0L): Seq[Long] =
+    graft.core.VersionedStore.vacuum(s, root, keepLast, minAgeMs)
+
+  /** Serving maintenance hook for the doc arm — re-score from the
+    * current corpus, flip, vacuum past the poll-derived grace window.
+    */
+  def refreshDocIndex(s: SparkSession, d: String): String = {
+    val root = docIndexRootOf(d)
+    val dir = rematerializeDocIndex(s, root, graft.core.Tables.documents(s, d))
+    vacuumDocIndexVersions(s, root, keepLast = 2, minAgeMs = vacuumGraceMs)
+    dir
+  }
+
+  private def bm25Root(s: SparkSession, d: String): String = {
+    val root = docIndexRootOf(d)
+    // serialize first-build within the JVM (same contract as vecIndexRoot)
+    root.intern.synchronized {
+      if (graft.core.VersionedStore.currentVersion(s, root).isEmpty)
+        initVersionedDocIndex(graft.core.Tables.documents(s, d), root)
+    }
+    resolveDocIndexRoot(s, root)
   }
 
   def docSearch(s: SparkSession, d: String, k: Int = 10): DataFrame =
@@ -171,6 +233,83 @@ object QueryService {
     graft.operators.TextOps.x31.oracle.map(x31Sql =>
       s"""SELECT doc_id, bm25 FROM ($x31Sql)
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
+
+  /** x31's BM25 scoring SQL over a filtered corpus slice — the subset
+    * oracle the versioned-snapshot gates distinguish old/new pages with
+    * (df, N and avgdl all shift with the subset, so v1-on-a-subset and
+    * v2-on-the-full-corpus rank provably differently).
+    */
+  private def bm25SubsetSql(where: String): String =
+    s"""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents $where),
+       |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d3),
+       |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(ws) AS w FROM d3)
+       |  WHERE w IN ('dup', 'join', 'batch') GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.w,
+       |  (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+       |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |  * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+       |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
+       |  AS sc
+       |  FROM tf CROSS JOIN stats JOIN dfreq ON tf.w = dfreq.w)
+       |SELECT doc_id,
+       |  coalesce(max(CASE WHEN w = 'dup' THEN sc END), CAST(0 AS DOUBLE))
+       |  + coalesce(max(CASE WHEN w = 'join' THEN sc END), CAST(0 AS DOUBLE))
+       |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** The deterministic top-k page over a pinned snapshot directory — the
+    * exact [[docSearch]] serving shape, parameterized by version dir.
+    */
+  private def docPage(s: SparkSession, dir: String, k: Int): DataFrame =
+    s.read.parquet(dir).orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
+  /** The v47-style race gate on the DOC arm: a page RESOLVED against the
+    * current BM25 snapshot, then EXECUTED after a re-materialization has
+    * published the successor, serves the fully-OLD scoring (subset df/N/
+    * avgdl) — never empty, never mixed. The oracle replays exactly that
+    * subset scoring.
+    */
+  val serveDocPinnedRead: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_doc_pinned_read",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/sdoc_pin_$id"
+      val docs = graft.core.Tables.documents(s, d)
+      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
+      // the concurrent poller: pointer resolved NOW (v1)...
+      val pinned = docPage(s, resolveDocIndexRoot(s, root), 10)
+      // ...re-materialization publishes v2 before the page executes
+      rematerializeDocIndex(s, root, docs)
+      pinned
+    },
+    Some(s"""SELECT doc_id, bm25 FROM (${bm25SubsetSql("WHERE doc_id % 10 != 0")})
+            |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin))
+
+  /** The v48-style flip+vacuum gate on the DOC arm: after the
+    * re-materialization publishes v2 and the grace window passes (vacuum
+    * keepLast=1 drops v1), a fresh resolution serves pages bit-equal to a
+    * fresh materialization on the full corpus — [[serveDocSearch]]'s own
+    * oracle gates it verbatim.
+    */
+  val serveDocFlipVacuum: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_doc_flip_vacuum",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/sdoc_flip_$id"
+      val docs = graft.core.Tables.documents(s, d)
+      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
+      rematerializeDocIndex(s, root, docs)
+      val removed = vacuumDocIndexVersions(s, root, keepLast = 1)
+      require(removed == Seq(1L), s"vacuum must reclaim exactly v1, got $removed")
+      docPage(s, resolveDocIndexRoot(s, root), 10)
+    },
+    serveDocSearch.oracle)
+
 
   /** The serving index for `d` is a VERSIONED root (both tiers, IVF raw
     * + PQ codes): first touch builds version 1 and publishes the
@@ -211,16 +350,37 @@ object QueryService {
     * version directory when it acted.
     */
   def refreshVecIndex(s: SparkSession, d: String,
-      margin: Double = 0.05): Option[String] = {
+      margin: Double = 0.05,
+      sigStore: Option[String] = None): Option[String] = {
     val root = serveRootOf(d)
     val acted = graft.operators.VectorOps.rebuildVersionedIfAdvised(
-      s, root, margin, corpus = Some(graft.core.Tables.embeddings(s, d)))
+      s, root, margin, corpus = Some(graft.core.Tables.embeddings(s, d)),
+      sigStore = sigStore)
     acted.foreach { _ =>
-      graft.operators.VectorOps.vacuumVecIndexVersions(s, root, keepLast = 2)
+      graft.operators.VectorOps.vacuumVecIndexVersions(s, root,
+        keepLast = 2, minAgeMs = vacuumGraceMs)
       ()
     }
     acted
   }
+
+  /** Poll-cadence feedback for the vacuum grace window (VERDICT r12 #8):
+    * pollers report end-to-end poll durations here; the refresh hooks
+    * then never reclaim a version superseded more recently than
+    * [[vacuumGraceMs]] — a pinned in-flight read is safe as long as it
+    * finishes within the window, and the window tracks the SLOWEST poll
+    * actually observed (4x headroom, 30 s floor for cold JVMs that have
+    * not reported yet).
+    */
+  def notePollMillis(ms: Long): Unit = {
+    longestPollMs.getAndAccumulate(ms, (a, b) => math.max(a, b))
+    (): Unit
+  }
+
+  private val longestPollMs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def vacuumGraceMs: Long =
+    math.max(30000L, 4L * longestPollMs.get)
 
   /** WARM-PATH driver caches (VERDICT r11 task 2): the serving index
     * root is immutable once built — its identity is a content
@@ -242,11 +402,25 @@ object QueryService {
   private val servedLexPages =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, Double)]]
   // resolved base relations (file listing + footer schema live inside the
-  // DataFrame) — safe to reuse per poll ONLY because serving roots are
-  // immutable once fingerprint-built; tombstone visibility is handled by
-  // the plan-cache bypass in [[vecSearch]]/[[hybridSearch]]
+  // DataFrame) — reusable per poll because version directories are
+  // immutable under SERVING; the maintenance entry points that do mutate
+  // one in place (versioned append/delete/compact) bump the directory's
+  // mutation epoch, which [[epoched]] folds into every relation and plan
+  // key, so a same-JVM mutation re-keys these caches instead of serving
+  // stale file listings (ADVICE r12)
   private val servedRelations = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+
+  /** The cache-key form of an index version directory: the path plus its
+    * in-JVM mutation epoch (see
+    * [[graft.operators.VectorOps.mutationEpochOf]]). Cross-process
+    * mutations are covered by the versioned flip re-keying the path
+    * itself; tombstone visibility additionally gets the [[tombstoned]]
+    * bypass because deletes must land at the NEXT query even when issued
+    * through the unversioned entry points.
+    */
+  private def epoched(dir: String): String =
+    s"$dir@${graft.operators.VectorOps.mutationEpochOf(dir)}"
 
   /** Backstop bound on every driver cache: a serving JVM touches a
     * handful of roots, so these maps stay tiny; if an unusual workload
@@ -259,8 +433,15 @@ object QueryService {
     m
   }
 
-  private def relationOf(s: SparkSession, dir: String): DataFrame =
-    capped(servedRelations).getOrElseUpdate((s, dir), s.read.parquet(dir))
+  /** Cached parquet relation for a tier under `root` (or the root itself
+    * with `sub` empty), keyed by the root's mutation epoch.
+    */
+  private def relationOf(s: SparkSession, root: String,
+      sub: String = ""): DataFrame = {
+    val dir = if (sub.isEmpty) root else s"$root/$sub"
+    capped(servedRelations).getOrElseUpdate((s, s"${epoched(root)}#$sub"),
+      s.read.parquet(dir))
+  }
 
   private def centsOf(s: SparkSession, path: String) =
     capped(servedCents).getOrElseUpdate(path,
@@ -307,7 +488,7 @@ object QueryService {
       tier: String = "ivf"): DataFrame = {
     val path = vecIndexRoot(s, d)
     if (tombstoned(path)) vecSearchPlan(s, d, path, k, tier)
-    else capped(servedPlans).getOrElseUpdate((s, s"vec:$path", k, tier),
+    else capped(servedPlans).getOrElseUpdate((s, s"vec:${epoched(path)}", k, tier),
       vecSearchPlan(s, d, path, k, tier))
   }
 
@@ -318,16 +499,16 @@ object QueryService {
     tier match {
       case "ivf" =>
         V.searchIvfIndexPlanned(s, path, qs, centsOf(s, path), k, probes = 2,
-          postings = Some(relationOf(s, s"$path/postings")),
+          postings = Some(relationOf(s, path, "postings")),
           compactForServe = true)
       case "pq" =>
         V.searchPqIndexPlanned(s, path, qs, codebookOf(s, path), k,
-          codes = Some(relationOf(s, s"$path/codes")),
+          codes = Some(relationOf(s, path, "codes")),
           compactForServe = true)
       case "rerank" =>
         V.searchRerankPlanned(s, path, qs, codebookOf(s, path), k,
-          codes = Some(relationOf(s, s"$path/codes")),
-          postings = Some(relationOf(s, s"$path/postings")),
+          codes = Some(relationOf(s, path, "codes")),
+          postings = Some(relationOf(s, path, "postings")),
           compactForServe = true)
       case other =>
         V.searchVecIndex(s, path,
@@ -544,26 +725,27 @@ object QueryService {
   def hybridSearch(s: SparkSession, d: String, k: Int = 10,
       cand: Int = 20): DataFrame = {
     val path = vecIndexRoot(s, d)
-    // the key folds BOTH fingerprints the plan reads — the vector root
-    // AND the BM25 snapshot — so a documents-only corpus rewrite
-    // (new bm25Root, same embeddings) re-keys instead of serving the
-    // stale lexical arm
-    val lexRoot = bm25Root(s, d)
-    if (tombstoned(path)) hybridSearchPlan(s, d, path, k, cand)
+    // the key folds BOTH pinned snapshots the plan reads — the vector
+    // version directory AND the BM25 version directory — so a
+    // documents-only re-materialization (new lex version, same
+    // embeddings) re-keys instead of serving the stale lexical arm
+    val lexDir = bm25Root(s, d)
+    if (tombstoned(path)) hybridSearchPlan(s, d, path, lexDir, k, cand)
     else capped(servedPlans).getOrElseUpdate(
-      (s, s"hybrid:$path:$lexRoot:$cand", k, ""),
-      hybridSearchPlan(s, d, path, k, cand))
+      (s, s"hybrid:${epoched(path)}:$lexDir:$cand", k, ""),
+      hybridSearchPlan(s, d, path, lexDir, k, cand))
   }
 
-  private def hybridSearchPlan(s: SparkSession, d: String, path: String,
-      k: Int, cand: Int): DataFrame = {
+  private[graft] def hybridSearchPlan(s: SparkSession, d: String, path: String,
+      lexDir: String, k: Int, cand: Int): DataFrame = {
     import s.implicits._
-    // the lexical top page is a driver-cached TakeOrdered over the
-    // immutable BM25 snapshot: sorted (bm25 desc, doc_id) driver-side —
-    // the identical total order the window rank would assign — and
-    // re-entered as a local relation, so a warm poll runs no lex scan
-    val lexPage = servedLexPages.getOrElseUpdate((bm25Root(s, d), cand),
-      s.read.parquet(bm25Root(s, d))
+    // the lexical top page is a driver-cached TakeOrdered over the PINNED
+    // immutable BM25 snapshot version: sorted (bm25 desc, doc_id)
+    // driver-side — the identical total order the window rank would
+    // assign — and re-entered as a local relation, so a warm poll runs no
+    // lex scan
+    val lexPage = capped(servedLexPages).getOrElseUpdate((lexDir, cand),
+      s.read.parquet(lexDir)
         .orderBy(col("bm25").desc, col("doc_id")).limit(cand)
         .select("doc_id", "bm25").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -578,7 +760,7 @@ object QueryService {
     val vtop = graft.operators.VectorOps
       .searchIvfIndexPlanned(s, path, demoQueriesOf(s, d, path, 1L),
         centsOf(s, path), k = cand, probes = 2,
-        postings = Some(relationOf(s, s"$path/postings")),
+        postings = Some(relationOf(s, path, "postings")),
         compactForServe = true)
       .withColumn("vec_rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))))
@@ -651,9 +833,30 @@ object QueryService {
            |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
            |FROM f QUALIFY fused_rank <= 10""".stripMargin))
 
+  /** The HYBRID endpoint across a lex re-materialization: the fused page
+    * built after the flip reads the fully-new lexical arm (the plan-cache
+    * key folds the pinned lex version directory, so a flip re-keys
+    * instead of serving the stale arm) — bit-equal to serving against a
+    * fresh full-corpus materialization, so [[serveHybridSearch]]'s own
+    * oracle gates it verbatim.
+    */
+  val serveHybridRemat: graft.api.GraftQuery = graft.api.GraftQuery(
+    "serve_hybrid_remat",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/sdoc_remat_$id"
+      val docs = graft.core.Tables.documents(s, d)
+      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
+      rematerializeDocIndex(s, root, docs)
+      hybridSearchPlan(s, d, vecIndexRoot(s, d),
+        resolveDocIndexRoot(s, root), 10, 20)
+    },
+    serveHybridSearch.oracle)
+
   val all: Seq[graft.api.GraftQuery] =
     Seq(serveRidesWindow, serveDocSearch, serveVecSearch, serveVecSearchPq,
-      serveVecSearchRerank, serveVecRecall, serveHybridSearch)
+      serveVecSearchRerank, serveVecRecall, serveHybridSearch,
+      serveDocPinnedRead, serveDocFlipVacuum, serveHybridRemat)
 }
 
 /** Thin CLI over [[QueryService]]: `runMain graft.serve.ServeCli <sfDir>

@@ -28,12 +28,17 @@ object PollProbe {
         val t1 = System.nanoTime()
         buildSec += (t1 - t0) / 1e9
         df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // feed the serving layer's vacuum grace window with the observed
+        // end-to-end poll duration (QueryService.vacuumGraceMs)
+        graft.serve.QueryService.notePollMillis((sec * 1000).toLong)
+        sec
       }.sorted
-      // clamp both percentile indices so n=1..3 stay in range (and label
-      // honestly: with 20 samples the upper slot is the 19/20 boundary)
-      val p50 = times(math.max(0, n / 2 - 1))
-      val p95 = times(math.min(n - 1, math.max(0, (n * 95 + 99) / 100 - 1)))
+      // nearest-rank percentiles, clamped so n=1..3 stay in range
+      def rank(p: Int): Double =
+        times(math.min(n - 1, math.max(0, (n * p + 99) / 100 - 1)))
+      val p50 = rank(50)
+      val p95 = rank(95)
       println(f"$name%-18s p50=$p50%.3fs p95=$p95%.3fs " +
         f"build_avg=${buildSec / n}%.3fs")
     }

@@ -143,6 +143,101 @@ class ServeSpec extends SparkSpec {
     assert(QueryService.vecIndexRoot(spark, sf) >= v2)
   }
 
+  test("versioned BM25 store: a hybrid page pinned before a lex " +
+    "re-materialization serves the fully-old arm; a fresh resolution " +
+    "serves the fully-new one") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sdoc").toString + "/bm25"
+    val docs = graft.core.Tables.documents(spark, sf)
+    QueryService.initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
+    val v1 = QueryService.resolveDocIndexRoot(spark, root)
+    assert(v1.endsWith("v00000001"))
+    // the in-flight poller: hybrid plan constructed against the pinned v1
+    val pinned = QueryService.hybridSearchPlan(spark, sf,
+      QueryService.vecIndexRoot(spark, sf), v1, 10, 20)
+    val before = pinned.collect().map(_.toString).toSeq
+    // re-materialization flips to v2 (full corpus) under the pinned page
+    val v2 = QueryService.rematerializeDocIndex(spark, root, docs)
+    assert(v2.endsWith("v00000002"))
+    assert(pinned.collect().map(_.toString).toSeq === before,
+      "a hybrid page pinned to v1 must keep serving the old lex arm")
+    // fresh resolution reads the new arm — equal to a from-scratch
+    // full-corpus materialization, different from the subset page
+    val fresh = QueryService.hybridSearchPlan(spark, sf,
+      QueryService.vecIndexRoot(spark, sf),
+      QueryService.resolveDocIndexRoot(spark, root), 10, 20)
+      .collect().map(_.toString).toSeq
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-sdoc-fresh").toString + "/bm25"
+    QueryService.initVersionedDocIndex(docs, scratch)
+    val expect = QueryService.hybridSearchPlan(spark, sf,
+      QueryService.vecIndexRoot(spark, sf),
+      QueryService.resolveDocIndexRoot(spark, scratch), 10, 20)
+      .collect().map(_.toString).toSeq
+    assert(fresh === expect)
+    assert(fresh !== before,
+      "subset vs full-corpus lex arms must rank differently")
+    // vacuum past the grace window reclaims v1 only
+    assert(QueryService.vacuumDocIndexVersions(spark, root, keepLast = 1)
+      === Seq(1L))
+    assert(!new java.io.File(s"$root/roots/v00000001").exists())
+  }
+
+  test("same-JVM maintenance mutations (versioned append/delete/compact) " +
+    "re-key the warm-path caches: polls see appends, survive compaction") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = QueryService.serveRootOf(sf)
+    def rows(): Set[String] =
+      QueryService.vecSearch(spark, sf).collect().map(_.toString).toSet
+    val baseline = rows() // warms relation + plan caches
+    // append clones of query 0's vector under fresh ids INTO the current
+    // version directory — without the epoch bump the cached plan would
+    // keep serving the stale file listing and never surface them
+    val clones = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0)
+      .select((col("vec_id") + lit(9000000L)).as("vec_id"), col("embedding"))
+    graft.operators.VectorOps.appendToVersionedVecIndex(clones, root)
+    val appended = rows()
+    assert(appended.exists(_.contains("9000000")),
+      s"a warm poll after an in-place append must serve the appended row")
+    // delete them again: the tombstone contract (gone at the NEXT query)
+    graft.operators.VectorOps.deleteFromVersionedVecIndex(spark, root,
+      clones.select("vec_id"))
+    assert(rows() === baseline)
+    // compaction rewrites the postings files in place; the epoch bump
+    // must drop the cached listing (or polls throw FileNotFoundException
+    // on the deleted part files) and results must not move a bit
+    graft.operators.VectorOps.compactVersionedVecIndex(spark, root)
+    assert(rows() === baseline)
+  }
+
+  test("poll-derived vacuum grace: a slow pinned reader survives a vacuum " +
+    "inside the grace window; past it the version is reclaimed") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-grace").toString + "/vidx"
+    graft.operators.VectorOps.initVersionedVecIndex(
+      emb.filter(col("vec_id") % 10 =!= 0), root)
+    // the artificially slow reader: pinned to v1, executes much later
+    val pinned = graft.operators.VectorOps.searchVersionedVecIndex(
+      spark, root, emb.filter(col("vec_id") < 5), k = 3)
+    graft.operators.VectorOps.rebuildVersionedVecIndex(spark, root) // v2
+    // inside the grace window (v1 superseded milliseconds ago): vacuum
+    // must keep v1 alive even at keepLast=1, so the pinned read finishes
+    assert(graft.operators.VectorOps.vacuumVecIndexVersions(spark, root,
+      keepLast = 1, minAgeMs = 10L * 60 * 1000) === Nil)
+    assert(pinned.collect().nonEmpty,
+      "the pinned reader must survive a vacuum inside the grace window")
+    // past the window it goes
+    assert(graft.operators.VectorOps.vacuumVecIndexVersions(spark, root,
+      keepLast = 1, minAgeMs = 0L) === Seq(1L))
+    // the serving refresh derives the window from observed polls
+    QueryService.notePollMillis(20000L)
+    assert(QueryService.vacuumGraceMs === 80000L)
+  }
+
   test("doc search serves the exact BM25 top-10, score-descending") {
     val hits = QueryService.docSearch(spark, sf).collect()
     assert(hits.length == 10)
