@@ -93,7 +93,13 @@ object ScaleBench {
       // the serveCeiling check below adds the absolute latency gate
       // that actually binds (a poll must stay inside the reference
       // dashboard's 3 s budget even at 30x with the hot cell).
-      "serve_vec_search", "serve_vec_search_pq")
+      "serve_vec_search", "serve_vec_search_pq",
+      // r12 verdict #5: the fused route under BOTH planted hot spots —
+      // its vector arm probes the 50%-hot IVF cell and its lexical arm
+      // scores the boilerplate mega-cluster (20% of docs match every
+      // query term since the r13a replica recipe); the absolute 3 s
+      // ceiling below is the binding gate, as for the other serve rows
+      "serve_hybrid_search")
     val skewRows = skewOps.map { name =>
       val t1 = time(spark, name, base)
       val tf = time(spark, name, skewOut)

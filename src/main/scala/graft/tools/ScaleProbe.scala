@@ -52,7 +52,7 @@ object ScaleProbe {
     // marker versioned with the replica RECIPE: a content change (e.g.
     // the r12 hot-cell embedding plant) must invalidate a cached replica
     // left in the shared tmpdir by an earlier build of this tool
-    val done = new java.io.File(s"$out/_DONE_r12a")
+    val done = new java.io.File(s"$out/_DONE_r13a")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
     def reps(df: DataFrame): DataFrame =
@@ -102,7 +102,13 @@ object ScaleProbe {
     val dSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
     val uniqText = when(col("rep") === 0, col("text")).otherwise(
       concat_ws(" ", expr("transform(split(text, ' '), w -> concat('z', CAST(rep AS STRING), w))")))
-    val boiler = (0 until 60).map(i => s"bp$i").mkString(" ")
+    // the boilerplate carries the BM25 demo query terms, so the planted
+    // mega-cluster is ALSO a hot-term lex corpus: 20% of all docs match
+    // every query term, stressing the serve_hybrid lexical arm's tf/df
+    // aggregation the same way the hot IVF cell stresses its vector arm
+    val boiler =
+      ((0 until 60).map(i => s"bp$i") ++ Seq("dup", "join", "batch"))
+        .mkString(" ")
     writeSingle(reps(docs)
       .withColumn("doc_id", col("doc_id") + col("rep") * dSpan)
       .withColumn("text",
