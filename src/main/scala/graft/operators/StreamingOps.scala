@@ -1800,8 +1800,71 @@ object StreamingOps {
            |SELECT doc_id, h, n_emails, n_phones, clean_md5 FROM fb2""".stripMargin),
     bench = false)
 
+  /** T45 (beyond reference): the drift loop CLOSED end to end — t43's
+    * streamed signature accumulation feeds the rebuild advisor's
+    * `embedding` verdict, which triggers the advisor-gated VERSIONED
+    * retrain, whose atomic flip is what the next poll serves. The fixture
+    * makes the embedding row the load-bearing trigger: the index is
+    * subset-trained (v47's recipe) with the full corpus appended, a
+    * geometry whose occupancy verdict is `keep` on this table (640 vs
+    * threshold 1000 — measured, not assumed), and the stream's CURRENT
+    * side collapses onto one signature cell (the embedding-model-changed
+    * stand-in), so ONLY the streamed PSI says retrain. Without the
+    * t43→advisor wiring the served geometry would stay subset-trained and
+    * the fresh-build oracle would catch it; the in-query requires make the
+    * causality explicit (acted, and exactly v2 published).
+    *
+    * Scale: the per-batch signature append is a stateless map (no
+    * shuffle); the decision reduces the store to 64 cells; the retrain is
+    * the ordinary one-scan versioned rebuild — nothing here grows with
+    * corpus size except the stores themselves.
+    */
+  val t45: GraftQuery = GraftQuery(
+    "t45_stream_drift_retrain",
+    (s, d) => {
+      val id = java.util.UUID.randomUUID()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/t45_$id"
+      val root = s"$base/vidx"
+      val sigPath = s"$base/sigs"
+      val emb = graft.core.Tables.embeddings(s, d)
+      VectorOps.initVersionedVecIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), root)
+      VectorOps.appendToVersionedVecIndex(
+        emb.filter(col("vec_id") % 10 === 0), root)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .writeStream
+        .option("checkpointLocation", checkpoint())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VectorOps.embeddingSignatures(
+              batch.withColumn("is_ref", expr("vec_id % 2 = 0")),
+              "vec_id", "is_ref")
+            // the model shift: every CURRENT row lands in signature cell 0
+            .withColumn("sig",
+              when(col("is_ref"), col("sig")).otherwise(lit(0)))
+            .write.mode("append").parquet(sigPath)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the maintenance hook DECIDES and ACTS: the streamed PSI trips the
+      // 0.2 rule, the versioned rebuild re-derives full-corpus geometry
+      // and publishes v2 under any concurrent reader
+      val acted = VectorOps.rebuildVersionedIfAdvised(s, root,
+        sigStore = Some(sigPath))
+      require(acted.isDefined,
+        "t45: the streamed embedding-drift verdict must trigger the retrain")
+      require(VectorOps.currentVecIndexVersion(s, root) == Some(2L),
+        "t45: exactly v2 must be published by the advisor-gated retrain")
+      VectorOps.searchVersionedVecIndex(s, root,
+        emb.filter(col("vec_id") < 10), k = 3, probes = 2, tier = "ivf")
+    },
+    VectorOps.v2.oracle,
+    bench = false)
+
   val all: Seq[GraftQuery] =
     Seq(t3, t5, t6, t11, t11b, t12, t13, t14, t15, t16, t17, t18, t10, t19, t20, t21, t22, t23,
       t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-      t42, t43, t44)
+      t42, t43, t44, t45)
 }
