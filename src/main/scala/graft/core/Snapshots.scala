@@ -28,12 +28,19 @@ object Snapshots {
     else fs.toSeq.map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).sorted
   }
 
-  /** Write `df` as the next snapshot; returns the new version id. */
-  def write(s: SparkSession, table: String, df: DataFrame): Int = {
-    val v = versions(table).lastOption.getOrElse(0) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"${root(table)}/v$v")
-    v
-  }
+  /** Write `df` as the next snapshot; returns the new version id.
+    *
+    * Crash-safe publish (the discipline every serving store now shares —
+    * see [[VersionedStore]]): the data lands in an UNPUBLISHED `stage-*`
+    * directory that [[versions]] never lists, and `v{N}` appears via one
+    * atomic rename — a writer crashing mid-write leaves only staging
+    * debris readers cannot resolve, never a half-written snapshot that
+    * [[latest]] would trust. The version number is taken AFTER the data
+    * write, so a concurrent writer racing to the same number fails the
+    * rename loudly instead of interleaving files.
+    */
+  def write(s: SparkSession, table: String, df: DataFrame): Int =
+    publishStaged(table, stage(s, table, df))
 
   /** Time-travel read of snapshot `v`. */
   def read(s: SparkSession, table: String, v: Int): DataFrame =
