@@ -90,17 +90,23 @@ object VectorOps {
     centroidsOf(Tables.embeddings(s, d))
 
   /** Nearest-centroid assignment against an arbitrary (small) centroid
-    * set: one K-row broadcast join + per-vector rank — O(n*K),
-    * shuffle-free until the cluster-id exchange. Ties break on k_id, so
-    * assignment is deterministic for any engine.
+    * set: one K-row broadcast join + per-vector argmax — O(n*K). The
+    * argmax is a `max_by` aggregation, NOT a rank window: the K candidate
+    * rows per vector sit in the same input partition (they came from one
+    * corpus row), so the partial aggregate collapses K→1 BEFORE the
+    * exchange and the shuffle carries n rows instead of n*K full-width
+    * rows (embedding included) — a K-fold shuffle-volume cut in every
+    * index build and kmeans/IVF query at 100 TB. The max orders by
+    * (kcos, -k_id), the exact total order of the old (kcos DESC, k_id
+    * ASC) rank, so assignment stays bit-identical in any engine.
     */
-  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
+  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.join(broadcast(cents), col("c_id").isNotNull)
       .withColumn("kcos", cosine("c_e", "k_e"))
-      .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
-      .select(col("c_id"), col("c_e"), col("k_id").as("cluster"))
-  }
+      .groupBy("c_id")
+      .agg(max_by(struct(col("c_e"), col("k_id")),
+        struct(col("kcos"), (-col("k_id")).as("nk"))).as("m"))
+      .select(col("c_id"), col("m.c_e").as("c_e"), col("m.k_id").as("cluster"))
 
   private def ivfAssign(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
@@ -2006,12 +2012,15 @@ object VectorOps {
     */
   def oodScores(emb: DataFrame): DataFrame = {
     val cents = kmeansCentroidsOf(emb)
-    val aw = Window.partitionBy("c_id").orderBy(col("kcos").desc, col("k_id"))
+    // same map-side-combinable argmax as [[assign]] (K→1 before the
+    // exchange), keeping the winning kcos for the score
     withNorm(emb, "c").join(broadcast(cents), col("c_id").isNotNull)
       .withColumn("kcos", cosine("c_e", "k_e"))
-      .withColumn("rk", row_number().over(aw)).filter(col("rk") === 1)
-      .select(col("c_id").as("vec_id"), col("k_id").as("cluster"),
-        (floor((lit(1.0) - col("kcos")) * 1e9 + 0.5).cast("double") / 1e9)
+      .groupBy("c_id")
+      .agg(max_by(struct(col("k_id"), col("kcos")),
+        struct(col("kcos"), (-col("k_id")).as("nk"))).as("m"))
+      .select(col("c_id").as("vec_id"), col("m.k_id").as("cluster"),
+        (floor((lit(1.0) - col("m.kcos")) * 1e9 + 0.5).cast("double") / 1e9)
           .as("ood_score"))
       .withColumn("cluster_n",
         count(lit(1)).over(Window.partitionBy("cluster")))
