@@ -2695,9 +2695,11 @@ object VectorOps {
     * Space is reclaimed later by [[compactIvfIndex]].
     */
   def deleteFromIvfIndex(s: SparkSession, path: String,
-      ids: DataFrame): Unit =
+      ids: DataFrame): Unit = {
     ids.select(col("vec_id").as("c_id"))
       .write.mode("append").parquet(s"$path/tombstones")
+    noteMutation(path)
+  }
 
   /** OFFLINE compaction: rewrite the posting lists minus tombstoned rows
     * into a fresh directory, then atomically swap it in and drop the
@@ -2709,6 +2711,7 @@ object VectorOps {
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
+    noteMutation(path) // aside recovery and the rewrite both reshape files
     recoverAside(s, s"$path/postings")
     // ADVICE r12: the serving lag-collapse (see [[searchIvfIndexPlanned]])
     // is exactly-once only under the immutable-vec_id contract (equal ids
@@ -2786,6 +2789,7 @@ object VectorOps {
     val cents = batch.sparkSession.read.parquet(s"$path/centroids")
     assign(withNorm(batch, "c"), cents)
       .write.mode("append").partitionBy("cluster").parquet(s"$path/postings")
+    noteMutation(path)
   }
 
   /** OFFLINE recenter/rebuild — the consumer of v18's `needs_split`
@@ -2991,18 +2995,22 @@ object VectorOps {
     * deterministic rows, which serving collapses (see [[searchPqIndex]])
     * and compaction physically reclaims.
     */
-  def appendToPqIndex(batch: DataFrame, path: String): Unit =
+  def appendToPqIndex(batch: DataFrame, path: String): Unit = {
     encodeAgainst(batch, readPqCodebook(batch.sparkSession, path))
       .write.mode("append").parquet(s"$path/codes")
+    noteMutation(path)
+  }
 
   /** LOGICAL delete from the PQ index — ids land in a tombstone table and
     * [[searchPqIndex]] stops serving them at the next query via one keyed
     * anti-join; space is reclaimed offline by [[compactPqIndex]]. Same
     * right-to-be-forgotten contract as [[deleteFromIvfIndex]].
     */
-  def deleteFromPqIndex(s: SparkSession, path: String, ids: DataFrame): Unit =
+  def deleteFromPqIndex(s: SparkSession, path: String, ids: DataFrame): Unit = {
     ids.select(col("vec_id"))
       .write.mode("append").parquet(s"$path/pq_tombstones")
+    noteMutation(path)
+  }
 
   /** OFFLINE compaction of the PQ codes: rewrite minus tombstones into a
     * fresh directory, crash-safe [[swapAside]] swap, drop the tombstones.
@@ -3010,6 +3018,7 @@ object VectorOps {
     */
   def compactPqIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
+    noteMutation(path) // aside recovery and the rewrite both reshape files
     recoverAside(s, s"$path/codes")
     val tomb = new org.apache.hadoop.fs.Path(s"$path/pq_tombstones")
     val fs = tomb.getFileSystem(conf)
@@ -3585,6 +3594,7 @@ object VectorOps {
         expr("zip_with(c_e, k_e, (x, y) -> x - y)").as("r"))
     encodeResiduals(residuals, readPqCodebook(s, path))
       .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+    noteMutation(path)
   }
 
   /** LOGICAL delete from a residual IVF-PQ index — same tombstone
@@ -3592,9 +3602,11 @@ object VectorOps {
     * [[compactIvfPqIndex]].
     */
   def deleteFromIvfPqIndex(s: SparkSession, path: String,
-      ids: DataFrame): Unit =
+      ids: DataFrame): Unit = {
     ids.select(col("vec_id"))
       .write.mode("append").parquet(s"$path/tombstones")
+    noteMutation(path)
+  }
 
   /** OFFLINE compaction of the residual tier: rewrite the
     * cluster-partitioned codes minus tombstones, crash-safe
@@ -3603,6 +3615,7 @@ object VectorOps {
     */
   def compactIvfPqIndex(s: SparkSession, path: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
+    noteMutation(path) // aside recovery and the rewrite both reshape files
     recoverAside(s, s"$path/codes")
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tomb.getFileSystem(conf)
@@ -3927,8 +3940,10 @@ object VectorOps {
   // ------------------------------------------------------ mutation epochs
 
   /** In-JVM mutation counter per index directory, bumped by every entry
-    * point that changes files INSIDE an existing directory (append,
-    * delete, compact). Serving layers that cache resolved relations or
+    * point that changes files INSIDE an existing directory — the bump
+    * lives in the LOW-LEVEL tier appends/deletes/compactors, so both the
+    * versioned wrappers and a direct unversioned call on a served
+    * directory re-key. Serving layers that cache resolved relations or
     * constructed plans fold [[mutationEpochOf]] into their cache keys, so
     * a same-process mutation through any package-visible entry point
     * invalidates them — closing the gap where "immutable once built"
@@ -4132,7 +4147,6 @@ object VectorOps {
       if (!hasIvf && isResidualRoot(s, dir)) appendToIvfPqIndex(batch, dir)
       else appendToPqIndex(batch, dir)
     }
-    noteMutation(dir)
   }
 
   /** Tombstone in the current version (layout-dispatched like
@@ -4140,20 +4154,14 @@ object VectorOps {
     * the rows physically in the successor version.
     */
   def deleteFromVersionedVecIndex(s: SparkSession, root: String,
-      ids: DataFrame): Unit = {
-    val dir = resolveVecIndexRoot(s, root)
-    deleteFromVecIndex(s, dir, ids)
-    noteMutation(dir)
-  }
+      ids: DataFrame): Unit =
+    deleteFromVecIndex(s, resolveVecIndexRoot(s, root), ids)
 
   /** Compact the current version in place ([[swapAside]] stays INSIDE the
     * version directory — the one place it remains).
     */
-  def compactVersionedVecIndex(s: SparkSession, root: String): Unit = {
-    val dir = resolveVecIndexRoot(s, root)
-    compactVecIndex(s, dir)
-    noteMutation(dir)
-  }
+  def compactVersionedVecIndex(s: SparkSession, root: String): Unit =
+    compactVecIndex(s, resolveVecIndexRoot(s, root))
 
   /** Reclaim versions older than the newest `keepLast` (grace window for
     * in-flight readers pinned to a predecessor — keepLast >= 2 keeps the

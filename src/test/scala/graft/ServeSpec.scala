@@ -210,6 +210,16 @@ class ServeSpec extends SparkSpec {
     // on the deleted part files) and results must not move a bit
     graft.operators.VectorOps.compactVersionedVecIndex(spark, root)
     assert(rows() === baseline)
+    // the bump lives in the LOW-LEVEL entry points, so a direct
+    // UNVERSIONED append on the resolved version directory re-keys too
+    val dir = graft.operators.VectorOps.resolveVecIndexRoot(spark, root)
+    graft.operators.VectorOps.appendToIvfIndex(clones, dir)
+    assert(rows().exists(_.contains("9000000")),
+      "a direct unversioned append must also surface at the next poll")
+    graft.operators.VectorOps.deleteFromVecIndex(spark, dir,
+      clones.select("vec_id"))
+    graft.operators.VectorOps.compactVecIndex(spark, dir)
+    assert(rows() === baseline)
   }
 
   test("poll-derived vacuum grace: a slow pinned reader survives a vacuum " +
