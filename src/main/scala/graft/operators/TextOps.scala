@@ -156,7 +156,12 @@ object TextOps {
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val (bands, rows) = bandingFor(threshold)
-    val sets = shingleSets(docs)
+    // the sets table feeds THREE consumers (banding + both verify-side
+    // attachments); without staging it, each re-scans the corpus and
+    // re-shingles every document — materialize once, the same role a
+    // staged intermediate write plays in a cluster pipeline (and the
+    // pattern [[dupComponents]] already uses for its collapsed corpus)
+    val sets = shingleSets(docs).localCheckpoint()
     withSets(lshCandidates(sets, numHashes = 64, bands = bands, rows = rows), sets)
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
