@@ -99,18 +99,28 @@ object VersionedStore {
 
   // ------------------------------------------------ single-writer claims
 
-  /** Exclusive create — the O_EXCL primitive the lease rests on. HDFS
-    * `create(p, overwrite = false)` is atomic-exclusive; the local
-    * filesystem's Hadoop shim is check-then-create, so route file:// paths
-    * through `java.io.File.createNewFile` (O_CREAT|O_EXCL on POSIX).
+  /** Exclusive create carrying the holder's token — the O_EXCL primitive
+    * the lease rests on. HDFS `create(p, overwrite = false)` is
+    * atomic-exclusive; the local filesystem's Hadoop shim is
+    * check-then-create, so route file:// paths through
+    * `java.io.File.createNewFile` (O_CREAT|O_EXCL on POSIX), then write
+    * the token. A reader racing the two steps sees an empty file — that
+    * reads as "held by unknown", never as "held by me".
     */
-  private def atomicCreate(fs: FileSystem, p: Path): Boolean = {
+  private def atomicCreate(fs: FileSystem, p: Path, token: String): Boolean = {
     val uri = fs.getUri
     if (uri.getScheme == null || uri.getScheme == "file") {
-      new java.io.File(p.toUri.getPath).createNewFile()
+      val f = new java.io.File(p.toUri.getPath)
+      if (!f.createNewFile()) false
+      else {
+        java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"))
+        true
+      }
     } else {
-      try { fs.create(p, false).close(); true }
-      catch {
+      try {
+        val out = fs.create(p, false)
+        out.write(token.getBytes("UTF-8")); out.close(); true
+      } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.io.IOException => false
       }
@@ -125,12 +135,26 @@ object VersionedStore {
   // the exclusive create above)
   private val claimLock = new Object
 
+  // token of the lease THIS process holds per (root, n) — lets a writer
+  // verify immediately before publish that its lease was not stolen by a
+  // mis-fired cross-process takeover (see [[holdsLease]])
+  private val heldTokens =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
   /** Take the exclusive build lease on version `n` of `root`. Returns
     * true iff THIS caller now holds it — exactly one concurrent claimant
     * wins; the rest must not write under roots/v{n}. A lease left by a
     * crashed claimant (older than `ttlMs` with `n` still unpublished) is
     * taken over. Release with [[release]] (a finally block — a claimant
     * that dies without releasing is recovered by the TTL takeover).
+    *
+    * Takeover is TOCTOU-hardened: the stale lease is renamed aside and
+    * the MOVED file's mtime is compared against the stat that judged it
+    * stale — if a racing winner re-created the lease between the stat and
+    * the rename (so the rename moved a FRESH lease), it is renamed back
+    * and the takeover is abandoned. The residual window (a third claimant
+    * creating in the put-back gap) is why writers additionally verify
+    * [[holdsLease]] before publishing.
     */
   def claim(s: SparkSession, root: String, n: Long, ttlMs: Long): Boolean =
     claimLock.synchronized {
@@ -138,7 +162,9 @@ object VersionedStore {
       val fs = fsOf(s, man)
       fs.mkdirs(man)
       val cl = claimPath(root, n)
-      if (atomicCreate(fs, cl)) true
+      val token = java.util.UUID.randomUUID().toString
+      def won(): Boolean = { heldTokens.put((root, n), token); true }
+      if (atomicCreate(fs, cl, token)) won()
       else if (fs.exists(new Path(man, versionName(n)))) false // already live
       else {
         val st =
@@ -147,25 +173,60 @@ object VersionedStore {
         st match {
           case None =>
             // holder vanished between our create attempt and the stat
-            atomicCreate(fs, cl)
+            atomicCreate(fs, cl, token) && won()
           case Some(x)
               if System.currentTimeMillis() - x.getModificationTime > ttlMs =>
             // crashed-lease takeover: move the SPECIFIC stale file aside
-            // (two racing takeovers — only one rename of it can succeed),
-            // then funnel back through the exclusive create
+            // (two racing takeovers — only one rename of it can succeed)
             val dead = new Path(man,
               s".dead_${versionName(n)}_${java.util.UUID.randomUUID()}")
             val moved = try fs.rename(cl, dead)
               catch { case _: java.io.IOException => false }
-            if (moved) fs.delete(dead, false)
-            atomicCreate(fs, cl)
+            if (!moved) atomicCreate(fs, cl, token) && won()
+            else {
+              val deadMtime =
+                try Some(fs.getFileStatus(dead).getModificationTime)
+                catch { case _: java.io.FileNotFoundException => None }
+              if (deadMtime.contains(x.getModificationTime)) {
+                // we moved the lease we judged stale — reclaim through
+                // the exclusive create as usual
+                fs.delete(dead, false)
+                atomicCreate(fs, cl, token) && won()
+              } else {
+                // TOCTOU: a racing winner re-created the lease between
+                // our stat and our rename, and we moved the FRESH one —
+                // put it back and abandon the takeover
+                if (!fs.rename(dead, cl)) fs.delete(dead, false)
+                false
+              }
+            }
           case _ => false // live lease held by another writer
         }
       }
     }
 
+  /** Does THIS process still hold the lease it claimed on (root, n)? A
+    * writer calls this immediately before publish: in the (doubly-raced)
+    * takeover window a lease can be stolen out from under a live builder,
+    * and publishing then would bless a directory another writer may have
+    * touched — verifying the on-disk token against the one [[claim]]
+    * recorded turns that corruption into a loud abort instead.
+    */
+  def holdsLease(s: SparkSession, root: String, n: Long): Boolean =
+    heldTokens.get((root, n)).exists { token =>
+      val cl = claimPath(root, n)
+      val fs = fsOf(s, cl)
+      try {
+        val in = fs.open(cl)
+        val buf = new Array[Byte](64)
+        val read = in.read(buf); in.close()
+        read > 0 && new String(buf, 0, read, "UTF-8") == token
+      } catch { case _: java.io.IOException => false }
+    }
+
   /** Drop the lease on version `n` (idempotent). */
   def release(s: SparkSession, root: String, n: Long): Unit = {
+    heldTokens.remove((root, n))
     val cl = claimPath(root, n)
     fsOf(s, cl).delete(cl, false): Unit
   }
@@ -194,10 +255,23 @@ object VersionedStore {
     try {
       val dir = versionDir(root, 1L)
       build(dir)
+      requireStillHeld(s, root, 1L)
       publish(s, root, 1L)
       dir
     } finally release(s, root, 1L)
   }
+
+  /** Abort loudly if the lease this process claimed was stolen while it
+    * built — publishing anyway would bless a directory another writer may
+    * have interleaved into (the residual takeover window [[claim]]
+    * documents).
+    */
+  private def requireStillHeld(s: SparkSession, root: String, n: Long): Unit =
+    require(holdsLease(s, root, n),
+      s"VersionedStore: the build lease on ${versionName(n)} under $root " +
+        "was lost mid-build (a takeover mis-fire or manual intervention) — " +
+        "refusing to publish a possibly multi-writer directory; retry the " +
+        "build")
 
   /** Publish the successor version: claim v{N+1} (single-writer — a
     * concurrent builder is refused loudly), run `build` into its version
@@ -217,6 +291,7 @@ object VersionedStore {
     try {
       val dir = versionDir(root, n)
       build(dir)
+      requireStillHeld(s, root, n)
       publish(s, root, n)
       dir
     } finally release(s, root, n)

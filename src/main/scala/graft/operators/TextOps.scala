@@ -567,11 +567,15 @@ object TextOps {
         .select("doc_id", "bm25")
   }
 
-  val x31: GraftQuery = GraftQuery(
-    "x31_bm25_score",
-    (s, d) => bm25Score(Tables.documents(s, d)),
-    Some("""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-           |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
+  /** x31's exact BM25 oracle SQL, parameterized by an optional corpus
+    * filter (e.g. "WHERE doc_id % 10 != 0"): the serve layer's
+    * versioned-snapshot gates replay the same scoring over a SUBSET —
+    * df, N and avgdl all shift with the slice — so the formula and the
+    * query-term list live in exactly one place.
+    */
+  def bm25OracleSql(where: String = ""): String =
+    s"""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents $where),
+       |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
            |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d3),
            |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM (
            |    SELECT doc_id, dl, unnest(ws) AS w FROM d3)
@@ -586,11 +590,16 @@ object TextOps {
            |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
            |  AS sc
            |  FROM tf CROSS JOIN stats JOIN dfreq ON tf.w = dfreq.w)
-           |SELECT doc_id,
-           |  coalesce(max(CASE WHEN w = 'dup' THEN sc END), CAST(0 AS DOUBLE))
-           |  + coalesce(max(CASE WHEN w = 'join' THEN sc END), CAST(0 AS DOUBLE))
-           |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
-           |FROM sc GROUP BY doc_id""".stripMargin))
+       |SELECT doc_id,
+       |  coalesce(max(CASE WHEN w = 'dup' THEN sc END), CAST(0 AS DOUBLE))
+       |  + coalesce(max(CASE WHEN w = 'join' THEN sc END), CAST(0 AS DOUBLE))
+       |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  val x31: GraftQuery = GraftQuery(
+    "x31_bm25_score",
+    (s, d) => bm25Score(Tables.documents(s, d)),
+    Some(bm25OracleSql()))
 
   /** One PageRank power-step of the x32 oracle: contributions folded in
     * source-id order (list_sort of [src, contrib] pairs — src is unique per

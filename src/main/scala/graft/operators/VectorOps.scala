@@ -2713,12 +2713,21 @@ object VectorOps {
     val conf = s.sparkContext.hadoopConfiguration
     noteMutation(path) // aside recovery and the rewrite both reshape files
     recoverAside(s, s"$path/postings")
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return // no-op stays one exists() probe cheap
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val alive = s.read.parquet(postings.toString)
+      .join(s.read.parquet(tomb.toString), Seq("c_id"), "left_anti")
     // ADVICE r12: the serving lag-collapse (see [[searchIvfIndexPlanned]])
     // is exactly-once only under the immutable-vec_id contract (equal ids
-    // carry bit-equal payloads). Compaction already scans the postings
-    // offline, so this is where a contract violation SURFACES instead of
-    // silently double-serving a mutated id: duplicated c_ids must agree.
-    val mutated = s.read.parquet(s"$path/postings")
+    // carry bit-equal payloads). Compaction scans the postings anyway, so
+    // this is where a contract violation SURFACES instead of silently
+    // double-serving a mutated id: duplicated ALIVE c_ids must agree —
+    // tombstoned ids are excluded, since a delete-then-reappend under a
+    // recycled id is the documented mutation path and compaction itself
+    // reclaims the old rows.
+    val mutated = alive
       .groupBy("c_id")
       .agg(countDistinct(hash(col("c_e"))).as("nv"))
       .filter(col("nv") > 1).limit(1).count()
@@ -2726,13 +2735,8 @@ object VectorOps {
       s"compactIvfIndex: $path holds re-appended c_ids with CHANGED " +
         "payloads — vec_id is an immutable key (mutation = delete + new " +
         "id); the serving dedup assumes bit-identical duplicates")
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = tomb.getFileSystem(conf)
-    if (!fs.exists(tomb)) return
-    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fresh = new org.apache.hadoop.fs.Path(s"$path/postings_compacting")
-    s.read.parquet(postings.toString)
-      .join(s.read.parquet(tomb.toString), Seq("c_id"), "left_anti")
+    alive
       .dropDuplicates("c_id") // reclaim rows a redelivered append doubled
       .write.mode("overwrite").partitionBy("cluster").parquet(fresh.toString)
     swapAside(fs, fresh, postings)
@@ -2851,7 +2855,8 @@ object VectorOps {
       .write.mode("overwrite").partitionBy("cluster").parquet(freshPost.toString)
     swapAside(fs, freshPost, postingsPath)
     swapAside(fs, freshCents, centsPath)
-    if (fs.exists(tomb)) fs.delete(tomb, true): Unit
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+    noteMutation(path)
   }
 
   /** V37 (beyond reference): build the persisted IVF index, then answer
@@ -3985,29 +3990,9 @@ object VectorOps {
     */
   def initVersionedVecIndex(corpus: DataFrame, root: String,
       tiers: String = "ivf",
-      leaseTtlMs: Long = DefaultRebuildLeaseMs): String = {
-    val s = corpus.sparkSession
-    val VS = graft.core.VersionedStore
-    require(currentVecIndexVersion(s, root).isEmpty,
-      s"initVersionedVecIndex: $root already has a published version — " +
-        "use rebuildVersionedVecIndex to publish a successor")
-    if (!VS.claim(s, root, 1L, leaseTtlMs)) {
-      // another writer is building v1 right now: wait for its publish
-      // (bounded by the lease TTL — if it dies, its lease expires and the
-      // NEXT init attempt takes over)
-      val deadline = System.currentTimeMillis() + leaseTtlMs
-      while (currentVecIndexVersion(s, root).isEmpty &&
-          System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
-      return resolveVecIndexRoot(s, root)
-    }
-    try {
-      val target = VS.versionDir(root, 1L)
-      buildTiers(corpus, target, tiers)
-      VS.publish(s, root, 1L)
-      target
-    } finally VS.release(s, root, 1L)
-  }
+      leaseTtlMs: Long = DefaultRebuildLeaseMs): String =
+    graft.core.VersionedStore.init(corpus.sparkSession, root, leaseTtlMs)(
+      buildTiers(corpus, _, tiers))
 
   /** The alive raw corpus of one version directory, reconstructed from
     * its postings tier: postings minus BOTH tombstone files (the facade
@@ -4059,29 +4044,10 @@ object VectorOps {
       s"rebuildVersionedVecIndex: $curDir has no raw postings tier to rebuild " +
         "from — a residual (codes-only) root is lossy; retrain it from the " +
         "source-of-truth corpus with rebuildVersionedVecIndexFrom")
-    withVersionClaim(s, root, cur + 1, leaseTtlMs, "rebuildVersionedVecIndex") {
-      val nextDir = graft.core.VersionedStore.versionDir(root, cur + 1)
-      val alive = aliveRawCorpus(s, curDir)
-      val tiers = if (tierExists(s, s"$curDir/codes")) "both" else "ivf"
-      buildTiers(alive, nextDir, tiers)
-      graft.core.VersionedStore.publish(s, root, cur + 1)
-      nextDir
-    }
-  }
-
-  /** Run `body` holding the exclusive build lease on version `n`; the
-    * loser of a claim race gets a loud, named error (its retry after the
-    * winner publishes targets the NEXT version number).
-    */
-  private def withVersionClaim[T](s: SparkSession, root: String, n: Long,
-      ttlMs: Long, who: String)(body: => T): T = {
-    require(graft.core.VersionedStore.claim(s, root, n, ttlMs),
-      s"$who: another writer holds the build lease on ${versionName(n)} " +
-        s"under $root — exactly one rebuild may target a version; retry " +
-        "after it publishes (the next attempt targets the successor) or " +
-        s"after its lease expires (${ttlMs} ms)")
-    try body
-    finally graft.core.VersionedStore.release(s, root, n)
+    val alive = aliveRawCorpus(s, curDir)
+    val tiers = if (tierExists(s, s"$curDir/codes")) "both" else "ivf"
+    graft.core.VersionedStore.buildNext(s, root, leaseTtlMs)(
+      buildTiers(alive, _, tiers))
   }
 
   /** Rebuild version N+1 from an EXTERNAL source-of-truth corpus — the
@@ -4117,13 +4083,8 @@ object VectorOps {
       if (isResidualRoot(s, curDir)) "ivfpq"
       else if (tierExists(s, s"$curDir/codes")) "both"
       else "ivf"
-    withVersionClaim(s, root, cur + 1, leaseTtlMs,
-      "rebuildVersionedVecIndexFrom") {
-      val nextDir = graft.core.VersionedStore.versionDir(root, cur + 1)
-      buildTiers(alive, nextDir, tiers)
-      graft.core.VersionedStore.publish(s, root, cur + 1)
-      nextDir
-    }
+    graft.core.VersionedStore.buildNext(s, root, leaseTtlMs)(
+      buildTiers(alive, _, tiers))
   }
 
   /** Serve through the versioned pointer: resolve once, then route via
@@ -4259,7 +4220,16 @@ object VectorOps {
     // signature store by key (the t43 discipline — rows are deterministic
     // per vector, so max(struct) collapses redeliveries), then the
     // 2^bits-cell PSI folds to ONE quantized number judged by psiMargin
-    sigStore.fold(tiersOut) { store =>
+    // a sigStore that does not exist yet (the refresh hook firing before
+    // the monitor stream's first batch commits, or after a checkpoint
+    // reset) is NO EVIDENCE, not an error: skip the embedding row rather
+    // than aborting the verdicts whose inputs are valid
+    sigStore.filter { store =>
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(f =>
+        f.getPath.getName.endsWith(".parquet"))
+    }.fold(tiersOut) { store =>
       val sigs = s.read.parquet(store)
         .groupBy("key").agg(max(struct(col("is_ref"), col("sig"))).as("m"))
         .select(col("m.is_ref").as("is_ref"), col("m.sig").as("sig"))
@@ -4284,9 +4254,10 @@ object VectorOps {
   def rebuildVersionedIfAdvised(s: SparkSession, root: String,
       margin: Double = 0.05,
       corpus: Option[DataFrame] = None,
-      sigStore: Option[String] = None): Option[String] = {
+      sigStore: Option[String] = None,
+      psiMargin: Double = 0.2): Option[String] = {
     val cur = resolveVecIndexRoot(s, root)
-    val verdicts = rebuildAdvisor(s, cur, margin, sigStore)
+    val verdicts = rebuildAdvisor(s, cur, margin, sigStore, psiMargin)
       .select("verdict").collect().map(_.getString(0))
     if (!verdicts.contains("retrain")) None
     else if (isResidualRoot(s, cur)) {

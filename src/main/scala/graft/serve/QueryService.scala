@@ -237,30 +237,12 @@ object QueryService {
   /** x31's BM25 scoring SQL over a filtered corpus slice — the subset
     * oracle the versioned-snapshot gates distinguish old/new pages with
     * (df, N and avgdl all shift with the subset, so v1-on-a-subset and
-    * v2-on-the-full-corpus rank provably differently).
+    * v2-on-the-full-corpus rank provably differently). The formula lives
+    * in ONE place ([[graft.operators.TextOps.bm25OracleSql]]) so a recipe
+    * change cannot silently diverge the serve gates from x31.
     */
   private def bm25SubsetSql(where: String): String =
-    s"""WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents $where),
-       |d3 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d2),
-       |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d3),
-       |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM (
-       |    SELECT doc_id, dl, unnest(ws) AS w FROM d3)
-       |  WHERE w IN ('dup', 'join', 'batch') GROUP BY 1, 2, 3),
-       |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-       |sc AS (SELECT tf.doc_id, tf.w,
-       |  (((CAST(n AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
-       |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-       |  * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-       |     / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
-       |          (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))))
-       |  AS sc
-       |  FROM tf CROSS JOIN stats JOIN dfreq ON tf.w = dfreq.w)
-       |SELECT doc_id,
-       |  coalesce(max(CASE WHEN w = 'dup' THEN sc END), CAST(0 AS DOUBLE))
-       |  + coalesce(max(CASE WHEN w = 'join' THEN sc END), CAST(0 AS DOUBLE))
-       |  + coalesce(max(CASE WHEN w = 'batch' THEN sc END), CAST(0 AS DOUBLE)) AS bm25
-       |FROM sc GROUP BY doc_id""".stripMargin
+    graft.operators.TextOps.bm25OracleSql(where)
 
   /** The deterministic top-k page over a pinned snapshot directory — the
     * exact [[docSearch]] serving shape, parameterized by version dir.
@@ -351,11 +333,12 @@ object QueryService {
     */
   def refreshVecIndex(s: SparkSession, d: String,
       margin: Double = 0.05,
-      sigStore: Option[String] = None): Option[String] = {
+      sigStore: Option[String] = None,
+      psiMargin: Double = 0.2): Option[String] = {
     val root = serveRootOf(d)
     val acted = graft.operators.VectorOps.rebuildVersionedIfAdvised(
       s, root, margin, corpus = Some(graft.core.Tables.embeddings(s, d)),
-      sigStore = sigStore)
+      sigStore = sigStore, psiMargin = psiMargin)
     acted.foreach { _ =>
       graft.operators.VectorOps.vacuumVecIndexVersions(s, root,
         keepLast = 2, minAgeMs = vacuumGraceMs)
@@ -443,12 +426,15 @@ object QueryService {
       s.read.parquet(dir))
   }
 
+  // centroids/codebook keys fold the mutation epoch like the relation and
+  // plan caches: an in-place geometry rewrite (rebuildIvfIndex's swap)
+  // must not leave polls scoring new postings against stale centroids
   private def centsOf(s: SparkSession, path: String) =
-    capped(servedCents).getOrElseUpdate(path,
+    capped(servedCents).getOrElseUpdate(epoched(path),
       graft.operators.VectorOps.loadIvfCentroids(s, path))
 
   private def codebookOf(s: SparkSession, path: String) =
-    capped(servedCodebooks).getOrElseUpdate(path,
+    capped(servedCodebooks).getOrElseUpdate(epoched(path),
       graft.operators.VectorOps.loadPqCodebook(s, path))
 
   private def demoQueriesOf(s: SparkSession, d: String, path: String,
