@@ -90,6 +90,29 @@ class VersionedStoreSpec extends SparkSpec {
       VersionedStore.vacuum(spark, root, keepLast = 0))
   }
 
+  test("a lease stolen mid-build aborts the publish loudly instead of " +
+    "blessing a possibly multi-writer directory") {
+    val root = freshRoot()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(VersionedStore.versionDir(root, 1L)))
+    VersionedStore.publish(spark, root, 1L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.buildNext(spark, root, ttlMs = 60000L) { dir =>
+        fs.mkdirs(new Path(dir))
+        // the steal: a mis-fired takeover replaces our lease with its own
+        val cl = new Path(s"$root/manifest/claim_v00000002")
+        fs.delete(cl, false)
+        val out = fs.create(cl, true)
+        out.write("thief-token".getBytes("UTF-8")); out.close()
+      }
+    }
+    assert(e.getMessage.contains("lost mid-build"))
+    assert(VersionedStore.currentVersion(spark, root) == Some(1L),
+      "a stolen-lease build must not publish")
+    // holdsLease is the primitive: false for a lease this process lost
+    assert(!VersionedStore.holdsLease(spark, root, 2L))
+  }
+
   test("init builds v1 exactly once under concurrency; buildNext refuses " +
     "a live lease and a double-init") {
     val root = freshRoot()
