@@ -963,7 +963,16 @@ object Forecast {
       // n) come from window aggregates over the SAME user partition — no
       // separate train aggregation, no join, no second shuffle
       val byUser = Window.partitionBy("user_id")
+      // pin the window exchange with an explicit per-series repartition:
+      // the windowed fold chain below is CPU-bound (O(n_train) array folds
+      // per output row), and AQE's byte-based coalescing would otherwise
+      // collapse the few-MB shuffle onto ONE task and serialize all of it
+      // (guide §2.5 — partition count must follow compute, not bytes, when
+      // per-row work dominates). Partition count = defaultParallelism:
+      // scale-adaptive, never a local constant; same Exchange count as the
+      // ENSURE_REQUIREMENTS exchange it replaces.
       val ev = series(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
         .withColumn("rdesc", row_number().over(byUser.orderBy(col("bucket_ts").desc)))
         .withColumn("n_total", count(lit(1)).over(byUser))
         .withColumn("last_demand",

@@ -98,6 +98,13 @@ object Pretrain {
   }
 
   def pretrainCorpus(docs0: DataFrame): DataFrame =
+    // NOTE (r13 optimization round): a lazy-cache staged materializer
+    // (cache() instead of localCheckpoint(), one action for the whole
+    // ladder) was tried and REVERTED — without an eager sync per stage,
+    // concurrent first scans of the still-empty InMemoryRelations
+    // recompute the upstream stage chain multiplicatively (the run went
+    // from ~13 s to >10 min). The per-stage eager checkpoint is what
+    // bounds each stage to exactly one computation.
     pretrainCorpusStaged(docs0, (_, f) => f().localCheckpoint())
 
   /** [[pretrainCorpus]] with per-stage COST columns — the x81 recorder

@@ -759,11 +759,16 @@ object Relational {
       |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d).groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("exact_users"),
-        // rsd 0.01: the default 0.05 precision gives the sketch a ~1-sigma
-        // budget against the 5% gate — observed failing at sf0.1 (1.5k
-        // distinct users per type); 1% precision leaves 5x headroom at any
-        // cardinality
-        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        // Datasketches HLL at lgK=14 (RSE ~0.8% — same 5x headroom against
+        // the 5% gate as the previous approx_count_distinct(rsd=0.01), and
+        // deterministic for fixed input). The swap is a performance fix:
+        // approx_count_distinct at rsd 0.01 expands its HLL++ buffer into
+        // 1,639 separate LONG aggregation columns (a 200 KB physical plan,
+        // interpreted row hashing per input row), while hll_sketch_agg
+        // carries ONE mergeable binary column through the partial/final
+        // aggregate — the emitted row set (exact counts + gate) is
+        // unchanged.
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("approx"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")).cast("double") /
           col("exact_users") < 0.05).as("within_5pct"))

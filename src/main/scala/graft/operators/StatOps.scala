@@ -2454,7 +2454,16 @@ object StatOps {
         count(when(col("isa"), 1)) -
         sum(when(!col("isa"), dec(col("v")))).cast("double") /
           count(when(!col("isa"), 1))).as("obs_diff"))
+    // spread the base rows by id before the P-fold explode: the md5 coin
+    // per (row, permutation) is the dominant cost (P x one md5 per input
+    // row), and a tiny single-split input would otherwise compute all of
+    // it on one core (guide §2.5: partition count must follow compute,
+    // not bytes). Hash-repartition on the stable id is deterministic under
+    // retries; partition count = defaultParallelism, scale-adaptive — at
+    // production scale the scan is already parallel and this one narrow-row
+    // exchange is noise next to the P-fold expansion it parallelizes.
     val pd = e
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"), col("v"),
         explode(sequence(lit(0), lit(PermCount - 1))).as("p"))
       .withColumn("pa",

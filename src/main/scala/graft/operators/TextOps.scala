@@ -2480,9 +2480,16 @@ object TextOps {
     * removes the only skew mechanism (hot template variants).
     */
   def fuzzyMatchPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val dv = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // decide with small rows, attach payloads once (guide §8): the variant
+    // join and both distincts used to carry the FULL source string per row
+    // — kilobytes of payload shuffled three times so two ids could be
+    // compared. Candidates are id-only here (16-byte rows through every
+    // exchange); the strings are re-attached by id at the end, only for
+    // the deduped candidate pairs the levenshtein verify actually reads.
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val dv = base
       .withColumn("i", explode(sequence(lit(0), length(col("s")))))
-      .select(col("id"), col("s"),
+      .select(col("id"),
         when(col("i") === 0, col("s"))
           .otherwise(concat(
             expr("substring(s, 1, i - 1)"),
@@ -2493,9 +2500,10 @@ object TextOps {
     val kept = dv.join(keep, Seq("variant"))
     kept.as("a").join(kept.as("b"),
         col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+      .join(base.select(col("id").as("a_id"), col("s").as("s_a")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("s").as("s_b")), "b_id")
       .select(col("a_id"), col("b_id"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
       .filter(col("dist") <= 1)

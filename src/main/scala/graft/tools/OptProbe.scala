@@ -1,0 +1,123 @@
+package graft.tools
+
+import graft.core.Sessions
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+/** Dev measurement tool for the optimization rounds: per-query wall time
+  * split into build() vs noop-execute, with Spark job/stage/task counts and
+  * shuffle bytes from a listener — pinpoints whether a slow query is paying
+  * for eager driver work inside build, too many jobs, or genuine task time.
+  *
+  * Usage: runMain graft.tools.OptProbe <sfDir> <queryName...>
+  *        runMain graft.tools.OptProbe <sfDir> --stages   (x66 stage costs)
+  */
+object OptProbe {
+
+  private class Counts extends SparkListener {
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var shuffleRead = 0L
+    @volatile var shuffleWrite = 0L
+    override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      stages += 1
+      shuffleRead += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+      shuffleWrite += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      tasks += s.stageInfo.numTasks
+    }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.length > 1 && args(1) == "--stages") {
+      val t0 = System.nanoTime()
+      val costs = graft.operators.Pretrain
+        .pretrainCorpusCosts(graft.core.Tables.documents(spark, sfDir))
+      costs.show(20, truncate = false)
+      println(f"x66-with-costs total ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "--cc") {
+      // isolate the connected-components loop: a 200-node random graph
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val edges = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .toDF("u", "v")
+      for (i <- 1 to 3) {
+        val c = new Counts
+        spark.sparkContext.addSparkListener(c)
+        val t0 = System.nanoTime()
+        graft.operators.GraphOps.connectedComponents(edges)
+          .write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(c)
+        println(f"[probe] cc pass$i ${(t1 - t0) / 1e9}%6.2fs jobs=${c.jobs} stages=${c.stages}")
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "--sweep") {
+      // replicate Bench's attempt loop over the first N bench queries, then
+      // report the late slow set — reproduces cumulative-session effects
+      val n = args(2).toInt
+      val qs2 = graft.SparkEntry.benchQueries.take(n)
+      qs2.foreach { q =>
+        var times = List.empty[Double]
+        for (_ <- 1 to 2) {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+            times = (System.nanoTime() - t0) / 1e9 :: times
+          } catch { case e: Throwable => println(s"${q.name} FAILED: ${e.getMessage}") }
+        }
+        if (times.nonEmpty)
+          println(f"[sweep] ${q.name}%-34s ${times.min}%6.2fs" +
+            times.reverse.map(t => f"$t%.2f").mkString(" [", ",", "]"))
+      }
+      spark.stop(); return
+    }
+
+    val names = args.drop(1).toSet
+    val qs = graft.SparkEntry.registry.filter(q => names(q.name))
+    qs.foreach { q =>
+      // warm once (codegen + file listing), as Bench's min-of-2 does
+      try {
+        spark.catalog.clearCache()
+        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable => println(s"${q.name} FAILED: ${e.getMessage}") }
+      var best = Double.MaxValue
+      var bestLine = ""
+      for (_ <- 1 to 3) {
+        spark.catalog.clearCache()
+        val c = new Counts
+        spark.sparkContext.addSparkListener(c)
+        val t0 = System.nanoTime()
+        val df = q.build(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        // listener bus is async; give it a beat to drain before reading counts
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(c)
+        val tot = (t2 - t0) / 1e9
+        if (tot < best) {
+          best = tot
+          bestLine = f"[probe] ${q.name}%-34s build=${(t1 - t0) / 1e9}%6.2fs exec=${(t2 - t1) / 1e9}%6.2fs " +
+            f"jobs=${c.jobs}%3d stages=${c.stages}%3d tasks=${c.tasks}%4d " +
+            f"shufR=${c.shuffleRead / 1024}%7dKB shufW=${c.shuffleWrite / 1024}%7dKB"
+        }
+      }
+      println(bestLine)
+    }
+    spark.stop()
+  }
+}
