@@ -24,4 +24,14 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Let AQE re-optimize (coalesce/skew-split) plans that sit under a
+      // cache: off (the default) every .cache()'d stage of a composed
+      // pipeline (curate, the pretrain ladder, the sim rides table)
+      // executes with raw static shuffle partitioning — locally that is
+      // dozens of near-empty tasks per cached stage; at scale it is the
+      // same skew/coalesce exposure AQE exists to fix. The trade (cached
+      // plan partitioning may change between runs) only matters to
+      // consumers that depend on cached output partitioning, which this
+      // engine never does.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 }

@@ -1249,7 +1249,13 @@ object Forecast {
     GraftQuery(
       "m9_rolling_origin_backtest",
       (s, d) => {
+        // pin the per-series exchange (the m4b fix): the K-fold array
+        // re-fits below are CPU-bound per row and AQE's byte-based
+        // coalescing would serialize them onto one task; Hash(user_id)
+        // satisfies the groupBy's distribution, so this replaces the
+        // ENSURE exchange rather than adding one.
         val g = series(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("user_id"))
           .groupBy("user_id")
           .agg(sort_array(collect_list(struct(col("bucket_ts").as("b"),
             col("demand").as("d")))).as("trd"),

@@ -2915,30 +2915,49 @@ object TextOps {
   val x50: GraftQuery = GraftQuery(
     "x50_dedup_method_report",
     (s, d) => {
+      // the three strategy pipelines (plus the corpus count) are
+      // independent driver actions — overlap them from a small thread
+      // pool (guide §2.6) so each pipeline's straggler tail back-fills
+      // with the next one's tasks instead of serializing four job chains.
+      // Results are scalars of deterministic pipelines; overlap changes
+      // wall-clock only.
+      graft.plans.GraftExtensions.register(s)
       val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val exactRemoved = exactDupGroups(docs)
-        .agg(sum(col("n") - 1).as("r")).select(col("r")).head().getLong(0)
-      val nearRemoved = dupComponents(docs, 0.9)
-        .select("component", "n_members").distinct()
-        .agg(sum(col("n_members") - 1).as("r")).head().getLong(0)
-      val cp = containmentPairs(docs, 0.9)
-      val sizes = shingleSets(docs).select(col("doc_id"), size(col("sh")).as("ns"))
-      val contRemoved = cp
-        .join(sizes.select(col("doc_id").as("a_id"), col("ns").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("ns").as("nb")), "b_id")
-        .select(when(col("na") < col("nb"), col("a_id"))
-          .when(col("nb") < col("na"), col("b_id"))
-          .otherwise(greatest(col("a_id"), col("b_id"))).as("removed"))
-        .distinct().count()
-      import s.implicits._
-      Seq(
-        ("exact_md5", n, exactRemoved),
-        ("neardup_components", n, nearRemoved),
-        ("containment", n, contRemoved))
-        .toDF("method", "n_docs", "n_removed")
-        .withColumn("frac_removed",
-          col("n_removed").cast("double") / col("n_docs"))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val fN = Future(docs.count())
+        val fExact = Future(exactDupGroups(docs)
+          .agg(sum(col("n") - 1).as("r")).select(col("r")).head().getLong(0))
+        val fNear = Future(dupComponents(docs, 0.9)
+          .select("component", "n_members").distinct()
+          .agg(sum(col("n_members") - 1).as("r")).head().getLong(0))
+        val fCont = Future {
+          val cp = containmentPairs(docs, 0.9)
+          val sizes = shingleSets(docs).select(col("doc_id"), size(col("sh")).as("ns"))
+          cp.join(sizes.select(col("doc_id").as("a_id"), col("ns").as("na")), "a_id")
+            .join(sizes.select(col("doc_id").as("b_id"), col("ns").as("nb")), "b_id")
+            .select(when(col("na") < col("nb"), col("a_id"))
+              .when(col("nb") < col("na"), col("b_id"))
+              .otherwise(greatest(col("a_id"), col("b_id"))).as("removed"))
+            .distinct().count()
+        }
+        val n = Await.result(fN, Duration.Inf)
+        val exactRemoved = Await.result(fExact, Duration.Inf)
+        val nearRemoved = Await.result(fNear, Duration.Inf)
+        val contRemoved = Await.result(fCont, Duration.Inf)
+        import s.implicits._
+        Seq(
+          ("exact_md5", n, exactRemoved),
+          ("neardup_components", n, nearRemoved),
+          ("containment", n, contRemoved))
+          .toDF("method", "n_docs", "n_removed")
+          .withColumn("frac_removed",
+            col("n_removed").cast("double") / col("n_docs"))
+      } finally { pool.shutdown() }
     },
     Some("""WITH RECURSIVE t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
@@ -3978,7 +3997,15 @@ object TextOps {
     val positions = grams4(benchmark)
       .select(explode(bloomPositions).as("p"))
       .distinct()
-    val cand = grams4(train)
+    // spread the candidate grams by doc_id once: the 3-probe md5 position
+    // arithmetic below is the dominant per-row cost and would otherwise run
+    // on the kernel's scan partitioning (one split for a small input —
+    // guide §2.5). HashPartitioning(doc_id) satisfies the clustered
+    // distribution of BOTH doc-keyed aggregates (no further exchange), and
+    // the two consumers share the exchange via reuse, so the gram kernel
+    // runs once instead of twice.
+    val cand = grams4(train).repartition(
+      train.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val perDoc = cand.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = cand
       .select(col("doc_id"), col("sh"), explode(bloomPositions).as("p"))

@@ -153,6 +153,14 @@ object BusSim {
     */
   def ridership(s: SparkSession, d: String): DataFrame =
     hourlyRidership(s, d)
+      // spread the hourly rollup by station before the 60x minute explode:
+      // the spread rows are generated (not scanned), so their parallelism
+      // is whatever AQE leaves the hourly aggregate — one task for a
+      // byte-small rollup (guide §2.5). Hash(station_id) also satisfies
+      // the clustered distribution of the conservation re-aggregate
+      // downstream, so the explicit exchange replaces one rather than
+      // adding one; partition count = defaultParallelism, scale-adaptive.
+      .repartition(s.sparkContext.defaultParallelism, col("station_id"))
       .select(col("station_id"), col("h"), col("hourly"),
         explode(sequence(lit(0), lit(59))).as("m"))
       .select(col("station_id"),
