@@ -64,6 +64,51 @@ object OptProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "--polls") {
+      // Reproduce the bench's END-OF-RUN poll state: replay the first N
+      // bench queries (bench attempt loop: clearCache + noop, twice), then
+      // run the four poll arms exactly as Bench's poll section does —
+      // per-poll seconds plus job/stage/task counts from a listener, so a
+      // warm-poll degradation shows up as either higher counts (plan-shape
+      // problem) or same-counts-slower (accumulated fixed overhead).
+      val preN = if (args.length > 2) args(2).toInt else 0
+      val pre = graft.SparkEntry.benchQueries.take(
+        if (preN < 0) Int.MaxValue else preN)
+      val t0s = System.nanoTime()
+      pre.foreach { q =>
+        for (_ <- 1 to 2) {
+          spark.catalog.clearCache()
+          try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => println(s"${q.name} FAILED: ${e.getMessage}") }
+        }
+      }
+      println(f"[polls] replayed ${pre.size} bench queries in ${(System.nanoTime() - t0s) / 1e9}%.1fs")
+      def pollArm(name: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+        mk().write.format("noop").mode("overwrite").save() // seed + warm
+        val samples = (1 to 20).map { _ =>
+          val c = new Counts
+          spark.sparkContext.addSparkListener(c)
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(120)
+          spark.sparkContext.removeSparkListener(c)
+          (sec, c.jobs, c.stages, c.tasks)
+        }
+        val ts = samples.map(_._1).sorted
+        println(f"[polls] $name%-18s p50=${ts(9)}%.3fs p95=${ts(18)}%.3fs " +
+          f"min=${ts.head}%.3fs max=${ts.last}%.3fs " +
+          f"jobs=${samples.map(_._2).max}%d stages=${samples.map(_._3).max}%d " +
+          f"tasks=${samples.map(_._4).max}%d")
+      }
+      pollArm("rides", () => graft.serve.QueryService.ridesWindow(spark, sfDir,
+        "2024-01-02 06:00:00", "2024-01-02 12:00:00", 365))
+      pollArm("vec", () => graft.serve.QueryService.vecSearch(spark, sfDir))
+      pollArm("docs", () => graft.serve.QueryService.docSearch(spark, sfDir))
+      pollArm("hybrid", () => graft.serve.QueryService.hybridSearch(spark, sfDir))
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "--sweep") {
       // replicate Bench's attempt loop over the first N bench queries, then
       // report the late slow set — reproduces cumulative-session effects
