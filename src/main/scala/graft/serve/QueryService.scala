@@ -138,7 +138,7 @@ object QueryService {
     * salt with any change to the scoring/index-build semantics, or a
     * snapshot built by the old code keeps serving under the new oracle.
     */
-  private val ServeScratchSalt = "r13a"
+  private val ServeScratchSalt = "r14a"
 
   private def scratchIdent(src: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -162,9 +162,32 @@ object QueryService {
     s"${System.getProperty("java.io.tmpdir")}/graft-scratch/serve_bm25_$ident"
   }
 
-  private def buildDocSnapshot(docs: DataFrame, dir: String): Unit =
+  /** How many top rows the snapshot's `head/` tier holds — the largest
+    * page the serving routes may answer from the head alone (docSearch
+    * k=10, hybrid cand=20 both fit with headroom). A request past the
+    * head falls back to the full `scores/` tier.
+    */
+  private[graft] val ServeHeadK = 64
+
+  /** BM25 snapshot layout (guide §6 — lay the store out for its
+    * readers): `scores/` holds the full (doc_id, bm25) table; `head/`
+    * holds its top-[[ServeHeadK]] page (bm25 desc, doc_id tie-break) as
+    * ONE small file, so every poll's TakeOrdered reads k rows from one
+    * file instead of re-scanning every score shard — the doc-arm twin
+    * of the vector arm's compactForServe posture, and the part that
+    * keeps per-poll cost O(k) when the score table is corpus-sized.
+    * The head is derived by reading `scores/` back (doubles round-trip
+    * parquet exactly), so the two tiers are bit-consistent by
+    * construction.
+    */
+  private def buildDocSnapshot(docs: DataFrame, dir: String): Unit = {
+    val s = docs.sparkSession
     graft.operators.TextOps.bm25Score(docs)
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/scores")
+    s.read.parquet(s"$dir/scores")
+      .orderBy(col("bm25").desc, col("doc_id")).limit(ServeHeadK)
+      .write.mode("overwrite").parquet(s"$dir/head")
+  }
 
   /** First materialization of the versioned BM25 store: score `docs`
     * into roots/v1 and publish the pointer (single-writer; a racing
@@ -219,9 +242,16 @@ object QueryService {
     resolveDocIndexRoot(s, root)
   }
 
-  def docSearch(s: SparkSession, d: String, k: Int = 10): DataFrame =
-    relationOf(s, bm25Root(s, d))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  /** The pointer is still resolved per poll (a flip must land at the
+    * next request), but the constructed page plan is driver-cached per
+    * pinned version directory — the vecSearch discipline: a warm poll
+    * re-EXECUTES the plan, it does not re-analyze it.
+    */
+  def docSearch(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val dir = bm25Root(s, d)
+    capped(servedPlans).getOrElseUpdate((s, s"doc:${epoched(dir)}", k, ""),
+      docPage(s, dir, k))
+  }
 
   /** The search endpoint as a driver-checked query: the x31 scoring SQL
     * wrapped with the identical deterministic top-10 (score-desc, doc-id
@@ -247,8 +277,14 @@ object QueryService {
   /** The deterministic top-k page over a pinned snapshot directory — the
     * exact [[docSearch]] serving shape, parameterized by version dir.
     */
-  private def docPage(s: SparkSession, dir: String, k: Int): DataFrame =
-    s.read.parquet(dir).orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  private def docPage(s: SparkSession, dir: String, k: Int): DataFrame = {
+    // any page inside the head tier is answered from the one-file head
+    // (it holds the global top-ServeHeadK by construction); larger pages
+    // fall back to the full score table
+    val src = if (k <= ServeHeadK) relationOf(s, dir, "head")
+              else relationOf(s, dir, "scores")
+    src.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
 
   /** The v47-style race gate on the DOC arm: a page RESOLVED against the
     * current BM25 snapshot, then EXECUTED after a re-materialization has
@@ -731,8 +767,7 @@ object QueryService {
     // assign — and re-entered as a local relation, so a warm poll runs no
     // lex scan
     val lexPage = capped(servedLexPages).getOrElseUpdate((lexDir, cand),
-      s.read.parquet(lexDir)
-        .orderBy(col("bm25").desc, col("doc_id")).limit(cand)
+      docPage(s, lexDir, cand)
         .select("doc_id", "bm25").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
         .sortBy { case (id, bm) => (-bm, id) })
