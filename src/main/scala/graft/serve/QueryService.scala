@@ -191,25 +191,45 @@ object QueryService {
 
   /** First materialization of the versioned BM25 store: score `docs`
     * into roots/v1 and publish the pointer (single-writer; a racing
-    * initializer waits for the winner's publish).
+    * initializer waits for the winner's publish). `stageKey` routes the
+    * deterministic scoring through [[graft.core.SessionStaging]]
+    * (built once per JVM, byte-copied per caller) — the claim/publish
+    * mechanics stay live; keys must name the corpus slice and dataset
+    * fingerprint, never mutable state.
     */
   def initVersionedDocIndex(docs: DataFrame, root: String,
-      leaseTtlMs: Long = graft.operators.VectorOps.DefaultRebuildLeaseMs)
-      : String =
+      leaseTtlMs: Long = graft.operators.VectorOps.DefaultRebuildLeaseMs,
+      stageKey: Option[String] = None): String =
     graft.core.VersionedStore.init(docs.sparkSession, root, leaseTtlMs)(
-      buildDocSnapshot(docs, _))
+      dir => stageKey match {
+        case Some(k) => graft.core.SessionStaging.into(
+          docs.sparkSession, k, dir)(buildDocSnapshot(docs, _))
+        case None => buildDocSnapshot(docs, dir)
+      })
 
   /** Re-materialize the BM25 store from `docs` into version N+1 and flip
     * the pointer — pinned in-flight pages stay fully-old, the next
     * resolution is fully-new, and two concurrent re-materializations
     * cannot interleave (the [[graft.core.VersionedStore.buildNext]]
-    * lease). Returns the new version directory.
+    * lease). Returns the new version directory. `stageKey` as on
+    * [[initVersionedDocIndex]].
     */
   def rematerializeDocIndex(s: SparkSession, root: String, docs: DataFrame,
-      leaseTtlMs: Long = graft.operators.VectorOps.DefaultRebuildLeaseMs)
-      : String =
+      leaseTtlMs: Long = graft.operators.VectorOps.DefaultRebuildLeaseMs,
+      stageKey: Option[String] = None): String =
     graft.core.VersionedStore.buildNext(s, root, leaseTtlMs)(
-      buildDocSnapshot(docs, _))
+      dir => stageKey match {
+        case Some(k) => graft.core.SessionStaging.into(s, k, dir)(
+          buildDocSnapshot(docs, _))
+        case None => buildDocSnapshot(docs, dir)
+      })
+
+  /** Staging-key fingerprint of the doc corpus (same identity components
+    * as [[scratchIdent]]; no code salt — staged artifacts never outlive
+    * the JVM that built them).
+    */
+  private def stagedDocIdent(d: String): String =
+    graft.core.SessionStaging.datasetIdent(d, "documents.parquet")
 
   /** The pinned current BM25 snapshot directory (resolve once per
     * request — the [[vecIndexRoot]] contract).
@@ -227,7 +247,8 @@ object QueryService {
     */
   def refreshDocIndex(s: SparkSession, d: String): String = {
     val root = docIndexRootOf(d)
-    val dir = rematerializeDocIndex(s, root, graft.core.Tables.documents(s, d))
+    val dir = rematerializeDocIndex(s, root, graft.core.Tables.documents(s, d),
+      stageKey = Some(s"bm25:full:${stagedDocIdent(d)}"))
     vacuumDocIndexVersions(s, root, keepLast = 2, minAgeMs = vacuumGraceMs)
     dir
   }
@@ -237,7 +258,8 @@ object QueryService {
     // serialize first-build within the JVM (same contract as vecIndexRoot)
     root.intern.synchronized {
       if (graft.core.VersionedStore.currentVersion(s, root).isEmpty)
-        initVersionedDocIndex(graft.core.Tables.documents(s, d), root)
+        initVersionedDocIndex(graft.core.Tables.documents(s, d), root,
+          stageKey = Some(s"bm25:full:${stagedDocIdent(d)}"))
     }
     resolveDocIndexRoot(s, root)
   }
@@ -298,11 +320,13 @@ object QueryService {
       val id = java.util.UUID.randomUUID()
       val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/sdoc_pin_$id"
       val docs = graft.core.Tables.documents(s, d)
-      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
+      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root,
+        stageKey = Some(s"bm25:sub90:${stagedDocIdent(d)}"))
       // the concurrent poller: pointer resolved NOW (v1)...
       val pinned = docPage(s, resolveDocIndexRoot(s, root), 10)
       // ...re-materialization publishes v2 before the page executes
-      rematerializeDocIndex(s, root, docs)
+      rematerializeDocIndex(s, root, docs,
+        stageKey = Some(s"bm25:full:${stagedDocIdent(d)}"))
       pinned
     },
     Some(s"""SELECT doc_id, bm25 FROM (${bm25SubsetSql("WHERE doc_id % 10 != 0")})
@@ -320,8 +344,10 @@ object QueryService {
       val id = java.util.UUID.randomUUID()
       val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/sdoc_flip_$id"
       val docs = graft.core.Tables.documents(s, d)
-      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
-      rematerializeDocIndex(s, root, docs)
+      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root,
+        stageKey = Some(s"bm25:sub90:${stagedDocIdent(d)}"))
+      rematerializeDocIndex(s, root, docs,
+        stageKey = Some(s"bm25:full:${stagedDocIdent(d)}"))
       val removed = vacuumDocIndexVersions(s, root, keepLast = 1)
       require(removed == Seq(1L), s"vacuum must reclaim exactly v1, got $removed")
       docPage(s, resolveDocIndexRoot(s, root), 10)
@@ -867,8 +893,10 @@ object QueryService {
       val id = java.util.UUID.randomUUID()
       val root = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/sdoc_remat_$id"
       val docs = graft.core.Tables.documents(s, d)
-      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
-      rematerializeDocIndex(s, root, docs)
+      initVersionedDocIndex(docs.filter(col("doc_id") % 10 =!= 0), root,
+        stageKey = Some(s"bm25:sub90:${stagedDocIdent(d)}"))
+      rematerializeDocIndex(s, root, docs,
+        stageKey = Some(s"bm25:full:${stagedDocIdent(d)}"))
       hybridSearchPlan(s, d, vecIndexRoot(s, d),
         resolveDocIndexRoot(s, root), 10, 20)
     },
