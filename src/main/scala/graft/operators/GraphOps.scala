@@ -105,6 +105,15 @@ object GraphOps {
     * within-partition component its minimum id regardless of edge order,
     * so the emitted edge SET is a pure function of the partition contents,
     * and the sig()-based fixpoint check downstream is order-free.
+    *
+    * Per-task memory bound (ADVICE r13): the union-find holds one LongMap
+    * entry per distinct node id in the split — with 128 MB splits of
+    * 16-byte edge rows that is up to ~16M entries (hundreds of MB) per
+    * task, a real footprint unlike the streaming-min star rounds. At
+    * cluster scale, cap the effective split size of the contraction input
+    * (spark.sql.files.maxPartitionBytes on the edge scan) so the map
+    * stays inside the task's execution-memory share; at the bench SFs the
+    * whole edge set is a single split and the map is a few MB.
     */
   private def localContract(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession

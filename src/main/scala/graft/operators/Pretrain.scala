@@ -88,13 +88,36 @@ object Pretrain {
     * — the x56 threshold shape (exact integer cumulative counts; the one
     * global window runs over the bounded quantized-score domain).
     */
-  private def ecdfThreshold(scores: DataFrame, vCol: String, q: Double): DataFrame = {
+  private def ecdfThreshold(scores: DataFrame, vCol: String, q: Double): DataFrame =
+    ecdfThresholds(scores, vCol, Seq("thr" -> q))
+
+  /** Several ECDF quantile thresholds of the SAME score column in ONE
+    * pass (optimization round 14, guide §2.4): the cumulative table is
+    * computed once and each threshold is a conditional min over it —
+    * per quantile, exactly `min(vCol) where cum >= ceil(q*n)`, the
+    * identical arithmetic the single-q path always used — so N
+    * thresholds cost one aggregate subtree instead of N windowed
+    * subtrees (stage 12 of the x66 capstone asked for three).
+    */
+  private def ecdfThresholds(scores: DataFrame, vCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    // the grouped table is bounded by the QUANTIZED score domain (centi-
+    // perplexity / 1e-6 sigmoid — score resolution, never corpus size),
+    // so collapsing it to one partition is safe at any SF and replaces
+    // the global windows' SinglePartition Exchange with a shuffle-free
+    // coalesce (guide §2.4): the cum/total windows and the threshold agg
+    // all run inside one task over the tiny domain table.
     val cum = scores.groupBy(vCol).agg(count(lit(1)).as("nv"))
+      .coalesce(1)
       .select(col(vCol),
         sum("nv").over(Window.orderBy(vCol)).as("cum"),
         sum("nv").over(Window.partitionBy()).as("n"))
-    cum.filter(col("cum") >= ceil(lit(q) * col("n").cast("double")).cast("long"))
-      .agg(min(vCol).as("thr"))
+    val thrCols = qs.map { case (name, q) =>
+      min(when(col("cum") >=
+        ceil(lit(q) * col("n").cast("double")).cast("long"), col(vCol)))
+        .as(name)
+    }
+    cum.agg(thrCols.head, thrCols.tail: _*)
   }
 
   def pretrainCorpus(docs0: DataFrame): DataFrame =
@@ -105,7 +128,8 @@ object Pretrain {
     // recompute the upstream stage chain multiplicatively (the run went
     // from ~13 s to >10 min). The per-stage eager checkpoint is what
     // bounds each stage to exactly one computation.
-    pretrainCorpusStaged(docs0, (_, f) => f().localCheckpoint())
+    pretrainCorpusStaged(docs0, (_, f) => f().localCheckpoint(),
+      overlapTail = true)
 
   /** [[pretrainCorpus]] with per-stage COST columns — the x81 recorder
     * applied to the 13-stage capstone: every stage materializes inside a
@@ -123,7 +147,11 @@ object Pretrain {
     // stage 3 throws on degenerate inputs) — a leaked listener would
     // accumulate bus work on the shared session across retries
     val funnel =
-      try pretrainCorpusStaged(docs0, (n, f) => rec.staged(n)(f()))
+      // sequential tail: overlapped stage walls would overlap in time and
+      // the recorder's per-stage wall_ms attribution would stop meaning
+      // "this stage's cost" — the costs entry keeps the honest layout
+      try pretrainCorpusStaged(docs0, (n, f) => rec.staged(n)(f()),
+        overlapTail = false)
       catch { case t: Throwable => rec.abort(); throw t }
     funnel.join(broadcast(rec.table()), Seq("stage"), "left")
       .na.fill(0L, Seq("wall_ms", "shuffle_bytes"))
@@ -133,7 +161,8 @@ object Pretrain {
   }
 
   private def pretrainCorpusStaged(docs0: DataFrame,
-      staged: (String, () => DataFrame) => DataFrame): DataFrame = {
+      staged: (String, () => DataFrame) => DataFrame,
+      overlapTail: Boolean): DataFrame = {
     val cols = docs0.columns.toSeq.map(col)
     val docs = docs0.cache()
 
@@ -210,33 +239,69 @@ object Pretrain {
         .join(d8, "doc_id").select(cols: _*))
 
     // 10: x16 packing layout — units = total context windows
-    val packUnits = staged("packed", () =>
+    def packedUnits() = staged("packed", () =>
       TextOps.sequencePack(d9, "source", 256)
         .groupBy("source").agg((max("last_pack") + 1).as("np"))
         .agg(coalesce(sum("np"), lit(0L)).as("u")))
 
     // 11: x30 salted shuffle — units = shards in use
-    val shardUnits = staged("sharded", () =>
+    def shardedUnits() = staged("sharded", () =>
       d9.select((expr(
           "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':42')), 1, 15), 16, 10) AS BIGINT)")
           % 32).as("shard"))
         .agg(countDistinct(col("shard")).as("u")))
 
     // 12: x56 curriculum bands over the FINAL corpus's perplexity
-    // quartiles — units = (band, shard) dataloader groups
-    val p9 = staged("curriculum", () =>
-      d9.select("doc_id").join(ppl, "doc_id"))
-    val banded = p9
-      .crossJoin(broadcast(ecdfThreshold(p9, "p2", 0.25).withColumnRenamed("thr", "t25")))
-      .crossJoin(broadcast(ecdfThreshold(p9, "p2", 0.5).withColumnRenamed("thr", "t50")))
-      .crossJoin(broadcast(ecdfThreshold(p9, "p2", 0.75).withColumnRenamed("thr", "t75")))
-      .select((lit(1) + (col("p2") > col("t25")).cast("int") +
-          (col("p2") > col("t50")).cast("int") +
-          (col("p2") > col("t75")).cast("int")).as("band"),
-        (expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cur')), 1, 15), 16, 10) AS BIGINT)")
-          % 8).as("shard"))
-    val curUnits = staged("curriculum", () => // accumulates with p9
-      banded.agg(countDistinct(col("band") * 8 + col("shard")).as("u")))
+    // quartiles — units = (band, shard) dataloader groups. The three
+    // quartile thresholds come out of ONE ECDF pass (one broadcast
+    // subtree instead of three windowed ones — guide §2.4); each value
+    // is bit-identical to the old per-quantile computation.
+    def curriculumUnits() = {
+      val p9 = staged("curriculum", () =>
+        d9.select("doc_id").join(ppl, "doc_id"))
+      val banded = p9
+        .crossJoin(broadcast(ecdfThresholds(p9, "p2",
+          Seq("t25" -> 0.25, "t50" -> 0.5, "t75" -> 0.75))))
+        .select((lit(1) + (col("p2") > col("t25")).cast("int") +
+            (col("p2") > col("t50")).cast("int") +
+            (col("p2") > col("t75")).cast("int")).as("band"),
+          (expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cur')), 1, 15), 16, 10) AS BIGINT)")
+            % 8).as("shard"))
+      staged("curriculum", () => // accumulates with p9
+        banded.agg(countDistinct(col("band") * 8 + col("shard")).as("u")))
+    }
+
+    // Stages 10–12 depend only on the CHECKPOINTED d9 (12 also on the
+    // checkpointed ppl) and not on each other, and on the tiny quantized
+    // domains each is a chain of single-task micro-jobs — overlap them
+    // (guide §2.6) so one chain's scheduling gaps back-fill with the
+    // others' tasks. The recorder path stays sequential so x82's
+    // per-stage wall_ms keeps meaning "this stage's own cost". Inputs
+    // being checkpointed matters: no lazy cache races (the r13 trap).
+    val (packUnits, shardUnits, curUnits) =
+      if (overlapTail) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val s = docs0.sparkSession
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val groupId = s"x66-tail-${java.util.UUID.randomUUID()}"
+        def grouped[T](desc: String)(body: => T): T = {
+          s.sparkContext.setJobGroup(groupId, desc, interruptOnCancel = true)
+          try body finally s.sparkContext.clearJobGroup()
+        }
+        try {
+          val fp = Future(grouped("x66: packed")(packedUnits()))
+          val fs = Future(grouped("x66: sharded")(shardedUnits()))
+          val fc = Future(grouped("x66: curriculum")(curriculumUnits()))
+          try (Await.result(fp, Duration.Inf), Await.result(fs, Duration.Inf),
+            Await.result(fc, Duration.Inf))
+          catch { case t: Throwable =>
+            s.sparkContext.cancelJobGroup(groupId); throw t
+          }
+        } finally { pool.shutdownNow(); () }
+      } else (packedUnits(), shardedUnits(), curriculumUnits())
 
     val funnel = stageRow(docs, 0, "input")
       .unionByName(stageRow(d1, 1, "quality_rules"))

@@ -2466,8 +2466,16 @@ object TextOps {
 
   /** Public DataFrame-in API (see graft.api.Graft): edit-distance-1 record
     * linkage via the SymSpell/FastSS deletion neighborhood. `df` needs
-    * (`idCol`: long, `strCol`: string); returns (a_id, b_id, dist) for
-    * pairs within edit distance 1.
+    * (`idCol`: long UNIQUE key, `strCol`: string); returns
+    * (a_id, b_id, dist) for pairs within edit distance 1.
+    *
+    * `idCol` must be unique (ADVICE r13): candidates travel id-only
+    * through the exchanges and the strings are re-attached BY ID at the
+    * end, so a duplicated id would cross-expand each candidate pair
+    * against every string sharing that id — including strings that never
+    * shared a variant. Record-linkage keys are unique by construction
+    * (x42's c_custkey is the table's primary key); dedupe upstream if
+    * yours are not.
     *
     * Candidate generation: each string emits itself plus its length
     * delete-one variants; any two strings within edit distance 1 share at
@@ -2928,14 +2936,24 @@ object TextOps {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
+      // one shared job group across the futures (ADVICE r13): if any
+      // pipeline fails, its siblings' in-flight Spark jobs are CANCELLED
+      // before the rethrow instead of running on in the background and
+      // contaminating the next query's timing
+      val groupId = s"x50-${java.util.UUID.randomUUID()}"
+      def grouped[T](desc: String)(body: => T): T = {
+        s.sparkContext.setJobGroup(groupId, desc, interruptOnCancel = true)
+        try body finally s.sparkContext.clearJobGroup()
+      }
       try {
-        val fN = Future(docs.count())
-        val fExact = Future(exactDupGroups(docs)
-          .agg(sum(col("n") - 1).as("r")).select(col("r")).head().getLong(0))
-        val fNear = Future(dupComponents(docs, 0.9)
-          .select("component", "n_members").distinct()
-          .agg(sum(col("n_members") - 1).as("r")).head().getLong(0))
-        val fCont = Future {
+        val fN = Future(grouped("x50: corpus count")(docs.count()))
+        val fExact = Future(grouped("x50: exact dedup")(exactDupGroups(docs)
+          .agg(sum(col("n") - 1).as("r")).select(col("r")).head().getLong(0)))
+        val fNear = Future(grouped("x50: neardup components")(
+          dupComponents(docs, 0.9)
+            .select("component", "n_members").distinct()
+            .agg(sum(col("n_members") - 1).as("r")).head().getLong(0)))
+        val fCont = Future(grouped("x50: containment") {
           val cp = containmentPairs(docs, 0.9)
           val sizes = shingleSets(docs).select(col("doc_id"), size(col("sh")).as("ns"))
           cp.join(sizes.select(col("doc_id").as("a_id"), col("ns").as("na")), "a_id")
@@ -2944,11 +2962,15 @@ object TextOps {
               .when(col("nb") < col("na"), col("b_id"))
               .otherwise(greatest(col("a_id"), col("b_id"))).as("removed"))
             .distinct().count()
-        }
-        val n = Await.result(fN, Duration.Inf)
-        val exactRemoved = Await.result(fExact, Duration.Inf)
-        val nearRemoved = Await.result(fNear, Duration.Inf)
-        val contRemoved = Await.result(fCont, Duration.Inf)
+        })
+        val (n, exactRemoved, nearRemoved, contRemoved) =
+          try (Await.result(fN, Duration.Inf),
+            Await.result(fExact, Duration.Inf),
+            Await.result(fNear, Duration.Inf),
+            Await.result(fCont, Duration.Inf))
+          catch { case t: Throwable =>
+            s.sparkContext.cancelJobGroup(groupId); throw t
+          }
         import s.implicits._
         Seq(
           ("exact_md5", n, exactRemoved),
@@ -2957,7 +2979,7 @@ object TextOps {
           .toDF("method", "n_docs", "n_removed")
           .withColumn("frac_removed",
             col("n_removed").cast("double") / col("n_docs"))
-      } finally { pool.shutdown() }
+      } finally { pool.shutdownNow(); () }
     },
     Some("""WITH RECURSIVE t AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3

@@ -24,9 +24,12 @@ object OptProbe {
       stages += 1
       shuffleRead += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
       shuffleWrite += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
-      tasks += s.stageInfo.numTasks
     }
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = ()
+    // counted per FIRST-attempt completed task (ADVICE r13): accumulating
+    // stageInfo.numTasks would double-count retried stages, inflating the
+    // probe numbers the optimization evidence tables cite
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.attemptNumber == 0) tasks += 1
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,9 +112,48 @@ object OptProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "--jobs") {
+      // per-job breakdown of one query: description + wall per job, so a
+      // job-count-bound pipeline shows WHICH actions own the micro-jobs
+      require(args.length > 2, "usage: OptProbe <sfDir> --jobs <queryName>")
+      val q = graft.SparkEntry.registry.find(_.name == args(2)).getOrElse(
+        sys.error(s"unknown query ${args(2)}"))
+      // warm once
+      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"warm FAILED: ${e.getMessage}") }
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          val site = j.stageInfos.lastOption.map(si =>
+            s"${si.name} [${j.stageInfos.map(_.numTasks).sum}t]").getOrElse("?")
+          val d = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .map(desc => s"$desc | $site").getOrElse(site)
+          starts.put(j.jobId, (System.nanoTime(), d))
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = starts.remove(e.jobId)
+          if (st != null)
+            lines.add(f"[job] ${e.jobId}%4d ${(System.nanoTime() - st._1) / 1e6}%8.1fms  ${st._2}")
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[jobs-total] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(l)
+      lines.forEach(println(_))
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "--sweep") {
       // replicate Bench's attempt loop over the first N bench queries, then
       // report the late slow set — reproduces cumulative-session effects
+      require(args.length > 2,
+        "usage: OptProbe <sfDir> --sweep <nQueries>  (ADVICE r13 arity guard)")
       val n = args(2).toInt
       val qs2 = graft.SparkEntry.benchQueries.take(n)
       qs2.foreach { q =>
